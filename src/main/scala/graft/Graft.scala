@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine facade: session factory + table catalog over a test-data directory.
+  *
+  * The reference engine (williamxww/maple) couples its catalog to a storage
+  * manager (`storage/StorageManager.java`, `lab/storage/ITableService.java`);
+  * here the catalog is a thin registry of Parquet directories surfaced both as
+  * `DataFrame`s and as temp views so the SQL surface (SURVEY.md §2) delegates
+  * to Spark SQL / Catalyst end-to-end.
+  */
+object Graft {
+
+  /** All driver-provided tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Build a session tuned for local[N] work that still mirrors what we'd
+    * deploy on a real cluster: AQE on (skew-join + coalesce), modest shuffle
+    * partition count, UTC for oracle parity.
+    */
+  def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one table from a scale-factor directory.
+    *
+    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as a long and downcast to Spark's
+    * microsecond timestamp (DuckDB reads the same column natively, so
+    * sub-microsecond truncation is the only — here absent — delta).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (idempotent) and install the
+    * engine's extra SQL functions. Queries that go through `spark.sql` call
+    * this first.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    tableNames.foreach { n => table(spark, sfDir, n).createOrReplaceTempView(n) }
+    functions.GraftFunctions.register(spark)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cosine similarity between two float-array embedding columns.
+  *
+  * A native Catalyst expression (with `doGenCode`) instead of a Scala UDF or
+  * a `zip_with`/`aggregate` composition: the tight primitive loop stays inside
+  * whole-stage codegen with zero per-element boxing, which is what makes
+  * brute-force ANN over 100 TB of embeddings feasible. Accumulates in double,
+  * left-to-right (matches DuckDB's `list_cosine_similarity` on DOUBLE[] for
+  * oracle parity).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = (double) $a.getFloat($i);
+         |  double yv = (double) $b.getFloat($i);
+         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Rolling polynomial fingerprint of a string (document fingerprinting,
+  * SURVEY.md §7.8 text-analysis extension): h = (h*31 + byte) mod p with
+  * p = 9007199254740881 (largest prime < 2^53), so every intermediate fits a
+  * signed 64-bit integer — the same fold is expressible in DuckDB
+  * (`list_reduce`) for oracle checking, and never overflows in either engine.
+  */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L; var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % 9007199254740881L
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PolyFingerprint.hashBytes($c.getBytes())")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PolyFingerprint {
+  // Called from generated code.
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L; var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % 9007199254740881L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Column-API + SQL registration for the engine's extra functions.
+  *
+  * The reference exposes new scalar functions by registering them in a
+  * case-insensitive `FunctionDirectory` (reference
+  * `functions/FunctionDirectory.java:80-96`); the Spark-native equivalent is
+  * the session `FunctionRegistry`, which makes them usable from `spark.sql`
+  * and keeps them codegen-compatible.
+  */
+object GraftFunctions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def poly_fingerprint(c: Column): Column =
+    Bridge.column(PolyFingerprint(Bridge.expression(c)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = Bridge.sessionState(spark).functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "builtin")
+    reg.createOrReplaceTempFunction("poly_fingerprint",
+      exprs => PolyFingerprint(exprs.head), "builtin")
+  }
+}

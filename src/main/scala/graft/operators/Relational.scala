@@ -1,0 +1,504 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Graft
+
+/** The reference engine's relational surface (SURVEY.md §2), re-expressed as
+  * declarative DataFrame plans so Catalyst owns pushdown, pruning, join
+  * selection and codegen.
+  *
+  * The reference (williamxww/maple) declares this surface across
+  * `plans/FileScanNode.java`, `plans/ProjectNode.java`, `plans/SelectNode.java`,
+  * `plans/NestedLoopsJoinNode.java`, `plans/SortNode.java`,
+  * `plans/HashedGroupAggregateNode.java` and the `nanosql.g` grammar — much of
+  * it stubbed (GROUP BY, DISTINCT, LIKE, IN/EXISTS, set ops, LIMIT are
+  * parse-only there; see SURVEY.md §2 status column). Here every declared
+  * operator is implemented with full standard SQL semantics and checked
+  * against a DuckDB oracle.
+  *
+  * Determinism notes (the driver hash-compares against DuckDB):
+  *  - float SUM/AVG go through DECIMAL casts so accumulation order (Spark's
+  *    partition-parallel partial aggregates vs DuckDB's single-node scan)
+  *    cannot perturb low bits;
+  *  - every ORDER BY ... LIMIT has a unique tie-break key;
+  *  - NULL sort order is always explicit (Spark default is NULLS FIRST asc,
+  *    DuckDB default is NULLS LAST).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Graft.table(s, dir, n)
+
+  /** Exact float aggregation: round each addend to a fixed scale, sum as
+    * decimal (associative + exact), surface as double. Mirrors the oracle's
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`. */
+  private def sumd(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── 2.1/2.2 scan + filter + project ────────────────────────────────────
+    QueryDef(
+      "q01_scan_filter",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05""")),
+
+    QueryDef(
+      "q02_project_expr",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_partkey") % 10).as("pk_mod")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1 - l_discount) AS revenue,
+                     l_partkey % 10 AS pk_mod
+              FROM lineitem""")),
+
+    QueryDef(
+      "q03_between",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice")),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+              FROM orders
+              WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                    AND TIMESTAMP '1996-12-31'""")),
+
+    QueryDef(
+      "q04_like",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_name").like("%a%") && !col("p_type").like("%BRASS%"))
+        .select("p_partkey", "p_name", "p_type"),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+              WHERE p_name LIKE '%a%' AND p_type NOT LIKE '%BRASS%'""")),
+
+    QueryDef(
+      "q05_rlike",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_name").rlike("a.*e"))
+        .select("p_partkey", "p_name"),
+      Some("""SELECT p_partkey, p_name FROM part
+              WHERE regexp_matches(p_name, 'a.*e')""")),
+
+    QueryDef(
+      "q06_in_list",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_linenumber").isin(1, 3, 5))
+        .select("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+              WHERE l_returnflag IN ('A','R') AND l_linenumber IN (1,3,5)""")),
+
+    QueryDef(
+      "q07_null_semantics",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit(null)).otherwise(col("o_totalprice")).as("v"))
+        .select(
+          col("o_orderkey"), col("v"),
+          col("v").isNull.as("v_is_null"),
+          coalesce(col("v"), lit(-1.0)).as("v_or_default")),
+      Some("""SELECT o_orderkey, v, v IS NULL AS v_is_null,
+                     COALESCE(v, -1.0) AS v_or_default
+              FROM (SELECT o_orderkey,
+                           CASE WHEN o_orderstatus = 'F' THEN NULL
+                                ELSE o_totalprice END AS v
+                    FROM orders)""")),
+
+    // ── 2.4 aggregation ────────────────────────────────────────────────────
+    QueryDef(
+      "q10_agg_pricing_summary", // TPC-H Q1 shape
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sumd(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          (sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                     COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "q11_agg_having",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") > 30),
+      Some("""SELECT l_partkey, COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 30""")),
+
+    QueryDef(
+      "q12_count_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d_parts,
+                     COUNT(DISTINCT l_suppkey) AS d_supps, COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    QueryDef(
+      "q13_min_max",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date")),
+      Some("""SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
+                     MAX(o_totalprice) AS max_price,
+                     strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+                     strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+              FROM orders GROUP BY o_orderstatus""")),
+
+    QueryDef(
+      "q14_rollup",
+      (s, d) => {
+        val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+        // The alias qualifier sidesteps Spark's spurious ambiguous-self-join
+        // detection on rollup grouping columns (SPARK dataset-id tagging).
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal").as("j")
+          .rollup(col("j.r_name"), col("j.n_name"))
+          .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("sum_bal"))
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP(r_name, n_name)""")),
+
+    // ── 2.3 joins ──────────────────────────────────────────────────────────
+    QueryDef(
+      "q20_join_inner",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sumd(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders")),
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     COUNT(*) AS n_orders
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name""")),
+
+    QueryDef(
+      "q21_join_left",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sumd(coalesce(col("o_totalprice"), lit(0.0))).as("total")),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+                     CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey""")),
+
+    QueryDef(
+      "q22_join_right_antiselect", // customers with no orders, via RIGHT JOIN
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .filter(col("o_orderkey").isNull)
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name
+              FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey IS NULL""")),
+
+    QueryDef(
+      "q23_join_full",
+      (s, d) => {
+        val byCust = t(s, d, "customer").groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"))
+        val bySupp = t(s, d, "supplier").groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_supp"))
+        byCust.join(bySupp, col("c_nationkey") === col("s_nationkey"), "full")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                     COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+              FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) a
+              FULL OUTER JOIN
+                   (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) b
+              ON c_nationkey = s_nationkey""")),
+
+    QueryDef(
+      "q24_join_semi", // IN (subquery) => left_semi
+      (s, d) => t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_totalprice") > 100000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""")),
+
+    QueryDef(
+      "q25_join_anti", // NOT EXISTS => left_anti
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 200000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal"),
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+              WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 200000)""")),
+
+    QueryDef(
+      "q26_join_cross",
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name"),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    QueryDef(
+      "q27_join_using", // NATURAL/USING semantics: single shared key column
+      (s, d) => {
+        val a = t(s, d, "nation").select(col("n_name"), col("n_regionkey").as("rk"))
+        val b = t(s, d, "region").select(col("r_name"), col("r_regionkey").as("rk"))
+        a.join(b, Seq("rk")).select("rk", "n_name", "r_name")
+      },
+      Some("""SELECT rk, n_name, r_name
+              FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
+              NATURAL JOIN (SELECT r_name, r_regionkey AS rk FROM region) b""")),
+
+    QueryDef(
+      "q28_theta_join", // non-equi θ-join (reference ThetaJoinNode.java:17)
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_size") <= 3)
+          .select("p_partkey", "p_size")
+        val small = t(s, d, "supplier").filter(col("s_suppkey") <= 20)
+          .select("s_suppkey")
+        small.join(broadcast(p), col("p_partkey") < col("s_suppkey"))
+          .groupBy("s_suppkey").agg(count(lit(1)).as("n_smaller_parts"))
+      },
+      Some("""SELECT s_suppkey, COUNT(*) AS n_smaller_parts
+              FROM (SELECT s_suppkey FROM supplier WHERE s_suppkey <= 20) s
+              JOIN (SELECT p_partkey, p_size FROM part WHERE p_size <= 3) p
+                ON p.p_partkey < s.s_suppkey
+              GROUP BY s_suppkey""")),
+
+    // ── 2.5 sort / limit / distinct / set ops ──────────────────────────────
+    QueryDef(
+      "q30_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    QueryDef(
+      "q31_sort_nulls_first",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "O", lit(null))
+            .otherwise(col("o_totalprice")).as("v"))
+        .orderBy(col("v").asc_nulls_first, col("o_orderkey").asc)
+        .limit(50),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS v
+              FROM orders
+              ORDER BY v ASC NULLS FIRST, o_orderkey LIMIT 50""")),
+
+    QueryDef(
+      "q32_distinct",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    QueryDef(
+      "q33_union_distinct",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey")))
+        .distinct(),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              UNION SELECT s_nationkey FROM supplier""")),
+
+    QueryDef(
+      "q34_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey"))),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              INTERSECT SELECT s_nationkey FROM supplier""")),
+
+    QueryDef(
+      "q35_except",
+      (s, d) => t(s, d, "nation").select(col("n_nationkey").as("nk"))
+        .except(t(s, d, "supplier").select(col("s_nationkey"))),
+      Some("""SELECT n_nationkey AS nk FROM nation
+              EXCEPT SELECT s_nationkey FROM supplier""")),
+
+    // ── 2.6 scalar expressions / functions ─────────────────────────────────
+    QueryDef(
+      "q40_math_fns",
+      (s, d) => t(s, d, "nation").select(
+        col("n_nationkey"),
+        abs(col("n_nationkey") - 12).as("abs_v"),
+        ceil(sqrt(col("n_nationkey"))).as("ceil_sqrt"),
+        floor(sqrt(col("n_nationkey"))).as("floor_sqrt"),
+        pow(col("n_nationkey"), 2).as("sq"),
+        round(sin(col("n_nationkey")), 6).as("sin6"),
+        round(cos(col("n_nationkey")), 6).as("cos6"),
+        round(atan2(col("n_nationkey"), lit(3)), 6).as("atan2_6"),
+        round(tan(col("n_nationkey")), 4).as("tan4"),
+        round(asin(col("n_nationkey") / 25.0), 6).as("asin6"),
+        round(acos(col("n_nationkey") / 25.0), 6).as("acos6"),
+        round(atan(col("n_nationkey")), 6).as("atan6")),
+      Some("""SELECT n_nationkey, ABS(n_nationkey - 12) AS abs_v,
+                     CAST(CEIL(SQRT(n_nationkey)) AS BIGINT) AS ceil_sqrt,
+                     CAST(FLOOR(SQRT(n_nationkey)) AS BIGINT) AS floor_sqrt,
+                     POW(n_nationkey, 2) AS sq,
+                     ROUND(SIN(n_nationkey), 6) AS sin6,
+                     ROUND(COS(n_nationkey), 6) AS cos6,
+                     ROUND(ATAN2(n_nationkey, 3), 6) AS atan2_6,
+                     ROUND(TAN(n_nationkey), 4) AS tan4,
+                     ROUND(ASIN(n_nationkey / 25.0), 6) AS asin6,
+                     ROUND(ACOS(n_nationkey / 25.0), 6) AS acos6,
+                     ROUND(ATAN(n_nationkey), 6) AS atan6
+              FROM nation""")),
+
+    QueryDef(
+      "q41_string_fns",
+      (s, d) => t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(
+          col("n_nationkey"),
+          concat(col("n_name"), lit("_"), col("r_name")).as("nr"),
+          upper(col("n_name")).as("up"),
+          lower(col("r_name")).as("lo"),
+          length(col("n_name")).as("len"),
+          substring(col("n_name"), 1, 3).as("pre3"),
+          greatest(col("n_nationkey"), col("n_regionkey") * 5).as("g"),
+          least(col("n_nationkey"), col("n_regionkey") * 5).as("l")),
+      Some("""SELECT n_nationkey, CONCAT(n_name, '_', r_name) AS nr,
+                     UPPER(n_name) AS up, LOWER(r_name) AS lo,
+                     CAST(LENGTH(n_name) AS INT) AS len,
+                     SUBSTRING(n_name, 1, 3) AS pre3,
+                     GREATEST(n_nationkey, n_regionkey * 5) AS g,
+                     LEAST(n_nationkey, n_regionkey * 5) AS l
+              FROM nation JOIN region ON n_regionkey = r_regionkey""")),
+
+    QueryDef(
+      "q42_case_when",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 150000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("bucket"),
+        when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0)).as("is_f")),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_totalprice > 150000 THEN 'big'
+                          WHEN o_totalprice > 50000 THEN 'mid'
+                          ELSE 'small' END AS bucket,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+              FROM orders""")),
+
+    QueryDef(
+      "q43_int_division", // reference keeps int/int integer (ArithmeticOperator.java:271)
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr("l_partkey div 7").as("d"),
+        (col("l_partkey") % 7).as("m"),
+        expr("(l_partkey - 1000) div 7").as("dneg")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey // 7 AS d,
+                     l_partkey % 7 AS m, (l_partkey - 1000) // 7 AS dneg
+              FROM lineitem""")),
+
+    // ── subqueries (reference InOperator/ExistsOperator/ScalarSubquery stubs)
+    QueryDef(
+      "q44_scalar_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgP = o.agg(
+          (sumd(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+        o.crossJoin(broadcast(avgP))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select("o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_totalprice >
+                (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 FROM orders) * 1.5""")),
+
+    // ── window functions (beyond the reference; SURVEY §2.5 extension) ─────
+    QueryDef(
+      "q50_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val wAll = Window.partitionBy("o_custkey")
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wAll)
+            .cast("double").as("cust_total"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT * FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+                FROM orders)
+              WHERE rn <= 3""")),
+
+    QueryDef(
+      "q51_window_lag_lead",
+      (s, d) => {
+        // o_orderkey is unique => deterministic frame ordering
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                     LAG(o_totalprice, 1) OVER w AS prev_price,
+                     LEAD(o_totalprice, 1) OVER w AS next_price
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""")),
+
+    // ── events table: time-bucketed aggregation (batch shape of streaming) ─
+    QueryDef(
+      "q60_events_hourly",
+      (s, d) => t(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value"), 4).as("sum_value")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                     event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2"""))
+  )
+}
