@@ -14,7 +14,7 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    Relational.defs
+    Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: selective scans -> shuffle join -> agg -> top-k.

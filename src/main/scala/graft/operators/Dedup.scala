@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Graft
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §7.8).
+  *
+  * The reference has no dedup surface (its closest concept is
+  * COUNT(DISTINCT) via `functions/CountAggregate.java:12-77`); these are the
+  * standard large-corpus techniques, each expressed as a shuffle-conscious
+  * DataFrame plan:
+  *
+  *  - exact:   hash-groupBy on md5(text) — one shuffle on a short key, never
+  *             on the full text;
+  *  - n-gram:  shingle inverted index + self-equi-join — candidate pairs come
+  *             from co-occurring shingles, not an O(n²) cross join;
+  *  - minhash: fixed-seed MinHash signatures banded LSH-style so near-dup
+  *             candidate generation is an equi-join on (band, band_key);
+  *  - cosine:  embedding near-dup pairs (brute force at test scale; the LSH
+  *             bucket variant in Similarity.scala is the 100 TB path).
+  *
+  * The test corpus has no natural duplicates (verified), so the dedup queries
+  * derive one inside the plan: every doc unioned with a copy (exact) or a
+  * 2-tokens-dropped copy at doc_id+1000000 (near-dup). The derivation is part
+  * of the plan, not synthetic input data.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** 60-bit portable hash: identical in Spark and DuckDB
+    * (`('0x'||substr(md5(x),1,15))::BIGINT`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word k-shingles of a token array (empty below k tokens). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** documents ∪ exact copy at doc_id+1000000. */
+  private def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val doc = t(s, d, "documents").select("doc_id", "text")
+    doc.union(doc.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copy (last 2 tokens dropped) at doc_id+1000000. */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val doc = t(s, d, "documents").select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    doc.union(doc.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
+  }
+
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |       array_to_string(toks[1:len(toks)-2], ' ') AS text
+      |FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+      |      FROM documents)""".stripMargin
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"""
+
+  /** DuckDB equivalent of [[shingles]] over a `toks` list column. */
+  private def shinglesSql(k: Int): String =
+    s"""CASE WHEN len(toks) >= $k
+       |     THEN list_distinct(list_transform(range(1, len(toks) - ${k - 2}),
+       |            i -> array_to_string(toks[i:i+${k - 1}], ' ')))
+       |     ELSE [] END""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "d80_dedup_exact",
+      (s, d) => corpusExact(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+                     COUNT(*) AS n_copies
+              FROM (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents)
+              GROUP BY md5(text)""")),
+
+    QueryDef(
+      "d81_dedup_exact_keep", // surviving doc set via window-min, not collect
+      (s, d) => {
+        val w = Window.partitionBy(md5(col("text")))
+        corpusExact(s, d)
+          .withColumn("keep", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("keep"))
+          .select("doc_id")
+      },
+      Some("""SELECT doc_id FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+                FROM (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 1000000, text FROM documents))
+              WHERE doc_id = keep""")),
+
+    QueryDef(
+      "d82_dedup_ngram_jaccard", // shingle inverted index -> pair jaccard
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+          .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+          .select(col("d1"), col("d2"),
+            (col("i").cast("double") /
+              (col("x.n") + col("y.n") - col("i"))).as("jaccard"))
+          .filter(col("jaccard") > 0.3)
+      },
+      Some(s"""WITH sh AS (
+               |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
+               |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+               |inter AS (
+               |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+               |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               |  GROUP BY 1, 2)
+               |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+               |FROM inter JOIN sizes x ON d1 = x.doc_id
+               |           JOIN sizes y ON d2 = y.doc_id
+               |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) > 0.3""".stripMargin)),
+
+    QueryDef(
+      "d83_dedup_minhash", // banded MinHash LSH candidate pairs
+      (s, d) => {
+        val numSeeds = 12; val bandSize = 4
+        val toks = TextAnalysis.tokens(col("text"))
+        val sh = corpusNear(s, d)
+          .select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
+        val seeds = (0 until numSeeds).map(i => lit(i))
+        val hashed = sh
+          .select(col("doc_id"), col("s"), explode(array(seeds: _*)).as("seed"))
+          .select(col("doc_id"), col("seed"),
+            hash60(concat(col("seed").cast("string"), lit("_"), col("s"))).as("h"))
+        val sig = hashed.groupBy("doc_id", "seed").agg(min(col("h")).as("minh"))
+        // order-independent band key: sum of hashes of (seed, minhash) pairs
+        val bands = sig
+          .groupBy(col("doc_id"), (col("seed") / bandSize).cast("int").as("band"))
+          .agg(sum(hash60(concat(col("seed").cast("string"), lit(":"),
+            col("minh").cast("string")))).as("band_key"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+      },
+      Some(s"""WITH corpus AS ($corpusNearSql),
+               |sh AS (
+               |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
+               |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+               |hashed AS (
+               |  SELECT doc_id, seed,
+               |         ('0x' || substr(md5(seed::VARCHAR || '_' || s), 1, 15))::BIGINT AS h
+               |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)),
+               |sig AS (SELECT doc_id, seed, MIN(h) AS minh
+               |        FROM hashed GROUP BY doc_id, seed),
+               |bands AS (
+               |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+               |         SUM(('0x' || substr(md5(seed::VARCHAR || ':' || minh::VARCHAR), 1, 15))::BIGINT) AS band_key
+               |  FROM sig GROUP BY doc_id, band)
+               |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               |FROM bands a JOIN bands b
+               |  ON a.band = b.band AND a.band_key = b.band_key
+               | AND a.doc_id < b.doc_id""".stripMargin)),
+
+    QueryDef(
+      "d86_dedup_embedding_pairs", // cosine near-dup pairs (brute at test SF)
+      (s, d) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+            round(graft.functions.GraftFunctions.cosine_sim(
+              col("a.embedding"), col("b.embedding")), 6).as("sim"))
+          .filter(col("sim") > 0.45)
+      },
+      Some("""SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6) > 0.45"""))
+  )
+}

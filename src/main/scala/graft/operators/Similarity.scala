@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Graft
+import graft.functions.GraftFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §7.8 extension; the
+  * reference has no vector surface at all).
+  *
+  * - brute-force top-k: broadcast the (small) query set against the corpus —
+  *   at 100 TB the corpus side stays partitioned, the query side is the
+  *   broadcast, and the cosine kernel is a codegen'd Catalyst expression
+  *   (graft.functions.CosineSim), so the scan is a single map-side stage
+  *   followed by a per-query top-k (TakeOrdered-style window).
+  * - LSH bucketing: deterministic random-hyperplane signatures; at scale,
+  *   candidate generation becomes an equi-join on the bucket id instead of a
+  *   cross join. Components are quantized to 1e-6 so the signature is integer
+  *   arithmetic — bit-identical on any engine or partition order.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "s90_ann_bruteforce",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(GraftFunctions.cosine_sim(col("q_emb"), col("embedding")), 6)
+              .as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+      },
+      Some("""SELECT * FROM (
+                SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]), 6) AS sim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                               e.embedding::DOUBLE[]), 6) DESC,
+                                  e.vec_id) AS rnk
+                FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+                WHERE q.vec_id < 10)
+              WHERE rnk <= 10""")),
+
+    QueryDef(
+      "s91_lsh_buckets", // deterministic random-hyperplane signatures
+      (s, d) => {
+        val numPlanes = 8
+        val comp = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
+          .select(col("vec_id"), col("j0"),
+            round(col("x").cast("double") * 1000000).cast("long").as("xq"))
+        val sign = when(
+          Dedup.hash60(concat(col("p").cast("string"), lit("_"),
+            col("j0").cast("string"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+        comp
+          .select(col("vec_id"), col("j0"), col("xq"),
+            explode(array((0 until numPlanes).map(lit): _*)).as("p"))
+          .groupBy("vec_id", "p")
+          .agg(sum(col("xq") * sign).as("dot"))
+          .groupBy("vec_id")
+          .agg(sum(when(col("dot") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+      },
+      Some("""WITH comp AS (
+                SELECT vec_id, j - 1 AS j0,
+                       CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+                FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)),
+              dots AS (
+                SELECT vec_id, p,
+                       SUM(xq * CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || j0::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                                     THEN 1 ELSE -1 END) AS dot
+                FROM comp CROSS JOIN (SELECT unnest(range(8)) AS p)
+                GROUP BY vec_id, p)
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                          AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id"""))
+  )
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §7.8 extension surface; no analog in the reference, which has
+  * no text functions beyond CONCAT — `functions/Concat.java`).
+  *
+  * Everything here is per-row, codegen-friendly expression work: at 100 TB it
+  * runs map-side with zero shuffle, and Parquet column pruning means only
+  * `text` (+ keys) is ever read.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** Non-empty whitespace tokens of trimmed text (shared definition; the
+    * DuckDB oracles use the equivalent
+    * `list_filter(regexp_split_to_array(trim(text),'\s+'), x -> x != '')`). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), tk => tk =!= "")
+
+  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, tk => tk.isin(words.map(w => w: Any): _*)))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "t70_token_stats",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"),
+          aggregate(transform(toks, tk => length(tk)), lit(0), (acc, x) => acc + x)
+            .as("sum_token_len"))
+      },
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_actual,
+                     CAST(len(toks) AS INT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+                     CAST(list_sum(list_transform(toks, t -> len(t))) AS INT) AS sum_token_len
+              FROM (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x != '') AS toks
+                    FROM documents)""")),
+
+    QueryDef(
+      "t71_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("double")
+        val stop = hits(toks, stopwords).cast("double")
+        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val digits = (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+        t(s, d, "documents").select(
+          col("doc_id"),
+          round(punct / nChars, 6).as("punct_ratio"),
+          round(stop / nTok, 6).as("stopword_ratio"),
+          round(digits / nChars, 6).as("digit_ratio"),
+          round(distinctRatio, 6).as("distinct_ratio"),
+          round(
+            greatest(lit(0.0),
+              lit(1.0) - punct / nChars * 5 - digits / nChars * 2) * distinctRatio,
+            6).as("quality"))
+      },
+      Some("""SELECT doc_id,
+                     ROUND(punct / n_chars, 6) AS punct_ratio,
+                     ROUND(stop / n_tok, 6) AS stopword_ratio,
+                     ROUND(digits / n_chars, 6) AS digit_ratio,
+                     ROUND(dr, 6) AS distinct_ratio,
+                     ROUND(GREATEST(0.0, 1.0 - punct / n_chars * 5 - digits / n_chars * 2) * dr,
+                           6) AS quality
+              FROM (SELECT doc_id,
+                      CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                      CAST(len(toks) AS DOUBLE) AS n_tok,
+                      CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+                      CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+                      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop,
+                      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS dr
+                    FROM (SELECT doc_id, text,
+                            list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                        x -> x != '') AS toks
+                          FROM documents))""")),
+
+    QueryDef(
+      "t72_lang_id", // n-gram/marker-word heuristic language id
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val he = hits(toks, Seq("the", "and", "of", "to"))
+        val hs = hits(toks, Seq("el", "la", "de", "los"))
+        val hf = hits(toks, Seq("le", "et", "les", "des"))
+        val hd = hits(toks, Seq("der", "die", "und", "das"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            he.as("he"), hs.as("hs"), hf.as("hf"), hd.as("hd"))
+          .select(
+            col("doc_id"), col("labeled_lang"),
+            when(col("he") >= col("hs") && col("he") >= col("hf") &&
+              col("he") >= col("hd") && col("he") > 0, "en")
+              .when(col("hs") >= col("hf") && col("hs") >= col("hd") &&
+                col("hs") > 0, "es")
+              .when(col("hf") >= col("hd") && col("hf") > 0, "fr")
+              .when(col("hd") > 0, "de")
+              .otherwise("und").as("pred_lang"))
+      },
+      Some("""SELECT doc_id, labeled_lang,
+                     CASE WHEN he >= hs AND he >= hf AND he >= hd AND he > 0 THEN 'en'
+                          WHEN hs >= hf AND hs >= hd AND hs > 0 THEN 'es'
+                          WHEN hf >= hd AND hf > 0 THEN 'fr'
+                          WHEN hd > 0 THEN 'de'
+                          ELSE 'und' END AS pred_lang
+              FROM (SELECT doc_id, lang AS labeled_lang,
+                      len(list_filter(toks, t -> t IN ('the','and','of','to'))) AS he,
+                      len(list_filter(toks, t -> t IN ('el','la','de','los'))) AS hs,
+                      len(list_filter(toks, t -> t IN ('le','et','les','des'))) AS hf,
+                      len(list_filter(toks, t -> t IN ('der','die','und','das'))) AS hd
+                    FROM (SELECT doc_id, lang, text,
+                            list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                        x -> x != '') AS toks
+                          FROM documents))""")),
+
+    QueryDef(
+      "t73_fingerprint", // rolling polynomial hash, custom codegen Expression
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        GraftFunctions.poly_fingerprint(col("text")).as("fp")),
+      // Same fold in DuckDB: h = (h*31 + byte) mod (largest prime < 2^53).
+      // Text is ASCII (verified), so ord(char) == utf8 byte.
+      Some("""SELECT doc_id,
+                     list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 9007199254740881) AS fp
+              FROM documents""")),
+
+    QueryDef(
+      "t75_json_extract", // typed extraction from the events.props JSON column
+      (s, d) => t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") > 50),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50"""))
+  )
+}
