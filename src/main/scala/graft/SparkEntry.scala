@@ -14,7 +14,8 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs
+    Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
+      SimHash.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: selective scans -> shuffle join -> agg -> top-k.

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** SimHash near-dup detection (Charikar 2002 random-hyperplane sketch over
+  * token sets; SURVEY.md §7.8 extension — the reference has no hashing
+  * surface at all).
+  *
+  * 60-bit signatures (so every value fits a signed BIGINT in both Spark and
+  * the DuckDB oracle): bit b is set iff the count of distinct tokens whose
+  * portable 60-bit hash has bit b set exceeds half the token count. The
+  * per-bit tallies are plain integer SUMs, so the signature is exact and
+  * engine-portable — no float accumulation anywhere.
+  *
+  * Scale shape: token explode -> one hash-groupBy per doc (map-side partial
+  * aggregation collapses the 60 tallies before the shuffle) -> banded
+  * equi-join for candidate pairs. Never an O(n²) cross join.
+  */
+object SimHash {
+
+  private val Bits = 60
+  private val Bands = 4 // 15 bits per band
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** (doc_id, simhash) for a (doc_id, text) corpus. */
+  def signatures(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), Dedup.hash60(col("tok")).as("th"))
+    val tallies = (0 until Bits).map(b =>
+      sum((shiftright(col("th"), b).bitwiseAND(lit(1L))) * 2 - 1).as(s"s_$b"))
+    val sig = (0 until Bits).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** DuckDB equivalent of [[signatures]] over a corpus relation `corpus`
+    * with (doc_id, text). */
+  def signaturesSql(corpusSql: String): String = {
+    val tallies = (0 until Bits)
+      .map(b => s"SUM(((th >> $b) & 1) * 2 - 1) AS s_$b").mkString(",\n    ")
+    val sig = (0 until Bits)
+      .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM (
+       |  SELECT doc_id,
+       |    $tallies
+       |  FROM (
+       |    SELECT doc_id,
+       |           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+       |    FROM (SELECT doc_id,
+       |            unnest(list_distinct(list_filter(
+       |              regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) AS tok
+       |          FROM ($corpusSql)))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |       array_to_string(toks[1:len(toks)-2], ' ') AS text
+      |FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+      |      FROM documents)""".stripMargin
+
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val doc = t(s, d, "documents").select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    doc.union(doc.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "d84_simhash_signatures",
+      (s, d) => signatures(t(s, d, "documents").select("doc_id", "text")),
+      Some(signaturesSql("SELECT doc_id, text FROM documents"))),
+
+    QueryDef(
+      "d85_simhash_pairs", // banded candidates -> hamming-distance filter
+      (s, d) => {
+        val sig = signatures(corpusNear(s, d))
+        val bands = sig.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until Bands).map(b =>
+            shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+            .as(Seq("band", "band_val")))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+      },
+      Some {
+        s"""WITH sig AS (${signaturesSql(corpusNearSql)}),
+           |bands AS (
+           |  SELECT doc_id, simhash, CAST(p AS INT) AS band,
+           |         (simhash >> (CAST(p AS INT) * 15)) & 32767 AS band_val
+           |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS p)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_val = b.band_val
+           |   AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6""".stripMargin
+      })
+  )
+}
