@@ -112,8 +112,12 @@ object Dedup {
       "d82_dedup_ngram_jaccard", // shingle inverted index -> pair jaccard
       (s, d) => {
         val toks = TextAnalysis.tokens(col("text"))
+        // The shingle index feeds three consumers (both join sides + the
+        // per-doc sizes); persist it once — the 100 TB analog is writing the
+        // inverted index to storage before the pair join.
         val sh = t(s, d, "documents")
           .select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -147,17 +151,21 @@ object Dedup {
         val toks = TextAnalysis.tokens(col("text"))
         val sh = corpusNear(s, d)
           .select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
-        val seeds = (0 until numSeeds).map(i => lit(i))
-        val hashed = sh
-          .select(col("doc_id"), col("s"), explode(array(seeds: _*)).as("seed"))
-          .select(col("doc_id"), col("seed"),
-            hash60(concat(col("seed").cast("string"), lit("_"), col("s"))).as("h"))
-        val sig = hashed.groupBy("doc_id", "seed").agg(min(col("h")).as("minh"))
+        // Single-pass signature: all 12 per-seed MIN-hashes in one groupBy
+        // (map-side partial aggregation collapses each partition to one row
+        // per doc before the shuffle) — semantically identical to the
+        // explode-by-seed formulation the oracle uses, ~12x less shuffle.
+        val minCols = (0 until numSeeds).map(i =>
+          min(hash60(concat(lit(s"${i}_"), col("s")))).as(s"m$i"))
+        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
         // order-independent band key: sum of hashes of (seed, minhash) pairs
-        val bands = sig
-          .groupBy(col("doc_id"), (col("seed") / bandSize).cast("int").as("band"))
-          .agg(sum(hash60(concat(col("seed").cast("string"), lit(":"),
-            col("minh").cast("string")))).as("band_key"))
+        val bandKeys = (0 until numSeeds / bandSize).map { b =>
+          (b * bandSize until (b + 1) * bandSize)
+            .map(i => hash60(concat(lit(s"$i:"), col(s"m$i").cast("string"))))
+            .reduce(_ + _)
+        }
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") &&
               col("a.band_key") === col("b.band_key") &&

@@ -91,19 +91,38 @@ object SimHash {
     QueryDef(
       "d85_simhash_pairs", // banded candidates -> hamming-distance filter
       (s, d) => {
+        // Docs cluster onto far fewer distinct signatures than doc count
+        // (template-heavy corpora), so band over DISTINCT signatures and only
+        // expand back to doc pairs at the end — the banded join is quadratic
+        // in bucket size, and bucket sizes shrink by the clustering factor.
         val sig = signatures(corpusNear(s, d))
-        val bands = sig.select(col("doc_id"), col("simhash"),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val uniq = sig.select("simhash").distinct()
+        val bands = uniq.select(col("simhash"),
           posexplode(array((0 until Bands).map(b =>
             shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
             .as(Seq("band", "band_val")))
-        bands.as("a").join(bands.as("b"),
+        val sigPairs = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") &&
               col("a.band_val") === col("b.band_val") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.simhash") < col("b.simhash"))
+          .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"),
             bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 6)
+          .distinct()
+        val crossSig = sigPairs
+          .join(sig.as("x"), col("s1") === col("x.simhash"))
+          .join(sig.as("y"), col("s2") === col("y.simhash"))
+          .select(
+            least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
+            col("hamming"))
+        val sameSig = sig.as("x").join(sig.as("y"),
+            col("x.simhash") === col("y.simhash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            lit(0).as("hamming"))
+        crossSig.union(sameSig)
       },
       Some {
         s"""WITH sig AS (${signaturesSql(corpusNearSql)}),
