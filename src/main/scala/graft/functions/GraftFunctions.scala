@@ -118,8 +118,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = Bridge.sessionState(spark).functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSim(exprs(0), exprs(1)), "builtin")
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("poly_fingerprint",
-      exprs => PolyFingerprint(exprs.head), "builtin")
+      exprs => PolyFingerprint(exprs.head), "built-in")
   }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Unit + property tests for the custom Catalyst expressions
+  * (reference test analog: per-expression tests like
+  * `expressions/TestArithmeticOperator.java` — SURVEY.md §5).
+  * Property cases use a fixed-seed generator so failures reproduce. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(GraftFunctions.cosine_sim(col("a"), col("b"))).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("cosine_sim: identical vectors -> 1.0") {
+    assert(math.abs(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)).get - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim: orthogonal vectors -> 0.0") {
+    assert(cos(Seq(1f, 0f), Seq(0f, 1f)).get === 0.0)
+  }
+
+  test("cosine_sim: zero vector -> 0.0 (not NaN)") {
+    assert(cos(Seq(0f, 0f), Seq(1f, 2f)).get === 0.0)
+  }
+
+  test("cosine_sim: opposite vectors -> -1.0") {
+    assert(math.abs(cos(Seq(1f, 2f), Seq(-1f, -2f)).get + 1.0) < 1e-12)
+  }
+
+  test("cosine_sim: null input -> null") {
+    val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    assert(df.select(GraftFunctions.cosine_sim(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("cosine_sim: plan result matches hand computation") {
+    val viaPlan = cos(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)).get
+    val expected = {
+      val dot = 1.0 * 4 + 2.0 * 5 + 3.0 * 6
+      dot / (math.sqrt(1.0 + 4 + 9) * math.sqrt(16.0 + 25 + 36))
+    }
+    assert(math.abs(viaPlan - expected) < 1e-12)
+  }
+
+  test("cosine_sim property: result always in [-1, 1] (100 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(100)((
+      Seq.fill(8)(rnd.nextFloat() * 200 - 100),
+      Seq.fill(8)(rnd.nextFloat() * 200 - 100)))
+    val rs = cases.toDF("a", "b")
+      .select(GraftFunctions.cosine_sim(col("a"), col("b"))).as[Double].collect()
+    assert(rs.forall(r => r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9))
+  }
+
+  test("poly_fingerprint: matches the documented fold") {
+    val p = 9007199254740881L
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % p)
+    val samples = Seq("", "a", "abc", "the quick brown fox", "x" * 1000)
+    val got = samples.toDF("t")
+      .select(GraftFunctions.poly_fingerprint(col("t"))).as[Long].collect()
+    assert(got.toSeq == samples.map(ref))
+  }
+
+  test("poly_fingerprint property: bounded + deterministic (seeded strings)") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(50)(rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
+    val twice = (samples ++ samples).toDF("t")
+      .select(GraftFunctions.poly_fingerprint(col("t"))).as[Long].collect()
+    val (a, b) = twice.splitAt(samples.size)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(h => h >= 0 && h < 9007199254740881L))
+  }
+
+  test("sql registration: cosine_sim + poly_fingerprint callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) c, " +
+        "poly_fingerprint('abc') f").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) > 0)
+  }
+
+  test("hash60: non-negative, under 2^60, engine-portable formula") {
+    val got = Seq("a", "b", "abc", "").toDF("s")
+      .select(operators.Dedup.hash60(col("s"))).as[Long].collect()
+    assert(got.forall(h => h >= 0 && h < (1L << 60)))
+    // cross-checked against DuckDB: ('0x'||substr(md5('abc'),1,15))::BIGINT
+    assert(got(2) == 648541476951500027L)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests per operator family over sf0.001 (the DuckDB oracle gate
+  * checks exact values; these pin semantic invariants that would survive a
+  * data refresh — mirroring the reference's golden-result SQL tests,
+  * `sql/SqlTestCase.java`, SURVEY.md §5). */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("entry: flagship returns top-10 by revenue, descending") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sorted.reverse))
+  }
+
+  test("every declared query runs and respects its declared shape") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, d)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.write.format("noop").mode("overwrite").save()
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("oracleSql covers every query (full DuckDB-checkable surface)") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("q30 topk: sorted desc with unique tiebreak") {
+    val rows = run("q30_topk").collect()
+    assert(rows.length == 100)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q23 full outer covers every nation present on either side") {
+    val nk = run("q23_join_full").select("nationkey").collect().map(_.getInt(0)).toSet
+    val cust = Graft.table(spark, d, "customer")
+      .select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    val supp = Graft.table(spark, d, "supplier")
+      .select("s_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    assert(nk == (cust ++ supp))
+  }
+
+  test("q26 cross join is |region| x |nation|") {
+    assert(run("q26_join_cross").count() == 5L * 25L)
+  }
+
+  test("q33/q34/q35 set-op algebra: union >= intersect; except disjoint") {
+    val u = run("q33_union_distinct").collect().map(_.getInt(0)).toSet
+    val i = run("q34_intersect").collect().map(_.getInt(0)).toSet
+    val e = run("q35_except").collect().map(_.getInt(0)).toSet
+    assert(i.subsetOf(u))
+    assert(e.intersect(i).isEmpty)
+  }
+
+  test("d80 exact dedup: derived corpus doubles every doc -> all n_copies==2") {
+    val rows = run("d80_dedup_exact").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getLong(2) == 2L))
+    // keeper is always the original (lower) id
+    assert(rows.forall(_.getLong(1) < 1000000L))
+  }
+
+  test("d81 keep-set retains exactly the originals") {
+    val keep = run("d81_dedup_exact_keep").collect().map(_.getLong(0)).toSet
+    assert(keep.size == 500 && keep.forall(_ < 1000000L))
+  }
+
+  test("d83 minhash: recalls >90% of planted near-dup pairs") {
+    val pairs = run("d83_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.count { case (a, b) => b == a + 1000000L }
+    assert(planted > 450, s"recall too low: $planted/500")
+  }
+
+  test("d85 simhash pairs: hamming bounded, pairs ordered") {
+    val rows = run("d85_simhash_pairs").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 6))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("s90 ann: exactly k neighbors per query, ranked by similarity") {
+    val rows = run("s90_ann_bruteforce").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 10))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      val sims = sorted.map(_.getDouble(2))
+      assert(sims.sameElements(sims.sorted.reverse), "rank order != sim order")
+      assert(!g.exists(r => r.getLong(1) == r.getLong(0)), "self in neighbors")
+    }
+  }
+
+  test("t70 token stats: counts consistent") {
+    val rows = run("t70_token_stats").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(2) > 0) // n_tokens
+      assert(r.getInt(3) <= r.getInt(2)) // distinct <= total
+      assert(r.getInt(4) >= r.getInt(2)) // sum of len >= count (len>=1)
+    }
+  }
+
+  test("m95 multimodal: features consistent with payload bytes") {
+    val rows = run("m95_multimodal_features").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getInt(2) >= 0 && r.getInt(2) < 256)
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 65536)
+    }
+  }
+}

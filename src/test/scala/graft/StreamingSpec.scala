@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+// top-level so Spark can derive an Encoder without an outer-scope capture
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming specs: every transform is exercised through a real
+  * streaming query (MemoryStream source -> memory sink), and the windowed
+  * aggregate is additionally checked for batch/stream parity — same
+  * transform, same answer, which is the property the module promises. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1, ts("2026-01-01 10:05:00"), 1, "view", 1.0),
+    Ev(2, ts("2026-01-01 10:15:00"), 1, "view", 2.0),
+    Ev(3, ts("2026-01-01 10:50:00"), 2, "click", 3.0),
+    Ev(4, ts("2026-01-01 11:05:00"), 1, "view", 4.0),
+    Ev(5, ts("2026-01-01 11:40:00"), 2, "click", 5.0),
+    // late-ish but within watermark
+    Ev(6, ts("2026-01-01 10:58:00"), 1, "click", 6.0),
+    // far ahead: advances the watermark past hour 10-11
+    Ev(7, ts("2026-01-01 15:00:00"), 3, "view", 7.0))
+
+  test("hourlyByType: stream (append after watermark) == batch on same data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.hourlyByType(src.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      src.addData(events.take(6): _*)
+      q.processAllAvailable()
+      src.addData(events.last) // watermark jumps to 13:00 -> earlier windows close
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select("hour", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.hourlyByType(events.toDF())
+        .select("hour", "event_type", "n", "sum_value")
+        .filter(col("hour") < ts("2026-01-01 13:00:00")) // closed windows only
+        .collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionsByUser: 30-min gap splits sessions correctly (batch mode)") {
+    import spark.implicits._
+    val out = EventStreams.sessionsByUser(events.toDF())
+      .orderBy("user_id", "session_start").collect()
+    // user 1: 10:05+10:15 merge; 10:58+11:05 merge (7-min gap); => 2 sessions
+    val u1 = out.filter(_.getLong(2) == 1L)
+    assert(u1.length == 2)
+    assert(u1(0).getLong(3) == 2 && u1(1).getLong(3) == 2)
+    // user 2: 10:50 and 11:40 are 50 min apart => 2 singleton sessions
+    assert(out.count(_.getLong(2) == 2L) == 2)
+  }
+
+  test("streamingDedup: first occurrence of each key wins across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    case class Doc(key: String, ts: Timestamp, payload: String)
+    val src = MemoryStream[(String, Timestamp, String)]
+    val q = EventStreams.streamingDedup(
+        src.toDF().toDF("key", "ts", "payload"), "key")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      src.addData(("a", ts("2026-01-01 10:00:00"), "first"))
+      q.processAllAvailable()
+      src.addData(
+        ("a", ts("2026-01-01 10:00:00"), "dup-same-ts"),
+        ("b", ts("2026-01-01 10:01:00"), "first-b"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getString(2)).toSet == Set("first", "first-b"))
+    } finally q.stop()
+  }
+
+  test("runningUserFlags: stateful running mean across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningUserFlags(src.toDS(), threshold = 10.0)
+      .writeStream.format("memory").queryName("flags")
+      .outputMode("append").start()
+    try {
+      src.addData(EventStreams.UserEvent(1, ts("2026-01-01 10:00:00"), 4.0))
+      q.processAllAvailable()
+      src.addData(EventStreams.UserEvent(1, ts("2026-01-01 10:01:00"), 30.0))
+      q.processAllAvailable()
+      val byBatch = spark.table("flags").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      // batch 1: n=1 mean=4 unflagged; batch 2: n=2 mean=17 flagged
+      assert(byBatch.contains((1L, 4.0, false)))
+      assert(byBatch.contains((2L, 17.0, true)))
+    } finally q.stop()
+  }
+}
