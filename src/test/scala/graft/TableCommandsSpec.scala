@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.commands.TableCommands
+
+/** DDL/DML surface over a temp warehouse (SURVEY.md §2.8 parity:
+  * CREATE/LOAD/INSERT/UPDATE/DELETE/DROP as copy-on-write Parquet ops). */
+class TableCommandsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshCmds(): TableCommands =
+    new TableCommands(spark,
+      Files.createTempDirectory("graft_wh").toString)
+
+  test("create / insert / read round-trip") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    c.insertInto("t", Seq((3, "c")).toDF("id", "v"))
+    val got = c.table("t").orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("create: error if exists, ignore with ifNotExists") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("t", Seq(1).toDF("id"))
+    intercept[Exception] { c.createTable("t", Seq(2).toDF("id")) }
+    c.createTable("t", Seq(2).toDF("id"), ifNotExists = true) // no-op
+    assert(c.table("t").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("loadCsv: CSV file -> columnar table (LOAD / CREATE COLSTORE parity)") {
+    val c = freshCmds()
+    val csv = Files.createTempFile("graft", ".csv")
+    Files.writeString(csv, "id,name\n1,ann\n2,bob\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    c.loadCsv("people", csv.toString, schema)
+    assert(c.table("people").count() == 2)
+    assert(c.table("people").filter(col("name") === "ann").count() == 1)
+  }
+
+  test("update: copy-on-write rewrite changes only matching rows") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("t", Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "bal"))
+    c.update("t", col("id") === 2, Map("bal" -> (col("bal") + 5)))
+    val got = c.table("t").orderBy("id").collect().map(_.getDouble(1))
+    assert(got.toSeq == Seq(10.0, 25.0, 30.0))
+  }
+
+  test("delete: copy-on-write keeps survivors; null cond rows survive") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("t", Seq((1, Some(5)), (2, None), (3, Some(9)))
+      .toDF("id", "x"))
+    c.delete("t", col("x") > 6) // x=null -> cond null -> NOT deleted (SQL)
+    val ids = c.table("t").select("id").as[Int].collect().toSet
+    assert(ids == Set(1, 2))
+  }
+
+  test("drop: removes table; strict mode errors on missing") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("t", Seq(1).toDF("id"))
+    c.dropTable("t")
+    intercept[Exception] { c.table("t").collect() }
+    intercept[IllegalArgumentException] { c.dropTable("t", ifExists = false) }
+  }
+
+  test("explain: surfaces the physical plan with pushdown visible") {
+    val c = freshCmds()
+    import spark.implicits._
+    c.createTable("t", (1 to 100).toDF("id"))
+    val plan = c.explain(c.table("t").filter(col("id") > 50))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
+  }
+}
