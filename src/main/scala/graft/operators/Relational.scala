@@ -356,6 +356,17 @@ object Relational {
       Some("""SELECT n_nationkey AS nk FROM nation
               EXCEPT SELECT s_nationkey FROM supplier""")),
 
+    QueryDef(
+      "q36_limit_offset", // LIMIT/OFFSET (parse-only in the reference,
+                          // SelectClause.java:87-92; no grammar rule)
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_orderkey LIMIT 50 OFFSET 100""")),
+
     // ── 2.6 scalar expressions / functions ─────────────────────────────────
     QueryDef(
       "q40_math_fns",
@@ -432,6 +443,19 @@ object Relational {
       Some("""SELECT l_orderkey, l_linenumber, l_partkey // 7 AS d,
                      l_partkey % 7 AS m, (l_partkey - 1000) // 7 AS dneg
               FROM lineitem""")),
+
+    QueryDef(
+      "q45_conditional_fns", // IF / IFNULL / NULLIF (FunctionDirectory.java:38-62)
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("if(o_totalprice > 100000, 'hi', 'lo')").as("if_v"),
+        expr("ifnull(nullif(o_orderstatus, 'O'), 'open')").as("ifnull_v"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("nullif_v")),
+      Some("""SELECT o_orderkey,
+                     IF(o_totalprice > 100000, 'hi', 'lo') AS if_v,
+                     IFNULL(NULLIF(o_orderstatus, 'O'), 'open') AS ifnull_v,
+                     NULLIF(o_orderpriority, '1-URGENT') AS nullif_v
+              FROM orders""")),
 
     // ── subqueries (reference InOperator/ExistsOperator/ScalarSubquery stubs)
     QueryDef(
