@@ -114,6 +114,10 @@ object GraftFunctions {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def poly_fingerprint(c: Column): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(c)))
+  def word_shingles(c: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), k))
+  def dot_f(a: Column, b: Column): Column =
+    Bridge.column(DotF(Bridge.expression(a), Bridge.expression(b)))
 
   def register(spark: SparkSession): Unit = {
     val reg = Bridge.sessionState(spark).functionRegistry
@@ -121,5 +125,7 @@ object GraftFunctions {
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("poly_fingerprint",
       exprs => PolyFingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_f",
+      exprs => DotF(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -37,12 +37,12 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word k-shingles of a token array (empty below k tokens). */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word k-shingles of a text column (empty below k tokens).
+    * Single-pass codegen expression — the equivalent
+    * `transform(sequence…, concat_ws(slice…))` higher-order chain was the
+    * measured bottleneck of every shingle-based operator. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(graft.functions.GraftFunctions.word_shingles(text, k))
 
   /** documents ∪ exact copy at doc_id+1000000. */
   private def corpusExact(s: SparkSession, d: String): DataFrame = {
@@ -111,12 +111,11 @@ object Dedup {
     QueryDef(
       "d82_dedup_ngram_jaccard", // shingle inverted index -> pair jaccard
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
         // The shingle index feeds three consumers (both join sides + the
         // per-doc sizes); persist it once — the 100 TB analog is writing the
         // inverted index to storage before the pair join.
         val sh = t(s, d, "documents")
-          .select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
@@ -148,16 +147,23 @@ object Dedup {
       "d83_dedup_minhash", // banded MinHash LSH candidate pairs
       (s, d) => {
         val numSeeds = 12; val bandSize = 4
-        val toks = TextAnalysis.tokens(col("text"))
         val sh = corpusNear(s, d)
-          .select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
-        // Single-pass signature: all 12 per-seed MIN-hashes in one groupBy
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+        // Hash only DISTINCT shingles (the md5-based portable hash is the
+        // expensive part: 12 seeds x every occurrence would be ~7M md5 calls
+        // at sf0.1; distinct shingles are ~25x fewer), then broadcast the
+        // hash table back onto the occurrence list. At 100 TB the broadcast
+        // becomes a shuffle join — AQE picks per stats.
+        val uniq = sh.select("s").distinct()
+          .select(col("s") +: (0 until numSeeds).map(i =>
+            hash60(concat(lit(s"${i}_"), col("s"))).as(s"h$i")): _*)
+        // Single-pass signature: all 12 per-seed MINs in one groupBy
         // (map-side partial aggregation collapses each partition to one row
         // per doc before the shuffle) — semantically identical to the
         // explode-by-seed formulation the oracle uses, ~12x less shuffle.
-        val minCols = (0 until numSeeds).map(i =>
-          min(hash60(concat(lit(s"${i}_"), col("s")))).as(s"m$i"))
-        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val minCols = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
+        val sig = sh.join(broadcast(uniq), "s")
+          .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
         // order-independent band key: sum of hashes of (seed, minhash) pairs
         val bandKeys = (0 until numSeeds / bandSize).map { b =>
           (b * bandSize until (b + 1) * bandSize)
@@ -195,11 +201,18 @@ object Dedup {
     QueryDef(
       "d86_dedup_embedding_pairs", // cosine near-dup pairs (brute at test SF)
       (s, d) => {
-        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        // Precompute per-vector norms once (same accumulation order as the
+        // CosineSim kernel, so dot/(na*nb) is bit-identical) — 1/3 of the
+        // multiply-adds per pair in the O(n^2) scan.
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
+        val dot = graft.functions.GraftFunctions.dot_f(
+          col("a.embedding"), col("b.embedding"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-            round(graft.functions.GraftFunctions.cosine_sim(
-              col("a.embedding"), col("b.embedding")), 6).as("sim"))
+            round(when(col("a.nrm") === 0.0 || col("b.nrm") === 0.0, 0.0)
+              .otherwise(dot / (col("a.nrm") * col("b.nrm"))), 6).as("sim"))
           .filter(col("sim") > 0.45)
       },
       Some("""SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -30,15 +30,21 @@ object Similarity {
     QueryDef(
       "s90_ann_bruteforce",
       (s, d) => {
-        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        // Norms precomputed per vector; dot/(nq*nc) is bit-identical to the
+        // fused cosine kernel (same accumulation order, norms just cached).
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("neighbor_id").asc)
+        val dot = GraftFunctions.dot_f(col("q_emb"), col("embedding"))
         broadcast(q).join(e, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(GraftFunctions.cosine_sim(col("q_emb"), col("embedding")), 6)
-              .as("sim"))
+            round(when(col("q_nrm") === 0.0 || col("nrm") === 0.0, 0.0)
+              .otherwise(dot / (col("q_nrm") * col("nrm"))), 6).as("sim"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
       },

@@ -89,6 +89,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) > 0)
   }
 
+  test("word_shingles: k-grams of whitespace tokens") {
+    val got = Seq("the quick  brown fox ", "a b", "", "  ", "one two three")
+      .toDF("t")
+      .select(GraftFunctions.word_shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("the quick brown", "quick brown fox"))
+    assert(got(1) == Seq.empty) // fewer than k tokens
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq.empty)
+    assert(got(4) == Seq("one two three"))
+  }
+
+  test("word_shingles: equivalent to the HOF formulation on real docs") {
+    val doc = Graft.table(spark, TestSpark.sfDir, "documents").limit(100)
+    val toks = filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")
+    val hof = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val diff = doc.select(
+      GraftFunctions.word_shingles(col("text"), 3).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("dot_f: known value, null propagation, norm identity") {
+    val r = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .select(GraftFunctions.dot_f(col("a"), col("b"))).as[Double].head()
+    assert(r === 32.0)
+    val nullRow = Seq((Option.empty[Seq[Float]], Some(Seq(1f)))).toDF("a", "b")
+      .select(GraftFunctions.dot_f(col("a"), col("b"))).head()
+    assert(nullRow.isNullAt(0))
+    // cosine == dot / (|a| * |b|) bit-for-bit (the d86/s90 rewrite identity)
+    val (va, vb) = (Seq(0.3f, -1.2f, 4.5f, 0.01f), Seq(2f, 0.5f, -3f, 1f))
+    val row = Seq((va, vb)).toDF("a", "b").select(
+      GraftFunctions.cosine_sim(col("a"), col("b")).as("fused"),
+      (GraftFunctions.dot_f(col("a"), col("b")) /
+        (sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))) *
+         sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))).as("split"))
+      .head()
+    assert(row.getDouble(0) == row.getDouble(1))
+  }
+
   test("hash60: non-negative, under 2^60, engine-portable formula") {
     val got = Seq("a", "b", "abc", "").toDF("s")
       .select(operators.Dedup.hash60(col("s"))).as[Long].collect()
