@@ -30,6 +30,11 @@ object Graft {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size-based coalescing: at test scale most shuffles collapse to a
+      // few partitions (task-scheduling overhead dominates otherwise); at
+      // 100 TB the same setting right-sizes partitions to ~64 MB targets
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
