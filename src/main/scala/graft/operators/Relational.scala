@@ -193,6 +193,46 @@ object Relational {
               JOIN region ON n_regionkey = r_regionkey
               GROUP BY ROLLUP(r_name, n_name)""")),
 
+    QueryDef(
+      "q15_percentiles", // exact percentile with linear interpolation
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus,
+                     quantile_cont(o_totalprice, 0.5) AS median_price,
+                     quantile_cont(o_totalprice, 0.9) AS p90_price,
+                     COUNT(*) AS n
+              FROM orders GROUP BY o_orderstatus""")),
+
+    QueryDef(
+      "q16_stats_moments", // stddev / variance / correlation (rounded: the
+                           // accumulation algorithms differ across engines)
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price")),
+      Some("""SELECT l_returnflag,
+                     ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+                     ROUND(var_samp(l_discount), 6) AS var_disc,
+                     ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    QueryDef(
+      "q17_cube",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+        .as("o")
+        .cube(col("o.o_orderstatus"), col("o.o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
     // ── 2.3 joins ──────────────────────────────────────────────────────────
     QueryDef(
       "q20_join_inner",
