@@ -113,9 +113,13 @@ object Dedup {
       (s, d) => {
         // The shingle index feeds three consumers (both join sides + the
         // per-doc sizes); persist it once — the 100 TB analog is writing the
-        // inverted index to storage before the pair join.
+        // inverted index to storage before the pair join. The index stores
+        // xxhash64(shingle), not the string: the shuffle moves 8-byte keys
+        // and set sizes/intersections are unchanged barring a 64-bit
+        // collision (P < 1e-10 at this cardinality).
         val sh = t(s, d, "documents")
-          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
+          .select(col("doc_id"), xxhash64(col("s0")).as("s"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
