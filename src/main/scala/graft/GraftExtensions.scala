@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Spark-native plugin surface: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions`) installs the engine's functions
+  * into every session — the cluster-deployment analog of the reference's
+  * `FunctionDirectory` registration (`functions/FunctionDirectory.java:38-62`),
+  * done through the public `SparkSessionExtensions` API instead of a
+  * per-session registry call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("poly_fingerprint"),
+      info("poly_fingerprint", "poly_fingerprint(s) - rolling polynomial hash"),
+      (exprs: Seq[Expression]) => PolyFingerprint(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => DotF(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(s, k) - word k-grams"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+          WordShingles(exprs.head, k.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"word_shingles k must be a literal, got $other")
+      }))
+  }
+}

@@ -62,6 +62,82 @@ object Similarity {
               WHERE rnk <= 10""")),
 
     QueryDef(
+      "s92_label_centroids", // IVF coarse-quantizer training step: per-label
+                             // centroid from 1e-6-quantized components so the
+                             // mean is exact-integer and engine-portable
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("j0", "x")))
+        .select(col("label"), col("j0"),
+          round(col("x").cast("double") * 1000000).cast("long").as("xq"))
+        .groupBy("label", "j0")
+        .agg(((sum(col("xq")).cast("double") / count(lit(1))) / 1000000)
+          .as("centroid")),
+      Some("""SELECT label, j - 1 AS j0,
+                     (CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*)) / 1000000 AS centroid
+              FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                           generate_subscripts(embedding, 1) AS j
+                    FROM embeddings)
+              GROUP BY label, j0""")),
+
+    QueryDef(
+      "s93_ivf_assign", // IVF assignment: nearest centroid by cosine, all in
+                        // exact integer dot products (quantized components)
+      (s, d) => {
+        val comp = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("j0", "x")))
+          .select(col("vec_id"), col("label"), col("j0"),
+            round(col("x").cast("double") * 1000000).cast("long").as("xq"))
+        val cent = comp.groupBy(col("label").as("clabel"), col("j0"))
+          .agg(round(sum(col("xq")).cast("double") / count(lit(1)))
+            .cast("long").as("cq"))
+        val dots = comp.join(broadcast(cent), Seq("j0"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum(col("xq") * col("cq")).as("dotq"))
+        val nv = comp.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("nq"))
+        val nc = cent.groupBy("clabel").agg(sum(col("cq") * col("cq")).as("ncq"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("clabel").asc)
+        dots.join(nv, "vec_id").join(nc, "clabel")
+          .select(col("vec_id"), col("label"), col("clabel"),
+            (col("dotq").cast("double") /
+              (sqrt(col("nq").cast("double")) * sqrt(col("ncq").cast("double"))))
+              .as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("label"),
+            col("clabel").as("assigned_label"),
+            (col("clabel") === col("label")).as("correct"))
+      },
+      Some("""WITH comp AS (
+                SELECT vec_id, label, j - 1 AS j0,
+                       CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+                FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)),
+              cent AS (
+                SELECT label AS clabel, j0,
+                       CAST(ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+                FROM comp GROUP BY label, j0),
+              dots AS (
+                SELECT vec_id, label, clabel, SUM(xq * cq) AS dotq
+                FROM comp JOIN cent USING (j0)
+                GROUP BY vec_id, label, clabel),
+              nv AS (SELECT vec_id, SUM(xq * xq) AS nq FROM comp GROUP BY vec_id),
+              nc AS (SELECT clabel, SUM(cq * cq) AS ncq FROM cent GROUP BY clabel)
+              SELECT vec_id, label, assigned_label, assigned_label = label AS correct
+              FROM (SELECT d.vec_id, d.label, d.clabel AS assigned_label,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY d.vec_id
+                             ORDER BY CAST(d.dotq AS DOUBLE) /
+                                      (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.ncq AS DOUBLE))) DESC,
+                                      d.clabel) AS rnk
+                    FROM dots d JOIN nv ON d.vec_id = nv.vec_id
+                                JOIN nc ON d.clabel = nc.clabel)
+              WHERE rnk = 1""")),
+
+    QueryDef(
       "s91_lsh_buckets", // deterministic random-hyperplane signatures
       (s, d) => {
         val numPlanes = 8

@@ -147,6 +147,22 @@ object TextAnalysis {
               FROM documents""")),
 
     QueryDef(
+      "t74_bpe_tokens", // sub-word-ish regex tokenization (runs-of-class
+                        // pieces; true BPE needs a learned merge table)
+      (s, d) => {
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+        val pieces = regexp_extract_all(col("text"), lit(pat), lit(0))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(pieces).as("n_pieces"),
+          size(array_distinct(pieces)).as("n_distinct_pieces"))
+      },
+      Some("""SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces,
+                     CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_distinct_pieces
+              FROM documents""")),
+
+    QueryDef(
       "t75_json_extract", // typed extraction from the events.props JSON column
       (s, d) => t(s, d, "events")
         .select(
