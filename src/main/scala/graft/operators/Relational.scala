@@ -552,6 +552,69 @@ object Relational {
               FROM orders
               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""")),
 
+    QueryDef(
+      "q18_custom_udaf", // typed Aggregator (reference AggregateFunction.java)
+      (s, d) => {
+        import s.implicits._
+        val g = udaf(graft.functions.GcdAggregator)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(g(col("l_partkey") * 4 + 2).as("gcd_v"), count(lit(1)).as("n"))
+      },
+      // gcd is order-independent, so DuckDB's unordered list() is a valid
+      // oracle formulation of the same aggregate
+      Some("""SELECT l_returnflag,
+                     list_reduce(list(l_partkey * 4 + 2), (a, b) -> gcd(a, b)) AS gcd_v,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    QueryDef(
+      "q19_approx_agg", // sketch aggregates: HLL + KLL — no oracle (sketch
+                        // internals differ per engine); driver rows-only check
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")),
+      None),
+
+    QueryDef(
+      "q52_asof_window", // as-of association: latest prior 'view' per user
+                         // at each 'purchase' (windowed last-ignore-nulls —
+                         // the co-partitioned form of an as-of join)
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("prior_view_id",
+            last(when(col("event_type") === "view", col("event_id")), true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "prior_view_id")
+      },
+      Some("""SELECT event_id, user_id, prior_view_id FROM (
+                SELECT event_id, user_id, event_type,
+                       LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+                FROM events)
+              WHERE event_type = 'purchase'""")),
+
+    QueryDef(
+      "q53_pivot", // crosstab: event counts per user x type
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L),
+      Some("""SELECT user_id,
+                     COUNT(*) FILTER (event_type = 'view') AS view,
+                     COUNT(*) FILTER (event_type = 'click') AS click,
+                     COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                     COUNT(*) FILTER (event_type = 'signup') AS signup,
+                     COUNT(*) FILTER (event_type = 'error') AS error
+              FROM events GROUP BY user_id""")),
+
     // ── events table: time-bucketed aggregation (batch shape of streaming) ─
     QueryDef(
       "q60_events_hourly",
