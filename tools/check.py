@@ -29,12 +29,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def cmp(name, spark_df, duck_df):
+def cmp(name, spark_df, duck_df, con):
     a, b = norm(spark_df), norm(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols spark={list(a.columns)} duck={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS spark={len(a)} duck={len(b)}"
+    if len(a) > 100_000:  # vectorized bag-compare for big results
+        con.register("t_spark", a)
+        con.register("t_duck", b)
+        d1 = con.sql("SELECT count(*) FROM (SELECT * FROM t_spark EXCEPT ALL SELECT * FROM t_duck)").fetchone()[0]
+        d2 = con.sql("SELECT count(*) FROM (SELECT * FROM t_duck EXCEPT ALL SELECT * FROM t_spark)").fetchone()[0]
+        con.unregister("t_spark")
+        con.unregister("t_duck")
+        if d1 or d2:
+            return f"BAGDIFF spark_only={d1} duck_only={d2}"
+        return None
     for c in a.columns:
         av, bv = a[c], b[c]
         for i in range(len(a)):
@@ -70,7 +80,7 @@ def main():
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
-        err = cmp(name, spark_df, duck_df)
+        err = cmp(name, spark_df, duck_df, con)
         if err:
             print(f"FAIL {name}: {err}")
             n_fail += 1
