@@ -30,8 +30,9 @@ class OperatorsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("oracleSql covers every query (full DuckDB-checkable surface)") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("oracleSql covers every query except declared rows-only sketches") {
+    val rowsOnly = Set("q19_approx_agg") // sketch internals differ per engine
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly)
   }
 
   test("q30 topk: sorted desc with unique tiebreak") {
