@@ -58,6 +58,16 @@ object Graft {
             org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** A table redistributed across all cores. The driver-provided parquet
+    * files have a single row group, so the scan yields one partition and any
+    * compute-heavy narrow stage (shingling, hashing, vector math) would run
+    * single-threaded without this. At production scale inputs arrive in many
+    * row groups/files and this becomes a cheap no-op to drop.
+    */
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    table(spark, sfDir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view (idempotent) and install the
     * engine's extra SQL functions. Queries that go through `spark.sql` call
     * this first.

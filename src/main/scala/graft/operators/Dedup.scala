@@ -52,7 +52,7 @@ object Dedup {
 
   /** documents ∪ near-copy (last 2 tokens dropped) at doc_id+1000000. */
   private def corpusNear(s: SparkSession, d: String): DataFrame = {
-    val doc = t(s, d, "documents").select("doc_id", "text")
+    val doc = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
     doc.union(doc.select(
       (col("doc_id") + 1000000).as("doc_id"),
@@ -117,7 +117,7 @@ object Dedup {
         // xxhash64(shingle), not the string: the shuffle moves 8-byte keys
         // and set sizes/intersections are unchanged barring a 64-bit
         // collision (P < 1e-10 at this cardinality).
-        val sh = t(s, d, "documents")
+        val sh = Graft.tableParallel(s, d, "documents")
           .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
           .select(col("doc_id"), xxhash64(col("s0")).as("s"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -208,7 +208,8 @@ object Dedup {
         // Precompute per-vector norms once (same accumulation order as the
         // CosineSim kernel, so dot/(na*nb) is bit-identical) — 1/3 of the
         // multiply-adds per pair in the O(n^2) scan.
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        val e = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
           sqrt(aggregate(col("embedding"), lit(0.0),
             (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
         val dot = graft.functions.GraftFunctions.dot_f(

@@ -74,7 +74,7 @@ object SimHash {
       |      FROM documents)""".stripMargin
 
   private def corpusNear(s: SparkSession, d: String): DataFrame = {
-    val doc = t(s, d, "documents").select("doc_id", "text")
+    val doc = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
     doc.union(doc.select(
       (col("doc_id") + 1000000).as("doc_id"),
@@ -85,7 +85,8 @@ object SimHash {
 
     QueryDef(
       "d84_simhash_signatures",
-      (s, d) => signatures(t(s, d, "documents").select("doc_id", "text")),
+      (s, d) => signatures(
+        Graft.tableParallel(s, d, "documents").select("doc_id", "text")),
       Some(signaturesSql("SELECT doc_id, text FROM documents"))),
 
     QueryDef(

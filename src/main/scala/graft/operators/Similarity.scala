@@ -32,7 +32,8 @@ object Similarity {
       (s, d) => {
         // Norms precomputed per vector; dot/(nq*nc) is bit-identical to the
         // fused cosine kernel (same accumulation order, norms just cached).
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        val e = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
           sqrt(aggregate(col("embedding"), lit(0.0),
             (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
         val q = e.filter(col("vec_id") < 10)
@@ -65,7 +66,7 @@ object Similarity {
       "s92_label_centroids", // IVF coarse-quantizer training step: per-label
                              // centroid from 1e-6-quantized components so the
                              // mean is exact-integer and engine-portable
-      (s, d) => t(s, d, "embeddings")
+      (s, d) => Graft.tableParallel(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("j0", "x")))
         .select(col("label"), col("j0"),
           round(col("x").cast("double") * 1000000).cast("long").as("xq"))
@@ -84,7 +85,7 @@ object Similarity {
       "s93_ivf_assign", // IVF assignment: nearest centroid by cosine, all in
                         // exact integer dot products (quantized components)
       (s, d) => {
-        val comp = t(s, d, "embeddings")
+        val comp = Graft.tableParallel(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("j0", "x")))
           .select(col("vec_id"), col("label"), col("j0"),
@@ -141,7 +142,7 @@ object Similarity {
       "s91_lsh_buckets", // deterministic random-hyperplane signatures
       (s, d) => {
         val numPlanes = 8
-        val comp = t(s, d, "embeddings")
+        val comp = Graft.tableParallel(s, d, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
           .select(col("vec_id"), col("j0"),
             round(col("x").cast("double") * 1000000).cast("long").as("xq"))
