@@ -149,58 +149,46 @@ object Dedup {
 
     QueryDef(
       "d83_dedup_minhash", // banded MinHash LSH candidate pairs
+      (s, d) => minhashPairs(s, d),
+      Some(s"WITH $minhashCtes\n$minhashPairsSelect")),
+
+    QueryDef(
+      "d87_dedup_components", // candidate pairs -> dedup groups: iterative
+                              // min-label propagation (Pregel-style; each
+                              // iteration is one distributed join, the driver
+                              // only checks convergence)
       (s, d) => {
-        val numSeeds = 12; val bandSize = 4
-        val sh = corpusNear(s, d)
-          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-        // Hash only DISTINCT shingles (the md5-based portable hash is the
-        // expensive part: 12 seeds x every occurrence would be ~7M md5 calls
-        // at sf0.1; distinct shingles are ~25x fewer), then broadcast the
-        // hash table back onto the occurrence list. At 100 TB the broadcast
-        // becomes a shuffle join — AQE picks per stats.
-        val uniq = sh.select("s").distinct()
-          .select(col("s") +: (0 until numSeeds).map(i =>
-            hash60(concat(lit(s"${i}_"), col("s"))).as(s"h$i")): _*)
-        // Single-pass signature: all 12 per-seed MINs in one groupBy
-        // (map-side partial aggregation collapses each partition to one row
-        // per doc before the shuffle) — semantically identical to the
-        // explode-by-seed formulation the oracle uses, ~12x less shuffle.
-        val minCols = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
-        val sig = sh.join(broadcast(uniq), "s")
-          .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-        // order-independent band key: sum of hashes of (seed, minhash) pairs
-        val bandKeys = (0 until numSeeds / bandSize).map { b =>
-          (b * bandSize until (b + 1) * bandSize)
-            .map(i => hash60(concat(lit(s"$i:"), col(s"m$i").cast("string"))))
-            .reduce(_ + _)
+        val edges = minhashPairs(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sym = edges.union(
+          edges.select(col("d2").as("d1"), col("d1").as("d2")))
+        var labels = sym.select(col("d1").as("doc")).distinct()
+          .withColumn("root", col("doc"))
+        var changed = true; var iter = 0
+        while (changed && iter < 20) {
+          val neighborMin = sym.join(labels, sym("d2") === labels("doc"))
+            .groupBy(sym("d1").as("ndoc")).agg(min(col("root")).as("nmin"))
+          val updated = labels.join(neighborMin,
+              labels("doc") === neighborMin("ndoc"), "left")
+            .select(col("doc"),
+              least(col("root"), coalesce(col("nmin"), col("root"))).as("newRoot"),
+              col("root").as("oldRoot"))
+            .localCheckpoint(true) // cut lineage each iteration
+          changed = updated.filter(col("newRoot") < col("oldRoot")).count() > 0
+          labels = updated.select(col("doc"), col("newRoot").as("root"))
+          iter += 1
         }
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.band_key") === col("b.band_key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
+        labels
       },
-      Some(s"""WITH corpus AS ($corpusNearSql),
-               |sh AS (
-               |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
-               |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
-               |hashed AS (
-               |  SELECT doc_id, seed,
-               |         ('0x' || substr(md5(seed::VARCHAR || '_' || s), 1, 15))::BIGINT AS h
-               |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)),
-               |sig AS (SELECT doc_id, seed, MIN(h) AS minh
-               |        FROM hashed GROUP BY doc_id, seed),
-               |bands AS (
-               |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-               |         SUM(('0x' || substr(md5(seed::VARCHAR || ':' || minh::VARCHAR), 1, 15))::BIGINT) AS band_key
-               |  FROM sig GROUP BY doc_id, band)
-               |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               |FROM bands a JOIN bands b
-               |  ON a.band = b.band AND a.band_key = b.band_key
-               | AND a.doc_id < b.doc_id""".stripMargin)),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+               |pairs AS ($minhashPairsSelect),
+               |sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+               |nodes AS (SELECT DISTINCT d1 AS doc FROM sym),
+               |reach(doc, r) AS (
+               |  SELECT doc, doc FROM nodes
+               |  UNION
+               |  SELECT s.d1, reach.r FROM sym s JOIN reach ON s.d2 = reach.doc)
+               |SELECT doc, MIN(r) AS root FROM reach GROUP BY doc""".stripMargin)),
 
     QueryDef(
       "d86_dedup_embedding_pairs", // cosine near-dup pairs (brute at test SF)
@@ -227,4 +215,64 @@ object Dedup {
               WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                                  b.embedding::DOUBLE[]), 6) > 0.45"""))
   )
+
+  /** Banded MinHash LSH candidate pairs over [[corpusNear]] (d83's plan,
+    * shared with the d87 component grouping). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val numSeeds = 12; val bandSize = 4
+    val sh = corpusNear(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+    // Hash only DISTINCT shingles (the md5-based portable hash is the
+    // expensive part: 12 seeds x every occurrence would be ~7M md5 calls
+    // at sf0.1; distinct shingles are ~25x fewer), then broadcast the
+    // hash table back onto the occurrence list. At 100 TB the broadcast
+    // becomes a shuffle join — AQE picks per stats.
+    val uniq = sh.select("s").distinct()
+      .select(col("s") +: (0 until numSeeds).map(i =>
+        hash60(concat(lit(s"${i}_"), col("s"))).as(s"h$i")): _*)
+    // Single-pass signature: all 12 per-seed MINs in one groupBy
+    // (map-side partial aggregation collapses each partition to one row
+    // per doc before the shuffle) — semantically identical to the
+    // explode-by-seed formulation the oracle uses, ~12x less shuffle.
+    val minCols = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
+    val sig = sh.join(broadcast(uniq), "s")
+      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // order-independent band key: sum of hashes of (seed, minhash) pairs
+    val bandKeys = (0 until numSeeds / bandSize).map { b =>
+      (b * bandSize until (b + 1) * bandSize)
+        .map(i => hash60(concat(lit(s"$i:"), col(s"m$i").cast("string"))))
+        .reduce(_ + _)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** The d83 plan's oracle, split so d87 can reuse it under WITH RECURSIVE. */
+  private lazy val minhashCtes: String =
+    s"""corpus AS ($corpusNearSql),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+       |hashed AS (
+       |  SELECT doc_id, seed,
+       |         ('0x' || substr(md5(seed::VARCHAR || '_' || s), 1, 15))::BIGINT AS h
+       |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)),
+       |sig AS (SELECT doc_id, seed, MIN(h) AS minh
+       |        FROM hashed GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       |         SUM(('0x' || substr(md5(seed::VARCHAR || ':' || minh::VARCHAR), 1, 15))::BIGINT) AS band_key
+       |  FROM sig GROUP BY doc_id, band)""".stripMargin
+
+  private lazy val minhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_key = b.band_key
+      | AND a.doc_id < b.doc_id""".stripMargin
 }

@@ -63,5 +63,28 @@ object Multimodal {
                      CAST(list_sum(list_transform(string_split(text, ''),
                                                   c -> ord(c))) % 65536 AS BIGINT) AS byte_sum
               FROM documents"""))
+    ,
+    QueryDef(
+      "m96_frame_sample", // frame-sampling plumbing: treat the payload as
+                          // fixed-size frames, keep every 4th, fingerprint
+                          // each — the schema/partition/batch shape of video
+                          // keyframe extraction with a byte-chunk stand-in
+      (s, d) => {
+        val frameSize = 16; val every = 4
+        Graft.table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0),
+              expr(s"(length(text) - 1) div $frameSize"))).as("frame_idx"))
+          .filter(col("frame_idx") % every === 0)
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr(s"substring(text, frame_idx * $frameSize + 1, $frameSize)"))
+              .as("frame_hash"))
+      },
+      Some("""SELECT doc_id, frame_idx,
+                     md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_hash
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, ((LENGTH(text) - 1) // 16) + 1)) AS frame_idx
+                    FROM documents)
+              WHERE frame_idx % 4 = 0"""))
   )
 }
