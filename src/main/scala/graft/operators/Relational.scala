@@ -615,6 +615,32 @@ object Relational {
                      COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY user_id""")),
 
+    QueryDef(
+      "q54_range_join", // equi + range predicate: events within 1 min of a
+                        // purchase by the same user (SMJ + range filter;
+                        // at scale, bucket ts into coarse bins for an
+                        // equi-join candidate step)
+      (s, d) => {
+        val e = t(s, d, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        e.as("x").join(p,
+            col("x.user_id") === col("p_user") &&
+              col("x.event_id") =!= col("p_id") &&
+              col("x.ts") >= col("p_ts") &&
+              col("x.ts") <= col("p_ts") + expr("INTERVAL 1 MINUTE"))
+          .select(col("p_id"), col("x.event_id").as("nearby_id"),
+            col("x.event_type").as("nearby_type"))
+      },
+      Some("""SELECT p.event_id AS p_id, x.event_id AS nearby_id,
+                     x.event_type AS nearby_type
+              FROM events x
+              JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase') p
+                ON x.user_id = p.user_id AND x.event_id != p.event_id
+               AND x.ts >= p.ts AND x.ts <= p.ts + INTERVAL 1 MINUTE""")),
+
     // ── events table: time-bucketed aggregation (batch shape of streaming) ─
     QueryDef(
       "q60_events_hourly",
