@@ -643,6 +643,39 @@ object Relational {
 
     // ── events table: time-bucketed aggregation (batch shape of streaming) ─
     QueryDef(
+      "q61_sessionize", // gaps-and-islands sessionization (30-min gap) —
+                        // the oracle-checkable batch twin of the streaming
+                        // session_window in graft.streaming.EventStreams
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val newSession = when(
+          col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+            > 1800, 1).otherwise(0)
+        t(s, d, "events")
+          .withColumn("new_s", coalesce(newSession, lit(0)))
+          .withColumn("session_idx",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      },
+      Some("""SELECT user_id, session_idx, COUNT(*) AS n_events,
+                     strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+              FROM (SELECT user_id, ts,
+                      CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                    FROM (SELECT user_id, event_id, ts,
+                            CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                                 THEN 1 ELSE 0 END AS new_s
+                          FROM events))
+              GROUP BY user_id, session_idx""")),
+
+    QueryDef(
       "q60_events_hourly",
       (s, d) => t(s, d, "events")
         .groupBy(
