@@ -35,6 +35,8 @@ object Graft {
       // few partitions (task-scheduling overhead dominates otherwise); at
       // 100 TB the same setting right-sizes partitions to ~64 MB targets
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // events.parquet is TIMESTAMP(NANOS); read as long + explicit downcast
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -45,13 +47,14 @@ object Graft {
   /** Read one table from a scale-factor directory.
     *
     * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as a long and downcast to Spark's
-    * microsecond timestamp (DuckDB reads the same column natively, so
-    * sub-microsecond truncation is the only — here absent — delta).
+    * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
+    * (set in every session builder, not mutated here) it reads as a long,
+    * downcast to Spark's microsecond timestamp (DuckDB reads the same column
+    * natively, so sub-microsecond truncation is the only — here absent —
+    * delta).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(

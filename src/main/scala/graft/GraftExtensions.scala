@@ -23,18 +23,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSim(
+        GraftFunctions.toFloatArrExpr(exprs(0)),
+        GraftFunctions.toFloatArrExpr(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("poly_fingerprint"),
       info("poly_fingerprint", "poly_fingerprint(s) - rolling polynomial hash"),
-      (exprs: Seq[Expression]) => PolyFingerprint(exprs.head)))
+      (exprs: Seq[Expression]) => PolyFingerprint(
+        GraftFunctions.toStrExpr(exprs.head))))
     ext.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - dot product of two float arrays"),
-      (exprs: Seq[Expression]) => DotF(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotF(
+        GraftFunctions.toFloatArrExpr(exprs(0)),
+        GraftFunctions.toFloatArrExpr(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(s, k) - word k-grams"),
       (exprs: Seq[Expression]) => exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
-          WordShingles(exprs.head, k.toString.toInt)
+          WordShingles(GraftFunctions.toStrExpr(exprs.head), k.toString.toInt)
         case other =>
           throw new IllegalArgumentException(
             s"word_shingles k must be a literal, got $other")

@@ -62,12 +62,17 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     rows.write.mode(SaveMode.Append).parquet(path(name))
 
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
-    * Distributed end-to-end — no driver-side row handling. */
+    * All SET expressions evaluate against the OLD row (standard SQL UPDATE
+    * semantics — `SET a = b, b = a` swaps), via a single simultaneous
+    * projection. Distributed end-to-end — no driver-side row handling. */
   def update(name: String, cond: Column, sets: Map[String, Column]): Unit = {
     val cur = table(name)
-    val updated = sets.foldLeft(cur) { case (df, (c, e)) =>
-      df.withColumn(c, when(cond, e).otherwise(col(c)))
-    }
+    val updated = cur.select(cur.columns.map { c =>
+      sets.get(c) match {
+        case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
     rewrite(name, updated)
   }
 
@@ -75,14 +80,14 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def delete(name: String, cond: Column): Unit =
     rewrite(name, table(name).filter(!coalesce(cond, lit(false))))
 
-  /** ANALYZE t — compute table + column stats into the session catalog so
-    * CBO (join reorder, broadcast thresholds) has real numbers. */
+  /** ANALYZE t — register the parquet directory as an external catalog table
+    * (idempotent) and compute table + column stats so CBO (join reorder,
+    * broadcast thresholds) has real numbers for queries that read it via
+    * `spark.table(name)`. */
   def analyze(name: String): Unit = {
-    table(name).createOrReplaceTempView(s"${name}_analyze_tmp")
-    // temp views only support table-level stats via CACHE; for real catalog
-    // tables this is `ANALYZE TABLE name COMPUTE STATISTICS FOR ALL COLUMNS`.
-    spark.sql(s"SELECT COUNT(*) FROM ${name}_analyze_tmp").collect()
-    spark.catalog.dropTempView(s"${name}_analyze_tmp"); ()
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS `$name` USING parquet LOCATION '${path(name)}'")
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS"); ()
   }
 
   /** EXPLAIN — formatted physical plan, the analog of the reference's

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -20,6 +21,20 @@ import org.apache.spark.unsafe.types.UTF8String
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Reject anything but array<float> at analysis time — getFloat over an
+  // array<double> would silently read garbage out of 8-byte slots. The
+  // Column/SQL builders in GraftFunctions insert the cast, so double-array
+  // literals still work there.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -67,6 +82,10 @@ case class CosineSim(left: Expression, right: Expression)
 case class PolyFingerprint(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_fingerprint"
 
@@ -110,22 +129,37 @@ object PolyFingerprint {
   */
 object GraftFunctions {
 
+  private[graft] def toFloatArrExpr(e: Expression): Expression =
+    Cast(e, ArrayType(FloatType)) // no-op (removed by SimplifyCasts) if typed
+  private[graft] def toStrExpr(e: Expression): Expression = Cast(e, StringType)
+  private def toFloatArr(e: Expression): Expression = toFloatArrExpr(e)
+  private def toStr(e: Expression): Expression = toStrExpr(e)
+
   def cosine_sim(a: Column, b: Column): Column =
-    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(CosineSim(toFloatArr(Bridge.expression(a)),
+      toFloatArr(Bridge.expression(b))))
   def poly_fingerprint(c: Column): Column =
-    Bridge.column(PolyFingerprint(Bridge.expression(c)))
+    Bridge.column(PolyFingerprint(toStr(Bridge.expression(c))))
   def word_shingles(c: Column, k: Int): Column =
-    Bridge.column(WordShingles(Bridge.expression(c), k))
+    Bridge.column(WordShingles(toStr(Bridge.expression(c)), k))
   def dot_f(a: Column, b: Column): Column =
-    Bridge.column(DotF(Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(DotF(toFloatArr(Bridge.expression(a)),
+      toFloatArr(Bridge.expression(b))))
 
   def register(spark: SparkSession): Unit = {
     val reg = Bridge.sessionState(spark).functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      exprs => CosineSim(toFloatArr(exprs(0)), toFloatArr(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("poly_fingerprint",
-      exprs => PolyFingerprint(exprs.head), "built-in")
+      exprs => PolyFingerprint(toStr(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction("dot_f",
-      exprs => DotF(exprs(0), exprs(1)), "built-in")
+      exprs => DotF(toFloatArr(exprs(0)), toFloatArr(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+          WordShingles(toStr(exprs.head), k.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles k must be a literal, got $other")
+      }, "built-in")
   }
 }

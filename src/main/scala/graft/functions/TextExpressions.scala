@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordShingles(child: Expression, k: Int)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -57,16 +62,21 @@ object WordShingles {
     out
   }
 
-  /** Non-empty runs of non-whitespace — matches
-    * `filter(split(trim(text), "\\s+"), _ != "")` for ASCII whitespace. */
+  /** Non-empty runs split on exactly the RE2 `\s` set `[\t\n\f\r ]` — the
+    * same set the DuckDB oracles use and that `TextAnalysis.tokens` splits
+    * on. (Character.isWhitespace would add \x0B and \x1C-\x1F; Java regex
+    * `\s` would add \x0B — both diverge from RE2 on control characters.) */
+  private def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   def tokenize(text: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isSep(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isSep(text.charAt(i))) i += 1
       if (i > start) out += text.substring(start, i)
     }
     out.toArray
@@ -85,6 +95,16 @@ object WordShingles {
 case class DotF(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
 

@@ -50,16 +50,20 @@ object Dedup {
     doc.union(doc.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  /** documents ∪ near-copy (last 2 tokens dropped) at doc_id+1000000. */
-  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+  /** documents ∪ near-copy (last 2 tokens dropped) at doc_id+1000000.
+    * `greatest(…, 0)` guards the slice length: a 0/1-token doc degrades to
+    * an empty near-copy (matching DuckDB's `toks[1:len-2]`) instead of a
+    * runtime slice error. Shared with SimHash (package-visible). */
+  private[operators] def corpusNear(s: SparkSession, d: String): DataFrame = {
     val doc = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
     doc.union(doc.select(
       (col("doc_id") + 1000000).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
+      concat_ws(" ",
+        slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text")))
   }
 
-  private val corpusNearSql =
+  private[operators] val corpusNearSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id,
@@ -165,7 +169,10 @@ object Dedup {
         var labels = sym.select(col("d1").as("doc")).distinct()
           .withColumn("root", col("doc"))
         var changed = true; var iter = 0
-        while (changed && iter < 20) {
+        // one-hop propagation covers component diameter; 64 is a safety cap
+        // far above any plausible near-dup chain — non-convergence is an
+        // error, never a silent partial answer
+        while (changed && iter < 64) {
           val neighborMin = sym.join(labels, sym("d2") === labels("doc"))
             .groupBy(sym("d1").as("ndoc")).agg(min(col("root")).as("nmin"))
           val updated = labels.join(neighborMin,
@@ -178,6 +185,7 @@ object Dedup {
           labels = updated.select(col("doc"), col("newRoot").as("root"))
           iter += 1
         }
+        require(!changed, s"component propagation did not converge in $iter rounds")
         labels
       },
       Some(s"""WITH RECURSIVE $minhashCtes,

@@ -64,22 +64,11 @@ object SimHash {
        |  GROUP BY doc_id)""".stripMargin
   }
 
-  private val corpusNearSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id,
-      |       array_to_string(toks[1:len(toks)-2], ' ') AS text
-      |FROM (SELECT doc_id,
-      |        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
-      |      FROM documents)""".stripMargin
-
-  private def corpusNear(s: SparkSession, d: String): DataFrame = {
-    val doc = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
-    val toks = TextAnalysis.tokens(col("text"))
-    doc.union(doc.select(
-      (col("doc_id") + 1000000).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
-  }
+  // derived near-dup corpus shared with the MinHash operators — one
+  // definition (plan + oracle SQL) in Dedup, reused here
+  private def corpusNear(s: SparkSession, d: String): DataFrame =
+    Dedup.corpusNear(s, d)
+  private def corpusNearSql: String = Dedup.corpusNearSql
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -21,9 +21,12 @@ object TextAnalysis {
 
   /** Non-empty whitespace tokens of trimmed text (shared definition; the
     * DuckDB oracles use the equivalent
-    * `list_filter(regexp_split_to_array(trim(text),'\s+'), x -> x != '')`). */
+    * `list_filter(regexp_split_to_array(trim(text),'\s+'), x -> x != '')`).
+    * The split class is RE2's `\s` = `[\t\n\f\r ]` exactly — Java's `\s`
+    * would additionally treat \x0B as whitespace and silently diverge from
+    * the oracle on control characters. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), tk => tk =!= "")
+    filter(split(trim(text), "[ \\t\\n\\f\\r]+"), tk => tk =!= "")
 
   private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is")
 

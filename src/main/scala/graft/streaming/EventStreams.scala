@@ -43,10 +43,10 @@ object EventStreams {
         col("user_id"), col("n_events"), col("sum_value"))
 
   /** Streaming exact dedup on a key with a watermark bound on state:
-    * first occurrence wins. Built-in `dropDuplicates` keeps key state until
-    * the watermark passes — the streaming twin of `d80_dedup_exact`. */
+    * first occurrence wins regardless of event time (within the watermark
+    * horizon) — the streaming twin of `d80_dedup_exact`. */
   def streamingDedup(docs: DataFrame, keyCol: String): DataFrame =
-    docs.withWatermark("ts", "1 hour").dropDuplicates(keyCol, "ts")
+    docs.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(keyCol)
 
   // ── custom state: running per-user anomaly flagging ─────────────────────
 

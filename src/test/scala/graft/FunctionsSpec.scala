@@ -89,6 +89,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) > 0)
   }
 
+  test("sql: double-array literals are cast, not silently misread") {
+    GraftFunctions.register(spark)
+    // array(1.0, 2.0) is ARRAY<DOUBLE>; ExpectsInputTypes must insert a cast
+    val r = spark.sql(
+      "SELECT cosine_sim(array(3.0, 4.0), array(3.0, 4.0)) c, " +
+        "dot_f(array(1.0, 2.0), array(3.0, 4.0)) d").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 11.0)
+  }
+
   test("word_shingles: k-grams of whitespace tokens") {
     val got = Seq("the quick  brown fox ", "a b", "", "  ", "one two three")
       .toDF("t")

@@ -82,6 +82,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       src.addData(
         ("a", ts("2026-01-01 10:00:00"), "dup-same-ts"),
+        ("a", ts("2026-01-01 10:05:00"), "dup-later-ts"), // key dup, new ts
         ("b", ts("2026-01-01 10:01:00"), "first-b"))
       q.processAllAvailable()
       val rows = spark.table("dedup").collect()

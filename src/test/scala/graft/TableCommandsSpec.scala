@@ -56,6 +56,29 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10.0, 25.0, 30.0))
   }
 
+  test("update: SET expressions all read the OLD row (swap works)") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("t", Seq((1, 10, 20)).toDF("id", "a", "b"))
+    c.update("t", col("id") === 1, Map("a" -> col("b"), "b" -> col("a")))
+    val r = c.table("t").head()
+    assert((r.getInt(1), r.getInt(2)) == (20, 10), "swap must not chain")
+  }
+
+  test("analyze: registers catalog table and computes real column stats") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("stats_t", (1 to 500).map(i => (i, s"v$i")).toDF("id", "v"))
+    c.analyze("stats_t")
+    val stats = spark.sql("DESCRIBE EXTENDED stats_t id")
+      .filter(col("info_name") === "distinct_count").collect()
+    // ANALYZE's NDV is HLL-approximate; 500 distinct -> within ~5%
+    assert(stats.nonEmpty, "no column stats recorded")
+    val ndv = stats.head.getString(1).toLong
+    assert(ndv > 450 && ndv <= 510, s"implausible distinct_count $ndv")
+    spark.sql("DROP TABLE IF EXISTS stats_t")
+  }
+
   test("delete: copy-on-write keeps survivors; null cond rows survive") {
     import spark.implicits._
     val c = freshCmds()
