@@ -166,6 +166,49 @@ object TextAnalysis {
               FROM documents""")),
 
     QueryDef(
+      "p99_training_pipeline", // capstone composition: the operators chained
+                               // the way a real corpus-prep job runs them —
+                               // quality gate -> exact dedup -> per-language
+                               // token accounting
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val distinctRatio = size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")
+        val scored = graft.Graft.tableParallel(s, d, "documents")
+          .withColumn("n_tok", size(toks))
+          .withColumn("dr", distinctRatio)
+          .filter(col("dr") > 0.6 && col("n_tok") >= 20)
+        val keep = scored
+          .withColumn("keep",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("keep"))
+        keep.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok").cast("long")).as("total_tokens"),
+            round(avg(col("dr")), 6).as("avg_distinct_ratio"))
+      },
+      Some("""WITH scored AS (
+                SELECT doc_id, lang, text,
+                       len(toks) AS n_tok,
+                       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr
+                FROM (SELECT doc_id, lang, text,
+                        list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> x != '') AS toks
+                      FROM documents)
+                WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.6
+                  AND len(toks) >= 20),
+              keep AS (
+                SELECT * FROM (
+                  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+                  FROM scored)
+                WHERE doc_id = keep)
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                     ROUND(AVG(dr), 6) AS avg_distinct_ratio
+              FROM keep GROUP BY lang""")),
+
+    QueryDef(
       "t75_json_extract", // typed extraction from the events.props JSON column
       (s, d) => t(s, d, "events")
         .select(
