@@ -175,12 +175,15 @@ object Dedup {
         while (changed && iter < 64) {
           val neighborMin = sym.join(labels, sym("d2") === labels("doc"))
             .groupBy(sym("d1").as("ndoc")).agg(min(col("root")).as("nmin"))
+          // lazy checkpoint: the convergence count is the materializing
+          // action, so each round is ONE Spark job (eager checkpoint + count
+          // was two), and lineage is still cut for the next round
           val updated = labels.join(neighborMin,
               labels("doc") === neighborMin("ndoc"), "left")
             .select(col("doc"),
               least(col("root"), coalesce(col("nmin"), col("root"))).as("newRoot"),
               col("root").as("oldRoot"))
-            .localCheckpoint(true) // cut lineage each iteration
+            .localCheckpoint(false)
           changed = updated.filter(col("newRoot") < col("oldRoot")).count() > 0
           labels = updated.select(col("doc"), col("newRoot").as("root"))
           iter += 1
