@@ -102,6 +102,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d87 components: labels are closed over the candidate-edge set") {
+    val labels = run("d87_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = run("d83_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.forall { case (a, b) => labels(a) == labels(b) },
+      "an edge crosses two components")
+    assert(labels.forall { case (doc, root) => root <= doc })
+  }
+
+  test("q61 sessionize: per-user event counts are conserved") {
+    val sessions = run("q61_sessionize").collect()
+    val byUser = sessions.groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.map(_.getLong(2)).sum }
+    val events = Graft.table(spark, d, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser == events, "sessionization dropped or duplicated events")
+  }
+
+  test("m96 frame sampling: only every-4th frames, all docs covered") {
+    val rows = run("m96_frame_sample").collect()
+    assert(rows.forall(_.getLong(1) % 4 == 0))
+    assert(rows.map(_.getLong(0)).distinct.length == 500)
+  }
+
   test("t70 token stats: counts consistent") {
     val rows = run("t70_token_stats").collect()
     assert(rows.length == 500)
