@@ -51,9 +51,12 @@ object Dedup {
   }
 
   /** documents ∪ near-copy (last 2 tokens dropped) at doc_id+1000000.
-    * `greatest(…, 0)` guards the slice length: a 0/1-token doc degrades to
-    * an empty near-copy (matching DuckDB's `toks[1:len-2]`) instead of a
-    * runtime slice error. Shared with SimHash (package-visible). */
+    * `greatest(…, 0)` guards the slice length: a 0/1/2-token doc degrades to
+    * an empty near-copy instead of a runtime slice error. The oracle guards
+    * the same way (`toks[1:greatest(len-2, 0)]`) — a bare `toks[1:len-2]`
+    * would hit DuckDB's negative-index slicing for 1-token docs and return
+    * the full list where Spark returns empty. Shared with SimHash
+    * (package-visible). */
   private[operators] def corpusNear(s: SparkSession, d: String): DataFrame = {
     val doc = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
@@ -67,7 +70,7 @@ object Dedup {
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id,
-      |       array_to_string(toks[1:len(toks)-2], ' ') AS text
+      |       array_to_string(toks[1:greatest(len(toks)-2, 0)], ' ') AS text
       |FROM (SELECT doc_id,
       |        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
       |      FROM documents)""".stripMargin
@@ -227,31 +230,48 @@ object Dedup {
                                                  b.embedding::DOUBLE[]), 6) > 0.45"""))
   )
 
+  /** Mersenne prime 2^31-1: the minhash lane space. All lane/band mixing is
+    * `(a*h + b) mod P31` with a,b,h < P31, so every intermediate fits a
+    * signed 64-bit value — DuckDB's overflow-checked BIGINT arithmetic and
+    * Spark's wrapping longs agree bit-for-bit. */
+  private val P31 = 2147483647L
+  // Per-lane universal-hash constants derived from public 32-bit hash-mixing
+  // primes (Knuth 2654435761; xxhash PRIME32_2/4 2246822519/668265263;
+  // murmur3 c2 3266489917). (i+1)*K mod P31 is never 0: P31 is prime and
+  // exceeds every factor.
+  private def laneA(i: Int): Long = (2654435761L * (i + 1)) % P31
+  private def laneB(i: Int): Long = (2246822519L * (i + 1)) % P31
+  private def bandC(i: Int): Long = (3266489917L * (i + 1)) % P31
+  private def bandD(i: Int): Long = (668265263L * (i + 1)) % P31
+
   /** Banded MinHash LSH candidate pairs over [[corpusNear]] (d83's plan,
-    * shared with the d87 component grouping). */
+    * shared with the d87 component grouping).
+    *
+    * One portable md5-based hash per shingle OCCURRENCE (the md5 is the
+    * expensive part; a previous formulation paid 12 per distinct shingle and
+    * re-joined via a forced broadcast — a driver-OOM hazard at 100 TB). The
+    * 12 minhash lanes are derived by integer universal hashing
+    * `(a_i*h + b_i) mod (2^31-1)` — a few codegen'd long ops per lane, no
+    * second join, no broadcast, and the oracle mirrors the same arithmetic
+    * exactly.
+    */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val numSeeds = 12; val bandSize = 4
     val sh = corpusNear(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-    // Hash only DISTINCT shingles (the md5-based portable hash is the
-    // expensive part: 12 seeds x every occurrence would be ~7M md5 calls
-    // at sf0.1; distinct shingles are ~25x fewer), then broadcast the
-    // hash table back onto the occurrence list. At 100 TB the broadcast
-    // becomes a shuffle join — AQE picks per stats.
-    val uniq = sh.select("s").distinct()
-      .select(col("s") +: (0 until numSeeds).map(i =>
-        hash60(concat(lit(s"${i}_"), col("s"))).as(s"h$i")): _*)
-    // Single-pass signature: all 12 per-seed MINs in one groupBy
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), (hash60(col("s0")) % P31).as("h"))
+    // Single-pass signature: all 12 per-lane MINs in one groupBy
     // (map-side partial aggregation collapses each partition to one row
     // per doc before the shuffle) — semantically identical to the
     // explode-by-seed formulation the oracle uses, ~12x less shuffle.
-    val minCols = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
-    val sig = sh.join(broadcast(uniq), "s")
-      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // order-independent band key: sum of hashes of (seed, minhash) pairs
+    val minCols = (0 until numSeeds).map(i =>
+      min((lit(laneA(i)) * col("h") + lit(laneB(i))) % P31).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // order-independent band key: sum of universally-hashed lane minima
+    // (4 addends < 2^31 — no overflow either engine)
     val bandKeys = (0 until numSeeds / bandSize).map { b =>
       (b * bandSize until (b + 1) * bandSize)
-        .map(i => hash60(concat(lit(s"$i:"), col(s"m$i").cast("string"))))
+        .map(i => (lit(bandC(i)) * col(s"m$i") + lit(bandD(i))) % P31)
         .reduce(_ + _)
     }
     val bands = sig.select(col("doc_id"),
@@ -264,21 +284,32 @@ object Dedup {
       .distinct()
   }
 
-  /** The d83 plan's oracle, split so d87 can reuse it under WITH RECURSIVE. */
+  /** The d83 plan's oracle, split so d87 can reuse it under WITH RECURSIVE.
+    * Mirrors [[minhashPairs]]: one md5-derived 31-bit hash per shingle
+    * occurrence, then integer lane mixing `(a*h + b) % (2^31-1)` with the
+    * same public mixing primes — bit-identical across engines because every
+    * intermediate stays below 2^63. */
   private lazy val minhashCtes: String =
     s"""corpus AS ($corpusNearSql),
        |sh AS (
        |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
        |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
-       |hashed AS (
+       |occ AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+       |  FROM sh),
+       |lanes AS (
        |  SELECT doc_id, seed,
-       |         ('0x' || substr(md5(seed::VARCHAR || '_' || s), 1, 15))::BIGINT AS h
-       |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)),
-       |sig AS (SELECT doc_id, seed, MIN(h) AS minh
-       |        FROM hashed GROUP BY doc_id, seed),
+       |         (((2654435761 * (seed + 1)) % 2147483647) * h
+       |          + ((2246822519 * (seed + 1)) % 2147483647)) % 2147483647 AS hs
+       |  FROM occ CROSS JOIN (SELECT unnest(range(12)) AS seed)),
+       |sig AS (SELECT doc_id, seed, MIN(hs) AS minh
+       |        FROM lanes GROUP BY doc_id, seed),
        |bands AS (
        |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-       |         SUM(('0x' || substr(md5(seed::VARCHAR || ':' || minh::VARCHAR), 1, 15))::BIGINT) AS band_key
+       |         CAST(SUM((((3266489917 * (seed + 1)) % 2147483647) * minh
+       |                   + ((668265263 * (seed + 1)) % 2147483647)) % 2147483647)
+       |              AS BIGINT) AS band_key
        |  FROM sig GROUP BY doc_id, band)""".stripMargin
 
   private lazy val minhashPairsSelect: String =

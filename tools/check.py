@@ -23,6 +23,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    df = df.reset_index(drop=True)  # iloc below needs positional labels
     key = df.apply(lambda r: tuple(str(x) for x in r), axis=1) if len(df) else None
     if key is not None:
         df = df.iloc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
@@ -66,6 +67,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional comma-separated name-prefix filter
+        pre = sys.argv[3].split(",")
+        oracles = {k: v for k, v in oracles.items()
+                   if any(k.startswith(p) for p in pre)}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         files = glob.glob(f"{out}/{name}/*.parquet")
@@ -73,7 +78,8 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                             ignore_index=True)
         try:
             duck_df = con.sql(oracles[name]).df()
         except Exception as e:
