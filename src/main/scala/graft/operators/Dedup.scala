@@ -160,40 +160,11 @@ object Dedup {
       Some(s"WITH $minhashCtes\n$minhashPairsSelect")),
 
     QueryDef(
-      "d87_dedup_components", // candidate pairs -> dedup groups: iterative
-                              // min-label propagation (Pregel-style; each
-                              // iteration is one distributed join, the driver
-                              // only checks convergence)
-      (s, d) => {
-        val edges = minhashPairs(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sym = edges.union(
-          edges.select(col("d2").as("d1"), col("d1").as("d2")))
-        var labels = sym.select(col("d1").as("doc")).distinct()
-          .withColumn("root", col("doc"))
-        var changed = true; var iter = 0
-        // one-hop propagation covers component diameter; 64 is a safety cap
-        // far above any plausible near-dup chain — non-convergence is an
-        // error, never a silent partial answer
-        while (changed && iter < 64) {
-          val neighborMin = sym.join(labels, sym("d2") === labels("doc"))
-            .groupBy(sym("d1").as("ndoc")).agg(min(col("root")).as("nmin"))
-          // lazy checkpoint: the convergence count is the materializing
-          // action, so each round is ONE Spark job (eager checkpoint + count
-          // was two), and lineage is still cut for the next round
-          val updated = labels.join(neighborMin,
-              labels("doc") === neighborMin("ndoc"), "left")
-            .select(col("doc"),
-              least(col("root"), coalesce(col("nmin"), col("root"))).as("newRoot"),
-              col("root").as("oldRoot"))
-            .localCheckpoint(false)
-          changed = updated.filter(col("newRoot") < col("oldRoot")).count() > 0
-          labels = updated.select(col("doc"), col("newRoot").as("root"))
-          iter += 1
-        }
-        require(!changed, s"component propagation did not converge in $iter rounds")
-        labels
-      },
+      "d87_dedup_components", // candidate pairs -> dedup groups: alternating
+                              // large-star/small-star rounds (O(log n) rounds
+                              // vs O(diameter) for one-hop label propagation;
+                              // the driver only checks a convergence checksum)
+      (s, d) => connectedComponents(s, minhashPairs(s, d))._1,
       Some(s"""WITH RECURSIVE $minhashCtes,
                |pairs AS ($minhashPairsSelect),
                |sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -229,6 +200,86 @@ object Dedup {
               WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                                  b.embedding::DOUBLE[]), 6) > 0.45"""))
   )
+
+  /** Connected components over an undirected edge list (`d1 < d2` per row)
+    * by alternating large-star / small-star rounds — the MapReduce CC
+    * algorithm of Kiveris et al. (KDD'14, "Connected Components in MapReduce
+    * and Beyond"), which converges in O(log n) rounds regardless of
+    * component diameter (one-hop min-label propagation is O(diameter): on a
+    * 100 TB corpus a single long near-dup chain would dominate the round
+    * count).
+    *
+    * Scale posture: every round is a bounded number of shuffles on the
+    * shrinking edge set; the driver sees only an 8-byte convergence
+    * checksum. Lineage is cut per round — against a reliable store when
+    * `GRAFT_CHECKPOINT_DIR` is set (cluster deployment: survives executor
+    * loss), falling back to `localCheckpoint` for single-JVM tests.
+    *
+    * Returns (labels, rounds): labels maps every node to its component
+    * minimum (`doc`, `root`); rounds is the number of large+small rounds
+    * executed (spec-asserted ≤ log₂(n) + c).
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession, edges0: DataFrame): (DataFrame, Int) = {
+    val ckptDir = sys.env.get("GRAFT_CHECKPOINT_DIR")
+    ckptDir.foreach { dir =>
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(dir)
+    }
+    // lazy cut: the convergence checksum is the materializing action, so
+    // each round stays one Spark job
+    def cut(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint(false) else df.localCheckpoint(false)
+
+    // large-star: every neighbor v > u is re-linked to m(u) = min(N(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("mu"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("mu").as("v"))
+        .distinct()
+    }
+    // small-star: orient edges toward the smaller id, link every smaller
+    // neighbor (and u itself) to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = or.groupBy("u").agg(min("v").as("mu")) // mu <= every v < u
+      val j = or.join(m, "u")
+      j.filter(col("v") =!= col("mu"))
+        .select(col("v").as("u"), col("mu").as("v"))
+        .union(j.select(col("u"), col("mu").as("v")))
+        .distinct()
+    }
+
+    var e = cut(edges0.select(col("d1").as("u"), col("d2").as("v")))
+    // order-independent multiset checksum; hashes are reduced mod 2^40 so a
+    // billion-edge sum stays far from 2^63 (ANSI mode would fail overflow)
+    def checksum(df: DataFrame): Long = {
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 40)))).head()
+      r.getLong(0) ^ (if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(e)
+    var rounds = 0; var done = false
+    // 64 is a safety cap far above log2 of any plausible node count —
+    // non-convergence is an error, never a silent partial answer
+    while (!done && rounds < 64) {
+      e = cut(smallStar(largeStar(e)))
+      val sig = checksum(e)
+      done = sig == prev // fixed point: the star edge set reproduces itself
+      prev = sig
+      rounds += 1
+    }
+    require(done, s"component propagation did not converge in $rounds rounds")
+    // converged edges are stars (child -> component min); roots label themselves
+    val labels = e.select(col("u").as("doc"), col("v").as("root"))
+      .union(e.select(col("v").as("doc"), col("v").as("root")).distinct())
+    (labels, rounds)
+  }
 
   /** Mersenne prime 2^31-1: the minhash lane space. All lane/band mixing is
     * `(a*h + b) mod P31` with a,b,h < P31, so every intermediate fits a

@@ -112,6 +112,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.forall { case (doc, root) => root <= doc })
   }
 
+  test("d87 components: large-star/small-star converges in O(log n) rounds") {
+    val edges = run("d83_dedup_minhash")
+    val (labels, rounds) = operators.Dedup.connectedComponents(spark, edges)
+    val n = labels.count()
+    val bound = (math.log(n.toDouble.max(2)) / math.log(2)).ceil.toInt + 3
+    assert(rounds <= bound, s"$rounds rounds for $n nodes (bound $bound)")
+  }
+
   test("q61 sessionize: per-user event counts are conserved") {
     val sessions = run("q61_sessionize").collect()
     val byUser = sessions.groupBy(_.getLong(0))
