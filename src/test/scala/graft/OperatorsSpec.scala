@@ -76,6 +76,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keep.size == 500 && keep.forall(_ < 1000000L))
   }
 
+  test("d82 df-cap: a stop-shingle planted across 20% of docs cannot blow up pairs") {
+    val docs = Graft.table(spark, d, "documents").select("doc_id", "text")
+    // spike: 20% of docs share an appended template phrase -> 2 shingles
+    // with df = 100 >> the 5% cap; uncapped, those alone join-explode into
+    // C(100,2) ≈ 5k candidate pairs
+    val spiked = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" aa bb cc dd")))
+        .otherwise(col("text")).as("text"))
+    val base = operators.Dedup.ngramJaccardPairs(docs)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spikedPairs = operators.Dedup.ngramJaccardPairs(spiked)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(spikedPairs == base,
+      s"cap failed to neutralize the stop-shingle: ${spikedPairs.size} vs ${base.size} pairs")
+  }
+
   test("d83 minhash: recalls >90% of planted near-dup pairs") {
     val pairs = run("d83_dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
