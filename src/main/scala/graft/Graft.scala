@@ -61,15 +61,28 @@ object Graft {
             org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** A table redistributed across all cores. The driver-provided parquet
-    * files have a single row group, so the scan yields one partition and any
-    * compute-heavy narrow stage (shingling, hashing, vector math) would run
-    * single-threaded without this. At production scale inputs arrive in many
-    * row groups/files and this becomes a cheap no-op to drop.
+  /** A table guaranteed to scan with enough partitions to keep every core
+    * busy in the narrow stages that follow (shingling, hashing, vector
+    * math). The driver-provided parquet files have a single row group, so
+    * the scan yields one partition and compute-heavy map work would run
+    * single-threaded without a redistribution. (Partition COUNT can't gate
+    * this: Spark pads small files into `defaultParallelism` splits, but a
+    * single row group is unsplittable, so all but one are empty.)
+    *
+    * The repartition is GATED on the relation being small — under
+    * cores × 128 MB by plan statistics (driver-side, no job). In that regime
+    * the full shuffle is trivially cheap and fixes row-group skew; at
+    * production scale the gate fails and no shuffle is added — an
+    * unconditional repartition would be a pure-overhead full shuffle of the
+    * base table at 100 TB, where many row groups/files already split evenly.
     */
-  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    table(spark, sfDir, name)
-      .repartition(spark.sparkContext.defaultParallelism)
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(cores.toLong) * 128L * 1024 * 1024
+    if (small) df.repartition(cores) else df
+  }
 
   /** Register every table as a temp view (idempotent) and install the
     * engine's extra SQL functions. Queries that go through `spark.sql` call

@@ -145,6 +145,8 @@ object GraftFunctions {
   def dot_f(a: Column, b: Column): Column =
     Bridge.column(DotF(toFloatArr(Bridge.expression(a)),
       toFloatArr(Bridge.expression(b))))
+  def dot_l(a: Column, b: Column): Column =
+    Bridge.column(DotL(Bridge.expression(a), Bridge.expression(b)))
 
   def register(spark: SparkSession): Unit = {
     val reg = Bridge.sessionState(spark).functionRegistry
@@ -154,6 +156,8 @@ object GraftFunctions {
       exprs => PolyFingerprint(toStr(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction("dot_f",
       exprs => DotF(toFloatArr(exprs(0)), toFloatArr(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("dot_l",
+      exprs => DotL(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>

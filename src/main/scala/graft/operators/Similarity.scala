@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -83,26 +83,38 @@ object Similarity {
 
     QueryDef(
       "s93_ivf_assign", // IVF assignment: nearest centroid by cosine, all in
-                        // exact integer dot products (quantized components)
+                        // exact integer dot products (quantized components).
+                        // The vectors stay as array<long> columns end-to-end:
+                        // centroids collapse to ~|labels| broadcast rows and
+                        // every dot product is the codegen'd DotL kernel over
+                        // the array — no vec×dim×label row explosion, no
+                        // shuffle proportional to dimensionality. (The
+                        // oracle keeps the positional-explode formulation;
+                        // both are exact integer arithmetic, so they agree
+                        // bit-for-bit.)
       (s, d) => {
-        val comp = Graft.tableParallel(s, d, "embeddings")
+        def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
+        val e = Graft.tableParallel(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("j0", "x")))
-          .select(col("vec_id"), col("label"), col("j0"),
-            round(col("x").cast("double") * 1000000).cast("long").as("xq"))
-        val cent = comp.groupBy(col("label").as("clabel"), col("j0"))
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+        // exact-integer centroid per label: mean of quantized components,
+        // re-assembled into an ordered array (few rows — broadcastable)
+        val cent = e
+          .select(col("label"), posexplode(col("vq")).as(Seq("j0", "xq")))
+          .groupBy(col("label").as("clabel"), col("j0"))
           .agg(round(sum(col("xq")).cast("double") / count(lit(1)))
             .cast("long").as("cq"))
-        val dots = comp.join(broadcast(cent), Seq("j0"))
-          .groupBy("vec_id", "label", "clabel")
-          .agg(sum(col("xq") * col("cq")).as("dotq"))
-        val nv = comp.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("nq"))
-        val nc = cent.groupBy("clabel").agg(sum(col("cq") * col("cq")).as("ncq"))
+        val centArr = cent.groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("j0"), col("cq")))),
+            st => st.getField("cq")).as("cqa"))
+          .withColumn("ncq", dotl(col("cqa"), col("cqa")))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("clabel").asc)
-        dots.join(nv, "vec_id").join(nc, "clabel")
+        e.withColumn("nq", dotl(col("vq"), col("vq")))
+          .crossJoin(broadcast(centArr))
           .select(col("vec_id"), col("label"), col("clabel"),
-            (col("dotq").cast("double") /
+            (dotl(col("vq"), col("cqa")).cast("double") /
               (sqrt(col("nq").cast("double")) * sqrt(col("ncq").cast("double"))))
               .as("sim"))
           .withColumn("rnk", row_number().over(w))

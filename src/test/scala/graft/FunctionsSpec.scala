@@ -141,6 +141,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(0) == row.getDouble(1))
   }
 
+  test("dot_l: exact integer dot, null propagation, zip_with equivalence") {
+    val r = Seq((Seq(1000000L, -2000000L, 3L), Seq(4L, 5L, 6000000L)))
+      .toDF("a", "b").select(GraftFunctions.dot_l(col("a"), col("b")))
+      .as[Long].head()
+    assert(r === 4000000L - 10000000L + 18000000L)
+    val nullRow = Seq((Option.empty[Seq[Long]], Some(Seq(1L)))).toDF("a", "b")
+      .select(GraftFunctions.dot_l(col("a"), col("b"))).head()
+    assert(nullRow.isNullAt(0))
+    // kernel == interpreted higher-order form on random vectors
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextLong() % 1000000L),
+      Seq.fill(16)(rnd.nextLong() % 1000000L)))
+    val diff = rows.toDF("a", "b").select(
+      GraftFunctions.dot_l(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
   test("hash60: non-negative, under 2^60, engine-portable formula") {
     val got = Seq("a", "b", "abc", "").toDF("s")
       .select(operators.Dedup.hash60(col("s"))).as[Long].collect()
