@@ -39,10 +39,12 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       // drop any intra-query persist() so later queries aren't memory-squeezed
@@ -52,7 +54,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query quantiles separate harness fixed cost (p50 ~ the scheduling
+    // floor every query pays) from real operator work (the p95 head)
+    val sorted = results.map(_._2).sorted
+    def pct(p: Double) = sorted((p * (sorted.size - 1)).round.toInt)
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    // a failing query must fail the round loudly — a silent near-zero time
+    // would let a regression masquerade as a speedup
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -55,7 +55,22 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     if (dir.exists) rm(dir)
   }
 
-  def table(name: String): DataFrame = spark.read.parquet(path(name))
+  def table(name: String): DataFrame = {
+    recover(name)
+    spark.read.parquet(path(name))
+  }
+
+  /** Crash recovery for an interrupted [[rewrite]] swap: if the process died
+    * between un-publishing the table and publishing the rewrite, only the
+    * `__old` backup exists — restore it. (The `__rewrite` staging dir, if
+    * present, is an incomplete write and is ignored; the next rewrite
+    * overwrites it.) Idempotent and cheap: two existence checks. */
+  private def recover(name: String): Unit = {
+    val dir = new java.io.File(path(name))
+    val bak = new java.io.File(s"${path(name)}__old")
+    if (!dir.exists && bak.exists && !bak.renameTo(dir))
+      throw new IllegalStateException(s"failed to restore $name from __old")
+  }
 
   /** INSERT INTO t VALUES / SELECT — append semantics. */
   def insertInto(name: String, rows: DataFrame): Unit =
@@ -98,8 +113,11 @@ class TableCommands(spark: SparkSession, warehouse: String) {
 
   /** Atomic-ish swap: write new data beside the table, then rename over it.
     * (A real deployment would use a table format with a manifest — this
-    * mirrors the reference's simple single-writer model.) */
+    * mirrors the reference's simple single-writer model.) A crash between
+    * the two renames leaves only `__old`, which [[recover]] restores on the
+    * next read or rewrite. */
   private def rewrite(name: String, df: DataFrame): Unit = {
+    recover(name)
     val tmp = s"${path(name)}__rewrite"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dir = new java.io.File(path(name))

@@ -56,12 +56,16 @@ object Multimodal {
           }
         }.toDF()
       },
-      // ASCII corpus (verified): per-char code points == utf8 bytes.
+      // ASCII corpus (verified): per-char code points == utf8 bytes. The
+      // empty-doc guard matters even so: string_split('', '') is [''] and
+      // ord('') = -1 in DuckDB, where the Spark stub sums zero bytes to 0.
       Some("""SELECT doc_id,
                      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                      CAST(ord(substr(text, 1, 1)) AS INT) AS head_byte,
-                     CAST(list_sum(list_transform(string_split(text, ''),
-                                                  c -> ord(c))) % 65536 AS BIGINT) AS byte_sum
+                     CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+                               ELSE list_sum(list_transform(string_split(text, ''),
+                                                            c -> ord(c))) % 65536
+                          END AS BIGINT) AS byte_sum
               FROM documents"""))
     ,
     QueryDef(

@@ -14,9 +14,12 @@ class TableCommandsSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def freshCmds(): TableCommands =
-    new TableCommands(spark,
-      Files.createTempDirectory("graft_wh").toString)
+  private def freshCmds(): TableCommands = freshCmdsAt()._1
+
+  private def freshCmdsAt(): (TableCommands, String) = {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    (new TableCommands(spark, wh), wh)
+  }
 
   test("create / insert / read round-trip") {
     import spark.implicits._
@@ -96,6 +99,19 @@ class TableCommandsSpec extends AnyFunSuite {
     c.dropTable("t")
     intercept[Exception] { c.table("t").collect() }
     intercept[IllegalArgumentException] { c.dropTable("t", ifExists = false) }
+  }
+
+  test("recover: a crash between the swap renames restores from __old") {
+    import spark.implicits._
+    val (c, wh) = freshCmdsAt()
+    c.createTable("t", Seq(1, 2, 3).toDF("id"))
+    // simulate dying after renameTo(bak): table dir gone, only __old left
+    assert(new java.io.File(s"$wh/t").renameTo(new java.io.File(s"$wh/t__old")))
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(!new java.io.File(s"$wh/t__old").exists)
+    // and a rewrite over the recovered table works
+    c.delete("t", col("id") === 2)
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 3))
   }
 
   test("explain: surfaces the physical plan with pushdown visible") {
