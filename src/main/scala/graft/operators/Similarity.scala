@@ -151,6 +151,117 @@ object Similarity {
               WHERE rnk = 1""")),
 
     QueryDef(
+      "s94_ann_bucketed", // the 100 TB ANN path end-to-end: LSH bucket
+                          // equi-join -> within-bucket exact ranking. Queries
+                          // are planted near-copies (±0.001 per component by
+                          // dim parity) of vectors 0..9, so the true nearest
+                          // neighbor is known and the recall spec can gate
+                          // the bucketing against s90's brute force. Two
+                          // independent 8-plane tables: candidate generation
+                          // is an equi-join on (table, bucket) — never an
+                          // all-pairs product — and ranking touches only
+                          // the candidates. All scoring is quantized-integer
+                          // (dot_l kernel), bit-identical in the oracle.
+      (s, d) => {
+        def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
+        val numPlanes = 16; val bitsPerTable = 8; val k = 3
+        val base = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("xd"))
+        def quant(c: Column): Column =
+          transform(c, x => round(x * 1000000).cast("long"))
+        val corpus = base.select(col("vec_id"), quant(col("xd")).as("vq"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            quant(transform(col("xd"), (x, j) =>
+              x + when(j % 2 === 0, 0.001).otherwise(-0.001))).as("vq"))
+        // deterministic hyperplane signs from the portable hash — identical
+        // bucketing in any engine, no stored model
+        def buckets(df: DataFrame, idCol: String): DataFrame = {
+          val sign = when(Dedup.hash60(concat(col("p").cast("string"), lit("_"),
+            col("j0").cast("string"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          df.select(col(idCol), posexplode(col("vq")).as(Seq("j0", "xq")))
+            .select(col(idCol), col("j0"), col("xq"),
+              explode(array((0 until numPlanes).map(lit): _*)).as("p"))
+            .groupBy(idCol, "p")
+            .agg(sum(col("xq") * sign).as("dot"))
+            .groupBy(col(idCol), (col("p") / bitsPerTable).cast("int").as("t"))
+            .agg(sum(when(col("dot") > 0,
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $bitsPerTable AS INT))"))
+              .otherwise(0L)).as("bucket"))
+        }
+        val cand = buckets(queries, "q_id").as("q")
+          .join(buckets(corpus, "vec_id").as("c"),
+            col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket"))
+          .select(col("q_id"), col("vec_id")).distinct()
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        cand
+          .join(broadcast(queries.withColumnRenamed("vq", "qv")), "q_id")
+          .join(corpus, "vec_id")
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            (dotl(col("qv"), col("vq")).cast("double") /
+              (sqrt(dotl(col("qv"), col("qv")).cast("double")) *
+               sqrt(dotl(col("vq"), col("vq")).cast("double")))).as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+      },
+      Some("""WITH comp0 AS (
+             |  SELECT vec_id, j - 1 AS j0, x
+             |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             |               generate_subscripts(embedding, 1) AS j
+             |        FROM embeddings)),
+             |ccomp AS (
+             |  SELECT vec_id, j0, CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+             |  FROM comp0),
+             |qcomp AS (
+             |  SELECT vec_id AS q_id, j0,
+             |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
+             |                               ELSE -0.001 END) * 1000000)
+             |              AS BIGINT) AS xq
+             |  FROM comp0 WHERE vec_id < 10),
+             |planes AS (SELECT unnest(range(16)) AS p),
+             |sgn AS (
+             |  SELECT p.p, c.j0,
+             |         CASE WHEN ('0x' || substr(md5(p.p::VARCHAR || '_' || c.j0::VARCHAR), 1, 15))::BIGINT % 2 = 0
+             |              THEN 1 ELSE -1 END AS s
+             |  FROM planes p CROSS JOIN (SELECT DISTINCT j0 FROM comp0) c),
+             |cbuck AS (
+             |  SELECT vec_id, CAST(p // 8 AS INT) AS t,
+             |         CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM (SELECT vec_id, p, SUM(xq * s) AS dot
+             |        FROM ccomp JOIN sgn USING (j0) GROUP BY vec_id, p)
+             |  GROUP BY vec_id, t),
+             |qbuck AS (
+             |  SELECT q_id, CAST(p // 8 AS INT) AS t,
+             |         CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM (SELECT q_id, p, SUM(xq * s) AS dot
+             |        FROM qcomp JOIN sgn USING (j0) GROUP BY q_id, p)
+             |  GROUP BY q_id, t),
+             |cand AS (
+             |  SELECT DISTINCT q.q_id, c.vec_id
+             |  FROM qbuck q JOIN cbuck c ON q.t = c.t AND q.bucket = c.bucket),
+             |cnorm AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM ccomp GROUP BY vec_id),
+             |qnorm AS (SELECT q_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM qcomp GROUP BY q_id),
+             |dots AS (
+             |  SELECT cand.q_id, cand.vec_id, CAST(SUM(q.xq * c.xq) AS BIGINT) AS dotq
+             |  FROM cand JOIN qcomp q ON cand.q_id = q.q_id
+             |            JOIN ccomp c ON cand.vec_id = c.vec_id AND c.j0 = q.j0
+             |  GROUP BY cand.q_id, cand.vec_id)
+             |SELECT q_id, neighbor_id, sim, rnk FROM (
+             |  SELECT d.q_id, d.vec_id AS neighbor_id,
+             |         CAST(d.dotq AS DOUBLE) /
+             |           (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE))) AS sim,
+             |         ROW_NUMBER() OVER (
+             |           PARTITION BY d.q_id
+             |           ORDER BY CAST(d.dotq AS DOUBLE) /
+             |                    (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE))) DESC,
+             |                    d.vec_id) AS rnk
+             |  FROM dots d JOIN qnorm qn ON d.q_id = qn.q_id
+             |              JOIN cnorm cn ON d.vec_id = cn.vec_id)
+             |WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
       "s91_lsh_buckets", // deterministic random-hyperplane signatures
       (s, d) => {
         val numPlanes = 8

@@ -119,6 +119,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s94 bucketed ANN: recalls the planted true neighbor for >=90% of queries") {
+    // each query is a near-copy of vector q_id, so brute-force top-1 is q_id
+    // itself (cosine ~0.9999 vs a natural corpus max ~0.47); the bucketed
+    // path must surface it through the (table, bucket) equi-join
+    val top1 = run("s94_ann_bucketed").filter(col("rnk") === 1).collect()
+    val hits = top1.count(r => r.getLong(1) == r.getLong(0))
+    assert(hits >= 9, s"bucketed recall too low: $hits/10 planted neighbors found")
+  }
+
   test("d87 components: labels are closed over the candidate-edge set") {
     val labels = run("d87_dedup_components").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
