@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-string entry point — the engine's primary declared interface.
+  *
+  * The reference is driven by SQL strings end-to-end: the REPL client
+  * (`client/ExclusiveClient.java:72-106`) hands each statement to
+  * `server/NanoDBServer.doCommand(String)` (`server/NanoDBServer.java:69-74`),
+  * which parses and executes it; every reference test is a SQL string
+  * (`sql/SqlTestCase.java:28-230`). [[Engine.sql]] is that surface on Spark:
+  * graft-specific storage DDL (`CREATE COLSTORE`, `LOAD`) routes to
+  * [[commands.TableCommands]]; every other statement — queries, persistent
+  * `CREATE VIEW`/`DROP VIEW`, `ANALYZE`, `EXPLAIN` — is delegated verbatim to
+  * Spark SQL, so the whole relational surface (SURVEY.md §2) is reachable
+  * from a string exactly as from the DataFrame API.
+  *
+  * Tables are registered in the session CATALOG (external Parquet tables in
+  * the current database), not as temp views: the reference's
+  * `CreateViewCommand` (`commands/CreateViewCommand.java:28-30`) declares
+  * persistent views, and Spark only allows a persistent view to reference
+  * catalog objects. (`events` is the one exception — its TIMESTAMP(NANOS)
+  * column needs a read-side downcast, so it stays a temp view.)
+  */
+class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
+
+  private val cmds = new commands.TableCommands(spark, warehouse)
+
+  // idempotent: external-table DDL is IF NOT EXISTS, functions re-register
+  Graft.tableNames.filterNot(_ == "events").foreach { n =>
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$n` USING parquet " +
+      s"LOCATION '$sfDir/$n.parquet'")
+  }
+  Graft.table(spark, sfDir, "events").createOrReplaceTempView("events")
+  functions.GraftFunctions.register(spark)
+
+  private val createColstore =
+    """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val loadFile =
+    """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
+
+  /** One statement in, a DataFrame out (commands return a 1-row status frame,
+    * like the reference's command acknowledgements). */
+  def sql(command: String): DataFrame = command match {
+    case createColstore(name, csv) =>
+      // reference: CREATE COLSTORE/TABLE ... FROM <csv> profiles the file and
+      // builds the columnar store (commands/CreateColStoreCommand.java,
+      // storage/FileAnalyzer.java); Parquet picks encodings natively
+      cmds.createTable(name,
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(csv))
+      registerTable(name)
+      status(s"created colstore table $name")
+    case loadFile(csv, name) =>
+      // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
+      cmds.insertInto(name,
+        spark.read.option("header", "true").schema(cmds.table(name).schema)
+          .csv(csv))
+      registerTable(name)
+      status(s"loaded $csv into $name")
+    case other => spark.sql(other)
+  }
+
+  private def registerTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet " +
+      s"LOCATION '$warehouse/$name'"); ()
+  }
+
+  private def status(msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("status")
+  }
+}

@@ -149,6 +149,10 @@ object GraftFunctions {
     Bridge.column(DotL(Bridge.expression(a), Bridge.expression(b)))
 
   def register(spark: SparkSession): Unit = {
+    // custom aggregate on the SQL surface (reference FunctionDirectory also
+    // lists aggregates alongside scalars)
+    spark.udf.register("gcd_agg",
+      org.apache.spark.sql.functions.udaf(GcdAggregator))
     val reg = Bridge.sessionState(spark).functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(toFloatArr(exprs(0)), toFloatArr(exprs(1))), "built-in")

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's declared interface is a SQL string handed to
+  * `NanoDBServer.doCommand` (`server/NanoDBServer.java:69-74`), and every
+  * reference test is a SQL statement (`sql/SqlTestCase.java:28-230`). This
+  * spec proves the same parity here: every §2 relational query runs as a SQL
+  * string through [[Engine.sql]] with results identical to its DataFrame
+  * form, and the graft DDL (CREATE COLSTORE / LOAD / persistent CREATE VIEW)
+  * round-trips.
+  */
+class EngineSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private lazy val engine =
+    new Engine(spark, d, Files.createTempDirectory("graft_engine_wh").toString)
+
+  /** Spark-dialect SQL for the queries whose DuckDB oracle uses dialect the
+    * Spark parser lacks (strftime, `//`, quantile_cont, list_reduce,
+    * regexp_matches, in-parens IGNORE NULLS, bare FILTER). Same semantics,
+    * same column names/order. */
+  private val sparkSqlVariants: Map[String, String] = Map(
+    "q03_between" ->
+      """SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+                o_totalprice
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                               AND TIMESTAMP '1996-12-31'""",
+    "q05_rlike" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name RLIKE 'a.*e'",
+    "q13_min_max" ->
+      """SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
+                MAX(o_totalprice) AS max_price,
+                date_format(MIN(o_orderdate), 'yyyy-MM-dd') AS min_date,
+                date_format(MAX(o_orderdate), 'yyyy-MM-dd') AS max_date
+         FROM orders GROUP BY o_orderstatus""",
+    "q15_percentiles" ->
+      """SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS median_price,
+                percentile(o_totalprice, 0.9) AS p90_price, COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+    "q18_custom_udaf" ->
+      """SELECT l_returnflag,
+                gcd_agg(CAST(l_partkey AS BIGINT) * 4 + 2) AS gcd_v,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q19_approx_agg" ->
+      """SELECT l_returnflag,
+                approx_count_distinct(l_partkey) AS approx_parts,
+                approx_percentile(l_extendedprice, 0.5, 1000) AS approx_median
+         FROM lineitem GROUP BY l_returnflag""",
+    "q43_int_division" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey div 7 AS d,
+                l_partkey % 7 AS m, (l_partkey - 1000) div 7 AS dneg
+         FROM lineitem""",
+    "q52_asof_window" ->
+      """SELECT event_id, user_id, prior_view_id FROM (
+           SELECT event_id, user_id, event_type,
+                  LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END)
+                    IGNORE NULLS
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prior_view_id
+           FROM events)
+         WHERE event_type = 'purchase'""",
+    "q53_pivot" ->
+      """SELECT user_id,
+                COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+                COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                COUNT(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
+    "q60_events_hourly" ->
+      """SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q61_sessionize" ->
+      """SELECT user_id, session_idx, COUNT(*) AS n_events,
+                date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+                date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS session_end
+         FROM (
+           SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_idx
+           FROM (
+             SELECT user_id, event_id, ts,
+                    COALESCE(CASE WHEN CAST(ts AS LONG)
+                                       - CAST(LAG(ts, 1) OVER (
+                                           PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS LONG)
+                                       > 1800
+                                  THEN 1 ELSE 0 END, 0) AS new_s
+             FROM events))
+         GROUP BY user_id, session_idx""")
+
+  test("every §2 relational query runs as a SQL string with identical results") {
+    val qNames = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted
+    qNames.foreach { name =>
+      val sqlStr = sparkSqlVariants.getOrElse(name, SparkEntry.oracleSql(name))
+      val viaSql = engine.sql(sqlStr).collect().map(_.toString).sorted
+      val viaDf = SparkEntry.queries(name)(spark, d).collect()
+        .map(_.toString).sorted
+      assert(viaSql.sameElements(viaDf), s"$name: SQL-string result diverges")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("persistent CREATE VIEW: catalog object, queryable, droppable") {
+    engine.sql("DROP VIEW IF EXISTS big_orders")
+    engine.sql("""CREATE VIEW big_orders AS
+                  SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_totalprice > 100000""")
+    // a catalog view, not a temp view (the reference's CreateViewCommand
+    // declares persistent views and throws — here it works)
+    val t = spark.catalog.getTable("big_orders")
+    assert(t.tableType == "VIEW", s"expected persistent VIEW, got ${t.tableType}")
+    val n = engine.sql("SELECT COUNT(*) AS n FROM big_orders").head().getLong(0)
+    val expect = Graft.table(spark, d, "orders")
+      .filter(col("o_totalprice") > 100000).count()
+    assert(n == expect)
+    engine.sql("DROP VIEW big_orders")
+    assert(!spark.catalog.tableExists("big_orders"))
+  }
+
+  test("CREATE COLSTORE / LOAD round-trip through the SQL surface") {
+    val csv = Files.createTempFile("graft_csv", ".csv")
+    Files.writeString(csv, "id,v\n1,a\n2,b\n")
+    val csv2 = Files.createTempFile("graft_csv2", ".csv")
+    Files.writeString(csv2, "id,v\n3,c\n")
+    engine.sql("DROP TABLE IF EXISTS cs_t")
+    engine.sql(s"CREATE COLSTORE cs_t FROM '$csv'")
+    engine.sql(s"LOAD '$csv2' INTO cs_t")
+    val got = engine.sql("SELECT id, v FROM cs_t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+    engine.sql("DROP TABLE cs_t")
+  }
+}
