@@ -172,6 +172,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m97 wav decode: every payload parses valid; codec rejects corruption") {
+    val rows = run("m97_wav_decode").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(7)), "a well-formed payload failed to parse")
+    // rate/channel derivation visible in the parsed (not constructed) fields
+    assert(rows.forall { r =>
+      r.getInt(4) == r.getInt(1) * r.getInt(2) * 2 && Set(1, 2)(r.getInt(2))
+    })
+    // corrupt payloads must be flagged, not mis-parsed
+    import operators.Multimodal.WavCodec
+    assert(!WavCodec.decode(1L, Array[Byte](1, 2, 3)).valid)
+    val good = java.util.Arrays.copyOf(
+      ("RIFF$---WAVEfmt " + " " * 24 + "data" + " " * 8).getBytes("US-ASCII"), 52)
+    good(0) = 'X'.toByte // break the magic
+    assert(!WavCodec.decode(1L, good).valid)
+  }
+
   test("m95 multimodal: features consistent with payload bytes") {
     val rows = run("m95_multimodal_features").collect()
     assert(rows.length == 500)
