@@ -569,14 +569,29 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef(
-      "q19_approx_agg", // sketch aggregates: HLL + KLL — no oracle (sketch
-                        // internals differ per engine); driver rows-only check
+      "q19_approx_agg", // sketch aggregates: HLL + percentile sketch. Sketch
+                        // INTERNALS differ per engine, so the verifiable
+                        // contract is a tolerance bracket: each engine
+                        // asserts its OWN sketch against its OWN exact
+                        // value, and the asserted booleans (plus the exact
+                        // anchors) hash-compare across engines.
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median")),
-      None),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")).cast("double") /
+            countDistinct(col("l_partkey")) - 1) < 0.05).as("hll_within_5pct"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").between(
+            expr("percentile(l_extendedprice, 0.45)"),
+            expr("percentile(l_extendedprice, 0.55)")).as("median_bracketed")),
+      Some("""SELECT l_returnflag,
+                     CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                     ABS(CAST(approx_count_distinct(l_partkey) AS DOUBLE) /
+                         COUNT(DISTINCT l_partkey) - 1) < 0.05 AS hll_within_5pct,
+                     approx_quantile(l_extendedprice, 0.5)
+                       BETWEEN quantile_cont(l_extendedprice, 0.45)
+                           AND quantile_cont(l_extendedprice, 0.55) AS median_bracketed
+              FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef(
       "q52_asof_window", // as-of association: latest prior 'view' per user

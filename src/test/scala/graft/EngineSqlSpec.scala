@@ -51,8 +51,12 @@ class EngineSqlSpec extends AnyFunSuite {
          FROM lineitem GROUP BY l_returnflag""",
     "q19_approx_agg" ->
       """SELECT l_returnflag,
-                approx_count_distinct(l_partkey) AS approx_parts,
-                approx_percentile(l_extendedprice, 0.5, 1000) AS approx_median
+                COUNT(DISTINCT l_partkey) AS exact_parts,
+                ABS(CAST(approx_count_distinct(l_partkey) AS DOUBLE) /
+                    COUNT(DISTINCT l_partkey) - 1) < 0.05 AS hll_within_5pct,
+                approx_percentile(l_extendedprice, 0.5, 1000)
+                  BETWEEN percentile(l_extendedprice, 0.45)
+                      AND percentile(l_extendedprice, 0.55) AS median_bracketed
          FROM lineitem GROUP BY l_returnflag""",
     "q43_int_division" ->
       """SELECT l_orderkey, l_linenumber, l_partkey div 7 AS d,
