@@ -38,6 +38,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val loadFile =
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
+  private val createIndex =
+    """(?is)\s*CREATE\s+INDEX\s+(?:\w+\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
   /** One statement in, a DataFrame out (commands return a 1-row status frame,
     * like the reference's command acknowledgements). */
@@ -58,6 +60,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           .csv(csv))
       registerTable(name)
       status(s"loaded $csv into $name")
+    case createIndex(tbl, column) =>
+      // reference: CREATE INDEX builds a B+-tree (CreateIndexCommand.java);
+      // here it re-clusters into a bucketed catalog table (see
+      // TableCommands.createIndex for the 100 TB rationale)
+      cmds.createIndex(tbl, column)
+      status(s"indexed $tbl by $column as ${tbl}_by_$column")
     case other => spark.sql(other)
   }
 

