@@ -201,8 +201,13 @@ object Dedup {
     * The index stores xxhash64(shingle), not the string: the shuffle moves
     * 8-byte keys; set sizes/intersections are unchanged barring a 64-bit
     * collision (P < 1e-10 at this cardinality). The capped index feeds three
-    * consumers (both join sides + per-doc sizes) and is persisted once — the
-    * 100 TB analog is materializing the inverted index before the pair join.
+    * consumers (both join sides + per-doc sizes); the two join sides share
+    * one shuffle via Spark's ReuseExchange, and we deliberately do NOT
+    * persist it — a runtime cache here was measured strictly slower (build
+    * cost + executor memory pressure + async unpersist debt bleeding into
+    * neighboring queries). At 100 TB the equivalent of persisting is an
+    * explicit pipeline step that writes the inverted index to storage, not
+    * an in-memory cache.
     */
   private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val ndocs = docs.select(count(lit(1)).as("ndocs"))
@@ -214,7 +219,6 @@ object Dedup {
       .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
       .filter(col("df") * 20 <= col("ndocs"))
       .select("doc_id", "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
