@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** SQL-string entry point — the engine's primary declared interface.
   *
@@ -40,6 +40,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
   private val createIndex =
     """(?is)\s*CREATE\s+INDEX\s+(?:\w+\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+  private val updateStmt =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val deleteStmt =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   /** One statement in, a DataFrame out (commands return a 1-row status frame,
     * like the reference's command acknowledgements). */
@@ -66,7 +70,40 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // TableCommands.createIndex for the 100 TB rationale)
       cmds.createIndex(tbl, column)
       status(s"indexed $tbl by $column as ${tbl}_by_$column")
+    case updateStmt(tbl, sets, cond) =>
+      // reference: UpdateCommand.java — Spark SQL cannot mutate plain
+      // parquet tables, so UPDATE/DELETE route to the COW rewrite
+      val setMap = splitTopLevel(sets).map { a =>
+        val Array(c, e) = a.split("=", 2)
+        c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+      }.toMap
+      cmds.update(tbl, condExpr(cond), setMap)
+      registerTable(tbl)
+      status(s"updated $tbl")
+    case deleteStmt(tbl, cond) =>
+      cmds.delete(tbl, condExpr(cond)) // reference: DeleteCommand.java
+      registerTable(tbl)
+      status(s"deleted from $tbl")
     case other => spark.sql(other)
+  }
+
+  private def condExpr(cond: String): Column =
+    if (cond == null) org.apache.spark.sql.functions.lit(true)
+    else org.apache.spark.sql.functions.expr(cond)
+
+  /** Split SET assignments on top-level commas (commas inside function-call
+    * parens don't split). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder; var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq
   }
 
   private def registerTable(name: String): Unit = {

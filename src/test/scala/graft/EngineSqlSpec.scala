@@ -159,6 +159,13 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("cs_t_by_id"))
     assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t_by_id").head.getLong(0) == 3)
     engine.sql("DROP TABLE cs_t_by_id")
+    // UPDATE / DELETE as SQL strings -> copy-on-write rewrites (the
+    // reference's UpdateCommand/DeleteCommand surface)
+    engine.sql("UPDATE cs_t SET v = concat(v, '!') WHERE id >= 2")
+    engine.sql("DELETE FROM cs_t WHERE id = 1")
+    val afterMut = engine.sql("SELECT id, v FROM cs_t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(afterMut == Seq((2, "b!"), (3, "c!")))
     engine.sql("DROP TABLE cs_t")
   }
 }
