@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotF(
         GraftFunctions.toFloatArrExpr(exprs(0)),
         GraftFunctions.toFloatArrExpr(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("dot_l"),
+      info("dot_l", "dot_l(a, b) - exact integer dot product of two bigint arrays"),
+      (exprs: Seq[Expression]) => DotL(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(s, k) - word k-grams"),
       (exprs: Seq[Expression]) => exprs(1) match {

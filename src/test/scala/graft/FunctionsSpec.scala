@@ -80,6 +80,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.forall(h => h >= 0 && h < 9007199254740881L))
   }
 
+  test("extensions plugin: functions resolve with no per-session register call") {
+    // TestSpark builds the session withExtensions(new GraftExtensions), so
+    // the injection path runs for every suite; this pins that the injected
+    // functions actually resolve and compute from SQL.
+    val r = spark.sql(
+      "SELECT dot_l(array(2L, 3L), array(5L, 7L)) d, " +
+        "word_shingles('a b c', 2) s").head()
+    assert(r.getLong(0) == 31L)
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+  }
+
   test("sql registration: cosine_sim + poly_fingerprint callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

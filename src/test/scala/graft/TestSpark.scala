@@ -8,6 +8,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // exercise the plugin path: every engine function arrives via the
+      // public SparkSessionExtensions injection, as it would on a cluster
+      // (--conf spark.sql.extensions=graft.GraftExtensions)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_test").toString)
