@@ -109,7 +109,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private def registerTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(s"CREATE TABLE `$name` USING parquet " +
-      s"LOCATION '$warehouse/$name'"); ()
+      s"LOCATION '${cmds.dataPath(name)}'"); ()
   }
 
   private def status(msg: String): DataFrame = {

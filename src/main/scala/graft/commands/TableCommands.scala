@@ -1,5 +1,7 @@
 package graft.commands
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -16,65 +18,99 @@ import org.apache.spark.sql.types.StructType
   *  - INSERT (`commands/InsertCommand.java:34-281`) → append write.
   *  - UPDATE / DELETE (`commands/UpdateCommand.java:36-128`,
   *    `DeleteCommand.java:41-77`) → copy-on-write rewrite: Parquet is
-  *    immutable, so mutation = filtered/projected rewrite + atomic swap.
-  *    The reference mutates slotted heap pages in place; at 100 TB the
-  *    COW rewrite is the only strategy that scales (and is exactly what
-  *    Delta/Iceberg do under the hood, minus the manifest layer).
+  *    immutable, so mutation = filtered/projected rewrite published as a
+  *    new table version. The reference mutates slotted heap pages in
+  *    place; at 100 TB the COW rewrite is the only strategy that scales.
   *  - ANALYZE (`commands/AnalyzeCommand.java:93-115`) → catalog stats for
   *    Catalyst's CBO.
   *  - EXPLAIN (`commands/ExplainCommand.java`) → formatted plan string.
   *
-  * Tables live at `<warehouse>/<name>` as Parquet directories.
+  * == Manifest-pointer layout (crash-safe publishes) ==
+  *
+  * A table lives at `<warehouse>/<name>/` containing immutable version
+  * directories (`v00001/`, `v00002/`, …) and a one-line `CURRENT` pointer
+  * file naming the active version — the same pointer-swap idea Delta/
+  * Iceberg use, minus the log. Every rewrite stages a complete new version
+  * directory, then publishes it by an ATOMIC rename of `CURRENT.tmp` over
+  * `CURRENT`: readers resolve the pointer first, so they see the old
+  * version or the new one, never a half-state, and a crash at ANY point
+  * leaves the table readable (an unpublished version directory is inert
+  * garbage, swept by the next rewrite).
   */
 class TableCommands(spark: SparkSession, warehouse: String) {
 
-  private def path(table: String) = s"$warehouse/$table"
+  private def dir(table: String) = s"$warehouse/$table"
+  private def currentFile(table: String) = Paths.get(dir(table), "CURRENT")
+
+  /** The active version's data directory (what readers scan). */
+  def dataPath(table: String): String = {
+    val cf = currentFile(table)
+    if (!Files.exists(cf))
+      throw new IllegalArgumentException(s"table $table does not exist")
+    s"${dir(table)}/${Files.readString(cf).trim}"
+  }
+
+  def tableExists(name: String): Boolean = Files.exists(currentFile(name))
+
+  private def nextVersion(table: String): String = {
+    val d = new java.io.File(dir(table))
+    val existing = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{5}"))
+      .map(_.getName.drop(1).toInt)
+    f"v${(if (existing.isEmpty) 0 else existing.max) + 1}%05d"
+  }
+
+  /** Stage `df` as a fresh version directory, atomically publish the
+    * pointer, then sweep superseded/orphaned versions. */
+  private def publish(table: String, df: DataFrame): Unit = {
+    val version = nextVersion(table)
+    df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/$version")
+    val tmp = Paths.get(dir(table), "CURRENT.tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, currentFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // best-effort sweep: anything but the live version is garbage (a
+    // superseded version or a crashed, never-published stage)
+    Option(new java.io.File(dir(table)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != version)
+      .foreach(rm)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(); ()
+  }
 
   /** CREATE TABLE t AS <df> (error if exists, like the reference without
     * IF NOT EXISTS). */
   def createTable(name: String, df: DataFrame,
       ifNotExists: Boolean = false): Unit =
-    df.write.mode(if (ifNotExists) SaveMode.Ignore else SaveMode.ErrorIfExists)
-      .parquet(path(name))
+    if (tableExists(name)) {
+      if (!ifNotExists)
+        throw new IllegalArgumentException(s"table $name already exists")
+    } else publish(name, df)
 
   /** LOAD / CREATE COLSTORE: CSV file -> columnar (Parquet) table. */
   def loadCsv(name: String, csvPath: String, schema: StructType,
       header: Boolean = true): Unit =
-    spark.read.option("header", header.toString).schema(schema).csv(csvPath)
-      .write.mode(SaveMode.ErrorIfExists).parquet(path(name))
+    createTable(name,
+      spark.read.option("header", header.toString).schema(schema).csv(csvPath))
 
   /** DROP TABLE [IF EXISTS]. */
   def dropTable(name: String, ifExists: Boolean = true): Unit = {
-    val dir = new java.io.File(path(name))
-    if (!dir.exists && !ifExists)
+    if (!tableExists(name) && !ifExists)
       throw new IllegalArgumentException(s"table $name does not exist")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (dir.exists) rm(dir)
+    rm(new java.io.File(dir(name)))
   }
 
-  def table(name: String): DataFrame = {
-    recover(name)
-    spark.read.parquet(path(name))
-  }
+  def table(name: String): DataFrame = spark.read.parquet(dataPath(name))
 
-  /** Crash recovery for an interrupted [[rewrite]] swap: if the process died
-    * between un-publishing the table and publishing the rewrite, only the
-    * `__old` backup exists — restore it. (The `__rewrite` staging dir, if
-    * present, is an incomplete write and is ignored; the next rewrite
-    * overwrites it.) Idempotent and cheap: two existence checks. */
-  private def recover(name: String): Unit = {
-    val dir = new java.io.File(path(name))
-    val bak = new java.io.File(s"${path(name)}__old")
-    if (!dir.exists && bak.exists && !bak.renameTo(dir))
-      throw new IllegalStateException(s"failed to restore $name from __old")
-  }
-
-  /** INSERT INTO t VALUES / SELECT — append semantics. */
+  /** INSERT INTO t VALUES / SELECT — append semantics. New files land in
+    * the CURRENT version directory under Spark's output-commit protocol
+    * (same visibility guarantee as any Spark append); version bumps are
+    * reserved for rewrites, so appends stay O(new data). */
   def insertInto(name: String, rows: DataFrame): Unit =
-    rows.write.mode(SaveMode.Append).parquet(path(name))
+    rows.write.mode(SaveMode.Append).parquet(dataPath(name))
 
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE
@@ -88,12 +124,12 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         case None => col(c)
       }
     }: _*)
-    rewrite(name, updated)
+    publish(name, updated)
   }
 
   /** DELETE FROM t WHERE <cond>: copy-on-write rewrite keeping survivors. */
   def delete(name: String, cond: Column): Unit =
-    rewrite(name, table(name).filter(!coalesce(cond, lit(false))))
+    publish(name, table(name).filter(!coalesce(cond, lit(false))))
 
   /** CREATE INDEX ON t (col) — the reference builds a B⁺-tree on the column
     * (`commands/CreateIndexCommand.java`); a distributed columnar engine has
@@ -108,13 +144,14 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       .write.bucketBy(buckets, column).sortBy(column)
       .mode(SaveMode.Overwrite).saveAsTable(s"${table}_by_$column")
 
-  /** ANALYZE t — register the parquet directory as an external catalog table
-    * (idempotent) and compute table + column stats so CBO (join reorder,
-    * broadcast thresholds) has real numbers for queries that read it via
+  /** ANALYZE t — register the current version as an external catalog table
+    * and compute table + column stats so CBO (join reorder, broadcast
+    * thresholds) has real numbers for queries that read it via
     * `spark.table(name)`. */
   def analyze(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS `$name` USING parquet LOCATION '${path(name)}'")
+      s"CREATE TABLE `$name` USING parquet LOCATION '${dataPath(name)}'")
     spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS"); ()
   }
 
@@ -123,29 +160,4 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def explain(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-
-  /** Atomic-ish swap: write new data beside the table, then rename over it.
-    * (A real deployment would use a table format with a manifest — this
-    * mirrors the reference's simple single-writer model.) A crash between
-    * the two renames leaves only `__old`, which [[recover]] restores on the
-    * next read or rewrite. */
-  private def rewrite(name: String, df: DataFrame): Unit = {
-    recover(name)
-    val tmp = s"${path(name)}__rewrite"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path(name))
-    val bak = new java.io.File(s"${path(name)}__old")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (bak.exists) rm(bak)
-    if (!dir.renameTo(bak))
-      throw new IllegalStateException(s"rewrite of $name failed at swap")
-    if (!new java.io.File(tmp).renameTo(dir)) {
-      bak.renameTo(dir) // roll back
-      throw new IllegalStateException(s"rewrite of $name failed at publish")
-    }
-    rm(bak)
-  }
 }

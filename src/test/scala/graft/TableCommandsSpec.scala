@@ -101,17 +101,22 @@ class TableCommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { c.dropTable("t", ifExists = false) }
   }
 
-  test("recover: a crash between the swap renames restores from __old") {
+  test("manifest swap: crash-staged versions are invisible and swept") {
     import spark.implicits._
     val (c, wh) = freshCmdsAt()
     c.createTable("t", Seq(1, 2, 3).toDF("id"))
-    // simulate dying after renameTo(bak): table dir gone, only __old left
-    assert(new java.io.File(s"$wh/t").renameTo(new java.io.File(s"$wh/t__old")))
-    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
-    assert(!new java.io.File(s"$wh/t__old").exists)
-    // and a rewrite over the recovered table works
-    c.delete("t", col("id") === 2)
-    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    c.update("t", col("id") === 3, Map("id" -> lit(30)))
+    // exactly one live version + the pointer; the superseded one is swept
+    val listed = new java.io.File(s"$wh/t").list().sorted.toSeq
+    assert(listed == Seq("CURRENT", "v00002"), s"got $listed")
+    // simulate a writer that crashed AFTER staging a full version directory
+    // but BEFORE publishing the pointer: readers must not see it
+    Seq(99).toDF("id").write.parquet(s"$wh/t/v00003")
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 30))
+    // the next rewrite publishes atomically and sweeps the orphan
+    c.delete("t", col("id") === 1)
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(2, 30))
+    assert(!new java.io.File(s"$wh/t/v00003").exists)
   }
 
   test("createIndex: bucketed re-cluster makes the keyed join exchange-free") {
