@@ -216,6 +216,44 @@ object TextAnalysis {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k") > 50),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-              FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50"""))
+              FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""")),
+
+    QueryDef(
+      "t76_normalize", // canonical text normalization — the first stage of
+                       // every training-data pipeline: lowercase, strip
+                       // non-alphanumerics, collapse whitespace. Map-side
+                       // only; regex kept in the RE2-compatible subset so
+                       // Spark (java.util.regex) and DuckDB (RE2) agree.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text"))),
+      Some("""SELECT doc_id, norm_text,
+                     CAST(LENGTH(norm_text) AS INT) AS norm_len
+              FROM (SELECT doc_id,
+                      trim(regexp_replace(
+                        regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g')) AS norm_text
+                    FROM documents)""")),
+
+    QueryDef(
+      "t77_vocab", // corpus vocabulary: global term counts, top 100 — the
+                   // tokenizer-training / frequency-filter building block.
+                   // One shuffle on the term, map-side partial counts,
+                   // TakeOrdered top-k (no global sort materialization).
+      (s, d) => Graft.tableParallel(s, d, "documents")
+        .select(explode(tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(100),
+      Some("""SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(trim(lower(text)), '\s+'),
+                      x -> x != '')) AS term
+                    FROM documents)
+              GROUP BY term
+              ORDER BY n DESC, term ASC LIMIT 100"""))
   )
 }
