@@ -159,7 +159,20 @@ object Dedup {
                |SELECT doc, MIN(r) AS root FROM reach GROUP BY doc""".stripMargin)),
 
     QueryDef(
-      "d86_dedup_embedding_pairs", // cosine near-dup pairs (brute at test SF)
+      "d86_dedup_embedding_pairs", // cosine near-dup pairs — LABELED
+                                   // brute-force exact baseline. The scale
+                                   // path is s94's LSH bucket equi-join
+                                   // (Similarity.scala): random-hyperplane
+                                   // bucketing recalls high-similarity
+                                   // near-dups (cosine ≳0.9, tiny angles)
+                                   // with few tables, which is the regime
+                                   // real embedding dedup targets; pairs
+                                   // BARELY above this query's 0.45
+                                   // threshold (≈62° apart) are close to
+                                   // random for any LSH family, so an exact
+                                   // answer at that threshold is inherently
+                                   // a scan — keep it as the oracle-exact
+                                   // reference, not the production plan.
       (s, d) => {
         // Precompute per-vector norms once (same accumulation order as the
         // CosineSim kernel, so dot/(na*nb) is bit-identical) — 1/3 of the
