@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_l"),
       info("dot_l", "dot_l(a, b) - exact integer dot product of two bigint arrays"),
       (exprs: Seq[Expression]) => DotL(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(s) - 60-bit SimHash signature of the distinct tokens"),
+      (exprs: Seq[Expression]) => SimHash60(
+        GraftFunctions.toStrExpr(exprs.head))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(s, k) - word k-grams"),
       (exprs: Seq[Expression]) => exprs(1) match {

@@ -147,6 +147,8 @@ object GraftFunctions {
       toFloatArr(Bridge.expression(b))))
   def dot_l(a: Column, b: Column): Column =
     Bridge.column(DotL(Bridge.expression(a), Bridge.expression(b)))
+  def simhash60(c: Column): Column =
+    Bridge.column(SimHash60(toStr(Bridge.expression(c))))
 
   def register(spark: SparkSession): Unit = {
     // custom aggregate on the SQL surface (reference FunctionDirectory also
@@ -162,6 +164,8 @@ object GraftFunctions {
       exprs => DotF(toFloatArr(exprs(0)), toFloatArr(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("dot_l",
       exprs => DotL(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash60",
+      exprs => SimHash60(toStr(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>

@@ -190,3 +190,69 @@ case class DotL(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Single-pass 60-bit SimHash signature of a text column (Charikar 2002):
+  * per-bit tallies over the md5-derived 60-bit hashes of the DISTINCT
+  * whitespace tokens, bit b set iff tally positive. Bit-identical to the
+  * explode → 60-SUM-aggregate relational formulation (the DuckDB oracle
+  * keeps that form), but computed map-side in one scan per document — no
+  * token explosion, no 60-column aggregate, and it works row-at-a-time so
+  * a STREAMING document source gets signatures statelessly. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash60.signature(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash60.signature($c.toString())")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SimHash60 {
+
+  /** First 60 bits of md5 — identical to the engine-portable
+    * `conv(substring(md5(x),1,15),16,10)` / DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT` formulation: 15 hex digits =
+    * bytes 0..6 plus the high nibble of byte 7. */
+  private def hash60(s: String, md: java.security.MessageDigest): Long = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L; var i = 0
+    while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+
+  // Called from generated code.
+  def signature(text: String): Long = {
+    val toks = WordShingles.tokenize(text)
+    val seen = new java.util.HashSet[String]()
+    val tallies = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = hash60(toks(i), md)
+        var b = 0
+        while (b < 60) {
+          tallies(b) += (((h >>> b) & 1L) * 2 - 1).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 60) { if (tallies(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}

@@ -27,8 +27,20 @@ object SimHash {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
-  /** (doc_id, simhash) for a (doc_id, text) corpus. */
-  def signatures(corpus: DataFrame): DataFrame = {
+  /** (doc_id, simhash) for a (doc_id, text) corpus — the codegen
+    * [[graft.functions.SimHash60]] kernel: one map-side scan per document,
+    * no token explosion, no 60-column aggregate, streaming-safe
+    * (row-at-a-time, stateless). Bit-identical to the relational
+    * explode+tally formulation the oracle keeps (equivalence is
+    * spec-pinned in FunctionsSpec). */
+  def signatures(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash60(col("text")).as("simhash"))
+
+  /** The relational formulation of [[signatures]] (explode distinct tokens
+    * → 60 per-bit SUM tallies) — kept as the kernel's cross-check and the
+    * shape the DuckDB oracle mirrors. */
+  private[graft] def signaturesRelational(corpus: DataFrame): DataFrame = {
     val toks = corpus.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       .select(col("doc_id"), Dedup.hash60(col("tok")).as("th"))

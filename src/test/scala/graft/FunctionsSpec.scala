@@ -172,6 +172,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("simhash60 kernel == relational explode+tally formulation on real docs") {
+    val doc = Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val kernel = operators.SimHash.signatures(doc)
+    val relational = operators.SimHash.signaturesRelational(doc)
+    val diff = kernel.as("k").join(relational.as("r"), "doc_id")
+      .filter(col("k.simhash") =!= col("r.simhash")).count()
+    assert(diff == 0)
+    // and the signature space is 60-bit
+    val sigs = kernel.select("simhash").as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < (1L << 60)))
+  }
+
   test("hash60: non-negative, under 2^60, engine-portable formula") {
     val got = Seq("a", "b", "abc", "").toDF("s")
       .select(operators.Dedup.hash60(col("s"))).as[Long].collect()

@@ -91,6 +91,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contentDedup: streaming near-dup dedup by SimHash signature") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.contentDedup(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdedup")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "an entirely different document about spark engines"))
+      q.processAllAvailable()
+      src.addData(
+        // exact content dup (same signature) -> dropped, first writer kept
+        (3L, "the quick brown fox jumps over the lazy dog"),
+        // token-reordered twin: same DISTINCT token set -> same signature
+        (4L, "lazy dog the quick brown fox jumps over the"),
+        (5L, "a third genuinely novel text with unique words entirely"))
+      q.processAllAvailable()
+      val rows = spark.table("cdedup").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 5L),
+        s"kept ${rows.map(_.getLong(0)).mkString(",")}")
+      // streamed signatures == batch twin signatures on the same corpus
+      val batchSigs = streaming.DocStreams.contentDedup(
+        Seq((1L, "the quick brown fox jumps over the lazy dog"),
+          (2L, "an entirely different document about spark engines"),
+          (3L, "the quick brown fox jumps over the lazy dog"),
+          (4L, "lazy dog the quick brown fox jumps over the"),
+          (5L, "a third genuinely novel text with unique words entirely"))
+          .toDF("doc_id", "text"))
+        .select("simhash").as[Long].collect().toSet
+      assert(rows.map(_.getLong(1)).toSet == batchSigs)
+    } finally q.stop()
+  }
+
   test("runningUserFlags: stateful running mean across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
