@@ -40,6 +40,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
   private val createIndex =
     """(?is)\s*CREATE\s+INDEX\s+(?:\w+\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+  private val txnStmt =
+    """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
+  private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
+  private val optimizeStmt = """(?is)\s*OPTIMIZE\s+(\w+)\s*;?\s*""".r
   private val updateStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val deleteStmt =
@@ -84,6 +88,22 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.delete(tbl, condExpr(cond)) // reference: DeleteCommand.java
       registerTable(tbl)
       status(s"deleted from $tbl")
+    case txnStmt(kw) => // reference: BeginCommand/CommitCommand/RollbackCommand
+      val r = kw.toUpperCase.replaceAll("\\s+", " ") match {
+        case "BEGIN" | "START TRANSACTION" => cmds.begin(); "begin"
+        case "COMMIT" => cmds.commit(); "commit"
+        case "ROLLBACK" => cmds.rollback(); "rollback"
+      }
+      // pointers may have moved under registered catalog entries
+      if (r != "begin") cmds.warehouseTables
+        .filter(spark.catalog.tableExists).foreach(registerTable)
+      status(r)
+    case verifyStmt(tbl) => // reference: VerifyCommand (integrity check)
+      status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
+    case optimizeStmt(tbl) => // reference: OptimizeCommand (compaction)
+      cmds.optimizeTable(tbl)
+      registerTable(tbl)
+      status(s"optimized $tbl")
     case other => spark.sql(other)
   }
 

@@ -52,6 +52,12 @@ class TableCommands(spark: SparkSession, warehouse: String) {
 
   def tableExists(name: String): Boolean = Files.exists(currentFile(name))
 
+  /** Every table in this warehouse (dirs with a CURRENT pointer). */
+  def warehouseTables: Seq[String] =
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && tableExists(f.getName))
+      .map(_.getName).toSeq.sorted
+
   private def nextVersion(table: String): String = {
     val d = new java.io.File(dir(table))
     val existing = Option(d.listFiles()).getOrElse(Array.empty)
@@ -61,7 +67,8 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   }
 
   /** Stage `df` as a fresh version directory, atomically publish the
-    * pointer, then sweep superseded/orphaned versions. */
+    * pointer, then sweep superseded/orphaned versions (sweep deferred
+    * while a transaction holds pre-images). */
   private def publish(table: String, df: DataFrame): Unit = {
     val version = nextVersion(table)
     df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/$version")
@@ -69,11 +76,84 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     Files.writeString(tmp, version)
     Files.move(tmp, currentFile(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // best-effort sweep: anything but the live version is garbage (a
-    // superseded version or a crashed, never-published stage)
+    if (txnSnapshot.isEmpty) sweep(table)
+  }
+
+  /** Delete every version directory except the live one — superseded
+    * versions and crashed, never-published stages alike. */
+  private def sweep(table: String): Unit = {
+    val live = Files.readString(currentFile(table)).trim
     Option(new java.io.File(dir(table)).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName != version)
+      .filter(f => f.isDirectory && f.getName != live)
       .foreach(rm)
+  }
+
+  // ── transactions over the manifest (single-writer, like the reference's
+  // simple txn model — `commands/BeginCommand.java` etc. — but without a
+  // WAL: the immutable version dirs ARE the undo log) ─────────────────────
+  private var txnSnapshot: Option[Map[String, String]] = None
+
+  /** BEGIN: snapshot every table's live version. While open, rewrites keep
+    * their pre-images on disk (sweep deferred), so ROLLBACK is a pointer
+    * restore. Nested BEGIN is an error (reference semantics). */
+  def begin(): Unit = {
+    require(txnSnapshot.isEmpty, "transaction already open")
+    txnSnapshot = Some(warehouseTables.map(t =>
+      t -> Files.readString(currentFile(t)).trim).toMap)
+  }
+
+  /** COMMIT: drop the snapshot and sweep superseded versions. */
+  def commit(): Unit = {
+    require(txnSnapshot.nonEmpty, "no open transaction")
+    val snap = txnSnapshot.get
+    txnSnapshot = None
+    snap.keys.foreach(t => if (tableExists(t)) sweep(t))
+  }
+
+  /** ROLLBACK: atomically restore every snapshotted pointer, then sweep the
+    * now-orphaned post-images. Tables created inside the txn are dropped. */
+  def rollback(): Unit = {
+    require(txnSnapshot.nonEmpty, "no open transaction")
+    val snap = txnSnapshot.get
+    txnSnapshot = None
+    // a table DROPPED inside the txn lost its version dirs with the drop —
+    // that one command is not undoable (documented; reference txns predate
+    // its DDL too); skip it rather than fail the rest of the rollback
+    snap.foreach { case (t, version) =>
+      if (Files.isDirectory(Paths.get(dir(t), version))) {
+        val tmp = Paths.get(dir(t), "CURRENT.tmp")
+        Files.writeString(tmp, version)
+        Files.move(tmp, currentFile(t),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        sweep(t)
+      }
+    }
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !snap.contains(f.getName))
+      .foreach(rm) // created inside the rolled-back txn
+  }
+
+  /** VERIFY t — the reference's integrity check (`commands/VerifyCommand`,
+    * B⁺-tree/page validation) re-expressed for the manifest layout: the
+    * pointer must name an existing version directory and every row must be
+    * readable (a full distributed scan — corrupt parquet fails it). Returns
+    * the row count. */
+  def verifyTable(name: String): Long = {
+    val dp = dataPath(name)
+    require(Files.isDirectory(Paths.get(dp)),
+      s"CURRENT of $name names a missing version")
+    spark.read.parquet(dp).count()
+  }
+
+  /** OPTIMIZE t — compact the current version's files (the analog of the
+    * reference's `OptimizeCommand` page compaction): rewrites into
+    * right-sized files via a new published version, so readers switch
+    * atomically. `targetPartitions` defaults to the session shuffle
+    * parallelism; at 100 TB pass ceil(bytes / 1 GB). */
+  def optimizeTable(name: String, targetPartitions: Int = 0): Unit = {
+    val n = if (targetPartitions > 0) targetPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    publish(name, table(name).repartition(n))
   }
 
   private def rm(f: java.io.File): Unit = {
@@ -108,9 +188,12 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   /** INSERT INTO t VALUES / SELECT — append semantics. New files land in
     * the CURRENT version directory under Spark's output-commit protocol
     * (same visibility guarantee as any Spark append); version bumps are
-    * reserved for rewrites, so appends stay O(new data). */
+    * reserved for rewrites, so appends stay O(new data). Inside an open
+    * transaction the append goes through a COW publish instead, so the
+    * pre-image survives for ROLLBACK. */
   def insertInto(name: String, rows: DataFrame): Unit =
-    rows.write.mode(SaveMode.Append).parquet(dataPath(name))
+    if (txnSnapshot.nonEmpty) publish(name, table(name).unionByName(rows))
+    else rows.write.mode(SaveMode.Append).parquet(dataPath(name))
 
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE

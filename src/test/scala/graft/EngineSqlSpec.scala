@@ -166,6 +166,16 @@ class EngineSqlSpec extends AnyFunSuite {
     val afterMut = engine.sql("SELECT id, v FROM cs_t ORDER BY id").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(afterMut == Seq((2, "b!"), (3, "c!")))
+    // BEGIN/ROLLBACK, VERIFY, OPTIMIZE — the reference's remaining utility
+    // command surface, over the manifest
+    engine.sql("BEGIN")
+    engine.sql("DELETE FROM cs_t WHERE id = 2")
+    assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t").head.getLong(0) == 1)
+    engine.sql("ROLLBACK")
+    assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t").head.getLong(0) == 2)
+    assert(engine.sql("VERIFY cs_t").head.getString(0).contains("2 rows"))
+    engine.sql("OPTIMIZE cs_t")
+    assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t").head.getLong(0) == 2)
     engine.sql("DROP TABLE cs_t")
   }
 }

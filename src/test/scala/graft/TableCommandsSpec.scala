@@ -140,6 +140,40 @@ class TableCommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("transactions: ROLLBACK restores pre-images, COMMIT sweeps them") {
+    import spark.implicits._
+    val (c, wh) = freshCmdsAt()
+    def read() = c.table("t").as[Int].collect().sorted.toSeq
+    c.createTable("t", Seq(1, 2, 3).toDF("id"))
+    c.begin()
+    c.update("t", col("id") === 1, Map("id" -> lit(10)))
+    c.insertInto("t", Seq(4).toDF("id"))
+    assert(read() == Seq(2, 3, 4, 10)) // txn sees its own writes
+    c.rollback()
+    assert(read() == Seq(1, 2, 3)) // pointer restored from pre-image
+    c.begin()
+    c.delete("t", col("id") === 2)
+    c.commit()
+    assert(read() == Seq(1, 3))
+    // after the commit sweep exactly one version remains
+    assert(new java.io.File(s"$wh/t").list().count(_.startsWith("v")) == 1)
+    intercept[IllegalArgumentException] { c.commit() } // no open txn
+  }
+
+  test("verify + optimize: integrity scan and file compaction") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    c.createTable("t", spark.range(100).toDF("id").repartition(8))
+    assert(c.verifyTable("t") == 100)
+    def dataFiles() = new java.io.File(c.dataPath("t"))
+      .list().count(f => f.endsWith(".parquet"))
+    assert(dataFiles() > 1)
+    c.optimizeTable("t", targetPartitions = 1)
+    assert(c.verifyTable("t") == 100)
+    assert(dataFiles() == 1, "compaction should leave one data file")
+    assert(c.table("t").as[Long].collect().sorted.toSeq == (0L until 100L))
+  }
+
   test("TupleServer: serves result rows to a client socket as CSV") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b,with comma"), (3, null: String))
