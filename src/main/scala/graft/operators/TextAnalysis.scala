@@ -239,6 +239,29 @@ object TextAnalysis {
                     FROM documents)""")),
 
     QueryDef(
+      "t78_split_sample", // deterministic train/val/test assignment: the
+                          // reproducible-sampling idiom for training data.
+                          // hash60(doc_id) mod 100 buckets the corpus 80/10/10
+                          // with no RNG — the same doc lands in the same
+                          // split on any engine, any partitioning, any day;
+                          // map-side only, so it composes with every other
+                          // pipeline stage for free.
+      (s, d) => {
+        val bucket = Dedup.hash60(col("doc_id").cast("string")) % 100
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+                    FROM documents)""")),
+
+    QueryDef(
       "t77_vocab", // corpus vocabulary: global term counts, top 100 — the
                    // tokenizer-training / frequency-filter building block.
                    // One shuffle on the term, map-side partial counts,
