@@ -45,9 +45,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
   private val optimizeStmt = """(?is)\s*OPTIMIZE\s+(\w+)\s*;?\s*""".r
   private val updateStmt =
-    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val dropTableStmt =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
 
   /** One statement in, a DataFrame out (commands return a 1-row status frame,
     * like the reference's command acknowledgements). */
@@ -74,9 +76,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // TableCommands.createIndex for the 100 TB rationale)
       cmds.createIndex(tbl, column)
       status(s"indexed $tbl by $column as ${tbl}_by_$column")
-    case updateStmt(tbl, sets, cond) =>
+    case updateStmt(tbl, rest) =>
       // reference: UpdateCommand.java — Spark SQL cannot mutate plain
       // parquet tables, so UPDATE/DELETE route to the COW rewrite
+      val (sets, cond) = splitWhere(rest)
       val setMap = splitTopLevel(sets).map { a =>
         val Array(c, e) = a.split("=", 2)
         c.trim -> org.apache.spark.sql.functions.expr(e.trim)
@@ -89,15 +92,28 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       registerTable(tbl)
       status(s"deleted from $tbl")
     case txnStmt(kw) => // reference: BeginCommand/CommitCommand/RollbackCommand
+      val before = cmds.warehouseTables
       val r = kw.toUpperCase.replaceAll("\\s+", " ") match {
         case "BEGIN" | "START TRANSACTION" => cmds.begin(); "begin"
         case "COMMIT" => cmds.commit(); "commit"
         case "ROLLBACK" => cmds.rollback(); "rollback"
       }
-      // pointers may have moved under registered catalog entries
-      if (r != "begin") cmds.warehouseTables
-        .filter(spark.catalog.tableExists).foreach(registerTable)
+      if (r != "begin") {
+        // pointers may have moved under registered catalog entries, and a
+        // rollback deletes tables created inside the txn — drop their now-
+        // dangling catalog entries too
+        val after = cmds.warehouseTables
+        after.filter(spark.catalog.tableExists).foreach(registerTable)
+        (before.toSet -- after).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      }
       status(r)
+    case dropTableStmt(ifExists, tbl) if cmds.tableExists(tbl) =>
+      // warehouse tables need BOTH the manifest dirs and the catalog entry
+      // gone, or a later CREATE COLSTORE of the same name would refuse
+      cmds.dropTable(tbl, ifExists != null)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      status(s"dropped $tbl")
     case verifyStmt(tbl) => // reference: VerifyCommand (integrity check)
       status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
     case optimizeStmt(tbl) => // reference: OptimizeCommand (compaction)
@@ -111,19 +127,59 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     if (cond == null) org.apache.spark.sql.functions.lit(true)
     else org.apache.spark.sql.functions.expr(cond)
 
-  /** Split SET assignments on top-level commas (commas inside function-call
-    * parens don't split). */
+  /** Split SET assignments on top-level commas — commas inside function-call
+    * parens or single-quoted SQL string literals ('' escapes) don't split. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder; var depth = 0
-    s.foreach {
-      case '(' => depth += 1; sb += '('
-      case ')' => depth -= 1; sb += ')'
-      case ',' if depth == 0 => out += sb.toString; sb.clear()
-      case c => sb += c
+    val sb = new StringBuilder; var depth = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        sb += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; sb += c
+        case '(' => depth += 1; sb += c
+        case ')' => depth -= 1; sb += c
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case _ => sb += c
+      }
+      i += 1
     }
     out += sb.toString
     out.toSeq
+  }
+
+  /** Split "assignments [WHERE cond]" at the first TOP-LEVEL WHERE keyword
+    * (outside parens and string literals) — a 'where' inside a SET string
+    * literal must not terminate the assignment list. */
+  private def splitWhere(s: String): (String, String) = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 && i + 5 <= s.length &&
+            s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          return (s.substring(0, i).trim, s.substring(i + 5).trim)
+        case _ => ()
+      }
+      i += 1
+    }
+    (s.trim, null)
   }
 
   private def registerTable(name: String): Unit = {

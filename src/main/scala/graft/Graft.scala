@@ -65,23 +65,52 @@ object Graft {
     * busy in the narrow stages that follow (shingling, hashing, vector
     * math). The driver-provided parquet files have a single row group, so
     * the scan yields one partition and compute-heavy map work would run
-    * single-threaded without a redistribution. (Partition COUNT can't gate
-    * this: Spark pads small files into `defaultParallelism` splits, but a
-    * single row group is unsplittable, so all but one are empty.)
+    * single-threaded without a redistribution. (Planned partition COUNT
+    * can't gate this: Spark pads small files into `defaultParallelism`
+    * byte-range splits, but a row group is the smallest unit a split can
+    * actually carry, so all but one come up empty. Byte SIZE can't either:
+    * a mid-size single-row-group file is exactly the hazard.)
     *
-    * The repartition is GATED on the relation being small — under
-    * cores × 128 MB by plan statistics (driver-side, no job). In that regime
-    * the full shuffle is trivially cheap and fixes row-group skew; at
-    * production scale the gate fails and no shuffle is added — an
-    * unconditional repartition would be a pure-overhead full shuffle of the
-    * base table at 100 TB, where many row groups/files already split evenly.
+    * The gate therefore counts the REAL parallelism units — parquet row
+    * groups, from file footers (driver-side, no job) — and repartitions
+    * only when they can't keep the cores busy. Footer reads short-circuit
+    * as soon as enough units are found, so at production scale (many
+    * files/row groups) the gate touches one footer and adds no shuffle;
+    * on a row-group-starved input the shuffle it adds is the one that
+    * makes the narrow stage parallel at all.
     */
   def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = table(spark, sfDir, name)
     val cores = spark.sparkContext.defaultParallelism
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(cores.toLong) * 128L * 1024 * 1024
-    if (small) df.repartition(cores) else df
+    if (rowGroupUnits(spark, s"$sfDir/$name.parquet", cores) < cores)
+      df.repartition(cores)
+    else df
+  }
+
+  /** Count parquet row groups under `p` (file or directory), stopping as
+    * soon as `cap` is reached. Each file has ≥1 row group, so a directory
+    * with ≥ cap data files never opens a footer. */
+  private def rowGroupUnits(spark: SparkSession, p: String, cap: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(p)
+    val fs = root.getFileSystem(conf)
+    val st = fs.getFileStatus(root)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(root).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      else Seq(st)
+    if (files.size >= cap) return files.size
+    var units = 0
+    val it = files.iterator
+    while (units < cap && it.hasNext) {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(it.next(), conf))
+      try units += r.getRowGroups.size()
+      finally r.close()
+    }
+    units
   }
 
   /** Register every table as a temp view (idempotent) and install the

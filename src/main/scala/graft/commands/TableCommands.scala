@@ -102,12 +102,14 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       t -> Files.readString(currentFile(t)).trim).toMap)
   }
 
-  /** COMMIT: drop the snapshot and sweep superseded versions. */
+  /** COMMIT: drop the snapshot and sweep superseded versions — of every
+    * table in the warehouse, not just the snapshotted ones, so a table
+    * created AND rewritten inside the txn sheds its intermediate versions
+    * too. */
   def commit(): Unit = {
     require(txnSnapshot.nonEmpty, "no open transaction")
-    val snap = txnSnapshot.get
     txnSnapshot = None
-    snap.keys.foreach(t => if (tableExists(t)) sweep(t))
+    warehouseTables.foreach(sweep)
   }
 
   /** ROLLBACK: atomically restore every snapshotted pointer, then sweep the

@@ -19,32 +19,47 @@ import org.apache.spark.sql.DataFrame
 object TupleServer {
 
   /** Bind an ephemeral server socket, then serve `df`'s rows to the first
-    * client that connects, in the background. Returns (port, thread); join
-    * the thread to wait for completion. Any serving error is rethrown on
-    * join via the thread's uncaught handler storage. */
-  def serve(df: DataFrame): (Int, Thread) = {
+    * client that connects, in the background. Returns (port, await): call
+    * `await()` to wait for completion — it RETHROWS any serving failure
+    * (query error, client disconnect), so a truncated stream can't read as
+    * success. A disconnected client is detected via `checkError` and stops
+    * the drain instead of silently pumping the whole result to nobody. */
+  def serve(df: DataFrame): (Int, () => Unit) = {
     val server = new ServerSocket(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val t = new Thread(() => {
-      val client = server.accept()
       try {
-        val out = new PrintWriter(client.getOutputStream)
-        out.println(df.columns.mkString(","))
-        df.toLocalIterator().forEachRemaining { row =>
-          out.println((0 until row.length).map { i =>
-            val v = if (row.isNullAt(i)) "" else String.valueOf(row.get(i))
-            if (v.exists(c => c == ',' || c == '"' || c == '\n'))
-              "\"" + v.replace("\"", "\"\"") + "\""
-            else v
-          }.mkString(","))
-        }
-        out.flush()
-      } finally {
-        client.close()
-        server.close()
-      }
+        val client = server.accept()
+        try {
+          val out = new PrintWriter(client.getOutputStream)
+          def emit(line: String): Unit = {
+            out.println(line)
+            if (out.checkError())
+              throw new java.io.IOException("client disconnected mid-stream")
+          }
+          emit(df.columns.mkString(","))
+          df.toLocalIterator().forEachRemaining { row =>
+            emit((0 until row.length).map { i =>
+              val v = if (row.isNullAt(i)) "" else String.valueOf(row.get(i))
+              if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+                "\"" + v.replace("\"", "\"\"") + "\""
+              else v
+            }.mkString(","))
+          }
+          out.flush()
+          if (out.checkError())
+            throw new java.io.IOException("client disconnected at flush")
+        } finally client.close()
+      } catch { case e: Throwable => failure.set(e) }
+      finally server.close()
     }, "graft-tuple-server")
     t.setDaemon(true)
     t.start()
-    (server.getLocalPort, t)
+    val await = () => {
+      t.join(120000)
+      if (failure.get() != null) throw failure.get()
+      if (t.isAlive) throw new IllegalStateException("tuple server still running")
+    }
+    (server.getLocalPort, await)
   }
 }

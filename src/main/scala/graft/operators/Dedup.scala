@@ -301,11 +301,12 @@ object Dedup {
     }
 
     var e = cut(edges0.select(col("d1").as("u"), col("d2").as("v")))
-    // order-independent multiset checksum; hashes are reduced mod 2^40 so a
-    // billion-edge sum stays far from 2^63 (ANSI mode would fail overflow)
+    // order-independent multiset checksum; hashes are reduced mod 2^30 so
+    // the sum stays below 2^63 up to ~8.5 billion edges (ANSI mode — the
+    // Spark 4 default — throws on overflow rather than wrapping)
     def checksum(df: DataFrame): Long = {
       val r = df.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 40)))).head()
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 30)))).head()
       r.getLong(0) ^ (if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prev = checksum(e)

@@ -587,12 +587,17 @@ object Relational {
             countDistinct(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey")).as("hll_parts"),
             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"))
-        val frac = t(s, d, "lineitem")
+        // carry sk's columns through the rank pass (constant per group, so
+        // first() is exact) instead of re-joining sk — the sketch aggregate
+        // subtree evaluates ONCE, not twice
+        t(s, d, "lineitem")
           .join(broadcast(sk), "l_returnflag")
           .groupBy("l_returnflag")
-          .agg((sum(when(col("l_extendedprice") <= col("amed"), 1).otherwise(0))
-            .cast("double") / count(lit(1))).as("f"))
-        sk.join(frac, "l_returnflag")
+          .agg(
+            first(col("exact_parts")).as("exact_parts"),
+            first(col("hll_parts")).as("hll_parts"),
+            (sum(when(col("l_extendedprice") <= col("amed"), 1).otherwise(0))
+              .cast("double") / count(lit(1))).as("f"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("hll_parts").cast("double") / col("exact_parts") - 1)
               < 0.05).as("hll_within_5pct"),

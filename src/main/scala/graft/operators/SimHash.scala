@@ -30,12 +30,16 @@ object SimHash {
   /** (doc_id, simhash) for a (doc_id, text) corpus — the codegen
     * [[graft.functions.SimHash60]] kernel: one map-side scan per document,
     * no token explosion, no 60-column aggregate, streaming-safe
-    * (row-at-a-time, stateless). Bit-identical to the relational
-    * explode+tally formulation the oracle keeps (equivalence is
-    * spec-pinned in FunctionsSpec). */
+    * (row-at-a-time, stateless). Token-less docs are dropped to match the
+    * relational explode+tally formulation the oracle keeps (explode of an
+    * empty token set emits no row, where the total kernel would emit
+    * signature 0); equivalence including that case is spec-pinned in
+    * FunctionsSpec. */
   def signatures(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash60(col("text")).as("simhash"))
+    corpus
+      .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash60(col("text")).as("simhash"))
 
   /** The relational formulation of [[signatures]] (explode distinct tokens
     * → 60 per-bit SUM tallies) — kept as the kernel's cross-check and the

@@ -173,13 +173,20 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("simhash60 kernel == relational explode+tally formulation on real docs") {
+    // include token-less docs: explode drops them, so signatures() must too
+    // (a full-outer compare catches row-set drift an inner join would hide)
     val doc = Graft.table(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text")
+      .union(Seq((9000001L, ""), (9000002L, "   \t  "))
+        .toDF("doc_id", "text"))
     val kernel = operators.SimHash.signatures(doc)
     val relational = operators.SimHash.signaturesRelational(doc)
-    val diff = kernel.as("k").join(relational.as("r"), "doc_id")
-      .filter(col("k.simhash") =!= col("r.simhash")).count()
+    val diff = kernel.as("k").join(relational.as("r"), Seq("doc_id"), "full")
+      .filter(col("k.simhash").isNull || col("r.simhash").isNull ||
+        col("k.simhash") =!= col("r.simhash")).count()
     assert(diff == 0)
+    assert(kernel.filter(col("doc_id") >= 9000000L).count() == 0,
+      "token-less docs must be dropped, not emitted as signature 0")
     // and the signature space is 60-bit
     val sigs = kernel.select("simhash").as[Long].collect()
     assert(sigs.forall(s => s >= 0 && s < (1L << 60)))
