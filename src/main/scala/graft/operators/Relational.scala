@@ -675,6 +675,48 @@ object Relational {
               FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "q55_window_distribution", // rank-distribution window functions:
+                                 // ntile / percent_rank / cume_dist over a
+                                 // unique ordering (event_id tiebreak keeps
+                                 // every engine's answer identical)
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                     CAST(NTILE(4) OVER w AS INT) AS quartile,
+                     ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                     ROUND(CUME_DIST() OVER w, 6) AS cd
+              FROM orders WHERE o_orderkey <= 2000
+              WINDOW w AS (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey)""")),
+
+    QueryDef(
+      "q56_grouping_sets", // explicit GROUPING SETS (beyond q14 ROLLUP /
+                           // q17 CUBE): mixed granularities in one pass,
+                           // with GROUPING() to disambiguate generated nulls
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                     CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                     CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                      (o_orderstatus), ())""")),
+
+    QueryDef(
       "q54_range_join", // equi + range predicate: events within 1 min of a
                         // purchase by the same user (SMJ + range filter;
                         // at scale, bucket ts into coarse bins for an
