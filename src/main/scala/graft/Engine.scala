@@ -127,37 +127,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     if (cond == null) org.apache.spark.sql.functions.lit(true)
     else org.apache.spark.sql.functions.expr(cond)
 
-  /** Split SET assignments on top-level commas — commas inside function-call
-    * parens or single-quoted SQL string literals ('' escapes) don't split. */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder; var depth = 0; var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) {
-        sb += c
-        if (c == '\'') {
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
-          else inStr = false
-        }
-      } else c match {
-        case '\'' => inStr = true; sb += c
-        case '(' => depth += 1; sb += c
-        case ')' => depth -= 1; sb += c
-        case ',' if depth == 0 => out += sb.toString; sb.clear()
-        case _ => sb += c
-      }
-      i += 1
-    }
-    out += sb.toString
-    out.toSeq
-  }
-
-  /** Split "assignments [WHERE cond]" at the first TOP-LEVEL WHERE keyword
-    * (outside parens and string literals) — a 'where' inside a SET string
-    * literal must not terminate the assignment list. */
-  private def splitWhere(s: String): (String, String) = {
+  /** One lexing pass shared by [[splitTopLevel]] and [[splitWhere]]: flags
+    * each position that is TOP LEVEL — outside parens and outside
+    * single-quoted SQL string literals ('' escapes). Keeping a single
+    * scanner means the two splitters can never disagree on where a string
+    * ends. */
+  private def topLevel(s: String): Array[Boolean] = {
+    val top = new Array[Boolean](s.length)
     var depth = 0; var inStr = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -170,13 +146,39 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1
-        case 'w' | 'W' if depth == 0 && i + 5 <= s.length &&
-            s.substring(i, i + 5).equalsIgnoreCase("where") &&
-            (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
-          return (s.substring(0, i).trim, s.substring(i + 5).trim)
-        case _ => ()
+        case _ => top(i) = depth == 0
       }
+      i += 1
+    }
+    top
+  }
+
+  /** Split SET assignments on top-level commas — commas inside function-call
+    * parens or string literals don't split. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val top = topLevel(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    s.indices.foreach { i =>
+      if (top(i) && s.charAt(i) == ',') {
+        out += s.substring(start, i); start = i + 1
+      }
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Split "assignments [WHERE cond]" at the first TOP-LEVEL WHERE keyword
+    * — a 'where' inside a SET string literal must not terminate the
+    * assignment list. */
+  private def splitWhere(s: String): (String, String) = {
+    val top = topLevel(s)
+    var i = 0
+    while (i + 5 <= s.length) {
+      if (top(i) && s.substring(i, i + 5).equalsIgnoreCase("where") &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+        return (s.substring(0, i).trim, s.substring(i + 5).trim)
       i += 1
     }
     (s.trim, null)

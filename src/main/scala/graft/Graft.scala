@@ -82,27 +82,34 @@ object Graft {
   def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = table(spark, sfDir, name)
     val cores = spark.sparkContext.defaultParallelism
-    if (rowGroupUnits(spark, s"$sfDir/$name.parquet", cores) < cores)
+    val (units, bytes) = rowGroupUnits(spark, s"$sfDir/$name.parquet", cores)
+    // both conditions: row-group-starved AND cheap to move. A big table
+    // with few huge row groups gets its (adequate) natural parallelism
+    // rather than a full-table shuffle for a marginal gain.
+    if (units < cores && bytes < cores.toLong * 1024L * 1024 * 1024)
       df.repartition(cores)
     else df
   }
 
-  /** Count parquet row groups under `p` (file or directory), stopping as
-    * soon as `cap` is reached. Each file has ≥1 row group, so a directory
-    * with ≥ cap data files never opens a footer. */
-  private def rowGroupUnits(spark: SparkSession, p: String, cap: Int): Int = {
-    import org.apache.hadoop.fs.Path
+  /** (row groups, total bytes) under `p` (file or directory, recursive),
+    * with footer reads stopping as soon as `cap` units are found — each
+    * file has ≥1 row group, so a layout with ≥ cap data files never opens
+    * a footer. */
+  private def rowGroupUnits(
+      spark: SparkSession, p: String, cap: Int): (Int, Long) = {
+    import org.apache.hadoop.fs.{Path, FileStatus}
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(p)
     val fs = root.getFileSystem(conf)
-    val st = fs.getFileStatus(root)
-    val files =
-      if (st.isDirectory)
-        fs.listStatus(root).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-      else Seq(st)
-    if (files.size >= cap) return files.size
+    def files(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+      else Seq.empty
+    val data = files(fs.getFileStatus(root))
+    val bytes = data.map(_.getLen).sum
+    if (data.size >= cap) return (data.size, bytes)
     var units = 0
-    val it = files.iterator
+    val it = data.iterator
     while (units < cap && it.hasNext) {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile
@@ -110,7 +117,7 @@ object Graft {
       try units += r.getRowGroups.size()
       finally r.close()
     }
-    units
+    (units, bytes)
   }
 
   /** Register every table as a temp view (idempotent) and install the

@@ -18,23 +18,42 @@ import org.apache.spark.sql.DataFrame
   */
 object TupleServer {
 
+  /** Handle on a background serve: `port` to connect to, `await()` to wait
+    * for completion — it RETHROWS any serving failure (query error, client
+    * disconnect), so a truncated stream can't read as success. `await`
+    * blocks indefinitely by default (a 10⁹-row stream takes as long as it
+    * takes); pass a timeout to bound the wait, in which case still-running
+    * is reported as an error. */
+  final case class Handle(port: Int, private val thread: Thread,
+      private val failure: java.util.concurrent.atomic.AtomicReference[Throwable]) {
+    def await(timeoutMs: Long = 0L): Unit = {
+      thread.join(timeoutMs)
+      if (failure.get() != null) throw failure.get()
+      if (thread.isAlive)
+        throw new IllegalStateException(s"tuple server still running after ${timeoutMs} ms")
+    }
+  }
+
   /** Bind an ephemeral server socket, then serve `df`'s rows to the first
-    * client that connects, in the background. Returns (port, await): call
-    * `await()` to wait for completion — it RETHROWS any serving failure
-    * (query error, client disconnect), so a truncated stream can't read as
-    * success. A disconnected client is detected via `checkError` and stops
-    * the drain instead of silently pumping the whole result to nobody. */
-  def serve(df: DataFrame): (Int, () => Unit) = {
+    * client that connects, in the background. Client disconnects are
+    * detected via `checkError` every [[CheckEvery]] rows — `checkError`
+    * flushes, so a per-row check would turn every row into its own socket
+    * write and defeat buffering on the very path meant for large results. */
+  def serve(df: DataFrame): Handle = {
     val server = new ServerSocket(0)
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val t = new Thread(() => {
       try {
         val client = server.accept()
         try {
-          val out = new PrintWriter(client.getOutputStream)
+          val out = new PrintWriter(new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(client.getOutputStream,
+              java.nio.charset.StandardCharsets.UTF_8)))
+          var emitted = 0L
           def emit(line: String): Unit = {
             out.println(line)
-            if (out.checkError())
+            emitted += 1
+            if (emitted % CheckEvery == 0 && out.checkError())
               throw new java.io.IOException("client disconnected mid-stream")
           }
           emit(df.columns.mkString(","))
@@ -55,11 +74,8 @@ object TupleServer {
     }, "graft-tuple-server")
     t.setDaemon(true)
     t.start()
-    val await = () => {
-      t.join(120000)
-      if (failure.get() != null) throw failure.get()
-      if (t.isAlive) throw new IllegalStateException("tuple server still running")
-    }
-    (server.getLocalPort, await)
+    Handle(server.getLocalPort, t, failure)
   }
+
+  private val CheckEvery = 1024L
 }

@@ -37,7 +37,10 @@ object SimHash {
     * FunctionsSpec. */
   def signatures(corpus: DataFrame): DataFrame =
     corpus
-      .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+      // constant-cost token-existence test: any char outside the
+      // tokenizer's separator set [ \t\n\f\r] means ≥1 token — avoids
+      // materializing the full token array just to check emptiness
+      .filter(col("text").rlike("[^ \\t\\n\\f\\r]"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash60(col("text")).as("simhash"))
 

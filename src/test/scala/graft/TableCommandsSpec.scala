@@ -178,13 +178,13 @@ class TableCommandsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b,with comma"), (3, null: String))
       .toDF("id", "v")
-    val (port, await) = graft.commands.TupleServer.serve(df)
-    val sock = new java.net.Socket("127.0.0.1", port)
+    val h = graft.commands.TupleServer.serve(df)
+    val sock = new java.net.Socket("127.0.0.1", h.port)
     val lines = try {
       val src = scala.io.Source.fromInputStream(sock.getInputStream)
       try src.getLines().toList finally src.close()
     } finally sock.close()
-    await()
+    h.await(timeoutMs = 30000)
     assert(lines.head == "id,v")
     assert(lines.tail.toSet == Set("1,a", "2,\"b,with comma\"", "3,"))
   }
