@@ -145,6 +145,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rounds <= bound, s"$rounds rounds for $n nodes (bound $bound)")
   }
 
+  test("tableParallel: shuffles a row-group-starved scan, leaves a multi-file one alone") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tp").toString
+    // starved: one file, one row group -> the narrow-stage hazard
+    spark.range(1000).toDF("doc_id").coalesce(1)
+      .write.parquet(s"$base/starved/one.parquet")
+    // healthy: at least as many files as cores -> no shuffle wanted
+    val cores = spark.sparkContext.defaultParallelism
+    spark.range(1000).toDF("doc_id").repartition(cores * 2)
+      .write.parquet(s"$base/healthy/many.parquet")
+    def plan(sub: String) = {
+      val name = if (sub == "starved") "one" else "many"
+      Graft.tableParallel(spark, s"$base/$sub", name)
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan("starved").contains("Exchange RoundRobinPartitioning"),
+      "single-row-group scan must be redistributed")
+    assert(!plan("healthy").contains("Exchange RoundRobinPartitioning"),
+      "well-split input must not pay a shuffle")
+  }
+
   test("plan hygiene: dedup/ANN candidate generation is never a cartesian") {
     // d86/s90 are the LABELED brute-force baselines; the scale paths must
     // generate candidates via equi-joins only
