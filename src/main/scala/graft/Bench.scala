@@ -40,12 +40,15 @@ object Bench {
     }
 
     var failed = List.empty[String]
+    // best-of-N (GRAFT_BENCH_N, default 3): this host shows multi-second
+    // external-load noise, and best-of-2 still lets one bad pair through
+    // (observed: q14/q17/t75 drifting ~2x between rounds with unchanged plans)
+    val n = sys.env.getOrElse("GRAFT_BENCH_N", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best-of-2 steady-state runs, quiescing (cache drop + GC) before each
-      // clock start: this host shows multi-second external-load noise, and a
-      // heavy neighbor's GC/cleanup otherwise lands inside this query's
+      // quiesce (cache drop + GC) before each clock start: a heavy
+      // neighbor's GC/cleanup otherwise lands inside this query's
       // measurement (observed: d85 at 6.6 s mid-suite vs 2.3 s standalone)
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to n).flatMap { _ =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()

@@ -44,12 +44,31 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
   private val optimizeStmt = """(?is)\s*OPTIMIZE\s+(\w+)\s*;?\s*""".r
+  // storage DML/DDL accept an optional qualifier so `default.t` (and the
+  // spark_catalog spellings) route to the same warehouse table as `t`,
+  // while a genuinely foreign database is REJECTED with an engine error
+  // instead of falling through to Spark SQL's non-catalog path (whose
+  // "UPDATE ... not supported" error hides the actual problem)
   private val updateStmt =
-    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+((?:`?\w+`?\.)*)`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteStmt =
-    """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val dropTableStmt =
-    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:`?\w+`?\.)*)`?(\w+)`?\s*;?\s*""".r
+
+  /** True iff the captured qualifier names this engine's (single) database:
+    * empty, `default`, `spark_catalog`, or `spark_catalog.default`. */
+  private def isLocalDb(qualifier: String): Boolean = {
+    val q = qualifier.replace("`", "").stripSuffix(".").toLowerCase
+    q.isEmpty || q == "default" || q == "spark_catalog" ||
+      q == "spark_catalog.default"
+  }
+
+  private def localName(qualifier: String, tbl: String, verb: String): String =
+    if (isLocalDb(qualifier)) tbl
+    else throw new UnsupportedOperationException(
+      s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
+        s"supported — the warehouse is single-database; use the bare name '$tbl'")
 
   /** One statement in, a DataFrame out (commands return a 1-row status frame,
     * like the reference's command acknowledgements). */
@@ -76,9 +95,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // TableCommands.createIndex for the 100 TB rationale)
       cmds.createIndex(tbl, column)
       status(s"indexed $tbl by $column as ${tbl}_by_$column")
-    case updateStmt(tbl, rest) =>
+    case updateStmt(q, tblRaw, rest) =>
       // reference: UpdateCommand.java — Spark SQL cannot mutate plain
       // parquet tables, so UPDATE/DELETE route to the COW rewrite
+      val tbl = localName(q, tblRaw, "UPDATE")
       val (sets, cond) = splitWhere(rest)
       val setMap = splitTopLevel(sets).map { a =>
         val Array(c, e) = a.split("=", 2)
@@ -87,7 +107,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.update(tbl, condExpr(cond), setMap)
       registerTable(tbl)
       status(s"updated $tbl")
-    case deleteStmt(tbl, cond) =>
+    case deleteStmt(q, tblRaw, cond) =>
+      val tbl = localName(q, tblRaw, "DELETE")
       cmds.delete(tbl, condExpr(cond)) // reference: DeleteCommand.java
       registerTable(tbl)
       status(s"deleted from $tbl")
@@ -108,9 +129,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           spark.sql(s"DROP TABLE IF EXISTS `$t`"))
       }
       status(r)
-    case dropTableStmt(ifExists, tbl) if cmds.tableExists(tbl) =>
+    case dropTableStmt(ifExists, q, tbl) if isLocalDb(q) && cmds.tableExists(tbl) =>
       // warehouse tables need BOTH the manifest dirs and the catalog entry
-      // gone, or a later CREATE COLSTORE of the same name would refuse
+      // gone, or a later CREATE COLSTORE of the same name would refuse.
+      // (A genuinely foreign-qualified DROP falls through to Spark SQL,
+      // which owns other catalogs/databases and errors clearly if absent.)
       cmds.dropTable(tbl, ifExists != null)
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
       status(s"dropped $tbl")

@@ -44,6 +44,35 @@ object Graft {
     spark
   }
 
+  /** Per-session memo of resolved table frames. `spark.read.parquet` does
+    * footer/schema resolution and file listing EAGERLY on every call; at
+    * 74 bench queries × several tables each, that re-resolution was a real
+    * slice of the ~0.25 s/query fixed floor. The test data is immutable, so
+    * one resolution per (session, dir, table) is exactly what a catalog
+    * would provide ([[Engine]]'s catalog tables already behave this way).
+    * Entries of stopped sessions are evicted lazily on the next lookup.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cached(spark: SparkSession, sfDir: String, key: String)(
+      load: => DataFrame): DataFrame = {
+    val it = tableCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val k = (spark, sfDir, key)
+    val hit = tableCache.get(k)
+    if (hit != null) hit
+    else {
+      // plain put-if-absent, NOT computeIfAbsent: tableParallel's loader
+      // calls back into table() on the same map, and a recursive
+      // computeIfAbsent on one ConcurrentHashMap is unspecified (can throw
+      // or deadlock). A lost race just resolves the footer twice.
+      val v = load
+      val prev = tableCache.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   /** Read one table from a scale-factor directory.
     *
     * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
@@ -54,12 +83,14 @@ object Graft {
     * delta).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    cached(spark, sfDir, s"t:$name") {
+      if (name == "events") {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** A table guaranteed to scan with enough partitions to keep every core
     * busy in the narrow stages that follow (shingling, hashing, vector
@@ -79,17 +110,18 @@ object Graft {
     * on a row-group-starved input the shuffle it adds is the one that
     * makes the narrow stage parallel at all.
     */
-  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = table(spark, sfDir, name)
-    val cores = spark.sparkContext.defaultParallelism
-    val (units, bytes) = rowGroupUnits(spark, s"$sfDir/$name.parquet", cores)
-    // both conditions: row-group-starved AND cheap to move. A big table
-    // with few huge row groups gets its (adequate) natural parallelism
-    // rather than a full-table shuffle for a marginal gain.
-    if (units < cores && bytes < cores.toLong * 1024L * 1024 * 1024)
-      df.repartition(cores)
-    else df
-  }
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cached(spark, sfDir, s"p:$name") {
+      val df = table(spark, sfDir, name)
+      val cores = spark.sparkContext.defaultParallelism
+      val (units, bytes) = rowGroupUnits(spark, s"$sfDir/$name.parquet", cores)
+      // both conditions: row-group-starved AND cheap to move. A big table
+      // with few huge row groups gets its (adequate) natural parallelism
+      // rather than a full-table shuffle for a marginal gain.
+      if (units < cores && bytes < cores.toLong * 1024L * 1024 * 1024)
+        df.repartition(cores)
+      else df
+    }
 
   /** (row groups, total bytes) under `p` (file or directory, recursive),
     * with footer reads stopping as soon as `cap` units are found — each

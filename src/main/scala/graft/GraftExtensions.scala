@@ -42,6 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash60", "simhash60(s) - 60-bit SimHash signature of the distinct tokens"),
       (exprs: Seq[Expression]) => SimHash60(
         GraftFunctions.toStrExpr(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig",
+        "hyperplane_sig(v, numPlanes, bitsPerTable) - LSH bucket per hash table"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(p, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
+          HyperplaneSig(exprs.head, p.toString.toInt, b.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"hyperplane_sig numPlanes/bitsPerTable must be literals, got $other")
+      }))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(s, k) - word k-grams"),
       (exprs: Seq[Expression]) => exprs(1) match {

@@ -149,6 +149,8 @@ object GraftFunctions {
     Bridge.column(DotL(Bridge.expression(a), Bridge.expression(b)))
   def simhash60(c: Column): Column =
     Bridge.column(SimHash60(toStr(Bridge.expression(c))))
+  def hyperplane_sig(v: Column, numPlanes: Int, bitsPerTable: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(v), numPlanes, bitsPerTable))
 
   def register(spark: SparkSession): Unit = {
     // custom aggregate on the SQL surface (reference FunctionDirectory also
@@ -166,6 +168,14 @@ object GraftFunctions {
       exprs => DotL(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       exprs => SimHash60(toStr(exprs.head)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      exprs => (exprs(1), exprs(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(p, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
+          HyperplaneSig(exprs.head, p.toString.toInt, b.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_sig numPlanes/bitsPerTable must be literals, got $other")
+      }, "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>

@@ -225,7 +225,7 @@ object SimHash60 {
     * `conv(substring(md5(x),1,15),16,10)` / DuckDB
     * `('0x'||substr(md5(x),1,15))::BIGINT` formulation: 15 hex digits =
     * bytes 0..6 plus the high nibble of byte 7. */
-  private def hash60(s: String, md: java.security.MessageDigest): Long = {
+  private[functions] def hash60(s: String, md: java.security.MessageDigest): Long = {
     md.reset()
     val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L; var i = 0
@@ -254,5 +254,86 @@ object SimHash60 {
     var sig = 0L; var b = 0
     while (b < 60) { if (tallies(b) > 0) sig |= 1L << b; b += 1 }
     sig
+  }
+}
+
+/** Random-hyperplane LSH bucket signatures of a quantized embedding
+  * (array<long>), computed map-side in one codegen scan — one bucket id per
+  * hash table, `numPlanes / bitsPerTable` tables of `bitsPerTable` planes.
+  *
+  * Hyperplane p's component-j sign is +1 iff the portable 60-bit md5 hash of
+  * "p_j" is even (the engine-portable derivation the DuckDB oracle mirrors
+  * arithmetically); table t's bucket sets bit (p % bitsPerTable) iff
+  * `sum_j(v_j * sign(p, j)) > 0`. Signs depend only on (plane, component),
+  * so they're derived once per (numPlanes, dims) and cached statically —
+  * the per-row work is `numPlanes` integer dot products, no stored model.
+  *
+  * This replaces the `posexplode` × planes + double-groupBy relational
+  * formulation, which shuffled dims × numPlanes rows per vector (a 16×
+  * shuffle amplification of the corpus at 100 TB) to compute what is a
+  * per-row value: with the kernel, bucketed ANN candidate generation is
+  * scan → equi-join on (table, bucket), zero shuffles before the join.
+  */
+case class HyperplaneSig(child: Expression, numPlanes: Int, bitsPerTable: Int)
+    extends UnaryExpression {
+
+  require(numPlanes > 0 && bitsPerTable > 0 && bitsPerTable <= 63 &&
+    numPlanes % bitsPerTable == 0,
+    s"numPlanes ($numPlanes) must be a positive multiple of " +
+      s"bitsPerTable ($bitsPerTable), bitsPerTable <= 63")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.buckets(v.asInstanceOf[ArrayData], numPlanes, bitsPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSig.buckets($c, $numPlanes, $bitsPerTable)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HyperplaneSig {
+
+  // (numPlanes, dims) -> signs(p)(j) in {-1, +1}; deterministic, so a lost
+  // putIfAbsent race just recomputes the same array
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]()
+
+  private def signs(numPlanes: Int, dims: Int): Array[Array[Byte]] = {
+    val k = (numPlanes, dims)
+    val hit = signCache.get(k)
+    if (hit != null) return hit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = Array.tabulate(numPlanes, dims) { (p, j) =>
+      if (SimHash60.hash60(s"${p}_$j", md) % 2 == 0) 1.toByte else -1.toByte
+    }
+    signCache.putIfAbsent(k, s)
+    s
+  }
+
+  // Called from generated code.
+  def buckets(v: ArrayData, numPlanes: Int, bitsPerTable: Int): ArrayData = {
+    val dims = v.numElements()
+    val sg = signs(numPlanes, dims)
+    val out = new Array[Long](numPlanes / bitsPerTable)
+    var p = 0
+    while (p < numPlanes) {
+      val sp = sg(p)
+      var dot = 0L; var j = 0
+      while (j < dims) { dot += v.getLong(j) * sp(j); j += 1 }
+      if (dot > 0) out(p / bitsPerTable) |= 1L << (p % bitsPerTable)
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 }

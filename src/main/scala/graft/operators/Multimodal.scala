@@ -171,10 +171,15 @@ object Multimodal {
                           // keyframe extraction with a byte-chunk stand-in
       (s, d) => {
         val frameSize = 16; val every = 4
+        // empty-text guard: DuckDB's floor division gives (0-1)//16 = -1 →
+        // zero frames, while Spark's `div` truncates toward zero → frame 0;
+        // an empty doc must yield NO frames in both engines (explode of an
+        // empty array drops the row)
         Graft.table(s, d, "documents")
           .select(col("doc_id"), col("text"),
-            explode(sequence(lit(0),
-              expr(s"(length(text) - 1) div $frameSize"))).as("frame_idx"))
+            explode(when(length(col("text")) > 0,
+              sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
+              .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"))
           .filter(col("frame_idx") % every === 0)
           .select(col("doc_id"), col("frame_idx"),
             md5(expr(s"substring(text, frame_idx * $frameSize + 1, $frameSize)"))

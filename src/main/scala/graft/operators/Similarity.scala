@@ -176,20 +176,18 @@ object Similarity {
             quant(transform(col("xd"), (x, j) =>
               x + when(j % 2 === 0, 0.001).otherwise(-0.001))).as("vq"))
         // deterministic hyperplane signs from the portable hash — identical
-        // bucketing in any engine, no stored model
-        def buckets(df: DataFrame, idCol: String): DataFrame = {
-          val sign = when(Dedup.hash60(concat(col("p").cast("string"), lit("_"),
-            col("j0").cast("string"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-          df.select(col(idCol), posexplode(col("vq")).as(Seq("j0", "xq")))
-            .select(col(idCol), col("j0"), col("xq"),
-              explode(array((0 until numPlanes).map(lit): _*)).as("p"))
-            .groupBy(idCol, "p")
-            .agg(sum(col("xq") * sign).as("dot"))
-            .groupBy(col(idCol), (col("p") / bitsPerTable).cast("int").as("t"))
-            .agg(sum(when(col("dot") > 0,
-              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $bitsPerTable AS INT))"))
-              .otherwise(0L)).as("bucket"))
-        }
+        // bucketing in any engine, no stored model. The signature is the
+        // map-side HyperplaneSig codegen kernel: one (table, bucket) pair
+        // per hash table per row, so candidate generation is scan →
+        // equi-join with ZERO pre-join shuffles (the posexplode + double
+        // groupBy formulation this replaces shuffled dims×planes rows per
+        // vector — a 16× amplification of the corpus at 100 TB). The
+        // oracle keeps the relational formulation; both compute the same
+        // integer arithmetic, so they agree bit-for-bit.
+        def buckets(df: DataFrame, idCol: String): DataFrame =
+          df.select(col(idCol),
+            posexplode(GraftFunctions.hyperplane_sig(
+              col("vq"), numPlanes, bitsPerTable)).as(Seq("t", "bucket")))
         val cand = buckets(queries, "q_id").as("q")
           .join(buckets(corpus, "vec_id").as("c"),
             col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket"))
@@ -262,25 +260,18 @@ object Similarity {
              |WHERE rnk <= 3""".stripMargin)),
 
     QueryDef(
-      "s91_lsh_buckets", // deterministic random-hyperplane signatures
-      (s, d) => {
-        val numPlanes = 8
-        val comp = Graft.tableParallel(s, d, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x")))
-          .select(col("vec_id"), col("j0"),
-            round(col("x").cast("double") * 1000000).cast("long").as("xq"))
-        val sign = when(
-          Dedup.hash60(concat(col("p").cast("string"), lit("_"),
-            col("j0").cast("string"))) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-        comp
-          .select(col("vec_id"), col("j0"), col("xq"),
-            explode(array((0 until numPlanes).map(lit): _*)).as("p"))
-          .groupBy("vec_id", "p")
-          .agg(sum(col("xq") * sign).as("dot"))
-          .groupBy("vec_id")
-          .agg(sum(when(col("dot") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
-      },
+      "s91_lsh_buckets", // deterministic random-hyperplane signatures via the
+                         // map-side HyperplaneSig kernel: one codegen scan,
+                         // no explode, no shuffle at all — the signature is
+                         // a per-row value (the oracle keeps the relational
+                         // unnest + double-aggregate formulation; identical
+                         // integer arithmetic, bit-for-bit agreement)
+      (s, d) => Graft.tableParallel(s, d, "embeddings")
+        .select(col("vec_id"),
+          element_at(GraftFunctions.hyperplane_sig(
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000000).cast("long")), 8, 8), 1)
+            .as("bucket")),
       Some("""WITH comp AS (
                 SELECT vec_id, j - 1 AS j0,
                        CAST(ROUND(x * 1000000) AS BIGINT) AS xq
