@@ -26,6 +26,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   private val cmds = new commands.TableCommands(spark, warehouse)
 
+  /** base table (lowercase) -> column (lowercase) -> index table name.
+    * CREATE INDEX records here; plain queries against the base table are
+    * transparently routed to the bucketed clone when they join/filter/group
+    * on the indexed column (see [[query]]). Mutating the base table drops
+    * its indexes — a bucketed re-cluster is a snapshot, and serving a stale
+    * one would be silently wrong. Pre-seeded from the session catalog so a
+    * new Engine over an existing warehouse keeps its index routing. */
+  private val indexes =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, String]]
+  private val indexName = """^(\w+)_by_(\w+)$""".r
+
   // idempotent: external-table DDL is IF NOT EXISTS, functions re-register
   Graft.tableNames.filterNot(_ == "events").foreach { n =>
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$n` USING parquet " +
@@ -33,6 +44,25 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   }
   Graft.table(spark, sfDir, "events").createOrReplaceTempView("events")
   functions.GraftFunctions.register(spark)
+
+  spark.catalog.listTables().collect().foreach { t =>
+    t.name match {
+      case indexName(base, col) if spark.catalog.tableExists(base) =>
+        recordIndex(base, col)
+      case _ => ()
+    }
+  }
+
+  private def recordIndex(tbl: String, column: String): Unit =
+    indexes.getOrElseUpdate(tbl.toLowerCase,
+      scala.collection.mutable.Map.empty)(column.toLowerCase) =
+      s"${tbl}_by_$column"
+
+  /** Indexes snapshot the base table's data; any mutation invalidates them. */
+  private def dropIndexesOf(tbl: String): Unit =
+    indexes.remove(tbl.toLowerCase).foreach(_.values.foreach { idx =>
+      spark.sql(s"DROP TABLE IF EXISTS `$idx`"); ()
+    })
 
   private val createColstore =
     """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
@@ -43,6 +73,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val txnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
+  private val crashStmt =
+    """(?is)\s*CRASH(?:\s+AFTER\s+(STAGED|PUBLISHED))?\s*;?\s*""".r
   private val optimizeStmt = """(?is)\s*OPTIMIZE\s+(\w+)\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
@@ -88,12 +120,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         spark.read.option("header", "true").schema(cmds.table(name).schema)
           .csv(csv))
       registerTable(name)
+      dropIndexesOf(name)
       status(s"loaded $csv into $name")
     case createIndex(tbl, column) =>
       // reference: CREATE INDEX builds a B+-tree (CreateIndexCommand.java);
       // here it re-clusters into a bucketed catalog table (see
       // TableCommands.createIndex for the 100 TB rationale)
       cmds.createIndex(tbl, column)
+      recordIndex(tbl, column)
       status(s"indexed $tbl by $column as ${tbl}_by_$column")
     case updateStmt(q, tblRaw, rest) =>
       // reference: UpdateCommand.java — Spark SQL cannot mutate plain
@@ -106,11 +140,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }.toMap
       cmds.update(tbl, condExpr(cond), setMap)
       registerTable(tbl)
+      dropIndexesOf(tbl)
       status(s"updated $tbl")
     case deleteStmt(q, tblRaw, cond) =>
       val tbl = localName(q, tblRaw, "DELETE")
       cmds.delete(tbl, condExpr(cond)) // reference: DeleteCommand.java
       registerTable(tbl)
+      dropIndexesOf(tbl)
       status(s"deleted from $tbl")
     case txnStmt(kw) => // reference: BeginCommand/CommitCommand/RollbackCommand
       val before = cmds.warehouseTables
@@ -136,14 +172,88 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // which owns other catalogs/databases and errors clearly if absent.)
       cmds.dropTable(tbl, ifExists != null)
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      dropIndexesOf(tbl)
       status(s"dropped $tbl")
+    case crashStmt(point) =>
+      // reference: CrashCommand.java — a test-harness command that kills
+      // the server to exercise crash recovery. Bare CRASH dies immediately;
+      // CRASH AFTER STAGED|PUBLISHED arms the corresponding failpoint in
+      // the next publish (see TableCommands.crashPoint), which is where the
+      // manifest layout's crash-safety claim actually gets exercised.
+      if (point == null) throw new IllegalStateException("simulated crash: CRASH")
+      cmds.crashPoint = Some(point.toLowerCase)
+      status(s"armed crash point ${point.toLowerCase}")
     case verifyStmt(tbl) => // reference: VerifyCommand (integrity check)
       status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
     case optimizeStmt(tbl) => // reference: OptimizeCommand (compaction)
       cmds.optimizeTable(tbl)
       registerTable(tbl)
       status(s"optimized $tbl")
-    case other => spark.sql(other)
+    case other => query(other)
+  }
+
+  /** Automatic index usage (the reference's intent for
+    * `commands/CreateIndexCommand.java` feeding `plans/IndexScanNode.java`,
+    * itself a stub): a PLAIN query against `t` that joins, filters, or
+    * groups on an indexed column is transparently re-pointed at the
+    * bucketed clone `<t>_by_<c>` — same rows, pre-clustered, so the join/
+    * agg runs exchange-free. Implemented as a rewrite of the PARSED (still
+    * unresolved) plan: each single-part relation with a usable index is
+    * replaced by `SubqueryAlias(t, <t>_by_<c>)`, so column references keep
+    * resolving under the original name. The substitution is always
+    * row-equivalent; the key-column check just keeps it to queries that can
+    * benefit. Non-SELECT statements and parse failures fall straight
+    * through to `spark.sql`. */
+  private def query(stmt: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Expression => CExpr}
+    import org.apache.spark.sql.catalyst.plans.UsingJoin
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, SubqueryAlias, UnresolvedWith}
+    val head = stmt.trim.takeWhile(!_.isWhitespace).toUpperCase
+    if (indexes.isEmpty ||
+        !(head == "SELECT" || head == "WITH" || stmt.trim.startsWith("(")))
+      return spark.sql(stmt)
+    val parsed =
+      try org.apache.spark.sql.graftbridge.Bridge.sessionState(spark)
+        .sqlParser.parsePlan(stmt)
+      catch { case scala.util.control.NonFatal(_) => return spark.sql(stmt) }
+    def attrs(e: CExpr): Seq[String] =
+      e.collect { case a: UnresolvedAttribute => a.nameParts.last.toLowerCase }
+    // columns the query joins on, compares in a filter, or groups by —
+    // the access paths a clustered index accelerates
+    val keyCols: Set[String] = parsed.collect {
+      case j: Join =>
+        j.condition.toSeq.flatMap(attrs) ++ (j.joinType match {
+          case UsingJoin(_, cols) => cols.map(_.toLowerCase)
+          case _ => Nil
+        })
+      case f: Filter =>
+        f.condition.collect { case c: BinaryComparison =>
+          attrs(c.left) ++ attrs(c.right)
+        }.flatten
+      case a: Aggregate => a.groupingExpressions.flatMap(attrs)
+    }.flatten.toSet
+    // CTE names shadow tables — never substitute them
+    val cteNames: Set[String] = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    var used = false
+    val rewritten = parsed.transform {
+      case r: UnresolvedRelation if r.multipartIdentifier.size == 1 &&
+          !cteNames.contains(r.multipartIdentifier.head.toLowerCase) =>
+        val name = r.multipartIdentifier.head
+        indexes.get(name.toLowerCase)
+          .flatMap(_.collectFirst {
+            case (c, idx) if keyCols(c) && spark.catalog.tableExists(idx) => idx
+          }) match {
+          case Some(idx) =>
+            used = true
+            SubqueryAlias(name, UnresolvedRelation(Seq(idx)))
+          case None => r
+        }
+    }
+    if (used) org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rewritten)
+    else spark.sql(stmt)
   }
 
   private def condExpr(cond: String): Column =

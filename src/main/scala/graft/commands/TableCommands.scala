@@ -66,16 +66,32 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     f"v${(if (existing.isEmpty) 0 else existing.max) + 1}%05d"
   }
 
+  /** Fault injection for the publish path — the reference's CRASH command
+    * (`commands/CrashCommand.java` kills the server mid-work to exercise
+    * recovery). Arm with `"staged"` (die after the version directory is
+    * written, before the pointer moves) or `"published"` (die after the
+    * pointer moves, before the sweep); the next publish attempt consumes
+    * the armed point. The crash-safety CLAIM of the manifest layout is
+    * exactly that both windows leave the table readable — specs assert it. */
+  private[graft] var crashPoint: Option[String] = None
+  private def maybeCrash(point: String): Unit =
+    if (crashPoint.contains(point)) {
+      crashPoint = None
+      throw new IllegalStateException(s"simulated crash: $point")
+    }
+
   /** Stage `df` as a fresh version directory, atomically publish the
     * pointer, then sweep superseded/orphaned versions (sweep deferred
     * while a transaction holds pre-images). */
   private def publish(table: String, df: DataFrame): Unit = {
     val version = nextVersion(table)
     df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/$version")
+    maybeCrash("staged")
     val tmp = Paths.get(dir(table), "CURRENT.tmp")
     Files.writeString(tmp, version)
     Files.move(tmp, currentFile(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    maybeCrash("published")
     if (txnSnapshot.isEmpty) sweep(table)
   }
 
@@ -224,10 +240,14 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * same read-path benefit the index gives the single-node engine, and the
     * one that matters at 100 TB (it removes the fact-table shuffle).
     * Registered as `<table>_by_<column>` in the session catalog. */
-  def createIndex(table: String, column: String, buckets: Int = 8): Unit =
-    this.table(table)
-      .write.bucketBy(buckets, column).sortBy(column)
+  def createIndex(table: String, column: String, buckets: Int = 8): Unit = {
+    // index any readable table: warehouse tables via the manifest pointer,
+    // everything else (external/catalog tables, temp views) via the session
+    // catalog — the reference's CREATE INDEX is similarly source-agnostic
+    val src = if (tableExists(table)) this.table(table) else spark.table(table)
+    src.write.bucketBy(buckets, column).sortBy(column)
       .mode(SaveMode.Overwrite).saveAsTable(s"${table}_by_$column")
+  }
 
   /** ANALYZE t — register the current version as an external catalog table
     * and compute table + column stats so CBO (join reorder, broadcast

@@ -57,14 +57,7 @@ object TupleServer {
               throw new java.io.IOException("client disconnected mid-stream")
           }
           emit(df.columns.mkString(","))
-          df.toLocalIterator().forEachRemaining { row =>
-            emit((0 until row.length).map { i =>
-              val v = if (row.isNullAt(i)) "" else String.valueOf(row.get(i))
-              if (v.exists(c => c == ',' || c == '"' || c == '\n'))
-                "\"" + v.replace("\"", "\"\"") + "\""
-              else v
-            }.mkString(","))
-          }
+          df.toLocalIterator().forEachRemaining(row => emit(csvLine(row)))
           out.flush()
           if (out.checkError())
             throw new java.io.IOException("client disconnected at flush")
@@ -78,4 +71,14 @@ object TupleServer {
   }
 
   private val CheckEvery = 1024L
+
+  /** One result row as a CSV line (RFC-4180 quoting). Shared with
+    * [[SharedServer]] so both serving surfaces frame rows identically. */
+  private[commands] def csvLine(row: org.apache.spark.sql.Row): String =
+    (0 until row.length).map { i =>
+      val v = if (row.isNullAt(i)) "" else String.valueOf(row.get(i))
+      if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    }.mkString(",")
 }

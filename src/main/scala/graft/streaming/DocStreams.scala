@@ -19,14 +19,32 @@ object DocStreams {
     * batch (`spark.read`) and stream (`spark.readStream`).
     *
     * State note: with no event-time column on documents this uses unbounded
-    * `dropDuplicates` state — the 100 TB deployment attaches an ingest
-    * timestamp and swaps in `dropDuplicatesWithinWatermark` (same shape as
-    * `EventStreams.streamingDedup`) so state is watermark-evicted.
+    * `dropDuplicates` state — fine for batch and bounded backfills. A
+    * long-running stream should attach an ingest timestamp and use
+    * [[contentDedupWithinWatermark]], whose state is watermark-evicted.
     */
   def contentDedup(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
         GraftFunctions.simhash60(col("text")).as("simhash"))
       .dropDuplicates("simhash")
+      .select("doc_id", "simhash")
+
+  /** The bounded-state production variant: content dedup over a stream
+    * carrying an ingest timestamp (`tsCol`). Duplicates arriving within
+    * `horizon` of the kept copy are dropped; once the watermark passes a
+    * signature's horizon its state is EVICTED, so state size is bounded by
+    * the dedup horizon's arrival volume, not the stream's lifetime — the
+    * only formulation that survives an unbounded 100 TB ingest stream.
+    * (Same signature kernel; recurring content re-admits after the horizon,
+    * which is the standard contract of `dropDuplicatesWithinWatermark`.)
+    */
+  def contentDedupWithinWatermark(docs: DataFrame, tsCol: String,
+      horizon: String): DataFrame =
+    docs
+      .select(col("doc_id"), col(tsCol), col("text"),
+        GraftFunctions.simhash60(col("text")).as("simhash"))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("simhash")
       .select("doc_id", "simhash")
 }

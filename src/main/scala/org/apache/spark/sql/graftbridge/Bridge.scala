@@ -16,4 +16,9 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def sessionState(s: SparkSession): SessionState =
     org.apache.spark.sql.classic.ClassicConversions.castToImpl(s).sessionState
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(s), plan)
 }

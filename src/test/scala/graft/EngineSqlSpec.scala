@@ -178,4 +178,53 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t").head.getLong(0) == 2)
     engine.sql("DROP TABLE cs_t")
   }
+
+  test("qualified names: default-db spellings route to the warehouse, " +
+      "foreign databases are rejected clearly") {
+    val csv = Files.createTempFile("graft_qn", ".csv")
+    Files.writeString(csv, "id,v\n1,a\n2,b\n")
+    engine.sql("DROP TABLE IF EXISTS qn_t")
+    engine.sql(s"CREATE COLSTORE qn_t FROM '$csv'")
+    try {
+      // default.t and spark_catalog.default.t are THIS engine's database
+      engine.sql("UPDATE default.qn_t SET v = 'x' WHERE id = 1")
+      engine.sql("DELETE FROM spark_catalog.default.qn_t WHERE id = 2")
+      val got = engine.sql("SELECT id, v FROM qn_t ORDER BY id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got == Seq((1, "x")))
+      // a genuinely foreign database gets an ENGINE error naming the
+      // problem, not Spark SQL's non-catalog fallthrough
+      val e = intercept[UnsupportedOperationException] {
+        engine.sql("UPDATE otherdb.qn_t SET v = 'y'")
+      }
+      assert(e.getMessage.contains("qualified table"), e.getMessage)
+      val e2 = intercept[UnsupportedOperationException] {
+        engine.sql("DELETE FROM otherdb.qn_t")
+      }
+      assert(e2.getMessage.contains("single-database"), e2.getMessage)
+    } finally engine.sql("DROP TABLE IF EXISTS qn_t")
+  }
+
+  test("CRASH command: bare CRASH dies; CRASH AFTER STAGED arms the " +
+      "publish failpoint and recovery holds") {
+    val csv = Files.createTempFile("graft_crash", ".csv")
+    Files.writeString(csv, "id\n1\n2\n3\n")
+    engine.sql("DROP TABLE IF EXISTS cr_t")
+    engine.sql(s"CREATE COLSTORE cr_t FROM '$csv'")
+    try {
+      intercept[IllegalStateException] { engine.sql("CRASH") }
+      // the engine object survives a simulated hard crash (it's a client
+      // of immutable storage): statements keep working
+      assert(engine.sql("SELECT COUNT(*) AS n FROM cr_t").head.getLong(0) == 3)
+      engine.sql("CRASH AFTER STAGED")
+      intercept[IllegalStateException] {
+        engine.sql("DELETE FROM cr_t WHERE id = 1")
+      }
+      // publish died before the pointer moved: pre-crash data intact
+      assert(engine.sql("SELECT COUNT(*) AS n FROM cr_t").head.getLong(0) == 3)
+      // and the next rewrite succeeds (sweeping the crashed stage)
+      engine.sql("DELETE FROM cr_t WHERE id = 1")
+      assert(engine.sql("SELECT COUNT(*) AS n FROM cr_t").head.getLong(0) == 2)
+    } finally engine.sql("DROP TABLE IF EXISTS cr_t")
+  }
 }

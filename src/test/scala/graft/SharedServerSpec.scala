@@ -1,0 +1,102 @@
+package graft
+
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.commands.SharedServer
+
+/** The reference's `SharedServer` model: concurrent clients over one shared
+  * engine/warehouse, statements in, framed rows out, errors as status lines,
+  * and a client dying mid-stream never takes the server down. */
+class SharedServerSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def client(port: Int): (Socket, java.io.BufferedReader, java.io.PrintWriter) = {
+    val s = new Socket("127.0.0.1", port)
+    s.setSoTimeout(60000)
+    (s,
+      new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, UTF_8)),
+      new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, UTF_8), true))
+  }
+
+  private def newServer(): (SharedServer, Engine) = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_srv_wh").toString
+    val engine = new Engine(spark, TestSpark.sfDir, wh)
+    (new SharedServer(engine), engine)
+  }
+
+  test("two concurrent clients run statements against the shared warehouse") {
+    val (srv, _) = newServer()
+    try {
+      // a storage command from client A is visible to client B
+      val csv = java.nio.file.Files.createTempFile("graft_srv", ".csv")
+      java.nio.file.Files.writeString(csv, "id,v\n1,a\n2,b\n3,c\n")
+      val (sa, ina, outa) = client(srv.boundPort)
+      val (sb, inb, outb) = client(srv.boundPort)
+      try {
+        outa.println(s"CREATE COLSTORE srvdemo FROM '$csv'")
+        assert(ina.readLine() == "status")
+        assert(ina.readLine().startsWith("created"))
+        assert(ina.readLine() == "OK 1")
+
+        outb.println("SELECT count(*) AS n FROM srvdemo")
+        assert(inb.readLine() == "n")
+        assert(inb.readLine() == "3")
+        assert(inb.readLine() == "OK 1")
+
+        // truly concurrent queries: both clients issue, both complete
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val threads = Seq((ina, outa), (inb, outb)).zipWithIndex.map {
+          case ((in, out), i) => new Thread(() => {
+            (1 to 3).foreach { _ =>
+              out.println(
+                "SELECT n_name FROM nation ORDER BY n_name LIMIT 2")
+              val lines = Iterator.continually(in.readLine())
+                .takeWhile(l => l != null && !l.startsWith("OK") &&
+                  !l.startsWith("ERR")).toList
+              results.add(s"c$i:${lines.mkString("|")}")
+            }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join(60000))
+        assert(results.size == 6)
+        assert(results.iterator().next().contains("n_name"))
+
+        // an error comes back as an ERR status line and the SAME
+        // connection keeps working
+        outa.println("SELECT broken syntax here FROM")
+        val err = ina.readLine()
+        assert(err.startsWith("ERR "), s"expected ERR status, got: $err")
+        outa.println("SELECT 1 AS one")
+        assert(ina.readLine() == "one")
+        assert(ina.readLine() == "1")
+        assert(ina.readLine() == "OK 1")
+      } finally { sa.close(); sb.close() }
+    } finally srv.close()
+  }
+
+  test("a client disconnecting mid-stream does not stop the server") {
+    val (srv, _) = newServer()
+    try {
+      val (sc, inc, outc) = client(srv.boundPort)
+      // big result: full lineitem scan; read only the header then vanish
+      outc.println("SELECT * FROM lineitem")
+      assert(inc.readLine() != null)
+      sc.close()
+
+      // the server must still accept and serve a fresh client
+      val (sd, ind, outd) = client(srv.boundPort)
+      try {
+        outd.println("SELECT count(*) AS n FROM nation")
+        assert(ind.readLine() == "n")
+        assert(ind.readLine() == "25")
+        assert(ind.readLine() == "OK 1")
+      } finally sd.close()
+    } finally srv.close()
+  }
+}

@@ -125,6 +125,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contentDedupWithinWatermark: dups dropped inside the horizon, " +
+      "state evicted past it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog"
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = streaming.DocStreams.contentDedupWithinWatermark(
+        src.toDF().toDF("doc_id", "ingest_ts", "text"), "ingest_ts", "1 minute")
+      .writeStream.format("memory").queryName("wdedup")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, ts("2026-01-01 10:00:00"), text))
+      q.processAllAvailable()
+      // same signature 30 s later — inside the horizon — dropped; an
+      // event far ahead advances the watermark past 10:01, evicting the
+      // signature's state at the end of this batch
+      src.addData(
+        (2L, ts("2026-01-01 10:00:30"), text),
+        (3L, ts("2026-01-01 10:10:00"), "some totally different words here")
+      )
+      q.processAllAvailable()
+      // the same content arriving AFTER eviction is re-admitted: state is
+      // bounded by the horizon, not the stream's lifetime
+      src.addData((4L, ts("2026-01-01 10:11:00"), text))
+      q.processAllAvailable()
+      val kept = spark.table("wdedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L),
+        s"expected dup 2 dropped and 4 re-admitted after eviction, got $kept")
+    } finally q.stop()
+  }
+
   test("runningUserFlags: stateful running mean across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

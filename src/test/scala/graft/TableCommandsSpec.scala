@@ -119,6 +119,45 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/t/v00003").exists)
   }
 
+  test("crash between staging and pointer move: old version still served, " +
+      "orphan swept by next rewrite") {
+    import spark.implicits._
+    val (c, wh) = freshCmdsAt()
+    c.createTable("t", Seq(1, 2, 3).toDF("id"))
+    c.crashPoint = Some("staged")
+    intercept[IllegalStateException] {
+      c.update("t", col("id") === 3, Map("id" -> lit(30)))
+    }
+    // the un-published stage is inert: readers see the pre-crash data
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(new java.io.File(s"$wh/t/v00002").exists, "stage dir should remain")
+    // the next (successful) rewrite publishes and sweeps the orphan
+    c.update("t", col("id") === 3, Map("id" -> lit(31)))
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 31))
+    val listed = new java.io.File(s"$wh/t").list().sorted.toSeq
+    assert(listed == Seq("CURRENT", "v00003"), s"got $listed")
+  }
+
+  test("crash between pointer move and sweep: new version served, stale " +
+      "versions swept by next rewrite") {
+    import spark.implicits._
+    val (c, wh) = freshCmdsAt()
+    c.createTable("t", Seq(1, 2, 3).toDF("id"))
+    c.crashPoint = Some("published")
+    intercept[IllegalStateException] {
+      c.delete("t", col("id") === 1)
+    }
+    // pointer moved before the crash: the delete IS visible...
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    // ...and the superseded version survived the skipped sweep
+    assert(new java.io.File(s"$wh/t/v00001").exists, "pre-image not swept yet")
+    // any later rewrite sweeps all superseded versions
+    c.delete("t", col("id") === 2)
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(3))
+    val listed = new java.io.File(s"$wh/t").list().sorted.toSeq
+    assert(listed == Seq("CURRENT", "v00003"), s"got $listed")
+  }
+
   test("createIndex: bucketed re-cluster makes the keyed join exchange-free") {
     import spark.implicits._
     val c = freshCmds()
