@@ -75,6 +75,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
   private val crashStmt =
     """(?is)\s*CRASH(?:\s+AFTER\s+(STAGED|PUBLISHED))?\s*;?\s*""".r
+  private[graft] val exitStmt = """(?is)\s*(?:EXIT|QUIT)\s*;?\s*""".r
   private val optimizeStmt = """(?is)\s*OPTIMIZE\s+(\w+)\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
@@ -174,6 +175,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
       dropIndexesOf(tbl)
       status(s"dropped $tbl")
+    case exitStmt() =>
+      // reference: ExitCommand.java — a session-control acknowledgement;
+      // the owning edge decides what "ending the session" means
+      // (SharedServer closes the client connection; a REPL would stop)
+      status("bye")
     case crashStmt(point) =>
       // reference: CrashCommand.java — a test-harness command that kills
       // the server to exercise crash recovery. Bare CRASH dies immediately;

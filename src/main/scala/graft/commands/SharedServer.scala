@@ -59,7 +59,8 @@ final class SharedServer(engine: graft.Engine, port: Int = 0)
       val out = new java.io.PrintWriter(new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(client.getOutputStream, UTF_8)))
       var line = in.readLine()
-      while (line != null) {
+      var open = true
+      while (open && line != null) {
         if (line.trim.nonEmpty) {
           try {
             val df = routeLock.synchronized(engine.sql(line))
@@ -78,8 +79,12 @@ final class SharedServer(engine: graft.Engine, port: Int = 0)
           out.flush()
           if (out.checkError())
             throw new java.io.IOException("client disconnected")
+          // EXIT/QUIT (reference ExitCommand): acknowledge, then hang up —
+          // only this client's session ends, the server keeps serving
+          if (line match { case engine.exitStmt() => true; case _ => false })
+            open = false
         }
-        line = in.readLine()
+        if (open) line = in.readLine()
       }
     } catch {
       // one client's death (mid-stream disconnect included) never takes

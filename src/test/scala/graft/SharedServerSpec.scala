@@ -80,6 +80,27 @@ class SharedServerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("EXIT ends one client's session; the server keeps serving") {
+    val (srv, _) = newServer()
+    try {
+      val (se, ine, oute) = client(srv.boundPort)
+      oute.println("EXIT")
+      assert(ine.readLine() == "status")
+      assert(ine.readLine() == "bye")
+      assert(ine.readLine() == "OK 1")
+      assert(ine.readLine() == null, "server should hang up after EXIT")
+      se.close()
+
+      val (sf, inf, outf) = client(srv.boundPort)
+      try {
+        outf.println("SELECT count(*) AS n FROM region")
+        assert(inf.readLine() == "n")
+        assert(inf.readLine() == "5")
+        assert(inf.readLine() == "OK 1")
+      } finally sf.close()
+    } finally srv.close()
+  }
+
   test("a client disconnecting mid-stream does not stop the server") {
     val (srv, _) = newServer()
     try {
