@@ -194,7 +194,87 @@ object Dedup {
                                                   b.embedding::DOUBLE[]), 6) AS sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                 b.embedding::DOUBLE[]), 6) > 0.45"""))
+                                                 b.embedding::DOUBLE[]), 6) > 0.45""")),
+
+    QueryDef(
+      "d88_decontamination", // benchmark-contamination check: for each doc
+                             // in a held-out "benchmark" set, the fraction of
+                             // its distinct 5-gram shingles that appear
+                             // anywhere in the training corpus. The benchmark
+                             // is derived in-plan: near-copies (last 2 tokens
+                             // dropped, +1000000) of every 100th doc are the
+                             // planted-contaminated half, token-REVERSED
+                             // copies (+2000000) the clean controls — so the
+                             // operator provably separates the two.
+                             //
+                             // 100 TB shape: the corpus side is a pure
+                             // map-side scan (shingle -> hash, no distinct,
+                             // no shuffle); the benchmark grams broadcast
+                             // into an inner hash join, and only the MATCHED
+                             // grams (bounded by |benchmark|) reach the
+                             // count-distinct — the corpus is never
+                             // shuffled, collected, or indexed.
+      (s, d) => {
+        val k = 5
+        val docs = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val sample = docs.filter(col("doc_id") % 100 === 0)
+        val bench = sample.select((col("doc_id") + 1000000).as("bench_id"),
+            concat_ws(" ",
+              slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
+          .union(sample.select((col("doc_id") + 2000000).as("bench_id"),
+            concat_ws(" ", reverse(toks)).as("text")))
+        val benchDocs = bench
+          .select(col("bench_id"), shingles(col("text"), k).as("grams"))
+          .select(col("bench_id"), size(col("grams")).as("n_grams"),
+            col("grams"))
+        val benchGrams = benchDocs
+          .select(col("bench_id"), explode(col("grams")).as("g"))
+          .select(col("bench_id"), hash60(col("g")).as("h"))
+        val corpusGrams = docs
+          .select(explode(shingles(col("text"), k)).as("g"))
+          .select(hash60(col("g")).as("h"))
+        val hits = corpusGrams.join(broadcast(benchGrams), "h")
+          .groupBy("bench_id").agg(countDistinct(col("h")).as("n_hit"))
+        benchDocs.select("bench_id", "n_grams")
+          .join(hits, Seq("bench_id"), "left")
+          .select(col("bench_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_grams").cast("double"), 6).as("contamination"))
+          .withColumn("contaminated", col("contamination") >= 0.5)
+      },
+      Some(s"""WITH toked AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |sample AS (SELECT * FROM toked WHERE doc_id % 100 = 0),
+              |bench AS (
+              |  SELECT doc_id + 1000000 AS bench_id,
+              |         array_to_string(toks[1:greatest(len(toks)-2, 0)], ' ') AS text
+              |  FROM sample
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS bench_id,
+              |         array_to_string(list_reverse(toks), ' ') AS text
+              |  FROM sample),
+              |bdocs AS (
+              |  SELECT bench_id, CAST(len(grams) AS INT) AS n_grams, grams
+              |  FROM (SELECT bench_id, ${shinglesSql(5)} AS grams
+              |        FROM (SELECT bench_id, $toksSql AS toks FROM bench))),
+              |bg AS (
+              |  SELECT bench_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+              |  FROM (SELECT bench_id, unnest(grams) AS g FROM bdocs)),
+              |cg AS (
+              |  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+              |  FROM (SELECT unnest(${shinglesSql(5)}) AS g FROM toked)),
+              |hits AS (
+              |  SELECT bench_id, CAST(COUNT(DISTINCT cg.h) AS BIGINT) AS n_hit
+              |  FROM cg JOIN bg ON cg.h = bg.h GROUP BY bench_id)
+              |SELECT bench_id, n_grams, n_hit, contamination,
+              |       contamination >= 0.5 AS contaminated
+              |FROM (SELECT b.bench_id, b.n_grams,
+              |             COALESCE(h.n_hit, 0) AS n_hit,
+              |             ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_grams, 6)
+              |               AS contamination
+              |      FROM bdocs b LEFT JOIN hits h ON b.bench_id = h.bench_id)""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

@@ -277,6 +277,95 @@ object TextAnalysis {
                       x -> x != '')) AS term
                     FROM documents)
               GROUP BY term
-              ORDER BY n DESC, term ASC LIMIT 100"""))
+              ORDER BY n DESC, term ASC LIMIT 100""")),
+
+    QueryDef(
+      "t79_tfidf_topterms", // per-document top-3 terms by tf-idf — the
+                            // keyword/topic-signal building block. idf is
+                            // rounded to 6 decimals BEFORE the tf multiply,
+                            // so both engines order by identical doubles
+                            // (ln parity at 1e-6 is the q40-proven
+                            // tolerance). Scale shape: one shuffle on
+                            // (doc, term) with map-side combine, the
+                            // |vocab|-sized df table broadcast back, per-doc
+                            // window top-k — the corpus text is read once.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+        val terms = docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.select(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"), col("tf"),
+            round(col("tf") *
+              round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6),
+              6).as("tfidf"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           regexp_split_to_array(trim(lower(text)), '\s+'),
+             |           x -> x != '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM terms GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |          FROM tf GROUP BY term),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+             |SELECT doc_id, term, tf, tfidf, rnk FROM (
+             |  SELECT tf.doc_id, tf.term, tf.tf,
+             |         ROUND(tf.tf * ROUND(LN(CAST(n.n_docs + 1 AS DOUBLE)
+             |                                / (dfreq.df + 1)), 6), 6) AS tfidf,
+             |         ROW_NUMBER() OVER (
+             |           PARTITION BY tf.doc_id
+             |           ORDER BY ROUND(tf.tf * ROUND(LN(CAST(n.n_docs + 1 AS DOUBLE)
+             |                                           / (dfreq.df + 1)), 6), 6) DESC,
+             |                    tf.term ASC) AS rnk
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+             |WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "t80_repetition", // intra-document repetition score (the Gopher-style
+                        // quality gate for boilerplate/looping text): the
+                        // fraction of 3-gram OCCURRENCES that are repeats of
+                        // an earlier gram in the same doc. Entirely map-side
+                        // (one codegen shingle pass per row, no shuffle at
+                        // any scale).
+      (s, d) => {
+        val all = GraftFunctions.word_shingles(col("text"), 3)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(all).as("n_grams"),
+            size(array_distinct(all)).as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            round(when(col("n_grams") > 0,
+              lit(1.0) - col("n_distinct").cast("double") /
+                col("n_grams").cast("double")).otherwise(0.0), 6)
+              .as("rep_ratio"))
+          .withColumn("repetitive", col("rep_ratio") > 0.2)
+      },
+      Some("""SELECT doc_id, n_grams, n_distinct, rep_ratio,
+             |       rep_ratio > 0.2 AS repetitive
+             |FROM (
+             |  SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+             |         CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+             |         ROUND(CASE WHEN len(grams) > 0
+             |                    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+             |                               / len(grams)
+             |                    ELSE 0.0 END, 6) AS rep_ratio
+             |  FROM (SELECT doc_id,
+             |          CASE WHEN len(toks) >= 3
+             |               THEN list_transform(range(1, len(toks) - 1),
+             |                      i -> array_to_string(toks[i:i+2], ' '))
+             |               ELSE [] END AS grams
+             |        FROM (SELECT doc_id,
+             |                list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                            x -> x != '') AS toks
+             |              FROM documents)))""".stripMargin))
   )
 }

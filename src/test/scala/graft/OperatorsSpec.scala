@@ -179,6 +179,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d88 decontamination: planted near-copies flagged, reversed controls clean") {
+    val rows = run("d88_decontamination").collect()
+    val (planted, controls) = rows.partition(_.getLong(0) < 2000000)
+    assert(planted.nonEmpty && controls.nonEmpty)
+    assert(planted.forall(_.getBoolean(4)),
+      "every near-copy benchmark doc must be flagged contaminated")
+    // a reversed doc can still share the odd symmetric gram (e.g. a repeated
+    // token run reverses to itself) — the invariant is separation, not zero
+    assert(controls.forall(r => !r.getBoolean(4) && r.getDouble(3) < 0.1),
+      "token-reversed controls must score far below the threshold")
+  }
+
+  test("t79 tfidf: exactly top-3 terms per doc, ranks 1..3") {
+    val rows = run("t79_tfidf_topterms").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length == 3))
+    assert(byDoc.values.forall(_.map(_.getInt(4)).sorted.sameElements(Seq(1, 2, 3))))
+  }
+
+  test("t80 repetition: ratio bounded and consistent with gram counts") {
+    val rows = run("t80_repetition").collect()
+    assert(rows.forall { r =>
+      val (n, dn, ratio) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      dn <= n && ratio >= 0.0 && ratio <= 1.0 &&
+        (n == 0 || math.abs(ratio - (1.0 - dn.toDouble / n)) < 1e-6)
+    })
+  }
+
   test("q61 sessionize: per-user event counts are conserved") {
     val sessions = run("q61_sessionize").collect()
     val byUser = sessions.groupBy(_.getLong(0))
