@@ -786,6 +786,78 @@ object Relational {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                      event_type, COUNT(*) AS n,
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-              FROM events GROUP BY 1, 2"""))
+              FROM events GROUP BY 1, 2""")),
+
+    QueryDef(
+      "q57_window_range_frame", // value-RANGE window frame (vs the row
+                                // frames of q50/q51): per-customer trailing
+                                // 30-day revenue. The frame is over integer
+                                // days-since-epoch, so tie handling (all
+                                // peers in frame) and the frame boundary
+                                // are value-based and engine-identical;
+                                // the sum uses the DECIMAL-cast pattern so
+                                // partition order can't perturb bits.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("d")
+          .rangeBetween(-30, 0)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+              .as("d"),
+            col("o_totalprice"))
+          .select(col("o_orderkey"), col("o_custkey"), col("d"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("rev_30d"),
+            count(lit(1)).over(w).cast("long").as("n_30d"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, d,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |         PARTITION BY o_custkey ORDER BY d
+             |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |         AS rev_30d,
+             |       CAST(COUNT(*) OVER (
+             |         PARTITION BY o_custkey ORDER BY d
+             |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS n_30d
+             |FROM (SELECT o_orderkey, o_custkey,
+             |        CAST(date_diff('day', DATE '1970-01-01',
+             |                       CAST(o_orderdate AS DATE)) AS INT) AS d,
+             |        o_totalprice
+             |      FROM orders)""".stripMargin)),
+
+    QueryDef(
+      "q62_time_gap_fill", // sparse -> dense time series: an hourly spine
+                           // (min..max hour, generated in-plan from a
+                           // 1-row bounds aggregate — no driver loop, no
+                           // collect) cross-joined with the type dimension,
+                           // left-joined to the sparse hourly counts,
+                           // gaps filled with 0. Spine size = hours x
+                           // types regardless of data volume, so both
+                           // joins broadcast at any corpus scale.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        val hourly = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+        val spine = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        val types = ev.select("event_type").distinct()
+        spine.crossJoin(types)
+          .join(hourly, Seq("h", "event_type"), "left")
+          .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+            col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h, event_type,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM events GROUP BY h, event_type),
+             |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+             |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |          FROM bounds),
+             |types AS (SELECT DISTINCT event_type FROM events)
+             |SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hour, t.event_type,
+             |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             |FROM spine s CROSS JOIN types t
+             |LEFT JOIN hourly c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin))
   )
 }

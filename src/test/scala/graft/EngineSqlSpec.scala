@@ -34,6 +34,33 @@ class EngineSqlSpec extends AnyFunSuite {
                                AND TIMESTAMP '1996-12-31'""",
     "q05_rlike" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name RLIKE 'a.*e'",
+    "q57_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, d,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY d
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS rev_30d,
+                CAST(COUNT(*) OVER (
+                  PARTITION BY o_custkey ORDER BY d
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_30d
+         FROM (SELECT o_orderkey, o_custkey,
+                 CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS INT) AS d,
+                 o_totalprice
+               FROM orders)""",
+    "q62_time_gap_fill" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY h, event_type),
+         bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+         spine AS (SELECT explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS h
+                   FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events)
+         SELECT date_format(s.h, 'yyyy-MM-dd HH:00') AS hour, t.event_type,
+                CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         FROM spine s CROSS JOIN types t
+         LEFT JOIN hourly c ON c.h = s.h AND c.event_type = t.event_type""",
     "q13_min_max" ->
       """SELECT o_orderstatus, MIN(o_totalprice) AS min_price,
                 MAX(o_totalprice) AS max_price,
