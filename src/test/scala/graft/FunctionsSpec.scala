@@ -192,6 +192,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sigs.forall(s => s >= 0 && s < (1L << 60)))
   }
 
+  test("hyperplane_sig kernel == relational explode+groupBy formulation") {
+    // the relational form the kernel replaced (and the oracle still uses):
+    // per-plane sign = parity of hash60("p_j"), dot > 0 sets bit p%bits
+    val numPlanes = 16; val bits = 8
+    val vecs = Graft.table(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+    val kernel = vecs.select(col("vec_id"),
+      posexplode(GraftFunctions.hyperplane_sig(col("vq"), numPlanes, bits))
+        .as(Seq("t", "bucket")))
+    val sign = when(operators.Dedup.hash60(
+      concat(col("p").cast("string"), lit("_"), col("j0").cast("string")))
+      % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val relational = vecs
+      .select(col("vec_id"), posexplode(col("vq")).as(Seq("j0", "xq")))
+      .select(col("vec_id"), col("j0"), col("xq"),
+        explode(array((0 until numPlanes).map(lit): _*)).as("p"))
+      .groupBy("vec_id", "p")
+      .agg(sum(col("xq") * sign).as("dot"))
+      .groupBy(col("vec_id"), (col("p") / bits).cast("int").as("t"))
+      .agg(sum(when(col("dot") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $bits AS INT))"))
+        .otherwise(0L)).as("bucket"))
+    val diff = kernel.as("k")
+      .join(relational.as("r"), Seq("vec_id", "t"), "full")
+      .filter(col("k.bucket").isNull || col("r.bucket").isNull ||
+        col("k.bucket") =!= col("r.bucket")).count()
+    assert(diff == 0, "kernel and relational signatures diverge")
+  }
+
+  test("hyperplane_sig: shape, bounds, null propagation, SQL registration") {
+    val out = Seq(Seq(5L, -3L, 7L, 1L)).toDF("v")
+      .select(GraftFunctions.hyperplane_sig(col("v"), 16, 8).as("sig"))
+      .as[Seq[Long]].head()
+    assert(out.length == 2, "16 planes / 8 bits = 2 tables")
+    assert(out.forall(b => b >= 0 && b < 256), "buckets are 8-bit")
+    val nullRow = Seq(Option.empty[Seq[Long]]).toDF("v")
+      .select(GraftFunctions.hyperplane_sig(col("v"), 8, 8)).head()
+    assert(nullRow.isNullAt(0))
+    val viaSql = spark.sql(
+      "SELECT hyperplane_sig(array(5L, -3L, 7L, 1L), 16, 8)")
+      .as[Seq[Long]].head()
+    assert(viaSql == out, "SQL registration must match the Column API")
+  }
+
   test("hash60: non-negative, under 2^60, engine-portable formula") {
     val got = Seq("a", "b", "abc", "").toDF("s")
       .select(operators.Dedup.hash60(col("s"))).as[Long].collect()

@@ -179,6 +179,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m96 frame sampling: an empty-text doc yields zero frames") {
+    // DuckDB floor division gives (0-1)//16 = -1 -> no frames; Spark's
+    // `div` truncates toward zero -> a phantom frame 0 without the guard
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m96").toString
+    Seq((1L, ""), (2L, "0123456789abcdef0123"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("m96_frame_sample")(spark, dir).collect()
+    assert(!rows.exists(_.getLong(0) == 1L), "empty doc must yield no frames")
+    assert(rows.count(_.getLong(0) == 2L) == 1,
+      "20-char doc has frames 0,1; every-4th keeps only frame 0")
+  }
+
   test("d88 decontamination: planted near-copies flagged, reversed controls clean") {
     val rows = run("d88_decontamination").collect()
     val (planted, controls) = rows.partition(_.getLong(0) < 2000000)
