@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash60", "simhash60(s) - 60-bit SimHash signature of the distinct tokens"),
       (exprs: Seq[Expression]) => SimHash60(
         GraftFunctions.toStrExpr(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("vector_sum_l"),
+      info("vector_sum_l", "vector_sum_l(v) - elementwise sum of bigint arrays"),
+      (exprs: Seq[Expression]) => VectorSumL(exprs.head)))
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig",
         "hyperplane_sig(v, numPlanes, bitsPerTable) - LSH bucket per hash table"),

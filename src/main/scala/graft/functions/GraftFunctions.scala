@@ -151,6 +151,8 @@ object GraftFunctions {
     Bridge.column(SimHash60(toStr(Bridge.expression(c))))
   def hyperplane_sig(v: Column, numPlanes: Int, bitsPerTable: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(v), numPlanes, bitsPerTable))
+  def vector_sum_l(v: Column): Column =
+    Bridge.column(VectorSumL(Bridge.expression(v)).toAggregateExpression())
 
   def register(spark: SparkSession): Unit = {
     // custom aggregate on the SQL surface (reference FunctionDirectory also
@@ -168,6 +170,8 @@ object GraftFunctions {
       exprs => DotL(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       exprs => SimHash60(toStr(exprs.head)), "built-in")
+    reg.createOrReplaceTempFunction("vector_sum_l",
+      exprs => VectorSumL(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
       exprs => (exprs(1), exprs(2)) match {
         case (org.apache.spark.sql.catalyst.expressions.Literal(p, _),

@@ -675,6 +675,34 @@ object Relational {
               FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "q63_unpivot", // wide -> long (the inverse of q53's pivot, composed
+                     // on q53's own output): Spark's native `unpivot`
+                     // (Dataset.unpivot / UNPIVOT), zero-count cells kept —
+                     // the round trip conserves every (user, type) cell
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("view"), col("click"), col("purchase"), col("signup"),
+            col("error")),
+          "event_type", "n"),
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |         COUNT(*) FILTER (event_type = 'view') AS view,
+             |         COUNT(*) FILTER (event_type = 'click') AS click,
+             |         COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |         COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |         COUNT(*) FILTER (event_type = 'error') AS error
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, 'view' AS event_type, view AS n FROM p
+             |UNION ALL SELECT user_id, 'click', click FROM p
+             |UNION ALL SELECT user_id, 'purchase', purchase FROM p
+             |UNION ALL SELECT user_id, 'signup', signup FROM p
+             |UNION ALL SELECT user_id, 'error', error FROM p""".stripMargin)),
+
+    QueryDef(
       "q55_window_distribution", // rank-distribution window functions:
                                  // ntile / percent_rank / cume_dist over a
                                  // unique ordering (event_id tiebreak keeps

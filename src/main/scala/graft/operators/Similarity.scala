@@ -65,14 +65,25 @@ object Similarity {
     QueryDef(
       "s92_label_centroids", // IVF coarse-quantizer training step: per-label
                              // centroid from 1e-6-quantized components so the
-                             // mean is exact-integer and engine-portable
+                             // mean is exact-integer and engine-portable.
+                             // Vectors stay whole through the aggregation
+                             // (VectorSumL elementwise-sum aggregate): the
+                             // shuffle carries one buffer per label per
+                             // partition instead of rows x dims exploded
+                             // tuples — 1/64th of the volume here, 1/dims
+                             // at any scale. The oracle keeps the unnest
+                             // formulation; sums are exact integers, so the
+                             // two agree bit-for-bit.
       (s, d) => Graft.tableParallel(s, d, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("j0", "x")))
+        .select(col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+        .groupBy("label")
+        .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("n"), posexplode(col("vsum")).as(Seq("j0", "sq")))
         .select(col("label"), col("j0"),
-          round(col("x").cast("double") * 1000000).cast("long").as("xq"))
-        .groupBy("label", "j0")
-        .agg(((sum(col("xq")).cast("double") / count(lit(1))) / 1000000)
-          .as("centroid")),
+          ((col("sq").cast("double") / col("n")) / 1000000).as("centroid")),
       Some("""SELECT label, j - 1 AS j0,
                      (CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE)
                       / COUNT(*)) / 1000000 AS centroid
@@ -98,16 +109,18 @@ object Similarity {
           .select(col("vec_id"), col("label"),
             transform(col("embedding"),
               x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
-        // exact-integer centroid per label: mean of quantized components,
-        // re-assembled into an ordered array (few rows — broadcastable)
-        val cent = e
-          .select(col("label"), posexplode(col("vq")).as(Seq("j0", "xq")))
-          .groupBy(col("label").as("clabel"), col("j0"))
-          .agg(round(sum(col("xq")).cast("double") / count(lit(1)))
-            .cast("long").as("cq"))
-        val centArr = cent.groupBy("clabel")
-          .agg(transform(array_sort(collect_list(struct(col("j0"), col("cq")))),
-            st => st.getField("cq")).as("cqa"))
+        // exact-integer centroid per label: mean of quantized components.
+        // VectorSumL keeps the vectors whole through the aggregation — no
+        // posexplode, no collect_list/array_sort re-assembly; one array
+        // buffer per label per partition crosses the shuffle (few rows —
+        // broadcastable)
+        val centArr = e
+          .groupBy(col("label").as("clabel"))
+          .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
+            count(lit(1)).as("cnt"))
+          .select(col("clabel"),
+            transform(col("vsum"),
+              sq => round(sq.cast("double") / col("cnt")).cast("long")).as("cqa"))
           .withColumn("ncq", dotl(col("cqa"), col("cqa")))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("clabel").asc)

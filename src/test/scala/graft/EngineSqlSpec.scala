@@ -117,6 +117,20 @@ class EngineSqlSpec extends AnyFunSuite {
                 COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
                 COUNT(*) FILTER (WHERE event_type = 'error') AS error
          FROM events GROUP BY user_id""",
+    "q63_unpivot" ->
+      """WITH p AS (
+           SELECT user_id,
+                  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+                  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+           FROM events GROUP BY user_id)
+         SELECT user_id, 'view' AS event_type, view AS n FROM p
+         UNION ALL SELECT user_id, 'click', click FROM p
+         UNION ALL SELECT user_id, 'purchase', purchase FROM p
+         UNION ALL SELECT user_id, 'signup', signup FROM p
+         UNION ALL SELECT user_id, 'error', error FROM p""",
     "q60_events_hourly" ->
       """SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
                 event_type, COUNT(*) AS n,

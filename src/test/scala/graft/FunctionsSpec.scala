@@ -238,6 +238,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == out, "SQL registration must match the Column API")
   }
 
+  test("vector_sum_l: elementwise sums == explode+groupBy, null/empty rules") {
+    // aggregate kernel == the relational formulation it replaced, on real
+    // quantized embeddings grouped by label
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+      .select(col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+    val kernel = e.groupBy("label")
+      .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"))
+      .select(col("label"), posexplode(col("vsum")).as(Seq("j0", "sq")))
+    val relational = e
+      .select(col("label"), posexplode(col("vq")).as(Seq("j0", "xq")))
+      .groupBy("label", "j0").agg(sum("xq").as("sq"))
+    val diff = kernel.as("k").join(relational.as("r"), Seq("label", "j0"), "full")
+      .filter(col("k.sq").isNull || col("r.sq").isNull ||
+        col("k.sq") =!= col("r.sq")).count()
+    assert(diff == 0, "vector_sum_l diverges from the explode formulation")
+    // SUM convention: all-NULL group -> NULL; mixed lengths zero-pad
+    val mixed = Seq(
+      (1, Some(Seq(1L, 2L))), (1, Some(Seq(10L, 20L, 30L))), (1, None),
+      (2, None)).toDF("g", "v")
+      .groupBy("g").agg(GraftFunctions.vector_sum_l(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(mixed(1).contains(Seq(11L, 22L, 30L)))
+    assert(mixed(2).isEmpty, "all-NULL group must sum to NULL")
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT vector_sum_l(v) FROM VALUES (array(1L,2L)), (array(3L,4L)) t(v)")
+      .as[Seq[Long]].head()
+    assert(viaSql == Seq(4L, 6L))
+  }
+
   test("hash60: non-negative, under 2^60, engine-portable formula") {
     val got = Seq("a", "b", "abc", "").toDF("s")
       .select(operators.Dedup.hash60(col("s"))).as[Long].collect()
