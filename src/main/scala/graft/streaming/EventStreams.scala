@@ -48,6 +48,28 @@ object EventStreams {
   def streamingDedup(docs: DataFrame, keyCol: String): DataFrame =
     docs.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * purchases within the following 30 minutes. Both sides carry watermarks
+    * and the join condition bounds `purchase_ts` relative to `view_ts`, so
+    * Spark derives state-eviction watermarks for BOTH buffers — the join
+    * state is bounded by the interval, not the stream's lifetime. Works
+    * identically over batch frames (the spec asserts parity). */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+  }
+
   // ── custom state: running per-user anomaly flagging ─────────────────────
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -156,6 +156,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("viewToPurchase: stream-stream interval join == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = Seq(
+      Ev(1, ts("2026-01-01 10:00:00"), 1, "view", 0),
+      Ev(2, ts("2026-01-01 10:10:00"), 1, "purchase", 0), // in window
+      Ev(3, ts("2026-01-01 11:00:00"), 1, "purchase", 0), // 60 min — out
+      Ev(4, ts("2026-01-01 10:05:00"), 2, "purchase", 0), // no view: user 2
+      Ev(5, ts("2026-01-01 10:20:00"), 1, "view", 0),     // matches ev 3? no (40m); none
+      Ev(6, ts("2026-01-01 10:45:00"), 1, "view", 0),     // matches ev 3 (15m)
+      // far-future event advances both watermarks so all matches flush
+      Ev(7, ts("2026-01-01 15:00:00"), 3, "view", 0))
+    val src = MemoryStream[Ev]
+    val q = EventStreams.viewToPurchase(src.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      src.addData(data.take(4): _*)
+      q.processAllAvailable()
+      src.addData(data.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == Set((1L, 2L), (6L, 3L)),
+        s"expected view->purchase pairs (1,2) and (6,3), got $streamed")
+      // batch parity: the same transform over a static frame
+      val batch = EventStreams.viewToPurchase(data.toDF()).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(batch == streamed, "stream-stream join must equal batch join")
+    } finally q.stop()
+  }
+
+  test("WarehouseSink: a stream lands in a manifest table batch by batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sink_wh").toString
+    val cmds = new graft.commands.TableCommands(spark, wh)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.WarehouseSink.start(
+      src.toDF().toDF("id", "v"), cmds, "streamed")
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(cmds.table("streamed").count() == 2)
+      src.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = cmds.table("streamed").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // and the result is a REAL warehouse table: integrity scan + the
+      // storage commands work on it
+      assert(cmds.verifyTable("streamed") == 3L)
+      cmds.optimizeTable("streamed", targetPartitions = 1)
+      assert(cmds.table("streamed").count() == 3)
+    } finally q.stop()
+  }
+
   test("runningUserFlags: stateful running mean across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
