@@ -47,11 +47,28 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   spark.catalog.listTables().collect().foreach { t =>
     t.name match {
-      case indexName(base, col) if spark.catalog.tableExists(base) =>
+      case indexName(base, col) if spark.catalog.tableExists(base) &&
+          isBucketedCloneOf(t.name, base, col) =>
         recordIndex(base, col)
       case _ => ()
     }
   }
+
+  /** Pre-seed guard: a catalog table only counts as an index if it really
+    * is CREATE INDEX's product — bucketed by exactly `col` with the base
+    * table's column set. A user table that merely NAMES like `<t>_by_<c>`
+    * (say, a rollup called `sales_by_region`) must never be substituted
+    * into queries — or dropped by invalidation. */
+  private def isBucketedCloneOf(idx: String, base: String, col: String): Boolean =
+    try {
+      val cat = org.apache.spark.sql.graftbridge.Bridge.sessionState(spark).catalog
+      val meta = cat.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(idx))
+      meta.bucketSpec.exists(_.bucketColumnNames.map(_.toLowerCase) ==
+        Seq(col.toLowerCase)) &&
+        meta.schema.fieldNames.map(_.toLowerCase).sorted.sameElements(
+          spark.table(base).schema.fieldNames.map(_.toLowerCase).sorted)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def recordIndex(tbl: String, column: String): Unit =
     indexes.getOrElseUpdate(tbl.toLowerCase,
@@ -165,6 +182,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         (before.toSet -- after).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS `$t`"))
       }
+      if (r == "rollback")
+        // restored pointers mean pre-txn data: an index built INSIDE the
+        // txn snapshots mid-txn state and would silently serve it — drop
+        // every recorded index (conservative; pre-txn indexes of mutated
+        // tables were already dropped at mutation time)
+        indexes.keys.toSeq.foreach(dropIndexesOf)
       status(r)
     case dropTableStmt(ifExists, q, tbl) if isLocalDb(q) && cmds.tableExists(tbl) =>
       // warehouse tables need BOTH the manifest dirs and the catalog entry
@@ -210,11 +233,23 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * row-equivalent; the key-column check just keeps it to queries that can
     * benefit. Non-SELECT statements and parse failures fall straight
     * through to `spark.sql`. */
+  /** Mutating statements that are VALID as plain Spark SQL over the
+    * registered tables and therefore reach [[query]]'s fallthrough (the
+    * engine's own UPDATE/DELETE/LOAD routes invalidate in their handlers):
+    * their target's indexes must be dropped BEFORE delegation, or routing
+    * would keep serving the pre-mutation bucketed snapshot. */
+  private val fallthroughMutation =
+    """(?is)\s*(?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|TRUNCATE\s+TABLE)\s+(?:`?\w+`?\.)*`?(\w+)`?\b.*""".r
+
   private def query(stmt: String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Expression => CExpr}
     import org.apache.spark.sql.catalyst.plans.UsingJoin
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, SubqueryAlias, UnresolvedWith}
+    stmt match {
+      case fallthroughMutation(tbl) => dropIndexesOf(tbl)
+      case _ => ()
+    }
     val head = stmt.trim.takeWhile(!_.isWhitespace).toUpperCase
     if (indexes.isEmpty ||
         !(head == "SELECT" || head == "WITH" || stmt.trim.startsWith("(")))

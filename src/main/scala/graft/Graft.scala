@@ -57,12 +57,14 @@ object Graft {
 
   private def cached(spark: SparkSession, sfDir: String, key: String)(
       load: => DataFrame): DataFrame = {
-    val it = tableCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     val k = (spark, sfDir, key)
     val hit = tableCache.get(k)
     if (hit != null) hit
     else {
+      // evict dead sessions' entries on the MISS path only — hits (the
+      // per-query hot path) stay a single map probe
+      val it = tableCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
       // plain put-if-absent, NOT computeIfAbsent: tableParallel's loader
       // calls back into table() on the same map, and a recursive
       // computeIfAbsent on one ConcurrentHashMap is unspecified (can throw

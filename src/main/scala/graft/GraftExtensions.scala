@@ -48,22 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig",
         "hyperplane_sig(v, numPlanes, bitsPerTable) - LSH bucket per hash table"),
-      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
-        case (org.apache.spark.sql.catalyst.expressions.Literal(p, _),
-              org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
-          HyperplaneSig(exprs.head, p.toString.toInt, b.toString.toInt)
-        case other =>
-          throw new IllegalArgumentException(
-            s"hyperplane_sig numPlanes/bitsPerTable must be literals, got $other")
-      }))
+      (exprs: Seq[Expression]) => GraftFunctions.hyperplaneSigBuilder(exprs)))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(s, k) - word k-grams"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
-          WordShingles(GraftFunctions.toStrExpr(exprs.head), k.toString.toInt)
-        case other =>
-          throw new IllegalArgumentException(
-            s"word_shingles k must be a literal, got $other")
-      }))
+      (exprs: Seq[Expression]) => GraftFunctions.wordShinglesBuilder(exprs)))
   }
 }

@@ -36,16 +36,27 @@ final class SharedServer(engine: graft.Engine, port: Int = 0)
   def boundPort: Int = server.getLocalPort
 
   private val acceptor = new Thread(() => {
-    while (!closed) {
+    // the accept loop must survive ANY per-connection failure (thread
+    // creation included) — a dead acceptor is a server that looks alive
+    // but accepts no one. It exits only when close() is called or the
+    // listening socket itself is gone (which would otherwise hot-spin).
+    while (!closed && !server.isClosed) {
       try {
         val client = server.accept()
-        val h = new Thread(() => handle(client),
-          s"graft-client-${client.getPort}")
-        h.setDaemon(true)
-        h.start()
+        try {
+          val h = new Thread(() => handle(client),
+            s"graft-client-${client.getPort}")
+          h.setDaemon(true)
+          h.start()
+        } catch {
+          case e: Throwable =>
+            client.close()
+            System.err.println(s"[graft-server] handler spawn failed: $e")
+        }
       } catch {
         case _: Throwable if closed => () // close() unblocked accept()
-        case _: java.io.IOException => () // transient accept failure
+        case e: Throwable =>
+          System.err.println(s"[graft-server] accept failed: $e")
       }
     }
   }, "graft-shared-server")

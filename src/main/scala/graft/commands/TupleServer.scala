@@ -77,7 +77,7 @@ object TupleServer {
   private[commands] def csvLine(row: org.apache.spark.sql.Row): String =
     (0 until row.length).map { i =>
       val v = if (row.isNullAt(i)) "" else String.valueOf(row.get(i))
-      if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+      if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + v.replace("\"", "\"\"") + "\""
       else v
     }.mkString(",")

@@ -132,6 +132,25 @@ object GraftFunctions {
   private[graft] def toFloatArrExpr(e: Expression): Expression =
     Cast(e, ArrayType(FloatType)) // no-op (removed by SimplifyCasts) if typed
   private[graft] def toStrExpr(e: Expression): Expression = Cast(e, StringType)
+
+  // Shared SQL-surface builders for the literal-parameterized expressions,
+  // used by BOTH registration paths (per-session FunctionRegistry here and
+  // the SparkSessionExtensions plugin) so their validation can never drift.
+  private[graft] def wordShinglesBuilder(exprs: Seq[Expression]): Expression =
+    exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+        WordShingles(toStrExpr(exprs.head), k.toString.toInt)
+      case other => throw new IllegalArgumentException(
+        s"word_shingles k must be a literal, got $other")
+    }
+  private[graft] def hyperplaneSigBuilder(exprs: Seq[Expression]): Expression =
+    (exprs(1), exprs(2)) match {
+      case (org.apache.spark.sql.catalyst.expressions.Literal(p, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
+        HyperplaneSig(exprs.head, p.toString.toInt, b.toString.toInt)
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_sig numPlanes/bitsPerTable must be literals, got $other")
+    }
   private def toFloatArr(e: Expression): Expression = toFloatArrExpr(e)
   private def toStr(e: Expression): Expression = toStrExpr(e)
 
@@ -173,19 +192,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vector_sum_l",
       exprs => VectorSumL(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",
-      exprs => (exprs(1), exprs(2)) match {
-        case (org.apache.spark.sql.catalyst.expressions.Literal(p, _),
-              org.apache.spark.sql.catalyst.expressions.Literal(b, _)) =>
-          HyperplaneSig(exprs.head, p.toString.toInt, b.toString.toInt)
-        case other => throw new IllegalArgumentException(
-          s"hyperplane_sig numPlanes/bitsPerTable must be literals, got $other")
-      }, "built-in")
+      hyperplaneSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
-      exprs => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
-          WordShingles(toStr(exprs.head), k.toString.toInt)
-        case other => throw new IllegalArgumentException(
-          s"word_shingles k must be a literal, got $other")
-      }, "built-in")
+      wordShinglesBuilder, "built-in")
   }
 }

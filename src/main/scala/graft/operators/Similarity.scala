@@ -79,8 +79,11 @@ object Similarity {
           transform(col("embedding"),
             x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
         .groupBy("label")
+        // count(vq), not count(*): VectorSumL skips NULL vectors, so the
+        // divisor must too (the corpus has none — this keeps the mean
+        // honest if one appears; vectors are fixed-dim by construction)
         .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
-          count(lit(1)).as("n"))
+          count(col("vq")).as("n"))
         .select(col("label"), col("n"), posexplode(col("vsum")).as(Seq("j0", "sq")))
         .select(col("label"), col("j0"),
           ((col("sq").cast("double") / col("n")) / 1000000).as("centroid")),
@@ -117,7 +120,7 @@ object Similarity {
         val centArr = e
           .groupBy(col("label").as("clabel"))
           .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
-            count(lit(1)).as("cnt"))
+            count(col("vq")).as("cnt"))
           .select(col("clabel"),
             transform(col("vsum"),
               sq => round(sq.cast("double") / col("cnt")).cast("long")).as("cqa"))

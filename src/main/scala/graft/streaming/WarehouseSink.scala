@@ -26,8 +26,12 @@ object WarehouseSink {
     df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!cmds.tableExists(table)) cmds.createTable(table, batch)
-        else cmds.insertInto(table, batch)
+        // never create from an EMPTY first batch: it would publish a
+        // version dir with no parquet files, which readers can't infer a
+        // schema from (appends of empty batches to an existing table are
+        // harmless no-ops)
+        if (cmds.tableExists(table)) cmds.insertInto(table, batch)
+        else if (!batch.isEmpty) cmds.createTable(table, batch)
         ()
       }
       .start()

@@ -61,4 +61,53 @@ class IndexRoutingSpec extends AnyFunSuite {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
+
+  test("a user table merely NAMED like an index is never routed to") {
+    import spark.implicits._
+    // `pref_by_kind` is an ordinary (un-bucketed) user table — a rollup,
+    // not CREATE INDEX's product. The pre-seed must not register it: being
+    // registered would both substitute it into queries (different rows)
+    // and expose it to DROP on invalidation.
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("kind", "x")
+      .write.mode("overwrite").saveAsTable("pref")
+    Seq(("a", 99)).toDF("kind", "x")
+      .write.mode("overwrite").saveAsTable("pref_by_kind")
+    val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh2").toString
+    val engine = new Engine(spark, TestSpark.sfDir, wh)
+    try {
+      val q = "SELECT kind, count(*) AS n FROM pref GROUP BY kind"
+      val res = engine.sql(q)
+      assert(!res.queryExecution.executedPlan.toString.contains("pref_by_kind"),
+        "un-bucketed lookalike must not be substituted")
+      assert(res.collect().map(_.getLong(1)).sum == 3,
+        "query must read the real table's rows")
+      assert(spark.catalog.tableExists("pref_by_kind"),
+        "user table must survive untouched")
+    } finally Seq("pref", "pref_by_kind")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("INSERT through the SQL fallthrough drops the stale index") {
+    val csv = java.nio.file.Files.createTempFile("graft_ins", ".csv")
+    java.nio.file.Files.writeString(csv, "id,v\n1,a\n2,b\n")
+    val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh3").toString
+    val engine = new Engine(spark, TestSpark.sfDir, wh)
+    try {
+      engine.sql(s"CREATE COLSTORE ins_t FROM '$csv'")
+      engine.sql("CREATE INDEX ON ins_t (id)")
+      assert(spark.catalog.tableExists("ins_t_by_id"))
+      // INSERT INTO has no engine route — it reaches spark.sql through the
+      // query fallthrough and appends to the registered table location;
+      // the snapshot index MUST be invalidated on the way
+      engine.sql("INSERT INTO ins_t VALUES (3, 'c')")
+      assert(!spark.catalog.tableExists("ins_t_by_id"),
+        "stale index must be dropped by the INSERT fallthrough")
+      val n = engine.sql("SELECT count(*) AS n FROM ins_t WHERE id >= 1")
+        .head().getLong(0)
+      assert(n == 3, "post-insert query must see the appended row")
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS ins_t")
+      spark.sql("DROP TABLE IF EXISTS ins_t_by_id")
+    }
+  }
 }
