@@ -675,6 +675,52 @@ object Relational {
               FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "q64_funnel", // ordered-event funnel: users who viewed, then clicked
+                    // at/after their first view, then purchased at/after
+                    // that first qualifying click. Each stage is a
+                    // groupBy-min plus a semi-join-shaped filter against
+                    // the previous stage's frontier — at scale, three
+                    // shuffles on user_id, each smaller than the last.
+                    // All timestamp comparisons run at MICROsecond
+                    // precision in both engines (the oracle casts DuckDB's
+                    // nanosecond parquet timestamps down), so a sub-µs gap
+                    // can never flip a stage count between engines.
+      (s, d) => {
+        val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("vt"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") >= col("vt"))
+          .groupBy("user_id").agg(min(col("ts")).as("ct"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") >= col("ct"))
+          .groupBy("user_id").agg(min(col("ts")).as("pt"))
+        v.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_view").as("stage"), col("n_users"))
+          .union(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("stage"), col("n_users")))
+          .union(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("stage"), col("n_users")))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+             |v AS (SELECT user_id, MIN(ts) AS vt FROM ev
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS ct
+             |      FROM ev e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts >= v.vt
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS pt
+             |      FROM ev e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+             |      GROUP BY e.user_id)
+             |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+             |UNION ALL
+             |SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+             |UNION ALL
+             |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin)),
+
+    QueryDef(
       "q63_unpivot", // wide -> long (the inverse of q53's pivot, composed
                      // on q53's own output): Spark's native `unpivot`
                      // (Dataset.unpivot / UNPIVOT), zero-count cells kept —

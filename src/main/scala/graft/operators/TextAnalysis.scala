@@ -330,6 +330,53 @@ object TextAnalysis {
              |WHERE rnk <= 3""".stripMargin)),
 
     QueryDef(
+      "t81_pii_redaction", // PII scrubbing — the compliance stage of every
+                           // corpus pipeline. The corpus has no PII, so the
+                           // plan derives it: a synthetic email (first two
+                           // tokens) and a phone suffix are appended, then
+                           // redacted back out by RE2-safe patterns
+                           // (identical semantics in java.util.regex and
+                           // DuckDB's RE2). Map-side only; the oracle
+                           // mirrors construction and redaction exactly.
+      (s, d) => {
+        val emailPat = "[A-Za-z0-9.]+@[A-Za-z0-9.]+\\.[a-z]{2,}"
+        val phonePat = "555-[0-9]{4}"
+        val toks = tokens(col("text"))
+        val withPii = concat(
+          element_at(toks, 1), lit("@"), element_at(toks, 2), lit(".com "),
+          col("text"),
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        t(s, d, "documents")
+          .select(col("doc_id"), withPii.as("pii_text"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("pii_text"), lit(emailPat), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("pii_text"), lit(phonePat), lit(0)))
+              .as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("pii_text"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>")).as("redacted_hash"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(pii_text,
+             |              '[A-Za-z0-9.]+@[A-Za-z0-9.]+\.[a-z]{2,}')) AS INT)
+             |         AS n_emails,
+             |       CAST(len(regexp_extract_all(pii_text, '555-[0-9]{4}')) AS INT)
+             |         AS n_phones,
+             |       md5(regexp_replace(
+             |             regexp_replace(pii_text,
+             |               '[A-Za-z0-9.]+@[A-Za-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |             '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+             |FROM (SELECT doc_id,
+             |        toks[1] || '@' || toks[2] || '.com ' || text ||
+             |        ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             |          AS pii_text
+             |      FROM (SELECT doc_id, text,
+             |              list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                          x -> x != '') AS toks
+             |            FROM documents))""".stripMargin)),
+
+    QueryDef(
       "t80_repetition", // intra-document repetition score (the Gopher-style
                         // quality gate for boilerplate/looping text): the
                         // fraction of 3-gram OCCURRENCES that are repeats of

@@ -117,6 +117,24 @@ class EngineSqlSpec extends AnyFunSuite {
                 COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
                 COUNT(*) FILTER (WHERE event_type = 'error') AS error
          FROM events GROUP BY user_id""",
+    "q64_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, ts FROM events),
+         v AS (SELECT user_id, MIN(ts) AS vt FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS ct
+               FROM ev e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts >= v.vt
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS pt
+               FROM ev e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+               GROUP BY e.user_id)
+         SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+         UNION ALL
+         SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+         UNION ALL
+         SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p""",
     "q63_unpivot" ->
       """WITH p AS (
            SELECT user_id,
