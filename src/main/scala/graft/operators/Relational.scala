@@ -675,6 +675,31 @@ object Relational {
               FROM events GROUP BY user_id""")),
 
     QueryDef(
+      "q65_ratio_to_report", // percent-of-total window: each order-status
+                             // group's share of all revenue. The total is a
+                             // whole-partition window SUM over the DECIMAL
+                             // aggregates (exact, order-independent); only
+                             // the final share division runs in double, on
+                             // identical operands in both engines.
+      (s, d) => {
+        val w = Window.partitionBy()
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_d"))
+          .select(col("o_orderstatus"),
+            col("rev_d").cast("double").as("revenue"),
+            round(col("rev_d").cast("double") /
+              sum(col("rev_d")).over(w).cast("double"), 6).as("share"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       CAST(rev_d AS DOUBLE) AS revenue,
+             |       ROUND(CAST(rev_d AS DOUBLE) /
+             |             CAST(SUM(rev_d) OVER () AS DOUBLE), 6) AS share
+             |FROM (SELECT o_orderstatus,
+             |        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+             |      FROM orders GROUP BY o_orderstatus)""".stripMargin)),
+
+    QueryDef(
       "q64_funnel", // ordered-event funnel: users who viewed, then clicked
                     // at/after their first view, then purchased at/after
                     // that first qualifying click. Each stage is a

@@ -377,6 +377,52 @@ object TextAnalysis {
              |            FROM documents))""".stripMargin)),
 
     QueryDef(
+      "t82_surprisal", // unigram LM surprisal per document — the
+                       // perplexity-filter quality signal (CCNet-style):
+                       // -avg ln P(token) under the corpus's own unigram
+                       // distribution. Per-token logprobs are quantized to
+                       // integer micro-nats BEFORE summing, so the
+                       // aggregate is order-independent and engine-exact
+                       // (the DECIMAL-sum idiom, applied to logs). Scale
+                       // shape: one (doc,term) scan, |vocab| counts
+                       // broadcast back, one groupBy per doc.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+        val terms = docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("total"))
+        terms.join(broadcast(vocab), "term")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            round(log(col("cnt").cast("double") / col("total")) * 1000000)
+              .cast("long").as("lq"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(-(sum(col("lq")).cast("double") /
+              (count(lit(1)) * 1000000)), 6).as("surprisal"))
+          .withColumn("high_perplexity", col("surprisal") > 8.0)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           regexp_split_to_array(trim(lower(text)), '\s+'),
+             |           x -> x != '')) AS term
+             |  FROM documents),
+             |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+             |          FROM terms GROUP BY term),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+             |SELECT doc_id, n_tokens, surprisal, surprisal > 8.0 AS high_perplexity
+             |FROM (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |         ROUND(-(CAST(SUM(lq) AS DOUBLE) / (COUNT(*) * 1000000)), 6)
+             |           AS surprisal
+             |  FROM (SELECT t.doc_id,
+             |          CAST(ROUND(LN(CAST(v.cnt AS DOUBLE) / tot.total) * 1000000)
+             |               AS BIGINT) AS lq
+             |        FROM terms t JOIN vocab v ON t.term = v.term CROSS JOIN tot)
+             |  GROUP BY doc_id)""".stripMargin)),
+
+    QueryDef(
       "t80_repetition", // intra-document repetition score (the Gopher-style
                         // quality gate for boilerplate/looping text): the
                         // fraction of 3-gram OCCURRENCES that are repeats of
