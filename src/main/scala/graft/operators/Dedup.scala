@@ -78,6 +78,13 @@ object Dedup {
   private val toksSql =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"""
 
+  // Declared BEFORE `defs`: the oracle strings interpolate constants built
+  // from these during `defs` initialization, and a strict val declared
+  // after `defs` would still be zero/null at that point (object init is
+  // textual order).
+  private val P31 = 2147483647L
+  private val numSeeds = 12
+
   /** DuckDB equivalent of [[shingles]] over a `toks` list column. */
   private def shinglesSql(k: Int): String =
     s"""CASE WHEN len(toks) >= $k
@@ -274,7 +281,69 @@ object Dedup {
               |             COALESCE(h.n_hit, 0) AS n_hit,
               |             ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_grams, 6)
               |               AS contamination
-              |      FROM bdocs b LEFT JOIN hits h ON b.bench_id = h.bench_id)""".stripMargin))
+              |      FROM bdocs b LEFT JOIN hits h ON b.bench_id = h.bench_id)""".stripMargin)),
+
+    QueryDef(
+      "d89_minhash_estimate", // estimator-quality audit for the MinHash
+                              // pipeline: for every banded candidate pair,
+                              // the 12-lane signature's Jaccard ESTIMATE
+                              // (matching lanes / 12) next to the EXACT
+                              // shingle Jaccard — what you'd run before
+                              // trusting a threshold at 100 TB. Exact
+                              // intersection touches only candidate pairs
+                              // (equi-joins on the 8-byte shingle hash),
+                              // never all pairs.
+      (s, d) => {
+        val sig = minhashSig(s, d)
+        val cand = minhashPairs(s, d)
+        val a = sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") "d1" else s"a_$c"): _*)
+        val b = sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") "d2" else s"b_$c"): _*)
+        val matches = (0 until numSeeds).map(i =>
+          when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = cand.join(a, "d1").join(b, "d2")
+          .select(col("d1"), col("d2"),
+            round(matches.cast("double") / numSeeds, 6).as("est_jaccard"))
+        val sh2 = shingleHashes(s, d).distinct()
+        val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh2.select(col("doc_id").as("d1"), col("h")), "d1")
+          .join(sh2.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+        est
+          .join(inter, Seq("d1", "d2"), "left")
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .select(col("d1"), col("d2"), col("est_jaccard"),
+            round(coalesce(col("i"), lit(0L)).cast("double") /
+              (col("n1") + col("n2") - coalesce(col("i"), lit(0L)))
+                .cast("double"), 6).as("exact_jaccard"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |cand AS ($minhashPairsSelect),
+              |est AS (
+              |  SELECT c.d1, c.d2,
+              |         ROUND(CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
+              |                    AS BIGINT) / 12.0, 6) AS est_jaccard
+              |  FROM cand c JOIN sig a ON a.doc_id = c.d1
+              |              JOIN sig b ON b.doc_id = c.d2 AND b.seed = a.seed
+              |  GROUP BY c.d1, c.d2),
+              |sh2 AS (SELECT DISTINCT doc_id, h FROM occ),
+              |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              |          FROM sh2 GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS i
+              |  FROM cand c JOIN sh2 x ON x.doc_id = c.d1
+              |              JOIN sh2 y ON y.doc_id = c.d2 AND y.h = x.h
+              |  GROUP BY c.d1, c.d2)
+              |SELECT e.d1, e.d2, e.est_jaccard,
+              |       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+              |             (s1.n + s2.n - COALESCE(i.i, 0)), 6) AS exact_jaccard
+              |FROM est e LEFT JOIN inter i ON e.d1 = i.d1 AND e.d2 = i.d2
+              |           JOIN sizes s1 ON e.d1 = s1.doc_id
+              |           JOIN sizes s2 ON e.d2 = s2.doc_id""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a
@@ -411,15 +480,29 @@ object Dedup {
     * `(a*h + b) mod P31` with a,b,h < P31, so every intermediate fits a
     * signed 64-bit value — DuckDB's overflow-checked BIGINT arithmetic and
     * Spark's wrapping longs agree bit-for-bit. */
-  private val P31 = 2147483647L
-  // Per-lane universal-hash constants derived from public 32-bit hash-mixing
-  // primes (Knuth 2654435761; xxhash PRIME32_2/4 2246822519/668265263;
-  // murmur3 c2 3266489917). (i+1)*K mod P31 is never 0: P31 is prime and
-  // exceeds every factor.
-  private def laneA(i: Int): Long = (2654435761L * (i + 1)) % P31
-  private def laneB(i: Int): Long = (2246822519L * (i + 1)) % P31
-  private def bandC(i: Int): Long = (3266489917L * (i + 1)) % P31
-  private def bandD(i: Int): Long = (668265263L * (i + 1)) % P31
+  /** A 60-bit integer from md5 of a label — the same engine-portable
+    * derivation as [[hash60]], computed driver-side so the constants can be
+    * INLINED as literals in both the Spark plan and the oracle SQL. */
+  private def constFromMd5(label: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(label.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L; var i = 0
+    while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+
+  // Per-lane universal-hash constants, each INDEPENDENTLY md5-derived.
+  // The previous family (a_i, b_i) = (i+1)·(A, B) mod P31 was rank-1:
+  // every lane was a scalar multiple of the SAME permutation (A·h+B), so
+  // one shingle with a tiny base value dominated all 12 minima of every
+  // doc containing it — the d89 estimator audit surfaced candidate pairs
+  // with 11/12 matching lanes and near-zero true Jaccard. Independent
+  // constants restore lane independence (banded candidates at sf0.1
+  // dropped ~12.8k -> ~5k for the same planted recall).
+  private def laneA(i: Int): Long = constFromMd5(s"lane_a_$i") % (P31 - 1) + 1
+  private def laneB(i: Int): Long = constFromMd5(s"lane_b_$i") % P31
+  private def bandC(i: Int): Long = constFromMd5(s"band_c_$i") % (P31 - 1) + 1
+  private def bandD(i: Int): Long = constFromMd5(s"band_d_$i") % P31
 
   /** Banded MinHash LSH candidate pairs over [[corpusNear]] (d83's plan,
     * shared with the d87 component grouping).
@@ -432,18 +515,27 @@ object Dedup {
     * second join, no broadcast, and the oracle mirrors the same arithmetic
     * exactly.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val numSeeds = 12; val bandSize = 4
-    val sh = corpusNear(s, d)
+  /** Per-occurrence 31-bit shingle hashes of [[corpusNear]] (the shared
+    * input of the signature, band, and exact-jaccard computations). */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    corpusNear(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
       .select(col("doc_id"), (hash60(col("s0")) % P31).as("h"))
-    // Single-pass signature: all 12 per-lane MINs in one groupBy
-    // (map-side partial aggregation collapses each partition to one row
-    // per doc before the shuffle) — semantically identical to the
-    // explode-by-seed formulation the oracle uses, ~12x less shuffle.
+
+  /** Single-pass MinHash signature: all 12 per-lane MINs in one groupBy
+    * (map-side partial aggregation collapses each partition to one row
+    * per doc before the shuffle) — semantically identical to the
+    * explode-by-seed formulation the oracle uses, ~12x less shuffle.
+    * Columns: doc_id, m0..m11. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
     val minCols = (0 until numSeeds).map(i =>
       min((lit(laneA(i)) * col("h") + lit(laneB(i))) % P31).as(s"m$i"))
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    shingleHashes(s, d).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bandSize = 4
+    val sig = minhashSig(s, d)
     // order-independent band key: sum of universally-hashed lane minima
     // (4 addends < 2^31 — no overflow either engine)
     val bandKeys = (0 until numSeeds / bandSize).map { b =>
@@ -461,11 +553,17 @@ object Dedup {
       .distinct()
   }
 
+  /** The per-seed constants as an inline VALUES table — the oracle carries
+    * the LITERAL values the Scala side derived, so the two engines can
+    * never disagree on the derivation. */
+  private lazy val seedConstsSql: String = (0 until numSeeds).map(i =>
+    s"($i, ${laneA(i)}, ${laneB(i)}, ${bandC(i)}, ${bandD(i)})").mkString(", ")
+
   /** The d83 plan's oracle, split so d87 can reuse it under WITH RECURSIVE.
     * Mirrors [[minhashPairs]]: one md5-derived 31-bit hash per shingle
     * occurrence, then integer lane mixing `(a*h + b) % (2^31-1)` with the
-    * same public mixing primes — bit-identical across engines because every
-    * intermediate stays below 2^63. */
+    * inlined independent constants — bit-identical across engines because
+    * every intermediate stays below 2^63. */
   private lazy val minhashCtes: String =
     s"""corpus AS ($corpusNearSql),
        |sh AS (
@@ -475,19 +573,19 @@ object Dedup {
        |  SELECT doc_id,
        |         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
        |  FROM sh),
+       |seeds AS (SELECT * FROM (VALUES $seedConstsSql)
+       |          AS t(seed, la, lb, bc, bd)),
        |lanes AS (
-       |  SELECT doc_id, seed,
-       |         (((2654435761 * (seed + 1)) % 2147483647) * h
-       |          + ((2246822519 * (seed + 1)) % 2147483647)) % 2147483647 AS hs
-       |  FROM occ CROSS JOIN (SELECT unnest(range(12)) AS seed)),
+       |  SELECT doc_id, seed, (la * h + lb) % 2147483647 AS hs
+       |  FROM occ CROSS JOIN seeds),
        |sig AS (SELECT doc_id, seed, MIN(hs) AS minh
        |        FROM lanes GROUP BY doc_id, seed),
        |bands AS (
-       |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-       |         CAST(SUM((((3266489917 * (seed + 1)) % 2147483647) * minh
-       |                   + ((668265263 * (seed + 1)) % 2147483647)) % 2147483647)
-       |              AS BIGINT) AS band_key
-       |  FROM sig GROUP BY doc_id, band)""".stripMargin
+       |  SELECT doc_id, CAST(s.seed // 4 AS INT) AS band,
+       |         CAST(SUM((s.bc * g.minh + s.bd) % 2147483647) AS BIGINT)
+       |           AS band_key
+       |  FROM sig g JOIN seeds s ON g.seed = s.seed
+       |  GROUP BY doc_id, band)""".stripMargin
 
   private lazy val minhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
