@@ -294,8 +294,13 @@ object Dedup {
                               // (equi-joins on the 8-byte shingle hash),
                               // never all pairs.
       (s, d) => {
+        // the signature frame feeds BOTH the banding and the lane-match
+        // estimate; the two identical aggregation subtrees share their
+        // shuffle via ReuseExchange. (A persist here was measured ~1.4x
+        // SLOWER — materialization serializes the pipeline, while reuse
+        // already deduplicates the work.)
         val sig = minhashSig(s, d)
-        val cand = minhashPairs(s, d)
+        val cand = minhashPairsFromSig(sig)
         val a = sig.toDF(sig.columns.map(c =>
           if (c == "doc_id") "d1" else s"a_$c"): _*)
         val b = sig.toDF(sig.columns.map(c =>
@@ -533,9 +538,11 @@ object Dedup {
     shingleHashes(s, d).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFromSig(minhashSig(s, d))
+
+  private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     val bandSize = 4
-    val sig = minhashSig(s, d)
     // order-independent band key: sum of universally-hashed lane minima
     // (4 addends < 2^31 — no overflow either engine)
     val bandKeys = (0 until numSeeds / bandSize).map { b =>
