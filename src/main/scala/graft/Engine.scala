@@ -239,7 +239,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * their target's indexes must be dropped BEFORE delegation, or routing
     * would keep serving the pre-mutation bucketed snapshot. */
   private val fallthroughMutation =
-    """(?is)\s*(?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|TRUNCATE\s+TABLE|ALTER\s+TABLE|CREATE\s+OR\s+REPLACE\s+TABLE)\s+(?:`?\w+`?\.)*`?(\w+)`?\b.*""".r
+    """(?is)\s*(?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|TRUNCATE\s+TABLE|ALTER\s+TABLE|(?:CREATE\s+OR\s+)?REPLACE\s+TABLE)\s+(?:`?\w+`?\.)*`?(\w+)`?\b.*""".r
 
   private def query(stmt: String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}

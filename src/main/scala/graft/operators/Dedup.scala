@@ -84,6 +84,7 @@ object Dedup {
   // textual order).
   private val P31 = 2147483647L
   private val numSeeds = 12
+  private val bandSize = 4
 
   /** DuckDB equivalent of [[shingles]] over a `toks` list column. */
   private def shinglesSql(k: Int): String =
@@ -331,7 +332,7 @@ object Dedup {
               |est AS (
               |  SELECT c.d1, c.d2,
               |         ROUND(CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END)
-              |                    AS BIGINT) / 12.0, 6) AS est_jaccard
+              |                    AS BIGINT) / $numSeeds.0, 6) AS est_jaccard
               |  FROM cand c JOIN sig a ON a.doc_id = c.d1
               |              JOIN sig b ON b.doc_id = c.d2 AND b.seed = a.seed
               |  GROUP BY c.d1, c.d2),
@@ -542,7 +543,6 @@ object Dedup {
     minhashPairsFromSig(minhashSig(s, d))
 
   private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
-    val bandSize = 4
     // order-independent band key: sum of universally-hashed lane minima
     // (4 addends < 2^31 — no overflow either engine)
     val bandKeys = (0 until numSeeds / bandSize).map { b =>
@@ -588,7 +588,7 @@ object Dedup {
        |sig AS (SELECT doc_id, seed, MIN(hs) AS minh
        |        FROM lanes GROUP BY doc_id, seed),
        |bands AS (
-       |  SELECT doc_id, CAST(s.seed // 4 AS INT) AS band,
+       |  SELECT doc_id, CAST(s.seed // $bandSize AS INT) AS band,
        |         CAST(SUM((s.bc * g.minh + s.bd) % 2147483647) AS BIGINT)
        |           AS band_key
        |  FROM sig g JOIN seeds s ON g.seed = s.seed

@@ -342,8 +342,13 @@ object TextAnalysis {
         val emailPat = "[A-Za-z0-9.]+@[A-Za-z0-9.]+\\.[a-z]{2,}"
         val phonePat = "555-[0-9]{4}"
         val toks = tokens(col("text"))
+        // try_element_at, not element_at: ANSI mode (Spark 4 default) makes
+        // element_at THROW past the array end, where DuckDB's toks[2] is
+        // NULL — a 0/1-token doc must yield a NULL row in both engines,
+        // not a crash (same convention as corpusNear's slice guard)
         val withPii = concat(
-          element_at(toks, 1), lit("@"), element_at(toks, 2), lit(".com "),
+          try_element_at(toks, lit(1)), lit("@"),
+          try_element_at(toks, lit(2)), lit(".com "),
           col("text"),
           lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
         t(s, d, "documents")
