@@ -82,6 +82,52 @@ object Multimodal {
     }
   }
 
+  /** Decoded BMP header fields (m98's output schema). */
+  case class BmpMeta(doc_id: Long, width: Int, height: Int, bpp: Int,
+      row_bytes: Int, image_bytes: Int, valid: Boolean)
+
+  object BmpCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    /** Parse a BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes)
+      * uncompressed 24-bpp BMP. Validity covers the magic, header sizes,
+      * plane/compression constants, the 4-byte row padding rule
+      * (row = ((width*3 + 3) / 4) * 4), and total-size consistency. */
+    def decode(docId: Long, b: Array[Byte]): BmpMeta = {
+      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte)
+        BmpMeta(docId, -1, -1, -1, -1, -1, valid = false)
+      else {
+        val fileSize = u32(b, 2); val pixelOffset = u32(b, 10)
+        val dibSize = u32(b, 14); val width = u32(b, 18)
+        val height = u32(b, 22); val planes = u16(b, 26)
+        val bpp = u16(b, 28); val compression = u32(b, 30)
+        val imageSize = u32(b, 34)
+        val rowBytes = ((width * 3 + 3) / 4) * 4
+        val ok = dibSize == 40 && planes == 1 && bpp == 24 &&
+          compression == 0 && pixelOffset == 54 &&
+          imageSize == rowBytes * height &&
+          fileSize == 54 + imageSize && b.length == fileSize
+        BmpMeta(docId, width, height, bpp, rowBytes, imageSize, ok)
+      }
+    }
+  }
+
+  // little-endian hex of a 32/16-bit value (RIFF and BMP headers are both
+  // little-endian) — byte-pairwise reorder of the big-endian hex string
+  private def le32(v: Column): Column = {
+    val h = lpad(hex(v.cast("int")), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le16(v: Column): Column = {
+    val h = lpad(hex(v.cast("int")), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -123,16 +169,6 @@ object Multimodal {
                         // offset/endianness bug breaks the hash-match.
       (s, d) => {
         import s.implicits._
-        // little-endian hex of a 32/16-bit value (RIFF is little-endian)
-        def le32(v: Column): Column = {
-          val h = lpad(hex(v.cast("int")), 8, "0")
-          concat(substring(h, 7, 2), substring(h, 5, 2),
-            substring(h, 3, 2), substring(h, 1, 2))
-        }
-        def le16(v: Column): Column = {
-          val h = lpad(hex(v.cast("int")), 4, "0")
-          concat(substring(h, 3, 2), substring(h, 1, 2))
-        }
         val sampleRate = lit(8000) + (col("doc_id") % 4).cast("int") * 4000
         val channels = lit(1) + (col("doc_id") % 2).cast("int")
         val bits = lit(16)
@@ -163,6 +199,49 @@ object Multimodal {
                      CAST(octet_length(encode(text)) AS INT) AS data_bytes,
                      TRUE AS valid
               FROM documents""")),
+
+    QueryDef(
+      "m98_bmp_decode", // second real binary format, image-shaped: the plan
+                        // assembles canonical 24-bpp BMPs (file + DIB
+                        // headers, little-endian fields, the 4-byte row
+                        // padding rule, A5-filled pixel rows) and the typed
+                        // mapPartitions codec parses them back; the oracle
+                        // recomputes width/height/row-padding arithmetic
+                        // from the construction formulas, so offset,
+                        // endianness, or padding bugs break the hash.
+      (s, d) => {
+        import s.implicits._
+        val width = (lit(4) + (col("doc_id") % 13)).cast("int")
+        val height = (lit(1) + (col("doc_id") % 7)).cast("int")
+        val w3 = width * 3 + 3
+        val rowBytes = (w3 - pmod(w3, lit(4))).cast("int")
+        val blobs = Graft.table(s, d, "documents")
+          .select(col("doc_id"), rowBytes.as("row_bytes"),
+            (rowBytes * height).as("image_bytes"),
+            width.as("w"), height.as("h"))
+          .select(col("doc_id"), unhex(concat(
+            lit("424D"), le32(col("image_bytes") + 54), lit("00000000"),
+            le32(lit(54)), le32(lit(40)), le32(col("w")), le32(col("h")),
+            le16(lit(1)), le16(lit(24)), le32(lit(0)),
+            le32(col("image_bytes")), le32(lit(2835)), le32(lit(2835)),
+            le32(lit(0)), le32(lit(0)),
+            expr("repeat('A5', image_bytes)"))).as("payload"),
+            lit("image/bmp").as("mime"))
+          .as[Blob]
+        blobs.mapPartitions(_.map(b => BmpCodec.decode(b.doc_id, b.payload)))
+          .toDF()
+      },
+      Some("""SELECT doc_id,
+             |       CAST(4 + doc_id % 13 AS INT) AS width,
+             |       CAST(1 + doc_id % 7 AS INT) AS height,
+             |       24 AS bpp,
+             |       CAST(rb AS INT) AS row_bytes,
+             |       CAST(rb * (1 + doc_id % 7) AS INT) AS image_bytes,
+             |       TRUE AS valid
+             |FROM (SELECT doc_id,
+             |        ((4 + doc_id % 13) * 3 + 3)
+             |          - (((4 + doc_id % 13) * 3 + 3) % 4) AS rb
+             |      FROM documents)""".stripMargin)),
 
     QueryDef(
       "m96_frame_sample", // frame-sampling plumbing: treat the payload as

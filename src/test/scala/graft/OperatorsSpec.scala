@@ -264,6 +264,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!WavCodec.decode(1L, good).valid)
   }
 
+  test("m98 bmp decode: every payload parses valid; codec rejects corruption") {
+    val rows = run("m98_bmp_decode").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getBoolean(6)), "a well-formed BMP failed to parse")
+    // the padding rule must hold in the PARSED fields: row_bytes is the
+    // width rounded up to a 4-byte boundary, image = rows x height
+    assert(rows.forall { r =>
+      val (w, h, rb, ib) = (r.getInt(1), r.getInt(2), r.getInt(4), r.getInt(5))
+      rb == ((w * 3 + 3) / 4) * 4 && ib == rb * h && rb % 4 == 0
+    })
+    import operators.Multimodal.BmpCodec
+    assert(!BmpCodec.decode(1L, Array[Byte](1, 2, 3)).valid)
+    val truncated = new Array[Byte](54)
+    truncated(0) = 'B'.toByte; truncated(1) = 'M'.toByte
+    assert(!BmpCodec.decode(1L, truncated).valid,
+      "zeroed header (size inconsistencies) must be invalid")
+  }
+
   test("m95 multimodal: features consistent with payload bytes") {
     val rows = run("m95_multimodal_features").collect()
     assert(rows.length == 500)
