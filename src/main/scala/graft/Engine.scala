@@ -122,24 +122,39 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   /** One statement in, a DataFrame out (commands return a 1-row status frame,
     * like the reference's command acknowledgements). */
-  def sql(command: String): DataFrame = command match {
-    case createColstore(name, csv) =>
-      // reference: CREATE COLSTORE/TABLE ... FROM <csv> profiles the file and
-      // builds the columnar store (commands/CreateColStoreCommand.java,
-      // storage/FileAnalyzer.java); Parquet picks encodings natively
-      cmds.createTable(name,
+  /** Ingest-file reader: format by extension. The reference's ingest is
+    * CSV-only (`storage/FileAnalyzer.java` profiles CSV columns); JSONL is
+    * the de-facto interchange format of training-data pipelines, so both
+    * routes accept it. A declared schema (append path) pins types; the
+    * create path infers. */
+  private def readIngest(path: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val json = path.endsWith(".json") || path.endsWith(".jsonl")
+    (json, schema) match {
+      case (true, Some(sc)) => spark.read.schema(sc).json(path)
+      case (true, None) => spark.read.json(path)
+      case (false, Some(sc)) =>
+        spark.read.option("header", "true").schema(sc).csv(path)
+      case (false, None) =>
         spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(csv))
+          .csv(path)
+    }
+  }
+
+  def sql(command: String): DataFrame = command match {
+    case createColstore(name, path) =>
+      // reference: CREATE COLSTORE/TABLE ... FROM <file> profiles the file
+      // and builds the columnar store (commands/CreateColStoreCommand.java,
+      // storage/FileAnalyzer.java); Parquet picks encodings natively
+      cmds.createTable(name, readIngest(path, None))
       registerTable(name)
       status(s"created colstore table $name")
-    case loadFile(csv, name) =>
+    case loadFile(path, name) =>
       // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
-      cmds.insertInto(name,
-        spark.read.option("header", "true").schema(cmds.table(name).schema)
-          .csv(csv))
+      cmds.insertInto(name, readIngest(path, Some(cmds.table(name).schema)))
       registerTable(name)
       dropIndexesOf(name)
-      status(s"loaded $csv into $name")
+      status(s"loaded $path into $name")
     case createIndex(tbl, column) =>
       // reference: CREATE INDEX builds a B+-tree (CreateIndexCommand.java);
       // here it re-clusters into a bucketed catalog table (see

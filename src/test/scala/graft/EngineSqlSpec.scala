@@ -238,6 +238,24 @@ class EngineSqlSpec extends AnyFunSuite {
     engine.sql("DROP TABLE cs_t")
   }
 
+  test("JSONL ingest: CREATE COLSTORE and LOAD accept .jsonl files") {
+    val j1 = Files.createTempFile("graft_docs", ".jsonl")
+    Files.writeString(j1,
+      """{"id": 1, "text": "alpha beta"}
+        |{"id": 2, "text": "gamma"}
+        |""".stripMargin)
+    val j2 = Files.createTempFile("graft_docs2", ".jsonl")
+    Files.writeString(j2, """{"id": 3, "text": "delta"}""" + "\n")
+    engine.sql("DROP TABLE IF EXISTS jl_t")
+    engine.sql(s"CREATE COLSTORE jl_t FROM '$j1'")
+    engine.sql(s"LOAD '$j2' INTO jl_t")
+    try {
+      val got = engine.sql("SELECT id, text FROM jl_t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta")))
+    } finally engine.sql("DROP TABLE IF EXISTS jl_t")
+  }
+
   test("qualified names: default-db spellings route to the warehouse, " +
       "foreign databases are rejected clearly") {
     val csv = Files.createTempFile("graft_qn", ".csv")
