@@ -156,6 +156,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: a JSONL drop directory drives content dedup") {
+    // the production ingest shape: files land in a directory, Spark's file
+    // source discovers them per micro-batch, and the same dedup transform
+    // runs unchanged (MemoryStream covers logic; this covers the source)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        lines.mkString("", "\n", "\n"))
+    drop("b1.jsonl",
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"}""")
+    val docs = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(dir.toString)
+    val q = streaming.DocStreams.contentDedup(docs)
+      .writeStream.format("memory").queryName("filededup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop("b2.jsonl",
+        """{"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"}""",
+        """{"doc_id": 3, "text": "an entirely different document entirely"}""")
+      q.processAllAvailable()
+      val kept = spark.table("filededup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L),
+        s"content dup from a later FILE must be dropped, got $kept")
+    } finally q.stop()
+  }
+
   test("viewToPurchase: stream-stream interval join == batch join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
