@@ -83,6 +83,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   private val createColstore =
     """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  private val createColstoreAs =
+    """(?is)\s*CREATE\s+COLSTORE\s+(\w+)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
   private val loadFile =
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
   private val createIndex =
@@ -149,6 +151,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.createTable(name, readIngest(path, None))
       registerTable(name)
       status(s"created colstore table $name")
+    case createColstoreAs(name, select) =>
+      // engine-native CTAS: the result of any query becomes a MANIFEST
+      // table (versioned dirs + pointer), so it gets UPDATE/DELETE/txn/
+      // VERIFY/OPTIMIZE — a plain Spark CTAS (the fallthrough) would make
+      // a catalog-managed table outside the storage engine
+      cmds.createTable(name, query(select))
+      registerTable(name)
+      status(s"created colstore table $name from query")
     case loadFile(path, name) =>
       // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
       cmds.insertInto(name, readIngest(path, Some(cmds.table(name).schema)))

@@ -238,6 +238,23 @@ class EngineSqlSpec extends AnyFunSuite {
     engine.sql("DROP TABLE cs_t")
   }
 
+  test("CREATE COLSTORE ... AS SELECT: query results land in the warehouse") {
+    engine.sql("DROP TABLE IF EXISTS big_nations")
+    engine.sql("""CREATE COLSTORE big_nations AS
+                  SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2""")
+    try {
+      val n = engine.sql("SELECT COUNT(*) AS n FROM big_nations").head.getLong(0)
+      assert(n == Graft.table(spark, d, "nation")
+        .filter(col("n_regionkey") >= 2).count())
+      // it is a REAL manifest table: storage commands apply
+      assert(engine.sql("VERIFY big_nations").head.getString(0)
+        .contains(s"$n rows"))
+      engine.sql("DELETE FROM big_nations WHERE n_nationkey = 2")
+      assert(engine.sql("SELECT COUNT(*) AS n FROM big_nations")
+        .head.getLong(0) <= n)
+    } finally engine.sql("DROP TABLE IF EXISTS big_nations")
+  }
+
   test("JSONL ingest: CREATE COLSTORE and LOAD accept .jsonl files") {
     val j1 = Files.createTempFile("graft_docs", ".jsonl")
     Files.writeString(j1,
