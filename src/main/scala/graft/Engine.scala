@@ -83,8 +83,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   private val createColstore =
     """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  // same COLSTORE|TABLE synonymy as the FROM-file route, and the query may
+  // open with SELECT, a CTE, or a parenthesized form — query()'s own heads
   private val createColstoreAs =
-    """(?is)\s*CREATE\s+COLSTORE\s+(\w+)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+AS\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
   private val loadFile =
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
   private val createIndex =
@@ -131,7 +133,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * create path infers. */
   private def readIngest(path: String,
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    val json = path.endsWith(".json") || path.endsWith(".jsonl")
+    // case-insensitive, compression-transparent extension check (Spark
+    // decompresses .gz for both readers; a .JSONL parsed as CSV would
+    // silently produce a garbage one-column table)
+    val base = path.toLowerCase.stripSuffix(".gz").stripSuffix(".bz2")
+    val json = base.endsWith(".json") || base.endsWith(".jsonl")
     (json, schema) match {
       case (true, Some(sc)) => spark.read.schema(sc).json(path)
       case (true, None) => spark.read.json(path)

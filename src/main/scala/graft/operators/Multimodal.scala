@@ -50,12 +50,17 @@ object Multimodal {
       bits_per_sample: Int, byte_rate: Int, block_align: Int,
       data_bytes: Int, valid: Boolean)
 
-  object WavCodec {
-    private def u16(b: Array[Byte], o: Int): Int =
+  /** Little-endian byte readers shared by every header codec. */
+  private object LE {
+    def u16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def u32(b: Array[Byte], o: Int): Int =
+    def u32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  }
+
+  object WavCodec {
+    import LE.{u16, u32}
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -87,11 +92,7 @@ object Multimodal {
       row_bytes: Int, image_bytes: Int, valid: Boolean)
 
   object BmpCodec {
-    private def u16(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    private def u32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    import LE.{u16, u32}
 
     /** Parse a BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes)
       * uncompressed 24-bpp BMP. Validity covers the magic, header sizes,
@@ -117,14 +118,17 @@ object Multimodal {
   }
 
   // little-endian hex of a 32/16-bit value (RIFF and BMP headers are both
-  // little-endian) — byte-pairwise reorder of the big-endian hex string
+  // little-endian) — byte-pairwise reorder of the big-endian hex string.
+  // The value is masked to its low 32/16 bits FIRST: hex() of a negative
+  // int renders the 16-char sign-extended bigint form, and lpad would keep
+  // the high-order 'FFFFFFFF' prefix instead of the value's own bytes.
   private def le32(v: Column): Column = {
-    val h = lpad(hex(v.cast("int")), 8, "0")
+    val h = lpad(hex(v.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0")
     concat(substring(h, 7, 2), substring(h, 5, 2),
       substring(h, 3, 2), substring(h, 1, 2))
   }
   private def le16(v: Column): Column = {
-    val h = lpad(hex(v.cast("int")), 4, "0")
+    val h = lpad(hex(v.cast("long").bitwiseAND(lit(0xFFFFL))), 4, "0")
     concat(substring(h, 3, 2), substring(h, 1, 2))
   }
 

@@ -161,9 +161,14 @@ class StreamingSpec extends AnyFunSuite {
     // source discovers them per micro-batch, and the same dedup transform
     // runs unchanged (MemoryStream covers logic; this covers the source)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    def drop(name: String, lines: String*): Unit =
-      java.nio.file.Files.writeString(dir.resolve(name),
-        lines.mkString("", "\n", "\n"))
+    // ATOMIC_MOVE into the watched dir: the continuous micro-batch trigger
+    // races a direct write and would mark a half-written file as seen
+    def drop(name: String, lines: String*): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft_drop", ".jsonl")
+      java.nio.file.Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     drop("b1.jsonl",
       """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"}""")
     val docs = spark.readStream.schema("doc_id LONG, text STRING")
