@@ -285,6 +285,52 @@ object Dedup {
               |      FROM bdocs b LEFT JOIN hits h ON b.bench_id = h.bench_id)""".stripMargin)),
 
     QueryDef(
+      "d90_incremental_dedup", // the production ingestion flow: dedup a NEW
+                               // batch against the already-ingested corpus.
+                               // Historical = docs < 250; the batch = the
+                               // rest plus re-ingested copies of 10
+                               // historical docs (derived in-plan). Each
+                               // batch doc is classified: dup of history,
+                               // dup within the batch (first writer wins),
+                               // or genuinely new. Shape: one groupBy-min
+                               // inside the batch + one equi-join against
+                               // the historical hash index — at 100 TB the
+                               // index side stays partitioned (no
+                               // broadcast) and only 16-byte keys shuffle.
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val hist = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text")).as("text_hash")).distinct()
+        val batch = docs.filter(col("doc_id") >= 250)
+          .union(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        val w = Window.partitionBy("text_hash")
+        batch
+          .withColumn("first_id", min(col("doc_id")).over(w))
+          .join(hist.withColumn("in_hist", lit(true)), Seq("text_hash"), "left")
+          .select(col("doc_id"), col("text_hash"),
+            when(col("in_hist"), "dup_historical")
+              .when(col("doc_id") =!= col("first_id"), "dup_batch")
+              .otherwise("new").as("status"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+             |hist AS (SELECT DISTINCT md5(text) AS text_hash
+             |         FROM docs WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id, md5(text) AS text_hash
+             |  FROM docs WHERE doc_id >= 250
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(text)
+             |  FROM docs WHERE doc_id < 10)
+             |SELECT b.doc_id, b.text_hash,
+             |       CASE WHEN h.text_hash IS NOT NULL THEN 'dup_historical'
+             |            WHEN b.doc_id != MIN(b.doc_id)
+             |                   OVER (PARTITION BY b.text_hash) THEN 'dup_batch'
+             |            ELSE 'new' END AS status
+             |FROM batch b LEFT JOIN hist h ON b.text_hash = h.text_hash""".stripMargin)),
+
+    QueryDef(
       "d89_minhash_estimate", // estimator-quality audit for the MinHash
                               // pipeline: for every banded candidate pair,
                               // the 12-lane signature's Jaccard ESTIMATE

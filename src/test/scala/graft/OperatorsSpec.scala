@@ -193,6 +193,18 @@ class OperatorsSpec extends AnyFunSuite {
       "20-char doc has frames 0,1; every-4th keeps only frame 0")
   }
 
+  test("d90 incremental dedup: re-ingested docs flagged historical, rest new") {
+    val rows = run("d90_incremental_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val (reingested, fresh) = rows.partition(_._1 >= 1000000)
+    assert(reingested.length == 10 &&
+      reingested.forall(_._2 == "dup_historical"),
+      "every re-ingested copy must be flagged against the historical index")
+    // the corpus has no natural exact dups (verified), so the original
+    // batch docs are all genuinely new
+    assert(fresh.forall(_._2 == "new"))
+  }
+
   test("d88 decontamination: planted near-copies flagged, reversed controls clean") {
     val rows = run("d88_decontamination").collect()
     val (planted, controls) = rows.partition(_.getLong(0) < 2000000)
