@@ -341,37 +341,36 @@ object Dedup {
                               // (equi-joins on the 8-byte shingle hash),
                               // never all pairs.
       (s, d) => {
-        // the signature frame feeds BOTH the banding and the lane-match
-        // estimate; the two identical aggregation subtrees share their
-        // shuffle via ReuseExchange. (A persist here was measured ~1.4x
-        // SLOWER — materialization serializes the pipeline, while reuse
-        // already deduplicates the work.)
-        val sig = minhashSig(s, d)
-        val cand = minhashPairsFromSig(sig)
-        val a = sig.toDF(sig.columns.map(c =>
+        // ONE aggregation over the (doc, shingle-hash) posting list builds
+        // BOTH per-doc artifacts: the 12 minhash lane minima (banding + the
+        // lane-match estimate) and the distinct shingle-hash SET (the exact
+        // Jaccard side, as a collect_set — per-doc sets are bounded by doc
+        // length, not corpus size). Every downstream consumer (bands, the
+        // a/b estimate sides, the exact intersection) reads the same
+        // exchange via ReuseExchange. The previous shape re-derived the
+        // shingle index beside the signature pipeline and reshuffled it
+        // three more times (distinct, join on d1, join on (d2, h)) — it
+        // was the suite's slowest query at 2.6 s. Exact intersection is
+        // size(array_intersect) per candidate pair: only candidate pairs
+        // are ever touched, never all pairs.
+        val feats = shingleHashes(s, d).groupBy("doc_id")
+          .agg(laneMinCols.head,
+            (laneMinCols.tail :+ collect_set(col("h")).as("hs")): _*)
+        val cand = minhashPairsFromSig(feats)
+        val a = feats.toDF(feats.columns.map(c =>
           if (c == "doc_id") "d1" else s"a_$c"): _*)
-        val b = sig.toDF(sig.columns.map(c =>
+        val b = feats.toDF(feats.columns.map(c =>
           if (c == "doc_id") "d2" else s"b_$c"): _*)
         val matches = (0 until numSeeds).map(i =>
           when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
           .reduce(_ + _)
-        val est = cand.join(a, "d1").join(b, "d2")
+        val i = size(array_intersect(col("a_hs"), col("b_hs"))).cast("long")
+        cand.join(a, "d1").join(b, "d2")
           .select(col("d1"), col("d2"),
-            round(matches.cast("double") / numSeeds, 6).as("est_jaccard"))
-        val sh2 = shingleHashes(s, d).distinct()
-        val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(sh2.select(col("doc_id").as("d1"), col("h")), "d1")
-          .join(sh2.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-        est
-          .join(inter, Seq("d1", "d2"), "left")
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-          .select(col("d1"), col("d2"), col("est_jaccard"),
-            round(coalesce(col("i"), lit(0L)).cast("double") /
-              (col("n1") + col("n2") - coalesce(col("i"), lit(0L)))
-                .cast("double"), 6).as("exact_jaccard"))
+            round(matches.cast("double") / numSeeds, 6).as("est_jaccard"),
+            round(i.cast("double") /
+              (size(col("a_hs")) + size(col("b_hs")) - i).cast("double"), 6)
+              .as("exact_jaccard"))
       },
       Some(s"""WITH $minhashCtes,
               |cand AS ($minhashPairsSelect),
@@ -414,36 +413,57 @@ object Dedup {
     *
     * The index stores xxhash64(shingle), not the string: the shuffle moves
     * 8-byte keys; set sizes/intersections are unchanged barring a 64-bit
-    * collision (P < 1e-10 at this cardinality). The capped index feeds three
-    * consumers (both join sides + per-doc sizes); the two join sides share
-    * one shuffle via Spark's ReuseExchange, and we deliberately do NOT
-    * persist it — a runtime cache here was measured strictly slower (build
-    * cost + executor memory pressure + async unpersist debt bleeding into
-    * neighboring queries). At 100 TB the equivalent of persisting is an
-    * explicit pipeline step that writes the inverted index to storage, not
-    * an in-memory cache.
+    * collision (P < 1e-10 at this cardinality). All consumers derive from
+    * ONE per-doc set aggregate shared via ReuseExchange; we deliberately
+    * do NOT persist it — a runtime cache here was measured strictly slower
+    * (build cost + executor memory pressure + async unpersist debt bleeding
+    * into neighboring queries). At 100 TB the equivalent of persisting is
+    * an explicit pipeline step that writes the inverted index to storage,
+    * not an in-memory cache.
     */
   private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val ndocs = docs.select(count(lit(1)).as("ndocs"))
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val capped = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    // Text is parsed/hashed ONCE into per-doc shingle SETS (collect_set
+    // builds each set fully map-side — a doc's exploded shingles are
+    // contiguous within a partition — so the exchange moves one compact
+    // array row per doc). Every downstream consumer reads this one
+    // exchange via ReuseExchange. Alternatives measured at sf0.1: the old
+    // count().over(partitionBy(s)) df cap 2.2 s; groupBy-df + broadcast
+    // anti-join + joined sizes 2.2 s (three re-scans of the text); an
+    // inverted-index collect_list pair generator 3.2 s (500k tiny-group
+    // list agg); this shape 1.7 s.
+    val byDoc = sh.groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
+    // Over-cap shingles (df > 5% of corpus) as ONE array row: df via
+    // groupBy over the compact sets (map-side partial agg, no sort), the
+    // surviving keys — structurally tiny, at most 20 per corpus-sized
+    // posting budget — collected into a broadcast scalar so the cap
+    // becomes a MAP-SIDE array_except instead of an anti-join, and the
+    // capped set size rides each posting row into the self-join (no
+    // sizes join at the end). This is the template for any df-threshold
+    // operator at 100 TB: the skewed keys leave the plan before any
+    // join key is formed.
+    val hotArr = byDoc.select(explode(col("hs")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
-      .filter(col("df") * 20 <= col("ndocs"))
-      .select("doc_id", "s")
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = capped.as("a").join(capped.as("b"),
+      .filter(col("df") * 20 > col("ndocs"))
+      .agg(collect_set(col("s")).as("hot")) // 1 row (empty array if none)
+    val posting = byDoc.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array_except(col("hs"), col("hot")).as("chs"))
+      .select(col("doc_id"), size(col("chs")).as("n"),
+        explode(col("chs")).as("s"))
+    // self-join on the 8-byte shingle hash: both sides are the same
+    // subtree, so ReuseExchange ships the posting list once
+    posting.as("a").join(posting.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
-      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") /
-          (col("x.n") + col("y.n") - col("i"))).as("jaccard"))
+          (col("n1") + col("n2") - col("i"))).as("jaccard"))
       .filter(col("jaccard") > 0.3)
   }
 
@@ -579,11 +599,13 @@ object Dedup {
     * per doc before the shuffle) — semantically identical to the
     * explode-by-seed formulation the oracle uses, ~12x less shuffle.
     * Columns: doc_id, m0..m11. */
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val minCols = (0 until numSeeds).map(i =>
-      min((lit(laneA(i)) * col("h") + lit(laneB(i))) % P31).as(s"m$i"))
-    shingleHashes(s, d).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-  }
+  /** The 12 per-lane MIN aggregate columns (m0..m11) over an `h` input
+    * column — shared by [[minhashSig]] and d89's combined lanes+set agg. */
+  private def laneMinCols: Seq[Column] = (0 until numSeeds).map(i =>
+    min((lit(laneA(i)) * col("h") + lit(laneB(i))) % P31).as(s"m$i"))
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    shingleHashes(s, d).groupBy("doc_id").agg(laneMinCols.head, laneMinCols.tail: _*)
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsFromSig(minhashSig(s, d))

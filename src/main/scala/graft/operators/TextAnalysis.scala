@@ -291,8 +291,16 @@ object TextAnalysis {
                             // window top-k — the corpus text is read once.
       (s, d) => {
         val docs = Graft.tableParallel(s, d, "documents")
+        // ONE exchange for the term-level data: tokenize map-side, then
+        // pin the partitioning to doc_id BEFORE the tf aggregate — both
+        // the (doc_id, term) groupBy and the per-doc top-k window are
+        // satisfied by HashPartitioning(doc_id), so neither adds a
+        // shuffle. The previous shape shuffled term-level rows twice
+        // (once on (doc_id, term) for tf, again on doc_id for the
+        // window) — measured 8x the oracle.
         val terms = docs.select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
+            explode(tokens(lower(col("text")))).as("term"))
+          .repartition(col("doc_id"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.select(count(lit(1)).as("n_docs"))
