@@ -206,13 +206,60 @@ object Relational {
               GROUP BY ROLLUP(r_name, n_name)""")),
 
     QueryDef(
-      "q15_percentiles", // exact percentile with linear interpolation
-      (s, d) => t(s, d, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-          expr("percentile(o_totalprice, 0.5)").as("median_price"),
-          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
-          count(lit(1)).as("n")),
+      "q15_percentiles", // exact percentile with linear interpolation,
+                         // computed rank-based in two passes. Spark's own
+                         // `percentile` is a TypedImperativeAggregate whose
+                         // buffer holds every (value, count) of the group —
+                         // O(group size) executor memory, an OOM at 100 TB.
+                         // Here the raw rows pass through ONE hash aggregate
+                         // into the (group, value) -> count distribution
+                         // (map-side combine, fixed-size buffers), cumulative
+                         // 0-based rank ranges come from a window over that
+                         // distribution (bounded by the value DOMAIN, not the
+                         // row count, and disk-spillable), and the 12 target
+                         // ranks broadcast-join back to pick the two values
+                         // each percentile interpolates between:
+                         //   q = (k+1-pos)*v[k] + (pos-k)*v[k+1],
+                         //   pos = p*(n-1), k = floor(pos)
+                         // — the same two-sided form Spark's Percentile and
+                         // DuckDB's quantile_cont use, so results are
+                         // bit-identical (EngineSqlSpec proves it vs the SQL
+                         // `percentile` spelling).
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderstatus").as("g"),
+          col("o_totalprice").as("v"))
+        val n = o.groupBy("g").agg(count(lit(1)).as("n"))
+        val dist = o.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        // value v covers 0-based ranks [lo0, hi) of its group
+        val cum = dist.select(col("g"), col("v"), col("c"),
+            sum(col("c")).over(Window.partitionBy("g").orderBy("v")).as("hi"))
+          .select(col("g"), col("v"), (col("hi") - col("c")).as("lo0"),
+            col("hi"))
+        val ranks = n.select(col("g").as("rg"), explode(array(
+            lit(0.5), lit(0.9))).as("p"), col("n"))
+          .select(col("rg"), col("p"),
+            (col("p") * (col("n") - lit(1)).cast("double")).as("pos"))
+          .select(col("rg"), col("p"), col("pos"),
+            floor(col("pos")).cast("long").as("k"))
+          .select(col("rg"), col("p"), col("pos"), col("k"),
+            explode(array(col("k"), col("k") + 1)).as("r"))
+        val vals = cum.join(broadcast(ranks),
+          col("g") === col("rg") && col("r") >= col("lo0") &&
+            col("r") < col("hi"))
+        val q = vals.groupBy("g", "p", "pos", "k").agg(
+            max(when(col("r") === col("k"), col("v"))).as("vlo"),
+            max(when(col("r") === col("k") + 1, col("v"))).as("vhi"))
+          .select(col("g"), col("p"),
+            when(col("pos") === col("k").cast("double"), col("vlo"))
+              .otherwise((col("k") + 1 - col("pos")) * col("vlo") +
+                (col("pos") - col("k")) * col("vhi")).as("q"))
+        q.groupBy("g")
+          .agg(max(when(col("p") === 0.5, col("q"))).as("median_price"),
+            max(when(col("p") === 0.9, col("q"))).as("p90_price"))
+          .join(n, "g")
+          .select(col("g").as("o_orderstatus"), col("median_price"),
+            col("p90_price"), col("n"))
+      },
       Some("""SELECT o_orderstatus,
                      quantile_cont(o_totalprice, 0.5) AS median_price,
                      quantile_cont(o_totalprice, 0.9) AS p90_price,

@@ -34,6 +34,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
+  test("q15 percentile plan holds no per-group value buffer") {
+    // scale guard: the rank-based plan must not contain Spark's Percentile
+    // TypedImperativeAggregate (an O(group size) in-memory buffer per
+    // group). Its host operator is ObjectHashAggregate; the rank-based
+    // plan uses only codegen HashAggregate + a window over the value
+    // distribution.
+    val plan = run("q15_percentiles").queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"), "Percentile aggregate in plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate host operator in plan")
+  }
+
   test("q30 topk: sorted desc with unique tiebreak") {
     val rows = run("q30_topk").collect()
     assert(rows.length == 100)
