@@ -87,6 +87,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // open with SELECT, a CTE, or a parenthesized form — query()'s own heads
   private val createColstoreAs =
     """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+AS\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
+  // column-DDL form: `CREATE TABLE t (a INT NOT NULL, b VARCHAR(20), …)`
+  // (reference `nanosql.g:246-258` table_decl + `CreateTableCommand.java`).
+  // Anchored through the CLOSING paren + end-of-statement, so a Spark-SQL
+  // `CREATE TABLE t (…) USING …` does NOT match and falls through.
+  private val createTableDdl =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+  // INSERT targeting a WAREHOUSE table routes to the engine (append through
+  // the manifest + NOT NULL checks + txn COW); other targets fall through.
+  private val insertStmt =
+    """(?is)\s*INSERT\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?\s*(?:\(([^)]*)\)\s*)?(VALUES\b.+?|SELECT\b.+?|WITH\b.+?)\s*;?\s*""".r
   private val loadFile =
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
   private val createIndex =
@@ -165,6 +175,23 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.createTable(name, query(select))
       registerTable(name)
       status(s"created colstore table $name from query")
+    case createTableDdl(name, colsDdl) =>
+      // reference: the canonical CREATE TABLE declares columns+constraints
+      // (CreateTableCommand.java:1-332); here it publishes an EMPTY manifest
+      // version carrying the declared schema, so the create→INSERT→UPDATE
+      // lifecycle runs inside the storage engine from plain SQL
+      val (schema, notNull) = parseColumnDdl(colsDdl)
+      cmds.createEmpty(name, schema, notNull)
+      registerTable(name)
+      status(s"created table $name")
+    case insertStmt(q, tblRaw, colList, body) if isLocalDb(q) &&
+        cmds.tableExists(tblRaw) =>
+      // reference: InsertCommand.java:34-281 (VALUES and SELECT forms, with
+      // an optional column list; unlisted columns insert NULL)
+      cmds.insertInto(tblRaw, insertRows(tblRaw, Option(colList), body))
+      registerTable(tblRaw) // txn-path COW may have moved the pointer
+      dropIndexesOf(tblRaw)
+      status(s"inserted into $tblRaw")
     case loadFile(path, name) =>
       // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
       cmds.insertInto(name, readIngest(path, Some(cmds.table(name).schema)))
@@ -326,6 +353,88 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     }
     if (used) org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rewritten)
     else spark.sql(stmt)
+  }
+
+  /** Parse a reference-grammar column-declaration list (`nanosql.g:293-341`
+    * table_col_decl/column_type/column_constraint + table_constraint) into a
+    * Spark schema and the declared NOT NULL column set. Constraints honored:
+    * NOT NULL and PRIMARY KEY (column- and table-level) imply NOT NULL;
+    * UNIQUE/FOREIGN KEY parse and are recorded as metadata no-ops
+    * (uniqueness enforcement is priced out at scale — see
+    * TableCommands.checkNotNull). */
+  private def parseColumnDdl(colsDdl: String)
+      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val tablePk = """(?is)\s*(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]+)\)\s*""".r
+    val tableOther = """(?is)\s*(?:CONSTRAINT\s+\w+\s+)?(?:UNIQUE|FOREIGN\s+KEY)\b.*""".r
+    val colDecl = """(?is)\s*(\w+)\s+(.+?)\s*""".r
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val notNull = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sqlType(t: String): DataType = {
+      val up = t.trim.toUpperCase.replaceAll("\\s+", " ")
+      up.takeWhile(c => c.isLetter || c == ' ') match {
+        case "INT" | "INTEGER" => IntegerType
+        case "FLOAT" => FloatType // reference FLOAT is a 4-byte float
+        case "DOUBLE" => DoubleType
+        case "CHAR" | "VARCHAR" | "CHARACTER" | "CHARACTER VARYING" =>
+          StringType // length limits are metadata-only, as in Spark tables
+        case "DATE" => DateType
+        case "DATETIME" | "TIMESTAMP" | "TIME" => TimestampType
+        case _ => // superset: any Spark DDL type (BIGINT, DECIMAL(p,s), …)
+          DataType.fromDDL(t.trim)
+      }
+    }
+    // type, then any number of trailing column-constraints (each optionally
+    // `CONSTRAINT <name>`-prefixed, per the reference grammar)
+    val typeAndCons =
+      """(?is)\s*(.+?)((?:\s+(?:CONSTRAINT\s+\w+\s+)?(?:NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|REFERENCES\s+\w+(?:\s*\([^)]*\))?))*)\s*""".r
+    splitTopLevel(colsDdl).foreach {
+      case tablePk(cols) => notNull ++= cols.split(",").map(_.trim.toLowerCase)
+      case tableOther() => () // parsed, not enforced
+      case colDecl(name, rest) =>
+        val typeAndCons(tpe, cons) = (rest: String)
+        val c = cons.toUpperCase
+        if (c.matches("(?s).*(NOT\\s+NULL|PRIMARY\\s+KEY).*"))
+          notNull += name.toLowerCase
+        fields += StructField(name, sqlType(tpe), nullable = true)
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse column declaration: $other")
+    }
+    (StructType(fields.toSeq), notNull.toSeq.distinct)
+  }
+
+  /** Build the row batch for an engine-routed INSERT: VALUES via Spark's
+    * inline-table form, SELECT/WITH via [[query]]; positional columns cast
+    * to the table schema; a declared column list maps by name with NULLs
+    * for unlisted columns (reference InsertCommand semantics). */
+  private def insertRows(tbl: String, colList: Option[String],
+      body: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = cmds.table(tbl).schema
+    val src =
+      if (body.trim.toUpperCase.startsWith("VALUES"))
+        spark.sql(s"SELECT * FROM ${body.trim}")
+      else query(body.trim)
+    colList.map(_.trim).filter(_.nonEmpty) match {
+      case None =>
+        require(src.columns.length == target.length,
+          s"INSERT arity ${src.columns.length} != ${target.length} columns of $tbl")
+        src.select(src.columns.zip(target.fields).map { case (c, f) =>
+          col(s"`$c`").cast(f.dataType).as(f.name)
+        }: _*)
+      case Some(cl) =>
+        val listed = cl.split(",").map(_.trim.replaceAll("`", "")).toSeq
+        require(listed.length == src.columns.length,
+          s"INSERT column list has ${listed.length} names for " +
+            s"${src.columns.length} values")
+        val byLower = listed.map(_.toLowerCase).zip(src.columns).toMap
+        src.select(target.fields.map { f =>
+          byLower.get(f.name.toLowerCase) match {
+            case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq: _*)
+    }
   }
 
   private def condExpr(cond: String): Column =

@@ -188,6 +188,60 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         throw new IllegalArgumentException(s"table $name already exists")
     } else publish(name, df)
 
+  // ── declared constraints (reference `relations/TableSchema.java:1-283`
+  // carries NOT NULL / PK per column; `lab/storage/IndexUpdater.java:1-152`
+  // enforces them on insert) ──────────────────────────────────────────────
+  /** NOT NULL columns live in a `CONSTRAINTS` file beside the version dirs
+    * (one lowercase column name per line), so a new engine instance over an
+    * existing warehouse keeps enforcing them. sweep() only removes version
+    * DIRECTORIES, so the file survives every rewrite. */
+  private def constraintsFile(table: String) = Paths.get(dir(table), "CONSTRAINTS")
+
+  def notNullCols(table: String): Seq[String] =
+    if (Files.exists(constraintsFile(table)))
+      Files.readString(constraintsFile(table)).linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
+
+  /** Column-DDL CREATE TABLE (reference
+    * `commands/CreateTableCommand.java:1-332`): publish an EMPTY version
+    * with the declared schema — the schema of record for every later
+    * insert — and persist the declared NOT NULL set. */
+  def createEmpty(name: String, schema: StructType,
+      notNull: Seq[String]): Unit = {
+    if (tableExists(name))
+      throw new IllegalArgumentException(s"table $name already exists")
+    publish(name, spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    if (notNull.nonEmpty)
+      Files.writeString(constraintsFile(name),
+        notNull.map(_.toLowerCase).distinct.mkString("\n"))
+  }
+
+  /** Reject an insert batch that puts NULL into a declared NOT NULL column
+    * — one distributed pass over the batch, only when constraints exist.
+    * (UNIQUE/PK uniqueness is NOT enforced: at 100 TB that is an anti-join
+    * against the whole table per insert; the reference's B⁺-tree gets it
+    * for free, a columnar engine prices it honestly.) */
+  private def checkNotNull(name: String, rows: DataFrame): Unit = {
+    val nn = notNullCols(name)
+    if (nn.nonEmpty) {
+      val byLower = rows.columns.map(c => c.toLowerCase -> c).toMap
+      val missing = nn.filterNot(byLower.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"NOT NULL column(s) ${missing.mkString(", ")} absent from " +
+            s"insert into $name")
+      val violated = rows
+        .filter(nn.map(c => col(byLower(c)).isNull).reduce(_ || _))
+        .limit(1).count() > 0
+      if (violated)
+        throw new IllegalArgumentException(
+          s"NOT NULL constraint violated on insert into $name " +
+            s"(declared: ${nn.mkString(", ")})")
+    }
+  }
+
   /** LOAD / CREATE COLSTORE: CSV file -> columnar (Parquet) table. */
   def loadCsv(name: String, csvPath: String, schema: StructType,
       header: Boolean = true): Unit =
@@ -209,9 +263,11 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * reserved for rewrites, so appends stay O(new data). Inside an open
     * transaction the append goes through a COW publish instead, so the
     * pre-image survives for ROLLBACK. */
-  def insertInto(name: String, rows: DataFrame): Unit =
+  def insertInto(name: String, rows: DataFrame): Unit = {
+    checkNotNull(name, rows) // evaluates `rows` once extra; command-path cost
     if (txnSnapshot.nonEmpty) publish(name, table(name).unionByName(rows))
     else rows.write.mode(SaveMode.Append).parquet(dataPath(name))
+  }
 
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE
