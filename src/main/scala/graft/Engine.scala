@@ -113,6 +113,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // while a genuinely foreign database is REJECTED with an engine error
   // instead of falling through to Spark SQL's non-catalog path (whose
   // "UPDATE ... not supported" error hides the actual problem)
+  // EXPLAIN over engine-routed DML: Spark SQL cannot see the COW rewrite
+  // plan that UPDATE/DELETE would run, so the engine prints it itself
+  // (reference `commands/ExplainCommand.java` covers DML statements too)
+  private val explainDml =
+    """(?is)\s*EXPLAIN\s+((?:UPDATE|DELETE)\s+.+?)\s*;?\s*""".r
   private val updateStmt =
     """(?is)\s*UPDATE\s+((?:`?\w+`?\.)*)`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteStmt =
@@ -205,6 +210,28 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.createIndex(tbl, column)
       recordIndex(tbl, column)
       status(s"indexed $tbl by $column as ${tbl}_by_$column")
+    case explainDml(dml) =>
+      // the rewrite frame is BUILT but never published — EXPLAIN must not
+      // mutate. One row, one `plan` column, like Spark's own EXPLAIN.
+      val planned = dml match {
+        case updateStmt(q, tblRaw, rest) =>
+          val tbl = localName(q, tblRaw, "EXPLAIN UPDATE")
+          val (sets, cond) = splitWhere(rest)
+          val setMap = splitTopLevel(sets).map { a =>
+            val Array(c, e) = a.split("=", 2)
+            c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+          }.toMap
+          s"COW rewrite of $tbl (UPDATE)\n" +
+            cmds.explain(cmds.updatePlan(tbl, condExpr(cond), setMap))
+        case deleteStmt(q, tblRaw, cond) =>
+          val tbl = localName(q, tblRaw, "EXPLAIN DELETE")
+          s"COW rewrite of $tbl (DELETE)\n" +
+            cmds.explain(cmds.deletePlan(tbl, condExpr(cond)))
+        case other =>
+          throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
+      }
+      import spark.implicits._
+      Seq(planned).toDF("plan")
     case updateStmt(q, tblRaw, rest) =>
       // reference: UpdateCommand.java — Spark SQL cannot mutate plain
       // parquet tables, so UPDATE/DELETE route to the COW rewrite

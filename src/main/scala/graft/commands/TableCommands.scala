@@ -82,10 +82,22 @@ class TableCommands(spark: SparkSession, warehouse: String) {
 
   /** Stage `df` as a fresh version directory, atomically publish the
     * pointer, then sweep superseded/orphaned versions (sweep deferred
-    * while a transaction holds pre-images). */
-  private def publish(table: String, df: DataFrame): Unit = {
+    * while a transaction holds pre-images).
+    *
+    * `streamBatch` (exactly-once streaming appends) is written as a
+    * `_STREAM_BATCH` file (underscore-prefixed: parquet readers skip it) INSIDE the staged version directory BEFORE the
+    * pointer swap — the data and the batch id become visible in the same
+    * atomic rename, so no crash window can separate them. Rewrites without
+    * an explicit id (UPDATE/DELETE/OPTIMIZE) carry the live version's
+    * marker forward, so compacting a streamed table cannot reset its
+    * replay cursor. */
+  private def publish(table: String, df: DataFrame,
+      streamBatch: Option[Long] = None): Unit = {
     val version = nextVersion(table)
     df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/$version")
+    streamBatch.orElse(lastCommittedBatch(table)).foreach(b =>
+      Files.writeString(Paths.get(dir(table), version, "_STREAM_BATCH"),
+        b.toString))
     maybeCrash("staged")
     val tmp = Paths.get(dir(table), "CURRENT.tmp")
     Files.writeString(tmp, version)
@@ -269,24 +281,63 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     else rows.write.mode(SaveMode.Append).parquet(dataPath(name))
   }
 
+  /** Exactly-once streaming append: the micro-batch id commits atomically
+    * WITH the data (see [[publish]]'s `streamBatch`), and a re-delivered
+    * batch (id ≤ the live marker) is a no-op — `foreachBatch` replays after
+    * failures/restarts, so idempotence is the sink's responsibility.
+    *
+    * Cost model: each batch is a COW rewrite, O(table) not O(batch) — the
+    * price of atomic exactly-once under a single-pointer manifest. At
+    * 100 TB use [[insertInto]] (O(batch) at-least-once appends) with
+    * idempotent/deduping consumers, or an additive file-manifest log
+    * (Delta-style) that can commit appends atomically. */
+  def insertCommitted(name: String, rows: DataFrame, batchId: Long): Unit =
+    if (!tableExists(name)) {
+      checkNotNull(name, rows)
+      publish(name, rows, Some(batchId))
+    } else if (lastCommittedBatch(name).exists(_ >= batchId)) {
+      () // replayed batch — already in the table
+    } else {
+      checkNotNull(name, rows)
+      publish(name, table(name).unionByName(rows), Some(batchId))
+    }
+
+  /** The micro-batch id committed with the live version, if this table has
+    * ever been a streaming sink target. */
+  def lastCommittedBatch(name: String): Option[Long] =
+    if (!tableExists(name)) None
+    else {
+      val f = Paths.get(dataPath(name), "_STREAM_BATCH")
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    }
+
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE
     * semantics — `SET a = b, b = a` swaps), via a single simultaneous
     * projection. Distributed end-to-end — no driver-side row handling. */
-  def update(name: String, cond: Column, sets: Map[String, Column]): Unit = {
+  def update(name: String, cond: Column, sets: Map[String, Column]): Unit =
+    publish(name, updatePlan(name, cond, sets))
+
+  /** The rewrite frame [[update]] would publish — shared with EXPLAIN
+    * (reference `commands/ExplainCommand.java` covers DML too). */
+  def updatePlan(name: String, cond: Column,
+      sets: Map[String, Column]): DataFrame = {
     val cur = table(name)
-    val updated = cur.select(cur.columns.map { c =>
+    cur.select(cur.columns.map { c =>
       sets.get(c) match {
         case Some(e) => when(cond, e).otherwise(col(c)).as(c)
         case None => col(c)
       }
     }: _*)
-    publish(name, updated)
   }
 
   /** DELETE FROM t WHERE <cond>: copy-on-write rewrite keeping survivors. */
   def delete(name: String, cond: Column): Unit =
-    publish(name, table(name).filter(!coalesce(cond, lit(false))))
+    publish(name, deletePlan(name, cond))
+
+  /** The rewrite frame [[delete]] would publish — shared with EXPLAIN. */
+  def deletePlan(name: String, cond: Column): DataFrame =
+    table(name).filter(!coalesce(cond, lit(false)))
 
   /** CREATE INDEX ON t (col) — the reference builds a B⁺-tree on the column
     * (`commands/CreateIndexCommand.java`); a distributed columnar engine has

@@ -104,8 +104,12 @@ object SimHash {
         // (template-heavy corpora), so band over DISTINCT signatures and only
         // expand back to doc pairs at the end — the banded join is quadratic
         // in bucket size, and bucket sizes shrink by the clustering factor.
+        // NO persist: a cache here outlives the query (executor memory debt
+        // bleeding into neighbors — measured on d82 in round 2). The three
+        // self/cross joins all hash-partition on `simhash` over the same
+        // subtree, so ReuseExchange ships the signature frame once; only
+        // the DISTINCT branch recomputes the map-side kernel (~0.2 s).
         val sig = signatures(corpusNear(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val uniq = sig.select("simhash").distinct()
         val bands = uniq.select(col("simhash"),
           posexplode(array((0 until Bands).map(b =>

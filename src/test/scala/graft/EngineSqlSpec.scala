@@ -304,6 +304,25 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS accounts")
   }
 
+  test("EXPLAIN UPDATE/DELETE prints the COW rewrite plan without mutating") {
+    engine.sql("DROP TABLE IF EXISTS exp_t")
+    engine.sql("CREATE TABLE exp_t (id INT, v DOUBLE)")
+    engine.sql("INSERT INTO exp_t VALUES (1, 1.0), (2, 2.0)")
+    try {
+      val pu = engine.sql("EXPLAIN UPDATE exp_t SET v = 0 WHERE id = 1")
+        .head.getString(0)
+      assert(pu.contains("COW rewrite of exp_t (UPDATE)"))
+      assert(pu.contains("Scan parquet") || pu.contains("FileScan"),
+        s"plan must show the rewrite's scan:\n$pu")
+      assert(engine.sql("SELECT CAST(SUM(v) AS DOUBLE) AS s FROM exp_t")
+        .head.getDouble(0) == 3.0, "EXPLAIN must not mutate")
+      val pd = engine.sql("EXPLAIN DELETE FROM exp_t WHERE id = 2")
+        .head.getString(0)
+      assert(pd.contains("COW rewrite of exp_t (DELETE)"))
+      assert(engine.sql("SELECT COUNT(*) AS n FROM exp_t").head.getLong(0) == 2)
+    } finally engine.sql("DROP TABLE IF EXISTS exp_t")
+  }
+
   test("JSONL ingest: CREATE COLSTORE and LOAD accept .jsonl files") {
     val j1 = Files.createTempFile("graft_docs", ".jsonl")
     Files.writeString(j1,

@@ -245,6 +245,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("WarehouseSink exactly-once: re-delivered batches do not duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sink_eo_wh").toString
+    val cmds = new graft.commands.TableCommands(spark, wh)
+
+    // unit-level: the sink body itself is idempotent per batch id
+    cmds.insertCommitted("eo", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    cmds.insertCommitted("eo", Seq((3L, "c")).toDF("id", "v"), 1L)
+    cmds.insertCommitted("eo", Seq((3L, "c")).toDF("id", "v"), 1L) // re-delivery
+    cmds.insertCommitted("eo", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    assert(cmds.table("eo").count() == 3)
+    assert(cmds.lastCommittedBatch("eo").contains(1L))
+    // a compaction rewrite must NOT reset the replay cursor
+    cmds.optimizeTable("eo", targetPartitions = 1)
+    assert(cmds.lastCommittedBatch("eo").contains(1L))
+    cmds.insertCommitted("eo", Seq((9L, "z")).toDF("id", "v"), 1L) // still a replay
+    assert(cmds.table("eo").count() == 3)
+
+    // end-to-end: a restarted query (fresh checkpoint, same source) replays
+    // everything as batch 0 — the marker makes the replay a no-op
+    val src = MemoryStream[(Long, String)]
+    src.addData((10L, "x"), (11L, "y"))
+    val q1 = streaming.WarehouseSink.start(src.toDF().toDF("id", "v"), cmds, "eo2")
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(cmds.table("eo2").count() == 2)
+    val q2 = streaming.WarehouseSink.start(src.toDF().toDF("id", "v"), cmds, "eo2")
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(cmds.table("eo2").count() == 2,
+      "restart replayed batch 0 and must have been skipped")
+  }
+
   test("runningUserFlags: stateful running mean across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
