@@ -304,16 +304,28 @@ object TextAnalysis {
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.select(count(lit(1)).as("n_docs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-        tf.join(broadcast(dfreq), "term")
+        // top-3 via per-doc array sort instead of a row_number window: the
+        // groupBy collapses each doc to ONE row holding its scored terms
+        // (bounded by doc vocabulary), sort_array orders them inside the
+        // row, and posexplode re-emits exactly 3 — no partition-wide window
+        // sort over the full term-level data. Struct field order gives the
+        // tie-break for free: (-tfidf asc, term asc) = (tfidf desc, term
+        // asc).
+        val scored = tf.join(broadcast(dfreq), "term")
           .crossJoin(broadcast(nDocs))
           .select(col("doc_id"), col("term"), col("tf"),
             round(col("tf") *
               round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6),
               6).as("tfidf"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
+        scored.groupBy("doc_id")
+          .agg(slice(sort_array(collect_list(struct(
+            (-col("tfidf")).as("neg"), col("term"), col("tf"),
+            col("tfidf")))), 1, 3).as("top"))
+          .select(col("doc_id"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("doc_id"), col("t.term").as("term"),
+            col("t.tf").as("tf"), col("t.tfidf").as("tfidf"),
+            (col("pos") + 1).cast("integer").as("rnk"))
       },
       Some("""WITH terms AS (
              |  SELECT doc_id, unnest(list_filter(
