@@ -89,10 +89,33 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+AS\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
   // column-DDL form: `CREATE TABLE t (a INT NOT NULL, b VARCHAR(20), …)`
   // (reference `nanosql.g:246-258` table_decl + `CreateTableCommand.java`).
-  // Anchored through the CLOSING paren + end-of-statement, so a Spark-SQL
-  // `CREATE TABLE t (…) USING …` does NOT match and falls through.
+  // Anchored through the closing paren + end-of-statement, AND guarded by
+  // [[balancedParens]] at the match site: a Spark-SQL `CREATE TABLE t (…)
+  // USING/OPTIONS/PARTITIONED BY (…)` makes the greedy capture span
+  // between two DIFFERENT paren groups (unbalanced inside), so it falls
+  // through to Spark SQL instead of being silently swallowed as a
+  // warehouse DDL.
   private val createTableDdl =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+
+  /** True iff every '(' in `s` closes inside `s` (quote-aware) — i.e. the
+    * capture is ONE parenthesized group's content, not a greedy span across
+    * several groups. */
+  private def balancedParens(s: String): Boolean = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) return false
+        case _ => ()
+      }
+      i += 1
+    }
+    depth == 0
+  }
   // INSERT targeting a WAREHOUSE table routes to the engine (append through
   // the manifest + NOT NULL checks + txn COW); other targets fall through.
   private val insertStmt =
@@ -134,7 +157,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   }
 
   private def localName(qualifier: String, tbl: String, verb: String): String =
-    if (isLocalDb(qualifier)) tbl
+    if (isLocalDb(qualifier)) cmds.resolveTable(tbl).getOrElse(tbl)
     else throw new UnsupportedOperationException(
       s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
         s"supported — the warehouse is single-database; use the bare name '$tbl'")
@@ -180,25 +203,34 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.createTable(name, query(select))
       registerTable(name)
       status(s"created colstore table $name from query")
-    case createTableDdl(name, colsDdl) =>
+    case createTableDdl(ifNotExists, name, colsDdl) if balancedParens(colsDdl) =>
       // reference: the canonical CREATE TABLE declares columns+constraints
       // (CreateTableCommand.java:1-332); here it publishes an EMPTY manifest
       // version carrying the declared schema, so the create→INSERT→UPDATE
       // lifecycle runs inside the storage engine from plain SQL
-      val (schema, notNull) = parseColumnDdl(colsDdl)
-      cmds.createEmpty(name, schema, notNull)
-      registerTable(name)
-      status(s"created table $name")
+      if (ifNotExists != null && cmds.tableExists(name))
+        status(s"table $name already exists")
+      else {
+        val (schema, notNull) = parseColumnDdl(colsDdl)
+        cmds.createEmpty(name, schema, notNull)
+        registerTable(name)
+        status(s"created table $name")
+      }
     case insertStmt(q, tblRaw, colList, body) if isLocalDb(q) &&
-        cmds.tableExists(tblRaw) =>
+        cmds.resolveTable(tblRaw).isDefined =>
       // reference: InsertCommand.java:34-281 (VALUES and SELECT forms, with
-      // an optional column list; unlisted columns insert NULL)
-      cmds.insertInto(tblRaw, insertRows(tblRaw, Option(colList), body))
-      registerTable(tblRaw) // txn-path COW may have moved the pointer
-      dropIndexesOf(tblRaw)
-      status(s"inserted into $tblRaw")
-    case loadFile(path, name) =>
+      // an optional column list; unlisted columns insert NULL). The target
+      // resolves CASE-INSENSITIVELY (SQL identifier semantics): a
+      // case-variant spelling must not slip past the engine to Spark's
+      // catalog append, which would bypass NOT NULL checks and txn COW.
+      val tbl = cmds.resolveTable(tblRaw).get
+      cmds.insertInto(tbl, insertRows(tbl, Option(colList), body))
+      registerTable(tbl) // txn-path COW may have moved the pointer
+      dropIndexesOf(tbl)
+      status(s"inserted into $tbl")
+    case loadFile(path, nameRaw) =>
       // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
+      val name = cmds.resolveTable(nameRaw).getOrElse(nameRaw)
       cmds.insertInto(name, readIngest(path, Some(cmds.table(name).schema)))
       registerTable(name)
       dropIndexesOf(name)
@@ -274,7 +306,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         // tables were already dropped at mutation time)
         indexes.keys.toSeq.foreach(dropIndexesOf)
       status(r)
-    case dropTableStmt(ifExists, q, tbl) if isLocalDb(q) && cmds.tableExists(tbl) =>
+    case dropTableStmt(ifExists, q, tblRaw) if isLocalDb(q) &&
+        cmds.resolveTable(tblRaw).isDefined =>
+      val tbl = cmds.resolveTable(tblRaw).get
       // warehouse tables need BOTH the manifest dirs and the catalog entry
       // gone, or a later CREATE COLSTORE of the same name would refuse.
       // (A genuinely foreign-qualified DROP falls through to Spark SQL,
@@ -297,9 +331,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (point == null) throw new IllegalStateException("simulated crash: CRASH")
       cmds.crashPoint = Some(point.toLowerCase)
       status(s"armed crash point ${point.toLowerCase}")
-    case verifyStmt(tbl) => // reference: VerifyCommand (integrity check)
+    case verifyStmt(tblRaw) => // reference: VerifyCommand (integrity check)
+      val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
-    case optimizeStmt(tbl) => // reference: OptimizeCommand (compaction)
+    case optimizeStmt(tblRaw) => // reference: OptimizeCommand (compaction)
+      val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       cmds.optimizeTable(tbl)
       registerTable(tbl)
       status(s"optimized $tbl")
@@ -454,6 +490,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         require(listed.length == src.columns.length,
           s"INSERT column list has ${listed.length} names for " +
             s"${src.columns.length} values")
+        // every listed name must be a real column, once — a misspelling
+        // must error, not silently land its value as NULL
+        val targetLower = target.fields.map(_.name.toLowerCase).toSet
+        val unknown = listed.filterNot(c => targetLower(c.toLowerCase))
+        require(unknown.isEmpty,
+          s"INSERT column(s) ${unknown.mkString(", ")} do not exist in $tbl")
+        val dups = listed.groupBy(_.toLowerCase).collect {
+          case (_, vs) if vs.sizeIs > 1 => vs.head
+        }
+        require(dups.isEmpty,
+          s"INSERT column(s) listed more than once: ${dups.mkString(", ")}")
         val byLower = listed.map(_.toLowerCase).zip(src.columns).toMap
         src.select(target.fields.map { f =>
           byLower.get(f.name.toLowerCase) match {

@@ -23,20 +23,21 @@ object Repl {
     spark.stop()
   }
 
-  /** Read one semicolon-terminated statement; quote-aware, so a `;` inside
-    * a SQL string literal does not split (`''` escapes degrade to exit+
-    * re-enter the literal — harmless for delimiter scanning). EOF with
-    * only whitespace pending → None. */
+  /** Read one semicolon-terminated statement; quote-aware for single AND
+    * double quotes (Spark also lexes `"…"` as a string literal) plus
+    * backtick identifiers, so a `;` inside any of them does not split
+    * (doubled-quote escapes degrade to exit+re-enter — harmless for
+    * delimiter scanning). EOF with only whitespace pending → None. */
   private[graft] def nextStatement(r: java.io.Reader): Option[String] = {
     val sb = new StringBuilder
-    var inStr = false
+    var quote: Char = 0 // 0 = top level, else the open quote char
     while (true) {
       val c = r.read()
       if (c < 0)
         return if (sb.toString.trim.nonEmpty) Some(sb.toString) else None
       val ch = c.toChar
-      if (inStr) { sb += ch; if (ch == '\'') inStr = false }
-      else if (ch == '\'') { sb += ch; inStr = true }
+      if (quote != 0) { sb += ch; if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"' || ch == '`') { sb += ch; quote = ch }
       else if (ch == ';') return Some(sb.toString)
       else sb += ch
     }

@@ -52,6 +52,14 @@ class TableCommands(spark: SparkSession, warehouse: String) {
 
   def tableExists(name: String): Boolean = Files.exists(currentFile(name))
 
+  /** Case-insensitive warehouse lookup: SQL identifiers are
+    * case-insensitive, directory names are not — `INSERT INTO ACCOUNTS`
+    * must reach the same manifest table as `accounts` (and its NOT NULL /
+    * txn semantics), not slip through to a catalog fallthrough. */
+  def resolveTable(name: String): Option[String] =
+    if (tableExists(name)) Some(name)
+    else warehouseTables.find(_.equalsIgnoreCase(name))
+
   /** Every table in this warehouse (dirs with a CURRENT pointer). */
   def warehouseTables: Seq[String] =
     Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)

@@ -229,16 +229,22 @@ object Relational {
         val o = t(s, d, "orders").select(col("o_orderstatus").as("g"),
           col("o_totalprice").as("v"))
         val n = o.groupBy("g").agg(count(lit(1)).as("n"))
-        val dist = o.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        // percentile/quantile_cont IGNORE NULLs while COUNT(*) does not:
+        // ranks come from the NULL-free values, `n` stays the raw count
+        // (latent here — orders has no NULL prices — but the parity claim
+        // must hold on any input)
+        val vv = o.filter(col("v").isNotNull)
+        val nv = vv.groupBy("g").agg(count(lit(1)).as("nv"))
+        val dist = vv.groupBy("g", "v").agg(count(lit(1)).as("c"))
         // value v covers 0-based ranks [lo0, hi) of its group
         val cum = dist.select(col("g"), col("v"), col("c"),
             sum(col("c")).over(Window.partitionBy("g").orderBy("v")).as("hi"))
           .select(col("g"), col("v"), (col("hi") - col("c")).as("lo0"),
             col("hi"))
-        val ranks = n.select(col("g").as("rg"), explode(array(
-            lit(0.5), lit(0.9))).as("p"), col("n"))
+        val ranks = nv.select(col("g").as("rg"), explode(array(
+            lit(0.5), lit(0.9))).as("p"), col("nv"))
           .select(col("rg"), col("p"),
-            (col("p") * (col("n") - lit(1)).cast("double")).as("pos"))
+            (col("p") * (col("nv") - lit(1)).cast("double")).as("pos"))
           .select(col("rg"), col("p"), col("pos"),
             floor(col("pos")).cast("long").as("k"))
           .select(col("rg"), col("p"), col("pos"), col("k"),

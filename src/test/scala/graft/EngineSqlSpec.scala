@@ -304,6 +304,48 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS accounts")
   }
 
+  test("SQL routing edges: Spark DDL not hijacked, IF NOT EXISTS idempotent, " +
+      "bad column lists rejected, case-variant names reach the engine") {
+    // a Spark-SQL CREATE TABLE with clauses after the column list must fall
+    // through to Spark (catalog table), NOT be swallowed as warehouse DDL
+    val loc = Files.createTempDirectory("graft_edge_loc").toString
+    engine.sql("DROP TABLE IF EXISTS edge_spark_t")
+    engine.sql(
+      s"CREATE TABLE edge_spark_t (a INT) USING parquet LOCATION '$loc'")
+    try {
+      assert(spark.catalog.tableExists("edge_spark_t"))
+      // and it is NOT a warehouse table: the storage-engine VERIFY refuses
+      val e = intercept[Exception](engine.sql("VERIFY edge_spark_t").collect())
+      assert(e.getMessage.contains("does not exist"),
+        "a fallthrough CREATE TABLE must not create a warehouse manifest")
+    } finally engine.sql("DROP TABLE IF EXISTS edge_spark_t")
+
+    engine.sql("DROP TABLE IF EXISTS edge_t")
+    engine.sql("CREATE TABLE edge_t (id INT NOT NULL, v DOUBLE)")
+    try {
+      // IF NOT EXISTS: second create is a no-op, not an error
+      engine.sql("CREATE TABLE IF NOT EXISTS edge_t (id INT)")
+      assert(engine.sql("SELECT * FROM edge_t").schema.length == 2,
+        "IF NOT EXISTS re-create must not replace the table")
+      // unknown / duplicate column lists error instead of silently NULLing
+      val e1 = intercept[IllegalArgumentException](
+        engine.sql("INSERT INTO edge_t (id, vv) VALUES (1, 9.9)"))
+      assert(e1.getMessage.contains("vv"))
+      val e2 = intercept[IllegalArgumentException](
+        engine.sql("INSERT INTO edge_t (id, id) VALUES (1, 2)"))
+      assert(e2.getMessage.contains("more than once"))
+      // case-variant target resolves to the SAME warehouse table — the
+      // engine route (and its NOT NULL check) must not be bypassed
+      val e3 = intercept[IllegalArgumentException](
+        engine.sql("INSERT INTO EDGE_T VALUES (NULL, 1.0)"))
+      assert(e3.getMessage.contains("NOT NULL"))
+      engine.sql("INSERT INTO EDGE_T VALUES (7, 1.0)")
+      assert(engine.sql("SELECT COUNT(*) AS n FROM edge_t").head.getLong(0) == 1)
+      engine.sql("UPDATE Edge_T SET v = 2.0 WHERE id = 7")
+      assert(engine.sql("SELECT v FROM edge_t").head.getDouble(0) == 2.0)
+    } finally engine.sql("DROP TABLE IF EXISTS edge_t")
+  }
+
   test("EXPLAIN UPDATE/DELETE prints the COW rewrite plan without mutating") {
     engine.sql("DROP TABLE IF EXISTS exp_t")
     engine.sql("CREATE TABLE exp_t (id INT, v DOUBLE)")

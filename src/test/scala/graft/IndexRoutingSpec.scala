@@ -87,7 +87,7 @@ class IndexRoutingSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
-  test("INSERT through the SQL fallthrough drops the stale index") {
+  test("engine-routed INSERT into a warehouse table drops the stale index") {
     val csv = java.nio.file.Files.createTempFile("graft_ins", ".csv")
     java.nio.file.Files.writeString(csv, "id,v\n1,a\n2,b\n")
     val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh3").toString
@@ -96,18 +96,42 @@ class IndexRoutingSpec extends AnyFunSuite {
       engine.sql(s"CREATE COLSTORE ins_t FROM '$csv'")
       engine.sql("CREATE INDEX ON ins_t (id)")
       assert(spark.catalog.tableExists("ins_t_by_id"))
-      // INSERT INTO has no engine route — it reaches spark.sql through the
-      // query fallthrough and appends to the registered table location;
-      // the snapshot index MUST be invalidated on the way
+      // ins_t is a warehouse table, so INSERT takes the ENGINE route
+      // (manifest append + constraint checks) — which must invalidate the
+      // snapshot index in its handler
       engine.sql("INSERT INTO ins_t VALUES (3, 'c')")
       assert(!spark.catalog.tableExists("ins_t_by_id"),
-        "stale index must be dropped by the INSERT fallthrough")
+        "stale index must be dropped by the engine INSERT route")
       val n = engine.sql("SELECT count(*) AS n FROM ins_t WHERE id >= 1")
         .head().getLong(0)
       assert(n == 3, "post-insert query must see the appended row")
     } finally {
       engine.sql("DROP TABLE IF EXISTS ins_t")
       spark.sql("DROP TABLE IF EXISTS ins_t_by_id")
+    }
+  }
+
+  test("INSERT into a NON-warehouse catalog table still falls through to " +
+      "Spark SQL and drops the stale index (fallthroughMutation path)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh4").toString
+    val engine = new Engine(spark, TestSpark.sfDir, wh)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_t").toString
+    try {
+      // a catalog-managed table OUTSIDE the warehouse: the engine INSERT
+      // route must not claim it — the statement reaches spark.sql through
+      // the query fallthrough, whose fallthroughMutation guard owns the
+      // index invalidation
+      spark.sql(s"CREATE TABLE cat_t (id INT, v STRING) USING parquet LOCATION '$dir'")
+      spark.sql("INSERT INTO cat_t VALUES (1, 'a'), (2, 'b')")
+      engine.sql("CREATE INDEX ON cat_t (id)")
+      assert(spark.catalog.tableExists("cat_t_by_id"))
+      engine.sql("INSERT INTO cat_t VALUES (3, 'c')")
+      assert(!spark.catalog.tableExists("cat_t_by_id"),
+        "stale index must be dropped by the query-fallthrough INSERT guard")
+      assert(engine.sql("SELECT count(*) AS n FROM cat_t").head().getLong(0) == 3)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cat_t")
+      spark.sql("DROP TABLE IF EXISTS cat_t_by_id")
     }
   }
 }

@@ -46,4 +46,10 @@ class ReplSpec extends AnyFunSuite {
     val (n, out) = drive("SELECT 'a;b' AS s;QUIT;")
     assert(n == 2 && out.contains("a;b"))
   }
+
+  test("framing also covers double-quoted literals and backticked identifiers") {
+    val (n, out) = drive("SELECT \"x;y\" AS s2;SELECT 1 AS `se;mi`;QUIT;")
+    assert(n == 3, out)
+    assert(out.contains("x;y") && out.contains("se;mi"))
+  }
 }
