@@ -25,6 +25,98 @@ object Similarity {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
+  private def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
+
+  /** IVF assignment shared by s93 and d92: each vector with its
+    * 1e-6-quantized integer components (`vq`), its integer self-dot (`nq`),
+    * and its nearest label-centroid by quantized cosine (`cluster`, ties →
+    * smaller label). Exact-integer centroids via VectorSumL: one array
+    * buffer per label per partition crosses the shuffle — no posexplode,
+    * no rows×dims tuple volume; the ~|labels| centroid rows broadcast. */
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
+    val e = Graft.tableParallel(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+    val centArr = e
+      .groupBy(col("label").as("clabel"))
+      .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
+        count(col("vq")).as("cnt"))
+      .select(col("clabel"),
+        transform(col("vsum"),
+          sq => round(sq.cast("double") / col("cnt")).cast("long")).as("cqa"))
+      .withColumn("ncq", dotl(col("cqa"), col("cqa")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("clabel").asc)
+    e.withColumn("nq", dotl(col("vq"), col("vq")))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("vq"), col("nq"), col("clabel"),
+        (dotl(col("vq"), col("cqa")).cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("ncq").cast("double"))))
+          .as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("vq"), col("nq"),
+        col("clabel").as("cluster"))
+  }
+
+  /** Shared s93/d92 oracle CTE chain: quantized components, exact-integer
+    * centroids, cosine-vs-centroid assignment (declared before `defs`:
+    * object init is textual order). */
+  private val ivfCtes =
+    """comp AS (
+      |  SELECT vec_id, label, j - 1 AS j0,
+      |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+      |               generate_subscripts(embedding, 1) AS j
+      |        FROM embeddings)),
+      |cent AS (
+      |  SELECT label AS clabel, j0,
+      |         CAST(ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      |  FROM comp GROUP BY label, j0),
+      |dots AS (
+      |  SELECT vec_id, label, clabel, SUM(xq * cq) AS dotq
+      |  FROM comp JOIN cent USING (j0)
+      |  GROUP BY vec_id, label, clabel),
+      |nv AS (SELECT vec_id, SUM(xq * xq) AS nq FROM comp GROUP BY vec_id),
+      |nc AS (SELECT clabel, SUM(cq * cq) AS ncq FROM cent GROUP BY clabel),
+      |assign AS (
+      |  SELECT vec_id, label, assigned_label
+      |  FROM (SELECT d.vec_id, d.label, d.clabel AS assigned_label,
+      |               ROW_NUMBER() OVER (
+      |                 PARTITION BY d.vec_id
+      |                 ORDER BY CAST(d.dotq AS DOUBLE) /
+      |                          (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.ncq AS DOUBLE))) DESC,
+      |                          d.clabel) AS rnk
+      |        FROM dots d JOIN nv ON d.vec_id = nv.vec_id
+      |                    JOIN nc ON d.clabel = nc.clabel)
+      |  WHERE rnk = 1)""".stripMargin
+
+  private val s93OracleSql =
+    s"""WITH $ivfCtes
+       |SELECT vec_id, label, assigned_label, assigned_label = label AS correct
+       |FROM assign""".stripMargin
+
+  private val d92OracleSql =
+    s"""WITH $ivfCtes,
+       |pairs AS (
+       |  SELECT a.vec_id AS v,
+       |         ROUND(CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
+       |               (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 6) AS sim
+       |  FROM assign a JOIN assign b
+       |         ON a.assigned_label = b.assigned_label AND b.vec_id < a.vec_id
+       |  JOIN comp ca ON ca.vec_id = a.vec_id
+       |  JOIN comp cb ON cb.vec_id = b.vec_id AND cb.j0 = ca.j0
+       |  JOIN nv na ON na.vec_id = a.vec_id
+       |  JOIN nv nb ON nb.vec_id = b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id, na.nq, nb.nq
+       |  HAVING ROUND(CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
+       |               (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 6) > 0.3),
+       |drops AS (SELECT DISTINCT v AS vec_id FROM pairs)
+       |SELECT a.vec_id, a.assigned_label AS cluster,
+       |       d.vec_id IS NOT NULL AS dropped
+       |FROM assign a LEFT JOIN drops d USING (vec_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -106,65 +198,45 @@ object Similarity {
                         // oracle keeps the positional-explode formulation;
                         // both are exact integer arithmetic, so they agree
                         // bit-for-bit.)
+      (s, d) => ivfAssignment(s, d)
+        .select(col("vec_id"), col("label"),
+          col("cluster").as("assigned_label"),
+          (col("cluster") === col("label")).as("correct")),
+      Some(s93OracleSql)),
+
+    QueryDef(
+      "d92_semantic_dedup", // SemDeDup-style cluster-scoped embedding dedup
+                            // (Abbas et al. 2023, arXiv:2303.09540): assign
+                            // every vector to its nearest coarse centroid,
+                            // then search for semantic duplicates ONLY
+                            // within a cluster — the pairwise work is
+                            // bounded by cluster size (k is chosen so
+                            // clusters stay small), never corpus². The
+                            // greedy one-pass keep rule drops any vector
+                            // with a smaller-id neighbor above the
+                            // threshold in its cluster. All similarity
+                            // arithmetic is the quantized-integer cosine
+                            // (engine-exact); the within-cluster pair join
+                            // is an EQUI-join on the cluster id — this is
+                            // d86's labeled brute-force made scale-shaped.
       (s, d) => {
-        def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
-        val e = Graft.tableParallel(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"),
-              x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
-        // exact-integer centroid per label: mean of quantized components.
-        // VectorSumL keeps the vectors whole through the aggregation — no
-        // posexplode, no collect_list/array_sort re-assembly; one array
-        // buffer per label per partition crosses the shuffle (few rows —
-        // broadcastable)
-        val centArr = e
-          .groupBy(col("label").as("clabel"))
-          .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
-            count(col("vq")).as("cnt"))
-          .select(col("clabel"),
-            transform(col("vsum"),
-              sq => round(sq.cast("double") / col("cnt")).cast("long")).as("cqa"))
-          .withColumn("ncq", dotl(col("cqa"), col("cqa")))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("clabel").asc)
-        e.withColumn("nq", dotl(col("vq"), col("vq")))
-          .crossJoin(broadcast(centArr))
-          .select(col("vec_id"), col("label"), col("clabel"),
-            (dotl(col("vq"), col("cqa")).cast("double") /
-              (sqrt(col("nq").cast("double")) * sqrt(col("ncq").cast("double"))))
-              .as("sim"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("label"),
-            col("clabel").as("assigned_label"),
-            (col("clabel") === col("label")).as("correct"))
+        val a = ivfAssignment(s, d)
+        val smaller = a.select(col("cluster").as("c2"),
+          col("vec_id").as("v2"), col("vq").as("vq2"), col("nq").as("nq2"))
+        val drops = a.join(smaller,
+            col("cluster") === col("c2") && col("v2") < col("vec_id"))
+          .select(col("vec_id"),
+            round(dotl(col("vq"), col("vq2")).cast("double") /
+              (sqrt(col("nq").cast("double")) * sqrt(col("nq2").cast("double"))),
+              6).as("sim"))
+          .filter(col("sim") > 0.3)
+          .select(col("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        a.join(drops, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            coalesce(col("dup"), lit(false)).as("dropped"))
       },
-      Some("""WITH comp AS (
-                SELECT vec_id, label, j - 1 AS j0,
-                       CAST(ROUND(x * 1000000) AS BIGINT) AS xq
-                FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
-                             generate_subscripts(embedding, 1) AS j
-                      FROM embeddings)),
-              cent AS (
-                SELECT label AS clabel, j0,
-                       CAST(ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-                FROM comp GROUP BY label, j0),
-              dots AS (
-                SELECT vec_id, label, clabel, SUM(xq * cq) AS dotq
-                FROM comp JOIN cent USING (j0)
-                GROUP BY vec_id, label, clabel),
-              nv AS (SELECT vec_id, SUM(xq * xq) AS nq FROM comp GROUP BY vec_id),
-              nc AS (SELECT clabel, SUM(cq * cq) AS ncq FROM cent GROUP BY clabel)
-              SELECT vec_id, label, assigned_label, assigned_label = label AS correct
-              FROM (SELECT d.vec_id, d.label, d.clabel AS assigned_label,
-                           ROW_NUMBER() OVER (
-                             PARTITION BY d.vec_id
-                             ORDER BY CAST(d.dotq AS DOUBLE) /
-                                      (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.ncq AS DOUBLE))) DESC,
-                                      d.clabel) AS rnk
-                    FROM dots d JOIN nv ON d.vec_id = nv.vec_id
-                                JOIN nc ON d.clabel = nc.clabel)
-              WHERE rnk = 1""")),
+      Some(d92OracleSql)),
 
     QueryDef(
       "s94_ann_bucketed", // the 100 TB ANN path end-to-end: LSH bucket

@@ -57,6 +57,53 @@ object TextAnalysis {
                     FROM documents)""")),
 
     QueryDef(
+      "t83_mixture_report", // the data-card / mixture table every corpus
+                            // release ships: per (source, lang) document and
+                            // token counts plus corpus share. Scale shape:
+                            // token counting is map-side expression work,
+                            // the groupBy moves one partial row per
+                            // (source, lang) per partition, and the 1-row
+                            // total broadcasts back — the whole report is
+                            // one pass over the text regardless of corpus
+                            // size. Counts are exact integers; shares are
+                            // integer-ratio doubles rounded to 6, so the
+                            // report is engine-exact.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+        val toks = tokens(col("text"))
+        val grp = docs.select(col("source"), col("lang"),
+            size(toks).cast("long").as("ntok"),
+            length(col("text")).cast("long").as("nch"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            sum(col("nch")).as("n_chars"))
+        val tot = grp.agg(sum(col("n_docs")).as("tot_docs"),
+          sum(col("n_tokens")).as("tot_tokens"))
+        grp.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            col("n_chars"),
+            round(col("n_docs").cast("double") / col("tot_docs"), 6)
+              .as("doc_share"),
+            round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+              .as("token_share"))
+      },
+      Some("""WITH grp AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(len(list_filter(
+             |             regexp_split_to_array(trim(text), '\s+'),
+             |             x -> x != ''))) AS BIGINT) AS n_tokens,
+             |         CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY source, lang),
+             |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+             |               CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+             |        FROM grp)
+             |SELECT source, lang, n_docs, n_tokens, n_chars,
+             |       ROUND(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS doc_share,
+             |       ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share
+             |FROM grp CROSS JOIN tot""".stripMargin)),
+
+    QueryDef(
       "t71_quality_score",
       (s, d) => {
         val toks = tokens(col("text"))

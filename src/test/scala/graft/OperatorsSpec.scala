@@ -139,6 +139,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 9, s"bucketed recall too low: $hits/10 planted neighbors found")
   }
 
+  test("d92 semantic dedup: drop decisions are cluster-scoped and greedy-consistent") {
+    val out = run("d92_semantic_dedup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.length == 500, "every vector gets a verdict")
+    val dropped = out.count(_._3)
+    assert(dropped > 0, "the 0.3-threshold corpus has known within-cluster near-dups")
+    assert(dropped < 250, "dedup must not drop most of the corpus")
+    // greedy min-id rule: within every cluster the smallest vec_id survives
+    out.groupBy(_._2).foreach { case (_, vs) =>
+      assert(!vs.minBy(_._1)._3, "a cluster's smallest vec_id can never drop")
+    }
+  }
+
+  test("t83 mixture report: shares sum to 1 and counts reconcile with the corpus") {
+    val rows = run("t83_mixture_report").collect()
+    val docs = rows.map(_.getLong(2)).sum
+    assert(docs == 500, s"doc counts must cover the corpus, got $docs")
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"doc shares sum to $shareSum")
+    val tokShare = rows.map(_.getDouble(6)).sum
+    assert(math.abs(tokShare - 1.0) < 1e-4, s"token shares sum to $tokShare")
+  }
+
   test("d87 components: labels are closed over the candidate-edge set") {
     val labels = run("d87_dedup_components").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
