@@ -115,7 +115,38 @@ object Multimodal {
         BmpMeta(docId, width, height, bpp, rowBytes, imageSize, ok)
       }
     }
+
+    /** m99: nearest-neighbor 2× downsample — decode the header, then sample
+      * the pixel at every even (row, col) and sum its 3 channel bytes. The
+      * decode→transform→feature chain of an image-resize stage, with the
+      * resampled content validated byte-for-byte (the oracle recomputes the
+      * sampled-byte sum from the construction formulas, so any indexing,
+      * stride, or padding slip in the sampler hash-mismatches). */
+    def resample2x(docId: Long, b: Array[Byte]): BmpResample = {
+      val m = decode(docId, b)
+      if (!m.valid) BmpResample(docId, -1, -1, -1L, valid = false)
+      else {
+        var sum = 0L
+        var r = 0
+        while (r < m.height) {
+          val base = 54 + r * m.row_bytes
+          var c = 0
+          while (c < m.width) {
+            val o = base + 3 * c
+            sum += (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+            c += 2
+          }
+          r += 2
+        }
+        BmpResample(docId, (m.width + 1) / 2, (m.height + 1) / 2, sum,
+          valid = true)
+      }
+    }
   }
+
+  /** m99's output: downsampled dimensions + sampled-content checksum. */
+  case class BmpResample(doc_id: Long, out_w: Int, out_h: Int,
+      sample_sum: Long, valid: Boolean)
 
   // little-endian hex of a 32/16-bit value (RIFF and BMP headers are both
   // little-endian) — byte-pairwise reorder of the big-endian hex string.
@@ -246,6 +277,62 @@ object Multimodal {
              |        ((4 + doc_id % 13) * 3 + 3)
              |          - (((4 + doc_id % 13) * 3 + 3) % 4) AS rb
              |      FROM documents)""".stripMargin)),
+
+    QueryDef(
+      "m99_bmp_resample", // image RESIZE stage over real binary payloads:
+                          // the plan assembles 24-bpp BMPs whose pixel
+                          // bytes vary by POSITION ((doc_id + offset) mod
+                          // 256 — constant fill would make any sampler look
+                          // correct), the typed codec decodes and
+                          // nearest-neighbor 2×-downsamples each image, and
+                          // the oracle recomputes the sampled-byte checksum
+                          // from the construction formulas — stride,
+                          // padding, or row-order bugs all hash-mismatch.
+                          // Batch shape: one codec call per row inside
+                          // mapPartitions (decoder setup amortized per
+                          // partition), byte math only — no shuffle at all.
+      (s, d) => {
+        import s.implicits._
+        val width = (lit(4) + (col("doc_id") % 13)).cast("int")
+        val height = (lit(1) + (col("doc_id") % 7)).cast("int")
+        val w3 = width * 3 + 3
+        val rowBytes = (w3 - pmod(w3, lit(4))).cast("int")
+        val pixHex = concat_ws("",
+          transform(sequence(lit(0), col("image_bytes") - 1),
+            i => lpad(hex(pmod(col("doc_id") + i, lit(256))), 2, "0")))
+        val blobs = Graft.table(s, d, "documents")
+          .select(col("doc_id"),
+            rowBytes.as("row_bytes"), (rowBytes * height).as("image_bytes"),
+            width.as("w"), height.as("h"))
+          .select(col("doc_id"), unhex(concat(
+            lit("424D"), le32(col("image_bytes") + 54), lit("00000000"),
+            le32(lit(54)), le32(lit(40)), le32(col("w")), le32(col("h")),
+            le16(lit(1)), le16(lit(24)), le32(lit(0)),
+            le32(col("image_bytes")), le32(lit(2835)), le32(lit(2835)),
+            le32(lit(0)), le32(lit(0)), pixHex)).as("payload"),
+            lit("image/bmp").as("mime"))
+          .as[Blob]
+        blobs.mapPartitions(_.map(b => BmpCodec.resample2x(b.doc_id, b.payload)))
+          .toDF()
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+             |         CAST(1 + doc_id % 7 AS INT) AS h,
+             |         ((4 + doc_id % 13) * 3 + 3)
+             |           - (((4 + doc_id % 13) * 3 + 3) % 4) AS rb
+             |  FROM documents),
+             |rws AS (SELECT doc_id, w, h, rb, unnest(range(0, h, 2)) AS r
+             |        FROM dims),
+             |cells AS (SELECT doc_id, w, h, rb, r, unnest(range(0, w, 2)) AS c
+             |          FROM rws)
+             |SELECT doc_id, CAST((w + 1) // 2 AS INT) AS out_w,
+             |       CAST((h + 1) // 2 AS INT) AS out_h,
+             |       CAST(SUM((doc_id + r * rb + 3 * c) % 256
+             |              + (doc_id + r * rb + 3 * c + 1) % 256
+             |              + (doc_id + r * rb + 3 * c + 2) % 256) AS BIGINT)
+             |         AS sample_sum,
+             |       TRUE AS valid
+             |FROM cells GROUP BY doc_id, w, h""".stripMargin)),
 
     QueryDef(
       "m96_frame_sample", // frame-sampling plumbing: treat the payload as

@@ -329,6 +329,30 @@ class OperatorsSpec extends AnyFunSuite {
       "zeroed header (size inconsistencies) must be invalid")
   }
 
+  test("m99 bmp resample: dims halve (ceil), sampler rejects corruption, " +
+      "and a hand-built image checks byte-for-byte") {
+    val rows = run("m99_bmp_resample").collect()
+    assert(rows.length == 500 && rows.forall(_.getBoolean(4)))
+    assert(rows.forall { r =>
+      val id = r.getLong(0)
+      r.getInt(1) == ((4 + id % 13) + 1) / 2 && r.getInt(2) == ((1 + id % 7) + 1) / 2
+    })
+    import operators.Multimodal.BmpCodec
+    assert(!BmpCodec.resample2x(1L, Array[Byte](1, 2, 3)).valid)
+    // hand-built 2x1 image: rowBytes=8, pixels (r=0,c=0)=bytes 1,2,3 and
+    // (r=0,c=1)=bytes 4,5,6 (skipped by the 2x sampler); padding 7,8
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val hdr = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put('B'.toByte).put('M'.toByte).putInt(54 + 8).putInt(0).putInt(54)
+      .putInt(40).putInt(2).putInt(1).putShort(1).putShort(24).putInt(0)
+      .putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val out = BmpCodec.resample2x(9L, hdr.array() ++ px)
+    assert(out.valid && out.out_w == 1 && out.out_h == 1 &&
+      out.sample_sum == 1 + 2 + 3,
+      s"sampler must take only pixel (0,0): $out")
+  }
+
   test("m95 multimodal: features consistent with payload bytes") {
     val rows = run("m95_multimodal_features").collect()
     assert(rows.length == 500)
