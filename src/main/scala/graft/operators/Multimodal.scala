@@ -163,6 +163,33 @@ object Multimodal {
     concat(substring(h, 3, 2), substring(h, 1, 2))
   }
 
+  /** Plan-assembled canonical 24-bpp BMPs over `documents`: doc_id-derived
+    * dims (width 4..16, height 1..7), little-endian file+DIB headers, the
+    * 4-byte row-padding rule, and pixel content from `pixelsHex` — a
+    * hex-string expression over the (doc_id, image_bytes, row_bytes, w, h)
+    * columns. ONE header builder shared by m98 (constant fill) and m99
+    * (position-dependent fill), so the formats cannot drift apart. */
+  private def bmpBlobs(s: SparkSession, d: String,
+      pixelsHex: Column): org.apache.spark.sql.Dataset[Blob] = {
+    import s.implicits._
+    val width = (lit(4) + (col("doc_id") % 13)).cast("int")
+    val height = (lit(1) + (col("doc_id") % 7)).cast("int")
+    val w3 = width * 3 + 3
+    val rowBytes = (w3 - pmod(w3, lit(4))).cast("int")
+    Graft.table(s, d, "documents")
+      .select(col("doc_id"), rowBytes.as("row_bytes"),
+        (rowBytes * height).as("image_bytes"),
+        width.as("w"), height.as("h"))
+      .select(col("doc_id"), unhex(concat(
+        lit("424D"), le32(col("image_bytes") + 54), lit("00000000"),
+        le32(lit(54)), le32(lit(40)), le32(col("w")), le32(col("h")),
+        le16(lit(1)), le16(lit(24)), le32(lit(0)),
+        le32(col("image_bytes")), le32(lit(2835)), le32(lit(2835)),
+        le32(lit(0)), le32(lit(0)), pixelsHex)).as("payload"),
+        lit("image/bmp").as("mime"))
+      .as[Blob]
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -246,24 +273,8 @@ object Multimodal {
                         // endianness, or padding bugs break the hash.
       (s, d) => {
         import s.implicits._
-        val width = (lit(4) + (col("doc_id") % 13)).cast("int")
-        val height = (lit(1) + (col("doc_id") % 7)).cast("int")
-        val w3 = width * 3 + 3
-        val rowBytes = (w3 - pmod(w3, lit(4))).cast("int")
-        val blobs = Graft.table(s, d, "documents")
-          .select(col("doc_id"), rowBytes.as("row_bytes"),
-            (rowBytes * height).as("image_bytes"),
-            width.as("w"), height.as("h"))
-          .select(col("doc_id"), unhex(concat(
-            lit("424D"), le32(col("image_bytes") + 54), lit("00000000"),
-            le32(lit(54)), le32(lit(40)), le32(col("w")), le32(col("h")),
-            le16(lit(1)), le16(lit(24)), le32(lit(0)),
-            le32(col("image_bytes")), le32(lit(2835)), le32(lit(2835)),
-            le32(lit(0)), le32(lit(0)),
-            expr("repeat('A5', image_bytes)"))).as("payload"),
-            lit("image/bmp").as("mime"))
-          .as[Blob]
-        blobs.mapPartitions(_.map(b => BmpCodec.decode(b.doc_id, b.payload)))
+        bmpBlobs(s, d, expr("repeat('A5', image_bytes)"))
+          .mapPartitions(_.map(b => BmpCodec.decode(b.doc_id, b.payload)))
           .toDF()
       },
       Some("""SELECT doc_id,
@@ -287,32 +298,22 @@ object Multimodal {
                           // nearest-neighbor 2×-downsamples each image, and
                           // the oracle recomputes the sampled-byte checksum
                           // from the construction formulas — stride,
-                          // padding, or row-order bugs all hash-mismatch.
+                          // padding, and indexing slips hash-mismatch. (The
+                          // sampling CONVENTION — even stored rows, which in
+                          // BMP's bottom-up order count from the image
+                          // bottom — is co-specified with the oracle, so a
+                          // convention disagreement is pinned by the
+                          // hand-built-image spec, not the hash.)
                           // Batch shape: one codec call per row inside
                           // mapPartitions (decoder setup amortized per
                           // partition), byte math only — no shuffle at all.
       (s, d) => {
         import s.implicits._
-        val width = (lit(4) + (col("doc_id") % 13)).cast("int")
-        val height = (lit(1) + (col("doc_id") % 7)).cast("int")
-        val w3 = width * 3 + 3
-        val rowBytes = (w3 - pmod(w3, lit(4))).cast("int")
         val pixHex = concat_ws("",
           transform(sequence(lit(0), col("image_bytes") - 1),
             i => lpad(hex(pmod(col("doc_id") + i, lit(256))), 2, "0")))
-        val blobs = Graft.table(s, d, "documents")
-          .select(col("doc_id"),
-            rowBytes.as("row_bytes"), (rowBytes * height).as("image_bytes"),
-            width.as("w"), height.as("h"))
-          .select(col("doc_id"), unhex(concat(
-            lit("424D"), le32(col("image_bytes") + 54), lit("00000000"),
-            le32(lit(54)), le32(lit(40)), le32(col("w")), le32(col("h")),
-            le16(lit(1)), le16(lit(24)), le32(lit(0)),
-            le32(col("image_bytes")), le32(lit(2835)), le32(lit(2835)),
-            le32(lit(0)), le32(lit(0)), pixHex)).as("payload"),
-            lit("image/bmp").as("mime"))
-          .as[Blob]
-        blobs.mapPartitions(_.map(b => BmpCodec.resample2x(b.doc_id, b.payload)))
+        bmpBlobs(s, d, pixHex)
+          .mapPartitions(_.map(b => BmpCodec.resample2x(b.doc_id, b.payload)))
           .toDF()
       },
       Some("""WITH dims AS (

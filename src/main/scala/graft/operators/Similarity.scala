@@ -27,17 +27,25 @@ object Similarity {
 
   private def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
 
-  /** IVF assignment shared by s93 and d92: each vector with its
-    * 1e-6-quantized integer components (`vq`), its integer self-dot (`nq`),
-    * and its nearest label-centroid by quantized cosine (`cluster`, ties →
-    * smaller label). Exact-integer centroids via VectorSumL: one array
-    * buffer per label per partition crosses the shuffle — no posexplode,
-    * no rows×dims tuple volume; the ~|labels| centroid rows broadcast. */
-  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
-    val e = Graft.tableParallel(s, d, "embeddings")
+  /** Embeddings with 1e-6-quantized integer components. */
+  private def quantizedVecs(s: SparkSession, d: String): DataFrame =
+    Graft.tableParallel(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+
+  /** IVF assignment shared by s93 and d92: each vector's nearest
+    * label-centroid by quantized cosine (`cluster`, ties → smaller label).
+    * Exact-integer centroids via VectorSumL: one array buffer per label
+    * per partition crosses the shuffle — no posexplode, no rows×dims tuple
+    * volume; the ~|labels| centroid rows broadcast. The output is SLIM
+    * (vec_id, label, cluster): sims are computed map-side against the
+    * broadcast centroids and projected down BEFORE the per-vector window,
+    * so the vec_id exchange + sort never carries the component arrays —
+    * consumers that need the vectors (d92's pair scoring) equi-join them
+    * back from the scan once. */
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedVecs(s, d)
     val centArr = e
       .groupBy(col("label").as("clabel"))
       .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
@@ -50,14 +58,13 @@ object Similarity {
       .orderBy(col("sim").desc, col("clabel").asc)
     e.withColumn("nq", dotl(col("vq"), col("vq")))
       .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("label"), col("vq"), col("nq"), col("clabel"),
+      .select(col("vec_id"), col("label"), col("clabel"),
         (dotl(col("vq"), col("cqa")).cast("double") /
           (sqrt(col("nq").cast("double")) * sqrt(col("ncq").cast("double"))))
           .as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("vq"), col("nq"),
-        col("clabel").as("cluster"))
+      .select(col("vec_id"), col("label"), col("clabel").as("cluster"))
   }
 
   /** Shared s93/d92 oracle CTE chain: quantized components, exact-integer
@@ -220,10 +227,16 @@ object Similarity {
                             // is an EQUI-join on the cluster id — this is
                             // d86's labeled brute-force made scale-shaped.
       (s, d) => {
-        val a = ivfAssignment(s, d)
-        val smaller = a.select(col("cluster").as("c2"),
+        val asg = ivfAssignment(s, d) // slim: (vec_id, label, cluster)
+        // only the pair scoring needs the component arrays — join them back
+        // from the map-side scan on vec_id, so the assignment window never
+        // shipped them (see ivfAssignment)
+        val av = asg.join(
+          quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+            .withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
+        val smaller = av.select(col("cluster").as("c2"),
           col("vec_id").as("v2"), col("vq").as("vq2"), col("nq").as("nq2"))
-        val drops = a.join(smaller,
+        val drops = av.join(smaller,
             col("cluster") === col("c2") && col("v2") < col("vec_id"))
           .select(col("vec_id"),
             round(dotl(col("vq"), col("vq2")).cast("double") /
@@ -232,7 +245,7 @@ object Similarity {
           .filter(col("sim") > 0.3)
           .select(col("vec_id")).distinct()
           .withColumn("dup", lit(true))
-        a.join(drops, Seq("vec_id"), "left")
+        asg.join(drops, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cluster"),
             coalesce(col("dup"), lit(false)).as("dropped"))
       },
@@ -251,7 +264,6 @@ object Similarity {
                           // the candidates. All scoring is quantized-integer
                           // (dot_l kernel), bit-identical in the oracle.
       (s, d) => {
-        def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
         val numPlanes = 16; val bitsPerTable = 8; val k = 3
         val base = Graft.tableParallel(s, d, "embeddings")
           .select(col("vec_id"),
