@@ -78,15 +78,19 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("ntok")).as("n_tokens"),
             sum(col("nch")).as("n_chars"))
-        val tot = grp.agg(sum(col("n_docs")).as("tot_docs"),
-          sum(col("n_tokens")).as("tot_tokens"))
-        grp.crossJoin(broadcast(tot))
-          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-            col("n_chars"),
-            round(col("n_docs").cast("double") / col("tot_docs"), 6)
-              .as("doc_share"),
-            round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
-              .as("token_share"))
+        // corpus totals via a global window over the GROUPED frame — its
+        // row count is the (source × lang) dimension cardinality, so the
+        // single-partition window is bounded at any corpus size, and the
+        // text is scanned exactly once (a broadcast-totals crossJoin was
+        // measured re-running the whole scan for the 1-row aggregate)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        grp.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(w), 6).as("doc_share"),
+          round(col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(w), 6).as("token_share"))
       },
       Some("""WITH grp AS (
              |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -47,4 +47,24 @@ object DocStreams {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("simhash")
       .select("doc_id", "simhash")
+
+  /** Running data-mixture report on a document stream — the live twin of
+    * batch `t83_mixture_report`: per (source, lang) document/token/char
+    * counts, updated every micro-batch (drive with update/complete output
+    * mode). Token counting is the same map-side expression as the batch
+    * operator, so the only streaming state is one running-sum row per
+    * (source, lang) — state is bounded by the DIMENSION cardinality, not
+    * the stream's lifetime or volume, which is why a running aggregate
+    * (no watermark, no window) is the correct shape for a dashboard-style
+    * corpus accounting over an unbounded ingest. */
+  def runningMixture(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("ntok"),
+        length(col("text")).cast("long").as("nch"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("nch")).as("n_chars"))
 }

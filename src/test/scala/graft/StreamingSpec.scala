@@ -56,6 +56,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningMixture: update-mode stream converges to the batch data-card") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq( // (doc_id, text, source, lang)
+      (1L, "a b c", "s0", "en"), (2L, "d e", "s0", "en"),
+      (3L, "f", "s1", "de"), (4L, "g h i j", "s0", "de"),
+      (5L, "k l", "s1", "de"), (6L, "", "s1", "en"))
+    val src = MemoryStream[(Long, String, String, String)]
+    val q = streaming.DocStreams.runningMixture(
+        src.toDF().toDF("doc_id", "text", "source", "lang"))
+      .writeStream.format("memory").queryName("mixture")
+      .outputMode("complete").start()
+    try {
+      src.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mixture").collect().map(_.toSeq).toSet
+      // batch twin computed directly over the same rows
+      val batchSet = streaming.DocStreams.runningMixture(
+          docs.toDF("doc_id", "text", "source", "lang"))
+        .collect().map(_.toSeq).toSet
+      assert(batchSet.nonEmpty && streamed == batchSet,
+        s"stream state must equal the batch data-card:\n$streamed\nvs\n$batchSet")
+      // state cardinality = |source x lang| present, not row count
+      assert(streamed.size == 4)
+    } finally q.stop()
+  }
+
   test("sessionsByUser: 30-min gap splits sessions correctly (batch mode)") {
     import spark.implicits._
     val out = EventStreams.sessionsByUser(events.toDF())
