@@ -44,9 +44,10 @@ object Similarity {
     * so the vec_id exchange + sort never carries the component arrays —
     * consumers that need the vectors (d92's pair scoring) equi-join them
     * back from the scan once. */
-  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
-    val e = quantizedVecs(s, d)
-    val centArr = e
+  /** Exact-integer label centroids with their squared norms —
+    * (clabel, cqa, ncq). ~|labels| rows; always broadcast at the consumer. */
+  private def labelCentroids(s: SparkSession, d: String): DataFrame =
+    quantizedVecs(s, d)
       .groupBy(col("label").as("clabel"))
       .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
         count(col("vq")).as("cnt"))
@@ -54,6 +55,10 @@ object Similarity {
         transform(col("vsum"),
           sq => round(sq.cast("double") / col("cnt")).cast("long")).as("cqa"))
       .withColumn("ncq", dotl(col("cqa"), col("cqa")))
+
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedVecs(s, d)
+    val centArr = labelCentroids(s, d)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("clabel").asc)
     e.withColumn("nq", dotl(col("vq"), col("vq")))
@@ -387,6 +392,115 @@ object Similarity {
               SELECT vec_id,
                      CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
                           AS BIGINT) AS bucket
-              FROM dots GROUP BY vec_id"""))
+              FROM dots GROUP BY vec_id""")),
+
+    QueryDef(
+      "s95_ivf_probe", // the IVF ANN QUERY path end-to-end (s92 trains the
+                       // coarse quantizer, s93 is the build-side assignment;
+                       // this is the search): each query scores the
+                       // ~|labels| broadcast centroids map-side, probes its
+                       // nprobe=2 nearest clusters, and exact-ranks ONLY
+                       // the vectors assigned to those clusters — candidate
+                       // generation is an equi-join on the cluster id, so
+                       // the scored set is bounded by nprobe/|clusters| of
+                       // the corpus instead of all of it. Queries are the
+                       // same planted near-copies as s94 (±0.001 per
+                       // component by dim parity), so the true neighbor is
+                       // known and recall is spec-gated. All scoring is the
+                       // quantized-integer dot_l kernel — bit-identical in
+                       // the oracle.
+      (s, d) => {
+        val nprobe = 2; val k = 3
+        val base = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("xd"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            transform(
+              transform(col("xd"), (x, j) =>
+                x + when(j % 2 === 0, 0.001).otherwise(-0.001)),
+              x => round(x * 1000000).cast("long")).as("qv"))
+          .withColumn("qn", dotl(col("qv"), col("qv")))
+        // probe: queries × broadcast centroids is |queries|·|labels| rows of
+        // map-side arithmetic; the top-nprobe window partitions by q_id
+        val wp = Window.partitionBy("q_id")
+          .orderBy(col("csim").desc, col("clabel").asc)
+        val probes = queries
+          .crossJoin(broadcast(labelCentroids(s, d)))
+          .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
+            (dotl(col("qv"), col("cqa")).cast("double") /
+              (sqrt(col("qn").cast("double")) * sqrt(col("ncq").cast("double"))))
+              .as("csim"))
+          .withColumn("rnk", row_number().over(wp))
+          .filter(col("rnk") <= nprobe)
+          .select(col("q_id"), col("qv"), col("qn"), col("clabel"))
+        // candidates: equi-join probed clusters against the build-side
+        // assignment — the only corpus-sized exchange in the query path,
+        // and it moves (vec_id, cluster) pairs, not vectors
+        val cand = probes
+          .join(ivfAssignment(s, d).select(col("vec_id"),
+            col("cluster").as("clabel")), "clabel")
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        cand
+          .join(quantizedVecs(s, d).select(col("vec_id"), col("vq")), "vec_id")
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            (dotl(col("qv"), col("vq")).cast("double") /
+              (sqrt(col("qn").cast("double")) *
+               sqrt(dotl(col("vq"), col("vq")).cast("double")))).as("sim"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= k)
+      },
+      Some(s"""WITH $ivfCtes,
+              |comp0 AS (
+              |  SELECT vec_id, j - 1 AS j0, x
+              |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+              |               generate_subscripts(embedding, 1) AS j
+              |        FROM embeddings)),
+              |qcomp AS (
+              |  SELECT vec_id AS q_id, j0,
+              |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
+              |                               ELSE -0.001 END) * 1000000)
+              |              AS BIGINT) AS xq
+              |  FROM comp0 WHERE vec_id < 10),
+              |qn AS (SELECT q_id, CAST(SUM(xq * xq) AS BIGINT) AS n2
+              |       FROM qcomp GROUP BY q_id),
+              |qcd AS (
+              |  SELECT q.q_id, c.clabel, CAST(SUM(q.xq * c.cq) AS BIGINT) AS dotq
+              |  FROM qcomp q JOIN cent c USING (j0)
+              |  GROUP BY q.q_id, c.clabel),
+              |probes AS (
+              |  SELECT q_id, clabel FROM (
+              |    SELECT d.q_id, d.clabel,
+              |           ROW_NUMBER() OVER (
+              |             PARTITION BY d.q_id
+              |             ORDER BY CAST(d.dotq AS DOUBLE) /
+              |                      (SQRT(CAST(qn.n2 AS DOUBLE)) *
+              |                       SQRT(CAST(nc.ncq AS DOUBLE))) DESC,
+              |                      d.clabel) AS rnk
+              |    FROM qcd d JOIN qn ON d.q_id = qn.q_id
+              |               JOIN nc ON d.clabel = nc.clabel)
+              |  WHERE rnk <= 2),
+              |candq AS (
+              |  SELECT p.q_id, a.vec_id
+              |  FROM probes p JOIN assign a ON a.assigned_label = p.clabel),
+              |dotsq AS (
+              |  SELECT cd.q_id, cd.vec_id, CAST(SUM(q.xq * c.xq) AS BIGINT) AS dotq
+              |  FROM candq cd JOIN qcomp q ON cd.q_id = q.q_id
+              |                JOIN comp c ON cd.vec_id = c.vec_id AND c.j0 = q.j0
+              |  GROUP BY cd.q_id, cd.vec_id)
+              |SELECT q_id, neighbor_id, sim, rnk FROM (
+              |  SELECT d.q_id, d.vec_id AS neighbor_id,
+              |         CAST(d.dotq AS DOUBLE) /
+              |           (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(nv.nq AS DOUBLE))) AS sim,
+              |         ROW_NUMBER() OVER (
+              |           PARTITION BY d.q_id
+              |           ORDER BY CAST(d.dotq AS DOUBLE) /
+              |                    (SQRT(CAST(qn.n2 AS DOUBLE)) *
+              |                     SQRT(CAST(nv.nq AS DOUBLE))) DESC,
+              |                    d.vec_id) AS rnk
+              |  FROM dotsq d JOIN qn ON d.q_id = qn.q_id
+              |               JOIN nv ON d.vec_id = nv.vec_id)
+              |WHERE rnk <= 3""".stripMargin))
   )
 }

@@ -535,6 +535,61 @@ object TextAnalysis {
              |        FROM (SELECT doc_id,
              |                list_filter(regexp_split_to_array(trim(text), '\s+'),
              |                            x -> x != '') AS toks
-             |              FROM documents)))""".stripMargin))
+             |              FROM documents)))""".stripMargin)),
+
+    QueryDef(
+      "t84_sequence_pack", // GPT-style concat-and-chunk packing plan: within
+                           // each source, documents concatenate in doc_id
+                           // order and split into fixed 512-token training
+                           // sequences; a doc belongs to the chunk where it
+                           // STARTS (greedy concat-and-chunk — boundary
+                           // overflow flows into the next chunk, the
+                           // standard pretraining tokenizer-sharding rule).
+                           // Scale shape: token counts are map-side
+                           // expression work, the only exchange is the
+                           // per-source running total. A single source CAN
+                           // dominate a corpus, so the prefix sum must not
+                           // assume one source fits one task — on a real
+                           // cluster this window becomes the classic
+                           // two-pass distributed prefix sum (per-partition
+                           // subtotals broadcast, then a map-side offset
+                           // add), which the range-partitioned window sort
+                           // Spark plans here already approximates: the
+                           // sort key is (source, doc_id), so ranges split
+                           // a big source across tasks and only the
+                           // running-total carry is sequential.
+      (s, d) => {
+        val ctx = 512
+        val docs = Graft.tableParallel(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("ntok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        docs
+          .withColumn("end_off", sum(col("ntok")).over(w))
+          .withColumn("chunk_id",
+            ((col("end_off") - col("ntok")) / ctx).cast("long"))
+          .groupBy(col("source"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("chunk_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""SELECT source, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(ntok) AS BIGINT) AS chunk_tokens,
+             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM (
+             |  SELECT source, doc_id, ntok,
+             |         CAST(FLOOR((SUM(ntok) OVER (
+             |             PARTITION BY source ORDER BY doc_id
+             |             ROWS UNBOUNDED PRECEDING) - ntok) / 512.0)
+             |           AS BIGINT) AS chunk_id
+             |  FROM (SELECT source, doc_id,
+             |          CAST(len(list_filter(
+             |              regexp_split_to_array(trim(text), '\s+'),
+             |              x -> x != '')) AS BIGINT) AS ntok
+             |        FROM documents))
+             |GROUP BY source, chunk_id""".stripMargin))
   )
 }

@@ -139,6 +139,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 9, s"bucketed recall too low: $hits/10 planted neighbors found")
   }
 
+  test("s95 ivf probe: recalls the planted true neighbor for >=90% of queries") {
+    // same planted queries as s94; the IVF path must route each query to the
+    // cluster holding its near-copy and rank it first within the probed set
+    val top1 = run("s95_ivf_probe").filter(col("rnk") === 1).collect()
+    val hits = top1.count(r => r.getLong(1) == r.getLong(0))
+    assert(hits >= 9, s"ivf recall too low: $hits/10 planted neighbors found")
+  }
+
+  test("t84 sequence pack: tokens conserved, chunks contiguous per source") {
+    val chunks = run("t84_sequence_pack").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every token lands in exactly one chunk
+    val packed = chunks.map(_._4).sum
+    val total = run("t70_token_stats")
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(packed == total, s"packed $packed != corpus $total tokens")
+    // chunk ids are dense 0..max within each source (concat never skips a
+    // 512-token window) and each holds at least one doc
+    chunks.groupBy(_._1).foreach { case (src, g) =>
+      val ids = g.map(_._2).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"$src chunk ids not dense: ${ids.mkString(",")}")
+      assert(g.forall(_._3 >= 1), s"$src has an empty chunk")
+    }
+  }
+
   test("d92 semantic dedup: drop decisions are cluster-scoped and greedy-consistent") {
     val out = run("d92_semantic_dedup").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
