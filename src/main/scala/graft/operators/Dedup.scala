@@ -394,7 +394,56 @@ object Dedup {
               |             (s1.n + s2.n - COALESCE(i.i, 0)), 6) AS exact_jaccard
               |FROM est e LEFT JOIN inter i ON e.d1 = i.d1 AND e.d2 = i.d2
               |           JOIN sizes s1 ON e.d1 = s1.doc_id
-              |           JOIN sizes s2 ON e.d2 = s2.doc_id""".stripMargin))
+              |           JOIN sizes s2 ON e.d2 = s2.doc_id""".stripMargin)),
+
+    QueryDef(
+      "d91_repeated_passages", // exact-substring duplication audit (Lee et
+                               // al. 2022, arXiv:2107.06499 §4: repeated
+                               // spans are the unit of exact dedup, not
+                               // whole docs): every 10-token passage
+                               // occurring in ≥2 distinct documents, with
+                               // doc- and occurrence-counts. The corpus
+                               // genuinely contains ~1k such spans — no
+                               // planting needed. Scale shape: passage
+                               // extraction is the map-side codegen shingle
+                               // kernel (raw occurrences, not per-doc
+                               // distinct — within-doc repeats count);
+                               // the single shuffle groups by passage, and
+                               // partial aggregation collapses each
+                               // passage's per-partition occurrences before
+                               // the exchange. At 100 TB the group key
+                               // would be hash60(passage) with the text
+                               // carried as min(g) (16-byte shuffle keys);
+                               // the text key here keeps the oracle
+                               // byte-identical. countDistinct expands to
+                               // the standard two-phase expand-agg — no
+                               // per-group set is ever held whole.
+      (s, d) => {
+        val k = 10
+        Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.word_shingles(col("text"), k))
+              .as("g"))
+          .groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some("""SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM (
+             |  SELECT doc_id, array_to_string(t[i:i+9], ' ') AS g
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+             |        FROM (SELECT doc_id,
+             |                list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                            x -> x != '') AS t
+             |              FROM documents)
+             |        WHERE len(t) >= 10))
+             |GROUP BY g
+             |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

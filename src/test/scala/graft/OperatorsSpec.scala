@@ -165,6 +165,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d91 repeated passages: counts coherent and spans genuinely cross-doc") {
+    val rows = run("d91_repeated_passages").collect()
+    assert(rows.nonEmpty, "corpus is known to contain repeated spans")
+    rows.foreach { r =>
+      val (nd, no, fd, ld) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd >= 2 && no >= nd, s"occurrences $no < docs $nd")
+      assert(fd < ld, "2+ distinct docs must span distinct ids")
+      assert(r.getString(0).split(" ").length == 10, "span is a 10-gram")
+    }
+  }
+
   test("d92 semantic dedup: drop decisions are cluster-scoped and greedy-consistent") {
     val out = run("d92_semantic_dedup").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
