@@ -147,6 +147,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*DELETE\s+FROM\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val dropTableStmt =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:`?\w+`?\.)*)`?(\w+)`?\s*;?\s*""".r
+  // MERGE INTO t [AS a] USING <tbl|(query)> [AS b] ON cond WHEN ... — the
+  // warehouse upsert; Spark SQL has the grammar but no executable MERGE for
+  // plain parquet tables, so the engine owns the whole statement
+  private val mergeStmt =
+    """(?is)\s*MERGE\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*""".r
+  private val mergeSrc =
+    """(?is)\s*(\(.+\)|`?\w+`?)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
+  private val whenUpdate =
+    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s+NOT\s+MATCHED|$)""".r
+  private val whenDelete = """(?is)WHEN\s+MATCHED\s+THEN\s+DELETE""".r
+  private val whenInsertValues =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.+)\)\s*$""".r
+  private val whenInsertStar =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
 
   /** True iff the captured qualifier names this engine's (single) database:
     * empty, `default`, `spark_catalog`, or `spark_catalog.default`. */
@@ -264,6 +278,59 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
       import spark.implicits._
       Seq(planned).toDF("plan")
+    case mergeStmt(q, tblRaw, tAliasRaw, srcRaw, onCond, whens) =>
+      // warehouse-native upsert (no reference analog — its grammar stops at
+      // INSERT/UPDATE/DELETE): one COW publish for all three merge effects.
+      // Spark SQL parses MERGE but cannot execute it on parquet catalog
+      // tables, so the engine owns the statement end-to-end.
+      val tbl = localName(q, tblRaw, "MERGE INTO")
+      if (!cmds.tableExists(tbl)) throw new IllegalArgumentException(
+        s"MERGE INTO $tbl: not a warehouse table")
+      val tAlias = Option(tAliasRaw).getOrElse(tbl)
+      val (srcDf, sAlias) = srcRaw match {
+        case mergeSrc(body, aliasRaw) =>
+          val alias = Option(aliasRaw).getOrElse(
+            body.replaceAll("`", "").trim)
+          if (body.trim.startsWith("("))
+            (query(body.trim.stripPrefix("(").stripSuffix(")")), alias)
+          else (query(s"SELECT * FROM ${body.trim}"), alias)
+        case other => throw new IllegalArgumentException(
+          s"cannot parse MERGE source: $other")
+      }
+      val sets = whenUpdate.findFirstMatchIn(whens).map(m =>
+        splitTopLevel(m.group(1)).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          // LHS may be alias-qualified (t.balance); the key is the column
+          stripQualifier(c.trim, tAlias, tbl) ->
+            org.apache.spark.sql.functions.expr(e.trim)
+        }.toMap).getOrElse(Map.empty[String, Column])
+      val matchedDelete = whenDelete.findFirstIn(whens).isDefined
+      require(!(matchedDelete && sets.nonEmpty),
+        "MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
+      val insert: Option[Seq[(String, Column)]] =
+        if (whenInsertStar.findFirstIn(whens).isDefined)
+          Some(srcDf.columns.toSeq.map(c =>
+            c -> org.apache.spark.sql.functions.col(s"`$sAlias`.`$c`")))
+        else whenInsertValues.findFirstMatchIn(whens).map { m =>
+          val exprs = splitTopLevel(m.group(2))
+            .map(e => org.apache.spark.sql.functions.expr(e.trim))
+          val cols = Option(m.group(1)) match {
+            case Some(cl) => cl.split(",").map(c =>
+              stripQualifier(c.trim.replaceAll("`", ""), tAlias, tbl)).toSeq
+            case None => cmds.table(tbl).columns.toSeq
+          }
+          require(cols.length == exprs.length,
+            s"MERGE INSERT has ${cols.length} columns for ${exprs.length} values")
+          cols.zip(exprs)
+        }
+      require(sets.nonEmpty || matchedDelete || insert.nonEmpty,
+        "MERGE needs at least one WHEN clause")
+      cmds.merge(tbl, srcDf, tAlias, sAlias,
+        org.apache.spark.sql.functions.expr(onCond), sets, matchedDelete,
+        insert)
+      registerTable(tbl)
+      dropIndexesOf(tbl)
+      status(s"merged into $tbl")
     case updateStmt(q, tblRaw, rest) =>
       // reference: UpdateCommand.java — Spark SQL cannot mutate plain
       // parquet tables, so UPDATE/DELETE route to the COW rewrite
@@ -508,6 +575,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Drop a leading `t.`/alias qualifier from a MERGE assignment/insert
+    * column — the remaining name is the target column. Any other qualifier
+    * is an error (a source column cannot be assigned). */
+  private def stripQualifier(c: String, alias: String, tbl: String): String = {
+    val parts = c.replaceAll("`", "").split("\\.")
+    parts.length match {
+      case 1 => parts(0)
+      case 2 if parts(0).equalsIgnoreCase(alias) ||
+          parts(0).equalsIgnoreCase(tbl) => parts(1)
+      case _ => throw new IllegalArgumentException(
+        s"MERGE target column '$c' must be unqualified or '$alias.'-qualified")
     }
   }
 

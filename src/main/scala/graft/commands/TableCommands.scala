@@ -347,6 +347,76 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def deletePlan(name: String, cond: Column): DataFrame =
     table(name).filter(!coalesce(cond, lit(false)))
 
+  /** MERGE INTO <name> USING <src> ON <cond> — atomic COW upsert (no analog
+    * in the reference, whose grammar stops at INSERT/UPDATE/DELETE
+    * (`nanosql.g`); this is the warehouse-native composition of all three,
+    * shaped like Delta/Iceberg MERGE). One rewrite publishes every effect
+    * at once, so readers never see a half-merged table and ROLLBACK undoes
+    * the whole merge as one pointer restore.
+    *
+    * Semantics (ANSI): a target row matched by MORE THAN ONE source row is
+    * an error, not an arbitrary pick — the guard is one extra equi-join on
+    * the merge condition (command-path cost, like checkNotNull). Matched
+    * rows update (SET expressions may read both sides) or delete; unmatched
+    * source rows insert via the column/expression map, absent target
+    * columns filling NULL. Every output column casts to the target schema.
+    *
+    * 100 TB shape: the matched side is one equi-join between target and
+    * source (shuffle or broadcast by Catalyst's choice), the insert side is
+    * the same join left_anti, and both union into a single published
+    * rewrite — O(table + source), no per-row driver work. */
+  def merge(name: String, srcRaw: DataFrame, tAlias: String, sAlias: String,
+      cond: Column, updateSets: Map[String, Column], matchedDelete: Boolean,
+      insert: Option[Seq[(String, Column)]]): Unit = {
+    val tgt = table(name)
+    val marker = "__graft_merge_src"
+    val s = srcRaw.withColumn(marker, lit(true)).alias(sAlias)
+    // ambiguity guard: >1 source row per target row is an error (ANSI MERGE)
+    val uid = "__graft_merge_uid"
+    val dup = tgt.withColumn(uid, monotonically_increasing_id()).alias(tAlias)
+      .join(s, cond).groupBy(col(uid)).count()
+      .filter(col("count") > 1).limit(1).count() > 0
+    if (dup) throw new IllegalArgumentException(
+      s"MERGE into $name: a target row matches more than one source row")
+    val t = tgt.alias(tAlias)
+    val joined = t.join(s, cond, "left")
+    val matched = col(s"$sAlias.$marker").isNotNull
+    val setsLower = updateSets.map { case (k, v) => k.toLowerCase -> v }
+    val kept =
+      if (matchedDelete)
+        joined.filter(!matched)
+          .select(tgt.schema.fields.map(f =>
+            col(s"$tAlias.${f.name}").as(f.name)): _*)
+      else
+        joined.select(tgt.schema.fields.map { f =>
+          setsLower.get(f.name.toLowerCase) match {
+            case Some(e) =>
+              when(matched, e).otherwise(col(s"$tAlias.${f.name}"))
+                .cast(f.dataType).as(f.name)
+            case None => col(s"$tAlias.${f.name}").as(f.name)
+          }
+        }: _*)
+    val result = insert match {
+      case Some(colExprs) =>
+        val byLower = colExprs.map { case (c, e) => c.toLowerCase -> e }.toMap
+        val unknown = colExprs.map(_._1.toLowerCase)
+          .filterNot(tgt.schema.fieldNames.map(_.toLowerCase).contains)
+        require(unknown.isEmpty,
+          s"MERGE INSERT column(s) ${unknown.mkString(", ")} do not exist in $name")
+        val ins = s.join(t, cond, "left_anti")
+          .select(tgt.schema.fields.map { f =>
+            byLower.get(f.name.toLowerCase) match {
+              case Some(e) => e.cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+        kept.unionByName(ins)
+      case None => kept
+    }
+    checkNotNull(name, result)
+    publish(name, result)
+  }
+
   /** CREATE INDEX ON t (col) — the reference builds a B⁺-tree on the column
     * (`commands/CreateIndexCommand.java`); a distributed columnar engine has
     * no row-level index, so the Spark-native analog is re-clustering the

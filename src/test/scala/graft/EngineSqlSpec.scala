@@ -304,6 +304,60 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS accounts")
   }
 
+  test("MERGE INTO: upsert, delete-form, ambiguity error, txn rollback") {
+    engine.sql("DROP TABLE IF EXISTS mtgt")
+    engine.sql("CREATE TABLE mtgt (id INT PRIMARY KEY, name VARCHAR(20), bal DOUBLE)")
+    try {
+      engine.sql("INSERT INTO mtgt VALUES (1, 'alice', 10.0), (2, 'bob', 20.0), " +
+        "(3, 'carol', 30.0)")
+      // upsert from a subquery source: id 2,3 update, id 9 inserts
+      engine.sql("""MERGE INTO mtgt t
+                    USING (SELECT * FROM VALUES (2, 5.0), (3, 7.0), (9, 1.0)
+                           AS v(id, delta)) s
+                    ON t.id = s.id
+                    WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+                    WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.delta)""")
+      val rows = engine.sql("SELECT id, name, bal FROM mtgt ORDER BY id").collect()
+      assert(rows.map(r => (r.getInt(0), r.isNullAt(1), r.getDouble(2))).toSeq ==
+        Seq((1, false, 10.0), (2, false, 25.0), (3, false, 37.0), (9, true, 1.0)))
+      // one COW publish: VERIFY still green, catalog re-pointed
+      assert(engine.sql("VERIFY mtgt").head.getString(0).contains("4 rows"))
+      // WHEN MATCHED THEN DELETE removes matches, keeps the rest
+      engine.sql("MERGE INTO mtgt t USING (SELECT 2 AS id) s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+      assert(engine.sql("SELECT COUNT(*) AS n FROM mtgt").head.getLong(0) == 3)
+      // ANSI ambiguity: two source rows hitting one target row is an error
+      val amb = intercept[IllegalArgumentException] {
+        engine.sql("MERGE INTO mtgt t USING (SELECT * FROM VALUES (1, 1.0), " +
+          "(1, 2.0) AS v(id, delta)) s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET bal = s.delta")
+      }
+      assert(amb.getMessage.contains("more than one source row"))
+      // NOT NULL (PK) enforcement covers merge-inserted rows
+      val nn = intercept[IllegalArgumentException] {
+        engine.sql("MERGE INTO mtgt t USING (SELECT CAST(NULL AS INT) AS id) s " +
+          "ON t.id = s.id WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
+      }
+      assert(nn.getMessage.contains("NOT NULL"))
+      // a merge inside a txn is one pointer move — ROLLBACK undoes all of it
+      engine.sql("BEGIN")
+      engine.sql("MERGE INTO mtgt t USING (SELECT 1 AS id, 'x' AS nm) s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET name = s.nm " +
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.nm)")
+      assert(engine.sql("SELECT name FROM mtgt WHERE id = 1").head.getString(0) == "x")
+      engine.sql("ROLLBACK")
+      assert(engine.sql("SELECT name FROM mtgt WHERE id = 1").head.getString(0) == "alice")
+      // warehouse-table source with INSERT * (columns map by name)
+      engine.sql("DROP TABLE IF EXISTS msrc")
+      engine.sql("CREATE COLSTORE msrc AS SELECT 77 AS id, 'zed' AS name, 0.5 AS bal")
+      try {
+        engine.sql("MERGE INTO mtgt USING msrc ON mtgt.id = msrc.id " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        assert(engine.sql("SELECT name FROM mtgt WHERE id = 77").head.getString(0) == "zed")
+      } finally engine.sql("DROP TABLE IF EXISTS msrc")
+    } finally engine.sql("DROP TABLE IF EXISTS mtgt")
+  }
+
   test("SQL routing edges: Spark DDL not hijacked, IF NOT EXISTS idempotent, " +
       "bad column lists rejected, case-variant names reach the engine") {
     // a Spark-SQL CREATE TABLE with clauses after the column list must fall
