@@ -1010,6 +1010,99 @@ object Relational {
              |SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hour, t.event_type,
              |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
              |FROM spine s CROSS JOIN types t
-             |LEFT JOIN hourly c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin))
+             |LEFT JOIN hourly c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin)),
+
+    QueryDef(
+      "q46_string_agg", // ordered LISTAGG/STRING_AGG (§2.4 extension; SQL:2016
+                        // T625): per-group concatenation is only
+                        // deterministic with an explicit order, so the plan
+                        // sorts INSIDE the aggregated array (collect_list →
+                        // array_sort → join) rather than relying on any
+                        // engine's input order. Scale: per-group state is
+                        // the member list — bounded here by suppliers per
+                        // nation; for unbounded groups prefer q30's top-k
+                        // or a capped slice(array_sort(...), 1, k).
+      (s, d) => t(s, d, "supplier")
+        .groupBy(col("s_nationkey").cast("int").as("s_nationkey"))
+        .agg(count(lit(1)).as("n_supps"),
+          array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("names")),
+      Some("""SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+             |       CAST(COUNT(*) AS BIGINT) AS n_supps,
+             |       STRING_AGG(s_name, ',' ORDER BY s_name) AS names
+             |FROM supplier GROUP BY s_nationkey""".stripMargin)),
+
+    QueryDef(
+      "q66_mode", // exact per-group MODE with a deterministic tie-break
+                  // (most-frequent value, smallest first — both DuckDB's
+                  // mode() and any hash-based plan have unspecified ties, so
+                  // the query spells the rule out). Scale shape: the value
+                  // histogram is a partial-aggregated (group, value) count —
+                  // never a per-group value buffer (the q15 lesson) — and
+                  // the arg-max window runs over the collapsed histogram,
+                  // whose size is distinct values per group, not rows.
+      (s, d) => {
+        val counts = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+          .agg(count(lit(1)).as("mode_count"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("mode_count").desc, col("mode_qty").asc)
+        counts.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("l_returnflag", "mode_qty", "mode_count")
+      },
+      Some("""SELECT l_returnflag, mode_qty, mode_count FROM (
+             |  SELECT l_returnflag, mode_qty, mode_count,
+             |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |           ORDER BY mode_count DESC, mode_qty) AS rnk
+             |  FROM (SELECT l_returnflag, l_quantity AS mode_qty,
+             |               CAST(COUNT(*) AS BIGINT) AS mode_count
+             |        FROM lineitem GROUP BY 1, 2))
+             |WHERE rnk = 1""".stripMargin)),
+
+    QueryDef(
+      "q67_regression_aggs", // REGR_SLOPE/REGR_INTERCEPT/CORR (§2.4
+                             // extension; SQL:2003 T621) computed the
+                             // engine-exact way: the five moment sums are
+                             // DECIMAL (associative, partition-order
+                             // independent), and the closed-form formulas
+                             // run on the exact sums as doubles with
+                             // identical operation order in both engines —
+                             // native float regr_* aggregates would be
+                             // run-order dependent and can't hash-compare.
+      (s, d) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val m = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sumd(x).as("sx"), sumd(y).as("sy"),
+            sumd(x * x).as("sxx"), sumd(y * y, 4).as("syy"),
+            sumd(x * y).as("sxy"))
+        val cov = col("n") * col("sxy") - col("sx") * col("sy")
+        val varx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vary = col("n") * col("syy") - col("sy") * col("sy")
+        val slope = cov / varx
+        m.select(col("l_returnflag"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+          round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |         CAST(COUNT(*) AS DOUBLE) AS n,
+             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+             |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             |       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             |         AS intercept,
+             |       ROUND((n * sxy - sx * sy) /
+             |             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
+             |FROM m""".stripMargin))
   )
 }

@@ -165,6 +165,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q46/q66/q67 aggregate extensions: sorted listagg, deterministic " +
+      "mode, bounded correlation") {
+    run("q46_string_agg").collect().foreach { r =>
+      val names = r.getString(2).split(",").toSeq
+      assert(names == names.sorted, "listagg members must be sorted")
+      assert(names.length == r.getLong(1), "member count != n_supps")
+    }
+    val modes = run("q66_mode").collect()
+    assert(modes.map(_.getString(0)).distinct.length == modes.length,
+      "exactly one mode row per group")
+    assert(modes.forall(_.getLong(2) >= 1))
+    run("q67_regression_aggs").collect().foreach { r =>
+      val (sl, ic, co) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(!sl.isNaN && !ic.isNaN, "finite regression line")
+      assert(co >= -1.0 && co <= 1.0, s"corr out of range: $co")
+    }
+  }
+
   test("d91 repeated passages: counts coherent and spans genuinely cross-doc") {
     val rows = run("d91_repeated_passages").collect()
     assert(rows.nonEmpty, "corpus is known to contain repeated spans")
