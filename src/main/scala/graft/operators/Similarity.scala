@@ -435,9 +435,11 @@ object Similarity {
           .filter(col("rnk") <= nprobe)
           .select(col("q_id"), col("qv"), col("qn"), col("clabel"))
         // candidates: equi-join probed clusters against the build-side
-        // assignment — the only corpus-sized exchange in the query path,
-        // and it moves (vec_id, cluster) pairs, not vectors
-        val cand = probes
+        // assignment. `probes` is bounded by |queries|·nprobe — broadcast
+        // it, so the corpus-sized assignment side never shuffles here
+        // (Catalyst's stats can't see that the window output is tiny and
+        // would plan a two-exchange sort-merge join)
+        val cand = broadcast(probes)
           .join(ivfAssignment(s, d).select(col("vec_id"),
             col("cluster").as("clabel")), "clabel")
         val wr = Window.partitionBy("q_id")
