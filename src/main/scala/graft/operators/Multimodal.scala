@@ -148,6 +148,44 @@ object Multimodal {
   case class BmpResample(doc_id: Long, out_w: Int, out_h: Int,
       sample_sum: Long, valid: Boolean)
 
+  /** m100's output: one row per fixed-size PCM analysis window. */
+  case class PcmWindow(doc_id: Long, win: Int, n_samples: Int,
+      energy: Long, peak: Int, valid: Boolean)
+
+  object PcmFeatures {
+    /** Per-window features over a WAV payload's 16-bit LE PCM samples:
+      * window index (fixed `winSize` samples, last window partial), energy
+      * (sum of squared samples — exact integer, so engine-portable where a
+      * float RMS would not hash-compare) and peak |amplitude|. One asset →
+      * many feature rows: the flatMap shape of real audio featurizers
+      * (MFCC frames, VAD windows), run through the same header codec as
+      * m97 so a malformed payload degrades to a single invalid row. */
+    def windows(docId: Long, b: Array[Byte], winSize: Int): Seq[PcmWindow] = {
+      val m = WavCodec.decode(docId, b)
+      if (!m.valid || m.bits_per_sample != 16)
+        return Seq(PcmWindow(docId, -1, -1, -1L, -1, valid = false))
+      val n = m.data_bytes / 2
+      val out = scala.collection.mutable.ArrayBuffer.empty[PcmWindow]
+      var w = 0
+      while (w * winSize < n) {
+        val end = math.min((w + 1) * winSize, n)
+        var i = w * winSize
+        var energy = 0L; var peak = 0
+        while (i < end) {
+          val s = (LE.u16(b, 44 + 2 * i) << 16) >> 16 // sign-extend int16
+          energy += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        out += PcmWindow(docId, w, end - w * winSize, energy, peak,
+          valid = true)
+        w += 1
+      }
+      out.toSeq
+    }
+  }
+
   // little-endian hex of a 32/16-bit value (RIFF and BMP headers are both
   // little-endian) — byte-pairwise reorder of the big-endian hex string.
   // The value is masked to its low 32/16 bits FIRST: hex() of a negative
@@ -334,6 +372,61 @@ object Multimodal {
              |         AS sample_sum,
              |       TRUE AS valid
              |FROM cells GROUP BY doc_id, w, h""".stripMargin)),
+
+    QueryDef(
+      "m100_audio_energy", // audio FEATURE-EXTRACTION stage over real WAV
+                           // payloads: the plan assembles mono 16-bit PCM
+                           // whose samples vary by position ((doc_id*7 +
+                           // i*13) mod 2^16, sign-interpreted — constant
+                           // fill would hide stride/offset bugs), and the
+                           // typed codec emits one row per 32-sample
+                           // analysis window (flatMap shape: one asset →
+                           // many feature rows, like MFCC/VAD framing).
+                           // Energy is the exact integer sum of squares —
+                           // a float RMS would not hash-compare; callers
+                           // take sqrt(energy/n) at the edge. Last window
+                           // is partial (doc lengths are not multiples of
+                           // 32), pinning the boundary arithmetic. Zero
+                           // shuffle: header build, decode, and windowing
+                           // are all per-row map-side work.
+      (s, d) => {
+        import s.implicits._
+        val nSamples = (lit(64) + (col("doc_id") % 64)).cast("int")
+        val dataSize = nSamples * 2
+        val sampleRate = lit(8000); val channels = lit(1); val bits = lit(16)
+        val byteRate = sampleRate * channels * bits / lit(8)
+        val blockAlign = channels * bits / lit(8)
+        val pcmHex = concat_ws("",
+          transform(sequence(lit(0), nSamples - 1),
+            i => le16(pmod(col("doc_id") * 7 + i * 13, lit(65536)))))
+        val payloadHex = concat(
+          lit("52494646"), le32(dataSize + 36), lit("57415645"),
+          lit("666D7420"), le32(lit(16)), le16(lit(1)),
+          le16(channels), le32(sampleRate), le32(byteRate),
+          le16(blockAlign), le16(bits),
+          lit("64617461"), le32(dataSize), pcmHex)
+        Graft.table(s, d, "documents")
+          .select(col("doc_id"), unhex(payloadHex).as("payload"),
+            lit("audio/wav").as("mime"))
+          .as[Blob]
+          .mapPartitions(_.flatMap(b =>
+            PcmFeatures.windows(b.doc_id, b.payload, 32)))
+          .toDF()
+      },
+      Some("""WITH samp AS (
+             |  SELECT doc_id, CAST(i AS INT) AS i,
+             |         CAST((doc_id * 7 + i * 13) % 65536 AS BIGINT) AS v
+             |  FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 64)) AS i
+             |        FROM documents)),
+             |sgn AS (SELECT doc_id, i,
+             |               CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+             |        FROM samp)
+             |SELECT doc_id, CAST(i // 32 AS INT) AS win,
+             |       CAST(COUNT(*) AS INT) AS n_samples,
+             |       CAST(SUM(s * s) AS BIGINT) AS energy,
+             |       CAST(MAX(ABS(s)) AS INT) AS peak,
+             |       TRUE AS valid
+             |FROM sgn GROUP BY doc_id, win""".stripMargin)),
 
     QueryDef(
       "m96_frame_sample", // frame-sampling plumbing: treat the payload as

@@ -349,6 +349,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m100 audio energy: windows tile every doc; hand-built PCM checks " +
+      "exactly; corruption degrades to one invalid row") {
+    val rows = run("m100_audio_energy").collect()
+    assert(rows.forall(_.getBoolean(5)), "a well-formed payload failed")
+    // windows tile the samples: per doc, sum(n_samples) == 64 + doc_id % 64,
+    // all full except possibly the last, window ids dense from 0
+    rows.groupBy(_.getLong(0)).foreach { case (doc, g) =>
+      val byWin = g.sortBy(_.getInt(1))
+      assert(byWin.map(_.getInt(1)).toSeq == byWin.indices.toSeq)
+      assert(byWin.map(_.getInt(2)).sum == (64 + doc % 64).toInt)
+      assert(byWin.init.forall(_.getInt(2) == 32), s"doc $doc: non-final partial")
+    }
+    // hand-built 2-sample mono WAV: samples +3 and -4 → energy 9+16, peak 4
+    import operators.Multimodal.PcmFeatures
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(40) ++
+      "WAVEfmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(4) ++
+      le16(3) ++ le16(65536 - 4)).toArray
+    val w = PcmFeatures.windows(7L, wav, 32)
+    assert(w == Seq(operators.Multimodal.PcmWindow(7L, 0, 2, 25L, 4, true)))
+    // corruption: a broken header yields exactly one invalid row
+    assert(PcmFeatures.windows(1L, Array[Byte](1, 2, 3), 32) ==
+      Seq(operators.Multimodal.PcmWindow(1L, -1, -1, -1L, -1, false)))
+  }
+
   test("m97 wav decode: every payload parses valid; codec rejects corruption") {
     val rows = run("m97_wav_decode").collect()
     assert(rows.length == 500)
