@@ -48,6 +48,44 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("simhash")
       .select("doc_id", "simhash")
 
+  /** One contamination verdict per streamed document. */
+  case class DocContamination(doc_id: Long, n_grams: Int, n_hit: Int,
+      contaminated: Boolean)
+
+  /** Streaming benchmark decontamination — the live twin of batch
+    * `d88_decontamination`, flipped to the INGEST direction: documents
+    * arrive as a stream and each is scored against a static benchmark
+    * k-gram set for the fraction of its distinct k-grams that are
+    * benchmark grams. Entirely STATELESS: the benchmark set rides an
+    * executor broadcast (benchmarks are small by nature — the corpus is
+    * what's big), membership is O(1) per gram, and no shuffle, join state,
+    * or aggregation state exists at any stream length — the only shape
+    * that survives an unbounded 100 TB ingest. Tokenization matches the
+    * engine-wide definition ([[graft.operators.TextAnalysis.tokens]]:
+    * RE2's `\s` class on trimmed text) and grams are per-doc DISTINCT,
+    * mirroring d88's containment definition. */
+  def decontaminate(docs: DataFrame, benchGrams: Set[String], k: Int = 5,
+      maxFrac: Double = 0.2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.map { case (id, text) =>
+          val toks = text.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var n = 0; var hit = 0
+          if (toks.length >= k)
+            toks.sliding(k).foreach { w =>
+              val g = w.mkString(" ")
+              if (seen.add(g)) { n += 1; if (set(g)) hit += 1 }
+            }
+          DocContamination(id, n, hit, n > 0 && hit.toDouble / n > maxFrac)
+        }
+      }.toDF()
+  }
+
   /** Running data-mixture report on a document stream — the live twin of
     * batch `t83_mixture_report`: per (source, lang) document/token/char
     * counts, updated every micro-batch (drive with update/complete output

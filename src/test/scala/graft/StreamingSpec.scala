@@ -154,6 +154,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminate: streamed docs score against a static benchmark set; " +
+      "stream == batch; JVM shingling == the codegen kernel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text").cache()
+    // benchmark = every 10th doc's full distinct 5-gram set (so those docs
+    // are fully contained; the rest share only chance grams)
+    val benchGrams = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(operators.Dedup.shingles(col("text"), 5)).as("g"))
+      .distinct().as[String].collect().toSet
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.decontaminate(
+        src.toDF().toDF("doc_id", "text"), benchGrams)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(25).toSeq); q.processAllAvailable()
+      src.addData(rows.drop(25).toSeq); q.processAllAvailable()
+      val out = spark.table("decon").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getBoolean(3))))
+        .toMap
+      assert(out.size == 50)
+      // planted benchmark docs are fully contained; others below threshold
+      rows.foreach { case (id, _) =>
+        val (n, hit, flag) = out(id)
+        if (id % 10 == 0) assert(hit == n && flag, s"doc $id should flag")
+        else assert(!flag, s"doc $id false-positive ($hit/$n)")
+      }
+      // JVM tokenization == the codegen shingle kernel, doc by doc
+      val kernelCounts = docs
+        .select(col("doc_id"), size(operators.Dedup.shingles(col("text"), 5)))
+        .as[(Long, Int)].collect().toMap
+      rows.foreach { case (id, _) =>
+        assert(out(id)._1 == kernelCounts(id),
+          s"doc $id: JVM grams ${out(id)._1} != kernel ${kernelCounts(id)}")
+      }
+      // stream == batch on the same data (identical code path)
+      val batch = streaming.DocStreams.decontaminate(docs.toDF(), benchGrams)
+        .collect().map(r =>
+          (r.getLong(0), (r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+      assert(batch == out)
+    } finally { q.stop(); docs.unpersist(); () }
+  }
+
   test("contentDedupWithinWatermark: dups dropped inside the horizon, " +
       "state evicted past it") {
     import spark.implicits._
