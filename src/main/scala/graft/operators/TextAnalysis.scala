@@ -538,6 +538,52 @@ object TextAnalysis {
              |              FROM documents)))""".stripMargin)),
 
     QueryDef(
+      "t85_bigram_lm", // train the bigram LM count table (the KenLM-style
+                       // artifact behind t82's surprisal filter, one order
+                       // up): corpus bigram counts, prefix marginals, and
+                       // conditional log P(w2|w1) in integer micro-nats.
+                       // The marginal is the bigram-prefix sum — so the
+                       // model is self-consistent (probabilities sum to 1
+                       // per prefix) and needs NO second corpus pass.
+                       // Scale shape: one partial-aggregated shuffle on
+                       // the bigram key collapses the corpus to ≤|vocab|²
+                       // rows; the prefix-marginal window runs over that
+                       // COLLAPSED table partitioned by w1 — state bounded
+                       // by vocabulary, not corpus. Micro-nat quantization
+                       // keeps the log engine-exact (the t82 idiom).
+      (s, d) => {
+        val grams = Graft.tableParallel(s, d, "documents")
+          .select(explode(
+            graft.functions.GraftFunctions.word_shingles(
+              lower(col("text")), 2)).as("g"))
+        val counts = grams.groupBy("g").agg(count(lit(1)).as("c2"))
+          .select(substring_index(col("g"), " ", 1).as("w1"),
+            substring_index(col("g"), " ", -1).as("w2"), col("c2"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+        counts
+          .withColumn("c1", sum(col("c2")).over(w))
+          .withColumn("logp_micro",
+            round(log(col("c2").cast("double") / col("c1").cast("double"))
+              * 1000000).cast("long"))
+      },
+      Some("""SELECT w1, w2, c2, CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+             |       CAST(ROUND(LN(CAST(c2 AS DOUBLE) /
+             |             CAST(SUM(c2) OVER (PARTITION BY w1) AS DOUBLE)) * 1000000)
+             |            AS BIGINT) AS logp_micro
+             |FROM (
+             |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+             |         CAST(COUNT(*) AS BIGINT) AS c2
+             |  FROM (
+             |    SELECT array_to_string(toks[i:i+1], ' ') AS g
+             |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+             |          FROM (SELECT list_filter(
+             |                  regexp_split_to_array(trim(lower(text)), '\s+'),
+             |                  x -> x != '') AS toks
+             |                FROM documents)
+             |          WHERE len(toks) >= 2))
+             |  GROUP BY w1, w2)""".stripMargin)),
+
+    QueryDef(
       "t84_sequence_pack", // GPT-style concat-and-chunk packing plan: within
                            // each source, documents concatenate in doc_id
                            // order and split into fixed 512-token training

@@ -34,6 +34,12 @@ class EngineSqlSpec extends AnyFunSuite {
                                AND TIMESTAMP '1996-12-31'""",
     "q05_rlike" ->
       "SELECT p_partkey, p_name FROM part WHERE p_name RLIKE 'a.*e'",
+    "q46_string_agg" -> // Spark has no STRING_AGG(... ORDER BY ...); the
+      // sorted-array formulation is the same deterministic listagg
+      """SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+                CAST(COUNT(*) AS BIGINT) AS n_supps,
+                array_join(array_sort(collect_list(s_name)), ',') AS names
+         FROM supplier GROUP BY s_nationkey""",
     "q57_window_range_frame" ->
       """SELECT o_orderkey, o_custkey, d,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
