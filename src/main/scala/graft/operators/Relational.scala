@@ -43,12 +43,16 @@ object Relational {
     * decimal: the sum is a plain codegen'd long addition (~40% faster than
     * Spark's decimal aggregate on the hot aggregation queries), still
     * associative/partition-order independent, and mirrored by the oracle as
-    * `CAST(SUM(CAST(ROUND(x*10^s) AS BIGINT)) AS DOUBLE) / 10^s`. Exact
-    * while |sum| < 2^53/10^s — wide enough for any per-group total here;
-    * [[sumd]] remains for unbounded-scale cases. */
+    * `CAST(SUM(CAST(FLOOR(x*10^s + 0.5) AS BIGINT)) AS DOUBLE) / 10^s`.
+    * floor(x+0.5), not round(): Spark's Round on DoubleType allocates a
+    * BigDecimal PER ROW (measured 4× on q67's five moment sums), floor is
+    * pure codegen double math, and the two agree on the POSITIVE domain
+    * every caller is in (HALF_UP). Exact while |sum| < 2^53/10^s — wide
+    * enough for any per-group total here; [[sumd]] remains for
+    * unbounded-scale cases. */
   private def sumq(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    sum(round(c * f).cast("long")).cast("double") / f
+    sum(floor(c * f + 0.5).cast("long")).cast("double") / f
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -140,10 +144,10 @@ object Relational {
           (sumq(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-                     CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
-                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
-                     (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*) AS avg_qty,
+                     CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+                     (CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*) AS avg_qty,
                      COUNT(*) AS count_order
               FROM lineitem
               WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -156,7 +160,7 @@ object Relational {
         .agg(count(lit(1)).as("n"), sumq(col("l_quantity")).as("sum_qty"))
         .filter(col("n") > 30),
       Some("""SELECT l_partkey, COUNT(*) AS n,
-                     CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+                     CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
               FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 30""")),
 
     QueryDef(
@@ -1072,13 +1076,24 @@ object Relational {
                              // native float regr_* aggregates would be
                              // run-order dependent and can't hash-compare.
       (s, d) => {
+        // Quantized-LONG moments, not decimal: syy's magnitude (~1e14 at
+        // scale 4) overflows the compact-long decimal representation,
+        // dropping Spark's decimal Sum into per-row BigDecimal arithmetic
+        // (measured 2.0 s vs 0.4 s for comparable sums). And floor(x+0.5)
+        // instead of round(): Spark's Round on DoubleType allocates a
+        // BigDecimal per row, while floor is pure codegen double math —
+        // identical HALF_UP result for the all-positive inputs here, and
+        // the oracle mirrors FLOOR(x*100 + 0.5) term for term. At scale 2
+        // every moment fits 2^53 with room (syy sum ≤ ~6e17 unscaled).
+        def sumf(c: Column): Column =
+          sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100
         val x = col("l_quantity"); val y = col("l_extendedprice")
         val m = t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).cast("double").as("n"),
-            sumd(x).as("sx"), sumd(y).as("sy"),
-            sumd(x * x).as("sxx"), sumd(y * y, 4).as("syy"),
-            sumd(x * y).as("sxy"))
+            sumf(x).as("sx"), sumf(y).as("sy"),
+            sumf(x * x).as("sxx"), sumf(y * y).as("syy"),
+            sumf(x * y).as("sxy"))
         val cov = col("n") * col("sxy") - col("sx") * col("sy")
         val varx = col("n") * col("sxx") - col("sx") * col("sx")
         val vary = col("n") * col("syy") - col("sy") * col("sy")
@@ -1091,11 +1106,11 @@ object Relational {
       Some("""WITH m AS (
              |  SELECT l_returnflag,
              |         CAST(COUNT(*) AS DOUBLE) AS n,
-             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-             |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sx,
+             |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sy,
+             |         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sxx,
+             |         CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS syy,
+             |         CAST(SUM(CAST(FLOOR(l_quantity * l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sxy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag,
              |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,

@@ -468,11 +468,16 @@ object TextAnalysis {
           explode(tokens(lower(col("text")))).as("term"))
         val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
         val total = vocab.agg(sum(col("cnt")).as("total"))
-        terms.join(broadcast(vocab), "term")
-          .crossJoin(broadcast(total))
-          .select(col("doc_id"),
+        // quantize the logprob ON THE VOCAB SIDE (≤|vocab| rows) before the
+        // broadcast — Spark's Round on doubles allocates a BigDecimal per
+        // evaluation, and computing it after the join paid that per
+        // (doc, term) occurrence; the joined rows now just carry the
+        // integer micro-nats. Same values (lq is a function of the term).
+        val vocabLq = vocab.crossJoin(broadcast(total))
+          .select(col("term"),
             round(log(col("cnt").cast("double") / col("total")) * 1000000)
               .cast("long").as("lq"))
+        terms.join(broadcast(vocabLq), "term")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             round(-(sum(col("lq")).cast("double") /
