@@ -140,7 +140,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // plan that UPDATE/DELETE would run, so the engine prints it itself
   // (reference `commands/ExplainCommand.java` covers DML statements too)
   private val explainDml =
-    """(?is)\s*EXPLAIN\s+((?:UPDATE|DELETE)\s+.+?)\s*;?\s*""".r
+    """(?is)\s*EXPLAIN\s+((?:UPDATE|DELETE|MERGE)\s+.+?)\s*;?\s*""".r
   private val updateStmt =
     """(?is)\s*UPDATE\s+((?:`?\w+`?\.)*)`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteStmt =
@@ -273,6 +273,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           val tbl = localName(q, tblRaw, "EXPLAIN DELETE")
           s"COW rewrite of $tbl (DELETE)\n" +
             cmds.explain(cmds.deletePlan(tbl, condExpr(cond)))
+        case mergeStmt(q, tblRaw, tAliasRaw, srcRaw, onCond, whens) =>
+          val p = parseMerge(q, tblRaw, tAliasRaw, srcRaw, whens)
+          s"COW rewrite of ${p.tbl} (MERGE)\n" +
+            cmds.explain(cmds.mergePlan(p.tbl, p.src, p.tAlias, p.sAlias,
+              org.apache.spark.sql.functions.expr(onCond), p.sets,
+              p.matchedDelete, p.insert))
         case other =>
           throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
       }
@@ -283,54 +289,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // INSERT/UPDATE/DELETE): one COW publish for all three merge effects.
       // Spark SQL parses MERGE but cannot execute it on parquet catalog
       // tables, so the engine owns the statement end-to-end.
-      val tbl = localName(q, tblRaw, "MERGE INTO")
-      if (!cmds.tableExists(tbl)) throw new IllegalArgumentException(
-        s"MERGE INTO $tbl: not a warehouse table")
-      val tAlias = Option(tAliasRaw).getOrElse(tbl)
-      val (srcDf, sAlias) = srcRaw match {
-        case mergeSrc(body, aliasRaw) =>
-          val alias = Option(aliasRaw).getOrElse(
-            body.replaceAll("`", "").trim)
-          if (body.trim.startsWith("("))
-            (query(body.trim.stripPrefix("(").stripSuffix(")")), alias)
-          else (query(s"SELECT * FROM ${body.trim}"), alias)
-        case other => throw new IllegalArgumentException(
-          s"cannot parse MERGE source: $other")
-      }
-      val sets = whenUpdate.findFirstMatchIn(whens).map(m =>
-        splitTopLevel(m.group(1)).map { a =>
-          val Array(c, e) = a.split("=", 2)
-          // LHS may be alias-qualified (t.balance); the key is the column
-          stripQualifier(c.trim, tAlias, tbl) ->
-            org.apache.spark.sql.functions.expr(e.trim)
-        }.toMap).getOrElse(Map.empty[String, Column])
-      val matchedDelete = whenDelete.findFirstIn(whens).isDefined
-      require(!(matchedDelete && sets.nonEmpty),
-        "MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
-      val insert: Option[Seq[(String, Column)]] =
-        if (whenInsertStar.findFirstIn(whens).isDefined)
-          Some(srcDf.columns.toSeq.map(c =>
-            c -> org.apache.spark.sql.functions.col(s"`$sAlias`.`$c`")))
-        else whenInsertValues.findFirstMatchIn(whens).map { m =>
-          val exprs = splitTopLevel(m.group(2))
-            .map(e => org.apache.spark.sql.functions.expr(e.trim))
-          val cols = Option(m.group(1)) match {
-            case Some(cl) => cl.split(",").map(c =>
-              stripQualifier(c.trim.replaceAll("`", ""), tAlias, tbl)).toSeq
-            case None => cmds.table(tbl).columns.toSeq
-          }
-          require(cols.length == exprs.length,
-            s"MERGE INSERT has ${cols.length} columns for ${exprs.length} values")
-          cols.zip(exprs)
-        }
-      require(sets.nonEmpty || matchedDelete || insert.nonEmpty,
-        "MERGE needs at least one WHEN clause")
-      cmds.merge(tbl, srcDf, tAlias, sAlias,
-        org.apache.spark.sql.functions.expr(onCond), sets, matchedDelete,
-        insert)
-      registerTable(tbl)
-      dropIndexesOf(tbl)
-      status(s"merged into $tbl")
+      val p = parseMerge(q, tblRaw, tAliasRaw, srcRaw, whens)
+      cmds.merge(p.tbl, p.src, p.tAlias, p.sAlias,
+        org.apache.spark.sql.functions.expr(onCond), p.sets, p.matchedDelete,
+        p.insert)
+      registerTable(p.tbl)
+      dropIndexesOf(p.tbl)
+      status(s"merged into ${p.tbl}")
     case updateStmt(q, tblRaw, rest) =>
       // reference: UpdateCommand.java — Spark SQL cannot mutate plain
       // parquet tables, so UPDATE/DELETE route to the COW rewrite
@@ -576,6 +541,59 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           }
         }.toIndexedSeq: _*)
     }
+  }
+
+  private case class MergeParts(tbl: String, src: DataFrame, tAlias: String,
+      sAlias: String, sets: Map[String, Column], matchedDelete: Boolean,
+      insert: Option[Seq[(String, Column)]])
+
+  /** Shared by the MERGE route and EXPLAIN MERGE: resolve the target,
+    * build the source frame, and parse the WHEN clauses. */
+  private def parseMerge(q: String, tblRaw: String, tAliasRaw: String,
+      srcRaw: String, whens: String): MergeParts = {
+    val tbl = localName(q, tblRaw, "MERGE INTO")
+    if (!cmds.tableExists(tbl)) throw new IllegalArgumentException(
+      s"MERGE INTO $tbl: not a warehouse table")
+    val tAlias = Option(tAliasRaw).getOrElse(tbl)
+    val (srcDf, sAlias) = srcRaw match {
+      case mergeSrc(body, aliasRaw) =>
+        val alias = Option(aliasRaw).getOrElse(
+          body.replaceAll("`", "").trim)
+        if (body.trim.startsWith("("))
+          (query(body.trim.stripPrefix("(").stripSuffix(")")), alias)
+        else (query(s"SELECT * FROM ${body.trim}"), alias)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse MERGE source: $other")
+    }
+    val sets = whenUpdate.findFirstMatchIn(whens).map(m =>
+      splitTopLevel(m.group(1)).map { a =>
+        val Array(c, e) = a.split("=", 2)
+        // LHS may be alias-qualified (t.balance); the key is the column
+        stripQualifier(c.trim, tAlias, tbl) ->
+          org.apache.spark.sql.functions.expr(e.trim)
+      }.toMap).getOrElse(Map.empty[String, Column])
+    val matchedDelete = whenDelete.findFirstIn(whens).isDefined
+    require(!(matchedDelete && sets.nonEmpty),
+      "MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
+    val insert: Option[Seq[(String, Column)]] =
+      if (whenInsertStar.findFirstIn(whens).isDefined)
+        Some(srcDf.columns.toSeq.map(c =>
+          c -> org.apache.spark.sql.functions.col(s"`$sAlias`.`$c`")))
+      else whenInsertValues.findFirstMatchIn(whens).map { m =>
+        val exprs = splitTopLevel(m.group(2))
+          .map(e => org.apache.spark.sql.functions.expr(e.trim))
+        val cols = Option(m.group(1)) match {
+          case Some(cl) => cl.split(",").map(c =>
+            stripQualifier(c.trim.replaceAll("`", ""), tAlias, tbl)).toSeq
+          case None => cmds.table(tbl).columns.toSeq
+        }
+        require(cols.length == exprs.length,
+          s"MERGE INSERT has ${cols.length} columns for ${exprs.length} values")
+        cols.zip(exprs)
+      }
+    require(sets.nonEmpty || matchedDelete || insert.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    MergeParts(tbl, srcDf, tAlias, sAlias, sets, matchedDelete, insert)
   }
 
   /** Drop a leading `t.`/alias qualifier from a MERGE assignment/insert

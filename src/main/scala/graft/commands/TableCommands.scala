@@ -378,6 +378,21 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       .filter(col("count") > 1).limit(1).count() > 0
     if (dup) throw new IllegalArgumentException(
       s"MERGE into $name: a target row matches more than one source row")
+    val result = mergePlan(name, srcRaw, tAlias, sAlias, cond, updateSets,
+      matchedDelete, insert)
+    checkNotNull(name, result)
+    publish(name, result)
+  }
+
+  /** The rewrite frame [[merge]] would publish — shared with EXPLAIN
+    * (which must neither publish nor run the ambiguity guard). */
+  def mergePlan(name: String, srcRaw: DataFrame, tAlias: String,
+      sAlias: String, cond: Column, updateSets: Map[String, Column],
+      matchedDelete: Boolean,
+      insert: Option[Seq[(String, Column)]]): DataFrame = {
+    val tgt = table(name)
+    val marker = "__graft_merge_src"
+    val s = srcRaw.withColumn(marker, lit(true)).alias(sAlias)
     val t = tgt.alias(tAlias)
     val joined = t.join(s, cond, "left")
     val matched = col(s"$sAlias.$marker").isNotNull
@@ -396,7 +411,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
             case None => col(s"$tAlias.${f.name}").as(f.name)
           }
         }: _*)
-    val result = insert match {
+    insert match {
       case Some(colExprs) =>
         val byLower = colExprs.map { case (c, e) => c.toLowerCase -> e }.toMap
         val unknown = colExprs.map(_._1.toLowerCase)
@@ -413,8 +428,6 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         kept.unionByName(ins)
       case None => kept
     }
-    checkNotNull(name, result)
-    publish(name, result)
   }
 
   /** CREATE INDEX ON t (col) — the reference builds a B⁺-tree on the column

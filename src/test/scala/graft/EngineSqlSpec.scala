@@ -345,6 +345,12 @@ class EngineSqlSpec extends AnyFunSuite {
           "ON t.id = s.id WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
       }
       assert(nn.getMessage.contains("NOT NULL"))
+      // EXPLAIN MERGE shows the rewrite plan WITHOUT publishing
+      val plan = engine.sql("EXPLAIN MERGE INTO mtgt t USING (SELECT 3 AS id) s " +
+        "ON t.id = s.id WHEN MATCHED THEN DELETE").head.getString(0)
+      assert(plan.contains("COW rewrite of mtgt (MERGE)"))
+      assert(engine.sql("SELECT COUNT(*) AS n FROM mtgt").head.getLong(0) == 3,
+        "EXPLAIN MERGE must not mutate")
       // a merge inside a txn is one pointer move — ROLLBACK undoes all of it
       engine.sql("BEGIN")
       engine.sql("MERGE INTO mtgt t USING (SELECT 1 AS id, 'x' AS nm) s " +
