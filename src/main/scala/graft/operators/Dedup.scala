@@ -420,16 +420,25 @@ object Dedup {
                                // per-group set is ever held whole.
       (s, d) => {
         val k = 10
+        // group on the 8-byte xxhash64 of the passage, carrying the text as
+        // min(g): the countDistinct expand and both aggregation exchanges
+        // move fixed-width keys instead of ~60-char strings (the d82
+        // posting-list idiom). min(g) == the passage for every group barring
+        // a 64-bit collision (P < 1e-10 here), which the oracle compare
+        // would surface.
         Graft.tableParallel(s, d, "documents")
           .select(col("doc_id"),
             explode(graft.functions.GraftFunctions.word_shingles(col("text"), k))
-              .as("g"))
-          .groupBy("g")
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
+              .as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("h"), col("g0"))
+          .groupBy("h")
+          .agg(min(col("g0")).as("g"),
+            countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occurrences"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
           .filter(col("n_docs") >= 2)
+          .drop("h")
       },
       Some("""SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
