@@ -149,9 +149,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:`?\w+`?\.)*)`?(\w+)`?\s*;?\s*""".r
   // MERGE INTO t [AS a] USING <tbl|(query)> [AS b] ON cond WHEN ... — the
   // warehouse upsert; Spark SQL has the grammar but no executable MERGE for
-  // plain parquet tables, so the engine owns the whole statement
+  // plain parquet tables, so the engine owns the whole statement. Only the
+  // head is regex-matched; the USING/ON/WHEN splits are paren- and
+  // string-aware ([[parseMerge]]) so a join ON inside the source subquery
+  // or a CASE WHEN inside the merge condition cannot derail them.
   private val mergeStmt =
-    """(?is)\s*MERGE\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val mergeSrc =
     """(?is)\s*(\(.+\)|`?\w+`?)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
   private val whenUpdate =
@@ -273,26 +276,24 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           val tbl = localName(q, tblRaw, "EXPLAIN DELETE")
           s"COW rewrite of $tbl (DELETE)\n" +
             cmds.explain(cmds.deletePlan(tbl, condExpr(cond)))
-        case mergeStmt(q, tblRaw, tAliasRaw, srcRaw, onCond, whens) =>
-          val p = parseMerge(q, tblRaw, tAliasRaw, srcRaw, whens)
+        case mergeStmt(q, tblRaw, tAliasRaw, rest) =>
+          val p = parseMerge(q, tblRaw, tAliasRaw, rest)
           s"COW rewrite of ${p.tbl} (MERGE)\n" +
             cmds.explain(cmds.mergePlan(p.tbl, p.src, p.tAlias, p.sAlias,
-              org.apache.spark.sql.functions.expr(onCond), p.sets,
-              p.matchedDelete, p.insert))
+              p.cond, p.sets, p.matchedDelete, p.insert))
         case other =>
           throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
       }
       import spark.implicits._
       Seq(planned).toDF("plan")
-    case mergeStmt(q, tblRaw, tAliasRaw, srcRaw, onCond, whens) =>
+    case mergeStmt(q, tblRaw, tAliasRaw, rest) =>
       // warehouse-native upsert (no reference analog — its grammar stops at
       // INSERT/UPDATE/DELETE): one COW publish for all three merge effects.
       // Spark SQL parses MERGE but cannot execute it on parquet catalog
       // tables, so the engine owns the statement end-to-end.
-      val p = parseMerge(q, tblRaw, tAliasRaw, srcRaw, whens)
-      cmds.merge(p.tbl, p.src, p.tAlias, p.sAlias,
-        org.apache.spark.sql.functions.expr(onCond), p.sets, p.matchedDelete,
-        p.insert)
+      val p = parseMerge(q, tblRaw, tAliasRaw, rest)
+      cmds.merge(p.tbl, p.src, p.tAlias, p.sAlias, p.cond, p.sets,
+        p.matchedDelete, p.insert)
       registerTable(p.tbl)
       dropIndexesOf(p.tbl)
       status(s"merged into ${p.tbl}")
@@ -544,13 +545,49 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   }
 
   private case class MergeParts(tbl: String, src: DataFrame, tAlias: String,
-      sAlias: String, sets: Map[String, Column], matchedDelete: Boolean,
-      insert: Option[Seq[(String, Column)]])
+      sAlias: String, cond: Column, sets: Map[String, Column],
+      matchedDelete: Boolean, insert: Option[Seq[(String, Column)]])
 
-  /** Shared by the MERGE route and EXPLAIN MERGE: resolve the target,
+  /** First TOP-LEVEL word-bounded occurrence of `kw` in `s` (outside parens
+    * and string literals), or -1. */
+  private def topLevelIndex(s: String, kw: String, from: Int = 0): Int = {
+    val top = topLevel(s)
+    var i = math.max(from, 0)
+    while (i + kw.length <= s.length) {
+      if (top(i) && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + kw.length == s.length || !s.charAt(i + kw.length).isLetterOrDigit))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Shared by the MERGE route and EXPLAIN MERGE: resolve the target, split
+    * `USING <src> ON <cond> WHEN ...` at TOP-LEVEL keywords (a join ON
+    * inside the source subquery, or a CASE WHEN inside the condition, is
+    * inside parens or lacks the MATCHED/NOT follow-word and cannot split),
     * build the source frame, and parse the WHEN clauses. */
   private def parseMerge(q: String, tblRaw: String, tAliasRaw: String,
-      srcRaw: String, whens: String): MergeParts = {
+      rest: String): MergeParts = {
+    val onIdx = topLevelIndex(rest, "ON")
+    require(onIdx >= 0, "MERGE: missing ON <condition>")
+    val srcRaw = rest.substring(0, onIdx).trim
+    val afterOn = rest.substring(onIdx + 2)
+    // first top-level WHEN followed by MATCHED / NOT starts the clause list
+    var whenIdx = topLevelIndex(afterOn, "WHEN")
+    while (whenIdx >= 0 && {
+      val tail = afterOn.substring(whenIdx + 4).trim.toUpperCase
+      !(tail.startsWith("MATCHED") || tail.startsWith("NOT"))
+    }) whenIdx = topLevelIndex(afterOn, "WHEN", whenIdx + 4)
+    require(whenIdx >= 0, "MERGE: missing WHEN [NOT] MATCHED clause")
+    val onCond = afterOn.substring(0, whenIdx).trim
+    val whens = afterOn.substring(whenIdx).trim
+    parseMergeParts(q, tblRaw, tAliasRaw, srcRaw, onCond, whens)
+  }
+
+  private def parseMergeParts(q: String, tblRaw: String, tAliasRaw: String,
+      srcRaw: String, onCond: String, whens: String): MergeParts = {
     val tbl = localName(q, tblRaw, "MERGE INTO")
     if (!cmds.tableExists(tbl)) throw new IllegalArgumentException(
       s"MERGE INTO $tbl: not a warehouse table")
@@ -593,7 +630,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
     require(sets.nonEmpty || matchedDelete || insert.nonEmpty,
       "MERGE needs at least one WHEN clause")
-    MergeParts(tbl, srcDf, tAlias, sAlias, sets, matchedDelete, insert)
+    MergeParts(tbl, srcDf, tAlias, sAlias,
+      org.apache.spark.sql.functions.expr(onCond), sets, matchedDelete,
+      insert)
   }
 
   /** Drop a leading `t.`/alias qualifier from a MERGE assignment/insert

@@ -359,6 +359,14 @@ class EngineSqlSpec extends AnyFunSuite {
       assert(engine.sql("SELECT name FROM mtgt WHERE id = 1").head.getString(0) == "x")
       engine.sql("ROLLBACK")
       assert(engine.sql("SELECT name FROM mtgt WHERE id = 1").head.getString(0) == "alice")
+      // a join ON inside the source subquery must not derail the
+      // USING/ON/WHEN splitter (splits are paren-aware, not first-match)
+      engine.sql("MERGE INTO mtgt t USING (SELECT n1.n_nationkey AS id " +
+        "FROM nation n1 JOIN nation n2 ON n1.n_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_nationkey = 0) s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
+      assert(engine.sql("SELECT COUNT(*) AS n FROM mtgt WHERE id = 0")
+        .head.getLong(0) == 1)
       // warehouse-table source with INSERT * (columns map by name)
       engine.sql("DROP TABLE IF EXISTS msrc")
       engine.sql("CREATE COLSTORE msrc AS SELECT 77 AS id, 'zed' AS name, 0.5 AS bal")
