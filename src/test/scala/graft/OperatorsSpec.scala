@@ -267,6 +267,19 @@ class OperatorsSpec extends AnyFunSuite {
       val plan = run(n).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n plans a BNLJ")
     }
+    // the newer scale paths: cluster-scoped (d92/s95) and span-keyed (d91)
+    // candidate generation is also equi-join only (the one BNLJ in s95/d92
+    // is the |labels|-row centroid broadcast, a bounded dimension table,
+    // never corpus×corpus)
+    Seq("d91_repeated_passages", "d92_semantic_dedup", "s95_ivf_probe")
+      .foreach { n =>
+        val plan = run(n).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian")
+      }
+    // s95's probe set must broadcast into candidate generation — a
+    // sort-merge join there would shuffle the corpus-sized assignment
+    val s95 = run("s95_ivf_probe").queryExecution.executedPlan.toString
+    assert(s95.contains("BroadcastHashJoin"), "s95 lost the probe broadcast")
   }
 
   test("m96 frame sampling: an empty-text doc yields zero frames") {
