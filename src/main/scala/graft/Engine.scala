@@ -157,13 +157,15 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*MERGE\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val mergeSrc =
     """(?is)\s*(\(.+\)|`?\w+`?)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
+  // each clause takes the SQL:2003 optional `AND <cond>` refinement
   private val whenUpdate =
-    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s+NOT\s+MATCHED|$)""".r
-  private val whenDelete = """(?is)WHEN\s+MATCHED\s+THEN\s+DELETE""".r
+    """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s+NOT\s+MATCHED|$)""".r
+  private val whenDelete =
+    """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
   private val whenInsertValues =
-    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.+)\)\s*$""".r
+    """(?is)WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.+)\)\s*$""".r
   private val whenInsertStar =
-    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
+    """(?is)WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*$""".r
 
   /** True iff the captured qualifier names this engine's (single) database:
     * empty, `default`, `spark_catalog`, or `spark_catalog.default`. */
@@ -280,7 +282,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           val p = parseMerge(q, tblRaw, tAliasRaw, rest)
           s"COW rewrite of ${p.tbl} (MERGE)\n" +
             cmds.explain(cmds.mergePlan(p.tbl, p.src, p.tAlias, p.sAlias,
-              p.cond, p.sets, p.matchedDelete, p.insert))
+              p.cond, p.sets, p.matchedDelete, p.insert, p.matchedCond,
+              p.insertCond))
         case other =>
           throw new IllegalArgumentException(s"cannot EXPLAIN: $other")
       }
@@ -293,7 +296,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // tables, so the engine owns the statement end-to-end.
       val p = parseMerge(q, tblRaw, tAliasRaw, rest)
       cmds.merge(p.tbl, p.src, p.tAlias, p.sAlias, p.cond, p.sets,
-        p.matchedDelete, p.insert)
+        p.matchedDelete, p.insert, p.matchedCond, p.insertCond)
       registerTable(p.tbl)
       dropIndexesOf(p.tbl)
       status(s"merged into ${p.tbl}")
@@ -546,7 +549,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   private case class MergeParts(tbl: String, src: DataFrame, tAlias: String,
       sAlias: String, cond: Column, sets: Map[String, Column],
-      matchedDelete: Boolean, insert: Option[Seq[(String, Column)]])
+      matchedDelete: Boolean, insert: Option[Seq[(String, Column)]],
+      matchedCond: Option[Column], insertCond: Option[Column])
 
   /** First TOP-LEVEL word-bounded occurrence of `kw` in `s` (outside parens
     * and string literals), or -1. */
@@ -602,24 +606,34 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       case other => throw new IllegalArgumentException(
         s"cannot parse MERGE source: $other")
     }
-    val sets = whenUpdate.findFirstMatchIn(whens).map(m =>
-      splitTopLevel(m.group(1)).map { a =>
+    def optCond(g: String): Option[Column] =
+      Option(g).map(c => org.apache.spark.sql.functions.expr(c.trim))
+    val upd = whenUpdate.findFirstMatchIn(whens)
+    val sets = upd.map(m =>
+      splitTopLevel(m.group(2)).map { a =>
         val Array(c, e) = a.split("=", 2)
         // LHS may be alias-qualified (t.balance); the key is the column
         stripQualifier(c.trim, tAlias, tbl) ->
           org.apache.spark.sql.functions.expr(e.trim)
       }.toMap).getOrElse(Map.empty[String, Column])
-    val matchedDelete = whenDelete.findFirstIn(whens).isDefined
+    val del = whenDelete.findFirstMatchIn(whens)
+    val matchedDelete = del.isDefined
     require(!(matchedDelete && sets.nonEmpty),
       "MERGE supports one WHEN MATCHED action (UPDATE or DELETE)")
+    val matchedCond = upd.map(m => optCond(m.group(1)))
+      .orElse(del.map(m => optCond(m.group(1)))).flatten
+    val star = whenInsertStar.findFirstMatchIn(whens)
+    val insVals = whenInsertValues.findFirstMatchIn(whens)
+    val insertCond = star.map(m => optCond(m.group(1)))
+      .orElse(insVals.map(m => optCond(m.group(1)))).flatten
     val insert: Option[Seq[(String, Column)]] =
-      if (whenInsertStar.findFirstIn(whens).isDefined)
+      if (star.isDefined)
         Some(srcDf.columns.toSeq.map(c =>
           c -> org.apache.spark.sql.functions.col(s"`$sAlias`.`$c`")))
-      else whenInsertValues.findFirstMatchIn(whens).map { m =>
-        val exprs = splitTopLevel(m.group(2))
+      else insVals.map { m =>
+        val exprs = splitTopLevel(m.group(3))
           .map(e => org.apache.spark.sql.functions.expr(e.trim))
-        val cols = Option(m.group(1)) match {
+        val cols = Option(m.group(2)) match {
           case Some(cl) => cl.split(",").map(c =>
             stripQualifier(c.trim.replaceAll("`", ""), tAlias, tbl)).toSeq
           case None => cmds.table(tbl).columns.toSeq
@@ -632,7 +646,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       "MERGE needs at least one WHEN clause")
     MergeParts(tbl, srcDf, tAlias, sAlias,
       org.apache.spark.sql.functions.expr(onCond), sets, matchedDelete,
-      insert)
+      insert, matchedCond, insertCond)
   }
 
   /** Drop a leading `t.`/alias qualifier from a MERGE assignment/insert

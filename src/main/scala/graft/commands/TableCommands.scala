@@ -367,7 +367,9 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * rewrite — O(table + source), no per-row driver work. */
   def merge(name: String, srcRaw: DataFrame, tAlias: String, sAlias: String,
       cond: Column, updateSets: Map[String, Column], matchedDelete: Boolean,
-      insert: Option[Seq[(String, Column)]]): Unit = {
+      insert: Option[Seq[(String, Column)]],
+      matchedCond: Option[Column] = None,
+      insertCond: Option[Column] = None): Unit = {
     val tgt = table(name)
     val marker = "__graft_merge_src"
     val s = srcRaw.withColumn(marker, lit(true)).alias(sAlias)
@@ -379,34 +381,41 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     if (dup) throw new IllegalArgumentException(
       s"MERGE into $name: a target row matches more than one source row")
     val result = mergePlan(name, srcRaw, tAlias, sAlias, cond, updateSets,
-      matchedDelete, insert)
+      matchedDelete, insert, matchedCond, insertCond)
     checkNotNull(name, result)
     publish(name, result)
   }
 
   /** The rewrite frame [[merge]] would publish — shared with EXPLAIN
-    * (which must neither publish nor run the ambiguity guard). */
+    * (which must neither publish nor run the ambiguity guard).
+    *
+    * `matchedCond`/`insertCond` are the SQL:2003 `WHEN [NOT] MATCHED AND
+    * <cond>` refinements: the action applies only where the extra condition
+    * is TRUE (a NULL condition means not-satisfied, per the standard —
+    * hence the coalesce-to-false). */
   def mergePlan(name: String, srcRaw: DataFrame, tAlias: String,
       sAlias: String, cond: Column, updateSets: Map[String, Column],
-      matchedDelete: Boolean,
-      insert: Option[Seq[(String, Column)]]): DataFrame = {
+      matchedDelete: Boolean, insert: Option[Seq[(String, Column)]],
+      matchedCond: Option[Column] = None,
+      insertCond: Option[Column] = None): DataFrame = {
     val tgt = table(name)
     val marker = "__graft_merge_src"
     val s = srcRaw.withColumn(marker, lit(true)).alias(sAlias)
     val t = tgt.alias(tAlias)
     val joined = t.join(s, cond, "left")
-    val matched = col(s"$sAlias.$marker").isNotNull
+    val hit = col(s"$sAlias.$marker").isNotNull &&
+      coalesce(matchedCond.getOrElse(lit(true)), lit(false))
     val setsLower = updateSets.map { case (k, v) => k.toLowerCase -> v }
     val kept =
       if (matchedDelete)
-        joined.filter(!matched)
+        joined.filter(!hit)
           .select(tgt.schema.fields.map(f =>
             col(s"$tAlias.${f.name}").as(f.name)): _*)
       else
         joined.select(tgt.schema.fields.map { f =>
           setsLower.get(f.name.toLowerCase) match {
             case Some(e) =>
-              when(matched, e).otherwise(col(s"$tAlias.${f.name}"))
+              when(hit, e).otherwise(col(s"$tAlias.${f.name}"))
                 .cast(f.dataType).as(f.name)
             case None => col(s"$tAlias.${f.name}").as(f.name)
           }
@@ -418,7 +427,10 @@ class TableCommands(spark: SparkSession, warehouse: String) {
           .filterNot(tgt.schema.fieldNames.map(_.toLowerCase).contains)
         require(unknown.isEmpty,
           s"MERGE INSERT column(s) ${unknown.mkString(", ")} do not exist in $name")
-        val ins = s.join(t, cond, "left_anti")
+        val srcOnly = s.join(t, cond, "left_anti")
+        val ins = insertCond
+          .map(c => srcOnly.filter(coalesce(c, lit(false))))
+          .getOrElse(srcOnly)
           .select(tgt.schema.fields.map { f =>
             byLower.get(f.name.toLowerCase) match {
               case Some(e) => e.cast(f.dataType).as(f.name)

@@ -359,6 +359,21 @@ class EngineSqlSpec extends AnyFunSuite {
       assert(engine.sql("SELECT name FROM mtgt WHERE id = 1").head.getString(0) == "x")
       engine.sql("ROLLBACK")
       assert(engine.sql("SELECT name FROM mtgt WHERE id = 1").head.getString(0) == "alice")
+      // SQL:2003 conditional clauses: WHEN MATCHED AND / WHEN NOT MATCHED
+      // AND refine which rows act; a NULL condition means not-satisfied
+      engine.sql("""MERGE INTO mtgt t
+                    USING (SELECT * FROM VALUES (1, 100.0), (3, 1.0), (50, 9.0),
+                           (60, 0.1) AS v(id, amt)) s
+                    ON t.id = s.id
+                    WHEN MATCHED AND s.amt > 50 THEN UPDATE SET bal = s.amt
+                    WHEN NOT MATCHED AND s.amt > 5 THEN INSERT (id, bal)
+                      VALUES (s.id, s.amt)""")
+      val cond = engine.sql(
+        "SELECT id, bal FROM mtgt WHERE id IN (1, 3, 50, 60) ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      // id 1 matched AND amt>50 -> updated; id 3 matched, amt=1 -> kept;
+      // id 50 unmatched AND amt>5 -> inserted; id 60 unmatched, amt<=5 -> no
+      assert(cond == Seq((1, 100.0), (3, 37.0), (50, 9.0)), s"got $cond")
       // a join ON inside the source subquery must not derail the
       // USING/ON/WHEN splitter (splits are paren-aware, not first-match)
       engine.sql("MERGE INTO mtgt t USING (SELECT n1.n_nationkey AS id " +
