@@ -353,8 +353,16 @@ object TextAnalysis {
             explode(tokens(lower(col("text")))).as("term"))
           .repartition(col("doc_id"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.select(count(lit(1)).as("n_docs"))
+        // idf is a function of df alone — compute (and round) it on the
+        // |vocab|-sized side BEFORE the broadcast, not per scored row:
+        // Spark's Round on doubles allocates a BigDecimal per evaluation
+        // and ln() isn't free either (the t82 lesson)
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("term"),
+            round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+              .as("idf"))
         // top-3 via per-doc array sort instead of a row_number window: the
         // groupBy collapses each doc to ONE row holding its scored terms
         // (bounded by doc vocabulary), sort_array orders them inside the
@@ -363,11 +371,8 @@ object TextAnalysis {
         // tie-break for free: (-tfidf asc, term asc) = (tfidf desc, term
         // asc).
         val scored = tf.join(broadcast(dfreq), "term")
-          .crossJoin(broadcast(nDocs))
           .select(col("doc_id"), col("term"), col("tf"),
-            round(col("tf") *
-              round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6),
-              6).as("tfidf"))
+            round(col("tf") * col("idf"), 6).as("tfidf"))
         scored.groupBy("doc_id")
           .agg(slice(sort_array(collect_list(struct(
             (-col("tfidf")).as("neg"), col("term"), col("tf"),
