@@ -44,4 +44,35 @@ object WarehouseSink {
         ()
       }
       .start()
+
+  /** Quality-gate ROUTING: one stream, two exactly-once warehouse tables —
+    * the keep/reject split every training-data ingest runs (CCNet/Gopher
+    * gates feeding a kept corpus and a reject audit trail). The predicate
+    * is evaluated once per batch (cached), rows where it is NULL route to
+    * `failTable` (an unscorable doc must be quarantined, not dropped), and
+    * each table commits the micro-batch id independently — a crash between
+    * the two commits replays the batch, the already-committed table skips
+    * it, the other applies it: exactly-once PER TABLE with no coordination
+    * beyond the manifest markers. */
+  def route(df: DataFrame, cmds: TableCommands, predicate:
+      org.apache.spark.sql.Column, passTable: String,
+      failTable: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marked = batch
+          .withColumn("__graft_pass", coalesce(predicate, lit(false)))
+          .cache()
+        try {
+          val pass = marked.filter(col("__graft_pass")).drop("__graft_pass")
+          val fail = marked.filter(not(col("__graft_pass")))
+            .drop("__graft_pass")
+          if (!pass.isEmpty) cmds.insertCommitted(passTable, pass, batchId)
+          if (!fail.isEmpty) cmds.insertCommitted(failTable, fail, batchId)
+        } finally { marked.unpersist(); () }
+        ()
+      }
+      .start()
+  }
 }

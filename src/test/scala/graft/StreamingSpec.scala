@@ -320,6 +320,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("WarehouseSink.route: quality gate splits a stream into pass/fail " +
+      "warehouse tables; NULL scores quarantine to fail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_route_wh").toString
+    val cmds = new graft.commands.TableCommands(spark, wh)
+    val src = MemoryStream[(Long, String)]
+    // gate: >= 3 whitespace tokens (a t71-style length gate); null text is
+    // unscorable and must land in the reject table, not vanish
+    val gate = size(graft.operators.TextAnalysis.tokens(col("text"))) >= 3 &&
+      when(col("text").isNull, lit(null)).otherwise(lit(true))
+    val q = streaming.WarehouseSink.route(
+      src.toDF().toDF("doc_id", "text"), cmds, gate, "kept", "rejected")
+    try {
+      src.addData((1L, "one two three four"), (2L, "too short"), (3L, null))
+      q.processAllAvailable()
+      src.addData((4L, "another doc long enough to keep"), (5L, "no"))
+      q.processAllAvailable()
+      val kept = cmds.table("kept").select("doc_id").as[Long].collect().toSet
+      val rej = cmds.table("rejected").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L), s"kept $kept")
+      assert(rej == Set(2L, 3L, 5L), s"rejected $rej")
+      // both outputs are REAL warehouse tables with independent cursors
+      assert(cmds.verifyTable("kept") == 2L && cmds.verifyTable("rejected") == 3L)
+      assert(cmds.lastCommittedBatch("kept").isDefined &&
+        cmds.lastCommittedBatch("rejected").isDefined)
+      // a replayed batch is a no-op on an already-committed table
+      val before = cmds.table("kept").count()
+      cmds.insertCommitted("kept",
+        Seq((1L, "one two three four")).toDF("doc_id", "text"),
+        cmds.lastCommittedBatch("kept").get)
+      assert(cmds.table("kept").count() == before, "replay duplicated rows")
+    } finally q.stop()
+  }
+
   test("WarehouseSink exactly-once: re-delivered batches do not duplicate rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
