@@ -167,6 +167,53 @@ object Dedup {
                |SELECT doc, MIN(r) AS root FROM reach GROUP BY doc""".stripMargin)),
 
     QueryDef(
+      "d93_dedup_decisions", // the artifact a dedup pipeline ACTUALLY
+                             // applies: per corpus doc, its canonical
+                             // representative (component root if the doc is
+                             // in a near-dup group, itself otherwise), the
+                             // keep/drop verdict (min-id representative
+                             // kept), and the group size for audit. Scale
+                             // shape: d87's log-round components, then one
+                             // left equi-join against the corpus universe
+                             // and one groupBy on the canonical id — all
+                             // fixed-width doc-id keys, skew bounded by the
+                             // largest duplicate cluster. Apply-side usage
+                             // is a semi-join of the corpus against
+                             // is_kept, which co-partitions with this
+                             // output.
+      (s, d) => {
+        val universe = corpusNear(s, d).select("doc_id")
+        val comps = connectedComponents(s, minhashPairs(s, d))._1
+          .withColumnRenamed("doc", "doc_id")
+        val dec = universe.join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("doc_id")).as("canonical"))
+        val sizes = dec.groupBy("canonical")
+          .agg(count(lit(1)).as("group_size"))
+        dec.join(sizes, "canonical")
+          .select(col("doc_id"), col("canonical"),
+            (col("doc_id") === col("canonical")).as("is_kept"),
+            col("group_size"))
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS ($minhashPairsSelect),
+              |sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+              |nodes AS (SELECT DISTINCT d1 AS doc FROM sym),
+              |reach(doc, r) AS (
+              |  SELECT doc, doc FROM nodes
+              |  UNION
+              |  SELECT s.d1, reach.r FROM sym s JOIN reach ON s.d2 = reach.doc),
+              |roots AS (SELECT doc, MIN(r) AS root FROM reach GROUP BY doc),
+              |dec AS (
+              |  SELECT c.doc_id, COALESCE(ro.root, c.doc_id) AS canonical
+              |  FROM corpus c LEFT JOIN roots ro ON c.doc_id = ro.doc),
+              |sizes AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS group_size
+              |          FROM dec GROUP BY canonical)
+              |SELECT d.doc_id, d.canonical, d.doc_id = d.canonical AS is_kept,
+              |       s.group_size
+              |FROM dec d JOIN sizes s USING (canonical)""".stripMargin)),
+
+    QueryDef(
       "d86_dedup_embedding_pairs", // cosine near-dup pairs — LABELED
                                    // brute-force exact baseline. The scale
                                    // path is s94's LSH bucket equi-join

@@ -217,6 +217,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(tokShare - 1.0) < 1e-4, s"token shares sum to $tokShare")
   }
 
+  test("d93 decisions: one representative per group, verdicts partition " +
+      "the corpus, min-id kept") {
+    val rows = run("d93_dedup_decisions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val byCanon = rows.groupBy(_._2)
+    byCanon.foreach { case (canon, g) =>
+      assert(g.count(_._3) == 1, s"group $canon: != 1 kept")
+      val kept = g.find(_._3).get
+      assert(kept._1 == canon && canon == g.map(_._1).min,
+        s"group $canon: kept is not the min-id representative")
+      assert(g.forall(_._4 == g.length), s"group $canon: size mismatch")
+    }
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "every doc gets exactly one verdict")
+  }
+
   test("d87 components: labels are closed over the candidate-edge set") {
     val labels = run("d87_dedup_components").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
