@@ -28,7 +28,10 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // GRAFT_PARTS aligns ad-hoc profiling (TimeQ/PlanAudit) with Bench's
+      // data-sized shuffle-partition rule; default stays core-count
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PARTS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // size-based coalescing: at test scale most shuffles collapse to a
