@@ -111,6 +111,27 @@ class IndexRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE INTO drops the stale index of its target") {
+    val csv = java.nio.file.Files.createTempFile("graft_mrg", ".csv")
+    java.nio.file.Files.writeString(csv, "id,v\n1,a\n2,b\n")
+    val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh4").toString
+    val engine = new Engine(spark, TestSpark.sfDir, wh)
+    try {
+      engine.sql(s"CREATE COLSTORE mrg_t FROM '$csv'")
+      engine.sql("CREATE INDEX ON mrg_t (id)")
+      assert(spark.catalog.tableExists("mrg_t_by_id"))
+      engine.sql("MERGE INTO mrg_t t USING (SELECT 2 AS id, 'z' AS v) s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+      assert(!spark.catalog.tableExists("mrg_t_by_id"),
+        "stale index must be dropped by the MERGE route")
+      assert(engine.sql("SELECT v FROM mrg_t WHERE id = 2")
+        .head.getString(0) == "z", "post-merge query must see the update")
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS mrg_t")
+      spark.sql("DROP TABLE IF EXISTS mrg_t_by_id")
+    }
+  }
+
   test("INSERT into a NON-warehouse catalog table still falls through to " +
       "Spark SQL and drops the stale index (fallthroughMutation path)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh4").toString
