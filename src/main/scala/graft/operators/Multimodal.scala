@@ -148,6 +148,60 @@ object Multimodal {
   case class BmpResample(doc_id: Long, out_w: Int, out_h: Int,
       sample_sum: Long, valid: Boolean)
 
+  /** m101's per-image output: perceptual hash of the decoded pixel grid. */
+  case class BmpPhash(doc_id: Long, w: Int, h: Int, phash: String,
+      valid: Boolean)
+
+  object PerceptualHash {
+    private def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+
+    /** Average-hash (aHash) over a decoded BMP: one bit per pixel —
+      * brightness above the image mean — read in VISUAL order (BMP rows are
+      * stored bottom-up, so storage row h-1 is the top visual row; the
+      * convention is co-specified with the oracle and pinned by a hand-built
+      * image in the spec). Brightness is the integer sum of the 3 channel
+      * bytes, and the mean test cross-multiplies (`gray*n > total`) so no
+      * division ever rounds — the same bit pattern falls out on any engine.
+      * The bit string is keyed with the dimensions and collapsed to md5, the
+      * fixed-width group key the dedup shuffle partitions on. */
+    def aHash(docId: Long, b: Array[Byte]): BmpPhash = {
+      val m = BmpCodec.decode(docId, b)
+      if (!m.valid) return BmpPhash(docId, -1, -1, "", valid = false)
+      val gray = Array.ofDim[Int](m.height, m.width)
+      var total = 0L
+      var r = 0
+      while (r < m.height) {
+        val base = 54 + r * m.row_bytes
+        var c = 0
+        while (c < m.width) {
+          val o = base + 3 * c
+          val g = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+          gray(r)(c) = g
+          total += g
+          c += 1
+        }
+        r += 1
+      }
+      val n = m.height.toLong * m.width
+      val bits = new StringBuilder(m.height * m.width)
+      r = m.height - 1
+      while (r >= 0) { // storage bottom-up → visual top-down
+        var c = 0
+        while (c < m.width) {
+          bits.append(if (gray(r)(c) * n > total) '1' else '0')
+          c += 1
+        }
+        r -= 1
+      }
+      BmpPhash(docId, m.width, m.height,
+        md5hex(s"${m.width}x${m.height}:$bits"), valid = true)
+    }
+  }
+
   /** m100's output: one row per fixed-size PCM analysis window. */
   case class PcmWindow(doc_id: Long, win: Int, n_samples: Int,
       energy: Long, peak: Int, valid: Boolean)
@@ -427,6 +481,64 @@ object Multimodal {
              |       CAST(MAX(ABS(s)) AS INT) AS peak,
              |       TRUE AS valid
              |FROM sgn GROUP BY doc_id, win""".stripMargin)),
+
+    QueryDef(
+      "m101_image_phash_dedup", // multimodal DEDUP: the image twin of the
+                                // d8x text family. Plan-assembled BMPs whose
+                                // pixel pattern depends on doc_id mod 4 (so
+                                // genuine duplicate groups exist across
+                                // doc_ids sharing dims + pattern), decoded
+                                // by the real codec into an average-hash
+                                // (bit per pixel vs the image mean, exact
+                                // integer cross-multiplied test), then ONE
+                                // shuffle on the 16-byte phash groups
+                                // duplicates and picks the min-id canonical
+                                // — the same decision shape as d93. At
+                                // 100 TB: decode + hash are map-side
+                                // per-asset work next to the bytes; only
+                                // (doc_id, phash) ever shuffles, never
+                                // pixels.
+      (s, d) => {
+        import s.implicits._
+        val pixHex = concat_ws("",
+          transform(sequence(lit(0), col("image_bytes") - 1),
+            i => lpad(hex(pmod(col("doc_id") % 4 * 31 + i, lit(256))), 2, "0")))
+        val hashed = bmpBlobs(s, d, pixHex)
+          .mapPartitions(_.map(b => PerceptualHash.aHash(b.doc_id, b.payload)))
+          .toDF()
+        val byHash = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+        hashed.select(col("doc_id"), col("w"), col("h"), col("phash"),
+          count(lit(1)).over(byHash).as("group_n"),
+          min(col("doc_id")).over(byHash).as("canonical"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+             |         CAST(1 + doc_id % 7 AS INT) AS h,
+             |         ((4 + doc_id % 13) * 3 + 3)
+             |           - (((4 + doc_id % 13) * 3 + 3) % 4) AS rb
+             |  FROM documents),
+             |rws AS (SELECT doc_id, w, h, rb, unnest(range(0, h)) AS r
+             |        FROM dims),
+             |cells AS (SELECT doc_id, w, h, rb, r, unnest(range(0, w)) AS c
+             |          FROM rws),
+             |px AS (SELECT doc_id, w, h, r, c,
+             |         ((doc_id % 4) * 31 + r * rb + 3 * c) % 256
+             |       + ((doc_id % 4) * 31 + r * rb + 3 * c + 1) % 256
+             |       + ((doc_id % 4) * 31 + r * rb + 3 * c + 2) % 256 AS g3
+             |       FROM cells),
+             |tot AS (SELECT doc_id, SUM(g3) AS total FROM px GROUP BY doc_id),
+             |img AS (SELECT p.doc_id, p.w, p.h,
+             |          md5(p.w || 'x' || p.h || ':' || string_agg(
+             |            CASE WHEN p.g3 * (p.w * p.h) > t.total
+             |                 THEN '1' ELSE '0' END, ''
+             |            ORDER BY p.r DESC, p.c ASC)) AS phash
+             |        FROM px p JOIN tot t USING (doc_id)
+             |        GROUP BY p.doc_id, p.w, p.h)
+             |SELECT doc_id, w, h, phash,
+             |       CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+             |         AS group_n,
+             |       MIN(doc_id) OVER (PARTITION BY phash) AS canonical
+             |FROM img""".stripMargin)),
 
     QueryDef(
       "m96_frame_sample", // frame-sampling plumbing: treat the payload as

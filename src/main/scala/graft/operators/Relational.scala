@@ -1118,6 +1118,43 @@ object Relational {
              |         AS intercept,
              |       ROUND((n * sxy - sx * sy) /
              |             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    QueryDef(
+      "q68_correlated_subquery", // CORRELATED aggregate subquery (TPC-H Q17
+                                 // shape): lineitems below 20% of their own
+                                 // part's average quantity, restricted to
+                                 // one brand. The oracle states it as the
+                                 // correlated form; the plan is the
+                                 // DECORRELATED equivalent Catalyst itself
+                                 // would produce — per-key aggregate joined
+                                 // back — which is also the scale shape: the
+                                 // brand filter broadcasts into BOTH the
+                                 // probe and the aggregate side, so the
+                                 // per-part average is computed only for the
+                                 // ~1/25 of parts that can match, and the
+                                 // avg⋈probe join reuses the aggregate's
+                                 // l_partkey exchange (ReuseExchange).
+      (s, d) => {
+        val parts = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .drop("p_partkey")
+        val avgQ = li.groupBy("l_partkey")
+          .agg((sumd(col("l_quantity")) / count(lit(1))).as("avg_q"))
+        li.join(avgQ, "l_partkey")
+          .filter(col("l_quantity") < col("avg_q") * 0.2)
+          .agg((sumd(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |         / 7.0 AS avg_yearly
+             |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+             |WHERE p_brand = 'Brand#23'
+             |  AND l_quantity < 0.2 * (
+             |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |             / COUNT(*)
+             |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
   )
 }

@@ -646,6 +646,50 @@ object TextAnalysis {
              |              regexp_split_to_array(trim(text), '\s+'),
              |              x -> x != '')) AS BIGINT) AS ntok
              |        FROM documents))
-             |GROUP BY source, chunk_id""".stripMargin))
+             |GROUP BY source, chunk_id""".stripMargin)),
+
+    QueryDef(
+      "t86_mixture_sample", // the APPLY side of t83's data card: downsample
+                            // every source to the smallest source's token
+                            // budget (uniform token mixture), the
+                            // temperature→0 end of the mixture-weighting
+                            // family used to rebalance pretraining corpora.
+                            // Deterministic, RNG-free: a doc is kept iff
+                            // hash60(doc_id) mod 1e6 falls under its
+                            // source's keep-rate — the same docs survive on
+                            // any engine, any partitioning, any day, and the
+                            // rate test is pure integer math (bucket * tok_n
+                            // < min_tok * 1e6) so no float rounding can
+                            // flip a doc at the boundary. Scale shape: token
+                            // counts are map-side expression work; the only
+                            // exchange is the tiny per-source total (20
+                            // rows), which broadcasts back into a map-side
+                            // filter — the corpus itself never shuffles, so
+                            // this composes with any downstream stage for
+                            // free at 100 TB.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("ntok"))
+        val totals = docs.groupBy("source").agg(sum("ntok").as("tok_n"))
+        val minTok = totals.agg(min("tok_n").as("min_tok"))
+        val rates = totals.crossJoin(minTok)
+        docs.join(broadcast(rates), "source")
+          .filter((Dedup.hash60(col("doc_id")) % 1000000L) * col("tok_n")
+            < col("min_tok") * 1000000L)
+          .select(col("doc_id"), col("source"), col("ntok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(
+             |             regexp_split_to_array(trim(text), '\s+'),
+             |             x -> x != '')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |tot AS (SELECT source, SUM(ntok) AS tok_n FROM toks GROUP BY source),
+             |mn AS (SELECT MIN(tok_n) AS min_tok FROM tot)
+             |SELECT doc_id, t.source, ntok
+             |FROM toks t JOIN tot USING (source) CROSS JOIN mn
+             |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |        % 1000000) * tok_n < min_tok * 1000000""".stripMargin))
   )
 }

@@ -475,4 +475,86 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 0 && r.getLong(3) < 65536)
     }
   }
+
+  test("m101 aHash: hand-built image pins the visual bit order and mean test") {
+    import operators.Multimodal.PerceptualHash
+    assert(!PerceptualHash.aHash(1L, Array[Byte](1, 2, 3)).valid)
+    // 2x2 image, rowBytes=8: STORAGE row 0 (= visual BOTTOM) bright
+    // (100,100,100) pixels, storage row 1 (= visual TOP) black. Visual
+    // top-down read must emit the dark row first: bits "0011", never "1100".
+    def row(v: Int) = Array.fill(6)(v.toByte) ++ Array[Byte](0, 0)
+    val hdr = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putInt(0).putInt(54)
+      .putInt(40).putInt(2).putInt(2).putShort(1).putShort(24).putInt(0)
+      .putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val out = PerceptualHash.aHash(7L, hdr.array() ++ row(100) ++ row(0))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("2x2:0011".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x")
+      .mkString
+    assert(out.valid && out.w == 2 && out.h == 2 && out.phash == md5,
+      s"visual-order aHash must be md5('2x2:0011'): $out")
+    // uniform image: gray*n == total everywhere — the STRICT mean test must
+    // give all-zero bits (a >= would flip every uniform image to all-ones)
+    val hdr1 = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr1.put('B'.toByte).put('M'.toByte).putInt(54 + 4).putInt(0).putInt(54)
+      .putInt(40).putInt(1).putInt(1).putShort(1).putShort(24).putInt(0)
+      .putInt(4).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val one = PerceptualHash.aHash(8L,
+      hdr1.array() ++ Array[Byte](50, 50, 50, 0))
+    val md5z = java.security.MessageDigest.getInstance("MD5")
+      .digest("1x1:0".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x")
+      .mkString
+    assert(one.valid && one.phash == md5z, "uniform image must hash all-zero bits")
+  }
+
+  test("m101 dedup: groups agree with phash equality, canonical is min id") {
+    val rows = run("m101_image_phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5)))
+    val byHash = rows.groupBy(_._2)
+    assert(byHash.exists(_._2.length > 1),
+      "the mod-4 pixel pattern must produce real duplicate groups")
+    rows.foreach { case (_, h, n, canon) =>
+      val grp = byHash(h)
+      assert(n == grp.length, "group_n must count the phash group")
+      assert(canon == grp.map(_._1).min, "canonical must be the min doc_id")
+    }
+  }
+
+  test("t86 mixture sampling: deterministic, bounded by the smallest token budget") {
+    val out = run("t86_mixture_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out2 = run("t86_mixture_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(out2.sortBy(_._1)),
+      "hash-threshold sampling must be run-to-run deterministic")
+    val totals = Graft.table(spark, d, "documents")
+      .select(col("source"),
+        size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minTok = totals.values.min
+    // rate = min_tok / tok_n: the smallest source's rate is exactly 1 — a
+    // mixture equalizer must never throw away part of its own budget floor
+    totals.filter(_._2 == minTok).keys.foreach { src =>
+      val keptDocs = out.count(_._2 == src)
+      val allDocs = Graft.table(spark, d, "documents")
+        .filter(col("source") === src).count()
+      assert(keptDocs == allDocs, s"min-token source $src must keep all docs")
+    }
+    // and every source's kept set is a subset of its own docs
+    val bySrc = out.groupBy(_._2)
+    bySrc.foreach { case (src, kept) =>
+      assert(kept.map(_._1).distinct.length == kept.length,
+        s"$src kept a doc twice")
+    }
+  }
+
+  test("q68 correlated subquery: decorrelated plan broadcasts the brand filter") {
+    val plan = run("q68_correlated_subquery").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the part-brand dimension filter must broadcast into lineitem")
+    assert(!plan.contains("CartesianProduct"), "decorrelation must not cross-join")
+  }
 }
