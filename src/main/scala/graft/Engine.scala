@@ -230,8 +230,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (ifNotExists != null && cmds.tableExists(name))
         status(s"table $name already exists")
       else {
-        val (schema, notNull) = parseColumnDdl(colsDdl)
-        cmds.createEmpty(name, schema, notNull)
+        val (schema, notNull, pk) = parseColumnDdl(colsDdl)
+        cmds.createEmpty(name, schema, notNull, pk)
         registerTable(name)
         status(s"created table $name")
       }
@@ -456,19 +456,21 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   /** Parse a reference-grammar column-declaration list (`nanosql.g:293-341`
     * table_col_decl/column_type/column_constraint + table_constraint) into a
-    * Spark schema and the declared NOT NULL column set. Constraints honored:
-    * NOT NULL and PRIMARY KEY (column- and table-level) imply NOT NULL;
-    * UNIQUE/FOREIGN KEY parse and are recorded as metadata no-ops
-    * (uniqueness enforcement is priced out at scale — see
-    * TableCommands.checkNotNull). */
+    * Spark schema, the declared NOT NULL column set, and the PRIMARY KEY
+    * column set. Constraints honored: NOT NULL and PRIMARY KEY (column- and
+    * table-level) imply NOT NULL; the PK additionally gets batch-scoped
+    * duplicate rejection on insert and a table-wide uniqueness audit under
+    * VERIFY (see TableCommands.checkBatchPk for the scale pricing);
+    * UNIQUE/FOREIGN KEY parse and are recorded as metadata no-ops. */
   private def parseColumnDdl(colsDdl: String)
-      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
+      : (org.apache.spark.sql.types.StructType, Seq[String], Seq[String]) = {
     import org.apache.spark.sql.types._
     val tablePk = """(?is)\s*(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]+)\)\s*""".r
     val tableOther = """(?is)\s*(?:CONSTRAINT\s+\w+\s+)?(?:UNIQUE|FOREIGN\s+KEY)\b.*""".r
     val colDecl = """(?is)\s*(\w+)\s+(.+?)\s*""".r
     val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val notNull = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pk = scala.collection.mutable.ArrayBuffer.empty[String]
     def sqlType(t: String): DataType = {
       val up = t.trim.toUpperCase.replaceAll("\\s+", " ")
       up.takeWhile(c => c.isLetter || c == ' ') match {
@@ -488,18 +490,23 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     val typeAndCons =
       """(?is)\s*(.+?)((?:\s+(?:CONSTRAINT\s+\w+\s+)?(?:NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|REFERENCES\s+\w+(?:\s*\([^)]*\))?))*)\s*""".r
     splitTopLevel(colsDdl).foreach {
-      case tablePk(cols) => notNull ++= cols.split(",").map(_.trim.toLowerCase)
+      case tablePk(cols) =>
+        val cs = cols.split(",").map(_.trim.toLowerCase)
+        notNull ++= cs
+        pk ++= cs
       case tableOther() => () // parsed, not enforced
       case colDecl(name, rest) =>
         val typeAndCons(tpe, cons) = (rest: String)
         val c = cons.toUpperCase
         if (c.matches("(?s).*(NOT\\s+NULL|PRIMARY\\s+KEY).*"))
           notNull += name.toLowerCase
+        if (c.matches("(?s).*PRIMARY\\s+KEY.*"))
+          pk += name.toLowerCase
         fields += StructField(name, sqlType(tpe), nullable = true)
       case other =>
         throw new IllegalArgumentException(s"cannot parse column declaration: $other")
     }
-    (StructType(fields.toSeq), notNull.toSeq.distinct)
+    (StructType(fields.toSeq), notNull.toSeq.distinct, pk.toSeq.distinct)
   }
 
   /** Build the row batch for an engine-routed INSERT: VALUES via Spark's

@@ -180,7 +180,21 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     val dp = dataPath(name)
     require(Files.isDirectory(Paths.get(dp)),
       s"CURRENT of $name names a missing version")
-    spark.read.parquet(dp).count()
+    val n = spark.read.parquet(dp).count()
+    // table-wide PRIMARY KEY audit — the cross-batch half of checkBatchPk,
+    // one explicit distributed pass, run only when the user asks to VERIFY
+    val pk = pkCols(name)
+    if (pk.nonEmpty) {
+      val t = spark.read.parquet(dp)
+      val byLower = t.columns.map(c => c.toLowerCase -> c).toMap
+      val dups = t.groupBy(pk.map(c => col(byLower(c))): _*)
+        .count().filter(col("count") > 1).count()
+      if (dups > 0)
+        throw new IllegalStateException(
+          s"VERIFY $name: PRIMARY KEY (${pk.mkString(", ")}) violated — " +
+            s"$dups duplicated key(s)")
+    }
+    n
   }
 
   /** OPTIMIZE t — compact the current version's files (the analog of the
@@ -211,38 +225,45 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   // ── declared constraints (reference `relations/TableSchema.java:1-283`
   // carries NOT NULL / PK per column; `lab/storage/IndexUpdater.java:1-152`
   // enforces them on insert) ──────────────────────────────────────────────
-  /** NOT NULL columns live in a `CONSTRAINTS` file beside the version dirs
-    * (one lowercase column name per line), so a new engine instance over an
-    * existing warehouse keeps enforcing them. sweep() only removes version
-    * DIRECTORIES, so the file survives every rewrite. */
+  /** Declared constraints live in a `CONSTRAINTS` file beside the version
+    * dirs — one entry per line: a bare lowercase column name means NOT NULL
+    * (the original format, still read for existing warehouses), and
+    * `pk:<col>` marks a PRIMARY KEY member column. A new engine instance
+    * over an existing warehouse keeps enforcing them. sweep() only removes
+    * version DIRECTORIES, so the file survives every rewrite. */
   private def constraintsFile(table: String) = Paths.get(dir(table), "CONSTRAINTS")
 
-  def notNullCols(table: String): Seq[String] =
+  private def constraintLines(table: String): Seq[String] =
     if (Files.exists(constraintsFile(table)))
       Files.readString(constraintsFile(table)).linesIterator
         .map(_.trim).filter(_.nonEmpty).toSeq
     else Nil
 
+  def notNullCols(table: String): Seq[String] =
+    constraintLines(table).filterNot(_.contains(":"))
+
+  def pkCols(table: String): Seq[String] =
+    constraintLines(table).collect { case s if s.startsWith("pk:") =>
+      s.stripPrefix("pk:").trim }
+
   /** Column-DDL CREATE TABLE (reference
     * `commands/CreateTableCommand.java:1-332`): publish an EMPTY version
     * with the declared schema — the schema of record for every later
-    * insert — and persist the declared NOT NULL set. */
+    * insert — and persist the declared NOT NULL + PRIMARY KEY sets. */
   def createEmpty(name: String, schema: StructType,
-      notNull: Seq[String]): Unit = {
+      notNull: Seq[String], pk: Seq[String] = Nil): Unit = {
     if (tableExists(name))
       throw new IllegalArgumentException(s"table $name already exists")
     publish(name, spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
-    if (notNull.nonEmpty)
-      Files.writeString(constraintsFile(name),
-        notNull.map(_.toLowerCase).distinct.mkString("\n"))
+    val lines = notNull.map(_.toLowerCase).distinct ++
+      pk.map(c => s"pk:${c.toLowerCase}").distinct
+    if (lines.nonEmpty)
+      Files.writeString(constraintsFile(name), lines.mkString("\n"))
   }
 
   /** Reject an insert batch that puts NULL into a declared NOT NULL column
-    * — one distributed pass over the batch, only when constraints exist.
-    * (UNIQUE/PK uniqueness is NOT enforced: at 100 TB that is an anti-join
-    * against the whole table per insert; the reference's B⁺-tree gets it
-    * for free, a columnar engine prices it honestly.) */
+    * — one distributed pass over the batch, only when constraints exist. */
   private def checkNotNull(name: String, rows: DataFrame): Unit = {
     val nn = notNullCols(name)
     if (nn.nonEmpty) {
@@ -259,6 +280,30 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         throw new IllegalArgumentException(
           s"NOT NULL constraint violated on insert into $name " +
             s"(declared: ${nn.mkString(", ")})")
+    }
+  }
+
+  /** PRIMARY KEY enforcement, priced for scale (reference
+    * `lab/storage/IndexUpdater.java:1-152` rejects duplicate keys via its
+    * B⁺-tree — free there, an O(table) anti-join per insert here):
+    *  - each insert BATCH is rejected if it repeats a key internally — a
+    *    batch-sized groupBy, never a table scan;
+    *  - cross-batch uniqueness is audited on demand by `VERIFY t`
+    *    ([[verifyTable]]), one explicit full-table pass — the honest
+    *    columnar price, paid when asked rather than smuggled into every
+    *    append. */
+  private def checkBatchPk(name: String, rows: DataFrame): Unit = {
+    val pk = pkCols(name)
+    if (pk.nonEmpty) {
+      val byLower = rows.columns.map(c => c.toLowerCase -> c).toMap
+      if (pk.forall(byLower.contains)) {
+        val dup = rows.groupBy(pk.map(c => col(byLower(c))): _*)
+          .count().filter(col("count") > 1).limit(1).count() > 0
+        if (dup)
+          throw new IllegalArgumentException(
+            s"PRIMARY KEY (${pk.mkString(", ")}) duplicated within the " +
+              s"insert batch for $name")
+      }
     }
   }
 
@@ -285,6 +330,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * pre-image survives for ROLLBACK. */
   def insertInto(name: String, rows: DataFrame): Unit = {
     checkNotNull(name, rows) // evaluates `rows` once extra; command-path cost
+    checkBatchPk(name, rows)
     if (txnSnapshot.nonEmpty) publish(name, table(name).unionByName(rows))
     else rows.write.mode(SaveMode.Append).parquet(dataPath(name))
   }
@@ -307,6 +353,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       () // replayed batch — already in the table
     } else {
       checkNotNull(name, rows)
+      checkBatchPk(name, rows)
       publish(name, table(name).unionByName(rows), Some(batchId))
     }
 
