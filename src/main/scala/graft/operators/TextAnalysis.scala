@@ -649,6 +649,77 @@ object TextAnalysis {
              |GROUP BY source, chunk_id""".stripMargin)),
 
     QueryDef(
+      "t87_bigram_surprisal", // per-doc perplexity under the t85 bigram LM —
+                              // the CCNet-style quality filter, one order
+                              // above t82's unigram surprisal. The LM is
+                              // treated as what it is in production: a
+                              // MODEL ARTIFACT, aggregated once (≤|vocab|²
+                              // rows, corpus-bounded) and BROADCAST to the
+                              // scorers, exactly how a KenLM model ships to
+                              // every node in a CCNet pipeline. The doc side
+                              // pays ONE exchange pinned to doc_id (the t79
+                              // idiom: hash(doc_id) satisfies the clustered
+                              // distribution of both the (doc_id, gram)
+                              // count and the final per-doc sum, so neither
+                              // aggregation re-shuffles). Scoring is exact
+                              // integer math in micro-nats (Σ count·logp —
+                              // associative, partition-order independent);
+                              // the ONLY float op is the final avg division
+                              // on identical operands, negated before
+                              // rounding so HALF_UP agrees across engines.
+                              // Self-trained LM ⇒ total coverage, no OOV
+                              // smoothing term to diverge on. Docs under 2
+                              // tokens have no bigrams and drop out, as in
+                              // the oracle.
+      (s, d) => {
+        val grams = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), explode(
+            GraftFunctions.word_shingles(lower(col("text")), 2)).as("g"))
+        val counts = grams.groupBy("g").agg(count(lit(1)).as("c2"))
+        val w1win = org.apache.spark.sql.expressions.Window
+          .partitionBy(substring_index(col("g"), " ", 1))
+        val lm = counts.select(col("g"),
+          round(log(col("c2").cast("double") /
+            sum(col("c2")).over(w1win).cast("double")) * 1000000)
+            .cast("long").as("logp_micro"))
+        val docGrams = grams.repartition(col("doc_id"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        docGrams.join(broadcast(lm), "g")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"),
+            sum(col("c") * col("logp_micro")).as("logp_sum_micro"))
+          .select(col("doc_id"), col("n_bigrams"), col("logp_sum_micro"),
+            round((-col("logp_sum_micro")).cast("double") /
+              col("n_bigrams").cast("double")).cast("long")
+              .as("avg_surprisal_micro"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |           regexp_split_to_array(trim(lower(text)), '\s+'),
+             |           x -> x != '') AS toks
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM toks WHERE len(toks) >= 2)),
+             |lm AS (
+             |  SELECT g, CAST(ROUND(LN(CAST(c2 AS DOUBLE) /
+             |           CAST(SUM(c2) OVER (
+             |             PARTITION BY string_split(g, ' ')[1]) AS DOUBLE))
+             |           * 1000000) AS BIGINT) AS logp_micro
+             |  FROM (SELECT g, COUNT(*) AS c2 FROM grams GROUP BY g)),
+             |doc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM grams GROUP BY doc_id, g)
+             |SELECT doc_id, n_bigrams, logp_sum_micro,
+             |       CAST(ROUND(CAST(-logp_sum_micro AS DOUBLE)
+             |                  / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+             |         AS avg_surprisal_micro
+             |FROM (SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+             |             CAST(SUM(d.c * lm.logp_micro) AS BIGINT)
+             |               AS logp_sum_micro
+             |      FROM doc d JOIN lm USING (g) GROUP BY d.doc_id)""".stripMargin)),
+
+    QueryDef(
       "t86_mixture_sample", // the APPLY side of t83's data card: downsample
                             // every source to the smallest source's token
                             // budget (uniform token mixture), the

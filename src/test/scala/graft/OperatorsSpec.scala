@@ -551,6 +551,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t87 bigram surprisal: LM broadcasts, scores bounded, coverage total") {
+    val df = run("t87_bigram_surprisal")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the LM is a model artifact — it must broadcast to the scorers")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "every scored doc has at least one bigram")
+      assert(r.getLong(2) <= 0, "log-probabilities are non-positive")
+      assert(r.getLong(3) >= 0, "surprisal is non-negative")
+    }
+    // the LM is self-trained: every doc with >= 2 tokens must be scored
+    val scorable = Graft.table(spark, d, "documents")
+      .filter(size(operators.TextAnalysis.tokens(col("text"))) >= 2).count()
+    assert(rows.length == scorable, "no doc may drop out to OOV gaps")
+  }
+
   test("q68 correlated subquery: decorrelated plan broadcasts the brand filter") {
     val plan = run("q68_correlated_subquery").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
