@@ -214,6 +214,43 @@ object Dedup {
               |FROM dec d JOIN sizes s USING (canonical)""".stripMargin)),
 
     QueryDef(
+      "d94_split_leakage", // eval-integrity audit: near-dup pairs that
+                           // STRADDLE the t78 train/val/test boundary — the
+                           // leakage a dedup-unaware splitter produces, and
+                           // the reason production pipelines decontaminate
+                           // val/test against the training split. Composes
+                           // two existing kernels: the MinHash banded pair
+                           // generator (candidates via equi-join, never
+                           // all-pairs) and the deterministic hash-split
+                           // rule, which being a pure doc_id expression is
+                           // computed MAP-SIDE on the pair stream — no join
+                           // against a split table, no extra exchange
+                           // beyond what the pair generator already pays.
+      (s, d) => {
+        def splitOf(c: Column): Column = {
+          val b = hash60(c) % 100
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        minhashPairs(s, d)
+          .select(col("d1"), col("d2"),
+            splitOf(col("d1")).as("split1"), splitOf(col("d2")).as("split2"))
+          .filter(col("split1") =!= col("split2"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |pairs AS ($minhashPairsSelect)
+              |SELECT * FROM (
+              |  SELECT d1, d2,
+              |         CASE WHEN b1 < 80 THEN 'train'
+              |              WHEN b1 < 90 THEN 'val' ELSE 'test' END AS split1,
+              |         CASE WHEN b2 < 80 THEN 'train'
+              |              WHEN b2 < 90 THEN 'val' ELSE 'test' END AS split2
+              |  FROM (SELECT d1, d2,
+              |          ('0x' || substr(md5(d1::VARCHAR), 1, 15))::BIGINT % 100 AS b1,
+              |          ('0x' || substr(md5(d2::VARCHAR), 1, 15))::BIGINT % 100 AS b2
+              |        FROM pairs))
+              |WHERE split1 <> split2""".stripMargin)),
+
+    QueryDef(
       "d86_dedup_embedding_pairs", // cosine near-dup pairs — LABELED
                                    // brute-force exact baseline. The scale
                                    // path is s94's LSH bucket equi-join

@@ -551,6 +551,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d94 split leakage: pairs straddle splits, labels agree with t78") {
+    val leak = run("d94_split_leakage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(leak.nonEmpty, "near-copies at doc_id+1000000 must leak across splits")
+    leak.foreach { case (_, _, s1, s2) => assert(s1 != s2) }
+    // the split labels are the SAME deterministic rule t78 publishes
+    val t78 = run("t78_split_sample").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    leak.foreach { case (d1, d2, s1, s2) =>
+      t78.get(d1).foreach(l => assert(l == s1, s"doc $d1 label drifted from t78"))
+      t78.get(d2).foreach(l => assert(l == s2, s"doc $d2 label drifted from t78"))
+    }
+    // and every leaked pair is one of d83's candidate pairs
+    val pairs = run("d83_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    leak.foreach { case (d1, d2, _, _) => assert(pairs.contains((d1, d2))) }
+  }
+
   test("t87 bigram surprisal: LM broadcasts, scores bounded, coverage total") {
     val df = run("t87_bigram_surprisal")
     val plan = df.queryExecution.executedPlan.toString
