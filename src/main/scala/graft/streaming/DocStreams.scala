@@ -86,6 +86,48 @@ object DocStreams {
       }.toDF()
   }
 
+  case class DocSurprisal(doc_id: Long, n_bigrams: Long,
+      logp_sum_micro: Long, avg_surprisal_micro: Long, n_oov: Long)
+
+  /** Streaming perplexity scoring — the live twin of batch
+    * `t87_bigram_surprisal`, flipped to the ingest direction: arriving docs
+    * score against a STATIC bigram LM broadcast to every executor (the
+    * CCNet deployment shape — the model is a frozen artifact, the stream is
+    * unbounded). Fully stateless: no join/agg state at any stream length,
+    * O(1) LM lookups per bigram.
+    *
+    * Bigrams the frozen LM has never seen (impossible in the self-trained
+    * batch operator, routine on a live stream) take `oovLogpMicro` — a
+    * pessimistic floor, so unseen content scores as HIGH surprisal and gets
+    * quarantined rather than slipping through as "fluent". The count is
+    * surfaced (`n_oov`) so a drifting corpus is visible to monitoring.
+    * Scoring math is bit-identical to t87: integer micro-nat sums, the one
+    * float division on identical operands, HALF_UP after negation. */
+  def surprisalScore(docs: DataFrame, lm: Map[String, Long],
+      oovLogpMicro: Long = -20000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(lm)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val model = bc.value
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase
+            .split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          var n = 0L; var sum = 0L; var oov = 0L
+          if (toks.length >= 2)
+            toks.sliding(2).foreach { w =>
+              val lp = model.getOrElse(w(0) + " " + w(1), {
+                oov += 1; oovLogpMicro
+              })
+              n += 1; sum += lp
+            }
+          val avg = if (n == 0) 0L else math.round(-sum.toDouble / n)
+          DocSurprisal(id, n, sum, avg, oov)
+        }
+      }.toDF()
+  }
+
   /** Running data-mixture report on a document stream — the live twin of
     * batch `t83_mixture_report`: per (source, lang) document/token/char
     * counts, updated every micro-batch (drive with update/complete output

@@ -200,6 +200,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); docs.unpersist(); () }
   }
 
+  test("surprisalScore: streamed docs score bit-identical to batch t87 " +
+      "under the frozen LM; OOV bigrams take the pessimistic floor") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // freeze the LM = the t85 artifact, keyed "w1 w2" -> logp_micro
+    val lm = SparkEntry.queries("t85_bigram_lm")(spark, TestSpark.sfDir)
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(4))
+      .toMap
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.surprisalScore(
+        src.toDF().toDF("doc_id", "text"), lm)
+      .writeStream.format("memory").queryName("surp")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(20).toSeq); q.processAllAvailable()
+      src.addData(rows.drop(20).toSeq); q.processAllAvailable()
+      val out = spark.table("surp").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      assert(out.size == rows.length)
+      // the LM is self-trained on this corpus: a live stream of the same
+      // corpus has zero OOV and must reproduce batch t87 bit-for-bit
+      assert(out.values.forall(_._4 == 0L), "no OOV against the training corpus")
+      val batch = SparkEntry.queries("t87_bigram_surprisal")(spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      batch.foreach { case (id, (n, s, avg)) =>
+        val (sn, ss, savg, _) = out(id)
+        assert((sn, ss, savg) == (n, s, avg), s"doc $id diverged from t87")
+      }
+      // t87 drops <2-token docs; the stream scores every doc (n=0 verdict)
+      assert(out.keySet.diff(batch.keySet).forall(id => out(id)._1 == 0L))
+    } finally { q.stop(); () }
+    // OOV: unseen bigrams take the floor and are counted, so drifted
+    // content scores as HIGH surprisal instead of slipping through
+    val tiny = streaming.DocStreams.surprisalScore(
+      Seq((1L, "a b zz")).toDF("doc_id", "text"), Map("a b" -> -100L))
+      .collect().head
+    assert(tiny.getLong(1) == 2 && tiny.getLong(4) == 1)
+    assert(tiny.getLong(2) == -100L + -20000000L)
+    assert(tiny.getLong(3) == math.round((100L + 20000000L).toDouble / 2))
+  }
+
   test("contentDedupWithinWatermark: dups dropped inside the horizon, " +
       "state evicted past it") {
     import spark.implicits._
