@@ -27,6 +27,18 @@ object Similarity {
 
   private def dotl(a: Column, b: Column): Column = GraftFunctions.dot_l(a, b)
 
+  /** Cosine from an integer dot product + squared norms, zero-vector safe:
+    * a degenerate (all-zero) embedding has similarity 0 to everything — it
+    * matches nothing — instead of a DIVIDE_BY_ZERO that kills the whole job
+    * under ANSI mode. At 100 TB, zero vectors EXIST (failed embedder calls,
+    * padding rows); one of them must not abort a corpus-wide scan. The
+    * quantized oracles carry the same CASE guard, so both engines agree on
+    * degenerate corpora too. */
+  private def cosQ(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 === 0 || n2 === 0, lit(0.0))
+      .otherwise(dot.cast("double") /
+        (sqrt(n1.cast("double")) * sqrt(n2.cast("double"))))
+
   /** Embeddings with 1e-6-quantized integer components. */
   private def quantizedVecs(s: SparkSession, d: String): DataFrame =
     Graft.tableParallel(s, d, "embeddings")
@@ -64,9 +76,7 @@ object Similarity {
     e.withColumn("nq", dotl(col("vq"), col("vq")))
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("clabel"),
-        (dotl(col("vq"), col("cqa")).cast("double") /
-          (sqrt(col("nq").cast("double")) * sqrt(col("ncq").cast("double"))))
-          .as("sim"))
+        cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("label"), col("clabel").as("cluster"))
@@ -97,8 +107,10 @@ object Similarity {
       |  FROM (SELECT d.vec_id, d.label, d.clabel AS assigned_label,
       |               ROW_NUMBER() OVER (
       |                 PARTITION BY d.vec_id
-      |                 ORDER BY CAST(d.dotq AS DOUBLE) /
-      |                          (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.ncq AS DOUBLE))) DESC,
+      |                 ORDER BY CASE WHEN nv.nq = 0 OR nc.ncq = 0 THEN 0.0
+      |                          ELSE CAST(d.dotq AS DOUBLE) /
+      |                          (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.ncq AS DOUBLE)))
+      |                          END DESC,
       |                          d.clabel) AS rnk
       |        FROM dots d JOIN nv ON d.vec_id = nv.vec_id
       |                    JOIN nc ON d.clabel = nc.clabel)
@@ -112,18 +124,20 @@ object Similarity {
   private val d92OracleSql =
     s"""WITH $ivfCtes,
        |pairs AS (
-       |  SELECT a.vec_id AS v,
-       |         ROUND(CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
-       |               (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 6) AS sim
-       |  FROM assign a JOIN assign b
-       |         ON a.assigned_label = b.assigned_label AND b.vec_id < a.vec_id
-       |  JOIN comp ca ON ca.vec_id = a.vec_id
-       |  JOIN comp cb ON cb.vec_id = b.vec_id AND cb.j0 = ca.j0
-       |  JOIN nv na ON na.vec_id = a.vec_id
-       |  JOIN nv nb ON nb.vec_id = b.vec_id
-       |  GROUP BY a.vec_id, b.vec_id, na.nq, nb.nq
-       |  HAVING ROUND(CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
-       |               (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 6) > 0.3),
+       |  SELECT v FROM (
+       |    SELECT a.vec_id AS v,
+       |           ROUND(CASE WHEN na.nq = 0 OR nb.nq = 0 THEN 0.0
+       |                 ELSE CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
+       |                 (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
+       |                 END, 6) AS sim
+       |    FROM assign a JOIN assign b
+       |           ON a.assigned_label = b.assigned_label AND b.vec_id < a.vec_id
+       |    JOIN comp ca ON ca.vec_id = a.vec_id
+       |    JOIN comp cb ON cb.vec_id = b.vec_id AND cb.j0 = ca.j0
+       |    JOIN nv na ON na.vec_id = a.vec_id
+       |    JOIN nv nb ON nb.vec_id = b.vec_id
+       |    GROUP BY a.vec_id, b.vec_id, na.nq, nb.nq)
+       |  WHERE sim > 0.3),
        |drops AS (SELECT DISTINCT v AS vec_id FROM pairs)
        |SELECT a.vec_id, a.assigned_label AS cluster,
        |       d.vec_id IS NOT NULL AS dropped
@@ -244,8 +258,7 @@ object Similarity {
         val drops = av.join(smaller,
             col("cluster") === col("c2") && col("v2") < col("vec_id"))
           .select(col("vec_id"),
-            round(dotl(col("vq"), col("vq2")).cast("double") /
-              (sqrt(col("nq").cast("double")) * sqrt(col("nq2").cast("double"))),
+            round(cosQ(dotl(col("vq"), col("vq2")), col("nq"), col("nq2")),
               6).as("sim"))
           .filter(col("sim") > 0.3)
           .select(col("vec_id")).distinct()
@@ -303,9 +316,9 @@ object Similarity {
           .join(broadcast(queries.withColumnRenamed("vq", "qv")), "q_id")
           .join(corpus, "vec_id")
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            (dotl(col("qv"), col("vq")).cast("double") /
-              (sqrt(dotl(col("qv"), col("qv")).cast("double")) *
-               sqrt(dotl(col("vq"), col("vq")).cast("double")))).as("sim"))
+            cosQ(dotl(col("qv"), col("vq")),
+              dotl(col("qv"), col("qv")), dotl(col("vq"), col("vq")))
+              .as("sim"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= k)
       },
@@ -353,12 +366,16 @@ object Similarity {
              |  GROUP BY cand.q_id, cand.vec_id)
              |SELECT q_id, neighbor_id, sim, rnk FROM (
              |  SELECT d.q_id, d.vec_id AS neighbor_id,
-             |         CAST(d.dotq AS DOUBLE) /
-             |           (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE))) AS sim,
+             |         CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0.0
+             |         ELSE CAST(d.dotq AS DOUBLE) /
+             |           (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE)))
+             |         END AS sim,
              |         ROW_NUMBER() OVER (
              |           PARTITION BY d.q_id
-             |           ORDER BY CAST(d.dotq AS DOUBLE) /
-             |                    (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE))) DESC,
+             |           ORDER BY CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0.0
+             |                    ELSE CAST(d.dotq AS DOUBLE) /
+             |                    (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE)))
+             |                    END DESC,
              |                    d.vec_id) AS rnk
              |  FROM dots d JOIN qnorm qn ON d.q_id = qn.q_id
              |              JOIN cnorm cn ON d.vec_id = cn.vec_id)
@@ -428,8 +445,7 @@ object Similarity {
         val probes = queries
           .crossJoin(broadcast(labelCentroids(s, d)))
           .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
-            (dotl(col("qv"), col("cqa")).cast("double") /
-              (sqrt(col("qn").cast("double")) * sqrt(col("ncq").cast("double"))))
+            cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
               .as("csim"))
           .withColumn("rnk", row_number().over(wp))
           .filter(col("rnk") <= nprobe)
@@ -447,9 +463,8 @@ object Similarity {
         cand
           .join(quantizedVecs(s, d).select(col("vec_id"), col("vq")), "vec_id")
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            (dotl(col("qv"), col("vq")).cast("double") /
-              (sqrt(col("qn").cast("double")) *
-               sqrt(dotl(col("vq"), col("vq")).cast("double")))).as("sim"))
+            cosQ(dotl(col("qv"), col("vq")),
+              col("qn"), dotl(col("vq"), col("vq"))).as("sim"))
           .withColumn("rnk", row_number().over(wr))
           .filter(col("rnk") <= k)
       },
@@ -476,9 +491,10 @@ object Similarity {
               |    SELECT d.q_id, d.clabel,
               |           ROW_NUMBER() OVER (
               |             PARTITION BY d.q_id
-              |             ORDER BY CAST(d.dotq AS DOUBLE) /
+              |             ORDER BY CASE WHEN qn.n2 = 0 OR nc.ncq = 0 THEN 0.0
+              |                      ELSE CAST(d.dotq AS DOUBLE) /
               |                      (SQRT(CAST(qn.n2 AS DOUBLE)) *
-              |                       SQRT(CAST(nc.ncq AS DOUBLE))) DESC,
+              |                       SQRT(CAST(nc.ncq AS DOUBLE))) END DESC,
               |                      d.clabel) AS rnk
               |    FROM qcd d JOIN qn ON d.q_id = qn.q_id
               |               JOIN nc ON d.clabel = nc.clabel)
@@ -493,13 +509,16 @@ object Similarity {
               |  GROUP BY cd.q_id, cd.vec_id)
               |SELECT q_id, neighbor_id, sim, rnk FROM (
               |  SELECT d.q_id, d.vec_id AS neighbor_id,
-              |         CAST(d.dotq AS DOUBLE) /
-              |           (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(nv.nq AS DOUBLE))) AS sim,
+              |         CASE WHEN qn.n2 = 0 OR nv.nq = 0 THEN 0.0
+              |         ELSE CAST(d.dotq AS DOUBLE) /
+              |           (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(nv.nq AS DOUBLE)))
+              |         END AS sim,
               |         ROW_NUMBER() OVER (
               |           PARTITION BY d.q_id
-              |           ORDER BY CAST(d.dotq AS DOUBLE) /
+              |           ORDER BY CASE WHEN qn.n2 = 0 OR nv.nq = 0 THEN 0.0
+              |                    ELSE CAST(d.dotq AS DOUBLE) /
               |                    (SQRT(CAST(qn.n2 AS DOUBLE)) *
-              |                     SQRT(CAST(nv.nq AS DOUBLE))) DESC,
+              |                     SQRT(CAST(nv.nq AS DOUBLE))) END DESC,
               |                    d.vec_id) AS rnk
               |  FROM dotsq d JOIN qn ON d.q_id = qn.q_id
               |               JOIN nv ON d.vec_id = nv.vec_id)

@@ -33,6 +33,13 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, tk => tk.isin(words.map(w => w: Any): _*)))
 
+  /** NULL-on-zero division, matching DuckDB (`x/0.0 IS NULL` there, a
+    * DIVIDE_BY_ZERO error under Spark ANSI): an empty document's ratios are
+    * undefined, and at 100 TB empty documents EXIST — one of them must not
+    * abort a corpus-wide scan, and both engines must agree it is NULL. */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("double")).otherwise(num / den)
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -116,18 +123,19 @@ object TextAnalysis {
         val punct = (length(col("text")) -
           length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("double")
         val stop = hits(toks, stopwords).cast("double")
-        val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+        val distinctRatio = ratio(size(array_distinct(toks)).cast("double"), nTok)
         val digits = (length(col("text")) -
           length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
         t(s, d, "documents").select(
           col("doc_id"),
-          round(punct / nChars, 6).as("punct_ratio"),
-          round(stop / nTok, 6).as("stopword_ratio"),
-          round(digits / nChars, 6).as("digit_ratio"),
+          round(ratio(punct, nChars), 6).as("punct_ratio"),
+          round(ratio(stop, nTok), 6).as("stopword_ratio"),
+          round(ratio(digits, nChars), 6).as("digit_ratio"),
           round(distinctRatio, 6).as("distinct_ratio"),
           round(
             greatest(lit(0.0),
-              lit(1.0) - punct / nChars * 5 - digits / nChars * 2) * distinctRatio,
+              lit(1.0) - ratio(punct, nChars) * 5 - ratio(digits, nChars) * 2)
+              * distinctRatio,
             6).as("quality"))
       },
       Some("""SELECT doc_id,

@@ -593,4 +593,51 @@ class OperatorsSpec extends AnyFunSuite {
       "the part-brand dimension filter must broadcast into lineitem")
     assert(!plan.contains("CartesianProduct"), "decorrelation must not cross-join")
   }
+
+  test("pathological corpus: every text/dedup/similarity/multimodal operator " +
+      "survives empty docs, whitespace-only docs, and zero vectors") {
+    // at 100 TB these rows EXIST: a scraped corpus contains empty documents,
+    // whitespace-only documents, sub-shingle fragments, unicode, and
+    // degenerate (all-zero) embeddings. No operator may throw on them.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_patho").toString
+    Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "single", "en", "src0", 6L),
+      (3L, "   \t\n ", "en", "src1", 6L),
+      (4L, "a b", "de", "src1", 3L),
+      (5L, "héllo wörld ünïcode tëst ø", "fr", "src2", 26L),
+      (6L, Seq.fill(20)("tok").mkString(" "), "en", "src2", 79L),
+      (7L, "\ta\nb\fc\rd e", "en", "src3", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f, 0.5f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1), // zero vector: norm guards
+      (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f), 0),
+      (4L, Array(0.1f, 0.2f, 0.3f, 0.4f), 2),
+      (5L, Array(5.0f, -5.0f, 0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // ts is epoch NANOS as int64, matching the driver tables' physical
+    // schema (TIMESTAMP(NANOS), read as LONG under the legacy conf)
+    val t0 = 1704067200L * 1000000000L
+    Seq(
+      (1L, t0, 1L, "view", 0.0, """{"k": 1}"""),
+      (2L, t0 + 1e9.toLong, 1L, "click", 1.5, ""), // empty props
+      (3L, t0 + 2e9.toLong, 2L, "purchase", -1.0, "{bad json"), // malformed
+      (4L, t0 + 3e9.toLong, 2L, "view", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => Set('t', 'd', 's', 'm').contains(n.head))
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        fail(s"$n threw on the pathological corpus: ${e.getMessage}")
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
