@@ -630,7 +630,8 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => Set('t', 'd', 's', 'm').contains(n.head))
+      .filter(n => Set('t', 'd', 's', 'm').contains(n.head)) ++
+      Seq("q61_sessionize", "q62_time_gap_fill", "q63_unpivot", "q64_funnel")
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
