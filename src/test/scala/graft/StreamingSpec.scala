@@ -246,6 +246,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny.getLong(3) == math.round((100L + 20000000L).toDouble / 2))
   }
 
+  test("streaming transforms survive a degenerate document stream") {
+    // the ingest path sees what a real crawler emits: empty docs,
+    // whitespace-only docs, single tokens, unicode — none may kill a
+    // long-running stream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val degenerate = Seq(
+      (1L, "", "en", "src0"),
+      (2L, "single", "en", "src0"),
+      (3L, "   \t\n ", "de", "src1"),
+      (4L, "héllo ünïcode", "fr", "src1"))
+    val src = MemoryStream[(Long, String, String, String)]
+    val docs = src.toDF().toDF("doc_id", "text", "lang", "source")
+    val dedup = streaming.DocStreams.contentDedup(docs)
+      .writeStream.format("memory").queryName("patho_dedup")
+      .outputMode("append").start()
+    val decon = streaming.DocStreams.decontaminate(docs, Set("a b c d e"))
+      .writeStream.format("memory").queryName("patho_decon")
+      .outputMode("append").start()
+    val surp = streaming.DocStreams.surprisalScore(docs, Map("a b" -> -100L))
+      .writeStream.format("memory").queryName("patho_surp")
+      .outputMode("append").start()
+    val mix = streaming.DocStreams.runningMixture(docs)
+      .writeStream.format("memory").queryName("patho_mix")
+      .outputMode("complete").start()
+    try {
+      src.addData(degenerate)
+      Seq(dedup, decon, surp, mix).foreach(_.processAllAvailable())
+      // every doc gets a verdict from the stateless scorers
+      assert(spark.table("patho_decon").count() == 4)
+      assert(spark.table("patho_surp").count() == 4)
+      // the empty and whitespace-only docs share a signature (no tokens):
+      // dedup keeps one representative, never throws
+      assert(spark.table("patho_dedup").count() >= 2)
+      // the mixture report accounts for every (source, lang) cell:
+      // (src0,en), (src1,de), (src1,fr)
+      assert(spark.table("patho_mix").count() == 3)
+    } finally Seq(dedup, decon, surp, mix).foreach(_.stop())
+  }
+
   test("contentDedupWithinWatermark: dups dropped inside the horizon, " +
       "state evicted past it") {
     import spark.implicits._
