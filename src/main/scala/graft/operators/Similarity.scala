@@ -522,6 +522,103 @@ object Similarity {
               |                    d.vec_id) AS rnk
               |  FROM dotsq d JOIN qn ON d.q_id = qn.q_id
               |               JOIN nv ON d.vec_id = nv.vec_id)
-              |WHERE rnk <= 3""".stripMargin))
+              |WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "s96_knn_graph", // mutual-kNN graph over the corpus — the edge set
+                       // behind SNN/graph clustering and graph-based dedup.
+                       // EVERY vector acts as a query through the IVF probe
+                       // path (s95's algorithm with queries = corpus): score
+                       // the broadcast centroids map-side, probe the
+                       // nprobe=2 nearest clusters, exact-rank only vectors
+                       // assigned there, keep the top-3, then retain edges
+                       // where BOTH endpoints list each other (one
+                       // self-join on the slim edge list). The oracle
+                       // mirrors the same probe algorithm, so approximate
+                       // candidate generation still hash-matches. Scale
+                       // shape: probe work is |corpus|·|labels| map-side
+                       // rows against broadcast centroids; candidates are
+                       // bounded by cluster sizes (equi-join on cluster id,
+                       // never all-pairs); the mutual filter joins two
+                       // copies of a top-3-bounded edge list on fixed-width
+                       // keys. Symmetric sims are exact: the integer dot is
+                       // identical in both directions and the norm product
+                       // commutes in double.
+      (s, d) => {
+        val cents = labelCentroids(s, d)
+        val e = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+          .withColumn("nq", dotl(col("vq"), col("vq")))
+        val wp = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("clabel").asc)
+        val probes = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("vq"), col("nq"), col("clabel"),
+            cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq"))
+              .as("csim"))
+          .withColumn("rnk", row_number().over(wp))
+          .filter(col("rnk") <= 2)
+          .select(col("vec_id"), col("vq"), col("nq"), col("clabel"))
+        val asg = ivfAssignment(s, d)
+          .select(col("vec_id").as("nbr"), col("cluster").as("clabel"))
+        val wr = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("nbr").asc)
+        val knn = broadcast(probes).join(asg, "clabel")
+          .filter(col("nbr") =!= col("vec_id"))
+          .join(quantizedVecs(s, d)
+            .select(col("vec_id").as("nbr"), col("vq").as("nvq")), "nbr")
+          .select(col("vec_id"), col("nbr"),
+            cosQ(dotl(col("vq"), col("nvq")),
+              col("nq"), dotl(col("nvq"), col("nvq"))).as("sim"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("vec_id"), col("nbr"), col("sim"))
+        val rev = knn.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
+        knn.join(rev, Seq("vec_id", "nbr"), "left_semi")
+          .filter(col("vec_id") < col("nbr"))
+          .select(col("vec_id").as("v1"), col("nbr").as("v2"),
+            round(col("sim"), 6).as("sim"))
+      },
+      Some(s"""WITH $ivfCtes,
+              |probes AS (
+              |  SELECT vec_id, clabel FROM (
+              |    SELECT d.vec_id, d.clabel,
+              |           ROW_NUMBER() OVER (
+              |             PARTITION BY d.vec_id
+              |             ORDER BY CASE WHEN nv.nq = 0 OR nc.ncq = 0 THEN 0.0
+              |                      ELSE CAST(d.dotq AS DOUBLE) /
+              |                      (SQRT(CAST(nv.nq AS DOUBLE)) *
+              |                       SQRT(CAST(nc.ncq AS DOUBLE))) END DESC,
+              |                      d.clabel) AS rnk
+              |    FROM dots d JOIN nv ON d.vec_id = nv.vec_id
+              |                JOIN nc ON d.clabel = nc.clabel)
+              |  WHERE rnk <= 2),
+              |cands AS (
+              |  SELECT p.vec_id, a.vec_id AS nbr
+              |  FROM probes p JOIN assign a ON a.assigned_label = p.clabel
+              |  WHERE a.vec_id <> p.vec_id),
+              |pairdot AS (
+              |  SELECT c.vec_id, c.nbr, CAST(SUM(x.xq * y.xq) AS BIGINT) AS dotq
+              |  FROM cands c JOIN comp x ON x.vec_id = c.vec_id
+              |               JOIN comp y ON y.vec_id = c.nbr AND y.j0 = x.j0
+              |  GROUP BY c.vec_id, c.nbr),
+              |knn AS (
+              |  SELECT vec_id, nbr, sim FROM (
+              |    SELECT p.vec_id, p.nbr,
+              |           CASE WHEN a.nq = 0 OR b.nq = 0 THEN 0.0
+              |                ELSE CAST(p.dotq AS DOUBLE) /
+              |                (SQRT(CAST(a.nq AS DOUBLE)) *
+              |                 SQRT(CAST(b.nq AS DOUBLE))) END AS sim,
+              |           ROW_NUMBER() OVER (
+              |             PARTITION BY p.vec_id
+              |             ORDER BY CASE WHEN a.nq = 0 OR b.nq = 0 THEN 0.0
+              |                      ELSE CAST(p.dotq AS DOUBLE) /
+              |                      (SQRT(CAST(a.nq AS DOUBLE)) *
+              |                       SQRT(CAST(b.nq AS DOUBLE))) END DESC,
+              |                      p.nbr) AS rnk
+              |    FROM pairdot p JOIN nv a ON a.vec_id = p.vec_id
+              |                   JOIN nv b ON b.vec_id = p.nbr)
+              |  WHERE rnk <= 3)
+              |SELECT k.vec_id AS v1, k.nbr AS v2, ROUND(k.sim, 6) AS sim
+              |FROM knn k JOIN knn r ON r.vec_id = k.nbr AND r.nbr = k.vec_id
+              |WHERE k.vec_id < k.nbr""".stripMargin))
   )
 }

@@ -287,7 +287,8 @@ class OperatorsSpec extends AnyFunSuite {
     // candidate generation is also equi-join only (the one BNLJ in s95/d92
     // is the |labels|-row centroid broadcast, a bounded dimension table,
     // never corpus×corpus)
-    Seq("d91_repeated_passages", "d92_semantic_dedup", "s95_ivf_probe")
+    Seq("d91_repeated_passages", "d92_semantic_dedup", "s95_ivf_probe",
+      "s96_knn_graph")
       .foreach { n =>
         val plan = run(n).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian")
@@ -567,6 +568,22 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = run("d83_dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     leak.foreach { case (d1, d2, _, _) => assert(pairs.contains((d1, d2))) }
+  }
+
+  test("s96 knn graph: edges canonical, degree-bounded, sims in range") {
+    val edges = run("s96_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (v1, v2, sim) =>
+      assert(v1 < v2, "edges must be canonicalized v1 < v2")
+      assert(sim >= -1.000001 && sim <= 1.000001, s"cosine out of range: $sim")
+    }
+    assert(edges.map(e => (e._1, e._2)).distinct.length == edges.length)
+    // a mutual edge consumes one of each endpoint's 3 kNN slots, so no
+    // node can belong to more than 3 edges
+    val degree = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.length)
+    assert(degree.max <= 3, "mutual top-3 bounds the degree at 3")
   }
 
   test("t87 bigram surprisal: LM broadcasts, scores bounded, coverage total") {
