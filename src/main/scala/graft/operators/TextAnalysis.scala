@@ -750,10 +750,14 @@ object TextAnalysis {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
             size(tokens(col("text"))).cast("long").as("ntok"))
+        // min via a whole-partition window over the ALREADY-AGGREGATED
+        // per-source frame (|sources| rows) — an agg+crossJoin here would
+        // duplicate the totals subtree and re-scan the corpus a third time
+        // (plan-audited); the single-partition window is over 20 rows
         val totals = docs.groupBy("source").agg(sum("ntok").as("tok_n"))
-        val minTok = totals.agg(min("tok_n").as("min_tok"))
-        val rates = totals.crossJoin(minTok)
-        docs.join(broadcast(rates), "source")
+          .withColumn("min_tok", min(col("tok_n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        docs.join(broadcast(totals), "source")
           .filter((Dedup.hash60(col("doc_id")) % 1000000L) * col("tok_n")
             < col("min_tok") * 1000000L)
           .select(col("doc_id"), col("source"), col("ntok"))
