@@ -532,18 +532,24 @@ object Similarity {
                        // the broadcast centroids map-side, probe the
                        // nprobe=2 nearest clusters, exact-rank only vectors
                        // assigned there, keep the top-3, then retain edges
-                       // where BOTH endpoints list each other (one
-                       // self-join on the slim edge list). The oracle
-                       // mirrors the same probe algorithm, so approximate
-                       // candidate generation still hash-matches. Scale
-                       // shape: probe work is |corpus|·|labels| map-side
-                       // rows against broadcast centroids; candidates are
-                       // bounded by cluster sizes (equi-join on cluster id,
-                       // never all-pairs); the mutual filter joins two
-                       // copies of a top-3-bounded edge list on fixed-width
-                       // keys. Symmetric sims are exact: the integer dot is
-                       // identical in both directions and the norm product
-                       // commutes in double.
+                       // where BOTH endpoints list each other. Mutuality is
+                       // ONE aggregation, not a self-join: canonicalize each
+                       // directed edge to (least, greatest) and keep pairs
+                       // seen exactly twice — a self-join of the edge list
+                       // against its own reversal re-executes the entire
+                       // probe/rank pipeline (plan-audited: 10 scans, zero
+                       // exchange reuse), while the groupBy sees the knn
+                       // subtree once. The oracle mirrors the same probe
+                       // algorithm, so approximate candidate generation
+                       // still hash-matches. Scale shape: probe work is
+                       // |corpus|·|labels| map-side rows against broadcast
+                       // centroids; candidates are bounded by cluster sizes
+                       // (equi-join on cluster id, never all-pairs); the
+                       // mutual aggregation shuffles a top-3-bounded edge
+                       // list on fixed-width keys. Symmetric sims are
+                       // exact: the integer dot is identical in both
+                       // directions and the norm product commutes in
+                       // double, so MIN(sim) over the pair is the value.
       (s, d) => {
         val cents = labelCentroids(s, d)
         val e = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
@@ -571,11 +577,11 @@ object Similarity {
           .withColumn("rnk", row_number().over(wr))
           .filter(col("rnk") <= 3)
           .select(col("vec_id"), col("nbr"), col("sim"))
-        val rev = knn.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"))
-        knn.join(rev, Seq("vec_id", "nbr"), "left_semi")
-          .filter(col("vec_id") < col("nbr"))
-          .select(col("vec_id").as("v1"), col("nbr").as("v2"),
-            round(col("sim"), 6).as("sim"))
+        knn.groupBy(least(col("vec_id"), col("nbr")).as("v1"),
+            greatest(col("vec_id"), col("nbr")).as("v2"))
+          .agg(count(lit(1)).as("cnt"), min(col("sim")).as("msim"))
+          .filter(col("cnt") === 2)
+          .select(col("v1"), col("v2"), round(col("msim"), 6).as("sim"))
       },
       Some(s"""WITH $ivfCtes,
               |probes AS (
@@ -617,8 +623,10 @@ object Similarity {
               |    FROM pairdot p JOIN nv a ON a.vec_id = p.vec_id
               |                   JOIN nv b ON b.vec_id = p.nbr)
               |  WHERE rnk <= 3)
-              |SELECT k.vec_id AS v1, k.nbr AS v2, ROUND(k.sim, 6) AS sim
-              |FROM knn k JOIN knn r ON r.vec_id = k.nbr AND r.nbr = k.vec_id
-              |WHERE k.vec_id < k.nbr""".stripMargin))
+              |SELECT v1, v2, ROUND(msim, 6) AS sim FROM (
+              |  SELECT LEAST(vec_id, nbr) AS v1, GREATEST(vec_id, nbr) AS v2,
+              |         COUNT(*) AS cnt, MIN(sim) AS msim
+              |  FROM knn GROUP BY 1, 2)
+              |WHERE cnt = 2""".stripMargin))
   )
 }
