@@ -601,11 +601,19 @@ object Similarity {
               |  SELECT p.vec_id, a.vec_id AS nbr
               |  FROM probes p JOIN assign a ON a.assigned_label = p.clabel
               |  WHERE a.vec_id <> p.vec_id),
+              |qarr AS (SELECT vec_id, list(xq ORDER BY j0) AS va
+              |         FROM comp GROUP BY vec_id),
               |pairdot AS (
-              |  SELECT c.vec_id, c.nbr, CAST(SUM(x.xq * y.xq) AS BIGINT) AS dotq
-              |  FROM cands c JOIN comp x ON x.vec_id = c.vec_id
-              |               JOIN comp y ON y.vec_id = c.nbr AND y.j0 = x.j0
-              |  GROUP BY c.vec_id, c.nbr),
+              |  -- per-pair dot as exact integer list math (quantized values
+              |  -- are <= 6e5, 64-dim sums <= 2e13 -- far inside the 2^53
+              |  -- exact-double range); the equivalent unnest-join GROUP BY
+              |  -- formulation trips DuckDB's join order at corpus-as-query
+              |  -- scale (measured 245 s vs ~2 s at sf0.1)
+              |  SELECT c.vec_id, c.nbr,
+              |         CAST(list_sum(list_transform(range(len(a.va)),
+              |              i -> a.va[i+1] * b.va[i+1])) AS BIGINT) AS dotq
+              |  FROM cands c JOIN qarr a ON a.vec_id = c.vec_id
+              |               JOIN qarr b ON b.vec_id = c.nbr),
               |knn AS (
               |  SELECT vec_id, nbr, sim FROM (
               |    SELECT p.vec_id, p.nbr,
