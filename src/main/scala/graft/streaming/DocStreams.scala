@@ -128,6 +128,23 @@ object DocStreams {
       }.toDF()
   }
 
+  /** Streaming multimodal decode — the live twin of the m97 batch path:
+    * arriving binary payloads (an asset ingest stream) run through the same
+    * typed [[graft.operators.Multimodal.WavCodec]] header parse, one codec
+    * call per row inside mapPartitions (decoder setup amortized per
+    * micro-batch partition, the same batch shape as the batch operator).
+    * Fully stateless: a malformed payload degrades to its own invalid row,
+    * never kills the stream. Columns: (doc_id, payload) → WavMeta. */
+  def decodeWav(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        graft.operators.Multimodal.WavCodec.decode(id, b)
+      }).toDF()
+  }
+
   /** Running data-mixture report on a document stream — the live twin of
     * batch `t83_mixture_report`: per (source, lang) document/token/char
     * counts, updated every micro-batch (drive with update/complete output

@@ -246,6 +246,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny.getLong(3) == math.round((100L + 20000000L).toDouble / 2))
   }
 
+  test("decodeWav: streamed binary payloads decode identically to the " +
+      "batch codec; corruption degrades to an invalid row, not a dead stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a valid canonical WAV (hand-built, same layout the m97 plan
+    // assembles) and two corrupt payloads
+    def wav(dataBytes: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(dataBytes)
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, wav(4)), (2L, wav(0)),
+      (3L, Array[Byte](1, 2, 3)),                     // truncated
+      (4L, "RIFFxxxxJUNKjunk".getBytes ++ new Array[Byte](40))) // bad magic
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = streaming.DocStreams.decodeWav(
+        src.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("wavdec")
+      .outputMode("append").start()
+    try {
+      src.addData(rows); q.processAllAvailable()
+      val out = spark.table("wavdec").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+      // stream == batch: identical code path over a static frame
+      val batch = streaming.DocStreams.decodeWav(rows.toDF("doc_id", "payload"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      assert(batch == out)
+      val meta = spark.table("wavdec").filter(col("doc_id") === 1).head()
+      assert(meta.getInt(1) == 8000 && meta.getInt(2) == 1 &&
+        meta.getInt(3) == 16 && meta.getInt(6) == 4)
+    } finally { q.stop(); () }
+  }
+
   test("streaming transforms survive a degenerate document stream") {
     // the ingest path sees what a real crawler emits: empty docs,
     // whitespace-only docs, single tokens, unicode — none may kill a
