@@ -728,6 +728,55 @@ object TextAnalysis {
              |      FROM doc d JOIN lm USING (g) GROUP BY d.doc_id)""".stripMargin)),
 
     QueryDef(
+      "t88_winnow_fingerprints", // winnowing (Schleimer et al., SIGMOD'03 —
+                                 // the MOSS fingerprinting scheme): per doc,
+                                 // the MIN shingle hash of every w=4-gram
+                                 // window, deduplicated. Selection-based
+                                 // fingerprinting with the winnowing
+                                 // guarantee: any shared passage of at
+                                 // least w+k-1 tokens shares at least one
+                                 // selected fingerprint, at ~1/w the index
+                                 // size of the full d82 shingle index — the
+                                 // standard density/recall trade for
+                                 // plagiarism and near-dup detection. Scale
+                                 // shape: everything (shingle, hash, window
+                                 // min, dedup) is per-row expression work —
+                                 // ZERO shuffle; downstream matching joins
+                                 // on the fingerprint exactly like d82's
+                                 // posting list, over a 4x smaller index.
+      (s, d) => {
+        val w = 4
+        val hs = transform(
+          GraftFunctions.word_shingles(col("text"), 3),
+          g => Dedup.hash60(g) % 2147483647L)
+        t(s, d, "documents")
+          .select(col("doc_id"), hs.as("hs"))
+          .select(col("doc_id"), explode(when(size(col("hs")) >= w,
+            array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+              i => array_min(slice(col("hs"), i + 1, lit(w))))))
+            .otherwise(typedLit(Seq.empty[Long]))).as("fp"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |           regexp_split_to_array(trim(text), '\s+'),
+             |           x -> x != '') AS toks
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+             |           i -> array_to_string(toks[i:i+2], ' ')) AS gs
+             |  FROM toks),
+             |hashes AS (
+             |  SELECT doc_id, list_transform(gs,
+             |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+             |                % 2147483647) AS hs
+             |  FROM grams)
+             |SELECT doc_id,
+             |       unnest(list_distinct(list_transform(
+             |         range(0, len(hs) - 4 + 1),
+             |         i -> list_min(hs[i+1:i+4])))) AS fp
+             |FROM hashes""".stripMargin)),
+
+    QueryDef(
       "t86_mixture_sample", // the APPLY side of t83's data card: downsample
                             // every source to the smallest source's token
                             // budget (uniform token mixture), the

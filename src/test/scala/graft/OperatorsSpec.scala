@@ -586,6 +586,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(degree.max <= 3, "mutual top-3 bounds the degree at 3")
   }
 
+  test("t88 winnowing: shared passages share a fingerprint, index compresses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, s"x1 y1 $passage z1"),
+      (2L, s"p2 $passage q2 r2"),
+      (3L, "unrelated words only here nothing shared at all today"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val byDoc = SparkEntry.queries("t88_winnow_fingerprints")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // the winnowing guarantee: a shared passage of >= w+k-1 = 6 tokens
+    // forces at least one common selected fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a 10-token passage must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs stay disjoint")
+    // selection compresses: fingerprints ≤ windows < grams (13 tokens →
+    // 11 grams → 8 windows), and real corpora select ~2/w of grams
+    assert(byDoc(1L).size < 11)
+    val corpus = run("t88_winnow_fingerprints").count()
+    val grams = Graft.table(spark, d, "documents")
+      .select(explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 3))).count()
+    assert(corpus < grams / 2,
+      s"winnowed index ($corpus) must be well under the full gram count ($grams)")
+  }
+
   test("t87 bigram surprisal: LM broadcasts, scores bounded, coverage total") {
     val df = run("t87_bigram_surprisal")
     val plan = df.queryExecution.executedPlan.toString
