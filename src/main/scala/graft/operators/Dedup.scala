@@ -251,6 +251,67 @@ object Dedup {
               |WHERE split1 <> split2""".stripMargin)),
 
     QueryDef(
+      "d95_winnow_near_dup", // near-dup pairs over t88's WINNOWED index —
+                             // the payoff of selection-based fingerprinting:
+                             // the same inverted-index shape as d82 (per-doc
+                             // sets, df>5% hot keys removed map-side via
+                             // broadcast array, set size riding the posting
+                             // row, candidate pairs by fingerprint
+                             // equi-join) over a posting list ~4x smaller,
+                             // because only window-minimum hashes index the
+                             // doc. The winnowing guarantee keeps recall on
+                             // long shared passages; the similarity is the
+                             // Jaccard of the SELECTED sets (a consistent
+                             // estimator of gram Jaccard — same selection
+                             // rule on both docs). At 100 TB this is the
+                             // cheap first-pass pair generator you run
+                             // BEFORE the full d82 index exists.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+          .select("doc_id", "text")
+        val ndocs = docs.select(count(lit(1)).as("ndocs"))
+        val byDoc = docs.select(col("doc_id"),
+          TextAnalysis.winnowFps(col("text")).as("fps"))
+        val hotArr = byDoc.select(explode(col("fps")).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("df"))
+          .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
+          .filter(col("df") * 20 > col("ndocs"))
+          .agg(collect_set(col("fp")).as("hot")) // 1 row (empty if none)
+        val posting = byDoc.crossJoin(broadcast(hotArr))
+          .select(col("doc_id"), array_except(col("fps"), col("hot")).as("cfps"))
+          .select(col("doc_id"), size(col("cfps")).as("n"),
+            explode(col("cfps")).as("fp"))
+        posting.as("a").join(posting.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.n").as("n1"), col("b.n").as("n2"))
+          .agg(count(lit(1)).as("i"))
+          .select(col("d1"), col("d2"),
+            (col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+              .as("wjaccard"))
+          .filter(col("wjaccard") > 0.25)
+      },
+      Some(s"""WITH ${TextAnalysis.winnowCtes},
+              |sh AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+              |hot AS (SELECT fp FROM (
+              |          SELECT fp, COUNT(*) AS df FROM sh GROUP BY fp)
+              |        WHERE df * 20 > (SELECT COUNT(*) FROM documents)),
+              |capped AS (SELECT doc_id, fp FROM sh
+              |           WHERE fp NOT IN (SELECT fp FROM hot)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped
+              |          GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+              |  FROM capped a JOIN capped b
+              |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT d1, d2,
+              |       CAST(i AS DOUBLE) / (na.n + nb.n - i) AS wjaccard
+              |FROM inter JOIN sizes na ON na.doc_id = d1
+              |           JOIN sizes nb ON nb.doc_id = d2
+              |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) > 0.25""".stripMargin)),
+
+    QueryDef(
       "d86_dedup_embedding_pairs", // cosine near-dup pairs — LABELED
                                    // brute-force exact baseline. The scale
                                    // path is s94's LSH bucket equi-join

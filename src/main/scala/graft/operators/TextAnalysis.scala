@@ -40,6 +40,41 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(null).cast("double")).otherwise(num / den)
 
+  /** Winnowed fingerprint set of a text column (t88's kernel, shared with
+    * d95's near-dup matcher): min shingle-hash of every `w`-gram window,
+    * deduplicated; empty below w+k-1 tokens. Pure expression work. */
+  private[operators] def winnowFps(text: Column, k: Int = 3, w: Int = 4)
+      : Column = {
+    val hs = transform(GraftFunctions.word_shingles(text, k),
+      g => Dedup.hash60(g) % 2147483647L)
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
+
+  /** t88's oracle CTE chain (doc_id, fps list) — shared by d95. */
+  private[operators] val winnowCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(
+      |           regexp_split_to_array(trim(text), '\s+'),
+      |           x -> x != '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |           i -> array_to_string(toks[i:i+2], ' ')) AS gs
+      |  FROM toks),
+      |hashes AS (
+      |  SELECT doc_id, list_transform(gs,
+      |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+      |                % 2147483647) AS hs
+      |  FROM grams),
+      |fps AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(0, len(hs) - 4 + 1),
+      |           i -> list_min(hs[i+1:i+4]))) AS fps
+      |  FROM hashes)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -744,37 +779,10 @@ object TextAnalysis {
                                  // ZERO shuffle; downstream matching joins
                                  // on the fingerprint exactly like d82's
                                  // posting list, over a 4x smaller index.
-      (s, d) => {
-        val w = 4
-        val hs = transform(
-          GraftFunctions.word_shingles(col("text"), 3),
-          g => Dedup.hash60(g) % 2147483647L)
-        t(s, d, "documents")
-          .select(col("doc_id"), hs.as("hs"))
-          .select(col("doc_id"), explode(when(size(col("hs")) >= w,
-            array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
-              i => array_min(slice(col("hs"), i + 1, lit(w))))))
-            .otherwise(typedLit(Seq.empty[Long]))).as("fp"))
-      },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(
-             |           regexp_split_to_array(trim(text), '\s+'),
-             |           x -> x != '') AS toks
-             |  FROM documents),
-             |grams AS (
-             |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
-             |           i -> array_to_string(toks[i:i+2], ' ')) AS gs
-             |  FROM toks),
-             |hashes AS (
-             |  SELECT doc_id, list_transform(gs,
-             |           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
-             |                % 2147483647) AS hs
-             |  FROM grams)
-             |SELECT doc_id,
-             |       unnest(list_distinct(list_transform(
-             |         range(0, len(hs) - 4 + 1),
-             |         i -> list_min(hs[i+1:i+4])))) AS fp
-             |FROM hashes""".stripMargin)),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(winnowFps(col("text"))).as("fp")),
+      Some(s"""WITH $winnowCtes
+             |SELECT doc_id, unnest(fps) AS fp FROM fps""".stripMargin)),
 
     QueryDef(
       "t86_mixture_sample", // the APPLY side of t83's data card: downsample

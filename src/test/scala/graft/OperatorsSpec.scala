@@ -614,6 +614,17 @@ class OperatorsSpec extends AnyFunSuite {
       s"winnowed index ($corpus) must be well under the full gram count ($grams)")
   }
 
+  test("d95 winnowed near-dup: recovers the full-index pairs") {
+    val winnowed = run("d95_winnow_near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = run("d82_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    val recall = (winnowed & full).size.toDouble / full.size
+    assert(recall >= 0.9,
+      s"winnowed index recalls $recall of the full-index pairs (100% measured)")
+  }
+
   test("t87 bigram surprisal: LM broadcasts, scores bounded, coverage total") {
     val df = run("t87_bigram_surprisal")
     val plan = df.queryExecution.executedPlan.toString
