@@ -270,9 +270,16 @@ object Dedup {
         val docs = Graft.tableParallel(s, d, "documents")
           .select("doc_id", "text")
         val ndocs = docs.select(count(lit(1)).as("ndocs"))
-        val byDoc = docs.select(col("doc_id"),
-          TextAnalysis.winnowFps(col("text")).as("fps"))
-        val hotArr = byDoc.select(explode(col("fps")).as("fp"))
+        // repartition pins an exchange over the winnow kernel so its TWO
+        // consumers (df-cap + posting list) read one materialized shuffle
+        // via ReuseExchange instead of each re-running the map-side kernel
+        // — the same sharing d82 gets for free from its groupBy
+        val byDoc = TextAnalysis.winnowDocs(docs).repartition(col("doc_id"))
+        // explode_outer + isNotNull: see t88 — a plain explode's inferred
+        // size()>0 filter would inline the winnow kernel below the
+        // projections and re-run the md5 chain per window
+        val hotArr = byDoc.select(explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull)
           .groupBy("fp").agg(count(lit(1)).as("df"))
           .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
           .filter(col("df") * 20 > col("ndocs"))

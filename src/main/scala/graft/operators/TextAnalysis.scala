@@ -40,17 +40,25 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(null).cast("double")).otherwise(num / den)
 
-  /** Winnowed fingerprint set of a text column (t88's kernel, shared with
-    * d95's near-dup matcher): min shingle-hash of every `w`-gram window,
-    * deduplicated; empty below w+k-1 tokens. Pure expression work. */
-  private[operators] def winnowFps(text: Column, k: Int = 3, w: Int = 4)
-      : Column = {
-    val hs = transform(GraftFunctions.word_shingles(text, k),
-      g => Dedup.hash60(g) % 2147483647L)
-    when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(0), size(hs) - w),
-        i => array_min(slice(hs, i + 1, lit(w))))))
-      .otherwise(typedLit(Seq.empty[Long]))
+  /** Winnowed fingerprint sets per doc — (doc_id, fps) from a (doc_id,
+    * text) frame (t88's kernel, shared with d95's near-dup matcher): min
+    * shingle-hash of every `w`-gram window, deduplicated; empty below
+    * w+k-1 tokens. Pure expression work, but deliberately TWO projections:
+    * the hash array must land as a materialized column before the window
+    * lambda reads it, because a lambda body re-evaluates any embedded
+    * subtree per element — one fused expression re-ran the full
+    * shingle+md5 chain for EVERY window, O(n²) hashes per doc (measured
+    * 18 s instead of <1 s for t88 at sf0.1). */
+  private[operators] def winnowDocs(df: DataFrame, k: Int = 3, w: Int = 4)
+      : DataFrame = {
+    val hs = col("hs")
+    df.select(col("doc_id"),
+      transform(GraftFunctions.word_shingles(col("text"), k),
+        g => Dedup.hash60(g) % 2147483647L).as("hs"))
+      .select(col("doc_id"), when(size(hs) >= w,
+        array_distinct(transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + 1, lit(w))))))
+        .otherwise(typedLit(Seq.empty[Long])).as("fps"))
   }
 
   /** t88's oracle CTE chain (doc_id, fps list) — shared by d95. */
@@ -779,8 +787,15 @@ object TextAnalysis {
                                  // ZERO shuffle; downstream matching joins
                                  // on the fingerprint exactly like d82's
                                  // posting list, over a 4x smaller index.
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), explode(winnowFps(col("text"))).as("fp")),
+      // explode_OUTER + isNotNull, not plain explode: the optimizer infers
+      // `size(fps) > 0` from a non-outer generate and pushes it below the
+      // projections, inlining the whole winnow expression (md5 chain
+      // INSIDE the per-window lambda) into a Filter — O(n²) hashes per doc,
+      // measured 35 s instead of <1 s at sf0.1. Outer generate + an
+      // explicit post-filter keeps the kernel evaluated exactly once.
+      (s, d) => winnowDocs(t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull),
       Some(s"""WITH $winnowCtes
              |SELECT doc_id, unnest(fps) AS fp FROM fps""".stripMargin)),
 
