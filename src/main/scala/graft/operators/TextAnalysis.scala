@@ -311,6 +311,116 @@ object TextAnalysis {
               FROM keep GROUP BY lang""")),
 
     QueryDef(
+      "p100_corpus_prep", // FULL-STACK capstone — the four stage families
+                          // this round completed, chained the way a corpus
+                          // build actually runs them: quality gate (t71's
+                          // ratios) → exact dedup (d80's min-id rule) →
+                          // benchmark decontamination (d88's gram
+                          // containment, benchmark derived in-plan and
+                          // BROADCAST — the corpus is never shuffled for
+                          // it) → token-budget mixture sampling (t86's
+                          // integer hash-threshold rule over the CLEANED
+                          // totals) → the per (source, lang) data card.
+                          // Scale shape: one corpus scan feeds the gate/
+                          // dedup/decontam chain map-side except the
+                          // single md5 dedup exchange; the budget pass
+                          // re-aggregates only the surviving docs; every
+                          // verdict is deterministic, so the same corpus
+                          // ships from any engine, any partitioning.
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val docs = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            size(toks).cast("long").as("n_tok"),
+            ratio(size(array_distinct(toks)).cast("double"),
+              size(toks).cast("double")).as("dr"))
+        val gated = docs.filter(col("dr") > 0.6 && col("n_tok") >= 20)
+        val deduped = gated
+          .withColumn("keepid", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("keepid"))
+        val benchArr = Graft.tableParallel(s, d, "documents")
+          .filter(col("doc_id") % 100 === 0)
+          .select(explode(Dedup.shingles(col("text"), 5)).as("g"))
+          .select(Dedup.hash60(col("g")).as("h"))
+          .agg(collect_set(col("h")).as("bench")) // 1 row, broadcast
+        val clean = deduped.crossJoin(broadcast(benchArr))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+            transform(Dedup.shingles(col("text"), 5),
+              g => Dedup.hash60(g)).as("gh"), col("bench"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+            when(size(col("gh")) === 0, 0.0)
+              .otherwise(size(array_intersect(col("gh"), col("bench")))
+                .cast("double") / size(col("gh")).cast("double"))
+              .as("frac"))
+          .filter(col("frac") <= 0.2)
+        val totals = clean.groupBy("source").agg(sum("n_tok").as("tok_n"))
+          .withColumn("min_tok", min(col("tok_n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        clean.join(broadcast(totals), "source")
+          .filter((Dedup.hash60(col("doc_id")) % 1000000L) * col("tok_n")
+            < col("min_tok") * 1000000L)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"))
+      },
+      Some("""WITH toked AS (
+             |  SELECT doc_id, source, lang, text,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                     x -> x != '') AS toks
+             |  FROM documents),
+             |docs AS (
+             |  SELECT doc_id, source, lang, text, toks,
+             |         CAST(len(toks) AS BIGINT) AS n_tok,
+             |         CAST(len(list_distinct(toks)) AS DOUBLE)
+             |           / len(toks) AS dr
+             |  FROM toked),
+             |gated AS (SELECT * FROM docs WHERE dr > 0.6 AND n_tok >= 20),
+             |dedup AS (
+             |  SELECT * FROM (
+             |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keepid
+             |    FROM gated)
+             |  WHERE doc_id = keepid),
+             |bench AS (
+             |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+             |  FROM (SELECT unnest(
+             |          CASE WHEN len(toks) >= 5
+             |               THEN list_distinct(list_transform(
+             |                      range(1, len(toks) - 3),
+             |                      i -> array_to_string(toks[i:i+4], ' ')))
+             |               ELSE [] END) AS g
+             |        FROM toked WHERE doc_id % 100 = 0)),
+             |benchl AS (SELECT list(h) AS bh FROM bench),
+             |clean AS (
+             |  SELECT doc_id, source, lang, n_tok FROM (
+             |    SELECT doc_id, source, lang, n_tok,
+             |           CASE WHEN len(gh) = 0 THEN 0.0
+             |                ELSE CAST(len(list_intersect(gh, bh)) AS DOUBLE)
+             |                     / len(gh) END AS frac
+             |    FROM (SELECT doc_id, source, lang, n_tok, bh,
+             |            list_transform(
+             |              CASE WHEN len(toks) >= 5
+             |                   THEN list_distinct(list_transform(
+             |                          range(1, len(toks) - 3),
+             |                          i -> array_to_string(toks[i:i+4], ' ')))
+             |                   ELSE [] END,
+             |              g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS gh
+             |          FROM dedup CROSS JOIN benchl))
+             |  WHERE frac <= 0.2),
+             |totals AS (
+             |  SELECT source, tok_n, MIN(tok_n) OVER () AS min_tok
+             |  FROM (SELECT source, SUM(n_tok) AS tok_n FROM clean
+             |        GROUP BY source))
+             |SELECT c.source, c.lang,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(c.n_tok) AS BIGINT) AS total_tokens
+             |FROM clean c JOIN totals t ON c.source = t.source
+             |WHERE (('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT
+             |        % 1000000) * t.tok_n < t.min_tok * 1000000
+             |GROUP BY c.source, c.lang""".stripMargin)),
+
+    QueryDef(
       "t75_json_extract", // typed extraction from the events.props JSON column
       (s, d) => t(s, d, "events")
         .select(

@@ -614,6 +614,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"winnowed index ($corpus) must be well under the full gram count ($grams)")
   }
 
+  test("p100 corpus prep: the staged pipeline conserves its gates") {
+    val card = run("p100_corpus_prep").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(card.nonEmpty)
+    card.foreach { case ((src, lang), (n, tok)) =>
+      assert(n > 0, s"($src,$lang) empty cell in the data card")
+      assert(tok >= n * 20, // the quality gate requires >= 20 tokens/doc
+        s"($src,$lang) carries a doc below the 20-token gate")
+    }
+    // gate + dedup + decontamination + sampling can only shrink the corpus
+    val total = card.map(_._2._1).sum
+    assert(total < Graft.table(spark, d, "documents").count())
+  }
+
   test("d95 winnowed near-dup: recovers the full-index pairs") {
     val winnowed = run("d95_winnow_near_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
