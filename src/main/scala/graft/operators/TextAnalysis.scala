@@ -955,6 +955,297 @@ object TextAnalysis {
              |SELECT doc_id, t.source, ntok
              |FROM toks t JOIN tot USING (source) CROSS JOIN mn
              |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-             |        % 1000000) * tok_n < min_tok * 1000000""".stripMargin))
+             |        % 1000000) * tok_n < min_tok * 1000000""".stripMargin)),
+
+    QueryDef(
+      "t89_token_entropy", // per-doc unigram token entropy — the
+                           // Gopher-style "gibberish or natural?" quality
+                           // signal (low entropy = looping/boilerplate,
+                           // max = all-distinct). H = ln n − (1/n)·Σ c·ln c
+                           // with the Σ quantized to integer micro-nats per
+                           // distinct term BEFORE summing (t82's idiom), so
+                           // the aggregate is order-independent and
+                           // engine-exact. Scale shape: ONE doc_id-pinned
+                           // exchange (t79's trick) satisfies both the
+                           // (doc, term) count and the per-doc rollup —
+                           // entropy of a 100 TB corpus is one shuffle of
+                           // (doc_id, term) pairs, no windows, no state
+                           // proportional to doc length anywhere.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+        val terms = docs.select(col("doc_id"),
+            explode(tokens(lower(col("text")))).as("term"))
+          .repartition(col("doc_id"))
+        val counts = terms.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("c"))
+        val ln_n = log(col("n_tokens").cast("double"))
+        counts.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(round(col("c").cast("double") *
+              log(col("c").cast("double")) * 1000000).cast("long")).as("qsum"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(ln_n - col("qsum").cast("double") /
+              (col("n_tokens") * 1000000), 6).as("entropy"),
+            round(when(col("n_tokens") > 1,
+                (ln_n - col("qsum").cast("double") /
+                  (col("n_tokens") * 1000000)) / ln_n)
+              .otherwise(0.0), 6).as("norm_entropy"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           regexp_split_to_array(trim(lower(text)), '\s+'),
+             |           x -> x != '')) AS term
+             |  FROM documents),
+             |counts AS (
+             |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM terms GROUP BY doc_id, term),
+             |per_doc AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |         CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) *
+             |               LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+             |           AS BIGINT) AS qsum
+             |  FROM counts GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_distinct,
+             |       ROUND(LN(CAST(n_tokens AS DOUBLE)) -
+             |             CAST(qsum AS DOUBLE) / (n_tokens * 1000000), 6)
+             |         AS entropy,
+             |       ROUND(CASE WHEN n_tokens > 1 THEN
+             |               (LN(CAST(n_tokens AS DOUBLE)) -
+             |                CAST(qsum AS DOUBLE) / (n_tokens * 1000000)) /
+             |               LN(CAST(n_tokens AS DOUBLE))
+             |             ELSE 0.0 END, 6) AS norm_entropy
+             |FROM per_doc""".stripMargin)),
+
+    QueryDef(
+      "t90_doc_chunks", // sliding-window token chunking (RAG / context-prep):
+                        // size-32 chunks at stride 24 (8-token overlap), a
+                        // doc's last chunk keeps the tail remainder. Pure
+                        // map-side expression work — tokenize, compute the
+                        // chunk count, posexplode the per-chunk structs; at
+                        // 100 TB this is a zero-shuffle scan whose output is
+                        // ~n/24 rows per n-token doc. Chunk identity is the
+                        // md5 of the space-joined window (feeds the d-series
+                        // dedup ops downstream). Empty docs chunk to nothing
+                        // (posexplode and DuckDB unnest both drop []).
+      (s, d) => {
+        val K = 32
+        val S = 24
+        val base = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).as("n"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            when(col("n") <= 0, lit(0))
+              .when(col("n") <= K, lit(1))
+              .otherwise(ceil((col("n") - K).cast("double") / S)
+                .cast("int") + 1).as("nch"))
+        base.select(col("doc_id"), col("toks"), col("n"),
+            posexplode(when(col("nch") > 0,
+                sequence(lit(0), col("nch") - 1))
+              .otherwise(typedLit(Seq.empty[Int]))))
+          .select(col("doc_id"),
+            col("pos").cast("int").as("chunk_idx"),
+            (col("col") * S + 1).cast("int").as("chunk_start"),
+            least(lit(K), col("n") - col("col") * S).cast("int")
+              .as("chunk_len"),
+            md5(concat_ws(" ", slice(col("toks"), col("col") * S + 1, lit(K))))
+              .as("chunk_hash"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |           regexp_split_to_array(trim(text), '\s+'),
+             |           x -> x != '') AS toks
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, toks, CAST(len(toks) AS INT) AS n,
+             |         CASE WHEN len(toks) <= 0 THEN 0
+             |              WHEN len(toks) <= 32 THEN 1
+             |              ELSE CAST(CEIL(CAST(len(toks) - 32 AS DOUBLE) / 24)
+             |                        AS INT) + 1
+             |         END AS nch
+             |  FROM toks)
+             |SELECT doc_id,
+             |       CAST(unnest(range(0, nch)) AS INT) AS chunk_idx,
+             |       CAST(unnest(list_transform(range(0, nch),
+             |              i -> i * 24 + 1)) AS INT) AS chunk_start,
+             |       CAST(unnest(list_transform(range(0, nch),
+             |              i -> LEAST(32, n - i * 24))) AS INT) AS chunk_len,
+             |       unnest(list_transform(range(0, nch),
+             |              i -> md5(array_to_string(
+             |                     toks[(i*24+1):(i*24+32)], ' '))))
+             |         AS chunk_hash
+             |FROM base""".stripMargin)),
+
+    QueryDef(
+      "t91_bm25", // BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf) for
+                  // a fixed query-term set — the ranking complement to t79's
+                  // tf-idf topic signal. Scale shape: ONE doc_id-pinned
+                  // exchange feeds dl, query-term tf, and the final per-doc
+                  // sum (exchange reuse, the d89 pattern); df/idf/avgdl live
+                  // on |query|- and 1-row frames broadcast back. Per-term
+                  // contributions are quantized to integer micro-units
+                  // before the doc sum, idf rounded to 6 before the multiply
+                  // (t79's ln-parity rule), so ranking ties break
+                  // identically on both engines.
+      (s, d) => {
+        // tf for the fixed query terms AND dl computed map-side per doc —
+        // no explode, no (doc, term) blow-up: |query| is small, so per-doc
+        // counting beats shuffling every token occurrence. One exchange
+        // pins the frame; the global stats aggregate and the scorer both
+        // read it (ReuseExchange — join-free on purpose: an equi-join here
+        // would push inferred not-null filters into ONE branch's scan and
+        // break subtree identity, silently re-scanning the corpus; plan-
+        // audited to a single FileScan).
+        val toks = tokens(lower(col("text")))
+        val base = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("dl"),
+            size(filter(col("toks"), t => t === "table")).cast("long").as("tf0"),
+            size(filter(col("toks"), t => t === "spark")).cast("long").as("tf1"),
+            size(filter(col("toks"), t => t === "vector")).cast("long").as("tf2"))
+          .repartition(col("doc_id"))
+        def dfc(tf: String) = sum(when(col(tf) > 0, 1L).otherwise(0L))
+        val stats = base.agg(
+          sum(when(col("dl") > 0, 1L).otherwise(0L)).as("n_d"),
+          sum(col("dl")).as("tot_dl"),
+          dfc("tf0").as("df0"), dfc("tf1").as("df1"), dfc("tf2").as("df2"))
+        // idf/avgdl land on the 1-row side BEFORE the broadcast (the t82
+        // rule: Round allocates a BigDecimal per evaluation)
+        def idf(df: String) = round(log(
+          (col("n_d").cast("double") - col(df) + 0.5) / (col(df) + 0.5) + 1), 6)
+        val istats = stats.select(
+          (col("tot_dl").cast("double") / col("n_d")).as("avgdl"),
+          idf("df0").as("idf0"), idf("df1").as("idf1"), idf("df2").as("idf2"))
+        def qc(tf: String, idfc: String) = when(col(tf) > 0,
+          round(col(idfc) * (col(tf) * 2.2) /
+            (col(tf) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+            * 1000000).cast("long")).otherwise(0L)
+        base.crossJoin(broadcast(istats))
+          .select(col("doc_id"),
+            ((col("tf0") > 0).cast("long") + (col("tf1") > 0).cast("long") +
+              (col("tf2") > 0).cast("long")).as("n_terms"),
+            col("dl"),
+            round((qc("tf0", "idf0") + qc("tf1", "idf1") + qc("tf2", "idf2"))
+              .cast("double") / 1000000, 6).as("score"))
+          // score (not n_terms) as the match predicate: score references the
+          // broadcast stats side, so Catalyst cannot push this filter below
+          // the crossJoin into the corpus scan — which would fork the scan
+          // away from the stats branch and kill the exchange reuse
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             |         CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf0,
+             |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1,
+             |         CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+             |  FROM (SELECT doc_id, list_filter(
+             |          regexp_split_to_array(trim(lower(text)), '\s+'),
+             |          x -> x != '') AS toks
+             |        FROM documents)),
+             |stats AS (
+             |  SELECT CAST(COUNT(*) FILTER (WHERE dl > 0) AS BIGINT) AS n_d,
+             |         CAST(SUM(dl) AS BIGINT) AS tot_dl,
+             |         CAST(COUNT(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+             |         CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+             |         CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2
+             |  FROM base),
+             |istats AS (
+             |  SELECT CAST(tot_dl AS DOUBLE) / n_d AS avgdl,
+             |         ROUND(LN((CAST(n_d AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) + 1), 6) AS idf0,
+             |         ROUND(LN((CAST(n_d AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1), 6) AS idf1,
+             |         ROUND(LN((CAST(n_d AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1), 6) AS idf2
+             |  FROM stats)
+             |SELECT doc_id, n_terms, dl, score FROM (
+             |  SELECT doc_id,
+             |         CAST((tf0 > 0)::INT + (tf1 > 0)::INT + (tf2 > 0)::INT
+             |              AS BIGINT) AS n_terms,
+             |         dl,
+             |         ROUND(CAST(
+             |             (CASE WHEN tf0 > 0 THEN CAST(ROUND(idf0 * (tf0 * 2.2) /
+             |                (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |                * 1000000) AS BIGINT) ELSE 0 END) +
+             |             (CASE WHEN tf1 > 0 THEN CAST(ROUND(idf1 * (tf1 * 2.2) /
+             |                (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |                * 1000000) AS BIGINT) ELSE 0 END) +
+             |             (CASE WHEN tf2 > 0 THEN CAST(ROUND(idf2 * (tf2 * 2.2) /
+             |                (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |                * 1000000) AS BIGINT) ELSE 0 END)
+             |           AS DOUBLE) / 1000000, 6) AS score
+             |  FROM base CROSS JOIN istats)
+             |WHERE score > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "t92_adaptive_quality", // per-language adaptive quality gate: keep the
+                              // top quartile of each language by t71's
+                              // quality score (rank-based exact — CCNet
+                              // filters per-language because a global
+                              // threshold over-prunes low-resource
+                              // languages). rn*4 <= n is the integer-exact
+                              // quartile rule; (quality desc, doc_id) makes
+                              // the kept SET deterministic across ties.
+                              // Scale shape: quality is map-side expression
+                              // work, then one exchange on lang shared by
+                              // the rank and count windows. A language CAN
+                              // dominate a corpus — the per-lang sort is the
+                              // same range-partitioned window t84 documents;
+                              // swap to the two-pass rank-histogram idiom
+                              // (q15's) if a single lang outgrows a task.
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("double")
+        val digits = (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+        val dr = ratio(size(array_distinct(toks)).cast("double"), nTok)
+        val scored = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            round(greatest(lit(0.0),
+              lit(1.0) - ratio(punct, nChars) * 5 - ratio(digits, nChars) * 2)
+              * dr, 6).as("quality"))
+        val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        scored
+          .withColumn("rn", row_number().over(
+            byLang.orderBy(col("quality").desc_nulls_last, col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(byLang))
+          .filter(col("rn") * 4 <= col("n"))
+          .groupBy("lang")
+          .agg(min(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
+            min(col("quality")).as("q_threshold"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |         ROUND(GREATEST(0.0,
+             |             1.0 - punct / n_chars * 5 - digits / n_chars * 2)
+             |           * dr, 6) AS quality
+             |  FROM (SELECT doc_id, lang,
+             |          CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             |          CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+             |               '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+             |          CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+             |               '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+             |          CAST(len(list_distinct(toks)) AS DOUBLE)
+             |            / CAST(len(toks) AS DOUBLE) AS dr
+             |        FROM (SELECT doc_id, lang, text,
+             |                list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                            x -> x != '') AS toks
+             |              FROM documents))),
+             |ranked AS (
+             |  SELECT lang, quality,
+             |         ROW_NUMBER() OVER (PARTITION BY lang
+             |           ORDER BY quality DESC NULLS LAST, doc_id) AS rn,
+             |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM scored)
+             |SELECT lang, CAST(MIN(n) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |       MIN(quality) AS q_threshold
+             |FROM ranked WHERE rn * 4 <= n GROUP BY lang""".stripMargin))
   )
 }

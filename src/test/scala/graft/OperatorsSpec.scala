@@ -664,6 +664,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "decorrelation must not cross-join")
   }
 
+  test("t89 entropy: bounded by ln(n), all-distinct doc saturates it") {
+    val rows = run("t89_token_entropy").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, dist, h, norm) =>
+      assert(dist <= n)
+      assert(h >= -1e-6 && h <= math.log(n.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($n)]")
+      assert(norm >= -1e-6 && norm <= 1.000001)
+      // H = ln n exactly when every token is distinct (quantization-exact)
+      if (dist == n && n > 1) assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
+  test("t90 chunks: windows tile each doc — stride 24, full tail coverage") {
+    val byDoc = run("t90_doc_chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nTok = Graft.table(spark, d, "documents")
+      .select(col("doc_id"), size(operators.TextAnalysis.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._2 == 0 && sorted.last._2 == sorted.length - 1,
+        s"doc $doc chunk_idx not contiguous from 0")
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start == idx * 24 + 1)
+        assert(len >= 1 && len <= 32)
+      }
+      // the final window reaches exactly the last token
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 == nTok(doc),
+        s"doc $doc tail not covered")
+      // every non-final window is full-size (32)
+      sorted.init.foreach { case (_, _, _, len) => assert(len == 32) }
+    }
+  }
+
+  test("t91 bm25: top-20 ranked descending, one corpus scan via stage reuse") {
+    val df = run("t91_bm25")
+    val rows0 = df.collect() // execute first: AQE reuse is a RUNTIME decision
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+        || plan.contains("TableCacheQueryStage"),
+      s"stats and scorer must share ONE corpus scan via the pinned exchange\n$plan")
+    val rows = rows0
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, nTerms, dl, score) =>
+      assert(nTerms >= 1 && nTerms <= 3)
+      assert(dl > 0)
+      assert(score > 0)
+    }
+    val scores = rows.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "results must arrive ranked by score descending")
+  }
+
+  test("t92 adaptive gate: keeps exactly the top quartile per language") {
+    val rows = run("t92_adaptive_quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, kept, thr) =>
+      assert(kept == n / 4, s"$lang kept $kept of $n, expected ${n / 4}")
+      assert(thr >= 0.0 && thr <= 1.000001)
+    }
+    // per-language thresholds genuinely differ from a single global cut —
+    // the reason the gate is adaptive (CCNet): at least two languages
+    // disagree on where the quartile falls
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+
   test("pathological corpus: every text/dedup/similarity/multimodal operator " +
       "survives empty docs, whitespace-only docs, and zero vectors") {
     // at 100 TB these rows EXIST: a scraped corpus contains empty documents,
