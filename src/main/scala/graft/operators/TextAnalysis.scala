@@ -61,6 +61,36 @@ object TextAnalysis {
         .otherwise(typedLit(Seq.empty[Long])).as("fps"))
   }
 
+  /** Sliding-window token chunks from a (doc_id, text) frame — t90's
+    * kernel, shared with the streaming ingest path
+    * ([[graft.streaming.DocStreams.chunkDocs]]): size-`k` windows at
+    * stride `s`, the last window keeps the tail remainder, empty docs
+    * chunk to nothing. Pure map-side expression work (tokenize → chunk
+    * count → posexplode), so the same plan is valid over a static frame
+    * and a micro-batch. */
+  private[graft] def chunkDocs(df: DataFrame, k: Int = 32, s: Int = 24)
+      : DataFrame = {
+    val base = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        when(col("n") <= 0, lit(0))
+          .when(col("n") <= k, lit(1))
+          .otherwise(ceil((col("n") - k).cast("double") / s)
+            .cast("int") + 1).as("nch"))
+    base.select(col("doc_id"), col("toks"), col("n"),
+        posexplode(when(col("nch") > 0,
+            sequence(lit(0), col("nch") - 1))
+          .otherwise(typedLit(Seq.empty[Int]))))
+      .select(col("doc_id"),
+        col("pos").cast("int").as("chunk_idx"),
+        (col("col") * s + 1).cast("int").as("chunk_start"),
+        least(lit(k), col("n") - col("col") * s).cast("int")
+          .as("chunk_len"),
+        md5(concat_ws(" ", slice(col("toks"), col("col") * s + 1, lit(k))))
+          .as("chunk_hash"))
+  }
+
   /** t88's oracle CTE chain (doc_id, fps list) — shared by d95. */
   private[operators] val winnowCtes =
     """toks AS (
@@ -1029,30 +1059,7 @@ object TextAnalysis {
                         // md5 of the space-joined window (feeds the d-series
                         // dedup ops downstream). Empty docs chunk to nothing
                         // (posexplode and DuckDB unnest both drop []).
-      (s, d) => {
-        val K = 32
-        val S = 24
-        val base = Graft.tableParallel(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            size(col("toks")).as("n"))
-          .select(col("doc_id"), col("toks"), col("n"),
-            when(col("n") <= 0, lit(0))
-              .when(col("n") <= K, lit(1))
-              .otherwise(ceil((col("n") - K).cast("double") / S)
-                .cast("int") + 1).as("nch"))
-        base.select(col("doc_id"), col("toks"), col("n"),
-            posexplode(when(col("nch") > 0,
-                sequence(lit(0), col("nch") - 1))
-              .otherwise(typedLit(Seq.empty[Int]))))
-          .select(col("doc_id"),
-            col("pos").cast("int").as("chunk_idx"),
-            (col("col") * S + 1).cast("int").as("chunk_start"),
-            least(lit(K), col("n") - col("col") * S).cast("int")
-              .as("chunk_len"),
-            md5(concat_ws(" ", slice(col("toks"), col("col") * S + 1, lit(K))))
-              .as("chunk_hash"))
-      },
+      (s, d) => chunkDocs(Graft.tableParallel(s, d, "documents")),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(
              |           regexp_split_to_array(trim(text), '\s+'),

@@ -145,6 +145,16 @@ object DocStreams {
       }).toDF()
   }
 
+  /** Streaming sliding-window chunking — the live twin of batch
+    * `t90_doc_chunks`, on the ingest direction: arriving documents split
+    * into size-32/stride-24 token windows (RAG/context prep at ingest
+    * time, before the corpus ever lands). Delegates to the SAME kernel as
+    * the batch operator ([[graft.operators.TextAnalysis.chunkDocs]]) —
+    * pure map-side expression work, no watermark, no state, so a chunked
+    * doc is emitted in the micro-batch its source row arrives in. */
+  def chunkDocs(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.chunkDocs(docs)
+
   /** Running data-mixture report on a document stream — the live twin of
     * batch `t83_mixture_report`: per (source, lang) document/token/char
     * counts, updated every micro-batch (drive with update/complete output

@@ -285,6 +285,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); () }
   }
 
+  test("chunkDocs: streamed docs chunk identically to batch t90; " +
+      "emission is stateless (same micro-batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, Seq.range(0, 80).map(i => s"w$i").mkString(" ")), // 80 toks → 3 chunks
+      (2L, "short doc"),                                     // 1 chunk
+      (3L, ""))                                              // 0 chunks
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.chunkDocs(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      src.addData(rows); q.processAllAvailable()
+      val out = spark.table("chunks").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4))).toSet
+      // stream == batch: identical kernel over a static frame
+      val batch = streaming.DocStreams.chunkDocs(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getString(4))).toSet
+      assert(out == batch)
+      assert(out.count(_._1 == 1L) == 3 && out.count(_._1 == 2L) == 1 &&
+        !out.exists(_._1 == 3L))
+      // the tail chunk of doc 1 starts at 49 and carries 32 tokens (80-48)
+      assert(out.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)) ==
+        Set((0, 1, 32), (1, 25, 32), (2, 49, 32)))
+    } finally { q.stop(); () }
+  }
+
   test("streaming transforms survive a degenerate document stream") {
     // the ingest path sees what a real crawler emits: empty docs,
     // whitespace-only docs, single tokens, unicode — none may kill a
