@@ -1155,6 +1155,32 @@ object Relational {
              |  AND l_quantity < 0.2 * (
              |    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |             / COUNT(*)
-             |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
+             |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)),
+
+    QueryDef(
+      "q69_histogram", // equi-width histogram (width_bucket-style binning) —
+                       // the profiling primitive behind every optimizer
+                       // stats collector and data-quality dashboard. Bucket
+                       // assignment is map-side integer math on the scan,
+                       // the groupBy moves one partial row per (flag,
+                       // bucket) per partition, counts are exact integers:
+                       // a 100 TB histogram is one scan + a 60-row shuffle.
+      (s, d) => {
+        val bucket = least(floor(col("l_extendedprice") / 10000), lit(9))
+          .cast("int")
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), bucket.as("bucket"),
+            col("l_extendedprice"))
+          .groupBy("l_returnflag", "bucket")
+          .agg(count(lit(1)).as("n"),
+            sumd(col("l_extendedprice")).as("bucket_value"))
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(LEAST(FLOOR(l_extendedprice / 10000), 9) AS INT)
+             |         AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |         AS bucket_value
+             |FROM lineitem GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -648,6 +648,97 @@ object Similarity {
               |  SELECT LEAST(vec_id, nbr) AS v1, GREATEST(vec_id, nbr) AS v2,
               |         COUNT(*) AS cnt, MIN(sim) AS msim
               |  FROM knn GROUP BY 1, 2)
-              |WHERE cnt = 2""".stripMargin))
+              |WHERE cnt = 2""".stripMargin)),
+
+    QueryDef(
+      "s97_embed_quantize", // int8 scalar quantization of the embedding
+                            // store — the compression step a 100 TB vector
+                            // corpus ships before ANN serving (4x smaller
+                            // than f32, distance-preserving to ~1/512 of
+                            // each dimension's span). Per-dim min/max are
+                            // aggregated from a posexploded branch whose
+                            // partial agg collapses to |dims| rows per
+                            // partition map-side (the shuffle carries 64
+                            // rows x partitions, NOT rows x dims), pivoted
+                            // into two arrays on ONE row and broadcast;
+                            // codes + reconstruction error are then pure
+                            // map-side array math. The stats and coder
+                            // branches are TWO pruned parquet scans on
+                            // purpose — NOT a t91-style shared exchange:
+                            // here the shareable frame is as large as the
+                            // input, so materializing it to shuffle disk to
+                            // save a columnar re-read costs more I/O than
+                            // the second scan at any corpus size. Zero
+                            // rows-sized exchanges anywhere (spec-pinned).
+                            // All arithmetic is integer micro-units until
+                            // the final rounded division: engine-exact at
+                            // any partitioning.
+      (s, d) => {
+        val base = quantizedVecs(s, d)
+        // per-dim stats: explode AFTER the exchange; partial min/max means
+        // the shuffle above this agg moves |dims| rows per task
+        val stats = base
+          .select(posexplode(col("vq")))
+          .groupBy(col("pos").as("j"))
+          .agg(min(col("col")).as("minq"), max(col("col")).as("maxq"))
+          .agg(sort_array(collect_list(struct(col("j"), col("minq"))))
+            .as("mins0"),
+            sort_array(collect_list(struct(col("j"), col("maxq"))))
+              .as("maxs0"))
+          .select(transform(col("mins0"), m => m("minq")).as("mins"),
+            transform(col("maxs0"), m => m("maxq")).as("maxs"))
+        base.crossJoin(broadcast(stats))
+          .select(col("vec_id"), col("vq"), col("mins"), col("maxs"),
+            transform(col("vq"), (x, i) => {
+              val mn = element_at(col("mins"), i + 1)
+              val mx = element_at(col("maxs"), i + 1)
+              when(mx === mn, 0L).otherwise(
+                round((x - mn).cast("double") * 255.0 /
+                  (mx - mn).cast("double")).cast("long"))
+            }).as("codes"))
+          .select(col("vec_id"),
+            size(col("vq")).as("n_dims"),
+            aggregate(col("codes"), lit(0L), (acc, c) => acc + c)
+              .as("code_sum"),
+            // recon_j = min_j + code_j*span_j/255 (micro-units); |err|
+            // rounds to an integer micro-unit per dim BEFORE the fold, so
+            // the sum is order-free and engine-exact
+            round(aggregate(
+              zip_with(
+                transform(col("codes"), (c, i) => {
+                  val mn = element_at(col("mins"), i + 1)
+                  val mx = element_at(col("maxs"), i + 1)
+                  mn.cast("double") + c.cast("double") *
+                    (mx - mn).cast("double") / 255.0
+                }),
+                col("vq"),
+                (r, x) => round(abs(r - x.cast("double"))).cast("long")),
+              lit(0L), (acc, e) => acc + e).cast("double") /
+              (size(col("vq")) * 1000000), 6).as("mean_abs_err"))
+      },
+      Some("""WITH comp AS (
+              |  SELECT vec_id, j - 1 AS j0,
+              |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+              |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+              |               generate_subscripts(embedding, 1) AS j
+              |        FROM embeddings)),
+              |stats AS (
+              |  SELECT j0, MIN(xq) AS minq, MAX(xq) AS maxq
+              |  FROM comp GROUP BY j0),
+              |coded AS (
+              |  SELECT vec_id, xq, minq, maxq,
+              |         CASE WHEN maxq = minq THEN 0
+              |              ELSE CAST(ROUND(CAST(xq - minq AS DOUBLE) * 255.0 /
+              |                   CAST(maxq - minq AS DOUBLE)) AS BIGINT)
+              |         END AS code
+              |  FROM comp JOIN stats USING (j0))
+              |SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
+              |       CAST(SUM(code) AS BIGINT) AS code_sum,
+              |       ROUND(CAST(SUM(CAST(ROUND(ABS(
+              |             (CAST(minq AS DOUBLE) + CAST(code AS DOUBLE) *
+              |              CAST(maxq - minq AS DOUBLE) / 255.0) - xq))
+              |           AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000), 6)
+              |         AS mean_abs_err
+              |FROM coded GROUP BY vec_id""".stripMargin))
   )
 }

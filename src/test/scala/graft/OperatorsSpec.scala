@@ -737,6 +737,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length > 1)
   }
 
+  test("s97 quantization: codes bounded, error under the half-step bound, " +
+      "no corpus-sized exchange") {
+    val df = run("s97_embed_quantize")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // scale shape: the only exchanges are the |dims|-row stats rollup and
+    // its broadcast — never a corpus-sized repartition (shuffling rows*dims
+    // to save a pruned columnar re-scan would cost more I/O than it saves)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"no corpus-sized exchange may appear in the quantizer plan\n$plan")
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDims, codeSum, err) =>
+      assert(nDims == 64)
+      assert(codeSum >= 0 && codeSum <= 255L * nDims, "codes must fit uint8")
+      assert(err >= 0)
+    }
+    // int8 reconstruction error is bounded by half a quantization step of
+    // the widest dimension: max_j (span_j / 255 / 2), in original units
+    val stats = Graft.table(spark, d, "embeddings")
+      .select(posexplode(col("embedding")))
+      .groupBy("pos").agg(max(col("col")).as("mx"), min(col("col")).as("mn"))
+      .select(max(col("mx") - col("mn"))).head().getFloat(0)
+    val bound = stats / 255.0 / 2.0 + 1e-6
+    rows.foreach { case (id, _, _, err) =>
+      assert(err <= bound, s"vec $id mean_abs_err $err exceeds half-step $bound")
+    }
+  }
+
+  test("q69 histogram: buckets partition the table, totals conserved") {
+    val rows = run("q69_histogram").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, b, n) =>
+      assert(b >= 0 && b <= 9); assert(n > 0)
+    }
+    // no (flag, bucket) cell may appear twice, and the histogram counts
+    // must add back up to the full table — binning drops nothing
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    assert(rows.map(_._3).sum == Graft.table(spark, d, "lineitem").count())
+  }
+
   test("pathological corpus: every text/dedup/similarity/multimodal operator " +
       "survives empty docs, whitespace-only docs, and zero vectors") {
     // at 100 TB these rows EXIST: a scraped corpus contains empty documents,
