@@ -375,22 +375,43 @@ object TextAnalysis {
           .select(explode(Dedup.shingles(col("text"), 5)).as("g"))
           .select(Dedup.hash60(col("g")).as("h"))
           .agg(collect_set(col("h")).as("bench")) // 1 row, broadcast
-        val clean = deduped.crossJoin(broadcast(benchArr))
-          .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
-            transform(Dedup.shingles(col("text"), 5),
-              g => Dedup.hash60(g)).as("gh"), col("bench"))
-          .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
-            when(size(col("gh")) === 0, 0.0)
-              .otherwise(size(array_intersect(col("gh"), col("bench")))
-                .cast("double") / size(col("gh")).cast("double"))
-              .as("frac"))
-          .filter(col("frac") <= 0.2)
-        val totals = clean.groupBy("source").agg(sum("n_tok").as("tok_n"))
+        // gram hashes land as a materialized column BELOW the crossJoin:
+        // computed beside `bench` in one select, CollapseProject inlines
+        // the whole shingle+md5 chain into the join condition and
+        // re-evaluates it THREE times per row (audited); across a join
+        // boundary the condition can only reference the attribute
+        val hashed = deduped.select(col("doc_id"), col("source"),
+          col("lang"), col("n_tok"),
+          transform(Dedup.shingles(col("text"), 5),
+            g => Dedup.hash60(g)).as("gh"))
+        val clean = hashed.crossJoin(broadcast(benchArr))
+          // integer form of frac <= 0.2 (exactly equivalent; one intersect)
+          .filter(size(col("gh")) === 0 ||
+            size(array_intersect(col("gh"), col("bench"))) * 5 <= size(col("gh")))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_tok"))
+          // pin ONE materialization of the gate→dedup→decontam chain: the
+          // budget totals and the sampling join both read this exchange
+          // (otherwise the whole chain re-executes per consumer);
+          // source-hash satisfies the totals groupBy, the join, AND the
+          // final (source, lang) card, so no further shuffle runs
+          .repartition(col("source"))
+        val totals = clean.groupBy("source")
+          .agg(sum("n_tok").as("tok_n"),
+            // zero-valued anchors: doc_id >= 0 and length(lang) >= 0, so
+            // both `least` terms are 0 at runtime — but the optimizer
+            // cannot prove it, so this branch keeps reading doc_id and
+            // lang and column pruning projects its copy of `clean`
+            // IDENTICALLY to the sampling branch's. Asymmetric pruning
+            // below the pinned exchange would fork the subtrees and kill
+            // the runtime stage reuse (a dropped-column anchor gets
+            // eliminated; these flow into the threshold, so they stay).
+            least(min(col("doc_id")), lit(0L)).as("z1"),
+            least(min(length(col("lang"))).cast("long"), lit(0L)).as("z2"))
           .withColumn("min_tok", min(col("tok_n")).over(
             org.apache.spark.sql.expressions.Window.partitionBy()))
         clean.join(broadcast(totals), "source")
           .filter((Dedup.hash60(col("doc_id")) % 1000000L) * col("tok_n")
-            < col("min_tok") * 1000000L)
+            < col("min_tok") * 1000000L + col("z1") + col("z2"))
           .groupBy("source", "lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("total_tokens"))
