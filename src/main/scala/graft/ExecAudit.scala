@@ -13,7 +13,10 @@ object ExecAudit {
       // drive THIS DataFrame's QueryExecution (df.write would plan a fresh
       // one and leave this plan un-finalized, hiding every AQE decision)
       df.queryExecution.toRdd.foreach(_ => ())
+      // the adaptive plan string appends "== Initial Plan ==" after the
+      // final plan — count only the final section or every number doubles
       val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       println(s"========== $n ==========")
       println(s"reused_exchanges=${p.sliding("ReusedExchange".length).count(_ == "ReusedExchange")} " +
         s"scans=${p.sliding("Scan parquet".length).count(_ == "Scan parquet")}")

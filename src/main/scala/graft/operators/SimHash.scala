@@ -105,13 +105,26 @@ object SimHash {
         // expand back to doc pairs at the end — the banded join is quadratic
         // in bucket size, and bucket sizes shrink by the clustering factor.
         // NO persist: a cache here outlives the query (executor memory debt
-        // bleeding into neighbors — measured on d82 in round 2). The three
-        // self/cross joins all hash-partition on `simhash` over the same
-        // subtree, so ReuseExchange ships the signature frame once; only
-        // the DISTINCT branch recomputes the map-side kernel (~0.2 s).
+        // bleeding into neighbors — measured on d82 in round 2). Instead,
+        // ONE simhash-hash exchange is pinned under every consumer — the
+        // distinct, both candidate-expansion joins, and the same-signature
+        // self-join all require simhash clustering, so AQE stage reuse
+        // materializes the signature kernel once (executed-plan audited:
+        // the corpusNear union was running 3× = 6 corpus scans before).
+        // explicit not-null INSIDE the shared subtree: the equi-join
+        // consumers infer isnotnull(simhash) and would otherwise push it
+        // below only THEIR exchange copies, forking the subtree away from
+        // the distinct branch's (the t91 scan-fork mechanics)
         val sig = signatures(corpusNear(s, d))
-        val uniq = sig.select("simhash").distinct()
-        val bands = uniq.select(col("simhash"),
+          .filter(col("simhash").isNotNull)
+          .repartition(col("simhash"))
+        // zero-valued anchor (doc_id >= 0, opaque to the optimizer): keeps
+        // the distinct branch reading doc_id so column pruning projects
+        // its copy of `sig` identically to the join branches' — see the
+        // p100 commit for the fork mechanics
+        val uniq = sig.groupBy("simhash")
+          .agg(least(min(col("doc_id")), lit(0L)).as("z"))
+        val bands = uniq.select(col("simhash"), col("z"),
           posexplode(array((0 until Bands).map(b =>
             shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
             .as(Seq("band", "band_val")))
@@ -120,8 +133,12 @@ object SimHash {
               col("a.band_val") === col("b.band_val") &&
               col("a.simhash") < col("b.simhash"))
           .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"),
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-          .filter(col("hamming") <= 6)
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"),
+            // BOTH sides' anchors: referencing only a.z lets pruning drop
+            // doc_id from the b-side band subtree and fork it
+            (col("a.z") + col("b.z")).as("z"))
+          .filter(col("hamming") <= lit(6) + col("z"))
+          .select(col("s1"), col("s2"), col("hamming"))
           .distinct()
         val crossSig = sigPairs
           .join(sig.as("x"), col("s1") === col("x.simhash"))
