@@ -378,29 +378,57 @@ object Dedup {
         val k = 5
         val docs = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
         val toks = TextAnalysis.tokens(col("text"))
+        // the % filter is NOT parquet-pushable, so every consumer of the
+        // sample re-reads the FULL corpus — pin one exchange (1% of rows)
+        // that both benchmark union legs reuse (executed-plan audited:
+        // 3 full-corpus scans for the benchmark side before, 1 after)
         val sample = docs.filter(col("doc_id") % 100 === 0)
-        val bench = sample.select((col("doc_id") + 1000000).as("bench_id"),
+          .repartition(col("doc_id"))
+        // coalesce makes bench_id NON-NULLABLE (doc_id is never null, so
+        // the value is unchanged): without it the bench_id left join
+        // infers isnotnull on the totals branch only, which rewrites to
+        // DIFFERENT per-leg predicates (isnotnull(doc_id + 1000000) vs
+        // +2000000) below the sample exchange and forks every copy
+        val bench = sample.select(
+            coalesce(col("doc_id") + 1000000, lit(-1L)).as("bench_id"),
             concat_ws(" ",
               slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text"))
-          .union(sample.select((col("doc_id") + 2000000).as("bench_id"),
+          .union(sample.select(
+            coalesce(col("doc_id") + 2000000, lit(-1L)).as("bench_id"),
             concat_ws(" ", reverse(toks)).as("text")))
+        // pinned once more after the shingle pass: the gram-explode branch
+        // and the per-doc totals branch both read this (benchmark-sized)
+        // exchange; the zero-valued anchors below keep column pruning
+        // symmetric across the two branches (p100 fork mechanics)
+        // grams are hashed BEFORE the pin so the exchange ships 8-byte
+        // longs, not 5-token strings (the d82 posting-list idiom)
         val benchDocs = bench
-          .select(col("bench_id"), shingles(col("text"), k).as("grams"))
+          .select(col("bench_id"),
+            transform(shingles(col("text"), k), g => hash60(g)).as("grams"))
           .select(col("bench_id"), size(col("grams")).as("n_grams"),
             col("grams"))
+          .repartition(col("bench_id"))
+        // explode_OUTER: plain explode makes InferFiltersFromGenerate push
+        // `size(grams) > 0` below only THIS branch's copy of the pinned
+        // exchange, forking it from the totals branch's (trap #2). The
+        // null rows an outer explode emits carry h = NULL and drop at the
+        // inner gram join — same result, symmetric subtrees.
         val benchGrams = benchDocs
-          .select(col("bench_id"), explode(col("grams")).as("g"))
-          .select(col("bench_id"), hash60(col("g")).as("h"))
+          .select(col("bench_id"), col("n_grams"),
+            explode_outer(col("grams")).as("h"))
         val corpusGrams = docs
           .select(explode(shingles(col("text"), k)).as("g"))
           .select(hash60(col("g")).as("h"))
         val hits = corpusGrams.join(broadcast(benchGrams), "h")
-          .groupBy("bench_id").agg(countDistinct(col("h")).as("n_hit"))
-        benchDocs.select("bench_id", "n_grams")
+          .groupBy("bench_id").agg(countDistinct(col("h")).as("n_hit0"),
+            least(min(col("n_grams")), lit(0L)).as("z"))
+          .select(col("bench_id"), (col("n_hit0") + col("z")).as("n_hit"))
+        benchDocs.select(col("bench_id"), col("n_grams"),
+            least(size(col("grams")), lit(0)).as("z2"))
           .join(hits, Seq("bench_id"), "left")
           .select(col("bench_id"), col("n_grams"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            (coalesce(col("n_hit"), lit(0L)) + col("z2")).as("n_hit"),
+            round((coalesce(col("n_hit"), lit(0L)) + col("z2")).cast("double") /
               col("n_grams").cast("double"), 6).as("contamination"))
           .withColumn("contaminated", col("contamination") >= 0.5)
       },
