@@ -1181,6 +1181,55 @@ object Relational {
              |       CAST(COUNT(*) AS BIGINT) AS n,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              |         AS bucket_value
-             |FROM lineitem GROUP BY 1, 2""".stripMargin))
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q70_ohlc", // time-series resample: per (hour, event_type) OHLC bars
+                  // (open/high/low/close + count) — the downsampling shape
+                  // every metrics store runs. Open/close are picked by
+                  // row_number over (ts, event_id) — a deterministic TOTAL
+                  // order, where min_by/max_by would tie-break
+                  // arbitrarily — and both windows share one (hour, type)
+                  // exchange. Values are carried, never summed, so there
+                  // is no float-order hazard at any partitioning.
+                  // Timestamp comparisons run at microsecond precision in
+                  // both engines (the oracle downcasts its nanosecond
+                  // parquet timestamps, the q64 rule).
+      (s, d) => {
+        val hour = date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss")
+        val wAsc = Window.partitionBy("hour", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy("hour", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .select(hour.as("hour"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+          .withColumn("rn_a", row_number().over(wAsc))
+          .withColumn("rn_d", row_number().over(wDesc))
+          .groupBy("hour", "event_type")
+          .agg(count(lit(1)).as("n"),
+            max(when(col("rn_a") === 1, col("value"))).as("open"),
+            max(when(col("rn_d") === 1, col("value"))).as("close"),
+            min(col("value")).as("low"),
+            max(col("value")).as("high"))
+      },
+      Some("""WITH base AS (
+             |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             |           AS hour,
+             |         event_type, ts::TIMESTAMP AS ts, event_id, value
+             |  FROM events),
+             |r AS (
+             |  SELECT *,
+             |         ROW_NUMBER() OVER (PARTITION BY hour, event_type
+             |           ORDER BY ts, event_id) AS rn_a,
+             |         ROW_NUMBER() OVER (PARTITION BY hour, event_type
+             |           ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM base)
+             |SELECT hour, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+             |       MIN(value) AS low, MAX(value) AS high
+             |FROM r GROUP BY hour, event_type""".stripMargin))
   )
 }

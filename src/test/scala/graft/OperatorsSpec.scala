@@ -779,6 +779,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == Graft.table(spark, d, "lineitem").count())
   }
 
+  test("q70 ohlc: bar invariants hold, events conserved") {
+    val rows = run("q70_ohlc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (hour, typ, n, open, close, low, high) =>
+      assert(n > 0)
+      assert(low <= high, s"($hour,$typ) low > high")
+      assert(open >= low && open <= high, s"($hour,$typ) open outside bar")
+      assert(close >= low && close <= high, s"($hour,$typ) close outside bar")
+      if (n == 1) assert(open == close && low == high)
+    }
+    // resampling drops nothing: bar counts add back up to the event table
+    assert(rows.map(_._3).sum == Graft.table(spark, d, "events").count())
+  }
+
+  test("plan shapes hold at runtime: p100 and d88 materialize their shared " +
+      "chains once (executed-plan regression guard)") {
+    // these shapes regressed silently before: CollapseProject inlining,
+    // asymmetric column pruning, and inferred not-null filters all fork a
+    // pinned exchange without failing any correctness gate. Execute the
+    // query (AQE reuse is a runtime decision) and assert on the FINAL plan.
+    def finalPlan(name: String) = {
+      val df = run(name)
+      df.queryExecution.toRdd.foreach(_ => ())
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val p100 = finalPlan("p100_corpus_prep")
+    assert(p100.contains("ReusedExchange"),
+      "p100's gate->dedup->decontam chain must materialize once")
+    val d88 = finalPlan("d88_decontamination")
+    val scans = d88.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans <= 2,
+      s"d88 must read the corpus once and the sample once, saw $scans scans")
+    assert(d88.contains("ReusedExchange"),
+      "d88's benchmark derivation must be shared, not re-derived")
+    spark.catalog.clearCache()
+  }
+
   test("pathological corpus: every text/dedup/similarity/multimodal operator " +
       "survives empty docs, whitespace-only docs, and zero vectors") {
     // at 100 TB these rows EXIST: a scraped corpus contains empty documents,
