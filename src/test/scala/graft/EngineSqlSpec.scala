@@ -160,6 +160,24 @@ class EngineSqlSpec extends AnyFunSuite {
                 event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q70_ohlc" ->
+      """WITH base AS (
+           SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')
+                    AS hour,
+                  event_type, ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY hour, event_type
+                    ORDER BY ts, event_id) AS rn_a,
+                  ROW_NUMBER() OVER (PARTITION BY hour, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM base)
+         SELECT hour, event_type, COUNT(*) AS n,
+                MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                MIN(value) AS low, MAX(value) AS high
+         FROM r GROUP BY hour, event_type""",
     "q61_sessionize" ->
       """SELECT user_id, session_idx, COUNT(*) AS n_events,
                 date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
