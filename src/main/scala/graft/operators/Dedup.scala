@@ -661,7 +661,15 @@ object Dedup {
     */
   private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     val ndocs = docs.select(count(lit(1)).as("ndocs"))
+    // explicit not-null INSIDE the shared chain: the posting self-join's
+    // a.doc_id < b.doc_id infers isnotnull(doc_id) below only ITS copies
+    // of the per-doc set exchange, forking them from the df branch's
+    // (the t91 scan-fork mechanics; executed-plan audited). Local[32]
+    // wall-clock is neutral — idle cores absorbed the duplicate pass —
+    // but total work halves, which is what a saturated 1000-executor
+    // cluster pays for.
     val sh = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     // Text is parsed/hashed ONCE into per-doc shingle SETS (collect_set
@@ -683,7 +691,14 @@ object Dedup {
     // sizes join at the end). This is the template for any df-threshold
     // operator at 100 TB: the skewed keys leave the plan before any
     // join key is formed.
-    val hotArr = byDoc.select(explode(col("hs")).as("s"))
+    // explode_OUTER + filter-above: a plain explode here makes
+    // InferFiltersFromGenerate push size(hs) > 0 below only THIS branch's
+    // copy of the per-doc set exchange, forking it from the posting
+    // branches' (executed-plan audited: the corpus tokenize+shingle chain
+    // ran twice). The filter on the generator OUTPUT stays above the
+    // generate, so the shared subtree is untouched.
+    val hotArr = byDoc.select(explode_outer(col("hs")).as("s"))
+      .filter(col("s").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
       .filter(col("df") * 20 > col("ndocs"))
