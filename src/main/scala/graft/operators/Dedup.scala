@@ -632,7 +632,64 @@ object Dedup {
              |              FROM documents)
              |        WHERE len(t) >= 10))
              |GROUP BY g
-             |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin))
+             |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    QueryDef(
+      "d96_transitivity_audit", // dedup-graph quality metric: the global
+                                // clustering coefficient of the near-dup
+                                // graph (closed wedges / wedges). Genuine
+                                // near-duplication is highly transitive —
+                                // A~B and B~C usually implies A~C — so a
+                                // LOW closure on a candidate graph means
+                                // hash-collision noise is inflating the
+                                // pair set (the audit one runs before
+                                // trusting d87's components). Scale shape:
+                                // wedge generation is an equi-join on the
+                                // shared node id (wedges at a node =
+                                // deg², bounded by the largest dup
+                                // cluster; AQE skew-split covers a
+                                // pathological one), closure is one more
+                                // equi-join against the canonical edge
+                                // list, and everything past the pair
+                                // generator moves fixed-width id pairs.
+                                // All counts exact integers; the one ratio
+                                // rounds at 6.
+      (s, d) => {
+        val e = minhashPairs(s, d).select(col("d1"), col("d2")) // d1 < d2
+        val sym = e.select(col("d1").as("n"), col("d2").as("m"))
+          .union(e.select(col("d2").as("n"), col("d1").as("m")))
+        val w = sym.as("u").join(sym.as("v"),
+            col("u.n") === col("v.n") && col("u.m") < col("v.m"))
+          .select(col("u.m").as("x"), col("v.m").as("y"))
+        val closed = w.join(e, col("x") === col("d1") && col("y") === col("d2"))
+          .select(count(lit(1)).as("n_closed"))
+        val wedges = w.select(count(lit(1)).as("n_wedges"))
+        val edges = e.select(count(lit(1)).as("n_edges"))
+        edges.crossJoin(wedges).crossJoin(closed)
+          .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+            (col("n_closed").cast("double") / 3).cast("long").as("n_triangles"),
+            round(when(col("n_wedges") === 0, 0.0)
+              .otherwise(col("n_closed").cast("double") / col("n_wedges")), 6)
+              .as("closure"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |pairs AS ($minhashPairsSelect),
+              |e AS (SELECT d1, d2 FROM pairs),
+              |sym AS (SELECT d1 AS n, d2 AS m FROM e
+              |        UNION ALL SELECT d2 AS n, d1 AS m FROM e),
+              |w AS (SELECT u.m AS x, v.m AS y
+              |      FROM sym u JOIN sym v ON u.n = v.n AND u.m < v.m),
+              |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_closed
+              |      FROM w JOIN e ON w.x = e.d1 AND w.y = e.d2),
+              |tw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM w),
+              |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+              |SELECT n_edges, n_wedges, n_closed,
+              |       CAST(CAST(n_closed AS DOUBLE) / 3 AS BIGINT)
+              |         AS n_triangles,
+              |       ROUND(CASE WHEN n_wedges = 0 THEN 0.0
+              |                  ELSE CAST(n_closed AS DOUBLE) / n_wedges END,
+              |             6) AS closure
+              |FROM ne CROSS JOIN tw CROSS JOIN c""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

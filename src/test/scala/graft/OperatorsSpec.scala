@@ -779,6 +779,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == Graft.table(spark, d, "lineitem").count())
   }
 
+  test("d96 transitivity audit: graph identities hold, planted dups close") {
+    val r = run("d96_transitivity_audit").head()
+    val (edges, wedges, closed, tris, closure) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(edges > 0 && wedges > 0)
+    assert(closed <= wedges, "a closed wedge is a wedge")
+    assert(closed % 3 == 0, "every triangle closes exactly 3 wedges")
+    assert(tris == closed / 3)
+    assert(closure >= 0.0 && closure <= 1.0)
+    // the planted near-dup structure is genuinely transitive — on a clean
+    // candidate graph the audit must NOT report collision noise
+    assert(closure >= 0.9, s"dup-graph closure $closure: collision noise?")
+  }
+
   test("q70 ohlc: bar invariants hold, events conserved") {
     val rows = run("q70_ohlc").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
