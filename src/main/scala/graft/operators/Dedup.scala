@@ -689,7 +689,79 @@ object Dedup {
               |       ROUND(CASE WHEN n_wedges = 0 THEN 0.0
               |                  ELSE CAST(n_closed AS DOUBLE) / n_wedges END,
               |             6) AS closure
-              |FROM ne CROSS JOIN tw CROSS JOIN c""".stripMargin))
+              |FROM ne CROSS JOIN tw CROSS JOIN c""".stripMargin)),
+
+    QueryDef(
+      "d97_editdist_verify", // exact-verification tier of the near-dup
+                             // pipeline: LSH banding (d83) proposes, edit
+                             // distance disposes. Each candidate pair is
+                             // scored with full Levenshtein and kept only
+                             // when normalized similarity ≥ 0.8 — the
+                             // standard two-tier shape (cheap sketch recall,
+                             // expensive exact precision) because O(len²)
+                             // DP per pair is affordable ONLY on the
+                             // candidate set, never corpus-wide. Scale
+                             // shape: the quadratic kernel runs on
+                             // |candidates| rows (output-bound, never
+                             // all-pairs); texts arrive via two equi-joins
+                             // against one pinned corpus exchange; a
+                             // length-gap prefilter (|len1-len2| alone
+                             // bounds the distance from below) skips the DP
+                             // for hash-collision pairs of wildly different
+                             // sizes, mirrored exactly in the oracle. On a
+                             // real cluster the remaining knob is Spark's
+                             // levenshtein(l, r, threshold) early-exit
+                             // variant (bounded-band DP); not used here
+                             // because DuckDB has no threshold form to
+                             // mirror it bit-for-bit.
+      (s, d) => {
+        // one exchange feeds both text lookups (trap #3: two consumers of
+        // a map-side frame re-execute it without a pinned shuffle); both
+        // sides project the same (doc_id, text) so pruning stays symmetric
+        val corpus = corpusNear(s, d).repartition(col("doc_id"))
+        val lhs = corpus.select(col("doc_id").as("d1"), col("text").as("t1"))
+        val rhs = corpus.select(col("doc_id").as("d2"), col("text").as("t2"))
+        val maxLen = greatest(length(col("t1")), length(col("t2")), lit(1))
+        minhashPairs(s, d)
+          .join(lhs, "d1").join(rhs, "d2")
+          .filter(abs(length(col("t1")) - length(col("t2")))
+            .cast("double") <= maxLen.cast("double") * 0.2)
+          // the candidate frame is BYTES-tiny but CPU-huge (O(len²) DP per
+          // row), so AQE's byte-based coalescing would lump it into one
+          // task; a fixed-width round-robin spread (REPARTITION_BY_NUM is
+          // exempt from coalescing) fans the kernel across the executors.
+          // Measured 9.6 s -> 4.8 s at sf0.1 (DuckDB pays 3.7 s for the
+          // same DP — the kernel, not the plan, is the remaining cost).
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("d1"), col("d2"),
+            levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+            maxLen.cast("long").as("max_len"))
+          .select(col("d1"), col("d2"), col("edit_dist"), col("max_len"),
+            round(lit(1.0) -
+              col("edit_dist").cast("double") / col("max_len"), 6)
+              .as("edit_sim"))
+          .withColumn("verified", col("edit_sim") >= 0.8)
+      },
+      Some(s"""WITH $minhashCtes,
+              |pairs AS ($minhashPairsSelect),
+              |scored AS (
+              |  SELECT p.d1, p.d2,
+              |         CAST(levenshtein(a.text, b.text) AS BIGINT)
+              |           AS edit_dist,
+              |         CAST(GREATEST(LENGTH(a.text), LENGTH(b.text), 1)
+              |           AS BIGINT) AS max_len
+              |  FROM pairs p
+              |  JOIN corpus a ON a.doc_id = p.d1
+              |  JOIN corpus b ON b.doc_id = p.d2
+              |  WHERE CAST(ABS(LENGTH(a.text) - LENGTH(b.text)) AS DOUBLE)
+              |        <= CAST(GREATEST(LENGTH(a.text), LENGTH(b.text), 1)
+              |                AS DOUBLE) * 0.2)
+              |SELECT d1, d2, edit_dist, max_len,
+              |       ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6)
+              |         AS edit_sim,
+              |       ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6)
+              |         >= 0.8 AS verified
+              |FROM scored""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

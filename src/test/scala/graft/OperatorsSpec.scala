@@ -793,6 +793,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(closure >= 0.9, s"dup-graph closure $closure: collision noise?")
   }
 
+  test("d97 edit-distance verify: planted near-dups verified, metric sane") {
+    val rows = run("d97_editdist_verify").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d1, d2, dist, maxLen, sim, verified) =>
+      assert(d1 < d2, "candidate pairs are canonical (d1 < d2)")
+      assert(dist >= 0 && dist <= maxLen, s"($d1,$d2) distance outside [0, maxLen]")
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert(verified == (sim >= 0.8), "verdict is exactly the threshold test")
+    }
+    // every planted pair (doc, its 2-tokens-dropped copy at +1000000) that
+    // the LSH tier surfaced must pass exact verification: the edit distance
+    // to a strict prefix is the length delta, well under 20% of the text
+    val planted = rows.filter { case (d1, d2, _, _, _, _) => d2 == d1 + 1000000 }
+    assert(planted.nonEmpty, "LSH tier lost every planted near-dup")
+    assert(planted.forall(_._6), "a planted near-dup failed exact verification")
+  }
+
   test("q70 ohlc: bar invariants hold, events conserved") {
     val rows = run("q70_ohlc").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
