@@ -582,7 +582,15 @@ object Similarity {
             col("vq").as("nvq"), col("nq").as("nnq"))
         val wr = Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("nbr").asc)
-        val knn = broadcast(probes).join(asg, "clabel")
+        // BOTH join sides are corpus-sized (2 probe rows / 1 assignment row
+        // per vector, each carrying its vq array) — unlike s95, where the
+        // probe side is |queries|·nprobe-bounded and broadcasts. Here the
+        // only shape that survives 100 TB is a shuffle join on cluster id:
+        // each side ships once, partition work is bounded by cluster sizes,
+        // and AQE's skew split can fan out an oversized cluster. The merge
+        // hint pins that shape — without it Spark's size estimate would
+        // broadcast the probe frame at toy scale and OOM at corpus scale.
+        val knn = probes.hint("merge").join(asg, "clabel")
           .filter(col("nbr") =!= col("vec_id"))
           .select(col("vec_id"), col("nbr"),
             cosQ(dotl(col("vq"), col("nvq")),
