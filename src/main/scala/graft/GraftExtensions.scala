@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash60", "simhash60(s) - 60-bit SimHash signature of the distinct tokens"),
       (exprs: Seq[Expression]) => SimHash60(
         GraftFunctions.toStrExpr(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("text_metrics"),
+      info("text_metrics",
+        "text_metrics(s) - one-pass (n_chars, n_punct, n_digits, n_tokens, n_stop, n_distinct)"),
+      (exprs: Seq[Expression]) => TextMetrics(
+        GraftFunctions.toStrExpr(exprs.head))))
     ext.injectFunction((FunctionIdentifier("vector_sum_l"),
       info("vector_sum_l", "vector_sum_l(v) - elementwise sum of bigint arrays"),
       (exprs: Seq[Expression]) => VectorSumL(exprs.head)))

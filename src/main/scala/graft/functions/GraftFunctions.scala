@@ -168,6 +168,8 @@ object GraftFunctions {
     Bridge.column(DotL(Bridge.expression(a), Bridge.expression(b)))
   def simhash60(c: Column): Column =
     Bridge.column(SimHash60(toStr(Bridge.expression(c))))
+  def text_metrics(c: Column): Column =
+    Bridge.column(TextMetrics(toStr(Bridge.expression(c))))
   def hyperplane_sig(v: Column, numPlanes: Int, bitsPerTable: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(v), numPlanes, bitsPerTable))
   def vector_sum_l(v: Column): Column =
@@ -189,6 +191,8 @@ object GraftFunctions {
       exprs => DotL(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       exprs => SimHash60(toStr(exprs.head)), "built-in")
+    reg.createOrReplaceTempFunction("text_metrics",
+      exprs => TextMetrics(toStr(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction("vector_sum_l",
       exprs => VectorSumL(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_sig",

@@ -87,6 +87,96 @@ object WordShingles {
     new GenericArrayData(shingle(text, k).map(UTF8String.fromString))
 }
 
+/** Single-pass per-document text metrics: one scan of the string yields
+  * (n_chars, n_punct, n_digits, n_tokens, n_stop, n_distinct) as a struct
+  * of BIGINTs — the inputs every quality-gate ratio needs.
+  *
+  * Replaces the t71 formulation of two full `regexp_replace` passes (punct,
+  * digit) + tokenize + array_distinct — four interpreted traversals of every
+  * document on the path ALL corpus documents take through the quality gate
+  * (measured 4.5× a single-scan engine at sf0.1). Class definitions match
+  * the regex forms exactly: punct is Java/RE2 `[[:punct:]]` = the 32 ASCII
+  * punctuation chars, digits `[0-9]`, tokens the RE2 `\s` split of
+  * [[WordShingles.tokenize]]; chars counts code points like `length()`.
+  */
+case class TextMetrics(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = TextMetrics.schema
+  override def prettyName: String = "text_metrics"
+
+  override def nullSafeEval(v: Any): Any =
+    TextMetrics.metrics(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextMetrics.metrics($c.toString())")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextMetrics {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digits", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+
+  // the t71 stopword list (TextAnalysis.stopwords)
+  private val STOP = java.util.Set.of("the", "and", "of", "to", "a", "in", "is")
+
+  /** ASCII punctuation — exactly Java regex `\p{Punct}` / RE2 `[[:punct:]]`:
+    * `!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~`. */
+  private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  private def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  // Called from generated code.
+  def metrics(text: String): org.apache.spark.sql.catalyst.InternalRow = {
+    var chars = 0L; var punct = 0L; var digits = 0L
+    var ntok = 0L; var nstop = 0L
+    val seen = new java.util.HashSet[String]()
+    val n = text.length
+    var i = 0
+    var tokStart = -1
+    while (i < n) {
+      val c = text.charAt(i)
+      if (!Character.isLowSurrogate(c)) chars += 1
+      if (isPunct(c)) punct += 1
+      else if (c >= '0' && c <= '9') digits += 1
+      if (isSep(c)) {
+        if (tokStart >= 0) {
+          val tok = text.substring(tokStart, i)
+          ntok += 1
+          if (STOP.contains(tok)) nstop += 1
+          seen.add(tok)
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    if (tokStart >= 0) {
+      val tok = text.substring(tokStart, n)
+      ntok += 1
+      if (STOP.contains(tok)) nstop += 1
+      seen.add(tok)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](chars, punct, digits, ntok, nstop, seen.size.toLong))
+  }
+}
+
 /** Dot product of two float-array embeddings, accumulated in double
   * left-to-right — the building block that lets cosine similarity reuse
   * precomputed per-vector norms: `dot(a,b) / (norm_a * norm_b)` is

@@ -270,6 +270,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(4L, 6L))
   }
 
+  test("text_metrics: one-pass kernel matches the regex formulation") {
+    // the kernel replaces t71's two regexp_replace passes + tokenize +
+    // array_distinct; equivalence on edge shapes pins the class definitions
+    // (ASCII [[:punct:]], [0-9], RE2 \s token split, code-point chars)
+    val docs = Seq(
+      "", " ", "\t\n\f\r", "plain words here",
+      "  leading and trailing  ", "the the the a in is of to and",
+      "punct!!! (all) [kinds]: {of}; <marks>... 100% #1 @x `y` ~z~",
+      "digits 0123456789 mixed a1b2c3", "one-token",
+      "café über straße",   // non-ASCII letters: not punct
+      "a  b\t\tc\n\nd", "!@#$%^&*()").toDF("text")
+    val toks = operators.TextAnalysis.tokens(col("text"))
+    val regex = docs.select(
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+        .cast("long").as("n_punct"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("long").as("n_digits"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, tk => tk.isin("the", "and", "of", "to", "a", "in", "is")))
+        .cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val kernel = docs.select(
+      GraftFunctions.text_metrics(col("text")).as("m")).select("m.*")
+    assert(kernel.collect().toSeq == regex.collect().toSeq,
+      "text_metrics diverges from the regex formulation")
+    // null in -> null out; SQL registration works
+    val viaSql = spark.sql(
+      "SELECT text_metrics(s).n_tokens FROM VALUES ('a b c'), (NULL) t(s)")
+      .collect()
+    assert(viaSql(0).getLong(0) == 3L && viaSql(1).isNullAt(0))
+  }
+
   test("hash60: non-negative, under 2^60, engine-portable formula") {
     val got = Seq("a", "b", "abc", "").toDF("s")
       .select(operators.Dedup.hash60(col("s"))).as[Long].collect()
