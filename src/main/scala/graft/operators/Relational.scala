@@ -645,34 +645,62 @@ object Relational {
                         // value, and the asserted booleans (plus the exact
                         // anchors) hash-compare across engines.
       (s, d) => {
-        // Bracket the sketch median by RANK, not by exact percentile: count
-        // rows at or below the approximate median and assert the fraction
-        // lands near 0.5. Same verification strength, but two cheap hash
-        // aggregations + a broadcast join instead of a sort-heavy exact
-        // percentile — the form that still runs at 100 TB.
-        // The sketches get their OWN aggregate: mixing them with
-        // COUNT(DISTINCT) in one agg triggers Spark's distinct-expansion,
-        // which re-keys by (flag, partkey) and merges a percentile sketch
-        // per expanded group — measured 5x slower. The exact distinct count
-        // rides the second (rank) pass instead, where the expansion only
-        // carries cheap first/sum partials.
-        val sk = t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            approx_count_distinct(col("l_partkey")).as("hll_parts"),
-            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"))
+        // ONE scan of the fact table: GROUPING SETS ((flag, partkey),
+        // (flag, price)) expands each row into both keyings, partial
+        // aggregation collapses them map-side, and everything downstream
+        // works off the slim pre-aggregate (|parts| + |price domain| rows
+        // per flag). The earlier two-scan form (sketch pass + rank pass
+        // with a broadcast join back) was correct but paid the fact scan
+        // twice — 7.5× the oracle at sf0.1 with no shuffle to blame.
+        //  - exact_parts / hll: the partkey grouping set IS the distinct
+        //    key set, so COUNT of it is exact and the HLL sketch over it
+        //    equals the HLL over raw rows (duplicate-insensitive) — and no
+        //    COUNT(DISTINCT) ever meets a sketch in one agg, so Spark's
+        //    distinct-expansion (measured 5× on the fused form) never fires.
+        //  - the median bracket comes from the price grouping set by RANK
+        //    over an equi-width price HISTOGRAM (width 64): raw prices are
+        //    near-unique per row (measured ~598k distinct in 600k rows —
+        //    an ungrouped price set would shuffle row cardinality and sort
+        //    it in one window partition per flag), but the TPC-H price
+        //    domain is SF-independent (qty 1..50 × retailprice ~[900,2100]
+        //    => ~1.6k buckets at ANY corpus size), so the bucketed
+        //    histogram partial-aggregates map-side and the per-flag
+        //    cumulative-sum window is constant-bounded. f = cum(b)/n for
+        //    the smallest bucket with cum >= n/2 sits within one bucket
+        //    share of 0.5 — asserted to land in [0.4, 0.6]. The set a row
+        //    belongs to reads off the null key (pb IS NULL <=> partkey
+        //    set) — no Filter node, so nothing pushes below the shared
+        //    aggregate.
+        val wcum = Window.partitionBy("l_returnflag")
+          .orderBy(col("pb").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wtot = Window.partitionBy("l_returnflag")
+        val priceSet = col("l_partkey").isNull
         t(s, d, "lineitem")
-          .join(broadcast(sk), "l_returnflag")
+          .select(col("l_returnflag"), col("l_partkey"),
+            floor(col("l_extendedprice") / 64).cast("long").as("pb"))
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_partkey")),
+              Seq(col("l_returnflag"), col("pb"))),
+            col("l_returnflag"), col("l_partkey"), col("pb"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ntot", sum(when(priceSet, col("cnt"))).over(wtot))
+          .withColumn("cum",
+            sum(when(priceSet, col("cnt")).otherwise(0)).over(wcum))
           .groupBy("l_returnflag")
           .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            first(col("hll_parts")).as("hll"),
-            (sum(when(col("l_extendedprice") <= col("amed"), 1).otherwise(0))
-              .cast("double") / count(lit(1))).as("f"))
+            count(when(col("pb").isNull, 1)).as("exact_parts"),
+            approx_count_distinct(when(col("pb").isNull, col("l_partkey")))
+              .as("hll"),
+            max(col("ntot")).as("n"),
+            min(when(priceSet &&
+              col("cum") >= col("ntot").cast("double") * 0.5, col("cum")))
+              .as("cmed"))
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("hll").cast("double") / col("exact_parts") - 1)
               < 0.05).as("hll_within_5pct"),
-            col("f").between(0.40, 0.60).as("median_bracketed"))
+            (col("cmed").cast("double") / col("n"))
+              .between(0.40, 0.60).as("median_bracketed"))
       },
       Some("""WITH sk AS (
                 SELECT l_returnflag,
