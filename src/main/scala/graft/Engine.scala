@@ -37,6 +37,18 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, String]]
   private val indexName = """^(\w+)_by_(\w+)$""".r
 
+  /** Session-scoped tables created with CREATE TEMPORARY ... — dropped on
+    * [[close]]. Also durably marked in the warehouse (TEMP file), so the
+    * sweep below reclaims them even when the owning session crashed. */
+  private val tempTables = scala.collection.mutable.Set.empty[String]
+
+  // a temp table surviving in the warehouse belongs to a DEAD session
+  // (this engine hasn't created any yet) — reclaim before serving anything
+  cmds.temporaryTables.foreach { t =>
+    cmds.dropTable(t)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   // idempotent: external-table DDL is IF NOT EXISTS, functions re-register
   Graft.tableNames.filterNot(_ == "events").foreach { n =>
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$n` USING parquet " +
@@ -81,12 +93,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       spark.sql(s"DROP TABLE IF EXISTS `$idx`"); ()
     })
 
+  // every CREATE route accepts the reference grammar's TEMPORARY flag
+  // (`nanosql.g:246-258`): a temp table is the same manifest table on the
+  // same INSERT/UPDATE/DELETE/txn path, but session-scoped — dropped on
+  // [[close]], and swept by the next Engine over this warehouse if the
+  // session died without closing
   private val createColstore =
-    """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(TEMP(?:ORARY)?\s+)?(?:COLSTORE|TABLE)\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
   // same COLSTORE|TABLE synonymy as the FROM-file route, and the query may
   // open with SELECT, a CTE, or a parenthesized form — query()'s own heads
   private val createColstoreAs =
-    """(?is)\s*CREATE\s+(?:COLSTORE|TABLE)\s+(\w+)\s+AS\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(TEMP(?:ORARY)?\s+)?(?:COLSTORE|TABLE)\s+(\w+)\s+AS\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
   // column-DDL form: `CREATE TABLE t (a INT NOT NULL, b VARCHAR(20), …)`
   // (reference `nanosql.g:246-258` table_decl + `CreateTableCommand.java`).
   // Anchored through the closing paren + end-of-statement, AND guarded by
@@ -96,7 +113,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // through to Spark SQL instead of being silently swallowed as a
   // warehouse DDL.
   private val createTableDdl =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*""".r
 
   /** True iff every '(' in `s` closes inside `s` (quote-aware) — i.e. the
     * capture is ONE parenthesized group's content, not a greedy span across
@@ -207,22 +224,23 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   }
 
   def sql(command: String): DataFrame = command match {
-    case createColstore(name, path) =>
+    case createColstore(temp, name, path) =>
       // reference: CREATE COLSTORE/TABLE ... FROM <file> profiles the file
       // and builds the columnar store (commands/CreateColStoreCommand.java,
       // storage/FileAnalyzer.java); Parquet picks encodings natively
       cmds.createTable(name, readIngest(path, None))
-      registerTable(name)
+      finishCreate(name, temp != null)
       status(s"created colstore table $name")
-    case createColstoreAs(name, select) =>
+    case createColstoreAs(temp, name, select) =>
       // engine-native CTAS: the result of any query becomes a MANIFEST
       // table (versioned dirs + pointer), so it gets UPDATE/DELETE/txn/
       // VERIFY/OPTIMIZE — a plain Spark CTAS (the fallthrough) would make
       // a catalog-managed table outside the storage engine
       cmds.createTable(name, query(select))
-      registerTable(name)
+      finishCreate(name, temp != null)
       status(s"created colstore table $name from query")
-    case createTableDdl(ifNotExists, name, colsDdl) if balancedParens(colsDdl) =>
+    case createTableDdl(temp, ifNotExists, name, colsDdl)
+        if balancedParens(colsDdl) =>
       // reference: the canonical CREATE TABLE declares columns+constraints
       // (CreateTableCommand.java:1-332); here it publishes an EMPTY manifest
       // version carrying the declared schema, so the create→INSERT→UPDATE
@@ -232,7 +250,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       else {
         val (schema, notNull, pk) = parseColumnDdl(colsDdl)
         cmds.createEmpty(name, schema, notNull, pk)
-        registerTable(name)
+        finishCreate(name, temp != null)
         status(s"created table $name")
       }
     case insertStmt(q, tblRaw, colList, body) if isLocalDb(q) &&
@@ -729,6 +747,32 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       i += 1
     }
     (s.trim, null)
+  }
+
+  /** Shared tail of every CREATE route: catalog registration plus, for
+    * TEMPORARY, the durable marker + session registry. */
+  private def finishCreate(name: String, temporary: Boolean): Unit = {
+    registerTable(name)
+    if (temporary) {
+      cmds.markTemporary(name)
+      tempTables += name.toLowerCase; ()
+    }
+  }
+
+  /** End this engine session: drop every TEMPORARY table (manifest dirs,
+    * catalog entry, recorded indexes). The reference scopes temp tables to
+    * the server session (`nanosql.g:246-258`); here the Engine instance IS
+    * the session — the REPL calls this on EXIT/EOF, and any other owning
+    * edge should call it when its session ends. Idempotent. */
+  def close(): Unit = {
+    tempTables.foreach { t =>
+      cmds.resolveTable(t).foreach { tbl =>
+        cmds.dropTable(tbl)
+        spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        dropIndexesOf(tbl)
+      }
+    }
+    tempTables.clear()
   }
 
   private def registerTable(name: String): Unit = {

@@ -73,6 +73,8 @@ object Repl {
           }
       }
     }
+    // session end (EXIT or EOF): temp tables are session-scoped
+    engine.close()
     n
   }
 }

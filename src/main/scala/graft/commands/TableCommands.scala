@@ -246,6 +246,21 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     constraintLines(table).collect { case s if s.startsWith("pk:") =>
       s.stripPrefix("pk:").trim }
 
+  // ── temporary tables (reference grammar `nanosql.g:246-258` accepts a
+  // TEMPORARY flag on CREATE TABLE) — a temp table IS a manifest table
+  // (same INSERT/UPDATE/DELETE/txn path), plus a `TEMP` marker file beside
+  // CURRENT. The owning Engine drops marked tables on close; a NEW Engine
+  // over the same warehouse sweeps any left by a dead session, so temp
+  // tables are invisible after restart even across a crash. ──────────────
+  private def tempMarker(table: String) = Paths.get(dir(table), "TEMP")
+
+  def markTemporary(name: String): Unit = {
+    Files.writeString(tempMarker(name), ""); ()
+  }
+
+  def temporaryTables: Seq[String] =
+    warehouseTables.filter(t => Files.exists(tempMarker(t)))
+
   /** Column-DDL CREATE TABLE (reference
     * `commands/CreateTableCommand.java:1-332`): publish an EMPTY version
     * with the declared schema — the schema of record for every later

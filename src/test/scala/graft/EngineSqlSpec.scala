@@ -570,4 +570,43 @@ class EngineSqlSpec extends AnyFunSuite {
       assert(engine.sql("SELECT COUNT(*) AS n FROM cr_t").head.getLong(0) == 2)
     } finally engine.sql("DROP TABLE IF EXISTS cr_t")
   }
+
+  test("CREATE TEMPORARY TABLE: full DML lifecycle, gone on close, " +
+    "invisible after restart (even without close)") {
+    val wh = Files.createTempDirectory("graft_tmp_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    // temp tables take the same engine DML path as permanent ones
+    e1.sql("CREATE TEMPORARY TABLE session_t (id INT NOT NULL, v DOUBLE)")
+    e1.sql("INSERT INTO session_t VALUES (1, 1.5), (2, 2.5)")
+    e1.sql("UPDATE session_t SET v = 9.0 WHERE id = 2")
+    e1.sql("DELETE FROM session_t WHERE id = 1")
+    assert(e1.sql("SELECT CAST(SUM(v) AS DOUBLE) AS s FROM session_t")
+      .head.getDouble(0) == 9.0)
+    // NOT NULL still enforced on the temp table
+    intercept[Exception] {
+      e1.sql("INSERT INTO session_t VALUES (NULL, 0.0)")
+    }
+    // TEMP spelling + CTAS form
+    e1.sql("CREATE TEMP TABLE session_c AS SELECT 41 + 1 AS x")
+    assert(e1.sql("SELECT x FROM session_c").head.getInt(0) == 42)
+    // session end: both vanish from warehouse and catalog
+    e1.close()
+    assert(!spark.catalog.tableExists("session_t"))
+    assert(!spark.catalog.tableExists("session_c"))
+    // a session that DIES without close(): the next engine over this
+    // warehouse sweeps its temp tables before serving anything
+    val e2 = new Engine(spark, d, wh)
+    e2.sql("CREATE TEMPORARY TABLE session_t (id INT)")
+    e2.sql("INSERT INTO session_t VALUES (7)")
+    e2.sql("CREATE TABLE perm_t (id INT)") // permanent control
+    val e3 = new Engine(spark, d, wh) // e2 never closed — "crashed"
+    assert(!spark.catalog.tableExists("session_t"),
+      "temp table must not survive an engine restart")
+    assert(e3.sql("SELECT * FROM perm_t").count() == 0,
+      "permanent table must survive the restart untouched")
+    e3.close()
+    // close() is idempotent and harmless with no temp tables
+    e3.close()
+    e3.sql("DROP TABLE perm_t")
+  }
 }
