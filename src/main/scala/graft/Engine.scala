@@ -42,6 +42,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * sweep below reclaims them even when the owning session crashed. */
   private val tempTables = scala.collection.mutable.Set.empty[String]
 
+  // cost-based optimization: ANALYZE computes catalog stats; CBO makes the
+  // optimizer consume them (join reorder, broadcast decisions) AND
+  // propagates rowCount through the plan, which is what EXPLAIN's
+  // PlanCost section surfaces (reference `qeval/PlanCost.java`)
+  spark.conf.set("spark.sql.cbo.enabled", "true")
+
   // a temp table surviving in the warehouse belongs to a DEAD session
   // (this engine hasn't created any yet) — reclaim before serving anything
   cmds.temporaryTables.foreach { t =>
@@ -140,7 +146,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val loadFile =
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
   private val createIndex =
-    """(?is)\s*CREATE\s+INDEX\s+(?:\w+\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:\w+\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
   private val txnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
@@ -158,6 +164,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // (reference `commands/ExplainCommand.java` covers DML statements too)
   private val explainDml =
     """(?is)\s*EXPLAIN\s+((?:UPDATE|DELETE|MERGE)\s+.+?)\s*;?\s*""".r
+  // reference grammar: `ANALYZE <table>` (commands/AnalyzeCommand.java) and
+  // `EXPLAIN <select>` with per-node PlanCost (commands/QueryCommand.java)
+  private val analyzeStmt = """(?is)\s*ANALYZE\s+(\w+)\s*;?\s*""".r
+  private val explainQuery =
+    """(?is)\s*EXPLAIN\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
   private val updateStmt =
     """(?is)\s*UPDATE\s+((?:`?\w+`?\.)*)`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*""".r
   private val deleteStmt =
@@ -272,11 +283,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       registerTable(name)
       dropIndexesOf(name)
       status(s"loaded $path into $name")
-    case createIndex(tbl, column) =>
-      // reference: CREATE INDEX builds a B+-tree (CreateIndexCommand.java);
-      // here it re-clusters into a bucketed catalog table (see
-      // TableCommands.createIndex for the 100 TB rationale)
-      cmds.createIndex(tbl, column)
+    case createIndex(unique, tbl, column) =>
+      // reference: CREATE [UNIQUE] INDEX builds a B+-tree
+      // (CreateIndexCommand.java); here it re-clusters into a bucketed
+      // catalog table (see TableCommands.createIndex for the 100 TB
+      // rationale); UNIQUE additionally audits existing data and records
+      // the constraint for insert-time + VERIFY enforcement
+      cmds.createIndex(tbl, column, unique = unique != null)
       recordIndex(tbl, column)
       status(s"indexed $tbl by $column as ${tbl}_by_$column")
     case explainDml(dml) =>
@@ -307,6 +320,22 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
       import spark.implicits._
       Seq(planned).toDF("plan")
+    case analyzeStmt(tblRaw) =>
+      // warehouse tables re-register at the live version + compute column
+      // stats; plain catalog tables get the stats pass directly. Either
+      // way EXPLAIN's PlanCost lines carry real rowCounts afterwards.
+      cmds.resolveTable(tblRaw) match {
+        case Some(t) => cmds.analyze(t)
+        case None => spark.sql(
+          s"ANALYZE TABLE `$tblRaw` COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      status(s"analyzed $tblRaw")
+    case explainQuery(sel) =>
+      // engine-owned EXPLAIN for queries: Spark's own EXPLAIN output has no
+      // cost numbers; the reference prints PlanCost per node, so this route
+      // appends the optimizer-statistics section (TableCommands.explain)
+      import spark.implicits._
+      Seq(cmds.explain(query(sel))).toDF("plan")
     case mergeStmt(q, tblRaw, tAliasRaw, rest) =>
       // warehouse-native upsert (no reference analog — its grammar stops at
       // INSERT/UPDATE/DELETE): one COW publish for all three merge effects.

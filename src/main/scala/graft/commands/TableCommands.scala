@@ -181,18 +181,36 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     require(Files.isDirectory(Paths.get(dp)),
       s"CURRENT of $name names a missing version")
     val n = spark.read.parquet(dp).count()
-    // table-wide PRIMARY KEY audit — the cross-batch half of checkBatchPk,
-    // one explicit distributed pass, run only when the user asks to VERIFY
+    // table-wide PRIMARY KEY + UNIQUE audits — the cross-batch half of
+    // checkBatchPk/checkBatchUnique, one explicit distributed pass each,
+    // run only when the user asks to VERIFY
     val pk = pkCols(name)
-    if (pk.nonEmpty) {
+    val uq = uniqueCols(name)
+    if (pk.nonEmpty || uq.nonEmpty) {
       val t = spark.read.parquet(dp)
       val byLower = t.columns.map(c => c.toLowerCase -> c).toMap
-      val dups = t.groupBy(pk.map(c => col(byLower(c))): _*)
-        .count().filter(col("count") > 1).count()
-      if (dups > 0)
+      // a CONSTRAINTS entry naming a column the data doesn't have is itself
+      // an integrity failure — report it, never NoSuchElementException
+      val missing = (pk ++ uq).filterNot(byLower.contains)
+      if (missing.nonEmpty)
         throw new IllegalStateException(
-          s"VERIFY $name: PRIMARY KEY (${pk.mkString(", ")}) violated — " +
-            s"$dups duplicated key(s)")
+          s"VERIFY $name: declared constraint column(s) " +
+            s"${missing.mkString(", ")} absent from the table data")
+      if (pk.nonEmpty) {
+        val dups = t.groupBy(pk.map(c => col(byLower(c))): _*)
+          .count().filter(col("count") > 1).count()
+        if (dups > 0)
+          throw new IllegalStateException(
+            s"VERIFY $name: PRIMARY KEY (${pk.mkString(", ")}) violated — " +
+              s"$dups duplicated key(s)")
+      }
+      uq.foreach { c =>
+        val dups = t.filter(col(byLower(c)).isNotNull).groupBy(col(byLower(c)))
+          .count().filter(col("count") > 1).count()
+        if (dups > 0)
+          throw new IllegalStateException(
+            s"VERIFY $name: UNIQUE ($c) violated — $dups duplicated value(s)")
+      }
     }
     n
   }
@@ -227,10 +245,11 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   // enforces them on insert) ──────────────────────────────────────────────
   /** Declared constraints live in a `CONSTRAINTS` file beside the version
     * dirs — one entry per line: a bare lowercase column name means NOT NULL
-    * (the original format, still read for existing warehouses), and
-    * `pk:<col>` marks a PRIMARY KEY member column. A new engine instance
-    * over an existing warehouse keeps enforcing them. sweep() only removes
-    * version DIRECTORIES, so the file survives every rewrite. */
+    * (the original format, still read for existing warehouses), `pk:<col>`
+    * marks a PRIMARY KEY member column, and `uq:<col>` a single-column
+    * UNIQUE constraint (recorded by CREATE UNIQUE INDEX). A new engine
+    * instance over an existing warehouse keeps enforcing them. sweep() only
+    * removes version DIRECTORIES, so the file survives every rewrite. */
   private def constraintsFile(table: String) = Paths.get(dir(table), "CONSTRAINTS")
 
   private def constraintLines(table: String): Seq[String] =
@@ -245,6 +264,18 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def pkCols(table: String): Seq[String] =
     constraintLines(table).collect { case s if s.startsWith("pk:") =>
       s.stripPrefix("pk:").trim }
+
+  def uniqueCols(table: String): Seq[String] =
+    constraintLines(table).collect { case s if s.startsWith("uq:") =>
+      s.stripPrefix("uq:").trim }
+
+  private def recordUnique(table: String, column: String): Unit = {
+    val c = column.toLowerCase
+    if (!uniqueCols(table).contains(c)) {
+      val lines = constraintLines(table) :+ s"uq:$c"
+      Files.writeString(constraintsFile(table), lines.mkString("\n")); ()
+    }
+  }
 
   // ── temporary tables (reference grammar `nanosql.g:246-258` accepts a
   // TEMPORARY flag on CREATE TABLE) — a temp table IS a manifest table
@@ -322,6 +353,23 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Single-column UNIQUE enforcement (CREATE UNIQUE INDEX, reference
+    * `commands/CreateIndexCommand.java:1-142`), priced exactly like the PK:
+    * in-batch duplicate rejection per insert (batch-sized groupBy; SQL
+    * UNIQUE semantics — NULLs never collide), cross-batch audit under
+    * VERIFY. */
+  private def checkBatchUnique(name: String, rows: DataFrame): Unit = {
+    val byLower = rows.columns.map(c => c.toLowerCase -> c).toMap
+    uniqueCols(name).filter(byLower.contains).foreach { c =>
+      val dup = rows.filter(col(byLower(c)).isNotNull)
+        .groupBy(col(byLower(c)))
+        .count().filter(col("count") > 1).limit(1).count() > 0
+      if (dup)
+        throw new IllegalArgumentException(
+          s"UNIQUE ($c) duplicated within the insert batch for $name")
+    }
+  }
+
   /** LOAD / CREATE COLSTORE: CSV file -> columnar (Parquet) table. */
   def loadCsv(name: String, csvPath: String, schema: StructType,
       header: Boolean = true): Unit =
@@ -346,6 +394,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def insertInto(name: String, rows: DataFrame): Unit = {
     checkNotNull(name, rows) // evaluates `rows` once extra; command-path cost
     checkBatchPk(name, rows)
+    checkBatchUnique(name, rows)
     if (txnSnapshot.nonEmpty) publish(name, table(name).unionByName(rows))
     else rows.write.mode(SaveMode.Append).parquet(dataPath(name))
   }
@@ -369,6 +418,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     } else {
       checkNotNull(name, rows)
       checkBatchPk(name, rows)
+      checkBatchUnique(name, rows)
       publish(name, table(name).unionByName(rows), Some(batchId))
     }
 
@@ -512,11 +562,25 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * same read-path benefit the index gives the single-node engine, and the
     * one that matters at 100 TB (it removes the fact-table shuffle).
     * Registered as `<table>_by_<column>` in the session catalog. */
-  def createIndex(table: String, column: String, buckets: Int = 8): Unit = {
+  def createIndex(table: String, column: String, buckets: Int = 8,
+      unique: Boolean = false): Unit = {
     // index any readable table: warehouse tables via the manifest pointer,
     // everything else (external/catalog tables, temp views) via the session
     // catalog — the reference's CREATE INDEX is similarly source-agnostic
     val src = if (tableExists(table)) this.table(table) else spark.table(table)
+    if (unique) {
+      // CREATE UNIQUE INDEX on already-duplicated data must fail — one
+      // full-column pass, the honest price (the index build scans anyway)
+      val dup = src.filter(col(column).isNotNull).groupBy(col(column))
+        .count().filter(col("count") > 1).limit(1).count() > 0
+      if (dup)
+        throw new IllegalArgumentException(
+          s"CREATE UNIQUE INDEX: $table.$column holds duplicate values")
+      // the constraint outlives the bucketed clone (which mutation
+      // invalidates as a stale snapshot): inserts keep enforcing it
+      // in-batch, VERIFY audits cross-batch
+      if (tableExists(table)) recordUnique(table, column)
+    }
     src.write.bucketBy(buckets, column).sortBy(column)
       .mode(SaveMode.Overwrite).saveAsTable(s"${table}_by_$column")
   }
@@ -533,8 +597,24 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   }
 
   /** EXPLAIN — formatted physical plan, the analog of the reference's
-    * `PlanNode.printNodeTree`. */
-  def explain(df: DataFrame): String =
-    df.queryExecution.explainString(
+    * `PlanNode.printNodeTree`, followed by per-node cost estimates: the
+    * reference prints `PlanCost{numTuples, tupleSize, cpuCost, numBlockIOs}`
+    * under each node (`qeval/PlanCost.java:14-80`, printed by
+    * `commands/QueryCommand.java:133-147`); the Spark analogs are the
+    * optimizer's per-node Statistics — rowCount (populated once ANALYZE has
+    * computed catalog stats; the Engine enables CBO so they propagate
+    * through joins/aggregates) and sizeInBytes. */
+  def explain(df: DataFrame): String = {
+    val qe = df.queryExecution
+    val base = qe.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+    val costs = qe.optimizedPlan.collect {
+      case n =>
+        val st = n.stats
+        s"${n.nodeName}: PlanCost{rowCount=" +
+          s"${st.rowCount.map(_.toString).getOrElse("n/a")}, " +
+          s"sizeInBytes=${st.sizeInBytes}}"
+    }
+    base + "\n== Plan Cost (optimizer statistics) ==\n" + costs.mkString("\n")
+  }
 }

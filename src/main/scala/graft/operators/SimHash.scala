@@ -118,12 +118,16 @@ object SimHash {
         val sig = signatures(corpusNear(s, d))
           .filter(col("simhash").isNotNull)
           .repartition(col("simhash"))
-        // zero-valued anchor (doc_id >= 0, opaque to the optimizer): keeps
-        // the distinct branch reading doc_id so column pruning projects
-        // its copy of `sig` identically to the join branches' — see the
-        // p100 commit for the fork mechanics
+        // zero-valued anchor, PROVABLY zero for any data (min - min of the
+        // same aggregate; coalesce guards the all-NULL edge) — it exists
+        // only to keep the distinct branch reading doc_id so column
+        // pruning projects its copy of `sig` identically to the join
+        // branches' (see the p100 commit for the fork mechanics). The
+        // earlier least(min(doc_id), 0) form silently shifted the hamming
+        // threshold if doc_id were ever negative; this one cannot.
         val uniq = sig.groupBy("simhash")
-          .agg(least(min(col("doc_id")), lit(0L)).as("z"))
+          .agg(coalesce(min(col("doc_id")) - min(col("doc_id")), lit(0L))
+            .as("z"))
         val bands = uniq.select(col("simhash"), col("z"),
           posexplode(array((0 until Bands).map(b =>
             shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))

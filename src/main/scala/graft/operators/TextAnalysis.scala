@@ -408,16 +408,21 @@ object TextAnalysis {
           .repartition(col("source"))
         val totals = clean.groupBy("source")
           .agg(sum("n_tok").as("tok_n"),
-            // zero-valued anchors: doc_id >= 0 and length(lang) >= 0, so
-            // both `least` terms are 0 at runtime — but the optimizer
-            // cannot prove it, so this branch keeps reading doc_id and
-            // lang and column pruning projects its copy of `clean`
-            // IDENTICALLY to the sampling branch's. Asymmetric pruning
-            // below the pinned exchange would fork the subtrees and kill
-            // the runtime stage reuse (a dropped-column anchor gets
-            // eliminated; these flow into the threshold, so they stay).
-            least(min(col("doc_id")), lit(0L)).as("z1"),
-            least(min(length(col("lang"))).cast("long"), lit(0L)).as("z2"))
+            // zero-valued anchors, PROVABLY zero for any data (min - min
+            // of the same aggregate, coalesce for the all-NULL edge; the
+            // earlier least(min(..), 0) form would have shifted the
+            // sampling threshold had doc_id ever been negative). The
+            // optimizer still cannot fold them, so this branch keeps
+            // reading doc_id and lang and column pruning projects its
+            // copy of `clean` IDENTICALLY to the sampling branch's.
+            // Asymmetric pruning below the pinned exchange would fork the
+            // subtrees and kill the runtime stage reuse (a dropped-column
+            // anchor gets eliminated; these flow into the threshold, so
+            // they stay).
+            coalesce(min(col("doc_id")) - min(col("doc_id")), lit(0L))
+              .as("z1"),
+            coalesce((min(length(col("lang"))) - min(length(col("lang"))))
+              .cast("long"), lit(0L)).as("z2"))
           .withColumn("min_tok", min(col("tok_n")).over(
             org.apache.spark.sql.expressions.Window.partitionBy()))
         clean.join(broadcast(totals), "source")
@@ -453,7 +458,7 @@ object TextAnalysis {
              |                      i -> array_to_string(toks[i:i+4], ' ')))
              |               ELSE [] END) AS g
              |        FROM toked WHERE doc_id % 100 = 0)),
-             |benchl AS (SELECT list(h) AS bh FROM bench),
+             |benchl AS (SELECT COALESCE(list(h), []) AS bh FROM bench),
              |clean AS (
              |  SELECT doc_id, source, lang, n_tok FROM (
              |    SELECT doc_id, source, lang, n_tok,

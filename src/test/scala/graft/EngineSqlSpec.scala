@@ -571,6 +571,63 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS cr_t")
   }
 
+  test("EXPLAIN surfaces per-node PlanCost estimates; real rowCounts after ANALYZE") {
+    engine.sql("DROP TABLE IF EXISTS cost_t")
+    engine.sql(
+      "CREATE TABLE cost_t AS SELECT o_orderkey, o_custkey FROM orders")
+    try {
+      val p1 = engine.sql(
+        "EXPLAIN SELECT o_custkey, COUNT(*) AS n FROM cost_t GROUP BY o_custkey")
+        .head.getString(0)
+      assert(p1.contains("== Plan Cost (optimizer statistics) =="), p1)
+      assert(p1.contains("sizeInBytes="), p1)
+      engine.sql("ANALYZE cost_t")
+      val p2 = engine.sql(
+        "EXPLAIN SELECT o_custkey, COUNT(*) AS n FROM cost_t GROUP BY o_custkey")
+        .head.getString(0)
+      // post-ANALYZE the leaf relation carries a real row count and CBO
+      // propagates it up — no node may be left without an estimate
+      assert(p2.contains("PlanCost{rowCount="), p2)
+      assert("rowCount=\\d+".r.findFirstIn(p2).isDefined,
+        s"ANALYZE must yield numeric rowCounts:\n$p2")
+      assert(!p2.contains("rowCount=n/a"),
+        s"CBO must propagate rowCounts to every node post-ANALYZE:\n$p2")
+      // EXPLAIN must not have mutated anything
+      assert(engine.sql("SELECT COUNT(*) AS n FROM cost_t").head.getLong(0) > 0)
+    } finally engine.sql("DROP TABLE IF EXISTS cost_t")
+  }
+
+  test("CREATE UNIQUE INDEX: rejects duplicated data, enforces in-batch, " +
+    "audits cross-batch under VERIFY") {
+    engine.sql("DROP TABLE IF EXISTS uq_t")
+    engine.sql("CREATE TABLE uq_t (id INT, email VARCHAR(40))")
+    try {
+      engine.sql("INSERT INTO uq_t VALUES (1, 'a@x'), (2, 'b@x'), (3, NULL)")
+      engine.sql("CREATE UNIQUE INDEX ON uq_t (email)")
+      // in-batch duplicate: rejected at insert time (batch-sized groupBy)
+      intercept[IllegalArgumentException] {
+        engine.sql("INSERT INTO uq_t VALUES (4, 'c@x'), (5, 'c@x')")
+      }
+      // SQL UNIQUE semantics: NULLs never collide
+      engine.sql("INSERT INTO uq_t VALUES (6, NULL)")
+      // a cross-batch duplicate passes the batch check (priced for scale:
+      // appends stay O(batch)) — VERIFY's explicit full pass catches it
+      engine.sql("VERIFY uq_t")
+      engine.sql("INSERT INTO uq_t VALUES (7, 'a@x')")
+      val e = intercept[IllegalStateException] { engine.sql("VERIFY uq_t") }
+      assert(e.getMessage.contains("UNIQUE (email)"))
+      // CREATE UNIQUE INDEX over already-duplicated data must fail
+      engine.sql("DROP TABLE IF EXISTS uq2_t")
+      engine.sql("CREATE TABLE uq2_t AS SELECT p_brand FROM part")
+      intercept[IllegalArgumentException] {
+        engine.sql("CREATE UNIQUE INDEX ON uq2_t (p_brand)")
+      }
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS uq_t")
+      engine.sql("DROP TABLE IF EXISTS uq2_t")
+    }
+  }
+
   test("CREATE TEMPORARY TABLE: full DML lifecycle, gone on close, " +
     "invisible after restart (even without close)") {
     val wh = Files.createTempDirectory("graft_tmp_wh").toString
