@@ -1,0 +1,57 @@
+package graft
+
+/** Scaling-law measurement: time the same queries against directories at
+  * different scale factors IN ONE SESSION and print per-query times so the
+  * growth exponent is measurable (SCALE.md records the findings).
+  *
+  * A correctness gate proves an operator right at sf0.01; this harness is
+  * the evidence for the other claim the engine makes — that pair-generating
+  * operators (shingle/MinHash/SimHash joins, cluster-scoped semantic dedup,
+  * kNN graphs) grow LINEARLY in corpus size because candidates come from
+  * equi-joins on bounded keys, never all-pairs. A quadratic operator passes
+  * every small-scale gate and then dies at 100 TB; the 10×/100× ratio here
+  * is where that shows up first.
+  *
+  * Usage:
+  *   runMain graft.ScaleStress --dirs=<dir1>,<dir2>[,...] q1 q2 ...
+  * Prints one line per (dir, query): `SCALED <dir> <query> <sec>` and a
+  * final JSON summary keyed by query with the time vector across dirs.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val dirs = args.collectFirst {
+      case a if a.startsWith("--dirs=") =>
+        a.stripPrefix("--dirs=").split(",").toSeq
+    }.getOrElse(sys.error("--dirs=a,b required"))
+    val names = args.filterNot(_.startsWith("--")).toSeq
+    val spark = Graft.session(master = "local[32]")
+    // JIT/codegen warm-up at the smallest provided scale
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, dirs.head)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    names.foreach { n =>
+      val times = dirs.map { d =>
+        // best-of-2: first run at a new scale pays shuffle-file and page
+        // cache warming that a steady-state cluster would not
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        spark.catalog.clearCache()
+        println(f"SCALED $d $n $t%.2f s")
+        t
+      }
+      results(n) = times
+    }
+    val json = results.map { case (n, ts) =>
+      s""""$n":[${ts.map(t => f"$t%.3f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    println(s"""{"dirs":[${dirs.map(d => s""""$d"""").mkString(",")}],"queries":$json}""")
+    spark.stop()
+  }
+}

@@ -86,6 +86,22 @@ object Dedup {
   private val numSeeds = 12
   private val bandSize = 4
 
+  /** Absolute document-frequency cap layered on the relative (>5%) hot-key
+    * cap of the d82/d95 posting indexes. The relative cap alone is not a
+    * pair-volume bound: a posting key's pair count is df²/2, and a key can
+    * sit just UNDER 5% of a 100 TB corpus while its df (and so its pair
+    * count) grew 100× — e.g. a shingle in every document of one language
+    * that is 3% of a multilingual corpus. The 10×/100× `ScaleStress` run
+    * measured exactly this: d82 grew 12.6× on a 10× corpus because keys
+    * capped at 1× fell back under the relative cap. A df above this
+    * absolute bound carries no more dedup signal than one above 5% — both
+    * mean "effectively a stopword in its stratum" — so keys are dropped
+    * when they exceed EITHER bound, making worst-case per-key join fan-out
+    * ~500k pairs at any corpus size. No behavior change below 20k docs
+    * (the relative cap is tighter there), which is why every sf0.01/sf0.1
+    * oracle hash is unchanged; both oracles mirror the OR. */
+  private val dfCapAbs = 1000L
+
   /** DuckDB equivalent of [[shingles]] over a `toks` list column. */
   private def shinglesSql(k: Int): String =
     s"""CASE WHEN len(toks) >= $k
@@ -134,7 +150,8 @@ object Dedup {
                |  SELECT doc_id, s FROM (
                |    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df
                |    FROM sh)
-               |  WHERE df * 20 <= (SELECT COUNT(*) FROM documents)),
+               |  WHERE df * 20 <= (SELECT COUNT(*) FROM documents)
+               |    AND df <= $dfCapAbs),
                |sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
                |inter AS (
                |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
@@ -282,7 +299,7 @@ object Dedup {
           .filter(col("fp").isNotNull)
           .groupBy("fp").agg(count(lit(1)).as("df"))
           .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
-          .filter(col("df") * 20 > col("ndocs"))
+          .filter(col("df") * 20 > col("ndocs") || col("df") > dfCapAbs)
           .agg(collect_set(col("fp")).as("hot")) // 1 row (empty if none)
         val posting = byDoc.crossJoin(broadcast(hotArr))
           .select(col("doc_id"), array_except(col("fps"), col("hot")).as("cfps"))
@@ -302,7 +319,8 @@ object Dedup {
               |sh AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
               |hot AS (SELECT fp FROM (
               |          SELECT fp, COUNT(*) AS df FROM sh GROUP BY fp)
-              |        WHERE df * 20 > (SELECT COUNT(*) FROM documents)),
+              |        WHERE df * 20 > (SELECT COUNT(*) FROM documents)
+              |           OR df > $dfCapAbs),
               |capped AS (SELECT doc_id, fp FROM sh
               |           WHERE fp NOT IN (SELECT fp FROM hot)),
               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped
@@ -830,7 +848,7 @@ object Dedup {
       .filter(col("s").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(ndocs) // 1 row — broadcast nested-loop, no shuffle
-      .filter(col("df") * 20 > col("ndocs"))
+      .filter(col("df") * 20 > col("ndocs") || col("df") > dfCapAbs)
       .agg(collect_set(col("s")).as("hot")) // 1 row (empty array if none)
     val posting = byDoc.crossJoin(broadcast(hotArr))
       .select(col("doc_id"), array_except(col("hs"), col("hot")).as("chs"))
