@@ -24,6 +24,22 @@ object SimHash {
   private val Bits = 60
   private val Bands = 4 // 15 bits per band
 
+  /** Absolute cap on a (band, band_val) bucket of DISTINCT signatures —
+    * the d82/d95 posting-index hot-key cap applied to simhash banding.
+    * Signature bits are majority votes over token hashes, so corpus-common
+    * token statistics make some 15-bit bands low-entropy: the 10×/100×
+    * `ScaleStress` corpus measured a single band value shared by 1,524
+    * distinct signatures at 10× sf0.1 (uniform hashing predicts ~1), its
+    * bucket growing linearly with the corpus and its pair volume
+    * quadratically — 1.98 s → 134 s wall-clock. A band value shared by
+    * over a thousand DIFFERENT signatures separates nothing — it is a
+    * stopword band — and every true near-dup it would recall still has
+    * three other, more selective bands to collide on. Dropping buckets
+    * above the cap bounds per-key fan-out at ~500k pairs at any corpus
+    * size. Inert at the sf0.01 gate (max bucket there is ~100), mirrored
+    * in the oracle. */
+  private val bandBucketCap = 1000L
+
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
@@ -132,7 +148,24 @@ object SimHash {
           posexplode(array((0 until Bands).map(b =>
             shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
             .as(Seq("band", "band_val")))
-        val sigPairs = bands.as("a").join(bands.as("b"),
+        // absolute hot-bucket cap (see bandBucketCap): bands is one row per
+        // DISTINCT signature per band, so a plain count per (band, band_val)
+        // IS the distinct-signature bucket size. Hot buckets collapse to one
+        // broadcast row of packed 17-bit keys — the keyspace itself
+        // (4 bands × 2^15 = 131,072 values) bounds that broadcast at ~1 MB
+        // no matter the corpus, unlike a corpus-derived hot set. min(z)
+        // rides along so this branch reads doc_id like every other consumer
+        // of the shared signature subtree (the same anti-fork anchor as the
+        // distinct branch; z is provably 0, see above).
+        val bkey = col("band") * 32768 + col("band_val")
+        val hotArr = bands.groupBy("band", "band_val")
+          .agg(count(lit(1)).as("bsz"), min(col("z")).as("z2"))
+          .filter(col("bsz") > lit(bandBucketCap) + col("z2"))
+          .agg(collect_set(bkey).as("hot")) // 1 row (empty array if none)
+        val kept = bands.crossJoin(broadcast(hotArr))
+          .filter(!array_contains(col("hot"), bkey))
+          .select(col("simhash"), col("z"), col("band"), col("band_val"))
+        val sigPairs = kept.as("a").join(kept.as("b"),
             col("a.band") === col("b.band") &&
               col("a.band_val") === col("b.band_val") &&
               col("a.simhash") < col("b.simhash"))
@@ -159,18 +192,44 @@ object SimHash {
         crossSig.union(sameSig)
       },
       Some {
+        // mirrors the engine's shape exactly: band over DISTINCT signatures
+        // (so the hot-bucket cap counts the same thing), drop buckets above
+        // bandBucketCap before the quadratic join, expand surviving
+        // signature pairs back to doc pairs, and keep identical-signature
+        // doc pairs through an UNcapped same-signature branch (disjoint
+        // from the cross-signature branch: those have hamming >= 1)
         s"""WITH sig AS (${signaturesSql(corpusNearSql)}),
+           |uniq AS (SELECT DISTINCT simhash FROM sig),
            |bands AS (
-           |  SELECT doc_id, simhash, CAST(p AS INT) AS band,
+           |  SELECT simhash, CAST(p AS INT) AS band,
            |         (simhash >> (CAST(p AS INT) * 15)) & 32767 AS band_val
-           |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS p)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-           |  FROM bands a JOIN bands b
+           |  FROM uniq CROSS JOIN (SELECT unnest(range($Bands)) AS p)),
+           |kept AS (
+           |  SELECT simhash, band, band_val FROM (
+           |    SELECT simhash, band, band_val,
+           |           COUNT(*) OVER (PARTITION BY band, band_val) AS bsz
+           |    FROM bands)
+           |  WHERE bsz <= $bandBucketCap),
+           |sp AS (
+           |  SELECT DISTINCT a.simhash AS s1, b.simhash AS s2,
+           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+           |           AS hamming
+           |  FROM kept a JOIN kept b
            |    ON a.band = b.band AND a.band_val = b.band_val
-           |   AND a.doc_id < b.doc_id)
-           |SELECT d1, d2, hamming FROM cand WHERE hamming <= 6""".stripMargin
+           |   AND a.simhash < b.simhash
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |crosssig AS (
+           |  SELECT least(x.doc_id, y.doc_id) AS d1,
+           |         greatest(x.doc_id, y.doc_id) AS d2, hamming
+           |  FROM sp JOIN sig x ON sp.s1 = x.simhash
+           |          JOIN sig y ON sp.s2 = y.simhash),
+           |samesig AS (
+           |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(0 AS INT) AS hamming
+           |  FROM sig x JOIN sig y
+           |    ON x.simhash = y.simhash AND x.doc_id < y.doc_id)
+           |SELECT d1, d2, hamming FROM crosssig
+           |UNION ALL
+           |SELECT d1, d2, hamming FROM samesig""".stripMargin
       })
   )
 }

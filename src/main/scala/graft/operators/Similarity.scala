@@ -143,6 +143,57 @@ object Similarity {
        |       d.vec_id IS NOT NULL AS dropped
        |FROM assign a LEFT JOIN drops d USING (vec_id)""".stripMargin
 
+  /** s98 oracle: distributed Lloyd unrolled to `iters` iterations as a CTE
+    * chain — the assignment argmax is relational (ROW_NUMBER per vec_id by
+    * sim DESC, cid ASC = the Spark side's array_max over (sim, -cid)
+    * structs), centroids are the same exact-integer ROUND(SUM/COUNT), so
+    * every iteration agrees bit-for-bit with the engine. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def assignCte(i: Int, p: Int) =
+      s"""a$i AS (
+         |  SELECT vec_id, cid, sim FROM (
+         |    SELECT d.vec_id, d.cid, d.sim,
+         |           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                              ORDER BY d.sim DESC, d.cid) AS rnk
+         |    FROM (
+         |      SELECT comp.vec_id, c.cid,
+         |             CASE WHEN nv.nq = 0 OR nc.ncq = 0 THEN 0.0
+         |                  ELSE CAST(SUM(comp.xq * c.cq) AS DOUBLE) /
+         |                       (SQRT(CAST(nv.nq AS DOUBLE)) *
+         |                        SQRT(CAST(nc.ncq AS DOUBLE))) END AS sim
+         |      FROM comp JOIN c$p c USING (j0)
+         |           JOIN nv ON nv.vec_id = comp.vec_id
+         |           JOIN nc$p nc ON nc.cid = c.cid
+         |      GROUP BY comp.vec_id, c.cid, nv.nq, nc.ncq) d) t
+         |  WHERE rnk = 1)"""
+    def ncCte(p: Int) =
+      s"nc$p AS (SELECT cid, SUM(cq * cq) AS ncq FROM c$p GROUP BY cid)"
+    def centCte(i: Int) =
+      s"""c$i AS (
+         |  SELECT a.cid, comp.j0,
+         |         CAST(ROUND(CAST(SUM(comp.xq) AS DOUBLE) / COUNT(*))
+         |              AS BIGINT) AS cq
+         |  FROM a$i a JOIN comp ON comp.vec_id = a.vec_id
+         |  GROUP BY a.cid, comp.j0)"""
+    val chain = (1 to iters).map { i =>
+      s"${ncCte(i - 1)},\n${assignCte(i, i - 1)},\n${centCte(i)}"
+    }.mkString(",\n")
+    s"""WITH comp AS (
+       |  SELECT vec_id, j - 1 AS j0,
+       |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |               generate_subscripts(embedding, 1) AS j
+       |        FROM embeddings)),
+       |nv AS (SELECT vec_id, SUM(xq * xq) AS nq FROM comp GROUP BY vec_id),
+       |c0 AS (SELECT vec_id AS cid, j0, xq AS cq FROM comp
+       |       WHERE vec_id < $k),
+       |$chain,
+       |${ncCte(iters)},
+       |${assignCte(iters + 1, iters)}
+       |SELECT vec_id, cid AS cluster, ROUND(sim, 6) AS sim
+       |FROM a${iters + 1}""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -747,6 +798,79 @@ object Similarity {
               |              CAST(maxq - minq AS DOUBLE) / 255.0) - xq))
               |           AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000), 6)
               |         AS mean_abs_err
-              |FROM coded GROUP BY vec_id""".stripMargin))
+              |FROM coded GROUP BY vec_id""".stripMargin)),
+
+    QueryDef(
+      "s98_kmeans_train", // distributed Lloyd — the codebook TRAINING step
+                          // the IVF family assumes done: s92/s93/s95/d92
+                          // take label centroids as a given coarse
+                          // quantizer, but at 100 TB the codebook is
+                          // trained, not handed down. Deterministic
+                          // spherical k-means: seeds are the k lowest-id
+                          // vectors, then `iters` rounds of (assign to the
+                          // max-cosine centroid, recenter as the exact-
+                          // integer member mean), then a final assignment.
+                          //
+                          // Scale shape per iteration: the k centroids
+                          // collapse to ONE broadcast row holding a
+                          // cid-sorted struct array, each vector computes
+                          // its argmax with a single codegen'd array_max
+                          // over (sim, -cid) structs — assignment is pure
+                          // map-side, NO per-vector shuffle, no k-fold row
+                          // expansion (contrast a crossJoin+window: that
+                          // ships corpus×k rows into a sort exchange).
+                          // Recentering shuffles only k×partitions
+                          // VectorSumL buffers (map-side partial agg). So
+                          // an iteration costs one corpus scan + a
+                          // k-bounded shuffle — the textbook distributed
+                          // Lloyd layout; iterating over a persisted
+                          // columnar snapshot instead of re-scanning is a
+                          // deployment choice the plan already permits.
+                          // All arithmetic is quantized-integer (dot_l)
+                          // until the final double division; argmax ties
+                          // break to the smaller cid; empty clusters drop
+                          // from the codebook identically in both engines
+                          // (standard Lloyd degeneracy — re-seeding is a
+                          // policy layer, not plan shape).
+      (s, d) => kmeansTrain(s, d, 8, 3),
+      Some(kmeansOracleSql(8, 3)))
   )
+
+  /** Distributed Lloyd (see s98's QueryDef doc for the plan shape); exposed
+    * so the spec can compare the trained codebook (`iters` > 0) against the
+    * raw seed codebook (`iters` = 0) on the same objective. */
+  private[graft] def kmeansTrain(
+      s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val e = quantizedVecs(s, d)
+      .select(col("vec_id"), col("vq"))
+      .withColumn("nq", dotl(col("vq"), col("vq")))
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("vq").as("cq"),
+        col("nq").as("ncq"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents.agg(
+          sort_array(collect_list(
+            struct(col("cid"), col("cq"), col("ncq")))).as("cents"))))
+        .select(col("vec_id"), col("vq"),
+          array_max(transform(col("cents"), c =>
+            struct(
+              cosQ(dotl(col("vq"), c("cq")), col("nq"), c("ncq"))
+                .as("sim"),
+              (-c("cid")).as("ncid")))).as("best"))
+        .select(col("vec_id"), col("vq"),
+          (-col("best")("ncid")).as("cid"), col("best")("sim").as("sim"))
+    def recenter(asg: DataFrame): DataFrame =
+      asg.groupBy(col("cid"))
+        .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"),
+          transform(col("vsum"),
+            sq => round(sq.cast("double") / col("cnt")).cast("long"))
+            .as("cq"))
+        .withColumn("ncq", dotl(col("cq"), col("cq")))
+    val trained = (1 to iters).foldLeft(seeds)(
+      (c, _) => recenter(assign(c)))
+    assign(trained).select(col("vec_id"), col("cid").as("cluster"),
+      round(col("sim"), 6).as("sim"))
+  }
 }

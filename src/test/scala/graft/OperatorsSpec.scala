@@ -147,6 +147,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 9, s"ivf recall too low: $hits/10 planted neighbors found")
   }
 
+  test("s98 kmeans: every vector assigned once; training improves the objective") {
+    val rows = run("s98_kmeans_train").collect()
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.length == n, "one assignment row per corpus vector")
+    assert(rows.map(_.getLong(1)).distinct.length <= 8, "codebook larger than k")
+    // Lloyd's objective: mean assignment cosine after 3 iterations must beat
+    // assigning against the raw 8 seed vectors. (Monotonicity per step is
+    // only guaranteed for exact means; integer-rounded centroids can wobble
+    // a hair, so the gate is seed-vs-trained, not per-iteration.)
+    def meanSim(iters: Int): Double = {
+      val r = operators.Similarity.kmeansTrain(spark, d, 8, iters)
+        .agg(avg(col("sim"))).head().getDouble(0)
+      r
+    }
+    val (seed, trained) = (meanSim(0), meanSim(3))
+    assert(trained > seed + 0.01,
+      f"training did not improve mean cosine: seed $seed%.4f -> $trained%.4f")
+  }
+
   test("t84 sequence pack: tokens conserved, chunks contiguous per source") {
     val chunks = run("t84_sequence_pack").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
