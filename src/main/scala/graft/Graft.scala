@@ -80,20 +80,29 @@ object Graft {
 
   /** Read one table from a scale-factor directory.
     *
-    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
-    * (set in every session builder, not mutated here) it reads as a long,
-    * downcast to Spark's microsecond timestamp (DuckDB reads the same column
-    * natively, so sub-microsecond truncation is the only — here absent —
-    * delta).
+    * `events.ts` has shipped in two physical layouts across test-data
+    * generations: Parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only accepts as a long via `spark.sql.legacy.parquet
+    * .nanosAsLong` (set in every session builder), downcast here to
+    * microseconds — and native TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ. Both normalize to the session-zone TimestampType
+    * (sessions pin UTC, so the NTZ cast is value-preserving and DuckDB
+    * reads the identical instants natively). Dispatch is on the RESOLVED
+    * schema, not a config probe, so a mixed directory still loads.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, sfDir, s"t:$name") {
       if (name == "events") {
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
+        import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case LongType => // legacy nanos-as-long
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampType => raw
+          case _ => // TIMESTAMP_NTZ from native micros
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
