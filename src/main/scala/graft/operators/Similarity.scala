@@ -833,8 +833,147 @@ object Similarity {
                           // (standard Lloyd degeneracy — re-seeding is a
                           // policy layer, not plan shape).
       (s, d) => kmeansTrain(s, d, 8, 3),
-      Some(kmeansOracleSql(8, 3)))
+      Some(kmeansOracleSql(8, 3))),
+
+    QueryDef(
+      "s99_pq_encode", // product quantization — the RESIDUAL compression
+                       // step after s98's coarse quantizer: split each
+                       // 64-dim vector into M=8 contiguous 8-dim
+                       // subvectors, train an independent k=8 codebook per
+                       // subspace (2 Lloyd rounds, squared-L2 on quantized
+                       // integers — PQ is a Euclidean method, unlike the
+                       // cosine coarse stage), then encode every vector as
+                       // 8 code ids = 8 bytes replacing 256 bytes of f32.
+                       //
+                       // Scale shape: TRAINING explodes to rows×M subvector
+                       // tuples, but assignment joins a broadcast of the
+                       // M×k codebook (64 rows) and the recenter shuffle
+                       // carries only M×k×partitions 8-dim partial-sum
+                       // buffers (VectorSumL, map-side combine). ENCODING
+                       // never explodes and never shuffles: the whole
+                       // trained codebook collapses to ONE broadcast row
+                       // (nested m-sorted array of cid-sorted (cid, cq)
+                       // structs) and each vector computes all 8 argmins
+                       // in a single codegen'd projection — at 100 TB the
+                       // encode pass is scan + map, nothing else. All
+                       // arithmetic is exact integer ((x-c)^2 sums ≤
+                       // 8·(2e6)^2 ≈ 3.2e13, far inside Long) until the
+                       // final /1e12 error normalization; argmin ties
+                       // break to the smaller cid via array_min over
+                       // (dist, cid) structs, bit-identical to the
+                       // oracle's ROW_NUMBER (ORDER BY dist, cid).
+      (s, d) => pqEncode(s, d, 8, 8, 2),
+      Some(pqOracleSql(8, 8, 2)))
   )
+
+  /** Squared L2 between two equal-length quantized integer vectors —
+    * exact Long arithmetic, codegen'd higher-order functions. */
+  private def l2q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, e) => acc + e)
+
+  /** Product-quantization train + encode (see s99's QueryDef doc for the
+    * plan shape). `m` subspaces of dim/m dims, `k` centroids each, `iters`
+    * Lloyd rounds under squared L2; returns one row per vector with the
+    * dash-joined code string and the total squared reconstruction error
+    * (de-quantized to original units). */
+  private[graft] def pqEncode(
+      s: SparkSession, d: String, m: Int, k: Int, iters: Int): DataFrame = {
+    val sub = 8 // subspace width (embedding dim 64 / m)
+    val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+    val subs = base
+      .select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        mm => struct(mm.as("m"),
+          slice(col("vq"), mm * sub + 1, lit(sub)).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val seeds = subs.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cq"))
+    // one broadcast of the M×k codebook, argmin computed map-side
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents.groupBy("m")
+          .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
+            .as("book"))), "m")
+        .select(col("vec_id"), col("m"), col("sv"),
+          array_min(transform(col("book"), c =>
+            struct(l2q(col("sv"), c("cq")).as("dist"),
+              c("cid").as("cid")))).as("best"))
+        .select(col("vec_id"), col("m"), col("sv"),
+          col("best")("cid").as("cid"), col("best")("dist").as("dist"))
+    def recenter(asg: DataFrame): DataFrame =
+      asg.groupBy(col("m"), col("cid"))
+        .agg(GraftFunctions.vector_sum_l(col("sv")).as("vsum"),
+          count(lit(1)).as("cnt"))
+        .select(col("m"), col("cid"),
+          transform(col("vsum"),
+            sq => round(sq.cast("double") / col("cnt")).cast("long"))
+            .as("cq"))
+    val trained = (1 to iters).foldLeft(seeds)(
+      (c, _) => recenter(assign(c)))
+    // encode: nested one-row broadcast codebook, zero shuffles
+    val book1 = trained.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
+        .as("bm"))
+      .agg(sort_array(collect_list(struct(col("m"), col("bm"))))
+        .as("book"))
+    base.crossJoin(broadcast(book1))
+      .select(col("vec_id"),
+        transform(col("book"), e =>
+          array_min(transform(e("bm"), c =>
+            struct(l2q(slice(col("vq"), e("m") * sub + 1, lit(sub)),
+              c("cq")).as("dist"), c("cid").as("cid"))))).as("enc"))
+      .select(col("vec_id"),
+        concat_ws("-",
+          transform(col("enc"), x => x("cid").cast("string"))).as("codes"),
+        round(aggregate(col("enc"), lit(0L), (a, x) => a + x("dist"))
+          .cast("double") / 1e12, 6).as("sq_err"))
+  }
+
+  /** s99 oracle: the same per-subspace Lloyd unrolled as a CTE chain —
+    * assignment is ROW_NUMBER per (vec_id, m) by exact-integer squared L2
+    * (ties → smaller cid), recentering the same ROUND(SUM/COUNT), so every
+    * iteration agrees bit-for-bit with the engine. */
+  private def pqOracleSql(m: Int, k: Int, iters: Int): String = {
+    def assignCte(i: Int, p: Int, keepDist: Boolean) = {
+      val distCol = if (keepDist) ", dist" else ""
+      s"""a$i AS (
+         |  SELECT vec_id, m, cid$distCol FROM (
+         |    SELECT vec_id, m, cid, dist,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                              ORDER BY dist, cid) AS rnk
+         |    FROM (SELECT s.vec_id, s.m, c.cid,
+         |                 SUM((s.xq - c.cq) * (s.xq - c.cq)) AS dist
+         |          FROM sub s JOIN c$p c ON c.m = s.m AND c.jj = s.jj
+         |          GROUP BY 1, 2, 3))
+         |  WHERE rnk = 1)"""
+    }
+    def centCte(i: Int) =
+      s"""c$i AS (
+         |  SELECT a.m, a.cid, s.jj,
+         |         CAST(ROUND(CAST(SUM(s.xq) AS DOUBLE) / COUNT(*))
+         |              AS BIGINT) AS cq
+         |  FROM a$i a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+         |  GROUP BY 1, 2, 3)"""
+    val chain = (1 to iters).map { i =>
+      s"${assignCte(i, i - 1, keepDist = false)},\n${centCte(i)}"
+    }.mkString(",\n")
+    s"""WITH comp AS (
+       |  SELECT vec_id, j - 1 AS j0,
+       |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |               generate_subscripts(embedding, 1) AS j
+       |        FROM embeddings)),
+       |sub AS (SELECT vec_id, j0 // 8 AS m, j0 % 8 AS jj, xq FROM comp),
+       |c0 AS (SELECT j0 // 8 AS m, vec_id AS cid, j0 % 8 AS jj, xq AS cq
+       |       FROM comp WHERE vec_id < $k),
+       |$chain,
+       |${assignCte(iters + 1, iters, keepDist = true)}
+       |SELECT vec_id,
+       |       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS codes,
+       |       ROUND(CAST(SUM(dist) AS DOUBLE) / 1e12, 6) AS sq_err
+       |FROM a${iters + 1}
+       |GROUP BY vec_id""".stripMargin
+  }
 
   /** Distributed Lloyd (see s98's QueryDef doc for the plan shape); exposed
     * so the spec can compare the trained codebook (`iters` > 0) against the

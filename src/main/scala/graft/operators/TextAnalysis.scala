@@ -1290,6 +1290,105 @@ object TextAnalysis {
              |SELECT lang, CAST(MIN(n) AS BIGINT) AS n_docs,
              |       CAST(COUNT(*) AS BIGINT) AS n_kept,
              |       MIN(quality) AS q_threshold
-             |FROM ranked WHERE rn * 4 <= n GROUP BY lang""".stripMargin))
+             |FROM ranked WHERE rn * 4 <= n GROUP BY lang""".stripMargin)),
+
+    QueryDef(
+      "t93_bpe_merges", // BPE merge-rule TRAINING — the learning step t74's
+                        // doc disclaims ("true BPE needs a learned merge
+                        // table"): 3 greedy corpus-level merges over the
+                        // lowercase-alpha word stream. Each round counts
+                        // all adjacent symbol pairs (occurrence-weighted),
+                        // picks the global argmax (ties → lexicographic),
+                        // and rewrites the corpus with the winning pair
+                        // fused to a fresh single-char marker ('0','1','2'
+                        // — impossible in [a-z]+ words, so markers never
+                        // collide), exactly Sennrich's alphabet-extension
+                        // trick that keeps pair counting a char-bigram scan
+                        // at every round. replace() is left-to-right
+                        // non-overlapping in both engines = greedy BPE
+                        // application ("aaa" + (a,a) → [aa][a]).
+                        //
+                        // Scale shape per round: pair counting partial-
+                        // aggregates map-side to ≤|alphabet|² rows per
+                        // partition (the shuffle carries hundreds of rows,
+                        // never corpus volume); the winning pair is a
+                        // 1-row broadcast; the rewrite is pure map. So a
+                        // merge costs one corpus scan + an alphabet-bounded
+                        // shuffle — at 100 TB you persist the rewritten
+                        // stream between rounds instead of recomputing
+                        // lineage (a deployment choice; the plan shape is
+                        // already one-pass-per-merge either way, the
+                        // textbook distributed BPE layout). Output expands
+                        // markers back through the earlier pairs so the
+                        // merge table reads as real subword units.
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        def topPair(ws: DataFrame): DataFrame = ws
+          .filter(length(col("w")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            p => col("w").substr(p, lit(2)))).as("pr"))
+          .groupBy("pr").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pr").asc)
+          .limit(1)
+        def rewrite(ws: DataFrame, top: DataFrame, marker: String) = ws
+          .crossJoin(broadcast(top.select(col("pr").as("mp"))))
+          .select(replace(col("w"), col("mp"), lit(marker)).as("w"))
+        val t1 = topPair(words)
+        val w1 = rewrite(words, t1, "0")
+        val t2 = topPair(w1)
+        val w2 = rewrite(w1, t2, "1")
+        val t3 = topPair(w2)
+        val sel = t1.select(lit(1).as("merge_rank"), col("pr"), col("cnt"))
+          .unionAll(t2.select(lit(2).as("merge_rank"), col("pr"),
+            col("cnt")))
+          .unionAll(t3.select(lit(3).as("merge_rank"), col("pr"),
+            col("cnt")))
+        // markers only ever reference EARLIER merges, so one expansion
+        // pass in reverse creation order ('1'→pair2 first, which may
+        // introduce '0's, then '0'→pair1) fully resolves any pair
+        def expand(c: Column, p1: Column, p2: Column): Column =
+          replace(replace(c, lit("1"), p2), lit("0"), p1)
+        sel
+          .crossJoin(broadcast(t1.select(col("pr").as("e1"))))
+          .crossJoin(broadcast(t2.select(col("pr").as("e2"))))
+          .select(col("merge_rank"),
+            expand(col("pr").substr(lit(1), lit(1)), col("e1"), col("e2"))
+              .as("left_unit"),
+            expand(col("pr").substr(lit(2), lit(1)), col("e1"), col("e2"))
+              .as("right_unit"),
+            col("cnt"))
+      },
+      Some("""WITH words AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |b1 AS (SELECT w, unnest(range(1, length(w))) AS p FROM words),
+             |t1 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
+             |       FROM b1 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
+             |w1 AS (SELECT replace(w, (SELECT pr FROM t1), '0') AS w
+             |       FROM words),
+             |b2 AS (SELECT w, unnest(range(1, length(w))) AS p FROM w1),
+             |t2 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
+             |       FROM b2 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
+             |w2 AS (SELECT replace(w, (SELECT pr FROM t2), '1') AS w
+             |       FROM w1),
+             |b3 AS (SELECT w, unnest(range(1, length(w))) AS p FROM w2),
+             |t3 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
+             |       FROM b3 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
+             |sel AS (
+             |  SELECT 1 AS merge_rank, pr, cnt FROM t1
+             |  UNION ALL SELECT 2, pr, cnt FROM t2
+             |  UNION ALL SELECT 3, pr, cnt FROM t3)
+             |SELECT merge_rank,
+             |       replace(replace(substr(pr, 1, 1),
+             |               '1', (SELECT pr FROM t2)),
+             |               '0', (SELECT pr FROM t1)) AS left_unit,
+             |       replace(replace(substr(pr, 2, 1),
+             |               '1', (SELECT pr FROM t2)),
+             |               '0', (SELECT pr FROM t1)) AS right_unit,
+             |       cnt
+             |FROM sel""".stripMargin))
   )
 }

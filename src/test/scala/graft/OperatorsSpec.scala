@@ -166,6 +166,56 @@ class OperatorsSpec extends AnyFunSuite {
       f"training did not improve mean cosine: seed $seed%.4f -> $trained%.4f")
   }
 
+  test("s99 pq: 8 codes per vector from 8-entry codebooks; training cuts distortion") {
+    val rows = run("s99_pq_encode").collect()
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.length == n, "one code row per corpus vector")
+    rows.foreach { r =>
+      assert(r.getString(1).matches("[0-7](-[0-7]){7}"),
+        s"malformed code string ${r.getString(1)}")
+      assert(r.getDouble(2) >= 0.0, "negative reconstruction error")
+    }
+    // Lloyd under squared L2: 2 trained rounds must beat raw seed codebooks
+    def distortion(iters: Int): Double =
+      operators.Similarity.pqEncode(spark, d, 8, 8, iters)
+        .agg(sum(col("sq_err"))).head().getDouble(0)
+    val (seed, trained) = (distortion(0), distortion(2))
+    assert(trained < seed,
+      f"PQ training did not cut distortion: seed $seed%.2f -> trained $trained%.2f")
+    // candidate generation is broadcast-only: nothing corpus×corpus
+    val plan = run("s99_pq_encode").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "s99 plans a cartesian")
+    assert(!plan.contains("SortMergeJoin"), "s99 shuffles a join side")
+  }
+
+  test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
+    // "aaa bb aaa": r1 pairs {aa:4, bb:1} -> merge (a,a) cnt 4; rewrite
+    // "aaa"->"0a" (left-to-right non-overlap = greedy BPE); r2 {0a:2, bb:1}
+    // -> merge (aa,a) cnt 2; rewrite "0a"->"1"; r3 {bb:1} -> merge (b,b)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t93").toString
+    Seq((1L, "aaa bb"), (2L, "aaa")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t93_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L),
+      (3, "b", "b", 1L)), s"unexpected merge table: ${got.toSeq}")
+    // on the real corpus: counts non-increasing (a merged pair can never
+    // out-count the pair that created its symbol), units stay alphabetic
+    val real = run("t93_bpe_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(real.length == 3)
+    assert(real.map(_._4).sameElements(real.map(_._4).sorted.reverse),
+      "merge counts must be non-increasing across rounds")
+    real.foreach { case (_, l, rr, c) =>
+      assert(l.matches("[a-z]+") && rr.matches("[a-z]+"),
+        s"marker leaked into expanded units: ($l, $rr)")
+      assert(c > 0)
+    }
+  }
+
   test("t84 sequence pack: tokens conserved, chunks contiguous per source") {
     val chunks = run("t84_sequence_pack").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
