@@ -113,6 +113,56 @@ object TextAnalysis {
       |           i -> list_min(hs[i+1:i+4]))) AS fps
       |  FROM hashes)""".stripMargin
 
+  /** Corpus-level greedy BPE: the 3 merge tables (pr = 2-symbol pair,
+    * cnt = occurrence-weighted count) over the lowercase-alpha word stream,
+    * each round rewriting the stream with the winner fused to a fresh
+    * single-char marker ('0','1','2' — impossible inside [a-z]+ words).
+    * Shared by t93 (the merge table itself) and t94 (tokenizer application).
+    */
+  private[graft] def bpeMergeTables(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val words = t(s, d, "documents")
+      .select(explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+    def topPair(ws: DataFrame): DataFrame = ws
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        p => col("w").substr(p, lit(2)))).as("pr"))
+      .groupBy("pr").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pr").asc)
+      .limit(1)
+    def rewrite(ws: DataFrame, top: DataFrame, marker: String) = ws
+      .crossJoin(broadcast(top.select(col("pr").as("mp"))))
+      .select(replace(col("w"), col("mp"), lit(marker)).as("w"))
+    val t1 = topPair(words)
+    val w1 = rewrite(words, t1, "0")
+    val t2 = topPair(w1)
+    val w2 = rewrite(w1, t2, "1")
+    val t3 = topPair(w2)
+    (t1, t2, t3)
+  }
+
+  /** Oracle CTE chain mirroring [[bpeMergeTables]] (declared before `defs`:
+    * object init is textual order). */
+  private val bpeCtes =
+    """words AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |b1 AS (SELECT w, unnest(range(1, length(w))) AS p FROM words),
+      |t1 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
+      |       FROM b1 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
+      |w1 AS (SELECT replace(w, (SELECT pr FROM t1), '0') AS w
+      |       FROM words),
+      |b2 AS (SELECT w, unnest(range(1, length(w))) AS p FROM w1),
+      |t2 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
+      |       FROM b2 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
+      |w2 AS (SELECT replace(w, (SELECT pr FROM t2), '1') AS w
+      |       FROM w1),
+      |b3 AS (SELECT w, unnest(range(1, length(w))) AS p FROM w2),
+      |t3 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
+      |       FROM b3 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1322,25 +1372,7 @@ object TextAnalysis {
                         // markers back through the earlier pairs so the
                         // merge table reads as real subword units.
       (s, d) => {
-        val words = t(s, d, "documents")
-          .select(explode(regexp_extract_all(
-            lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
-        def topPair(ws: DataFrame): DataFrame = ws
-          .filter(length(col("w")) >= 2)
-          .select(explode(transform(
-            sequence(lit(1), length(col("w")) - 1),
-            p => col("w").substr(p, lit(2)))).as("pr"))
-          .groupBy("pr").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("pr").asc)
-          .limit(1)
-        def rewrite(ws: DataFrame, top: DataFrame, marker: String) = ws
-          .crossJoin(broadcast(top.select(col("pr").as("mp"))))
-          .select(replace(col("w"), col("mp"), lit(marker)).as("w"))
-        val t1 = topPair(words)
-        val w1 = rewrite(words, t1, "0")
-        val t2 = topPair(w1)
-        val w2 = rewrite(w1, t2, "1")
-        val t3 = topPair(w2)
+        val (t1, t2, t3) = bpeMergeTables(s, d)
         val sel = t1.select(lit(1).as("merge_rank"), col("pr"), col("cnt"))
           .unionAll(t2.select(lit(2).as("merge_rank"), col("pr"),
             col("cnt")))
@@ -1361,22 +1393,7 @@ object TextAnalysis {
               .as("right_unit"),
             col("cnt"))
       },
-      Some("""WITH words AS (
-             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-             |  FROM documents),
-             |b1 AS (SELECT w, unnest(range(1, length(w))) AS p FROM words),
-             |t1 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
-             |       FROM b1 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
-             |w1 AS (SELECT replace(w, (SELECT pr FROM t1), '0') AS w
-             |       FROM words),
-             |b2 AS (SELECT w, unnest(range(1, length(w))) AS p FROM w1),
-             |t2 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
-             |       FROM b2 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
-             |w2 AS (SELECT replace(w, (SELECT pr FROM t2), '1') AS w
-             |       FROM w1),
-             |b3 AS (SELECT w, unnest(range(1, length(w))) AS p FROM w2),
-             |t3 AS (SELECT substr(w, p, 2) AS pr, COUNT(*) AS cnt
-             |       FROM b3 GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1),
+      Some(s"""WITH $bpeCtes,
              |sel AS (
              |  SELECT 1 AS merge_rank, pr, cnt FROM t1
              |  UNION ALL SELECT 2, pr, cnt FROM t2
@@ -1389,6 +1406,67 @@ object TextAnalysis {
              |               '1', (SELECT pr FROM t2)),
              |               '0', (SELECT pr FROM t1)) AS right_unit,
              |       cnt
-             |FROM sel""".stripMargin))
+             |FROM sel""".stripMargin)),
+
+    QueryDef(
+      "t94_bpe_apply", // tokenizer APPLICATION — close the t93 train loop:
+                       // re-tokenize every document with the 3 learned
+                       // merges and account the compression (chars in the
+                       // alpha word stream vs symbols after merging; each
+                       // merged symbol is one marker char, so symbol count
+                       // = string length). The merge table is 3 one-row
+                       // broadcasts feeding a pure map-side per-doc
+                       // transform + fold — applying a trained tokenizer
+                       // at 100 TB is scan + map, nothing else (training
+                       // cost lives in t93; a deployment persists its tiny
+                       // merge table instead of re-deriving lineage).
+                       // replace() chains in merge order = greedy BPE.
+                       // Empty/alpha-free docs: 0 chars, NULL ratio (the
+                       // shared NULL-on-zero division rule).
+      (s, d) => {
+        val (t1, t2, t3) = bpeMergeTables(s, d)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
+        docs
+          .crossJoin(broadcast(t1.select(col("pr").as("p1"))))
+          .crossJoin(broadcast(t2.select(col("pr").as("p2"))))
+          .crossJoin(broadcast(t3.select(col("pr").as("p3"))))
+          .select(col("doc_id"),
+            aggregate(col("ws"), lit(0L),
+              (a, w) => a + length(w).cast("long")).as("n_chars"),
+            aggregate(transform(col("ws"), w =>
+              replace(replace(replace(w, col("p1"), lit("0")),
+                col("p2"), lit("1")), col("p3"), lit("2"))),
+              lit(0L), (a, w) => a + length(w).cast("long")).as("n_syms"))
+          .select(col("doc_id"), col("n_chars"), col("n_syms"),
+            round(when(col("n_chars") === 0, lit(null))
+              .otherwise(col("n_syms").cast("double") /
+                col("n_chars").cast("double")), 6).as("compression"))
+      },
+      Some(s"""WITH $bpeCtes,
+             |docs AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |app AS (
+             |  -- merge pairs must be plain columns: DuckDB rejects
+             |  -- subqueries inside lambda bodies
+             |  SELECT doc_id,
+             |         COALESCE(CAST(list_sum(list_transform(ws,
+             |             w -> length(w))) AS BIGINT), 0) AS n_chars,
+             |         COALESCE(CAST(list_sum(list_transform(ws,
+             |             w -> length(replace(replace(replace(w,
+             |                    p1, '0'), p2, '1'), p3, '2'))))
+             |           AS BIGINT), 0) AS n_syms
+             |  FROM docs
+             |  CROSS JOIN (SELECT pr AS p1 FROM t1)
+             |  CROSS JOIN (SELECT pr AS p2 FROM t2)
+             |  CROSS JOIN (SELECT pr AS p3 FROM t3))
+             |SELECT doc_id, n_chars, n_syms,
+             |       CASE WHEN n_chars = 0 THEN NULL
+             |            ELSE ROUND(CAST(n_syms AS DOUBLE) /
+             |                       CAST(n_chars AS DOUBLE), 6) END
+             |         AS compression
+             |FROM app""".stripMargin))
   )
 }

@@ -216,6 +216,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t94 bpe apply: learned merges compress the hand-checked corpus") {
+    // merges from the t93 fixture: (a,a), (aa,a), (b,b). "aaa"->1 symbol,
+    // "bb"->1 symbol
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t94").toString
+    Seq((1L, "aaa bb"), (2L, "aaa")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t94_bpe_apply")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 5L, 2L, 0.4), (2L, 3L, 1L, 0.333333)),
+      s"unexpected compression accounting: ${got.toSeq}")
+    // real corpus: merging can only shrink, never grow, the symbol stream
+    run("t94_bpe_apply").collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)} grew under BPE application")
+      if (r.getLong(1) > 0)
+        assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("t84 sequence pack: tokens conserved, chunks contiguous per source") {
     val chunks = run("t84_sequence_pack").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
