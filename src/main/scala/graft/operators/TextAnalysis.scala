@@ -1467,6 +1467,89 @@ object TextAnalysis {
              |            ELSE ROUND(CAST(n_syms AS DOUBLE) /
              |                       CAST(n_chars AS DOUBLE), 6) END
              |         AS compression
-             |FROM app""".stripMargin))
+             |FROM app""".stripMargin)),
+
+    QueryDef(
+      "t95_dsir_select", // DSIR-style data selection: score every document
+                         // by the unigram log-likelihood ratio between a
+                         // target distribution (the benchmark-like docs,
+                         // doc_id % 10 == 0) and the raw corpus, both
+                         // add-1-smoothed over the shared vocabulary, and
+                         // keep the top 50. The weight table is vocabulary-
+                         // bounded — aggregated once and BROADCAST to the
+                         // scorers (the t87 model-artifact shape); scoring
+                         // is exact integer micro-nats (Σ count·weight,
+                         // associative, partition-order free — the only
+                         // float op is one LN per vocab word on operands
+                         // identical in both engines). Selection avoids a
+                         // corpus-wide window: the 50-row TakeOrdered
+                         // boundary broadcasts back as a (negated-score,
+                         // doc_id) struct threshold, so at 100 TB the
+                         // decision is scan + broadcast compare, and ties
+                         // at the boundary stay deterministic.
+      (s, d) => {
+        val words = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), explode(regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        val isTgt = col("doc_id") % 10 === 0
+        val raw = words.groupBy("w").agg(count(lit(1)).as("cr"),
+          sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
+        val tot = words.agg(count(lit(1)).as("r_total"),
+          sum(when(isTgt, 1L).otherwise(0L)).as("t_total"),
+          countDistinct(col("w")).as("v"))
+        val wt = raw.crossJoin(broadcast(tot))
+          .select(col("w"), round((
+            log((col("ct") + 1).cast("double") /
+              (col("t_total") + col("v")).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("r_total") + col("v")).cast("double"))) * 1000000)
+            .cast("long").as("wm"))
+        val doc = words.repartition(col("doc_id"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val scored = doc.join(broadcast(wt), "w")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("wm")).as("score_micro"))
+        val thr = scored
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+          .agg(max(struct((-col("score_micro")).as("ns"),
+            col("doc_id").as("di"))).as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("n_words"), col("score_micro"),
+            (struct((-col("score_micro")).as("ns"),
+              col("doc_id").as("di")) <= col("thr")).as("selected"))
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id,
+             |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |raw AS (
+             |  SELECT w, COUNT(*) AS cr,
+             |         SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS ct
+             |  FROM words GROUP BY w),
+             |tot AS (
+             |  SELECT COUNT(*) AS r_total,
+             |         SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+             |           AS t_total,
+             |         COUNT(DISTINCT w) AS v
+             |  FROM words),
+             |wt AS (
+             |  SELECT w, CAST(ROUND((
+             |           LN(CAST(ct + 1 AS DOUBLE) /
+             |              CAST(t_total + v AS DOUBLE)) -
+             |           LN(CAST(cr + 1 AS DOUBLE) /
+             |              CAST(r_total + v AS DOUBLE))) * 1000000)
+             |         AS BIGINT) AS wm
+             |  FROM raw CROSS JOIN tot),
+             |doc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM words GROUP BY doc_id, w),
+             |scored AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         CAST(SUM(c * wm) AS BIGINT) AS score_micro
+             |  FROM doc JOIN wt USING (w) GROUP BY doc_id)
+             |SELECT doc_id, n_words, score_micro, rnk <= 50 AS selected
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        ORDER BY score_micro DESC, doc_id) AS rnk
+             |      FROM scored)""".stripMargin))
   )
 }

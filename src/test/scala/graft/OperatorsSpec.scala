@@ -237,6 +237,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t95 dsir: broadcast threshold reproduces the exact top-50; target docs rank up") {
+    val rows = run("t95_dsir_select").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val expect = rows.sortBy { case (id, sc, _) => (-sc, id) }
+      .take(50).map(_._1).toSet
+    val got = rows.filter(_._3).map(_._1).toSet
+    assert(got == expect, "threshold selection != exact top-50")
+    assert(got.size == math.min(50, rows.length))
+    // the scorer must prefer target-like docs: mean importance of the
+    // target partition beats the rest (that is what DSIR selects FOR)
+    val (tgt, rest) = rows.partition(_._1 % 10 == 0)
+    val (mt, mr) = (tgt.map(_._2).sum.toDouble / tgt.length,
+      rest.map(_._2).sum.toDouble / rest.length)
+    assert(mt > mr, f"target docs do not outscore raw: $mt%.0f <= $mr%.0f")
+  }
+
   test("t84 sequence pack: tokens conserved, chunks contiguous per source") {
     val chunks = run("t84_sequence_pack").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
