@@ -863,7 +863,28 @@ object Similarity {
                        // (dist, cid) structs, bit-identical to the
                        // oracle's ROW_NUMBER (ORDER BY dist, cid).
       (s, d) => pqEncode(s, d, 8, 8, 2),
-      Some(pqOracleSql(8, 8, 2)))
+      Some(pqOracleSql(8, 8, 2))),
+
+    QueryDef(
+      "s100_pq_adc_search", // ADC top-k — the SERVING step that justifies
+                            // s99's codes: queries stay raw f32 vectors,
+                            // the corpus is only its 8-byte PQ codes, and
+                            // per query a 64-entry lookup table of exact
+                            // subspace distances (query-subvector ×
+                            // codebook entry) broadcasts to every scanner;
+                            // each corpus vector's approximate distance is
+                            // then 8 map lookups + an integer fold — the
+                            // classic asymmetric-distance computation
+                            // (Jégou et al.), which at 100 TB scans codes
+                            // (32× less I/O than raw vectors) with zero
+                            // shuffle before the per-query top-k window.
+                            // LUT keys are m*100+cid in a MAP, not a
+                            // positional array, so a dropped (empty)
+                            // cluster cannot shift indexing. All distances
+                            // exact integers; ties break to the smaller
+                            // neighbor id; self-matches excluded like s90.
+      (s, d) => pqAdcSearch(s, d, 8, 8, 2, 5, 3),
+      Some(pqAdcOracleSql(8, 2, 5, 3)))
   )
 
   /** Squared L2 between two equal-length quantized integer vectors —
@@ -872,20 +893,21 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, e) => acc + e)
 
-  /** Product-quantization train + encode (see s99's QueryDef doc for the
-    * plan shape). `m` subspaces of dim/m dims, `k` centroids each, `iters`
-    * Lloyd rounds under squared L2; returns one row per vector with the
-    * dash-joined code string and the total squared reconstruction error
-    * (de-quantized to original units). */
-  private[graft] def pqEncode(
-      s: SparkSession, d: String, m: Int, k: Int, iters: Int): DataFrame = {
-    val sub = 8 // subspace width (embedding dim 64 / m)
+  private val pqSub = 8 // PQ subspace width (embedding dim 64 / m)
+
+  /** PQ building blocks shared by s99 (encode) and s100 (ADC search):
+    * `base` = (vec_id, vq), `subs` = the per-subspace explosion,
+    * `trained` = the (m, cid, cq) codebook after `iters` Lloyd rounds
+    * under exact-integer squared L2 (seeds: subvectors of the k lowest-id
+    * vectors; see s99's QueryDef doc for the plan shape). */
+  private def pqParts(s: SparkSession, d: String, m: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
     val subs = base
       .select(col("vec_id"), explode(transform(
         sequence(lit(0), lit(m - 1)),
         mm => struct(mm.as("m"),
-          slice(col("vq"), mm * sub + 1, lit(sub)).as("sv")))).as("e"))
+          slice(col("vq"), mm * pqSub + 1, lit(pqSub)).as("sv")))).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
     val seeds = subs.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cq"))
@@ -910,7 +932,12 @@ object Similarity {
             .as("cq"))
     val trained = (1 to iters).foldLeft(seeds)(
       (c, _) => recenter(assign(c)))
-    // encode: nested one-row broadcast codebook, zero shuffles
+    (base, subs, trained)
+  }
+
+  /** Map-side PQ encode against a one-row broadcast codebook — zero
+    * shuffles; returns (vec_id, enc) with enc = m-ordered (dist, cid). */
+  private def pqEnc(base: DataFrame, trained: DataFrame): DataFrame = {
     val book1 = trained.groupBy("m")
       .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
         .as("bm"))
@@ -920,8 +947,19 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("book"), e =>
           array_min(transform(e("bm"), c =>
-            struct(l2q(slice(col("vq"), e("m") * sub + 1, lit(sub)),
+            struct(l2q(slice(col("vq"), e("m") * pqSub + 1, lit(pqSub)),
               c("cq")).as("dist"), c("cid").as("cid"))))).as("enc"))
+  }
+
+  /** Product-quantization train + encode (see s99's QueryDef doc for the
+    * plan shape). `m` subspaces of dim/m dims, `k` centroids each, `iters`
+    * Lloyd rounds under squared L2; returns one row per vector with the
+    * dash-joined code string and the total squared reconstruction error
+    * (de-quantized to original units). */
+  private[graft] def pqEncode(
+      s: SparkSession, d: String, m: Int, k: Int, iters: Int): DataFrame = {
+    val (base, _, trained) = pqParts(s, d, m, k, iters)
+    pqEnc(base, trained)
       .select(col("vec_id"),
         concat_ws("-",
           transform(col("enc"), x => x("cid").cast("string"))).as("codes"),
@@ -929,11 +967,52 @@ object Similarity {
           .cast("double") / 1e12, 6).as("sq_err"))
   }
 
-  /** s99 oracle: the same per-subspace Lloyd unrolled as a CTE chain —
+  /** PQ asymmetric-distance (ADC) top-k: queries stay raw, the corpus is
+    * its 8-byte PQ codes; per query a |m|·|k|-entry lookup table of exact
+    * subspace distances broadcasts, and each corpus vector's approximate
+    * distance is m map-side map lookups over its codes. */
+  private[graft] def pqAdcSearch(s: SparkSession, d: String, m: Int,
+      k: Int, iters: Int, nq: Int, topk: Int): DataFrame = {
+    val (base, subs, trained) = pqParts(s, d, m, k, iters)
+    val codes = pqEnc(base, trained)
+      .select(col("vec_id"),
+        transform(col("enc"), x => x("cid")).as("codes"))
+    // per-query LUT: |queries|×m×k exact subspace distances; keyed
+    // m*100+cid into a map so a dropped (empty) cluster cannot shift
+    // positional indexing
+    val lut = subs.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(trained), "m")
+      .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
+        l2q(col("sv"), col("cq")).as("dq"))
+      .groupBy("q_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("key"), col("dq"))))).as("qlut"))
+      // maps are not orderable — plain collect_list; element order is
+      // immaterial (each query explodes back to its own rows)
+      .agg(collect_list(struct(col("q_id"), col("qlut"))).as("qs"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adq").asc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(lut))
+      .select(col("vec_id"), col("codes"), explode(col("qs")).as("q"))
+      .select(col("vec_id").as("neighbor_id"), col("q")("q_id").as("q_id"),
+        aggregate(zip_with(col("codes"),
+            sequence(lit(0), lit(m - 1)),
+            (code, mm) => element_at(col("q")("qlut"), mm * 100 + code)),
+          lit(0L), (a, x) => a + x).as("adq"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("adq").cast("double") / 1e12, 6).as("approx_sq"))
+  }
+
+  /** s99/s100 oracle chain: the same per-subspace Lloyd unrolled as CTEs —
     * assignment is ROW_NUMBER per (vec_id, m) by exact-integer squared L2
     * (ties → smaller cid), recentering the same ROUND(SUM/COUNT), so every
-    * iteration agrees bit-for-bit with the engine. */
-  private def pqOracleSql(m: Int, k: Int, iters: Int): String = {
+    * iteration agrees bit-for-bit with the engine. Ends at a{iters+1} =
+    * the final per-(vec_id, m) code assignment with its distance. */
+  private def pqChainCtes(k: Int, iters: Int): String = {
     def assignCte(i: Int, p: Int, keepDist: Boolean) = {
       val distCol = if (keepDist) ", dist" else ""
       s"""a$i AS (
@@ -957,7 +1036,7 @@ object Similarity {
     val chain = (1 to iters).map { i =>
       s"${assignCte(i, i - 1, keepDist = false)},\n${centCte(i)}"
     }.mkString(",\n")
-    s"""WITH comp AS (
+    s"""comp AS (
        |  SELECT vec_id, j - 1 AS j0,
        |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
        |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
@@ -967,13 +1046,41 @@ object Similarity {
        |c0 AS (SELECT j0 // 8 AS m, vec_id AS cid, j0 % 8 AS jj, xq AS cq
        |       FROM comp WHERE vec_id < $k),
        |$chain,
-       |${assignCte(iters + 1, iters, keepDist = true)}
+       |${assignCte(iters + 1, iters, keepDist = true)}""".stripMargin
+  }
+
+  private def pqOracleSql(m: Int, k: Int, iters: Int): String =
+    s"""WITH ${pqChainCtes(k, iters)}
        |SELECT vec_id,
        |       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS codes,
        |       ROUND(CAST(SUM(dist) AS DOUBLE) / 1e12, 6) AS sq_err
        |FROM a${iters + 1}
        |GROUP BY vec_id""".stripMargin
-  }
+
+  /** s100 oracle: LUT = exact subspace distances query×codebook; approx
+    * distance = Σ over the corpus codes; top-k per query (ties → smaller
+    * neighbor id), self excluded. */
+  private def pqAdcOracleSql(k: Int, iters: Int, nq: Int,
+      topk: Int): String =
+    s"""WITH ${pqChainCtes(k, iters)},
+       |qsub AS (SELECT vec_id AS q_id, m, jj, xq FROM sub
+       |         WHERE vec_id < $nq),
+       |lut AS (
+       |  SELECT q.q_id, c.m, c.cid,
+       |         SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dq
+       |  FROM qsub q JOIN c$iters c ON c.m = q.m AND c.jj = q.jj
+       |  GROUP BY 1, 2, 3),
+       |approx AS (
+       |  SELECT l.q_id, a.vec_id, SUM(l.dq) AS adq
+       |  FROM a${iters + 1} a JOIN lut l ON l.m = a.m AND l.cid = a.cid
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id AS neighbor_id,
+       |       ROUND(CAST(adq AS DOUBLE) / 1e12, 6) AS approx_sq
+       |FROM (SELECT q_id, vec_id, adq,
+       |             ROW_NUMBER() OVER (PARTITION BY q_id
+       |                                ORDER BY adq, vec_id) AS rnk
+       |      FROM approx WHERE vec_id <> q_id)
+       |WHERE rnk <= $topk""".stripMargin
 
   /** Distributed Lloyd (see s98's QueryDef doc for the plan shape); exposed
     * so the spec can compare the trained codebook (`iters` > 0) against the

@@ -188,6 +188,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "s99 shuffles a join side")
   }
 
+  test("s100 pq adc: 3 neighbors per query, no self, usable recall vs exact L2") {
+    val rows = run("s100_pq_adc_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 15, "5 queries x top-3")
+    rows.foreach { case (q, n, dist) =>
+      assert(q != n, "self-match leaked through")
+      assert(dist >= 0.0)
+    }
+    // recall@3 against exact squared L2 computed driver-side: PQ with 8
+    // subspaces trained on the corpus itself should find a decent share
+    // of the true neighbors (soft gate — ADC is approximate by design)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recall = rows.groupBy(_._1).map { case (q, got) =>
+      val exact = (vecs - q).map { case (id, v) => (sq(vecs(q), v), id) }
+        .toSeq.sorted.take(3).map(_._2).toSet
+      got.map(_._2).count(exact.contains).toDouble / 3
+    }
+    assert(recall.sum / recall.size >= 0.2,
+      f"mean recall@3 ${recall.sum / recall.size}%.2f below floor")
+  }
+
   test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
     // "aaa bb aaa": r1 pairs {aa:4, bb:1} -> merge (a,a) cnt 4; rewrite
     // "aaa"->"0a" (left-to-right non-overlap = greedy BPE); r2 {0a:2, bb:1}
