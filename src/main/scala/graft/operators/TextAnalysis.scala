@@ -113,6 +113,34 @@ object TextAnalysis {
       |           i -> list_min(hs[i+1:i+4]))) AS fps
       |  FROM hashes)""".stripMargin
 
+  /** The t95 word stream: every [a-z]+ run of the lowercased text, one
+    * row per occurrence, doc_id retained. */
+  private def dsirWords(s: SparkSession, d: String): DataFrame =
+    Graft.tableParallel(s, d, "documents")
+      .select(col("doc_id"), explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+
+  /** The t95 DSIR weight table (w, wm): add-1-smoothed unigram
+    * log-likelihood ratio target-vs-raw in exact micro-nat integers —
+    * vocabulary-bounded, the MODEL ARTIFACT the streaming twin freezes
+    * and broadcasts. */
+  private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val words = dsirWords(s, d)
+    val isTgt = col("doc_id") % 10 === 0
+    val raw = words.groupBy("w").agg(count(lit(1)).as("cr"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
+    val tot = words.agg(count(lit(1)).as("r_total"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("t_total"),
+      countDistinct(col("w")).as("v"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("w"), round((
+        log((col("ct") + 1).cast("double") /
+          (col("t_total") + col("v")).cast("double")) -
+        log((col("cr") + 1).cast("double") /
+          (col("r_total") + col("v")).cast("double"))) * 1000000)
+        .cast("long").as("wm"))
+  }
+
   /** Corpus-level greedy BPE: the 3 merge tables (pr = 2-symbol pair,
     * cnt = occurrence-weighted count) over the lowercase-alpha word stream,
     * each round rewriting the stream with the winner fused to a fresh
@@ -1488,22 +1516,8 @@ object TextAnalysis {
                          // decision is scan + broadcast compare, and ties
                          // at the boundary stay deterministic.
       (s, d) => {
-        val words = Graft.tableParallel(s, d, "documents")
-          .select(col("doc_id"), explode(regexp_extract_all(
-            lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
-        val isTgt = col("doc_id") % 10 === 0
-        val raw = words.groupBy("w").agg(count(lit(1)).as("cr"),
-          sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
-        val tot = words.agg(count(lit(1)).as("r_total"),
-          sum(when(isTgt, 1L).otherwise(0L)).as("t_total"),
-          countDistinct(col("w")).as("v"))
-        val wt = raw.crossJoin(broadcast(tot))
-          .select(col("w"), round((
-            log((col("ct") + 1).cast("double") /
-              (col("t_total") + col("v")).cast("double")) -
-            log((col("cr") + 1).cast("double") /
-              (col("r_total") + col("v")).cast("double"))) * 1000000)
-            .cast("long").as("wm"))
+        val words = dsirWords(s, d)
+        val wt = dsirWeights(s, d)
         val doc = words.repartition(col("doc_id"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         val scored = doc.join(broadcast(wt), "w")

@@ -128,6 +128,43 @@ object DocStreams {
       }.toDF()
   }
 
+  case class DocImportance(doc_id: Long, n_words: Long, score_micro: Long,
+      n_oov: Long)
+
+  /** Streaming DSIR importance scoring — the live twin of batch
+    * `t95_dsir_select` on the ingest direction: the frozen weight table
+    * (word → micro-nat log-likelihood-ratio, the
+    * [[graft.operators.TextAnalysis.dsirWeights]] artifact) broadcasts,
+    * arriving documents score statelessly — no join/agg state at any
+    * stream length, O(1) map lookups per word. Words outside the frozen
+    * vocabulary take `oovWeightMicro` (default 0 = neutral; under DSIR
+    * smoothing the principled constant is ln((R+V)/(T+V)), computable
+    * from the frozen totals) and are counted (`n_oov`) so vocabulary
+    * drift is visible to monitoring. Tokenization ([a-z]+ runs of the
+    * lowercased text) and integer micro-nat sums are bit-identical to
+    * the batch scorer; corpus-level SELECTION (t95's top-50 threshold)
+    * stays a batch/monitoring decision — a stream routes on a frozen
+    * score threshold instead. */
+  def dsirScore(docs: DataFrame, weights: Map[String, Long],
+      oovWeightMicro: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(weights)
+    val wordRe = "[a-z]+".r
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val model = bc.value
+        it.map { case (id, text) =>
+          var n = 0L; var sum = 0L; var oov = 0L
+          wordRe.findAllIn(text.toLowerCase).foreach { w =>
+            sum += model.getOrElse(w, { oov += 1; oovWeightMicro })
+            n += 1
+          }
+          DocImportance(id, n, sum, oov)
+        }
+      }.toDF()
+  }
+
   /** Streaming multimodal decode — the live twin of the m97 batch path:
     * arriving binary payloads (an asset ingest stream) run through the same
     * typed [[graft.operators.Multimodal.WavCodec]] header parse, one codec

@@ -246,6 +246,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny.getLong(3) == math.round((100L + 20000000L).toDouble / 2))
   }
 
+  test("dsirScore: streamed docs score bit-identical to batch t95 under " +
+      "the frozen weight table; OOV words take the configured weight") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // freeze the weight table = the t95 model artifact
+    val wt = operators.TextAnalysis.dsirWeights(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.dsirScore(
+        src.toDF().toDF("doc_id", "text"), wt)
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(20).toSeq); q.processAllAvailable()
+      src.addData(rows.drop(20).toSeq); q.processAllAvailable()
+      val out = spark.table("dsir").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(out.size == rows.length)
+      // weights are self-trained on this corpus: zero OOV on a live
+      // stream of the same corpus, and batch t95 reproduces bit-for-bit
+      assert(out.values.forall(_._3 == 0L), "no OOV against the corpus")
+      val batch = SparkEntry.queries("t95_dsir_select")(spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      batch.foreach { case (id, (n, s)) =>
+        val (sn, ss, _) = out(id)
+        assert((sn, ss) == (n, s), s"doc $id diverged from t95")
+      }
+      // t95 drops alpha-free docs at the weight join; the stream scores
+      // every doc (n_words = 0)
+      assert(out.keySet.diff(batch.keySet).forall(id => out(id)._1 == 0L))
+    } finally { q.stop(); () }
+    // OOV words take the configured weight and are counted
+    val tiny = streaming.DocStreams.dsirScore(
+      Seq((1L, "qq zz")).toDF("doc_id", "text"), Map("qq" -> 5L), -7L)
+      .collect().head
+    assert(tiny.getLong(1) == 2 && tiny.getLong(2) == -2L &&
+      tiny.getLong(3) == 1)
+  }
+
   test("decodeWav: streamed binary payloads decode identically to the " +
       "batch codec; corruption degrades to an invalid row, not a dead stream") {
     import spark.implicits._
