@@ -149,22 +149,37 @@ object TextAnalysis {
     */
   private[graft] def bpeMergeTables(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val words = t(s, d, "documents")
+    // The classic BPE-trainer shape (Sennrich's own implementation):
+    // collapse the corpus ONCE to the word-frequency dictionary, then
+    // every merge round counts pairs over the VOCABULARY weighted by
+    // word frequency — identical counts (pairs are occurrence-weighted
+    // either way, so the oracle over the raw stream agrees bit-for-bit)
+    // but each round's explode+rewrite is vocab-bounded, not
+    // corpus-bounded. The one corpus-sized pass is the initial groupBy,
+    // whose exchange partial-aggregates to ≤|vocab| rows per partition;
+    // at 100 TB rounds cost dictionary work only. (The persist
+    // alternative on the raw occurrence stream was MEASURED SLOWER at
+    // sf0.1 — 2.60 -> 3.26 s — row-materializing an exploded corpus
+    // stream costs more than codegen recompute; collapsing to the
+    // dictionary is the right fix, not caching.)
+    val wf = t(s, d, "documents")
       .select(explode(regexp_extract_all(
         lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
     def topPair(ws: DataFrame): DataFrame = ws
       .filter(length(col("w")) >= 2)
-      .select(explode(transform(
+      .select(col("wc"), explode(transform(
         sequence(lit(1), length(col("w")) - 1),
         p => col("w").substr(p, lit(2)))).as("pr"))
-      .groupBy("pr").agg(count(lit(1)).as("cnt"))
+      .groupBy("pr").agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pr").asc)
       .limit(1)
     def rewrite(ws: DataFrame, top: DataFrame, marker: String) = ws
       .crossJoin(broadcast(top.select(col("pr").as("mp"))))
-      .select(replace(col("w"), col("mp"), lit(marker)).as("w"))
-    val t1 = topPair(words)
-    val w1 = rewrite(words, t1, "0")
+      .select(replace(col("w"), col("mp"), lit(marker)).as("w"),
+        col("wc"))
+    val t1 = topPair(wf)
+    val w1 = rewrite(wf, t1, "0")
     val t2 = topPair(w1)
     val w2 = rewrite(w1, t2, "1")
     val t3 = topPair(w2)
