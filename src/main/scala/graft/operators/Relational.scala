@@ -165,12 +165,20 @@ object Relational {
 
     QueryDef(
       "q12_count_distinct",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("d_parts"),
-          countDistinct(col("l_suppkey")).as("d_supps"),
-          count(lit(1)).as("n")),
+      // Two COUNT(DISTINCT) on different columns would make Catalyst
+      // EXPAND the fact table 3x into one big exchange; three separate
+      // pruned-scan aggregations each partial-aggregate map-side (the
+      // exchanges carry ~distinct-count rows, never fact rows) and join
+      // back on the 3-row group key. Measured at sf0.1 best-of-3: 1.03 -> 0.48 s.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val dp = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("d_parts"))
+        val ds = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("d_supps"))
+        val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        dp.join(ds, "l_returnflag").join(n, "l_returnflag")
+      },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d_parts,
                      COUNT(DISTINCT l_suppkey) AS d_supps, COUNT(*) AS n
               FROM lineitem GROUP BY l_returnflag""")),
