@@ -59,7 +59,21 @@ class PlanGuardSpec extends AnyFunSuite {
     ("d95_winnow_near_dup", 3, Nil, Nil),
     ("d97_editdist_verify", 3, Nil, Nil),
     ("t88_winnow_fingerprints", 1, Nil, Nil),
-    ("p100_corpus_prep", 2, Nil, Nil))
+    ("p100_corpus_prep", 2, Nil, Nil),
+    // dictionary-based BPE: one corpus scan per merge round (AQE reuses
+    // the word-frequency exchange across rounds)
+    ("t93_bpe_merges", 3, Nil, Nil),
+    ("t94_bpe_apply", 4, Nil, Nil),
+    // DSIR: raw counts, totals and doc scoring all hang off ONE reused
+    // corpus exchange; the vocab-bounded weight table must stay broadcast
+    ("t95_dsir_select", 1, Nil, Seq("BroadcastHashJoin")),
+    // PQ: codebook joins are broadcast-only — an SMJ means a corpus-sized
+    // side started shuffling into the assignment
+    ("s99_pq_encode", 3, Seq("SortMergeJoin"), Nil),
+    ("s100_pq_adc_search", 4, Seq("SortMergeJoin"), Nil),
+    // the multi-distinct split: Expand (Catalyst's distinct rewrite)
+    // must stay gone
+    ("q12_count_distinct", 3, Seq("Expand"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
