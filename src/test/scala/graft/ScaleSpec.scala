@@ -71,8 +71,13 @@ class ScaleSpec extends AnyFunSuite {
     // Row-level verdict operators: output cardinality IS corpus cardinality
     // (d81/d92) or the duplicate surplus (d80); both must triple, and the
     // per-copy verdicts must be the 1× verdicts under the id offset.
+    // t94 (per-doc BPE accounting) and t95 (per-doc DSIR verdicts) are
+    // row-level too: one output row per corpus doc, so 3x exactly —
+    // their model artifacts (merge table, weight table) stay
+    // vocabulary-bounded no matter the corpus factor.
     for (q <- Seq("d80_dedup_exact", "d81_dedup_exact_keep",
-                  "d92_semantic_dedup")) {
+                  "d92_semantic_dedup", "t94_bpe_apply",
+                  "t95_dsir_select")) {
       val n1 = rows(q, dir1)
       val n3 = rows(q, dir3)
       assert(n3 == 3 * n1, s"$q: expected ${3 * n1} rows at 3x, got $n3")
