@@ -779,7 +779,63 @@ object Dedup {
               |         AS edit_sim,
               |       ROUND(1.0 - CAST(edit_dist AS DOUBLE) / max_len, 6)
               |         >= 0.8 AS verified
-              |FROM scored""".stripMargin))
+              |FROM scored""".stripMargin)),
+
+    QueryDef(
+      "d98_source_overlap", // corpus-governance diagnostic: the pairwise
+                            // 3-shingle Jaccard MATRIX between sources —
+                            // "how much does crawl A already contain of
+                            // crawl B" is the question answered before
+                            // paying to dedup or re-ingest a source. One
+                            // distinct (source, shingle) projection (the
+                            // exchange partial-aggregates map-side), then
+                            // a self-equi-join on the shingle: unlike the
+                            // doc-level d82 index, per-key fan-out here is
+                            // bounded by |sources|² BY CONSTRUCTION (a
+                            // shingle appears once per source after the
+                            // distinct), so no df-cap is needed at any
+                            // corpus size — the join output is at most
+                            // |distinct shingles|·|sources|²/2 and the
+                            // result is a |sources|²-row table. Zero-
+                            // overlap pairs are absent in both engines
+                            // (inner join on the shared shingle).
+      (s, d) => {
+        val sh = Graft.tableParallel(s, d, "documents")
+          .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("source").as("source_a"), col("sh"))
+          .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a"))), "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+              .as("jaccard"))
+      },
+      Some(s"""WITH sh AS (
+               |  SELECT DISTINCT source, sh FROM (
+               |    SELECT source, unnest(${shinglesSql(3)}) AS sh
+               |    FROM (SELECT source, $toksSql AS toks FROM documents))),
+               |sizes AS (SELECT source, COUNT(*) AS n FROM sh
+               |          GROUP BY source),
+               |inter AS (
+               |  SELECT a.source AS source_a, b.source AS source_b,
+               |         COUNT(*) AS n_shared
+               |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+               |  GROUP BY 1, 2)
+               |SELECT source_a, source_b, x.n AS n_a, y.n AS n_b, n_shared,
+               |       ROUND(CAST(n_shared AS DOUBLE) /
+               |             (x.n + y.n - n_shared), 6) AS jaccard
+               |FROM inter JOIN sizes x ON source_a = x.source
+               |           JOIN sizes y ON source_b = y.source""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

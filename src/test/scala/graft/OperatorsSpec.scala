@@ -213,6 +213,23 @@ class OperatorsSpec extends AnyFunSuite {
       f"mean recall@3 ${recall.sum / recall.size}%.2f below floor")
   }
 
+  test("d98 source overlap: canonical pairs, intersection bounded, jaccard in range") {
+    val rows = run("d98_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val nSrc = run("t83_mixture_report")
+      .select("source").distinct().count()
+    assert(rows.nonEmpty && rows.length <= nSrc * (nSrc - 1) / 2)
+    rows.foreach { case (a, b, na, nb, i, j) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(i >= 1 && i <= math.min(na, nb),
+        s"($a,$b): intersection $i outside [1, min($na,$nb)]")
+      assert(j > 0.0 && j <= 1.0, s"($a,$b): jaccard $j out of range")
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length,
+      "duplicate source pairs")
+  }
+
   test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
     // "aaa bb aaa": r1 pairs {aa:4, bb:1} -> merge (a,a) cnt 4; rewrite
     // "aaa"->"0a" (left-to-right non-overlap = greedy BPE); r2 {0a:2, bb:1}
