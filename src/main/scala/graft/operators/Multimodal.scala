@@ -149,6 +149,9 @@ object Multimodal {
       sample_sum: Long, valid: Boolean)
 
   /** m101's per-image output: perceptual hash of the decoded pixel grid. */
+  case class BmpBits(doc_id: Long, w: Int, h: Int, bits: String,
+      valid: Boolean)
+
   case class BmpPhash(doc_id: Long, w: Int, h: Int, phash: String,
       valid: Boolean)
 
@@ -168,9 +171,11 @@ object Multimodal {
       * division ever rounds — the same bit pattern falls out on any engine.
       * The bit string is keyed with the dimensions and collapsed to md5, the
       * fixed-width group key the dedup shuffle partitions on. */
-    def aHash(docId: Long, b: Array[Byte]): BmpPhash = {
+    /** The raw aHash bit string (visual top-down order) — m102's banded
+      * near-dup needs the bits themselves, not the collapsed md5 key. */
+    def aHashBits(docId: Long, b: Array[Byte]): BmpBits = {
       val m = BmpCodec.decode(docId, b)
-      if (!m.valid) return BmpPhash(docId, -1, -1, "", valid = false)
+      if (!m.valid) return BmpBits(docId, -1, -1, "", valid = false)
       val gray = Array.ofDim[Int](m.height, m.width)
       var total = 0L
       var r = 0
@@ -197,8 +202,14 @@ object Multimodal {
         }
         r -= 1
       }
-      BmpPhash(docId, m.width, m.height,
-        md5hex(s"${m.width}x${m.height}:$bits"), valid = true)
+      BmpBits(docId, m.width, m.height, bits.toString, valid = true)
+    }
+
+    def aHash(docId: Long, b: Array[Byte]): BmpPhash = {
+      val bb = aHashBits(docId, b)
+      if (!bb.valid) BmpPhash(docId, -1, -1, "", valid = false)
+      else BmpPhash(docId, bb.w, bb.h,
+        md5hex(s"${bb.w}x${bb.h}:${bb.bits}"), valid = true)
     }
   }
 
@@ -539,6 +550,111 @@ object Multimodal {
              |         AS group_n,
              |       MIN(doc_id) OVER (PARTITION BY phash) AS canonical
              |FROM img""".stripMargin)),
+
+    QueryDef(
+      "m102_image_near_dup", // image NEAR-dup: the d85 banded shape over
+                             // perceptual-hash BITS instead of text
+                             // simhash. Pixel payloads get a doc_id%3
+                             // perturbation on the first pixel so genuine
+                             // near-duplicates (hamming 1-3) exist beside
+                             // m101's exact groups; each bit string splits
+                             // into 4 bands keyed (w, h, band, substring)
+                             // — ≤3 differing bits leave ≥1 band intact
+                             // (pigeonhole), so the equi-join proposes
+                             // every near pair and exact hamming ≤ 3
+                             // disposes. At 100 TB: decode + hash + band
+                             // are map-side next to the bytes; only
+                             // (doc_id, ≤112-bit band strings) shuffle,
+                             // never pixels, and verification runs on
+                             // candidates only — never all pairs.
+      (s, d) => {
+        import s.implicits._
+        val pixHex = concat_ws("",
+          transform(sequence(lit(0), col("image_bytes") - 1),
+            i => lpad(hex(pmod(col("doc_id") % 4 * 31 + i +
+              when(i < 3, col("doc_id") % 3).otherwise(0), lit(256))),
+              2, "0")))
+        val hashed = bmpBlobs(s, d, pixHex)
+          .mapPartitions(_.map(b =>
+            PerceptualHash.aHashBits(b.doc_id, b.payload)))
+          .toDF().filter(col("valid"))
+        val bands = hashed
+          .select(col("doc_id"), col("w"), col("h"), col("bits"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("l", length(col("bits")))
+          .withColumn("bstr", col("bits").substr(
+            expr("(band * l) div 4 + 1"),
+            expr("((band + 1) * l) div 4 - (band * l) div 4")))
+        val cand = bands
+          .select(col("w"), col("h"), col("band"), col("bstr"),
+            col("doc_id").as("d1"), col("bits").as("b1"))
+          .join(bands.select(col("w"), col("h"), col("band"), col("bstr"),
+            col("doc_id").as("d2"), col("bits").as("b2")),
+            Seq("w", "h", "band", "bstr"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"), col("w"), col("h"),
+            col("b1"), col("b2"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr(
+            """aggregate(transform(sequence(1, length(b1)),
+              |  i -> IF(substring(b1, i, 1) = substring(b2, i, 1), 0, 1)),
+              |  0, (acc, x) -> acc + x)""".stripMargin).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("d1"), col("d2"), col("w"), col("h"), col("hamming"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+             |         CAST(1 + doc_id % 7 AS INT) AS h,
+             |         ((4 + doc_id % 13) * 3 + 3)
+             |           - (((4 + doc_id % 13) * 3 + 3) % 4) AS rb
+             |  FROM documents),
+             |rws AS (SELECT doc_id, w, h, rb, unnest(range(0, h)) AS r
+             |        FROM dims),
+             |cells AS (SELECT doc_id, w, h, rb, r, unnest(range(0, w)) AS c
+             |          FROM rws),
+             |px AS (SELECT doc_id, w, h, r, c,
+             |         ((doc_id % 4) * 31 + r * rb + 3 * c
+             |          + CASE WHEN r = 0 AND c = 0 THEN doc_id % 3
+             |                 ELSE 0 END) % 256
+             |       + ((doc_id % 4) * 31 + r * rb + 3 * c + 1
+             |          + CASE WHEN r = 0 AND c = 0 THEN doc_id % 3
+             |                 ELSE 0 END) % 256
+             |       + ((doc_id % 4) * 31 + r * rb + 3 * c + 2
+             |          + CASE WHEN r = 0 AND c = 0 THEN doc_id % 3
+             |                 ELSE 0 END) % 256 AS g3
+             |       FROM cells),
+             |tot AS (SELECT doc_id, SUM(g3) AS total FROM px GROUP BY doc_id),
+             |img AS (SELECT p.doc_id, p.w, p.h,
+             |          string_agg(
+             |            CASE WHEN p.g3 * (p.w * p.h) > t.total
+             |                 THEN '1' ELSE '0' END, ''
+             |            ORDER BY p.r DESC, p.c ASC) AS bits
+             |        FROM px p JOIN tot t USING (doc_id)
+             |        GROUP BY p.doc_id, p.w, p.h),
+             |bnd AS (SELECT doc_id, w, h, bits, len(bits) AS l,
+             |               unnest(range(0, 4)) AS band
+             |        FROM img),
+             |keyed AS (SELECT doc_id, w, h, bits, band,
+             |                 substr(bits, (band * l) // 4 + 1,
+             |                        ((band + 1) * l) // 4
+             |                          - (band * l) // 4) AS bstr
+             |          FROM bnd),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.w, a.h,
+             |         a.bits AS b1, b.bits AS b2
+             |  FROM keyed a JOIN keyed b
+             |    ON a.w = b.w AND a.h = b.h AND a.band = b.band
+             |   AND a.bstr = b.bstr AND a.doc_id < b.doc_id),
+             |hm AS (SELECT d1, d2, w, h, b1, b2,
+             |              unnest(range(1, len(b1) + 1)) AS i
+             |       FROM cand)
+             |SELECT d1, d2, w, h, hamming FROM (
+             |  SELECT d1, d2, w, h,
+             |         CAST(SUM(CASE WHEN substr(b1, i, 1) = substr(b2, i, 1)
+             |                       THEN 0 ELSE 1 END) AS BIGINT) AS hamming
+             |  FROM hm GROUP BY 1, 2, 3, 4)
+             |WHERE hamming <= 3""".stripMargin)),
 
     QueryDef(
       "m96_frame_sample", // frame-sampling plumbing: treat the payload as

@@ -230,6 +230,24 @@ class OperatorsSpec extends AnyFunSuite {
       "duplicate source pairs")
   }
 
+  test("m102 image near-dup: canonical pairs, hamming bounded, genuine near pairs exist") {
+    val rows = run("m102_image_near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d1, d2, w, h, ham) =>
+      assert(d1 < d2, s"pair ($d1,$d2) not canonical")
+      assert(ham >= 0 && ham <= 3, s"($d1,$d2): hamming $ham out of band")
+      assert(w >= 4 && w <= 16 && h >= 1 && h <= 7)
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length,
+      "duplicate pairs")
+    // the doc_id%3 perturbation plants NEAR duplicates (hamming >= 1)
+    // beside the exact groups — both kinds must surface
+    assert(rows.exists(_._5 == 0L), "no exact pairs found")
+    assert(rows.exists(_._5 > 0L), "no genuine near pairs found")
+  }
+
   test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
     // "aaa bb aaa": r1 pairs {aa:4, bb:1} -> merge (a,a) cnt 4; rewrite
     // "aaa"->"0a" (left-to-right non-overlap = greedy BPE); r2 {0a:2, bb:1}
