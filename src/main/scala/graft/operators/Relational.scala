@@ -1266,6 +1266,59 @@ object Relational {
              |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
              |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
              |       MIN(value) AS low, MAX(value) AS high
-             |FROM r GROUP BY hour, event_type""".stripMargin))
+             |FROM r GROUP BY hour, event_type""".stripMargin)),
+
+    QueryDef(
+      "q71_retention", // cohort retention — the classic product-analytics
+                       // triangle: users cohorted by first-active ISO week,
+                       // retention = the share of each cohort active again
+                       // N weeks later. Activity collapses to distinct
+                       // (user, week) FIRST (the exchange carries user-week
+                       // rows, not raw events), the per-user cohort hangs
+                       // off the same user-keyed exchange, and cohort sizes
+                       // are a dimension-bounded frame joined back
+                       // broadcast. week_offset is exact integer day
+                       // arithmetic (div 7 — both week starts are Mondays
+                       // by ISO date_trunc in both engines); rate divides
+                       // identical longs and rounds HALF_UP. At 100 TB the
+                       // only corpus-sized shuffle is the user-week
+                       // distinct; everything after is cohort×weeks-sized.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+        val sizes = cohort.groupBy("cw")
+          .agg(count(lit(1)).as("cohort_n"))
+        ev.join(cohort, "user_id")
+          .select(col("cw"),
+            expr("datediff(wk, cw) div 7").as("week_offset"))
+          .groupBy("cw", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cw")
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"), col("cohort_n"),
+            round(col("n_active").cast("double") /
+              col("cohort_n").cast("double"), 6).as("retention"))
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |cohort AS (SELECT user_id, MIN(wk) AS cw FROM uw
+             |           GROUP BY user_id),
+             |sizes AS (SELECT cw, COUNT(*) AS cohort_n FROM cohort
+             |          GROUP BY cw),
+             |act AS (
+             |  SELECT c.cw, (u.wk - c.cw) // 7 AS week_offset,
+             |         COUNT(*) AS n_active
+             |  FROM uw u JOIN cohort c USING (user_id)
+             |  GROUP BY 1, 2)
+             |SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+             |       a.week_offset, a.n_active, s.cohort_n,
+             |       ROUND(CAST(a.n_active AS DOUBLE) /
+             |             CAST(s.cohort_n AS DOUBLE), 6) AS retention
+             |FROM act a JOIN sizes s USING (cw)""".stripMargin))
   )
 }

@@ -213,6 +213,22 @@ class OperatorsSpec extends AnyFunSuite {
       f"mean recall@3 ${recall.sum / recall.size}%.2f below floor")
   }
 
+  test("q71 retention: offset-0 is always 1.0, activity bounded by cohort size") {
+    val rows = run("q71_retention").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, off, act, size, rate) =>
+      assert(off >= 0, s"$cw: negative week offset $off")
+      assert(act >= 1 && act <= size, s"$cw+$off: $act outside [1, $size]")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // every cohort member is by definition active in the cohort week
+    val zero = rows.filter(_._2 == 0L)
+    assert(zero.nonEmpty && zero.forall(_._5 == 1.0),
+      "offset-0 retention must be exactly 1.0 for every cohort")
+  }
+
   test("d98 source overlap: canonical pairs, intersection bounded, jaccard in range") {
     val rows = run("d98_source_overlap").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
