@@ -54,6 +54,22 @@ class EngineSqlSpec extends AnyFunSuite {
                  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS INT) AS d,
                  o_totalprice
                FROM orders)""",
+    "q71_retention" -> // `//`, date-minus-date and strftime are DuckDB-only
+      """WITH uw AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         cohort AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id),
+         sizes AS (SELECT cw, COUNT(*) AS cohort_n FROM cohort GROUP BY cw),
+         act AS (
+           SELECT c.cw, datediff(u.wk, c.cw) div 7 AS week_offset,
+                  COUNT(*) AS n_active
+           FROM uw u JOIN cohort c USING (user_id)
+           GROUP BY 1, 2)
+         SELECT date_format(a.cw, 'yyyy-MM-dd') AS cohort_week,
+                a.week_offset, a.n_active, s.cohort_n,
+                ROUND(CAST(a.n_active AS DOUBLE) /
+                      CAST(s.cohort_n AS DOUBLE), 6) AS retention
+         FROM act a JOIN sizes s USING (cw)""",
     "q62_time_gap_fill" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS h, event_type,
