@@ -884,7 +884,141 @@ object Similarity {
                             // exact integers; ties break to the smaller
                             // neighbor id; self-matches excluded like s90.
       (s, d) => pqAdcSearch(s, d, 8, 8, 2, 5, 3),
-      Some(pqAdcOracleSql(8, 2, 5, 3)))
+      Some(pqAdcOracleSql(8, 2, 5, 3))),
+
+    QueryDef(
+      "s101_ivfpq_search", // the COMPLETE IVF-PQ serving stack (Jégou et
+                           // al.): coarse quantizer routes each query to
+                           // its nprobe=2 nearest clusters (s95's probe),
+                           // PQ codes + a per-query ADC lookup table rank
+                           // ONLY the vectors assigned there — the
+                           // architecture every production vector store
+                           // (FAISS IVFPQ) runs. Queries are the s95
+                           // planted near-copies, so recall is
+                           // spec-gated against the known true neighbor.
+                           // Scale shape: centroids, probes, and the
+                           // 10-row LUT-map frame all broadcast; the two
+                           // corpus-sized frames (assignment, codes)
+                           // meet candidates through equi-joins bounded
+                           // by nprobe/|clusters| of the corpus; ADC
+                           // scoring is 8 map lookups + an integer fold
+                           // per candidate. Exact integer arithmetic
+                           // end-to-end; ties break to the smaller
+                           // neighbor id.
+      (s, d) => {
+        val nprobe = 2; val k = 3
+        val (_, _, trained) = pqParts(s, d, 8, 8, 2)
+        val codes = pqEnc(
+          quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
+          .select(col("vec_id"),
+            transform(col("enc"), x => x("cid")).as("codes"))
+        val queries = Graft.tableParallel(s, d, "embeddings")
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            transform(
+              transform(col("embedding"), (x, j) =>
+                x.cast("double") +
+                  when(j % 2 === 0, 0.001).otherwise(-0.001)),
+              x => round(x * 1000000).cast("long")).as("qv"))
+          .withColumn("qn", dotl(col("qv"), col("qv")))
+        val wp = Window.partitionBy("q_id")
+          .orderBy(col("csim").desc, col("clabel").asc)
+        val probes = queries
+          .crossJoin(broadcast(labelCentroids(s, d)))
+          .select(col("q_id"), col("clabel"),
+            cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
+              .as("csim"))
+          .withColumn("rnk", row_number().over(wp))
+          .filter(col("rnk") <= nprobe)
+          .select(col("q_id"), col("clabel"))
+        val qsubs = queries
+          .select(col("q_id"), explode(transform(
+            sequence(lit(0), lit(7)),
+            mm => struct(mm.as("m"),
+              slice(col("qv"), mm * 8 + 1, lit(8)).as("sv")))).as("e"))
+          .select(col("q_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+        val lutq = qsubs.join(broadcast(trained), "m")
+          .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
+            l2q(col("sv"), col("cq")).as("dq"))
+          .groupBy("q_id")
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("key"), col("dq"))))).as("qlut"))
+        val cand = broadcast(probes)
+          .join(ivfAssignment(s, d).select(col("vec_id"),
+            col("cluster").as("clabel")), "clabel")
+          .select(col("q_id"), col("vec_id"))
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("adq").asc, col("neighbor_id").asc)
+        cand.join(codes, "vec_id")
+          .join(broadcast(lutq), "q_id")
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            aggregate(zip_with(col("codes"),
+              sequence(lit(0), lit(7)),
+              (code, mm) => element_at(col("qlut"), mm * 100 + code)),
+              lit(0L), (a, x) => a + x).as("adq"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= k)
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("adq").cast("double") / 1e12, 6).as("approx_sq"))
+      },
+      Some(s"""WITH $ivfCtes,
+              |${pqChainCtes(8, 2, "pcomp")},
+              |comp0 AS (
+              |  SELECT vec_id, j - 1 AS j0, x
+              |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+              |               generate_subscripts(embedding, 1) AS j
+              |        FROM embeddings)),
+              |qcomp AS (
+              |  SELECT vec_id AS q_id, j0,
+              |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
+              |                               ELSE -0.001 END) * 1000000)
+              |              AS BIGINT) AS xq
+              |  FROM comp0 WHERE vec_id < 10),
+              |qn2 AS (SELECT q_id, CAST(SUM(xq * xq) AS BIGINT) AS n2
+              |        FROM qcomp GROUP BY q_id),
+              |qcd AS (
+              |  SELECT q.q_id, c.clabel,
+              |         CAST(SUM(q.xq * c.cq) AS BIGINT) AS dotq
+              |  FROM qcomp q JOIN cent c USING (j0)
+              |  GROUP BY q.q_id, c.clabel),
+              |probes AS (
+              |  SELECT q_id, clabel FROM (
+              |    SELECT d.q_id, d.clabel,
+              |           ROW_NUMBER() OVER (
+              |             PARTITION BY d.q_id
+              |             ORDER BY CASE WHEN qn2.n2 = 0 OR nc.ncq = 0
+              |                      THEN 0.0
+              |                      ELSE CAST(d.dotq AS DOUBLE) /
+              |                      (SQRT(CAST(qn2.n2 AS DOUBLE)) *
+              |                       SQRT(CAST(nc.ncq AS DOUBLE))) END DESC,
+              |                      d.clabel) AS rnk
+              |    FROM qcd d JOIN qn2 ON d.q_id = qn2.q_id
+              |               JOIN nc ON d.clabel = nc.clabel)
+              |  WHERE rnk <= 2),
+              |qsub AS (SELECT q_id, j0 // 8 AS m, j0 % 8 AS jj, xq
+              |         FROM qcomp),
+              |lut AS (
+              |  SELECT q.q_id, c.m, c.cid,
+              |         SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dq
+              |  FROM qsub q JOIN c2 c ON c.m = q.m AND c.jj = q.jj
+              |  GROUP BY 1, 2, 3),
+              |candq AS (
+              |  SELECT p.q_id, a.vec_id
+              |  FROM probes p JOIN assign a ON a.assigned_label = p.clabel),
+              |adc AS (
+              |  SELECT cd.q_id, cd.vec_id, SUM(l.dq) AS adq
+              |  FROM candq cd
+              |  JOIN a3 a ON a.vec_id = cd.vec_id
+              |  JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m
+              |            AND l.cid = a.cid
+              |  GROUP BY 1, 2)
+              |SELECT q_id, neighbor_id, approx_sq FROM (
+              |  SELECT q_id, vec_id AS neighbor_id,
+              |         ROUND(CAST(adq AS DOUBLE) / 1e12, 6) AS approx_sq,
+              |         ROW_NUMBER() OVER (PARTITION BY q_id
+              |                            ORDER BY adq, vec_id) AS rnk
+              |  FROM adc)
+              |WHERE rnk <= 3""".stripMargin))
   )
 
   /** Squared L2 between two equal-length quantized integer vectors —
@@ -1011,8 +1145,10 @@ object Similarity {
     * assignment is ROW_NUMBER per (vec_id, m) by exact-integer squared L2
     * (ties → smaller cid), recentering the same ROUND(SUM/COUNT), so every
     * iteration agrees bit-for-bit with the engine. Ends at a{iters+1} =
-    * the final per-(vec_id, m) code assignment with its distance. */
-  private def pqChainCtes(k: Int, iters: Int): String = {
+    * the final per-(vec_id, m) code assignment with its distance. `cn`
+    * renames the component CTE so the chain can compose with ivfCtes
+    * (which owns the name `comp`) in one WITH clause. */
+  private def pqChainCtes(k: Int, iters: Int, cn: String = "comp"): String = {
     def assignCte(i: Int, p: Int, keepDist: Boolean) = {
       val distCol = if (keepDist) ", dist" else ""
       s"""a$i AS (
@@ -1036,15 +1172,15 @@ object Similarity {
     val chain = (1 to iters).map { i =>
       s"${assignCte(i, i - 1, keepDist = false)},\n${centCte(i)}"
     }.mkString(",\n")
-    s"""comp AS (
+    s"""$cn AS (
        |  SELECT vec_id, j - 1 AS j0,
        |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
        |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
        |               generate_subscripts(embedding, 1) AS j
        |        FROM embeddings)),
-       |sub AS (SELECT vec_id, j0 // 8 AS m, j0 % 8 AS jj, xq FROM comp),
+       |sub AS (SELECT vec_id, j0 // 8 AS m, j0 % 8 AS jj, xq FROM $cn),
        |c0 AS (SELECT j0 // 8 AS m, vec_id AS cid, j0 % 8 AS jj, xq AS cq
-       |       FROM comp WHERE vec_id < $k),
+       |       FROM $cn WHERE vec_id < $k),
        |$chain,
        |${assignCte(iters + 1, iters, keepDist = true)}""".stripMargin
   }

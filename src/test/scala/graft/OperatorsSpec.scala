@@ -266,6 +266,24 @@ class OperatorsSpec extends AnyFunSuite {
       "no multi-member exact groups carried")
   }
 
+  test("s101 ivf-pq: 3 ranked neighbors per query; planted neighbor found") {
+    val rows = run("s101_ivfpq_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 30, "10 queries x top-3")
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.length == 3)
+      assert(g.map(_._3).sorted.sameElements(g.map(_._3)) ||
+        g.sortBy(_._3).map(_._2).toSet == g.map(_._2).toSet)
+    }
+    // each query is a +-0.001 perturbation of its own corpus vector: the
+    // planted true neighbor is the query id itself. IVF routing AND PQ
+    // quantization are both approximate, so gate recall softly
+    val hits = rows.groupBy(_._1).count { case (q, g) =>
+      g.exists(_._2 == q)
+    }
+    assert(hits >= 6, s"planted-neighbor recall $hits/10 below floor")
+  }
+
   test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
     // "aaa bb aaa": r1 pairs {aa:4, bb:1} -> merge (a,a) cnt 4; rewrite
     // "aaa"->"0a" (left-to-right non-overlap = greedy BPE); r2 {0a:2, bb:1}
