@@ -165,6 +165,48 @@ object DocStreams {
       }.toDF()
   }
 
+  case class DocBpe(doc_id: Long, n_chars: Long, n_syms: Long,
+      compression: Option[Double])
+
+  /** Streaming BPE tokenizer application — the live twin of batch
+    * `t94_bpe_apply` on the ingest direction: the frozen 3-entry merge
+    * table (t93's model artifact — pair strings in rank order, fused to
+    * markers '0','1','2') broadcasts, and arriving documents re-tokenize
+    * statelessly: [a-z]+ words of the lowercased text, each merge applied
+    * as a left-to-right non-overlapping replace (= greedy BPE, identical
+    * to the SQL `replace` the batch side uses). Alpha-free docs get
+    * (0, 0, NULL) under the shared NULL-on-zero rule. Rounding matches
+    * Spark's HALF_UP `round(x, 6)` bit-for-bit via BigDecimal. */
+  def bpeApply(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(merges.length <= 3, "marker alphabet covers 3 merges")
+    val bc = spark.sparkContext.broadcast(merges)
+    val wordRe = "[a-z]+".r
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          var chars = 0L; var syms = 0L
+          wordRe.findAllIn(text.toLowerCase).foreach { w =>
+            chars += w.length
+            var cur = w
+            var i = 0
+            while (i < ms.length) {
+              cur = cur.replace(ms(i), ('0' + i).toChar.toString)
+              i += 1
+            }
+            syms += cur.length
+          }
+          val comp =
+            if (chars == 0) None
+            else Some(java.math.BigDecimal.valueOf(syms.toDouble / chars)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          DocBpe(id, chars, syms, comp)
+        }
+      }.toDF()
+  }
+
   /** Streaming multimodal decode — the live twin of the m97 batch path:
     * arriving binary payloads (an asset ingest stream) run through the same
     * typed [[graft.operators.Multimodal.WavCodec]] header parse, one codec

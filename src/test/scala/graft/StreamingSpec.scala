@@ -290,6 +290,47 @@ class StreamingSpec extends AnyFunSuite {
       tiny.getLong(3) == 1)
   }
 
+  test("bpeApply: streamed docs re-tokenize bit-identical to batch t94 " +
+      "under the frozen merge table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // freeze the merge table = the t93 model artifact, in rank order
+    val (t1, t2, t3) = operators.TextAnalysis.bpeMergeTables(
+      spark, TestSpark.sfDir)
+    val merges = Seq(t1, t2, t3).map(_.collect().head.getString(0))
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.bpeApply(
+        src.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(20).toSeq); q.processAllAvailable()
+      src.addData(rows.drop(20).toSeq); q.processAllAvailable()
+      val out = spark.table("bpe").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(out.size == rows.length)
+      val batch = SparkEntry.queries("t94_bpe_apply")(spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(batch.keySet == out.keySet)
+      batch.foreach { case (id, v) =>
+        assert(out(id) == v, s"doc $id diverged from t94: ${out(id)} != $v")
+      }
+    } finally { q.stop(); () }
+    // fixture: "aaa bb" under merges (aa),(0a),(bb) -> 1 + 1 symbols
+    val tiny = streaming.DocStreams.bpeApply(
+      Seq((1L, "aaa bb"), (2L, "123 .")).toDF("doc_id", "text"),
+      Seq("aa", "0a", "bb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1)
+    assert(tiny(0) == ((1L, 5L, 2L, Some(0.4))), s"got ${tiny(0)}")
+    assert(tiny(1) == ((2L, 0L, 0L, None)), "alpha-free doc must be NULL")
+  }
+
   test("decodeWav: streamed binary payloads decode identically to the " +
       "batch codec; corruption degrades to an invalid row, not a dead stream") {
     import spark.implicits._
