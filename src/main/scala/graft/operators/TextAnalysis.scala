@@ -1400,6 +1400,10 @@ object TextAnalysis {
                         // at every round. replace() is left-to-right
                         // non-overlapping in both engines = greedy BPE
                         // application ("aaa" + (a,a) → [aa][a]).
+                        // Contract: the corpus must support 3 merges (any
+                        // real corpus does); one that runs dry mid-chain
+                        // hits engine-specific empty-scalar semantics and
+                        // is out of scope, like d87's empty-graph edge.
                         //
                         // Scale shape per round: pair counting partial-
                         // aggregates map-side to ≤|alphabet|² rows per

@@ -312,6 +312,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t93 bpe merges: engine matches an independent in-JVM BPE trainer on random corpora") {
+    // a THIRD implementation as oracle: greedy corpus-level BPE written
+    // directly against Sennrich's algorithm (dictionary counts, argmax
+    // with the same (count desc, pair asc) tie-break, left-to-right
+    // non-overlapping replace, marker alphabet) — independent of both the
+    // Spark plan and the DuckDB SQL
+    def refBpe(words: Seq[String]): Seq[(Int, String, String, Long)] = {
+      var ws = words
+      val prs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      for (i <- 0 until 3) {
+        val counts = ws.filter(_.length >= 2)
+          .flatMap(w => (0 until w.length - 1).map(p => w.substring(p, p + 2)))
+          .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+        val (pr, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        prs += ((pr, cnt))
+        ws = ws.map(_.replace(pr, ('0' + i).toChar.toString))
+      }
+      def expand(c: String): String =
+        c.replace("1", prs(1)._1).replace("0", prs(0)._1)
+      prs.zipWithIndex.map { case ((pr, cnt), i) =>
+        (i + 1, expand(pr.substring(0, 1)), expand(pr.substring(1, 2)), cnt)
+      }.toSeq
+    }
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(40)(
+        Seq.fill(2 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bpe$seed").toString
+      words.grouped(14).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("t93_bpe_merges")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == refBpe(words),
+        s"seed $seed: engine ${got} != reference ${refBpe(words)}")
+    }
+  }
+
   test("t94 bpe apply: learned merges compress the hand-checked corpus") {
     // merges from the t93 fixture: (a,a), (aa,a), (b,b). "aaa"->1 symbol,
     // "bb"->1 symbol
