@@ -1319,6 +1319,62 @@ object Relational {
              |       a.week_offset, a.n_active, s.cohort_n,
              |       ROUND(CAST(a.n_active AS DOUBLE) /
              |             CAST(s.cohort_n AS DOUBLE), 6) AS retention
-             |FROM act a JOIN sizes s USING (cw)""".stripMargin))
+             |FROM act a JOIN sizes s USING (cw)""".stripMargin)),
+
+    QueryDef(
+      "q72_rfm", // RFM user segmentation — recency/frequency/monetary
+                 // quartile scores (4 = best: most recent, most frequent,
+                 // highest spend), the classic marketing-analytics cut of
+                 // an event stream. One corpus-sized exchange (the user
+                 // groupBy, partial-aggregated map-side); the quartile
+                 // windows then sort the USER-dimension table, which is
+                 // orders of magnitude smaller than events — the standard
+                 // claim for per-entity scoring (swap to q15's rank-
+                 // histogram idiom if the user table itself outgrows a
+                 // task). Monetary uses the DECIMAL-cast sum (partition-
+                 // order exact); every NTILE carries a user_id tie-break
+                 // so bucket edges are deterministic in both engines.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("dt"), col("value"))
+        val users = ev.groupBy("user_id")
+          .agg(max(col("dt")).as("last_d"), count(lit(1)).as("f"),
+            sumd(col("value")).as("m"))
+        val anchored = users
+          .crossJoin(broadcast(ev.agg(max(col("dt")).as("maxd"))))
+          .select(col("user_id"), datediff(col("maxd"), col("last_d"))
+            .as("r"), col("f"), col("m"))
+        import org.apache.spark.sql.expressions.Window
+        val scored = anchored
+          .withColumn("r_s", ntile(4).over(
+            Window.orderBy(col("r").desc, col("user_id"))).cast("long"))
+          .withColumn("f_s", ntile(4).over(
+            Window.orderBy(col("f").asc, col("user_id"))).cast("long"))
+          .withColumn("m_s", ntile(4).over(
+            Window.orderBy(col("m").asc, col("user_id"))).cast("long"))
+        scored.select(col("user_id"), col("r"), col("f"), col("m"),
+          col("r_s"), col("f_s"), col("m_s"),
+          concat(col("r_s"), col("f_s"), col("m_s")).as("segment"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS dt, value
+             |  FROM events),
+             |u AS (SELECT user_id, MAX(dt) AS last_d,
+             |             CAST(COUNT(*) AS BIGINT) AS f,
+             |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |               AS m
+             |      FROM ev GROUP BY user_id),
+             |a AS (SELECT user_id,
+             |             CAST((SELECT MAX(dt) FROM ev) - last_d AS INT)
+             |               AS r, f, m
+             |      FROM u)
+             |SELECT user_id, r, f, m, r_s, f_s, m_s,
+             |       CAST(r_s AS VARCHAR) || CAST(f_s AS VARCHAR) ||
+             |       CAST(m_s AS VARCHAR) AS segment
+             |FROM (SELECT user_id, r, f, m,
+             |        NTILE(4) OVER (ORDER BY r DESC, user_id) AS r_s,
+             |        NTILE(4) OVER (ORDER BY f ASC, user_id) AS f_s,
+             |        NTILE(4) OVER (ORDER BY m ASC, user_id) AS m_s
+             |      FROM a)""".stripMargin))
   )
 }

@@ -70,6 +70,27 @@ class EngineSqlSpec extends AnyFunSuite {
                 ROUND(CAST(a.n_active AS DOUBLE) /
                       CAST(s.cohort_n AS DOUBLE), 6) AS retention
          FROM act a JOIN sizes s USING (cw)""",
+    "q72_rfm" -> // `::` casts and date-minus-date are DuckDB-only
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS dt, value FROM events),
+         u AS (SELECT user_id, MAX(dt) AS last_d,
+                      CAST(COUNT(*) AS BIGINT) AS f,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+               FROM ev GROUP BY user_id),
+         a AS (SELECT user_id,
+                      datediff((SELECT MAX(dt) FROM ev), last_d) AS r, f, m
+               FROM u)
+         SELECT user_id, r, f, m, r_s, f_s, m_s,
+                CAST(r_s AS STRING) || CAST(f_s AS STRING) ||
+                CAST(m_s AS STRING) AS segment
+         FROM (SELECT user_id, r, f, m,
+                 CAST(NTILE(4) OVER (ORDER BY r DESC, user_id) AS BIGINT)
+                   AS r_s,
+                 CAST(NTILE(4) OVER (ORDER BY f ASC, user_id) AS BIGINT)
+                   AS f_s,
+                 CAST(NTILE(4) OVER (ORDER BY m ASC, user_id) AS BIGINT)
+                   AS m_s
+               FROM a)""",
     "q62_time_gap_fill" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS h, event_type,

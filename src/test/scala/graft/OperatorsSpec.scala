@@ -229,6 +229,23 @@ class OperatorsSpec extends AnyFunSuite {
       "offset-0 retention must be exactly 1.0 for every cohort")
   }
 
+  test("q72 rfm: quartile scores in 1..4, segment is their concatenation") {
+    val rows = run("q72_rfm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, r, rs, fs, ms, seg) =>
+      assert(r >= 0, s"user $u: negative recency")
+      Seq(rs, fs, ms).foreach(x => assert(x >= 1 && x <= 4))
+      assert(seg == s"$rs$fs$ms", s"user $u: segment $seg mismatch")
+    }
+    // ntile(4) balance: bucket sizes differ by at most one per dimension
+    Seq(rows.map(_._3), rows.map(_._4), rows.map(_._5)).foreach { dim =>
+      val sizes = dim.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, "unbalanced quartiles")
+    }
+  }
+
   test("d98 source overlap: canonical pairs, intersection bounded, jaccard in range") {
     val rows = run("d98_source_overlap").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),

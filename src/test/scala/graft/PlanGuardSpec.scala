@@ -73,7 +73,11 @@ class PlanGuardSpec extends AnyFunSuite {
     ("s100_pq_adc_search", 4, Seq("SortMergeJoin"), Nil),
     // the multi-distinct split: Expand (Catalyst's distinct rewrite)
     // must stay gone
-    ("q12_count_distinct", 3, Seq("Expand"), Nil))
+    ("q12_count_distinct", 3, Seq("Expand"), Nil),
+    // the full IVF-PQ stack: candidate generation must stay broadcast/
+    // cluster-bounded — an SMJ means a corpus frame started shuffling
+    // into the probe or LUT side
+    ("s101_ivfpq_search", 5, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
