@@ -194,6 +194,97 @@ object Similarity {
        |FROM a${iters + 1}""".stripMargin
   }
 
+  /** Shared s101/s102 oracle chain: IVF coarse CTEs + the PQ Lloyd chain
+    * (component CTE renamed `pcomp` to avoid the clash with ivfCtes'
+    * `comp`) + planted queries, probes, ADC LUT and candidate scoring —
+    * ends at `adc` = (q_id, vec_id, adq). Declared before `defs` (object
+    * init is textual order). */
+  private lazy val ivfpqCtes =
+    s"""$ivfCtes,
+       |${pqChainCtes(8, 2, "pcomp")},
+       |comp0 AS (
+       |  SELECT vec_id, j - 1 AS j0, x
+       |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+       |               generate_subscripts(embedding, 1) AS j
+       |        FROM embeddings)),
+       |qcomp AS (
+       |  SELECT vec_id AS q_id, j0,
+       |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
+       |                               ELSE -0.001 END) * 1000000)
+       |              AS BIGINT) AS xq
+       |  FROM comp0 WHERE vec_id < 10),
+       |qn2 AS (SELECT q_id, CAST(SUM(xq * xq) AS BIGINT) AS n2
+       |        FROM qcomp GROUP BY q_id),
+       |qcd AS (
+       |  SELECT q.q_id, c.clabel,
+       |         CAST(SUM(q.xq * c.cq) AS BIGINT) AS dotq
+       |  FROM qcomp q JOIN cent c USING (j0)
+       |  GROUP BY q.q_id, c.clabel),
+       |probes AS (
+       |  SELECT q_id, clabel FROM (
+       |    SELECT d.q_id, d.clabel,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY d.q_id
+       |             ORDER BY CASE WHEN qn2.n2 = 0 OR nc.ncq = 0
+       |                      THEN 0.0
+       |                      ELSE CAST(d.dotq AS DOUBLE) /
+       |                      (SQRT(CAST(qn2.n2 AS DOUBLE)) *
+       |                       SQRT(CAST(nc.ncq AS DOUBLE))) END DESC,
+       |                      d.clabel) AS rnk
+       |    FROM qcd d JOIN qn2 ON d.q_id = qn2.q_id
+       |               JOIN nc ON d.clabel = nc.clabel)
+       |  WHERE rnk <= 2),
+       |qsub AS (SELECT q_id, j0 // 8 AS m, j0 % 8 AS jj, xq
+       |         FROM qcomp),
+       |lut AS (
+       |  SELECT q.q_id, c.m, c.cid,
+       |         SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dq
+       |  FROM qsub q JOIN c2 c ON c.m = q.m AND c.jj = q.jj
+       |  GROUP BY 1, 2, 3),
+       |candq AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON a.assigned_label = p.clabel),
+       |adc AS (
+       |  SELECT cd.q_id, cd.vec_id, SUM(l.dq) AS adq
+       |  FROM candq cd
+       |  JOIN a3 a ON a.vec_id = cd.vec_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m
+       |            AND l.cid = a.cid
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val s101OracleSql =
+    s"""WITH $ivfpqCtes
+       |SELECT q_id, neighbor_id, approx_sq FROM (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         ROUND(CAST(adq AS DOUBLE) / 1e12, 6) AS approx_sq,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY adq, vec_id) AS rnk
+       |  FROM adc)
+       |WHERE rnk <= 3""".stripMargin
+
+  private lazy val s102OracleSql =
+    s"""WITH $ivfpqCtes,
+       |atop AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY adq, vec_id) AS rnk
+       |    FROM adc) WHERE rnk <= 3),
+       |ex AS (
+       |  SELECT q.q_id, p.vec_id,
+       |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
+       |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
+       |  GROUP BY 1, 2),
+       |et AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY dq, vec_id) AS rnk
+       |    FROM ex) WHERE rnk <= 3)
+       |SELECT e.q_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       |       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 3, 6) AS recall_at_3
+       |FROM et e LEFT JOIN atop a
+       |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |GROUP BY e.q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -905,120 +996,47 @@ object Similarity {
                            // per candidate. Exact integer arithmetic
                            // end-to-end; ties break to the smaller
                            // neighbor id.
+      (s, d) => ivfpqSearch(s, d)
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("adq").cast("double") / 1e12, 6).as("approx_sq")),
+      Some(s101OracleSql)),
+
+    QueryDef(
+      "s102_index_recall", // index-quality AUDIT — the observability
+                           // surface a production vector store ships
+                           // beside its index: recall@3 of the s101
+                           // IVF-PQ path against the exact squared-L2
+                           // ground truth, per query. The exact side is
+                           // the labeled brute-force baseline (broadcast
+                           // planted queries × corpus — |queries|-bounded
+                           // map work, the s90 shape); the approximate
+                           // side is the s101 pipeline unchanged; the
+                           // audit is a left join of two 3-row-per-query
+                           // frames. Exposes coarse-routing misses and
+                           // PQ misranking as a number a dashboard can
+                           // alert on. A query with zero overlap still
+                           // reports (n_hits = 0) — silent-miss-proof.
       (s, d) => {
-        val nprobe = 2; val k = 3
-        val (_, _, trained) = pqParts(s, d, 8, 8, 2)
-        val codes = pqEnc(
-          quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
-          .select(col("vec_id"),
-            transform(col("enc"), x => x("cid")).as("codes"))
-        val queries = Graft.tableParallel(s, d, "embeddings")
-          .filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"),
-            transform(
-              transform(col("embedding"), (x, j) =>
-                x.cast("double") +
-                  when(j % 2 === 0, 0.001).otherwise(-0.001)),
-              x => round(x * 1000000).cast("long")).as("qv"))
-          .withColumn("qn", dotl(col("qv"), col("qv")))
-        val wp = Window.partitionBy("q_id")
-          .orderBy(col("csim").desc, col("clabel").asc)
-        val probes = queries
-          .crossJoin(broadcast(labelCentroids(s, d)))
-          .select(col("q_id"), col("clabel"),
-            cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
-              .as("csim"))
-          .withColumn("rnk", row_number().over(wp))
-          .filter(col("rnk") <= nprobe)
-          .select(col("q_id"), col("clabel"))
-        val qsubs = queries
-          .select(col("q_id"), explode(transform(
-            sequence(lit(0), lit(7)),
-            mm => struct(mm.as("m"),
-              slice(col("qv"), mm * 8 + 1, lit(8)).as("sv")))).as("e"))
-          .select(col("q_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-        val lutq = qsubs.join(broadcast(trained), "m")
-          .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
-            l2q(col("sv"), col("cq")).as("dq"))
-          .groupBy("q_id")
-          .agg(map_from_entries(sort_array(collect_list(
-            struct(col("key"), col("dq"))))).as("qlut"))
-        val cand = broadcast(probes)
-          .join(ivfAssignment(s, d).select(col("vec_id"),
-            col("cluster").as("clabel")), "clabel")
-          .select(col("q_id"), col("vec_id"))
+        val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
         val wr = Window.partitionBy("q_id")
-          .orderBy(col("adq").asc, col("neighbor_id").asc)
-        cand.join(codes, "vec_id")
-          .join(broadcast(lutq), "q_id")
+          .orderBy(col("dq").asc, col("neighbor_id").asc)
+        val exact = base
+          .crossJoin(broadcast(plantedQueries(s, d)
+            .select(col("q_id"), col("qv"))))
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            aggregate(zip_with(col("codes"),
-              sequence(lit(0), lit(7)),
-              (code, mm) => element_at(col("qlut"), mm * 100 + code)),
-              lit(0L), (a, x) => a + x).as("adq"))
+            l2q(col("qv"), col("vq")).as("dq"))
           .withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= k)
-          .select(col("q_id"), col("neighbor_id"),
-            round(col("adq").cast("double") / 1e12, 6).as("approx_sq"))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("neighbor_id"))
+        val approx = ivfpqSearch(s, d)
+          .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+          .groupBy("q_id")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / 3, 6).as("recall_at_3"))
       },
-      Some(s"""WITH $ivfCtes,
-              |${pqChainCtes(8, 2, "pcomp")},
-              |comp0 AS (
-              |  SELECT vec_id, j - 1 AS j0, x
-              |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-              |               generate_subscripts(embedding, 1) AS j
-              |        FROM embeddings)),
-              |qcomp AS (
-              |  SELECT vec_id AS q_id, j0,
-              |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
-              |                               ELSE -0.001 END) * 1000000)
-              |              AS BIGINT) AS xq
-              |  FROM comp0 WHERE vec_id < 10),
-              |qn2 AS (SELECT q_id, CAST(SUM(xq * xq) AS BIGINT) AS n2
-              |        FROM qcomp GROUP BY q_id),
-              |qcd AS (
-              |  SELECT q.q_id, c.clabel,
-              |         CAST(SUM(q.xq * c.cq) AS BIGINT) AS dotq
-              |  FROM qcomp q JOIN cent c USING (j0)
-              |  GROUP BY q.q_id, c.clabel),
-              |probes AS (
-              |  SELECT q_id, clabel FROM (
-              |    SELECT d.q_id, d.clabel,
-              |           ROW_NUMBER() OVER (
-              |             PARTITION BY d.q_id
-              |             ORDER BY CASE WHEN qn2.n2 = 0 OR nc.ncq = 0
-              |                      THEN 0.0
-              |                      ELSE CAST(d.dotq AS DOUBLE) /
-              |                      (SQRT(CAST(qn2.n2 AS DOUBLE)) *
-              |                       SQRT(CAST(nc.ncq AS DOUBLE))) END DESC,
-              |                      d.clabel) AS rnk
-              |    FROM qcd d JOIN qn2 ON d.q_id = qn2.q_id
-              |               JOIN nc ON d.clabel = nc.clabel)
-              |  WHERE rnk <= 2),
-              |qsub AS (SELECT q_id, j0 // 8 AS m, j0 % 8 AS jj, xq
-              |         FROM qcomp),
-              |lut AS (
-              |  SELECT q.q_id, c.m, c.cid,
-              |         SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dq
-              |  FROM qsub q JOIN c2 c ON c.m = q.m AND c.jj = q.jj
-              |  GROUP BY 1, 2, 3),
-              |candq AS (
-              |  SELECT p.q_id, a.vec_id
-              |  FROM probes p JOIN assign a ON a.assigned_label = p.clabel),
-              |adc AS (
-              |  SELECT cd.q_id, cd.vec_id, SUM(l.dq) AS adq
-              |  FROM candq cd
-              |  JOIN a3 a ON a.vec_id = cd.vec_id
-              |  JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m
-              |            AND l.cid = a.cid
-              |  GROUP BY 1, 2)
-              |SELECT q_id, neighbor_id, approx_sq FROM (
-              |  SELECT q_id, vec_id AS neighbor_id,
-              |         ROUND(CAST(adq AS DOUBLE) / 1e12, 6) AS approx_sq,
-              |         ROW_NUMBER() OVER (PARTITION BY q_id
-              |                            ORDER BY adq, vec_id) AS rnk
-              |  FROM adc)
-              |WHERE rnk <= 3""".stripMargin))
+      Some(s102OracleSql))
   )
 
   /** Squared L2 between two equal-length quantized integer vectors —
@@ -1099,6 +1117,70 @@ object Similarity {
           transform(col("enc"), x => x("cid").cast("string"))).as("codes"),
         round(aggregate(col("enc"), lit(0L), (a, x) => a + x("dist"))
           .cast("double") / 1e12, 6).as("sq_err"))
+  }
+
+  /** The s95 planted query set (vec_id < 10, ±0.001 perturbation by dim
+    * parity), quantized, with its squared norm. */
+  private def plantedQueries(s: SparkSession, d: String): DataFrame =
+    Graft.tableParallel(s, d, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        transform(
+          transform(col("embedding"), (x, j) =>
+            x.cast("double") + when(j % 2 === 0, 0.001).otherwise(-0.001)),
+          x => round(x * 1000000).cast("long")).as("qv"))
+      .withColumn("qn", dotl(col("qv"), col("qv")))
+
+  /** Full IVF-PQ search over the planted query set (see s101's QueryDef
+    * doc for the plan shape): returns (q_id, neighbor_id, adq) — the
+    * top-3 ADC-ranked candidates from the nprobe=2 probed clusters.
+    * Shared by s101 (the search) and s102 (the recall audit). */
+  private[graft] def ivfpqSearch(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 2; val k = 3
+    val (_, _, trained) = pqParts(s, d, 8, 8, 2)
+    val codes = pqEnc(
+      quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
+      .select(col("vec_id"),
+        transform(col("enc"), x => x("cid")).as("codes"))
+    val queries = plantedQueries(s, d)
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("clabel").asc)
+    val probes = queries
+      .crossJoin(broadcast(labelCentroids(s, d)))
+      .select(col("q_id"), col("clabel"),
+        cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
+          .as("csim"))
+      .withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("clabel"))
+    val qsubs = queries
+      .select(col("q_id"), explode(transform(
+        sequence(lit(0), lit(7)),
+        mm => struct(mm.as("m"),
+          slice(col("qv"), mm * 8 + 1, lit(8)).as("sv")))).as("e"))
+      .select(col("q_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val lutq = qsubs.join(broadcast(trained), "m")
+      .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
+        l2q(col("sv"), col("cq")).as("dq"))
+      .groupBy("q_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("key"), col("dq"))))).as("qlut"))
+    val cand = broadcast(probes)
+      .join(ivfAssignment(s, d).select(col("vec_id"),
+        col("cluster").as("clabel")), "clabel")
+      .select(col("q_id"), col("vec_id"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("adq").asc, col("neighbor_id").asc)
+    cand.join(codes, "vec_id")
+      .join(broadcast(lutq), "q_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("codes"),
+          sequence(lit(0), lit(7)),
+          (code, mm) => element_at(col("qlut"), mm * 100 + code)),
+          lit(0L), (a, x) => a + x).as("adq"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("adq"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay raw, the corpus is

@@ -329,6 +329,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s102 index recall: every query reported, hits bounded, audit agrees with s101") {
+    val rows = run("s102_index_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10, "one audit row per planted query")
+    rows.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 3)
+      assert(math.abs(rec - h / 3.0) < 1e-6 + 1e-9)
+    }
+    // cross-check the audit against s101's actual output: n_hits must
+    // equal the overlap with a driver-side exact top-3
+    val approx = run("s101_ivfpq_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def qv(id: Long): Array[Double] = vecs(id).zipWithIndex.map {
+      case (x, j) => x + (if (j % 2 == 0) 0.001 else -0.001)
+    }
+    rows.foreach { case (q, h, _) =>
+      val qq = qv(q).map(x => math.round(x * 1e6))
+      val exact = vecs.map { case (id, v) =>
+        val vq = v.map(x => math.round(x * 1e6))
+        (qq.zip(vq).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+      }.toSeq.sorted.take(3).map(_._2).toSet
+      assert(h == exact.count(approx(q).contains),
+        s"query $q: audit $h != recomputed overlap")
+    }
+  }
+
   test("t93 bpe merges: engine matches an independent in-JVM BPE trainer on random corpora") {
     // a THIRD implementation as oracle: greedy corpus-level BPE written
     // directly against Sennrich's algorithm (dictionary counts, argmax
