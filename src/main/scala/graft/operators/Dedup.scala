@@ -835,7 +835,59 @@ object Dedup {
                |       ROUND(CAST(n_shared AS DOUBLE) /
                |             (x.n + y.n - n_shared), 6) AS jaccard
                |FROM inter JOIN sizes x ON source_a = x.source
-               |           JOIN sizes y ON source_b = y.source""".stripMargin))
+               |           JOIN sizes y ON source_b = y.source""".stripMargin)),
+
+    QueryDef(
+      "d99_dedup_card", // the one-row dedup DATA CARD — the summary a
+                        // corpus release publishes before anyone pays for
+                        // the full dedup run: corpus size, exact-dup group
+                        // count (md5 content hash), surplus docs the exact
+                        // pass would drop, MinHash near-dup pair and
+                        // affected-doc counts, and the unique-content
+                        // fraction. Composes the d80 exact layer and the
+                        // d83 banded candidate layer into five scalar
+                        // aggregates — every input is an existing bounded
+                        // shape (hash groupBy, banded equi-join), the
+                        // card itself is 1-row crossJoins of their
+                        // partial-aggregated outputs. Nothing new
+                        // shuffles; at 100 TB this costs what d80+d83
+                        // cost, which is the point of publishing it. All
+                        // five stats describe ONE universe — the same
+                        // near-augmented corpus the d8x family audits —
+                        // so the exact and near layers reconcile.
+      (s, d) => {
+        val doc = corpusNear(s, d)
+        val exact = doc.agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_exact_groups"))
+        val pairs = minhashPairs(s, d)
+        val npairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
+        val ndocs = pairs.select(col("d1").as("dd"))
+          .union(pairs.select(col("d2").as("dd"))).distinct()
+          .agg(count(lit(1)).as("n_near_docs"))
+        exact.crossJoin(broadcast(npairs)).crossJoin(broadcast(ndocs))
+          .select(col("n_docs"), col("n_exact_groups"),
+            (col("n_docs") - col("n_exact_groups")).as("n_exact_dup_docs"),
+            col("n_near_pairs"), col("n_near_docs"),
+            round(col("n_exact_groups").cast("double") /
+              col("n_docs").cast("double"), 6).as("unique_frac"))
+      },
+      Some(s"""WITH $minhashCtes,
+               |pairs AS ($minhashPairsSelect),
+               |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               |              CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+               |                AS n_exact_groups
+               |       FROM corpus),
+               |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_pairs
+               |       FROM pairs),
+               |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_docs
+               |       FROM (SELECT d1 AS dd FROM pairs
+               |             UNION SELECT d2 FROM pairs))
+               |SELECT n_docs, n_exact_groups,
+               |       n_docs - n_exact_groups AS n_exact_dup_docs,
+               |       n_near_pairs, n_near_docs,
+               |       ROUND(CAST(n_exact_groups AS DOUBLE) /
+               |             CAST(n_docs AS DOUBLE), 6) AS unique_frac
+               |FROM ex CROSS JOIN np CROSS JOIN nd""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

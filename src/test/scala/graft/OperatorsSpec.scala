@@ -246,6 +246,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d99 dedup card: one row, reconciles with d80/d83 outputs") {
+    val r = run("d99_dedup_card").collect()
+    assert(r.length == 1)
+    val (nDocs, nGroups, nDup, nPairs, nNearDocs, uf) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+        r(0).getLong(4), r(0).getDouble(5))
+    assert(nGroups <= nDocs && nDup == nDocs - nGroups)
+    assert(uf > 0.0 && uf <= 1.0)
+    // the card must reconcile with the operators it summarizes (same
+    // near-augmented universe as the d8x family)
+    assert(nPairs == run("d83_dedup_minhash").count(),
+      "near-pair count diverges from d83")
+    val corpus = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(nDocs == 2 * corpus, "card universe != the d8x audit corpus")
+    assert(nNearDocs <= 2 * nPairs && (nPairs == 0 || nNearDocs >= 2))
+  }
+
   test("d98 source overlap: canonical pairs, intersection bounded, jaccard in range") {
     val rows = run("d98_source_overlap").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
