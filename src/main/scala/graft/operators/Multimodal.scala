@@ -494,6 +494,133 @@ object Multimodal {
              |FROM sgn GROUP BY doc_id, win""".stripMargin)),
 
     QueryDef(
+      "m103_audio_near_dup", // audio NEAR-dup — the Haitsma-Kalker
+                             // fingerprint shape over real WAV payloads:
+                             // codec decode → 32-sample window energies →
+                             // delta-sign bit string (bit w = energy
+                             // rose from window w-1), then the m102
+                             // two-tier discipline: exact fingerprint
+                             // groups collapse to one representative
+                             // (group size carried) BEFORE the banded
+                             // near join, so a corpus full of repeated
+                             // jingles cannot blow up the pair join.
+                             // Payloads plant structure: samples are
+                             // constant per window (amplitude 100+10w,
+                             // rising), so base fingerprints are all-'1';
+                             // window 0's amplitude swings ±20 by
+                             // doc_id%3, flipping bit 0 for the %3==2
+                             // third — genuine near groups (hamming 1)
+                             // beside the exact groups per length class
+                             // (doc_id%7). 2 bands keyed (n_win, band,
+                             // substring) guarantee recall at hamming 1
+                             // by pigeonhole. Decode/window/fingerprint
+                             // all map-side next to the bytes; only (id,
+                             // ≤7-bit strings) ever shuffle.
+      (s, d) => {
+        import s.implicits._
+        val nSamples = (lit(64) + (col("doc_id") % 7) * 32).cast("int")
+        val dataSize = nSamples * 2
+        val pcmHex = concat_ws("",
+          transform(sequence(lit(0), nSamples - 1),
+            i => le16(lit(100) + floor(i / 32).cast("int") * 10 +
+              when(i < 32, (col("doc_id") % 3 - 1) * 20).otherwise(0))))
+        val payloadHex = concat(
+          lit("52494646"), le32(dataSize + 36), lit("57415645"),
+          lit("666D7420"), le32(lit(16)), le16(lit(1)),
+          le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
+          le16(lit(2)), le16(lit(16)),
+          lit("64617461"), le32(dataSize), pcmHex)
+        val wins = Graft.table(s, d, "documents")
+          .select(col("doc_id"), unhex(payloadHex).as("payload"),
+            lit("audio/wav").as("mime"))
+          .as[Blob]
+          .mapPartitions(_.flatMap(b =>
+            PcmFeatures.windows(b.doc_id, b.payload, 32)))
+          .toDF()
+        val fp = wins.groupBy("doc_id")
+          .agg(sort_array(collect_list(
+            struct(col("win"), col("energy")))).as("ws"))
+          .select(col("doc_id"), size(col("ws")).as("n_win"),
+            concat_ws("", transform(
+              sequence(lit(1), size(col("ws")) - 1),
+              i => when(element_at(col("ws"), i + 1)("energy") >
+                element_at(col("ws"), i)("energy"), "1").otherwise("0")))
+              .as("bits"))
+        val grp = fp.groupBy("n_win", "bits")
+          .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+        val bands = grp
+          .select(col("rep"), col("n"), col("n_win"), col("bits"),
+            explode(sequence(lit(0), lit(1))).as("band"))
+          .withColumn("l", length(col("bits")))
+          .withColumn("bstr", col("bits").substr(
+            expr("(band * l) div 2 + 1"),
+            expr("((band + 1) * l) div 2 - (band * l) div 2")))
+        val cand = bands
+          .select(col("n_win"), col("band"), col("bstr"),
+            col("rep").as("d1"), col("bits").as("b1"), col("n").as("n1"))
+          .join(bands.select(col("n_win"), col("band"), col("bstr"),
+            col("rep").as("d2"), col("bits").as("b2"), col("n").as("n2")),
+            Seq("n_win", "band", "bstr"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"), col("n_win"),
+            col("b1"), col("b2"), col("n1"), col("n2"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr(
+            """aggregate(transform(sequence(1, length(b1)),
+              |  i -> IF(substring(b1, i, 1) = substring(b2, i, 1), 0, 1)),
+              |  0, (acc, x) -> acc + x)""".stripMargin).cast("long"))
+          .filter(col("hamming") <= 1)
+          .select(col("d1"), col("d2"), col("n_win"), col("hamming"),
+            col("n1"), col("n2"))
+      },
+      Some("""WITH samp AS (
+             |  SELECT doc_id, CAST(i AS INT) AS i,
+             |         CAST(100 + (i // 32) * 10 +
+             |              CASE WHEN i < 32 THEN (doc_id % 3 - 1) * 20
+             |                   ELSE 0 END AS BIGINT) AS s
+             |  FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 7 * 32))
+             |          AS i
+             |        FROM documents)),
+             |en AS (SELECT doc_id, CAST(i // 32 AS INT) AS win,
+             |              CAST(SUM(s * s) AS BIGINT) AS e
+             |       FROM samp GROUP BY doc_id, win),
+             |fp AS (
+             |  SELECT a.doc_id,
+             |         CAST(COUNT(*) + 1 AS INT) AS n_win,
+             |         string_agg(CASE WHEN a.e > b.e THEN '1' ELSE '0' END,
+             |                    '' ORDER BY a.win) AS bits
+             |  FROM en a JOIN en b ON b.doc_id = a.doc_id
+             |                     AND b.win = a.win - 1
+             |  GROUP BY a.doc_id),
+             |grp AS (SELECT n_win, bits, MIN(doc_id) AS rep,
+             |               CAST(COUNT(*) AS BIGINT) AS n
+             |        FROM fp GROUP BY n_win, bits),
+             |bnd AS (SELECT rep, n, n_win, bits, len(bits) AS l,
+             |               unnest(range(0, 2)) AS band
+             |        FROM grp),
+             |keyed AS (SELECT rep, n, n_win, bits, band,
+             |                 substr(bits, (band * l) // 2 + 1,
+             |                        ((band + 1) * l) // 2
+             |                          - (band * l) // 2) AS bstr
+             |          FROM bnd),
+             |cand AS (
+             |  SELECT DISTINCT a.rep AS d1, b.rep AS d2, a.n_win,
+             |         a.bits AS b1, b.bits AS b2, a.n AS n1, b.n AS n2
+             |  FROM keyed a JOIN keyed b
+             |    ON a.n_win = b.n_win AND a.band = b.band
+             |   AND a.bstr = b.bstr AND a.rep < b.rep),
+             |hm AS (SELECT d1, d2, n_win, b1, b2, n1, n2,
+             |              unnest(range(1, len(b1) + 1)) AS i
+             |       FROM cand)
+             |SELECT d1, d2, n_win, hamming, n1, n2 FROM (
+             |  SELECT d1, d2, n_win, n1, n2,
+             |         CAST(SUM(CASE WHEN substr(b1, i, 1) = substr(b2, i, 1)
+             |                       THEN 0 ELSE 1 END) AS BIGINT) AS hamming
+             |  FROM hm GROUP BY 1, 2, 3, 4, 5)
+             |WHERE hamming <= 1""".stripMargin)),
+
+    QueryDef(
       "m101_image_phash_dedup", // multimodal DEDUP: the image twin of the
                                 // d8x text family. Plan-assembled BMPs whose
                                 // pixel pattern depends on doc_id mod 4 (so

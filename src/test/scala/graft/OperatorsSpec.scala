@@ -318,6 +318,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 6, s"planted-neighbor recall $hits/10 below floor")
   }
 
+  test("m103 audio near-dup: one hamming-1 pair per length class, groups partition the corpus") {
+    val rows = run("m103_audio_near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // 7 length classes (doc_id%7), each with exactly one near pair: the
+    // all-rising fingerprint vs the bit-0-flipped (doc_id%3==2) variant
+    assert(rows.length == 7, s"expected 7 near pairs, got ${rows.length}")
+    assert(rows.map(_._3).toSet.size == 7, "one pair per n_win class")
+    rows.foreach { case (d1, d2, _, ham, n1, n2) =>
+      assert(d1 < d2 && ham == 1L)
+      assert(n1 > 1 && n2 > 1, "both sides must be real exact groups")
+    }
+    // the two groups of each pair partition their length class exactly
+    val corpus = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.map(r => r._5 + r._6).sum == corpus,
+      "group sizes must cover every document")
+  }
+
   test("t93 bpe merges: greedy corpus merges match the hand-computed table") {
     // "aaa bb aaa": r1 pairs {aa:4, bb:1} -> merge (a,a) cnt 4; rewrite
     // "aaa"->"0a" (left-to-right non-overlap = greedy BPE); r2 {0a:2, bb:1}
