@@ -823,6 +823,67 @@ object Multimodal {
               FROM (SELECT doc_id, text,
                            unnest(range(0, ((LENGTH(text) - 1) // 16) + 1)) AS frame_idx
                     FROM documents)
-              WHERE frame_idx % 4 = 0"""))
+              WHERE frame_idx % 4 = 0""")),
+
+    QueryDef(
+      "m104_frame_dedup", // the VIDEO leg of the dedup matrix (text d8x,
+                          // image m101/m102, audio m103): which sampled
+                          // frames repeat across assets — the d91
+                          // repeated-passages shape over m96's keyframe
+                          // stream. Intro/outro/watermark frames shared by
+                          // thousands of videos are exactly what a corpus
+                          // prep flags before training. One shuffle keyed
+                          // on the 16-byte frame hash, partial-aggregated
+                          // map-side; frames themselves never move — the
+                          // exchange carries (hash, doc_id) pairs and the
+                          // output is the repeated subset with its spread
+                          // (distinct docs, total occurrences, canonical
+                          // first sighting by (doc, frame) order).
+      (s, d) => {
+        val frameSize = 16; val every = 4
+        val frames = Graft.table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(when(length(col("text")) > 0,
+              sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
+              .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"))
+          .filter(col("frame_idx") % every === 0)
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr(
+              s"substring(text, frame_idx * $frameSize + 1, $frameSize)"))
+              .as("frame_hash"))
+        frames.groupBy("frame_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            min(struct(col("doc_id"), col("frame_idx"))).as("first0"))
+          .filter(col("n_docs") >= 2)
+          .select(col("frame_hash"), col("n_docs"), col("n_occurrences"),
+            col("first0")("doc_id").as("first_doc"),
+            col("first0")("frame_idx").as("first_frame"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, frame_idx,
+             |         md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_hash
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(0, ((LENGTH(text) - 1) // 16) + 1))
+             |            AS frame_idx
+             |        FROM documents)
+             |  WHERE frame_idx % 4 = 0),
+             |rep AS (
+             |  SELECT frame_hash,
+             |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+             |  FROM fr GROUP BY frame_hash
+             |  HAVING COUNT(DISTINCT doc_id) >= 2),
+             |firsts AS (
+             |  SELECT frame_hash, doc_id AS first_doc,
+             |         frame_idx AS first_frame
+             |  FROM (SELECT *, ROW_NUMBER() OVER (
+             |          PARTITION BY frame_hash
+             |          ORDER BY doc_id, frame_idx) AS rn
+             |        FROM fr)
+             |  WHERE rn = 1)
+             |SELECT r.frame_hash, r.n_docs, r.n_occurrences,
+             |       f.first_doc, f.first_frame
+             |FROM rep r JOIN firsts f USING (frame_hash)""".stripMargin))
   )
 }

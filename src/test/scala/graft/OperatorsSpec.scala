@@ -318,6 +318,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 6, s"planted-neighbor recall $hits/10 below floor")
   }
 
+  test("m104 frame dedup: repeated frames only, spread bounded, first sighting canonical") {
+    val rows = run("m104_frame_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty, "the corpus must contain cross-doc repeated frames")
+    rows.foreach { case (h, nd, no, fd, ff) =>
+      assert(nd >= 2 && no >= nd, s"$h: occurrences $no < docs $nd")
+      assert(ff >= 0 && ff % 4 == 0, s"$h: first frame $ff not a kept frame")
+    }
+    // first sighting must reproduce m96's stream: the (doc, frame) min of
+    // that hash's occurrences
+    val frames = run("m96_frame_sample").collect()
+      .map(r => (r.getString(2), (r.getLong(0), r.getLong(1))))
+      .groupBy(_._1)
+    rows.foreach { case (h, _, _, fd, ff) =>
+      assert(frames(h).map(_._2).min == ((fd, ff)),
+        s"$h: first sighting ($fd,$ff) not minimal")
+    }
+  }
+
   test("m103 audio near-dup: one hamming-1 pair per length class, groups partition the corpus") {
     val rows = run("m103_audio_near_dup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
