@@ -121,24 +121,29 @@ object Similarity {
        |SELECT vec_id, label, assigned_label, assigned_label = label AS correct
        |FROM assign""".stripMargin
 
+  /** d92's cluster-scoped pair scoring + drop set, as CTEs (shared with
+    * the p101 capstone). */
+  private val d92Ctes =
+    """pairs AS (
+      |  SELECT v FROM (
+      |    SELECT a.vec_id AS v,
+      |           ROUND(CASE WHEN na.nq = 0 OR nb.nq = 0 THEN 0.0
+      |                 ELSE CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
+      |                 (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
+      |                 END, 6) AS sim
+      |    FROM assign a JOIN assign b
+      |           ON a.assigned_label = b.assigned_label AND b.vec_id < a.vec_id
+      |    JOIN comp ca ON ca.vec_id = a.vec_id
+      |    JOIN comp cb ON cb.vec_id = b.vec_id AND cb.j0 = ca.j0
+      |    JOIN nv na ON na.vec_id = a.vec_id
+      |    JOIN nv nb ON nb.vec_id = b.vec_id
+      |    GROUP BY a.vec_id, b.vec_id, na.nq, nb.nq)
+      |  WHERE sim > 0.3),
+      |drops AS (SELECT DISTINCT v AS vec_id FROM pairs)""".stripMargin
+
   private val d92OracleSql =
     s"""WITH $ivfCtes,
-       |pairs AS (
-       |  SELECT v FROM (
-       |    SELECT a.vec_id AS v,
-       |           ROUND(CASE WHEN na.nq = 0 OR nb.nq = 0 THEN 0.0
-       |                 ELSE CAST(SUM(ca.xq * cb.xq) AS DOUBLE) /
-       |                 (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE)))
-       |                 END, 6) AS sim
-       |    FROM assign a JOIN assign b
-       |           ON a.assigned_label = b.assigned_label AND b.vec_id < a.vec_id
-       |    JOIN comp ca ON ca.vec_id = a.vec_id
-       |    JOIN comp cb ON cb.vec_id = b.vec_id AND cb.j0 = ca.j0
-       |    JOIN nv na ON na.vec_id = a.vec_id
-       |    JOIN nv nb ON nb.vec_id = b.vec_id
-       |    GROUP BY a.vec_id, b.vec_id, na.nq, nb.nq)
-       |  WHERE sim > 0.3),
-       |drops AS (SELECT DISTINCT v AS vec_id FROM pairs)
+       |$d92Ctes
        |SELECT a.vec_id, a.assigned_label AS cluster,
        |       d.vec_id IS NOT NULL AS dropped
        |FROM assign a LEFT JOIN drops d USING (vec_id)""".stripMargin
@@ -387,28 +392,7 @@ object Similarity {
                             // (engine-exact); the within-cluster pair join
                             // is an EQUI-join on the cluster id — this is
                             // d86's labeled brute-force made scale-shaped.
-      (s, d) => {
-        val asg = ivfAssignment(s, d) // slim: (vec_id, label, cluster)
-        // only the pair scoring needs the component arrays — join them back
-        // from the map-side scan on vec_id, so the assignment window never
-        // shipped them (see ivfAssignment)
-        val av = asg.join(
-          quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-            .withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
-        val smaller = av.select(col("cluster").as("c2"),
-          col("vec_id").as("v2"), col("vq").as("vq2"), col("nq").as("nq2"))
-        val drops = av.join(smaller,
-            col("cluster") === col("c2") && col("v2") < col("vec_id"))
-          .select(col("vec_id"),
-            round(cosQ(dotl(col("vq"), col("vq2")), col("nq"), col("nq2")),
-              6).as("sim"))
-          .filter(col("sim") > 0.3)
-          .select(col("vec_id")).distinct()
-          .withColumn("dup", lit(true))
-        asg.join(drops, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cluster"),
-            coalesce(col("dup"), lit(false)).as("dropped"))
-      },
+      (s, d) => semanticDecisions(s, d),
       Some(d92OracleSql)),
 
     QueryDef(
@@ -1036,8 +1020,68 @@ object Similarity {
           .select(col("q_id"), col("n_hits"),
             round(col("n_hits").cast("double") / 3, 6).as("recall_at_3"))
       },
-      Some(s102OracleSql))
+      Some(s102OracleSql)),
+
+    QueryDef(
+      "p101_embedding_prep", // the VECTOR-side pipeline capstone (p100's
+                             // twin for the embedding corpus): the
+                             // artifact table a vector warehouse publishes
+                             // per release — every vector's coarse cluster
+                             // route, its SemDeDup keep/drop verdict, its
+                             // 8-byte PQ codes and reconstruction error,
+                             // in ONE row. Composes d92's decision chain
+                             // with s99's encode on the shared scans; the
+                             // final assembly is one equi-join on vec_id
+                             // between two corpus-sized frames — at scale
+                             // both sides arrive partitioned by the same
+                             // key. Serving reads THIS table: route by
+                             // cluster, skip dropped, ADC over codes.
+      (s, d) => semanticDecisions(s, d)
+        .join(pqEncode(s, d, 8, 8, 2), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("dropped"),
+          col("codes"), col("sq_err")),
+      Some(s"""WITH $ivfCtes,
+              |$d92Ctes,
+              |${pqChainCtes(8, 2, "pcomp")},
+              |enc AS (
+              |  SELECT vec_id,
+              |         string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m)
+              |           AS codes,
+              |         ROUND(CAST(SUM(dist) AS DOUBLE) / 1e12, 6)
+              |           AS sq_err
+              |  FROM a3 GROUP BY vec_id)
+              |SELECT a.vec_id, a.assigned_label AS cluster,
+              |       dr.vec_id IS NOT NULL AS dropped,
+              |       e.codes, e.sq_err
+              |FROM assign a
+              |LEFT JOIN drops dr USING (vec_id)
+              |JOIN enc e USING (vec_id)""".stripMargin))
   )
+
+  /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the
+    * d92 QueryDef doc for the plan shape; shared with the p101 capstone.
+    * Only the pair scoring needs the component arrays — they join back
+    * from the map-side scan on vec_id, so the assignment window never
+    * ships them (see ivfAssignment). */
+  private def semanticDecisions(s: SparkSession, d: String): DataFrame = {
+    val asg = ivfAssignment(s, d) // slim: (vec_id, label, cluster)
+    val av = asg.join(
+      quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+        .withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
+    val smaller = av.select(col("cluster").as("c2"),
+      col("vec_id").as("v2"), col("vq").as("vq2"), col("nq").as("nq2"))
+    val drops = av.join(smaller,
+        col("cluster") === col("c2") && col("v2") < col("vec_id"))
+      .select(col("vec_id"),
+        round(cosQ(dotl(col("vq"), col("vq2")), col("nq"), col("nq2")),
+          6).as("sim"))
+      .filter(col("sim") > 0.3)
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    asg.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).as("dropped"))
+  }
 
   /** Squared L2 between two equal-length quantized integer vectors —
     * exact Long arithmetic, codegen'd higher-order functions. */

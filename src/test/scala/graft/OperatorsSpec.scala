@@ -318,6 +318,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 6, s"planted-neighbor recall $hits/10 below floor")
   }
 
+  test("p101 embedding prep: one artifact row per vector, reconciles with d92 and s99") {
+    val rows = run("p101_embedding_prep").collect()
+      .map(r => (r.getLong(0), (r.getAs[Number](1).longValue, r.getBoolean(2),
+        r.getString(3), r.getDouble(4)))).toMap
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.size == n, "one artifact row per corpus vector")
+    val d92 = run("d92_semantic_dedup").collect()
+      .map(r => (r.getLong(0),
+        (r.getAs[Number](1).longValue, r.getBoolean(2)))).toMap
+    val s99 = run("s99_pq_encode").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    rows.foreach { case (v, (cl, dr, codes, err)) =>
+      assert((cl, dr) == d92(v), s"vector $v: route/verdict diverge from d92")
+      assert((codes, err) == s99(v), s"vector $v: codes diverge from s99")
+    }
+  }
+
   test("m104 frame dedup: repeated frames only, spread bounded, first sighting canonical") {
     val rows = run("m104_frame_dedup").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
