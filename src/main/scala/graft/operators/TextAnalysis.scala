@@ -1583,6 +1583,63 @@ object TextAnalysis {
              |SELECT doc_id, n_words, score_micro, rnk <= 50 AS selected
              |FROM (SELECT *, ROW_NUMBER() OVER (
              |        ORDER BY score_micro DESC, doc_id) AS rnk
-             |      FROM scored)""".stripMargin))
+             |      FROM scored)""".stripMargin)),
+
+    QueryDef(
+      "t96_code_detect", // code-vs-prose separation — the corpus routing
+                         // signal a mixed crawl needs before training
+                         // (code and prose want different tokenizers,
+                         // dedup keys and mixture weights): per line, a
+                         // symbol-density test (structural characters
+                         // ;{}()=[]<> at ≥25% of the line) flags
+                         // code-looking lines; a document routes as code
+                         // when >30% of its nonempty lines look like
+                         // code. Pure map-side expression work — one
+                         // pruned scan, zero shuffle at any corpus size;
+                         // the regex is a plain character class with
+                         // identical RE2/Java semantics. Empty docs and
+                         // all-blank docs report NULL fraction under the
+                         // shared NULL-on-zero rule (never routed as
+                         // code).
+      (s, d) => {
+        val lines = filter(split(col("text"), "\n"),
+          l => length(trim(l)) > 0)
+        val codeLines = filter(lines, l =>
+          length(regexp_replace(l, "[^;{}()=\\[\\]<>]", "")) * 4 >=
+            length(l))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(lines).as("n_lines"),
+            size(codeLines).as("n_code_lines"))
+          .select(col("doc_id"), col("n_lines"), col("n_code_lines"),
+            round(when(col("n_lines") === 0, lit(null))
+              .otherwise(col("n_code_lines").cast("double") /
+                col("n_lines").cast("double")), 6).as("code_frac"),
+            coalesce(col("n_code_lines").cast("double") >
+              col("n_lines").cast("double") * 0.3, lit(false))
+              .as("is_code"))
+      },
+      Some("""WITH ln AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, chr(10)),
+             |                     l -> length(trim(l)) > 0) AS lines
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id,
+             |         CAST(len(lines) AS INT) AS n_lines,
+             |         CAST(len(list_filter(lines, l ->
+             |           length(regexp_replace(l, '[^;{}()=\[\]<>]', '',
+             |                                 'g')) * 4 >= length(l)))
+             |           AS INT) AS n_code_lines
+             |  FROM ln)
+             |SELECT doc_id, n_lines, n_code_lines,
+             |       CASE WHEN n_lines = 0 THEN NULL
+             |            ELSE ROUND(CAST(n_code_lines AS DOUBLE) /
+             |                       CAST(n_lines AS DOUBLE), 6) END
+             |         AS code_frac,
+             |       COALESCE(CAST(n_code_lines AS DOUBLE) >
+             |                CAST(n_lines AS DOUBLE) * 0.3, FALSE)
+             |         AS is_code
+             |FROM cnt""".stripMargin))
   )
 }

@@ -471,6 +471,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t96 code detect: hand-built code/prose/empty docs route correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t96").toString
+    Seq(
+      (1L, "x = f(a);\nif (x > 0) { y(); }\nreturn z;"),
+      (2L, "hello world\nthis is prose"),
+      (3L, ""),
+      (4L, "   \n  \n"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t96_code_detect")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3, 2, Some(0.666667), true),
+      (2L, 2, 0, Some(0.0), false),
+      (3L, 0, 0, None, false),
+      (4L, 0, 0, None, false)), s"got ${got.toSeq}")
+    // real corpus: fractions bounded, verdict consistent with the rule
+    run("t96_code_detect").collect().foreach { r =>
+      val (nl, ncl, code) = (r.getInt(1), r.getInt(2), r.getBoolean(4))
+      assert(ncl <= nl)
+      assert(code == (ncl.toDouble > nl.toDouble * 0.3))
+    }
+  }
+
   test("t94 bpe apply: learned merges compress the hand-checked corpus") {
     // merges from the t93 fixture: (a,a), (aa,a), (b,b). "aaa"->1 symbol,
     // "bb"->1 symbol
