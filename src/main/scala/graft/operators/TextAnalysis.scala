@@ -1640,6 +1640,68 @@ object TextAnalysis {
              |       COALESCE(CAST(n_code_lines AS DOUBLE) >
              |                CAST(n_lines AS DOUBLE) * 0.3, FALSE)
              |         AS is_code
-             |FROM cnt""".stripMargin))
+             |FROM cnt""".stripMargin)),
+
+    QueryDef(
+      "t97_boilerplate", // boilerplate-line accounting — the cleanup
+                         // signal extraction (trafilatura/CCNet) keys on:
+                         // a line appearing in ≥5 distinct documents is
+                         // navigation/footer/license furniture, not
+                         // content. Per doc: nonempty-line count, how
+                         // many are boilerplate, and the fraction. Scale
+                         // shape: the line-frequency index is ONE
+                         // partial-aggregated exchange keyed on the
+                         // trimmed line (the d82 posting-list idiom at
+                         // line granularity); the flag joins back by the
+                         // same key, and docs with no nonempty lines
+                         // still report (0, 0, NULL) via the corpus-side
+                         // left join — the shared NULL-on-zero rule.
+      (s, d) => {
+        val ln = Graft.tableParallel(s, d, "documents")
+          .select(col("doc_id"), explode(filter(
+            transform(split(col("text"), "\n"), l => trim(l)),
+            l => length(l) > 0)).as("line"))
+        val boiler = ln.groupBy("line")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 5)
+          .select(col("line"), lit(true).as("bl"))
+        val perDoc = ln.join(boiler, Seq("line"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            count(col("bl")).as("n_boiler"))
+        Graft.tableParallel(s, d, "documents").select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+            round(when(col("n_lines") === 0, lit(null))
+              .otherwise(col("n_boiler").cast("double") /
+                col("n_lines").cast("double")), 6).as("boiler_frac"))
+      },
+      Some("""WITH ln AS (
+             |  SELECT doc_id, l AS line FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(string_split(text, chr(10)),
+             |                                 x -> trim(x))) AS l
+             |    FROM documents)
+             |  WHERE length(l) > 0),
+             |boiler AS (
+             |  SELECT line FROM ln GROUP BY line
+             |  HAVING COUNT(DISTINCT doc_id) >= 5),
+             |per_doc AS (
+             |  SELECT n.doc_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |         CAST(COUNT(b.line) AS BIGINT) AS n_boiler
+             |  FROM ln n LEFT JOIN boiler b ON b.line = n.line
+             |  GROUP BY n.doc_id)
+             |SELECT d.doc_id,
+             |       COALESCE(p.n_lines, 0) AS n_lines,
+             |       COALESCE(p.n_boiler, 0) AS n_boiler,
+             |       CASE WHEN COALESCE(p.n_lines, 0) = 0 THEN NULL
+             |            ELSE ROUND(CAST(p.n_boiler AS DOUBLE) /
+             |                       CAST(p.n_lines AS DOUBLE), 6) END
+             |         AS boiler_frac
+             |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin))
   )
 }

@@ -497,6 +497,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t97 boilerplate: planted shared footer flagged, unique content not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t97").toString
+    val footer = "(c) example corp - all rights reserved"
+    val docs = (1L to 6L).map(i => (i, s"unique line $i\n$footer")) :+
+      (7L, "only unique content here") :+ (8L, "")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t97_boilerplate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1)
+    (1L to 6L).foreach { i =>
+      assert(got(i.toInt - 1) == ((i, 2L, 1L, Some(0.5))),
+        s"doc $i: ${got(i.toInt - 1)}")
+    }
+    assert(got(6) == ((7L, 1L, 0L, Some(0.0))))
+    assert(got(7) == ((8L, 0L, 0L, None)), "empty doc must report NULL")
+    // real corpus: every doc reported, boiler bounded by lines
+    val all = run("t97_boilerplate").collect()
+    assert(all.length == spark.read.parquet(s"$d/documents.parquet").count())
+    all.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("t94 bpe apply: learned merges compress the hand-checked corpus") {
     // merges from the t93 fixture: (a,a), (aa,a), (b,b). "aaa"->1 symbol,
     // "bb"->1 symbol
