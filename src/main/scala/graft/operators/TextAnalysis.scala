@@ -1702,6 +1702,52 @@ object TextAnalysis {
              |            ELSE ROUND(CAST(p.n_boiler AS DOUBLE) /
              |                       CAST(p.n_lines AS DOUBLE), 6) END
              |         AS boiler_frac
-             |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin))
+             |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin)),
+
+    QueryDef(
+      "t98_sentence_stats", // sentence-level quality signals: count and
+                            // mean length of sentences (split on
+                            // [.!?]+ runs, trimmed, empties dropped) —
+                            // mean sentence length is a standard prose
+                            // quality gate (too short = listicle/menu
+                            // fragments, too long = unsegmented dumps).
+                            // Pure map-side expression work over one
+                            // pruned scan; the split class is a plain
+                            // character class with identical RE2/Java
+                            // semantics, lengths are exact integers and
+                            // the single division rounds HALF_UP in both
+                            // engines. Sentence-free docs report NULL
+                            // mean under the shared NULL-on-zero rule.
+      (s, d) => {
+        val sents = filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)),
+          x => length(x) > 0)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(sents).cast("long").as("n_sentences"),
+            aggregate(sents, lit(0L),
+              (a, x) => a + length(x).cast("long")).as("total_chars"))
+          .select(col("doc_id"), col("n_sentences"), col("total_chars"),
+            round(when(col("n_sentences") === 0, lit(null))
+              .otherwise(col("total_chars").cast("double") /
+                col("n_sentences").cast("double")), 6)
+              .as("mean_sentence_chars"))
+      },
+      Some("""WITH sn AS (
+             |  SELECT doc_id,
+             |         list_filter(list_transform(
+             |           regexp_split_to_array(text, '[.!?]+'),
+             |           x -> trim(x)), x -> length(x) > 0) AS sents
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(sents) AS BIGINT) AS n_sentences,
+             |       COALESCE(CAST(list_sum(list_transform(sents,
+             |           x -> length(x))) AS BIGINT), 0) AS total_chars,
+             |       CASE WHEN len(sents) = 0 THEN NULL
+             |            ELSE ROUND(CAST(list_sum(list_transform(sents,
+             |                   x -> length(x))) AS DOUBLE) /
+             |                 CAST(len(sents) AS DOUBLE), 6) END
+             |         AS mean_sentence_chars
+             |FROM sn""".stripMargin))
   )
 }

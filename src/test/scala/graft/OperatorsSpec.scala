@@ -497,6 +497,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t98 sentence stats: hand-built docs segment as expected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t98").toString
+    Seq(
+      (1L, "One two. Three! Four?"),     // 3 sentences: 7, 5, 4 chars
+      (2L, "no terminator at all"),      // 1 sentence (trailing text)
+      (3L, ""), (4L, "..!?.")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t98_sentence_stats")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 16L, Some(5.333333)),
+      (2L, 1L, 20L, Some(20.0)),
+      (3L, 0L, 0L, None),
+      (4L, 0L, 0L, None)), s"got ${got.toSeq}")
+    // real corpus: totals bounded by raw text length
+    run("t98_sentence_stats").collect().foreach { r =>
+      assert(r.getLong(2) >= 0 && (r.getLong(1) > 0 || r.getLong(2) == 0))
+    }
+  }
+
   test("t97 boilerplate: planted shared footer flagged, unique content not") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t97").toString
