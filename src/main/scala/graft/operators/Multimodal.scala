@@ -537,6 +537,10 @@ object Multimodal {
           .mapPartitions(_.flatMap(b =>
             PcmFeatures.windows(b.doc_id, b.payload, 32)))
           .toDF()
+          // Defensive: a malformed payload emits a (win=-1, energy=-1)
+          // sentinel; exclude the asset instead of corrupting its bit
+          // string (matches m102's valid-flag discipline).
+          .filter(col("valid"))
         val fp = wins.groupBy("doc_id")
           .agg(sort_array(collect_list(
             struct(col("win"), col("energy")))).as("ws"))

@@ -186,6 +186,27 @@ object TextAnalysis {
     (t1, t2, t3)
   }
 
+  /** Materialize the three learned merge pairs in rank order, ENFORCING
+    * the documented t93 contract: a corpus that runs dry before 3 merges
+    * (no length-≥2 alpha word left to pair) makes `topPair` return zero
+    * rows, and the lazy `rewrite` crossJoin would then silently empty
+    * the word stream. Engine-side (t93/t94 as DataFrames) the declared
+    * dry-corpus behavior is EMPTY OUTPUT, not an error — same policy as
+    * d87's empty graph. Any caller that freezes the merge strings as a
+    * model artifact (streaming bpeApply, export) must come through here
+    * so the dry corpus fails loudly at training time instead of
+    * producing a tokenizer with missing rules. */
+  private[graft] def collectMerges(s: SparkSession, d: String): Seq[String] = {
+    val (t1, t2, t3) = bpeMergeTables(s, d)
+    Seq(t1, t2, t3).zipWithIndex.map { case (tp, i) =>
+      val rows = tp.collect()
+      require(rows.nonEmpty,
+        s"BPE training contract violated: corpus ran dry before merge " +
+          s"${i + 1} of 3 (no pairable alpha word remains)")
+      rows.head.getString(0)
+    }
+  }
+
   /** Oracle CTE chain mirroring [[bpeMergeTables]] (declared before `defs`:
     * object init is textual order). */
   private val bpeCtes =

@@ -112,7 +112,7 @@ object DocStreams {
       .mapPartitions { it =>
         val model = bc.value
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
             .split("[ \t\n\f\r]+").filter(_.nonEmpty)
           var n = 0L; var sum = 0L; var oov = 0L
           if (toks.length >= 2)
@@ -156,7 +156,7 @@ object DocStreams {
         val model = bc.value
         it.map { case (id, text) =>
           var n = 0L; var sum = 0L; var oov = 0L
-          wordRe.findAllIn(text.toLowerCase).foreach { w =>
+          wordRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
             sum += model.getOrElse(w, { oov += 1; oovWeightMicro })
             n += 1
           }
@@ -188,7 +188,7 @@ object DocStreams {
         val ms = bc.value
         it.map { case (id, text) =>
           var chars = 0L; var syms = 0L
-          wordRe.findAllIn(text.toLowerCase).foreach { w =>
+          wordRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
             chars += w.length
             var cur = w
             var i = 0

@@ -401,6 +401,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe dry-corpus contract: collectMerges fails loudly before a " +
+      "rule-less tokenizer can be frozen") {
+    // a corpus with no pairable alpha word (digits + 1-char words only)
+    // runs dry at merge 1; engine-side t93/t94 DataFrames declare EMPTY
+    // OUTPUT for this (d87 empty-graph policy), but materializing the
+    // merge strings as a model artifact must be a loud failure
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t93dry").toString
+    Seq((1L, "123 456 a b"), (2L, "7 8 9 c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      operators.TextAnalysis.collectMerges(spark, dir)
+    }
+    assert(ex.getMessage.contains("ran dry before merge 1"),
+      s"unexpected message: ${ex.getMessage}")
+    // and the documented engine-side behavior: empty output, not an error
+    assert(SparkEntry.queries("t93_bpe_merges")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("t94_bpe_apply")(spark, dir).count() == 0)
+  }
+
   test("s102 index recall: every query reported, hits bounded, audit agrees with s101") {
     val rows = run("s102_index_recall").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

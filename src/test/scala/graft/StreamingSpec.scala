@@ -295,9 +295,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // freeze the merge table = the t93 model artifact, in rank order
-    val (t1, t2, t3) = operators.TextAnalysis.bpeMergeTables(
-      spark, TestSpark.sfDir)
-    val merges = Seq(t1, t2, t3).map(_.collect().head.getString(0))
+    // (collectMerges enforces the dry-corpus contract loudly)
+    val merges = operators.TextAnalysis.collectMerges(spark, TestSpark.sfDir)
     val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
       .select("doc_id", "text")
     val rows = docs.as[(Long, String)].collect()
