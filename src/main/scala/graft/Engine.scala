@@ -65,33 +65,42 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   spark.catalog.listTables().collect().foreach { t =>
     t.name match {
-      case indexName(base, col) if spark.catalog.tableExists(base) &&
-          isBucketedCloneOf(t.name, base, col) =>
-        recordIndex(base, col)
+      case indexName(base, colsJoined) if spark.catalog.tableExists(base) =>
+        bucketColsOf(t.name, base, colsJoined).foreach(cols =>
+          recordIndex(base, cols.head, t.name))
       case _ => ()
     }
   }
 
+  // a vector index persisted by a prior session re-registers like the
+  // bucketed-index pre-seed above, so its serve path survives restarts
+  operators.VectorIndex.reregister(spark, cmds)
+
   /** Pre-seed guard: a catalog table only counts as an index if it really
-    * is CREATE INDEX's product — bucketed by exactly `col` with the base
-    * table's column set. A user table that merely NAMES like `<t>_by_<c>`
-    * (say, a rollup called `sales_by_region`) must never be substituted
-    * into queries — or dropped by invalidation. */
-  private def isBucketedCloneOf(idx: String, base: String, col: String): Boolean =
+    * is CREATE INDEX's product — bucketed by exactly the column (list)
+    * its name encodes, with the base table's column set. A user table
+    * that merely NAMES like `<t>_by_<c>` (say, a rollup called
+    * `sales_by_region`) must never be substituted into queries — or
+    * dropped by invalidation. Returns the bucket columns so the caller
+    * can route on the leading one. */
+  private def bucketColsOf(idx: String, base: String,
+      colsJoined: String): Option[Seq[String]] =
     try {
       val cat = org.apache.spark.sql.graftbridge.Bridge.sessionState(spark).catalog
       val meta = cat.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(idx))
-      meta.bucketSpec.exists(_.bucketColumnNames.map(_.toLowerCase) ==
-        Seq(col.toLowerCase)) &&
-        meta.schema.fieldNames.map(_.toLowerCase).sorted.sameElements(
-          spark.table(base).schema.fieldNames.map(_.toLowerCase).sorted)
-    } catch { case scala.util.control.NonFatal(_) => false }
+      meta.bucketSpec
+        .filter(_.bucketColumnNames.map(_.toLowerCase).mkString("_") ==
+          colsJoined.toLowerCase)
+        .filter(_ => meta.schema.fieldNames.map(_.toLowerCase).sorted
+          .sameElements(
+            spark.table(base).schema.fieldNames.map(_.toLowerCase).sorted))
+        .map(_.bucketColumnNames)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def recordIndex(tbl: String, column: String): Unit =
+  private def recordIndex(tbl: String, column: String, idx: String): Unit =
     indexes.getOrElseUpdate(tbl.toLowerCase,
-      scala.collection.mutable.Map.empty)(column.toLowerCase) =
-      s"${tbl}_by_$column"
+      scala.collection.mutable.Map.empty)(column.toLowerCase) = idx
 
   /** Indexes snapshot the base table's data; any mutation invalidates them. */
   private def dropIndexesOf(tbl: String): Unit =
@@ -145,8 +154,19 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*INSERT\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?\s*(?:\(([^)]*)\)\s*)?(VALUES\b.+?|SELECT\b.+?|WITH\b.+?)\s*;?\s*""".r
   private val loadFile =
     """(?is)\s*LOAD\s+'([^']+)'\s+INTO\s+(\w+)\s*;?\s*""".r
+  // full reference grammar (`nanosql.g:426-448`): optional index name,
+  // optional `USING <type>`, and a COLUMN LIST — `CREATE [UNIQUE] INDEX
+  // [name] [USING type] ON t (c1, c2, ...)`
   private val createIndex =
-    """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:\w+\s+)?ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:(\w+)\s+)?(?:USING\s+(\w+)\s+)?ON\s+(\w+)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
+  // the ANN train/serve split: BUILD materializes the trained IVF-PQ
+  // artifacts as warehouse tables (the vector analog of CREATE INDEX's
+  // build-then-scan split — reference CreateIndexCommand.java feeding
+  // IndexScanNode.java); searches serve from them until DROP
+  private val buildVectorIndex =
+    """(?is)\s*BUILD\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+  private val dropVectorIndex =
+    """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val txnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
@@ -164,9 +184,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // (reference `commands/ExplainCommand.java` covers DML statements too)
   private val explainDml =
     """(?is)\s*EXPLAIN\s+((?:UPDATE|DELETE|MERGE)\s+.+?)\s*;?\s*""".r
-  // reference grammar: `ANALYZE <table>` (commands/AnalyzeCommand.java) and
-  // `EXPLAIN <select>` with per-node PlanCost (commands/QueryCommand.java)
-  private val analyzeStmt = """(?is)\s*ANALYZE\s+(\w+)\s*;?\s*""".r
+  // reference grammar: `ANALYZE [VERBOSE] <table>, <table>, ...`
+  // (commands/AnalyzeCommand.java:93-115 iterates a table list;
+  // nanosql.g:695-715) and `EXPLAIN <select>` with per-node PlanCost
+  // (commands/QueryCommand.java). A statement with trailing words beyond
+  // the comma-list (Spark's own ANALYZE TABLE ... COMPUTE STATISTICS)
+  // deliberately fails this match and falls through to Spark SQL.
+  private val analyzeStmt =
+    """(?is)\s*ANALYZE\s+(VERBOSE\s+)?(\w+(?:\s*,\s*\w+)*)\s*;?\s*""".r
   private val explainQuery =
     """(?is)\s*EXPLAIN\s+((?:SELECT\b|WITH\b|\().+?)\s*;?\s*""".r
   private val updateStmt =
@@ -283,15 +308,34 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       registerTable(name)
       dropIndexesOf(name)
       status(s"loaded $path into $name")
-    case createIndex(unique, tbl, column) =>
+    case createIndex(unique, _, idxType, tbl, colList) =>
       // reference: CREATE [UNIQUE] INDEX builds a B+-tree
       // (CreateIndexCommand.java); here it re-clusters into a bucketed
-      // catalog table (see TableCommands.createIndex for the 100 TB
-      // rationale); UNIQUE additionally audits existing data and records
-      // the constraint for insert-time + VERIFY enforcement
-      cmds.createIndex(tbl, column, unique = unique != null)
-      recordIndex(tbl, column)
-      status(s"indexed $tbl by $column as ${tbl}_by_$column")
+      // catalog table (see TableCommands.createIndexMulti for the 100 TB
+      // rationale); UNIQUE additionally audits existing data (the column
+      // TUPLE for composite keys) and records the constraint for
+      // insert-time + VERIFY enforcement. Routing keys on the LEADING
+      // column — the only prefix a clustered composite index serves.
+      val cols = colList.split(",").map(_.trim).toSeq
+      cmds.createIndexMulti(tbl, cols, unique = unique != null,
+        idxType = if (idxType == null) "" else idxType)
+      val idx = cmds.indexTableName(tbl, cols)
+      recordIndex(tbl, cols.head, idx)
+      status(s"indexed $tbl by ${cols.mkString(", ")} as $idx")
+    case buildVectorIndex(tbl) =>
+      if (!tbl.equalsIgnoreCase("embeddings"))
+        throw new IllegalArgumentException(
+          s"BUILD VECTOR INDEX: only the embeddings corpus carries " +
+            s"vectors; got '$tbl'")
+      operators.VectorIndex.build(spark, sfDir, cmds)
+      status(s"built vector index on $tbl")
+    case dropVectorIndex(tbl) =>
+      if (!tbl.equalsIgnoreCase("embeddings"))
+        throw new IllegalArgumentException(
+          s"DROP VECTOR INDEX: only the embeddings corpus carries " +
+            s"vectors; got '$tbl'")
+      operators.VectorIndex.drop(spark, cmds)
+      status(s"dropped vector index on $tbl")
     case explainDml(dml) =>
       // the rewrite frame is BUILT but never published — EXPLAIN must not
       // mutate. One row, one `plan` column, like Spark's own EXPLAIN.
@@ -320,16 +364,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
       import spark.implicits._
       Seq(planned).toDF("plan")
-    case analyzeStmt(tblRaw) =>
+    case analyzeStmt(_, tblList) =>
       // warehouse tables re-register at the live version + compute column
       // stats; plain catalog tables get the stats pass directly. Either
       // way EXPLAIN's PlanCost lines carry real rowCounts afterwards.
-      cmds.resolveTable(tblRaw) match {
-        case Some(t) => cmds.analyze(t)
-        case None => spark.sql(
-          s"ANALYZE TABLE `$tblRaw` COMPUTE STATISTICS FOR ALL COLUMNS")
+      // The reference form takes a table LIST, analyzed in order.
+      val tbls = tblList.split(",").map(_.trim).toSeq
+      tbls.foreach { tblRaw =>
+        cmds.resolveTable(tblRaw) match {
+          case Some(t) => cmds.analyze(t)
+          case None => spark.sql(
+            s"ANALYZE TABLE `$tblRaw` COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
       }
-      status(s"analyzed $tblRaw")
+      status(s"analyzed ${tbls.mkString(", ")}")
     case explainQuery(sel) =>
       // engine-owned EXPLAIN for queries: Spark's own EXPLAIN output has no
       // cost numbers; the reference prints PlanCost per node, so this route

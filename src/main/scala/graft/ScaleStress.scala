@@ -25,15 +25,31 @@ object ScaleStress {
     }.getOrElse(sys.error("--dirs=a,b required"))
     val names = args.filterNot(_.startsWith("--")).toSeq
     val spark = Graft.session(master = "local[32]")
+    // GRAFT_VIDX=1: measure the vector-index SERVE path — build the index
+    // for a dir right before its timing block (build time printed, not
+    // timed into the queries). The flat-search claim of the train/serve
+    // split is exactly what this measures: served search should be ~flat
+    // across corpus size while inline training grows with it.
+    val buildIndex = sys.env.contains("GRAFT_VIDX")
+    def prepare(d: String): Unit = if (buildIndex) {
+      val t0 = System.nanoTime()
+      operators.VectorIndex.build(spark, d, new commands.TableCommands(
+        spark, java.nio.file.Files.createTempDirectory("ss_wh").toString))
+      println(f"VIDX_BUILD $d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     // JIT/codegen warm-up at the smallest provided scale
     names.foreach { n =>
       SparkEntry.queries(n)(spark, dirs.head)
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     }
-    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    names.foreach { n =>
-      val times = dirs.map { d =>
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    // dir-major order: one index build per dir (GRAFT_VIDX), and each
+    // scale's page-cache state is consistent across its queries
+    dirs.foreach { d =>
+      prepare(d)
+      names.foreach { n =>
         // best-of-2: first run at a new scale pays shuffle-file and page
         // cache warming that a steady-state cluster would not
         val t = (1 to 2).map { _ =>
@@ -44,9 +60,9 @@ object ScaleStress {
         }.min
         spark.catalog.clearCache()
         println(f"SCALED $d $n $t%.2f s")
-        t
+        results.getOrElseUpdate(n,
+          scala.collection.mutable.ArrayBuffer.empty[Double]) += t
       }
-      results(n) = times
     }
     val json = results.map { case (n, ts) =>
       s""""$n":[${ts.map(t => f"$t%.3f").mkString(",")}]"""

@@ -21,6 +21,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Production train/serve split: build the vector index once so the
+    // s100/s101/s102 dumps exercise (and oracle-gate) the SERVE path —
+    // stored artifacts are bit-identical to inline training, and a build
+    // failure falls back to the inline path, never a missing dump.
+    try operators.VectorIndex.build(spark, sfDir, new commands.TableCommands(
+      spark, Files.createTempDirectory("graft_verify_wh").toString))
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[verify] vector index build failed (inline fallback): ${e.getMessage}")
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

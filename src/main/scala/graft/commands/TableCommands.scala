@@ -185,13 +185,13 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     // checkBatchPk/checkBatchUnique, one explicit distributed pass each,
     // run only when the user asks to VERIFY
     val pk = pkCols(name)
-    val uq = uniqueCols(name)
+    val uq = uniqueKeys(name)
     if (pk.nonEmpty || uq.nonEmpty) {
       val t = spark.read.parquet(dp)
       val byLower = t.columns.map(c => c.toLowerCase -> c).toMap
       // a CONSTRAINTS entry naming a column the data doesn't have is itself
       // an integrity failure — report it, never NoSuchElementException
-      val missing = (pk ++ uq).filterNot(byLower.contains)
+      val missing = (pk ++ uq.flatten).filterNot(byLower.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"VERIFY $name: declared constraint column(s) " +
@@ -204,12 +204,15 @@ class TableCommands(spark: SparkSession, warehouse: String) {
             s"VERIFY $name: PRIMARY KEY (${pk.mkString(", ")}) violated — " +
               s"$dups duplicated key(s)")
       }
-      uq.foreach { c =>
-        val dups = t.filter(col(byLower(c)).isNotNull).groupBy(col(byLower(c)))
+      uq.foreach { key =>
+        val dups = t
+          .filter(key.map(c => col(byLower(c)).isNotNull).reduce(_ && _))
+          .groupBy(key.map(c => col(byLower(c))): _*)
           .count().filter(col("count") > 1).count()
         if (dups > 0)
           throw new IllegalStateException(
-            s"VERIFY $name: UNIQUE ($c) violated — $dups duplicated value(s)")
+            s"VERIFY $name: UNIQUE (${key.mkString(", ")}) violated — " +
+              s"$dups duplicated value(s)")
       }
     }
     n
@@ -265,14 +268,18 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     constraintLines(table).collect { case s if s.startsWith("pk:") =>
       s.stripPrefix("pk:").trim }
 
-  def uniqueCols(table: String): Seq[String] =
+  /** Declared UNIQUE keys, one entry per constraint: a single column or a
+    * column tuple (composite CREATE UNIQUE INDEX — stored comma-joined,
+    * `uq:c1,c2`; the original single-column `uq:c` lines parse as 1-tuples,
+    * so existing warehouses keep enforcing). */
+  def uniqueKeys(table: String): Seq[Seq[String]] =
     constraintLines(table).collect { case s if s.startsWith("uq:") =>
-      s.stripPrefix("uq:").trim }
+      s.stripPrefix("uq:").split(",").map(_.trim).filter(_.nonEmpty).toSeq }
 
-  private def recordUnique(table: String, column: String): Unit = {
-    val c = column.toLowerCase
-    if (!uniqueCols(table).contains(c)) {
-      val lines = constraintLines(table) :+ s"uq:$c"
+  private def recordUnique(table: String, columns: Seq[String]): Unit = {
+    val key = columns.map(_.toLowerCase)
+    if (!uniqueKeys(table).contains(key)) {
+      val lines = constraintLines(table) :+ s"uq:${key.mkString(",")}"
       Files.writeString(constraintsFile(table), lines.mkString("\n")); ()
     }
   }
@@ -360,13 +367,16 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * VERIFY. */
   private def checkBatchUnique(name: String, rows: DataFrame): Unit = {
     val byLower = rows.columns.map(c => c.toLowerCase -> c).toMap
-    uniqueCols(name).filter(byLower.contains).foreach { c =>
-      val dup = rows.filter(col(byLower(c)).isNotNull)
-        .groupBy(col(byLower(c)))
+    uniqueKeys(name).filter(_.forall(byLower.contains)).foreach { key =>
+      // SQL UNIQUE semantics: a NULL in ANY key column never collides
+      val dup = rows
+        .filter(key.map(c => col(byLower(c)).isNotNull).reduce(_ && _))
+        .groupBy(key.map(c => col(byLower(c))): _*)
         .count().filter(col("count") > 1).limit(1).count() > 0
       if (dup)
         throw new IllegalArgumentException(
-          s"UNIQUE ($c) duplicated within the insert batch for $name")
+          s"UNIQUE (${key.mkString(", ")}) duplicated within the insert " +
+            s"batch for $name")
     }
   }
 
@@ -563,7 +573,24 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * one that matters at 100 TB (it removes the fact-table shuffle).
     * Registered as `<table>_by_<column>` in the session catalog. */
   def createIndex(table: String, column: String, buckets: Int = 8,
-      unique: Boolean = false): Unit = {
+      unique: Boolean = false): Unit =
+    createIndexMulti(table, Seq(column), buckets, unique)
+
+  /** Clone table name a (possibly composite) index re-clusters into. */
+  def indexTableName(table: String, columns: Seq[String]): String =
+    s"${table}_by_${columns.mkString("_")}"
+
+  /** CREATE [UNIQUE] INDEX [USING type] ON t (c1, c2, ...) — the full
+    * reference surface (`commands/CreateIndexCommand.java:1-142` takes a
+    * column LIST via addColumn and an index type via setIndexType; grammar
+    * `nanosql.g:426-448`). A composite key buckets on all columns; the
+    * ordered index types additionally sort within buckets, while
+    * `USING hash` skips the sort — clustering is all a hash index
+    * promises. UNIQUE audits the column TUPLE. */
+  def createIndexMulti(table: String, columns: Seq[String],
+      buckets: Int = 8, unique: Boolean = false,
+      idxType: String = ""): Unit = {
+    require(columns.nonEmpty, "CREATE INDEX needs at least one column")
     // index any readable table: warehouse tables via the manifest pointer,
     // everything else (external/catalog tables, temp views) via the session
     // catalog — the reference's CREATE INDEX is similarly source-agnostic
@@ -571,18 +598,24 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     if (unique) {
       // CREATE UNIQUE INDEX on already-duplicated data must fail — one
       // full-column pass, the honest price (the index build scans anyway)
-      val dup = src.filter(col(column).isNotNull).groupBy(col(column))
+      val dup = src.filter(columns.map(c => col(c).isNotNull).reduce(_ && _))
+        .groupBy(columns.map(col): _*)
         .count().filter(col("count") > 1).limit(1).count() > 0
       if (dup)
         throw new IllegalArgumentException(
-          s"CREATE UNIQUE INDEX: $table.$column holds duplicate values")
+          s"CREATE UNIQUE INDEX: $table.(${columns.mkString(", ")}) " +
+            s"holds duplicate values")
       // the constraint outlives the bucketed clone (which mutation
       // invalidates as a stale snapshot): inserts keep enforcing it
       // in-batch, VERIFY audits cross-batch
-      if (tableExists(table)) recordUnique(table, column)
+      if (tableExists(table)) recordUnique(table, columns)
     }
-    src.write.bucketBy(buckets, column).sortBy(column)
-      .mode(SaveMode.Overwrite).saveAsTable(s"${table}_by_$column")
+    val bucketed = src.write.bucketBy(buckets, columns.head, columns.tail: _*)
+    val clustered =
+      if (idxType.equalsIgnoreCase("hash")) bucketed
+      else bucketed.sortBy(columns.head, columns.tail: _*)
+    clustered.mode(SaveMode.Overwrite)
+      .saveAsTable(indexTableName(table, columns))
   }
 
   /** ANALYZE t — register the current version as an external catalog table

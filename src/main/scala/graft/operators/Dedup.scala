@@ -800,9 +800,20 @@ object Dedup {
                             // overlap pairs are absent in both engines
                             // (inner join on the shared shingle).
       (s, d) => {
+        // ONE distinct execution (the d85 pinned-exchange discipline):
+        // the self-join's two sides and the sizes agg all consume the
+        // deduped (source, shingle) set clustered by the join key, so a
+        // single pinned `sh` exchange sits under all three and AQE stage
+        // reuse materializes the distinct once — before this pin the
+        // corpus-sized distinct executed per join side (measured 2.9×
+        // the oracle at sf0.1). The isnotnull stays INSIDE the shared
+        // subtree so the joins' inferred filters cannot fork it (the
+        // t91/d85 scan-fork mechanics).
         val sh = Graft.tableParallel(s, d, "documents")
           .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+          .filter(col("sh").isNotNull)
           .distinct()
+          .repartition(col("sh"))
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val inter = sh.select(col("source").as("source_a"), col("sh"))
           .join(sh.select(col("source").as("source_b"), col("sh")), "sh")

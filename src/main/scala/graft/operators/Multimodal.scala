@@ -293,6 +293,18 @@ object Multimodal {
       .as[Blob]
   }
 
+  /** The m101 fixture blobs — pixel pattern keyed by doc_id mod 4 so
+    * genuine duplicate groups exist. Shared by the m101 QueryDef and the
+    * streaming image-dedup parity spec (stream and batch must hash the
+    * SAME payloads). */
+  private[graft] def m101Blobs(
+      s: SparkSession, d: String): org.apache.spark.sql.Dataset[Blob] = {
+    val pixHex = concat_ws("",
+      transform(sequence(lit(0), col("image_bytes") - 1),
+        i => lpad(hex(pmod(col("doc_id") % 4 * 31 + i, lit(256))), 2, "0")))
+    bmpBlobs(s, d, pixHex)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -642,10 +654,7 @@ object Multimodal {
                                 // pixels.
       (s, d) => {
         import s.implicits._
-        val pixHex = concat_ws("",
-          transform(sequence(lit(0), col("image_bytes") - 1),
-            i => lpad(hex(pmod(col("doc_id") % 4 * 31 + i, lit(256))), 2, "0")))
-        val hashed = bmpBlobs(s, d, pixHex)
+        val hashed = m101Blobs(s, d)
           .mapPartitions(_.map(b => PerceptualHash.aHash(b.doc_id, b.payload)))
           .toDF()
         val byHash = org.apache.spark.sql.expressions.Window.partitionBy("phash")

@@ -1326,14 +1326,24 @@ object Relational {
                  // quartile scores (4 = best: most recent, most frequent,
                  // highest spend), the classic marketing-analytics cut of
                  // an event stream. One corpus-sized exchange (the user
-                 // groupBy, partial-aggregated map-side); the quartile
-                 // windows then sort the USER-dimension table, which is
-                 // orders of magnitude smaller than events — the standard
-                 // claim for per-entity scoring (swap to q15's rank-
-                 // histogram idiom if the user table itself outgrows a
-                 // task). Monetary uses the DECIMAL-cast sum (partition-
-                 // order exact); every NTILE carries a user_id tie-break
-                 // so bucket edges are deterministic in both engines.
+                 // groupBy, partial-aggregated map-side). The quartile
+                 // scores are NTILE(4) in closed form over a DISTRIBUTED
+                 // global rank — an unpartitioned NTILE window would
+                 // funnel the whole user dimension through one task three
+                 // times (fine at sf0.1, the classic single-task sort
+                 // bottleneck at 10⁸–10⁹ users). Two-phase range rank
+                 // instead: range-repartition on (metric, user_id) — a
+                 // heavy metric value SPREADS across partitions by
+                 // user_id range, so value skew cannot re-create the
+                 // funnel — per-partition counts become cumulative
+                 // offsets via a |partitions|²-bounded self-join (no
+                 // unpartitioned window anywhere in the plan), and
+                 // within-partition row_number supplies the remainder.
+                 // The NTILE bucket of (rank, n) is then arithmetic: the
+                 // first n%4 buckets take ceil(n/4) ranks, the rest
+                 // floor(n/4) — bit-identical to the oracle's NTILE(4)
+                 // with the same (metric, user_id) tie-break. Monetary
+                 // uses the DECIMAL-cast sum (partition-order exact).
       (s, d) => {
         val ev = t(s, d, "events")
           .select(col("user_id"), to_date(col("ts")).as("dt"), col("value"))
@@ -1344,14 +1354,39 @@ object Relational {
           .crossJoin(broadcast(ev.agg(max(col("dt")).as("maxd"))))
           .select(col("user_id"), datediff(col("maxd"), col("last_d"))
             .as("r"), col("f"), col("m"))
+          .crossJoin(broadcast(users.agg(count(lit(1)).as("n"))))
         import org.apache.spark.sql.expressions.Window
-        val scored = anchored
-          .withColumn("r_s", ntile(4).over(
-            Window.orderBy(col("r").desc, col("user_id"))).cast("long"))
-          .withColumn("f_s", ntile(4).over(
-            Window.orderBy(col("f").asc, col("user_id"))).cast("long"))
-          .withColumn("m_s", ntile(4).over(
-            Window.orderBy(col("m").asc, col("user_id"))).cast("long"))
+        def ntile4(rk: Column, n: Column): Column = {
+          val base = floor(n / lit(4)).cast("long")
+          val rem = (n % lit(4)).cast("long")
+          val cut = rem * (base + lit(1))
+          when(rk <= cut,
+            floor((rk + base) / (base + lit(1))).cast("long"))
+            .otherwise(rem +
+              floor((rk - cut + base - lit(1)) / base).cast("long"))
+        }
+        def withScore(df: DataFrame, key: Column,
+            score: String): DataFrame = {
+          val parted = df.repartitionByRange(key.asc, col("user_id").asc)
+            .withColumn("pid", spark_partition_id())
+          val hist = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+          val offs = hist
+            .join(hist.select(col("pid").as("p2"), col("c").as("c2")),
+              col("p2") < col("pid"), "left")
+            .groupBy("pid")
+            .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+          val w = Window.partitionBy("pid")
+            .orderBy(key.asc, col("user_id").asc)
+          // materialize the rank BEFORE ntile4 references it (the bucket
+          // arithmetic uses rk three times; inlining would plan three
+          // identical row_number window expressions)
+          parted.join(broadcast(offs), "pid")
+            .withColumn("rk", col("off") + row_number().over(w))
+            .withColumn(score, ntile4(col("rk"), col("n")))
+            .drop("pid", "off", "rk")
+        }
+        val scored = withScore(withScore(withScore(anchored,
+          -col("r"), "r_s"), col("f"), "f_s"), col("m"), "m_s")
         scored.select(col("user_id"), col("r"), col("f"), col("m"),
           col("r_s"), col("f_s"), col("m_s"),
           concat(col("r_s"), col("f_s"), col("m_s")).as("segment"))

@@ -1175,22 +1175,58 @@ object Similarity {
           x => round(x * 1000000).cast("long")).as("qv"))
       .withColumn("qn", dotl(col("qv"), col("qv")))
 
+  /** The four trained artifacts [[VectorIndex.build]] materializes —
+    * exactly the frames the inline search paths would compute, so stored
+    * and inline answers are bit-identical. */
+  private[graft] def indexArtifacts(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val (base, _, trained) =
+      pqParts(s, d, VectorIndex.pqM, VectorIndex.pqK, VectorIndex.pqIters)
+    Seq(
+      "centroids" -> labelCentroids(s, d),
+      "assign" -> ivfAssignment(s, d)
+        .select(col("vec_id"), col("cluster")),
+      "codebook" -> trained,
+      "codes" -> pqEnc(base, trained)
+        .select(col("vec_id"),
+          transform(col("enc"), x => x("cid")).as("codes")))
+  }
+
   /** Full IVF-PQ search over the planted query set (see s101's QueryDef
     * doc for the plan shape): returns (q_id, neighbor_id, adq) — the
     * top-3 ADC-ranked candidates from the nprobe=2 probed clusters.
-    * Shared by s101 (the search) and s102 (the recall audit). */
-  private[graft] def ivfpqSearch(s: SparkSession, d: String): DataFrame = {
+    * Shared by s101 (the search) and s102 (the recall audit).
+    *
+    * Train/serve split: with a stored [[VectorIndex]] for this corpus the
+    * plan reads the four index tables and contains ZERO training stages
+    * (no Lloyd rounds, no VectorSumL recentering); without one it trains
+    * inline — same frames, same answer, just rebuilt per query. */
+  private[graft] def ivfpqSearch(s: SparkSession, d: String): DataFrame =
+    VectorIndex.served(s, d) match {
+      case Some(ix) =>
+        ivfpqSearchOn(s, d, ix.centroids, ix.assign, ix.codebook, ix.codes)
+      case None =>
+        val (_, _, trained) = pqParts(s, d, 8, 8, 2)
+        val codes = pqEnc(
+          quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
+          .select(col("vec_id"),
+            transform(col("enc"), x => x("cid")).as("codes"))
+        ivfpqSearchOn(s, d, labelCentroids(s, d),
+          ivfAssignment(s, d).select(col("vec_id"), col("cluster")),
+          trained, codes)
+    }
+
+  /** The IVF-PQ serve pipeline against explicit artifact frames
+    * (stored tables or inline-trained, per [[ivfpqSearch]]). */
+  private def ivfpqSearchOn(s: SparkSession, d: String,
+      centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
+      codes: DataFrame): DataFrame = {
     val nprobe = 2; val k = 3
-    val (_, _, trained) = pqParts(s, d, 8, 8, 2)
-    val codes = pqEnc(
-      quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
-      .select(col("vec_id"),
-        transform(col("enc"), x => x("cid")).as("codes"))
     val queries = plantedQueries(s, d)
     val wp = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("clabel").asc)
     val probes = queries
-      .crossJoin(broadcast(labelCentroids(s, d)))
+      .crossJoin(broadcast(centroids))
       .select(col("q_id"), col("clabel"),
         cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
           .as("csim"))
@@ -1203,14 +1239,14 @@ object Similarity {
         mm => struct(mm.as("m"),
           slice(col("qv"), mm * 8 + 1, lit(8)).as("sv")))).as("e"))
       .select(col("q_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-    val lutq = qsubs.join(broadcast(trained), "m")
+    val lutq = qsubs.join(broadcast(codebook), "m")
       .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
         l2q(col("sv"), col("cq")).as("dq"))
       .groupBy("q_id")
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("key"), col("dq"))))).as("qlut"))
     val cand = broadcast(probes)
-      .join(ivfAssignment(s, d).select(col("vec_id"),
+      .join(assign.select(col("vec_id"),
         col("cluster").as("clabel")), "clabel")
       .select(col("q_id"), col("vec_id"))
     val wr = Window.partitionBy("q_id")
@@ -1230,19 +1266,48 @@ object Similarity {
   /** PQ asymmetric-distance (ADC) top-k: queries stay raw, the corpus is
     * its 8-byte PQ codes; per query a |m|·|k|-entry lookup table of exact
     * subspace distances broadcasts, and each corpus vector's approximate
-    * distance is m map-side map lookups over its codes. */
+    * distance is m map-side map lookups over its codes.
+    *
+    * Train/serve split like [[ivfpqSearch]]: a stored [[VectorIndex]]
+    * with MATCHING training params supplies codebook + codes (the serve
+    * plan reads two index tables and trains nothing); otherwise the
+    * codebook trains inline. */
   private[graft] def pqAdcSearch(s: SparkSession, d: String, m: Int,
       k: Int, iters: Int, nq: Int, topk: Int): DataFrame = {
-    val (base, subs, trained) = pqParts(s, d, m, k, iters)
-    val codes = pqEnc(base, trained)
-      .select(col("vec_id"),
-        transform(col("enc"), x => x("cid")).as("codes"))
+    val stored =
+      if (m == VectorIndex.pqM && k == VectorIndex.pqK &&
+        iters == VectorIndex.pqIters) VectorIndex.served(s, d)
+      else None
+    stored match {
+      case Some(ix) => pqAdcSearchOn(s, d, m, ix.codebook, ix.codes, nq, topk)
+      case None =>
+        val (base, _, trained) = pqParts(s, d, m, k, iters)
+        val codes = pqEnc(base, trained)
+          .select(col("vec_id"),
+            transform(col("enc"), x => x("cid")).as("codes"))
+        pqAdcSearchOn(s, d, m, trained, codes, nq, topk)
+    }
+  }
+
+  /** The ADC serve pipeline against explicit codebook/codes frames. */
+  private def pqAdcSearchOn(s: SparkSession, d: String, m: Int,
+      codebook: DataFrame, codes: DataFrame, nq: Int,
+      topk: Int): DataFrame = {
+    // query subvectors: nq-bounded, straight off the corpus scan (the
+    // queries stay RAW vectors — that is the asymmetric in ADC)
+    val qsubs = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+      .filter(col("vec_id") < nq)
+      .select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        mm => struct(mm.as("m"),
+          slice(col("vq"), mm * pqSub + 1, lit(pqSub)).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
     // per-query LUT: |queries|×m×k exact subspace distances; keyed
     // m*100+cid into a map so a dropped (empty) cluster cannot shift
     // positional indexing
-    val lut = subs.filter(col("vec_id") < nq)
+    val lut = qsubs
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
-      .join(broadcast(trained), "m")
+      .join(broadcast(codebook), "m")
       .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
         l2q(col("sv"), col("cq")).as("dq"))
       .groupBy("q_id")

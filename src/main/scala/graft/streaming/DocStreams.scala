@@ -224,6 +224,64 @@ object DocStreams {
       }).toDF()
   }
 
+  /** Streaming image dedup — the live twin of batch
+    * `m101_image_phash_dedup`, completing the media leg of the streaming
+    * matrix: arriving image payloads decode through the SAME
+    * [[graft.operators.Multimodal.PerceptualHash]] aHash kernel
+    * (map-side, next to the bytes — only (doc_id, w, h, phash) ever
+    * reaches the dedup state, never pixels), invalid payloads degrade to
+    * an excluded row (the m10x valid-flag discipline), and
+    * first-writer-wins on the 16-byte phash group key. Batch m101 keeps
+    * min(doc_id) per group; a stream cannot know the minimum is in hand,
+    * so its contract is first-ARRIVAL-wins — on an id-ordered replay the
+    * two agree exactly (the parity spec drives both). Unbounded
+    * `dropDuplicates` state: fine for backfills; live ingest uses
+    * [[imagePhashDedupWithinWatermark]]. */
+  def imagePhashDedup(blobs: DataFrame): DataFrame =
+    phashed(blobs).dropDuplicates("phash")
+
+  case class PhashTs(doc_id: Long, w: Int, h: Int, phash: String,
+      valid: Boolean, ts: java.sql.Timestamp)
+
+  /** The bounded-state production variant (same contract as
+    * [[contentDedupWithinWatermark]]): duplicates of a kept image arriving
+    * within `horizon` are dropped, state is watermark-evicted, so an
+    * unbounded asset stream holds only the horizon's arrival volume. The
+    * ingest timestamp rides THROUGH the decode map (a post-decode join
+    * would be a stream-stream join — state where none is needed). */
+  def imagePhashDedupWithinWatermark(blobs: DataFrame, tsCol: String,
+      horizon: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("payload"),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.map { case (id, b, ts) =>
+        val p = graft.operators.Multimodal.PerceptualHash.aHash(id, b)
+        PhashTs(p.doc_id, p.w, p.h, p.phash, p.valid, ts)
+      }).toDF()
+      .filter(col("valid"))
+      .select(col("doc_id"), col("w"), col("h"), col("phash"),
+        col("ts").as(tsCol))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("phash")
+  }
+
+  /** Shared decode+hash head of the m101 twins: (doc_id, payload) →
+    * (doc_id, w, h, phash), invalid assets excluded. */
+  private def phashed(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        graft.operators.Multimodal.PerceptualHash.aHash(id, b)
+      }).toDF()
+      .filter(col("valid"))
+      .select(col("doc_id"), col("w"), col("h"), col("phash"))
+  }
+
   /** Streaming sliding-window chunking — the live twin of batch
     * `t90_doc_chunks`, on the ingest direction: arriving documents split
     * into size-32/stride-24 token windows (RAG/context prep at ingest

@@ -703,4 +703,103 @@ class EngineSqlSpec extends AnyFunSuite {
     e3.close()
     e3.sql("DROP TABLE perm_t")
   }
+
+  test("composite CREATE INDEX + USING type: two-column re-cluster, " +
+    "leading-column routing, UNIQUE over the column tuple") {
+    engine.sql("DROP TABLE IF EXISTS ci_t")
+    engine.sql("CREATE TABLE ci_t (a INT, b INT, v DOUBLE)")
+    try {
+      engine.sql(
+        "INSERT INTO ci_t VALUES (1, 1, 0.5), (1, 2, 1.5), (2, 1, 2.5)")
+      // the full reference grammar: name + USING type + column list
+      // (nanosql.g:426-448). (a, b) is unique although a and b each
+      // repeat alone — the UNIQUE audit runs over the TUPLE.
+      val st = engine.sql(
+        "CREATE UNIQUE INDEX ci_idx USING btree ON ci_t (a, b)")
+        .head.getString(0)
+      assert(st.contains("ci_t_by_a_b"), st)
+      assert(spark.catalog.tableExists("ci_t_by_a_b"))
+      // leading-column routing: a plain query keyed on `a` scans the
+      // composite clone
+      val routed = engine.sql(
+        "SELECT a, COUNT(*) AS n FROM ci_t WHERE a = 1 GROUP BY a")
+      assert(routed.queryExecution.executedPlan.toString
+        .contains("ci_t_by_a_b"))
+      assert(routed.head.getLong(1) == 2)
+      // tuple duplicated within an insert batch → rejected
+      intercept[IllegalArgumentException] {
+        engine.sql("INSERT INTO ci_t VALUES (3, 3, 0.0), (3, 3, 1.0)")
+      }
+      // repeating `a` alone does NOT violate the tuple constraint
+      engine.sql("INSERT INTO ci_t VALUES (1, 9, 0.0)")
+      // USING hash: clustering without the in-bucket sort, same routing
+      engine.sql("CREATE INDEX USING hash ON ci_t (b)")
+      assert(spark.catalog.tableExists("ci_t_by_b"))
+      // CREATE UNIQUE INDEX over already-duplicated data still fails
+      intercept[IllegalArgumentException] {
+        engine.sql("CREATE UNIQUE INDEX ON ci_t (a)")
+      }
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS ci_t")
+      Seq("ci_t_by_a_b", "ci_t_by_b").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("multi-table ANALYZE: the reference's table-list form") {
+    // AnalyzeCommand.java:93-115 iterates a table list; VERBOSE accepted
+    assert(engine.sql("ANALYZE VERBOSE region, nation")
+      .head.getString(0) == "analyzed region, nation")
+    // single-table form unchanged
+    assert(engine.sql("ANALYZE region").head.getString(0)
+      == "analyzed region")
+    // Spark's own ANALYZE TABLE syntax still falls through untouched
+    engine.sql("ANALYZE TABLE region COMPUTE STATISTICS")
+  }
+
+  test("BUILD VECTOR INDEX: build → serve → drop lifecycle; searches " +
+    "without a build fall back to inline training; survives restart") {
+    def searchPlan(): String = {
+      val df = SparkEntry.queries("s101_ivfpq_search")(spark, d)
+      df.queryExecution.toRdd.foreach(_ => ())
+      df.queryExecution.executedPlan.toString
+    }
+    // no index: the search trains inline (Lloyd recentering in-plan)
+    assert(searchPlan().contains("vector_sum_l"),
+      "without a build the search must train inline")
+    val wh = Files.createTempDirectory("graft_vidx_sql_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    try {
+      // only the vector corpus is buildable
+      intercept[IllegalArgumentException] {
+        e1.sql("BUILD VECTOR INDEX ON lineitem")
+      }
+      assert(e1.sql("BUILD VECTOR INDEX ON embeddings")
+        .head.getString(0).contains("built vector index"))
+      // built: the same search serves from the stored artifacts
+      val served = searchPlan()
+      assert(!served.contains("vector_sum_l"),
+        s"served search must not train:\n$served")
+      assert(served.contains("vector_index_embeddings_assign"))
+      // the index artifacts are ordinary catalog tables — queryable
+      assert(e1.sql(
+        "SELECT COUNT(*) AS n FROM vector_index_embeddings_codebook")
+        .head.getLong(0) > 0)
+      // a NEW engine over the same warehouse re-registers the index
+      // (the build outlives the session, like the reference's on-disk
+      // index structures)
+      spark.sql("DROP TABLE IF EXISTS vector_index_embeddings_meta")
+      new Engine(spark, d, wh).sql("SELECT 1")
+      assert(spark.catalog.tableExists("vector_index_embeddings_meta"))
+      assert(!searchPlan().contains("vector_sum_l"))
+      // dropped: back to inline training
+      assert(e1.sql("DROP VECTOR INDEX ON embeddings")
+        .head.getString(0).contains("dropped vector index"))
+      assert(searchPlan().contains("vector_sum_l"),
+        "after DROP the search must fall back to inline training")
+    } finally {
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+      e1.close()
+    }
+  }
 }

@@ -421,6 +421,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("t94_bpe_apply")(spark, dir).count() == 0)
   }
 
+  test("vector-index serve path answers bit-identically to inline " +
+      "training for s100/s101/s102") {
+    val targets = Seq("s100_pq_adc_search", "s101_ivfpq_search",
+      "s102_index_recall")
+    // inline (no index built) is the baseline
+    val inline = targets.map(n => n -> run(n).collect().toSet).toMap
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_vidx_wh").toString)
+    operators.VectorIndex.build(spark, d, cmds)
+    try targets.foreach { n =>
+      assert(run(n).collect().toSet == inline(n),
+        s"$n: served answer diverged from inline training")
+    } finally operators.VectorIndex.drop(spark, cmds)
+    // dropped: searches fall back to inline training, same answers
+    targets.foreach(n => assert(run(n).collect().toSet == inline(n)))
+  }
+
   test("s102 index recall: every query reported, hits bounded, audit agrees with s101") {
     val rows = run("s102_index_recall").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -330,6 +330,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny(1) == ((2L, 0L, 0L, None)), "alpha-free doc must be NULL")
   }
 
+  test("imagePhashDedup: streamed image ingest dedups to the same phash " +
+      "groups as batch m101; corruption degrades to exclusion") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SAME payloads batch m101 hashes, replayed as an ingest stream
+    val blobs = operators.Multimodal.m101Blobs(spark, TestSpark.sfDir)
+      .collect().map(b => (b.doc_id, b.payload)).sortBy(_._1)
+    val batch = SparkEntry
+      .queries("m101_image_phash_dedup")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    val groups = batch.values.map(_._3).toSet
+    val src = MemoryStream[(Long, Array[Byte])]
+    val q = streaming.DocStreams.imagePhashDedup(
+        src.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("imgdedup")
+      .outputMode("append").start()
+    try {
+      src.addData(blobs.take(30).toSeq); q.processAllAvailable()
+      // a corrupt payload mid-stream: excluded, never kills the stream
+      src.addData(Seq((999999L, Array[Byte](1, 2, 3))))
+      q.processAllAvailable()
+      src.addData(blobs.drop(30).toSeq); q.processAllAvailable()
+      val kept = spark.table("imgdedup").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      // one keeper per batch group, covering every group, no invalid row
+      assert(kept.length == groups.size,
+        s"${kept.length} keepers for ${groups.size} phash groups")
+      assert(kept.map(_._4).toSet == groups)
+      assert(!kept.exists(_._1 == 999999L), "corrupt payload leaked")
+      // every keeper is a genuine member of its batch group, with the
+      // group's dimensions
+      kept.foreach { case (id, w, h, ph) =>
+        assert(batch(id) == ((w, h, ph)),
+          s"streamed keeper $id disagrees with batch m101")
+      }
+    } finally { q.stop(); () }
+
+    // watermark variant: same dedup under bounded state — a duplicate
+    // arriving within the horizon is dropped, the timestamp column and
+    // kernel are shared with the unbounded form
+    val src2 = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val q2 = streaming.DocStreams.imagePhashDedupWithinWatermark(
+        src2.toDF().toDF("doc_id", "payload", "ingest_ts"),
+        "ingest_ts", "10 minutes")
+      .writeStream.format("memory").queryName("imgdedupwm")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+      // doc 0 and doc 4 share a pixel pattern class only if their dims
+      // match; feed a literal re-ingest of doc 0's payload instead
+      src2.addData(Seq((blobs(0)._1, blobs(0)._2, t0)))
+      q2.processAllAvailable()
+      src2.addData(Seq((blobs(0)._1 + 1000000L, blobs(0)._2, t1)))
+      q2.processAllAvailable()
+      val kept2 = spark.table("imgdedupwm").collect().map(_.getLong(0))
+      assert(kept2.toSeq == Seq(blobs(0)._1),
+        s"watermarked dedup kept ${kept2.toSeq}")
+    } finally { q2.stop(); () }
+  }
+
   test("decodeWav: streamed binary payloads decode identically to the " +
       "batch codec; corruption degrades to an invalid row, not a dead stream") {
     import spark.implicits._
