@@ -1410,6 +1410,107 @@ object Relational {
              |        NTILE(4) OVER (ORDER BY r DESC, user_id) AS r_s,
              |        NTILE(4) OVER (ORDER BY f ASC, user_id) AS f_s,
              |        NTILE(4) OVER (ORDER BY m ASC, user_id) AS m_s
-             |      FROM a)""".stripMargin))
+             |      FROM a)""".stripMargin)),
+
+    QueryDef(
+      "q73_event_cooccurrence", // market-basket association over the event
+                                // stream, with 30-min sessions as baskets
+                                // (q61's gaps-and-islands kernel): for
+                                // every unordered pair of event types, the
+                                // number of sessions containing both, with
+                                // support (share of all sessions) and lift
+                                // (observed / expected-under-independence).
+                                // Scale shape: sessionization is the
+                                // user-partitioned window q61 documents;
+                                // the corpus-sized work after it is ONE
+                                // distinct of (user, session, type); the
+                                // self-join's per-basket fan-out is bounded
+                                // by the event-type domain squared (d98's
+                                // bounded self-join discipline — |types| is
+                                // a catalog dimension, not data-sized), and
+                                // the per-type totals + basket count are
+                                // domain-sized broadcasts. support and lift
+                                // are single divisions of exact integers
+                                // (< 2^53), so both engines produce
+                                // bit-identical doubles.
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val newSession = when(
+          col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+            > 1800, 1).otherwise(0)
+        // ONE sessionize + distinct execution (d98's pinned-exchange
+        // discipline): the self-join's two sides, the per-type totals and
+        // the basket count all consume this frame clustered by the join
+        // key, so a single pinned exchange sits under all four and AQE
+        // stage reuse materializes the distinct once — without the pin
+        // the corpus-sized sessionize window would execute per consumer.
+        val ue = t(s, d, "events")
+          .withColumn("new_s", coalesce(newSession, lit(0)))
+          .withColumn("session_idx",
+            sum(col("new_s")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("user_id"), col("session_idx"), col("event_type"))
+          .distinct()
+          .repartition(col("user_id"), col("session_idx"))
+        val pairs = ue
+          .select(col("user_id"), col("session_idx"),
+            col("event_type").as("et_a"))
+          .join(ue.select(col("user_id"), col("session_idx"),
+            col("event_type").as("et_b")), Seq("user_id", "session_idx"))
+          .filter(col("et_a") < col("et_b"))
+          .groupBy("et_a", "et_b").agg(count(lit(1)).as("n_ab"))
+        val perType = ue.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+        val total = ue.agg(
+          countDistinct(col("user_id"), col("session_idx")).as("n_baskets"))
+        pairs
+          .join(broadcast(perType.select(col("event_type").as("et_a"),
+            col("n_t").as("n_a"))), "et_a")
+          .join(broadcast(perType.select(col("event_type").as("et_b"),
+            col("n_t").as("n_b"))), "et_b")
+          .crossJoin(broadcast(total))
+          .select(col("et_a"), col("et_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            round(col("n_ab").cast("double") /
+              col("n_baskets").cast("double"), 6).as("support"),
+            round(col("n_ab").cast("double") *
+              col("n_baskets").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+              .as("lift"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |         CAST(SUM(new_s) OVER (
+             |           PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM (SELECT user_id, event_id, ts, event_type,
+             |          CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER (
+             |                 PARTITION BY user_id ORDER BY ts, event_id))
+             |                 > 1800
+             |               THEN 1 ELSE 0 END AS new_s
+             |        FROM events)),
+             |ue AS (SELECT DISTINCT user_id, session_idx, event_type
+             |       FROM s),
+             |tot AS (SELECT CAST(COUNT(DISTINCT (user_id, session_idx))
+             |          AS BIGINT) AS n_b FROM ue),
+             |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+             |       FROM ue GROUP BY 1),
+             |pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+             |              CAST(COUNT(*) AS BIGINT) AS n_ab
+             |       FROM ue a
+             |       JOIN ue b ON a.user_id = b.user_id
+             |                AND a.session_idx = b.session_idx
+             |                AND a.event_type < b.event_type
+             |       GROUP BY 1, 2)
+             |SELECT et_a, et_b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+             |       ROUND(CAST(n_ab AS DOUBLE) /
+             |             CAST(tot.n_b AS DOUBLE), 6) AS support,
+             |       ROUND(CAST(n_ab AS DOUBLE) * CAST(tot.n_b AS DOUBLE)
+             |             / (CAST(pa.n_t AS DOUBLE) *
+             |                CAST(pb.n_t AS DOUBLE)), 6) AS lift
+             |FROM pr
+             |JOIN pt pa ON pr.et_a = pa.event_type
+             |JOIN pt pb ON pr.et_b = pb.event_type
+             |CROSS JOIN tot""".stripMargin))
   )
 }

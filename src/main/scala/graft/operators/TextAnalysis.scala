@@ -1769,6 +1769,214 @@ object TextAnalysis {
              |                   x -> length(x))) AS DOUBLE) /
              |                 CAST(len(sents) AS DOUBLE), 6) END
              |         AS mean_sentence_chars
-             |FROM sn""".stripMargin))
+             |FROM sn""".stripMargin)),
+
+    QueryDef(
+      "t99_gopher_rules", // the Gopher-style rule-bundle document filter
+                          // (Rae et al. 2021, arXiv:2112.11446 §A1.1): a
+                          // document survives only if it passes ALL of a
+                          // set of cheap structural gates — token count in
+                          // range, mean word length in range, enough
+                          // alphabetic words, minimum stopword evidence.
+                          // Distinct from t71 (a weighted score) and t92
+                          // (a per-language adaptive rank cut): this is
+                          // the hard AND-of-thresholds gate real corpora
+                          // (Gopher/MassiveText, RefinedWeb) apply BEFORE
+                          // any learned scorer. Scale shape: pure map-side
+                          // expression work over one pruned scan — at
+                          // 100 TB it is embarrassingly parallel with zero
+                          // shuffle. The rounded ratio columns feed the
+                          // verdict in BOTH engines, so the keep flag is
+                          // engine-exact; empty docs report NULL ratios and
+                          // are dropped (coalesce(false)) — the shared
+                          // NULL-on-zero rule, not an abort.
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            aggregate(transform(col("toks"), tk => length(tk)), lit(0),
+              (acc, x) => acc + x).as("sum_len"),
+            size(filter(col("toks"), tk => tk.rlike("[A-Za-z]")))
+              .as("n_alpha"),
+            size(filter(col("toks"),
+              tk => tk.isin(stopwords.map(w => w: Any): _*)))
+              .as("stop_hits"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(ratio(col("sum_len").cast("double"),
+              col("n_tokens").cast("double")), 6).as("mean_word_chars"),
+            round(ratio(col("n_alpha").cast("double"),
+              col("n_tokens").cast("double")), 6).as("frac_alpha"),
+            col("stop_hits"))
+          .withColumn("keep",
+            col("n_tokens").between(10, 100000) &&
+              coalesce(col("mean_word_chars").between(2.0, 12.0),
+                lit(false)) &&
+              coalesce(col("frac_alpha") >= 0.6, lit(false)) &&
+              col("stop_hits") >= 2)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                     x -> x != '') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |         CAST(len(toks) AS INT) AS n_tokens,
+             |         CASE WHEN len(toks) = 0 THEN NULL
+             |              ELSE ROUND(CAST(list_sum(list_transform(toks,
+             |                     x -> len(x))) AS DOUBLE) /
+             |                   CAST(len(toks) AS DOUBLE), 6) END
+             |           AS mean_word_chars,
+             |         CASE WHEN len(toks) = 0 THEN NULL
+             |              ELSE ROUND(CAST(len(list_filter(toks,
+             |                     x -> regexp_matches(x, '[A-Za-z]')))
+             |                     AS DOUBLE) /
+             |                   CAST(len(toks) AS DOUBLE), 6) END
+             |           AS frac_alpha,
+             |         CAST(len(list_filter(toks, x -> list_contains(
+             |             ['the','and','of','to','a','in','is'], x)))
+             |           AS INT) AS stop_hits
+             |  FROM tk)
+             |SELECT doc_id, n_tokens, mean_word_chars, frac_alpha,
+             |       stop_hits,
+             |       (n_tokens BETWEEN 10 AND 100000)
+             |         AND COALESCE(mean_word_chars BETWEEN 2.0 AND 12.0,
+             |                      FALSE)
+             |         AND COALESCE(frac_alpha >= 0.6, FALSE)
+             |         AND stop_hits >= 2 AS keep
+             |FROM m""".stripMargin)),
+
+    QueryDef(
+      "t100_nb_classifier", // trained document classifier — the fastText /
+                            // logistic-scorer stage of a data pipeline
+                            // (GPT-3's WebText quality model, CCNet's LM
+                            // filter) expressed as multinomial Naive Bayes
+                            // with Laplace smoothing: TRAIN on the even
+                            // half of the corpus (per-language word counts
+                            // + priors), SCORE the odd half, predict
+                            // argmax. Scale shape: the model is
+                            // vocab × |lang| — bounded — so both model
+                            // frames broadcast; the corpus-sized work is
+                            // one tokenize+groupBy per half. All
+                            // log-probabilities are rounded to 6 dp and
+                            // summed as DECIMAL(18,6) multiplied by exact
+                            // integer occurrence counts, so the score —
+                            // and therefore the argmax — is
+                            // partition-order independent and engine-exact.
+                            // 6 dp, not more: libm ln() implementations
+                            // differ in the last ulp (~1e-13 abs here), so
+                            // a per-term rounding grid must keep tie
+                            // boundaries ~1e-7 away — measured: a 9-dp
+                            // grid actually flipped one term between Spark
+                            // and DuckDB at sf0.01. The score is then an
+                            // exact multiple of 1e-6 and casts to the same
+                            // double in both engines with no second round.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(tokens(lower(col("text")))).as("word"))
+        // model: per-(lang, word) counts, per-lang token totals + doc
+        // priors, global vocab size — all vocab-bounded frames. The
+        // explicit isNotNull(lang) lives INSIDE the shared train
+        // subtrees so the cls join's inferred filter cannot fork them
+        // into per-consumer corpus scans (the t91/d85 scan-fork
+        // mechanic — measured 5 scans instead of 3 before the fix;
+        // inner joins on clang drop null-lang rows in both engines, so
+        // the filter is semantics-neutral).
+        val train = toks.filter(col("doc_id") % 2 === 0)
+          .filter(col("lang").isNotNull)
+        val wc = train.groupBy(col("lang").as("clang"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        val langTok = wc.groupBy("clang").agg(sum(col("cnt")).as("n_tok"))
+        val langDocs = docs.filter(col("doc_id") % 2 === 0)
+          .filter(col("lang").isNotNull)
+          .groupBy(col("lang").as("clang"))
+          .agg(count(lit(1)).as("n_docs"))
+        // countDistinct over when(cnt > 0, word) — semantically identical
+        // (cnt >= 1 by construction) but it keeps `cnt` in the vocab
+        // branch's requirement set, so column pruning cannot specialize
+        // its copy of the wc aggregate away from langTok's and break
+        // AQE exchange reuse (a third corpus scan without it).
+        val vocab = wc.agg(
+          countDistinct(when(col("cnt") > 0, col("word"))).as("v"))
+        val totDocs = langDocs.agg(sum(col("n_docs")).as("total_docs"))
+        val cls = langDocs.join(langTok, "clang")
+          .crossJoin(vocab).crossJoin(totDocs)
+          .select(col("clang"), col("n_tok"), col("v"),
+            round(log(col("n_docs").cast("double") /
+              col("total_docs").cast("double")), 6)
+              .cast("decimal(18,6)").as("prior"))
+        // score: test tokens collapse to (doc, word, k) once, then meet
+        // the broadcast model; unseen words smooth to cnt=0.
+        val tw = toks.filter(col("doc_id") % 2 === 1)
+          .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("k"))
+        val scored = tw.crossJoin(broadcast(cls))
+          .join(broadcast(wc),
+            wc("clang") === cls("clang") && wc("word") === tw("word"),
+            "left")
+          .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
+            (col("k").cast("decimal(18,0)") *
+              round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
+                (col("n_tok") + col("v")).cast("double")), 6)
+                .cast("decimal(18,6)")).as("contrib"))
+          .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
+          .agg(sum(col("contrib")).as("ll"))
+          .select(col("doc_id"), col("lang"), col("clang"),
+            (col("prior") + col("ll")).as("score"))
+        val best = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("clang").asc)
+        scored.withColumn("rn", row_number().over(best))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"),
+            col("clang").as("predicted"),
+            col("score").cast("double").as("score"),
+            (col("lang") === col("clang")).as("correct"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_filter(
+             |           regexp_split_to_array(trim(lower(text)), '\s+'),
+             |           x -> x != '')) AS word
+             |  FROM documents),
+             |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+             |wc AS (SELECT lang AS clang, word,
+             |              CAST(COUNT(*) AS BIGINT) AS cnt
+             |       FROM tr GROUP BY 1, 2),
+             |lt AS (SELECT clang, SUM(cnt) AS n_tok FROM wc GROUP BY 1),
+             |ld AS (SELECT lang AS clang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+             |       FROM wc),
+             |tot AS (SELECT SUM(n_docs) AS total_docs FROM ld),
+             |cls AS (
+             |  SELECT ld.clang, lt.n_tok, vv.v,
+             |         CAST(ROUND(LN(CAST(ld.n_docs AS DOUBLE) /
+             |                  CAST(tot.total_docs AS DOUBLE)), 6)
+             |           AS DECIMAL(18,6)) AS prior
+             |  FROM ld JOIN lt USING (clang)
+             |  CROSS JOIN vv CROSS JOIN tot),
+             |tw AS (SELECT doc_id, lang, word,
+             |              CAST(COUNT(*) AS BIGINT) AS k
+             |       FROM tk WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+             |sc AS (
+             |  SELECT tw.doc_id, tw.lang, cls.clang,
+             |         cls.prior + SUM(CAST(tw.k AS DECIMAL(18,0)) *
+             |           CAST(ROUND(LN(
+             |             CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE) /
+             |             CAST(cls.n_tok + cls.v AS DOUBLE)), 6)
+             |             AS DECIMAL(18,6))) AS score
+             |  FROM tw CROSS JOIN cls
+             |  LEFT JOIN wc ON wc.clang = cls.clang AND wc.word = tw.word
+             |  GROUP BY tw.doc_id, tw.lang, cls.clang, cls.prior)
+             |SELECT doc_id, lang, clang AS predicted,
+             |       CAST(score AS DOUBLE) AS score,
+             |       lang = clang AS correct
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY doc_id
+             |        ORDER BY score DESC, clang) AS rn
+             |      FROM sc)
+             |WHERE rn = 1""".stripMargin))
   )
 }

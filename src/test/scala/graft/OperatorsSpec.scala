@@ -1319,6 +1319,88 @@ class OperatorsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("t99 gopher rules: verdict equals the AND of its printed gates") {
+    val rows = run("t99_gopher_rules").collect()
+    assert(rows.length == Graft.table(spark, d, "documents").count())
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      val mean = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val alpha = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val expect = (n >= 10 && n <= 100000) &&
+        mean.exists(m => m >= 2.0 && m <= 12.0) &&
+        alpha.exists(_ >= 0.6) && r.getInt(4) >= 2
+      assert(r.getBoolean(5) == expect, s"doc ${r.getLong(0)} verdict " +
+        s"disagrees with its own printed gates")
+    }
+    // the corpus genuinely exercises both branches of the gate
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
+  test("t100 NB classifier: scores exactly the held-out half, argmax is " +
+      "deterministic") {
+    val rows = run("t100_nb_classifier").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "training half leaked into predictions")
+      assert(r.getDouble(3) < 0, "a log-probability score must be negative")
+      assert(r.getBoolean(4) == (r.getString(1) == r.getString(2)))
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "a doc received more than one prediction")
+    // every held-out doc with at least one token is scored
+    val expected = Graft.table(spark, d, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .filter(size(operators.TextAnalysis.tokens(lower(col("text")))) > 0)
+      .count()
+    assert(rows.length == expected)
+  }
+
+  test("t100 NB classifier: recovers a hand-computed model on a planted " +
+      "corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    // train (even ids): lang aa = {x:3, y:1}, lang bb = {y:3, z:1};
+    // V = 3, n_tok = 4 each, priors equal. Held-out doc 1 ("x x") must
+    // score ln(1/2) + 2·ln((3+1)/(4+3)) for aa vs ln(1/2) + 2·ln(1/7)
+    // for bb → aa; doc 3 ("z z") symmetrically → bb.
+    Seq(
+      (0L, "x x x y", "aa", "s", 7L),
+      (2L, "y y y z", "bb", "s", 7L),
+      (1L, "x x", "aa", "s", 3L),
+      (3L, "z z", "aa", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t100_nb_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == "aa" && out(3L)._1 == "bb")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r6(math.log(0.5)) + 2 * r6(math.log(4.0 / 7.0))
+    assert(math.abs(out(1L)._2 - s1) < 1e-9,
+      s"doc 1 score ${out(1L)._2} != hand-computed $s1")
+    spark.catalog.clearCache()
+  }
+
+  test("q73 cooccurrence: pair identities and bounds hold") {
+    val rows = run("q73_event_cooccurrence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be canonical")
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+        "a pair cannot out-count its rarer member")
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0)
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length)
+    // output is domain-bounded: at most C(|types|, 2) rows at ANY scale
+    val types = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.length
+    assert(rows.length <= types * (types - 1) / 2)
+  }
+
   test("pathological corpus: every text/dedup/similarity/multimodal operator " +
       "survives empty docs, whitespace-only docs, and zero vectors") {
     // at 100 TB these rows EXIST: a scraped corpus contains empty documents,
@@ -1356,7 +1438,8 @@ class OperatorsSpec extends AnyFunSuite {
       .write.parquet(s"$dir/events.parquet")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => Set('t', 'd', 's', 'm').contains(n.head)) ++
-      Seq("q61_sessionize", "q62_time_gap_fill", "q63_unpivot", "q64_funnel")
+      Seq("q61_sessionize", "q62_time_gap_fill", "q63_unpivot", "q64_funnel",
+        "q73_event_cooccurrence")
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()

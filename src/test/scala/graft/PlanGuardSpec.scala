@@ -106,7 +106,20 @@ class PlanGuardSpec extends AnyFunSuite {
     // the recall audit runs the full serve stack + exact baseline:
     // broadcast/cluster-bounded joins only (inline-training form; the
     // served form is pinned by the serve-path test below)
-    ("s102_index_recall", 7, Seq("SortMergeJoin"), Nil))
+    ("s102_index_recall", 7, Seq("SortMergeJoin"), Nil),
+    // round-6 additions. t99: pure map-side rule bundle — one pruned scan,
+    // zero shuffle at any corpus size
+    ("t99_gopher_rules", 1, Seq("Exchange"), Nil),
+    // t100: test-half tokenize + ONE train-half tokenize chain (wc feeds
+    // langTok/vocab/scoring via exchange reuse — the isNotNull-inside-
+    // subtree and cnt-reference fixes) + a slim (doc_id, lang) scan for
+    // priors; the vocab-bounded model must stay broadcast — an SMJ means
+    // corpus-sized test tokens started shuffling into the model
+    ("t100_nb_classifier", 3, Seq("SortMergeJoin"), Seq("BroadcastHashJoin")),
+    // q73: the sessionize+distinct is pinned under all four consumers
+    // (d98 discipline); per-type totals and basket count broadcast
+    ("q73_event_cooccurrence", 2, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
