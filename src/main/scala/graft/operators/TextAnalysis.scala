@@ -141,6 +141,75 @@ object TextAnalysis {
         .cast("long").as("wm"))
   }
 
+  /** t100's Naive Bayes model frames (train half, Laplace smoothing):
+    * `wc` = (clang, word, cnt) per-(language, word) occurrence counts and
+    * `cls` = (clang, n_tok, v, prior DECIMAL(18,6)). Shared by the batch
+    * QueryDef and the serve-twin artifact export ([[nbModelMicros]]) so
+    * the two cannot drift. Plan notes: the explicit isNotNull(lang) lives
+    * INSIDE the shared train subtrees so the cls join's inferred filter
+    * cannot fork them into per-consumer corpus scans (the t91/d85
+    * scan-fork mechanic — measured 5 scans instead of 3 before the fix;
+    * inner joins on clang drop null-lang rows in both engines, so the
+    * filter is semantics-neutral), and the vocab count references `cnt`
+    * via when(cnt > 0, word) — semantically identical (cnt >= 1 by
+    * construction) but it keeps the vocab branch's column set equal to
+    * langTok's so column pruning cannot specialize its copy of the wc
+    * aggregate and break AQE exchange reuse (a third corpus scan
+    * without it). */
+  private[graft] def nbModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(lower(col("text")))).as("word"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+      .filter(col("lang").isNotNull)
+    val wc = train.groupBy(col("lang").as("clang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val langTok = wc.groupBy("clang").agg(sum(col("cnt")).as("n_tok"))
+    val langDocs = docs.filter(col("doc_id") % 2 === 0)
+      .filter(col("lang").isNotNull)
+      .groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vocab = wc.agg(
+      countDistinct(when(col("cnt") > 0, col("word"))).as("v"))
+    val totDocs = langDocs.agg(sum(col("n_docs")).as("total_docs"))
+    val cls = langDocs.join(langTok, "clang")
+      .crossJoin(vocab).crossJoin(totDocs)
+      .select(col("clang"), col("n_tok"), col("v"),
+        round(log(col("n_docs").cast("double") /
+          col("total_docs").cast("double")), 6)
+          .cast("decimal(18,6)").as("prior"))
+    (wc, cls)
+  }
+
+  /** The t100 model artifact in exact 6-dp micro-nat integers — what the
+    * streaming serve twin ([[graft.streaming.DocStreams.nbClassify]])
+    * freezes and broadcasts: per-language (prior, unseen-word default)
+    * micros and per-(language, word) log-likelihood micros. The log terms
+    * are computed with the SAME Spark expressions as the batch scorer
+    * (round-6 then DECIMAL), so stream scores are bit-identical by
+    * construction. Collecting here is legitimate serving-artifact export:
+    * the model is vocab × |lang|-bounded, never corpus-sized. */
+  private[graft] def nbModelMicros(s: SparkSession, d: String)
+      : (Map[String, (Long, Long)], Map[(String, String), Long]) = {
+    val (wc, cls) = nbModel(s, d)
+    val langStats = cls.select(col("clang"),
+        (col("prior") * 1000000).cast("long").as("pm"),
+        (round(log(lit(1.0) /
+          (col("n_tok") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as("dm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val lik = wc.join(cls.select("clang", "n_tok", "v"), "clang")
+      .select(col("clang"), col("word"),
+        (round(log((col("cnt") + 1).cast("double") /
+          (col("n_tok") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)") * 1000000).cast("long").as("lm"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    (langStats, lik)
+  }
+
   /** Corpus-level greedy BPE: the 3 merge tables (pr = 2-symbol pair,
     * cnt = occurrence-weighted count) over the lowercase-alpha word stream,
     * each round rewriting the stream with the winner fused to a fresh
@@ -1873,40 +1942,9 @@ object TextAnalysis {
                             // exact multiple of 1e-6 and casts to the same
                             // double in both engines with no second round.
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"), col("lang"),
+        val (wc, cls) = nbModel(s, d)
+        val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
           explode(tokens(lower(col("text")))).as("word"))
-        // model: per-(lang, word) counts, per-lang token totals + doc
-        // priors, global vocab size — all vocab-bounded frames. The
-        // explicit isNotNull(lang) lives INSIDE the shared train
-        // subtrees so the cls join's inferred filter cannot fork them
-        // into per-consumer corpus scans (the t91/d85 scan-fork
-        // mechanic — measured 5 scans instead of 3 before the fix;
-        // inner joins on clang drop null-lang rows in both engines, so
-        // the filter is semantics-neutral).
-        val train = toks.filter(col("doc_id") % 2 === 0)
-          .filter(col("lang").isNotNull)
-        val wc = train.groupBy(col("lang").as("clang"), col("word"))
-          .agg(count(lit(1)).as("cnt"))
-        val langTok = wc.groupBy("clang").agg(sum(col("cnt")).as("n_tok"))
-        val langDocs = docs.filter(col("doc_id") % 2 === 0)
-          .filter(col("lang").isNotNull)
-          .groupBy(col("lang").as("clang"))
-          .agg(count(lit(1)).as("n_docs"))
-        // countDistinct over when(cnt > 0, word) — semantically identical
-        // (cnt >= 1 by construction) but it keeps `cnt` in the vocab
-        // branch's requirement set, so column pruning cannot specialize
-        // its copy of the wc aggregate away from langTok's and break
-        // AQE exchange reuse (a third corpus scan without it).
-        val vocab = wc.agg(
-          countDistinct(when(col("cnt") > 0, col("word"))).as("v"))
-        val totDocs = langDocs.agg(sum(col("n_docs")).as("total_docs"))
-        val cls = langDocs.join(langTok, "clang")
-          .crossJoin(vocab).crossJoin(totDocs)
-          .select(col("clang"), col("n_tok"), col("v"),
-            round(log(col("n_docs").cast("double") /
-              col("total_docs").cast("double")), 6)
-              .cast("decimal(18,6)").as("prior"))
         // score: test tokens collapse to (doc, word, k) once, then meet
         // the broadcast model; unseen words smooth to cnt=0.
         val tw = toks.filter(col("doc_id") % 2 === 1)

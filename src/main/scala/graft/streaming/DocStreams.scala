@@ -165,6 +165,55 @@ object DocStreams {
       }.toDF()
   }
 
+  case class DocNbPred(doc_id: Long, n_words: Long, predicted: String,
+      score_micro: Long)
+
+  /** Streaming NB classification — the serve twin of batch
+    * `t100_nb_classifier`: the frozen vocab-bounded model broadcasts
+    * (per-language prior and unseen-word-default micros plus
+    * per-(language, word) log-likelihood micros, exact 1e-6 units on the
+    * same 6-dp DECIMAL grid the batch side sums — see
+    * [[graft.operators.TextAnalysis.nbModelMicros]]), and each arriving
+    * document is scored against every language and argmax'd statelessly.
+    * Integer micro sums are partition- and arrival-order independent, so
+    * stream scores equal batch scores bit-for-bit. Ties break (score
+    * desc, lang asc) exactly like the batch window: the language list is
+    * pre-sorted and only a strictly greater score displaces the leader.
+    * No shuffle, join state, or aggregation state at any stream length —
+    * the only shape that survives an unbounded ingest; scoring is
+    * O(tokens × |langs|) per document with O(1) model lookups. Zero-token
+    * documents score on priors alone (the batch side emits no row for
+    * them — its token explode produces nothing to group). Tokenization
+    * matches the engine-wide definition (whitespace split of the trimmed
+    * Locale.ROOT-lowercased text). */
+  def nbClassify(docs: DataFrame,
+      langStats: Map[String, (Long, Long)],
+      wordLik: Map[(String, String), Long]): DataFrame = {
+    require(langStats.nonEmpty, "nbClassify needs a trained model: " +
+      "langStats is empty (was the training corpus dry?)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcL = spark.sparkContext.broadcast(langStats.toSeq.sortBy(_._1))
+    val bcW = spark.sparkContext.broadcast(wordLik)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val langs = bcL.value; val lik = bcW.value
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
+            .trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          var bestLang: String = null
+          var bestScore = Long.MinValue
+          langs.foreach { case (lang, (prior, dflt)) =>
+            var sc = prior
+            toks.foreach { w => sc += lik.getOrElse((lang, w), dflt) }
+            if (sc > bestScore) { bestScore = sc; bestLang = lang }
+          }
+          DocNbPred(id, toks.length.toLong, bestLang, bestScore)
+        }
+      }.toDF()
+  }
+
   case class DocBpe(doc_id: Long, n_chars: Long, n_syms: Long,
       compression: Option[Double])
 

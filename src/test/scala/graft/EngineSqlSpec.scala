@@ -233,7 +233,45 @@ class EngineSqlSpec extends AnyFunSuite {
                                        > 1800
                                   THEN 1 ELSE 0 END, 0) AS new_s
              FROM events))
-         GROUP BY user_id, session_idx""")
+         GROUP BY user_id, session_idx""",
+    "q73_event_cooccurrence" -> // epoch() and DuckDB's struct-DISTINCT
+      // count are dialect-only; CAST AS LONG + multi-arg COUNT(DISTINCT)
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  CAST(SUM(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+           FROM (SELECT user_id, event_id, ts, event_type,
+                   COALESCE(CASE WHEN CAST(ts AS LONG)
+                                      - CAST(LAG(ts, 1) OVER (
+                                          PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS LONG)
+                                      > 1800
+                                 THEN 1 ELSE 0 END, 0) AS new_s
+                 FROM events)),
+         ue AS (SELECT DISTINCT user_id, session_idx, event_type FROM s),
+         tot AS (SELECT CAST(COUNT(DISTINCT user_id, session_idx)
+                   AS BIGINT) AS n_b FROM ue),
+         pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+                FROM ue GROUP BY event_type),
+         pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM ue a
+                JOIN ue b ON a.user_id = b.user_id
+                         AND a.session_idx = b.session_idx
+                         AND a.event_type < b.event_type
+                GROUP BY a.event_type, b.event_type)
+         SELECT et_a, et_b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+                ROUND(CAST(n_ab AS DOUBLE) /
+                      CAST(tot.n_b AS DOUBLE), 6) AS support,
+                ROUND(CAST(n_ab AS DOUBLE) * CAST(tot.n_b AS DOUBLE)
+                      / (CAST(pa.n_t AS DOUBLE) *
+                         CAST(pb.n_t AS DOUBLE)), 6) AS lift
+         FROM pr
+         JOIN pt pa ON pr.et_a = pa.event_type
+         JOIN pt pb ON pr.et_b = pb.event_type
+         CROSS JOIN tot""")
 
   test("every §2 relational query runs as a SQL string with identical results") {
     val qNames = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted

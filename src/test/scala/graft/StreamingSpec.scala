@@ -330,6 +330,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny(1) == ((2L, 0L, 0L, None)), "alpha-free doc must be NULL")
   }
 
+  test("nbClassify: streamed docs classify bit-identical to batch t100 " +
+      "under the frozen model; zero-token docs score on priors") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // freeze the model = the t100 training artifact in exact micros
+    val (langStats, wordLik) =
+      operators.TextAnalysis.nbModelMicros(spark, TestSpark.sfDir)
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.nbClassify(
+        src.toDF().toDF("doc_id", "text"), langStats, wordLik)
+      .writeStream.format("memory").queryName("nbc")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(100).toSeq); q.processAllAvailable()
+      src.addData(rows.drop(100).toSeq); q.processAllAvailable()
+      val out = spark.table("nbc").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+      // serving scores EVERY arriving doc — training half included
+      assert(out.size == rows.length)
+      val batch = SparkEntry
+        .queries("t100_nb_classifier")(spark, TestSpark.sfDir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(2), r.getDouble(3))).toMap
+      assert(batch.nonEmpty)
+      batch.foreach { case (id, (pred, score)) =>
+        val (_, sPred, sMicro) = out(id)
+        assert(sPred == pred, s"doc $id predicted $sPred, batch $pred")
+        assert(sMicro == math.round(score * 1e6),
+          s"doc $id score $sMicro != batch ${score}")
+      }
+    } finally { q.stop(); () }
+    // zero-token and OOV behavior: an empty doc takes argmax of priors
+    // (ties break lang-ascending); an all-OOV doc adds the default per
+    // token — both deterministic, neither throws
+    val tiny = streaming.DocStreams.nbClassify(
+      Seq((1L, "   "), (2L, "zzqq zzqq")).toDF("doc_id", "text"),
+      Map("aa" -> (-100L, -900L), "bb" -> (-100L, -700L)),
+      Map.empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(tiny(0) == ((1L, 0L, "aa", -100L)),
+      s"prior tie must break lang-ascending: ${tiny(0)}")
+    assert(tiny(1) == ((2L, 2L, "bb", -100L - 2 * 700L)), s"got ${tiny(1)}")
+  }
+
   test("imagePhashDedup: streamed image ingest dedups to the same phash " +
       "groups as batch m101; corruption degrades to exclusion") {
     import spark.implicits._
