@@ -290,6 +290,56 @@ object Similarity {
        |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
        |GROUP BY e.q_id""".stripMargin
 
+  private lazy val s103OracleSql =
+    s"""WITH $ivfpqCtes,
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY adq, vec_id) AS rnk
+       |    FROM adc) WHERE rnk <= 10),
+       |ex AS (
+       |  SELECT sh.q_id, sh.vec_id,
+       |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
+       |  FROM short sh JOIN qcomp q ON q.q_id = sh.q_id
+       |  JOIN pcomp p ON p.vec_id = sh.vec_id AND p.j0 = q.j0
+       |  GROUP BY 1, 2)
+       |SELECT q_id, neighbor_id, exact_sq FROM (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         ROUND(CAST(dq AS DOUBLE) / 1e12, 6) AS exact_sq,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |                            ORDER BY dq, vec_id) AS rnk
+       |  FROM ex)
+       |WHERE rnk <= 3""".stripMargin
+
+  private lazy val s104OracleSql =
+    s"""WITH $ivfpqCtes,
+       |bnd AS (SELECT MAX(vec_id) * 95 // 100 AS b FROM embeddings),
+       |itop AS (SELECT q_id, vec_id, dq, tier FROM (
+       |    SELECT q_id, vec_id, adq AS dq, 'indexed' AS tier,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY adq, vec_id) AS rnk
+       |    FROM adc WHERE vec_id <= (SELECT b FROM bnd))
+       |  WHERE rnk <= 3),
+       |dx AS (
+       |  SELECT q.q_id, p.vec_id,
+       |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
+       |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
+       |  WHERE p.vec_id > (SELECT b FROM bnd)
+       |  GROUP BY 1, 2),
+       |dtop AS (SELECT q_id, vec_id, dq, tier FROM (
+       |    SELECT q_id, vec_id, dq, 'fresh' AS tier,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY dq, vec_id) AS rnk
+       |    FROM dx) WHERE rnk <= 3),
+       |u AS (SELECT * FROM itop UNION ALL SELECT * FROM dtop)
+       |SELECT q_id, vec_id AS neighbor_id, tier,
+       |       ROUND(CAST(dq AS DOUBLE) / 1e12, 6) AS sq_dist
+       |FROM (SELECT q_id, vec_id, tier, dq,
+       |             ROW_NUMBER() OVER (PARTITION BY q_id
+       |                                ORDER BY dq, vec_id) AS rnk
+       |      FROM u)
+       |WHERE rnk <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1055,7 +1105,49 @@ object Similarity {
               |       e.codes, e.sq_err
               |FROM assign a
               |LEFT JOIN drops dr USING (vec_id)
-              |JOIN enc e USING (vec_id)""".stripMargin))
+              |JOIN enc e USING (vec_id)""".stripMargin)),
+
+    QueryDef(
+      "s103_ann_rerank", // two-stage retrieval — the production pattern
+                         // every PQ-compressed vector store runs (FAISS
+                         // IVFPQR, ScaNN's reorder stage): the 8-byte ADC
+                         // scan is cheap but approximate, so its top-10
+                         // shortlist is RERANKED by exact squared L2
+                         // against the raw vectors before returning
+                         // top-3. Fixes PQ misranking within the probed
+                         // clusters (s102 measures it; this buys the
+                         // recall back) at a cost independent of corpus
+                         // size: the |queries|×10 shortlist broadcasts
+                         // into one equi-join that fetches 10 raw vectors
+                         // per query — the corpus never shuffles and the
+                         // exact kernel runs 100 times, not 100M. Serve-
+                         // path aware: with a built index the shortlist
+                         // plan reads the stored artifacts and trains
+                         // nothing.
+      (s, d) => annRerank(s, d),
+      Some(s103OracleSql)),
+
+    QueryDef(
+      "s104_delta_search", // index freshness — the fresh-segment pattern
+                           // (Lucene's uncommitted segment, Milvus's
+                           // growing segment): vectors that arrived AFTER
+                           // the index build (here: the top 5% of ids,
+                           // bounded by an in-plan 1-row MAX(vec_id)
+                           // aggregate) are not in the IVF assignment or
+                           // PQ codes, yet search must still see them.
+                           // The indexed tier serves the s101 IVF-PQ
+                           // chain restricted to indexed ids; the fresh
+                           // tier brute-forces the small delta exactly
+                           // against the broadcast queries; per-segment
+                           // top-3 lists merge losslessly into the global
+                           // top-3 (same integer squared-L2 units). The
+                           // tier column makes staleness OBSERVABLE — a
+                           // dashboard alerting on fresh-tier hit rate
+                           // knows when to rebuild. Scale shape: the
+                           // bound and queries broadcast; the delta scan
+                           // is map-side; no new corpus-sized exchange.
+      (s, d) => deltaSearch(s, d),
+      Some(s104OracleSql))
   )
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the
@@ -1192,36 +1284,48 @@ object Similarity {
           transform(col("enc"), x => x("cid")).as("codes")))
   }
 
-  /** Full IVF-PQ search over the planted query set (see s101's QueryDef
-    * doc for the plan shape): returns (q_id, neighbor_id, adq) — the
-    * top-3 ADC-ranked candidates from the nprobe=2 probed clusters.
-    * Shared by s101 (the search) and s102 (the recall audit).
-    *
-    * Train/serve split: with a stored [[VectorIndex]] for this corpus the
-    * plan reads the four index tables and contains ZERO training stages
-    * (no Lloyd rounds, no VectorSumL recentering); without one it trains
-    * inline — same frames, same answer, just rebuilt per query. */
-  private[graft] def ivfpqSearch(s: SparkSession, d: String): DataFrame =
+  /** The four IVF-PQ artifact frames — stored index tables when a
+    * provenance-matching [[VectorIndex]] exists, the inline-training
+    * pipelines otherwise. Same deterministic frames either way, so every
+    * consumer (s101 search, s103 rerank, s104 delta) is bit-identical
+    * served or not. */
+  private def artifactFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
     VectorIndex.served(s, d) match {
-      case Some(ix) =>
-        ivfpqSearchOn(s, d, ix.centroids, ix.assign, ix.codebook, ix.codes)
+      case Some(ix) => (ix.centroids, ix.assign, ix.codebook, ix.codes)
       case None =>
         val (_, _, trained) = pqParts(s, d, 8, 8, 2)
         val codes = pqEnc(
           quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
           .select(col("vec_id"),
             transform(col("enc"), x => x("cid")).as("codes"))
-        ivfpqSearchOn(s, d, labelCentroids(s, d),
+        (labelCentroids(s, d),
           ivfAssignment(s, d).select(col("vec_id"), col("cluster")),
           trained, codes)
     }
+
+  /** Full IVF-PQ search over the planted query set (see s101's QueryDef
+    * doc for the plan shape): returns (q_id, neighbor_id, adq) — the
+    * top-k ADC-ranked candidates from the nprobe=2 probed clusters.
+    * Shared by s101 (the search, k=3), s102 (the recall audit) and s103
+    * (the rerank shortlist, k=10).
+    *
+    * Train/serve split: with a stored [[VectorIndex]] for this corpus the
+    * plan reads the four index tables and contains ZERO training stages
+    * (no Lloyd rounds, no VectorSumL recentering); without one it trains
+    * inline — same frames, same answer, just rebuilt per query. */
+  private[graft] def ivfpqSearch(
+      s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val (centroids, assign, codebook, codes) = artifactFrames(s, d)
+    ivfpqSearchOn(s, d, centroids, assign, codebook, codes, k)
+  }
 
   /** The IVF-PQ serve pipeline against explicit artifact frames
     * (stored tables or inline-trained, per [[ivfpqSearch]]). */
   private def ivfpqSearchOn(s: SparkSession, d: String,
       centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
-      codes: DataFrame): DataFrame = {
-    val nprobe = 2; val k = 3
+      codes: DataFrame, k: Int): DataFrame = {
+    val nprobe = 2
     val queries = plantedQueries(s, d)
     val wp = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("clabel").asc)
@@ -1261,6 +1365,74 @@ object Similarity {
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("neighbor_id"), col("adq"))
+  }
+
+  /** s103: two-stage retrieval — the IVF-PQ ADC shortlist (top-10 per
+    * query) reranked by EXACT squared L2 against the raw vectors, top-3
+    * kept. The |queries|×10-bounded shortlist broadcasts into one
+    * equi-join with the corpus scan (the only corpus-sized work is
+    * fetching 10 raw vectors per query), so rerank cost is independent of
+    * corpus size. Serve-path aware through [[ivfpqSearch]]. */
+  private[graft] def annRerank(s: SparkSession, d: String): DataFrame = {
+    val short = ivfpqSearch(s, d, k = 10)
+      .select(col("q_id"), col("neighbor_id"))
+    val base = quantizedVecs(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("vq"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("dq").asc, col("neighbor_id").asc)
+    broadcast(short)
+      .join(base, "neighbor_id")
+      .join(broadcast(plantedQueries(s, d).select(col("q_id"), col("qv"))),
+        "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        l2q(col("qv"), col("vq")).as("dq"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("dq").cast("double") / 1e12, 6).as("exact_sq"))
+  }
+
+  /** s104: fresh-segment search — the immutable index serves vectors with
+    * `vec_id <= B` (B = 95% of the max id, the in-plan 1-row bound), the
+    * un-indexed delta (`vec_id > B`) is brute-forced EXACTLY against the
+    * broadcast queries, and the two per-segment top-3 lists merge into a
+    * global top-3 (both sides are squared-L2 in the same integer units).
+    * Per-side top-3 then global top-3 is lossless for a global top-3.
+    * Scale shape: the delta side is a filter over one corpus scan against
+    * |queries| broadcast rows (map-side); the indexed side is the s101
+    * chain with its assignment/codes frames filtered by the broadcast
+    * bound — no new corpus-sized exchange anywhere. */
+  private[graft] def deltaSearch(s: SparkSession, d: String): DataFrame = {
+    val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+    val bnd = base.agg((max(col("vec_id")) * 95).as("b95"))
+      .select(expr("b95 div 100").as("b"))
+    val (centroids, assign, codebook, codes) = artifactFrames(s, d)
+    val assignIx = assign.crossJoin(broadcast(bnd))
+      .filter(col("vec_id") <= col("b"))
+      .select(col("vec_id"), col("cluster"))
+    val codesIx = codes.crossJoin(broadcast(bnd))
+      .filter(col("vec_id") <= col("b"))
+      .select(col("vec_id"), col("codes"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("dq").asc, col("neighbor_id").asc)
+    val indexedTop =
+      ivfpqSearchOn(s, d, centroids, assignIx, codebook, codesIx, k = 3)
+        .select(col("q_id"), col("neighbor_id"),
+          col("adq").as("dq"), lit("indexed").as("tier"))
+    val deltaTop = base.crossJoin(broadcast(bnd))
+      .filter(col("vec_id") > col("b"))
+      .crossJoin(broadcast(plantedQueries(s, d)
+        .select(col("q_id"), col("qv"))))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        l2q(col("qv"), col("vq")).as("dq"), lit("fresh").as("tier"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .drop("rnk")
+    indexedTop.union(deltaTop)
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor_id"), col("tier"),
+        round(col("dq").cast("double") / 1e12, 6).as("sq_dist"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay raw, the corpus is

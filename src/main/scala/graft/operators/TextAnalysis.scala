@@ -40,6 +40,45 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(null).cast("double")).otherwise(num / den)
 
+  /** Per-document governance signals shared by batch `t101` and the
+    * streaming scorecard twin ([[graft.streaming.DocStreams]]): content
+    * hash, token count, the t99 Gopher gates on the same rounded grid, and
+    * the t96 code-routing rule. Map-side expression work ONLY — the same
+    * code path serves `spark.read` and `spark.readStream`, which is what
+    * makes the live twin bit-identical to the batch card by construction.
+    * Input needs (source, lang, text). */
+  private[graft] def scorecardSignals(docs: DataFrame): DataFrame = {
+    val lines = filter(split(col("text"), "\n"),
+      l => length(trim(l)) > 0)
+    val codeLines = filter(lines, l =>
+      length(regexp_replace(l, "[^;{}()=\\[\\]<>]", "")) * 4 >=
+        length(l))
+    docs
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        tokens(col("text")).as("toks"),
+        size(lines).as("n_lines"), size(codeLines).as("n_code_lines"))
+      .select(col("source"), col("lang"), col("h"),
+        size(col("toks")).as("n_tokens"),
+        round(ratio(
+          aggregate(transform(col("toks"), tk => length(tk)), lit(0),
+            (acc, x) => acc + x).cast("double"),
+          size(col("toks")).cast("double")), 6).as("mean_word_chars"),
+        round(ratio(
+          size(filter(col("toks"), tk => tk.rlike("[A-Za-z]")))
+            .cast("double"),
+          size(col("toks")).cast("double")), 6).as("frac_alpha"),
+        hits(col("toks"), stopwords).as("stop_hits"),
+        coalesce(col("n_code_lines").cast("double") >
+          col("n_lines").cast("double") * 0.3, lit(false))
+          .as("is_code"))
+      .withColumn("keep",
+        col("n_tokens").between(10, 100000) &&
+          coalesce(col("mean_word_chars").between(2.0, 12.0),
+            lit(false)) &&
+          coalesce(col("frac_alpha") >= 0.6, lit(false)) &&
+          col("stop_hits") >= 2)
+  }
+
   /** Winnowed fingerprint sets per doc — (doc_id, fps) from a (doc_id,
     * text) frame (t88's kernel, shared with d95's near-dup matcher): min
     * shingle-hash of every `w`-gram window, deduplicated; empty below
@@ -2015,6 +2054,99 @@ object TextAnalysis {
              |        PARTITION BY doc_id
              |        ORDER BY score DESC, clang) AS rn
              |      FROM sc)
-             |WHERE rn = 1""".stripMargin))
+             |WHERE rn = 1""".stripMargin)),
+
+    QueryDef(
+      "t101_source_scorecard", // the per-SOURCE governance scorecard — the
+                               // one-page table a corpus release reviews
+                               // before setting mixture weights: per
+                               // source, volume (docs, tokens, languages),
+                               // quality (Gopher rule pass rate on exactly
+                               // t99's gates, code-document rate on
+                               // exactly t96's rule) and redundancy
+                               // (exact-dup surplus via the d80 md5 key).
+                               // A reconciliation spec pins the rates to
+                               // the t99/t96 per-doc outputs, so the
+                               // scorecard can never drift from the
+                               // operators it summarizes. Scale shape: ONE
+                               // corpus scan; every per-doc signal is
+                               // map-side expression work; the two
+                               // count-distincts (lang, md5) plan through
+                               // Catalyst's Expand, whose partial
+                               // aggregation collapses to distinct
+                               // (source, lang) / (source, h) combos
+                               // map-side — the exchange carries ~one row
+                               // per distinct doc text, the same
+                               // unavoidable volume as d80's exact-dedup
+                               // shuffle, NOT 3× the corpus. Sources are
+                               // few, but the partial agg means the
+                               // per-source reduce sees pre-collapsed
+                               // rows, not a skewed raw stream.
+      (s, d) => {
+        val perDoc = scorecardSignals(t(s, d, "documents"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_tokens")).cast("long").as("n_tokens"),
+            round(sum(col("n_tokens")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_doc_tokens"),
+            round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("gopher_rate"),
+            round(sum(when(col("is_code"), 1L).otherwise(0L))
+              .cast("double") /
+              count(lit(1)).cast("double"), 6).as("code_rate"),
+            (count(lit(1)) - countDistinct(col("h"))).cast("long")
+              .as("dup_surplus"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT source, lang, md5(text) AS h,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                     x -> x != '') AS toks,
+             |         list_filter(string_split(text, chr(10)),
+             |                     l -> length(trim(l)) > 0) AS lines
+             |  FROM documents),
+             |m AS (
+             |  SELECT source, lang, h,
+             |         CAST(len(toks) AS INT) AS n_tokens,
+             |         CASE WHEN len(toks) = 0 THEN NULL
+             |              ELSE ROUND(CAST(list_sum(list_transform(toks,
+             |                     x -> len(x))) AS DOUBLE) /
+             |                   CAST(len(toks) AS DOUBLE), 6) END
+             |           AS mean_word_chars,
+             |         CASE WHEN len(toks) = 0 THEN NULL
+             |              ELSE ROUND(CAST(len(list_filter(toks,
+             |                     x -> regexp_matches(x, '[A-Za-z]')))
+             |                     AS DOUBLE) /
+             |                   CAST(len(toks) AS DOUBLE), 6) END
+             |           AS frac_alpha,
+             |         CAST(len(list_filter(toks, x -> list_contains(
+             |             ['the','and','of','to','a','in','is'], x)))
+             |           AS INT) AS stop_hits,
+             |         COALESCE(CAST(len(list_filter(lines, l ->
+             |             length(regexp_replace(l, '[^;{}()=\[\]<>]', '',
+             |                                   'g')) * 4 >= length(l)))
+             |             AS DOUBLE) >
+             |           CAST(len(lines) AS DOUBLE) * 0.3, FALSE)
+             |           AS is_code
+             |  FROM tk),
+             |v AS (
+             |  SELECT *, (n_tokens BETWEEN 10 AND 100000)
+             |        AND COALESCE(mean_word_chars BETWEEN 2.0 AND 12.0,
+             |                     FALSE)
+             |        AND COALESCE(frac_alpha >= 0.6, FALSE)
+             |        AND stop_hits >= 2 AS keep
+             |  FROM m)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+             |         AS mean_doc_tokens,
+             |       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+             |             AS DOUBLE) / COUNT(*), 6) AS gopher_rate,
+             |       ROUND(CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END)
+             |             AS DOUBLE) / COUNT(*), 6) AS code_rate,
+             |       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT)
+             |         AS dup_surplus
+             |FROM v GROUP BY source""".stripMargin))
   )
 }

@@ -360,4 +360,24 @@ object DocStreams {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("n_tokens"),
         sum(col("nch")).as("n_chars"))
+
+  /** Running per-source governance scorecard — the live twin of batch
+    * `t101_source_scorecard`'s distributive columns: per source, running
+    * doc/token counts plus how many docs pass the t99 Gopher gates and how
+    * many route as code under the t96 rule. The per-doc signals are the
+    * SHARED map-side kernel (`TextAnalysis.scorecardSignals`) — the exact
+    * expressions the batch card aggregates — so stream and batch cannot
+    * drift. State is one running-sum row per source (dimension-bounded,
+    * like [[runningMixture]]). The batch card's two count-distinct columns
+    * (n_langs, dup_surplus) are deliberately absent: running DISTINCT
+    * state grows with the stream, so a live dashboard takes the
+    * distributive subset and leaves exact distincts to the batch card —
+    * the same split production lambda architectures make. */
+  def runningScorecard(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.scorecardSignals(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))
 }

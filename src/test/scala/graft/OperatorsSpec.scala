@@ -424,7 +424,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("vector-index serve path answers bit-identically to inline " +
       "training for s100/s101/s102") {
     val targets = Seq("s100_pq_adc_search", "s101_ivfpq_search",
-      "s102_index_recall")
+      "s102_index_recall", "s103_ann_rerank", "s104_delta_search")
     // inline (no index built) is the baseline
     val inline = targets.map(n => n -> run(n).collect().toSet).toMap
     val cmds = new commands.TableCommands(spark,
@@ -1448,5 +1448,126 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
     spark.catalog.clearCache()
+  }
+
+  /** Driver-side exact machinery shared by the s103/s104 specs: quantized
+    * corpus vectors, the planted queries, and integer squared L2. */
+  private lazy val specRaw: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+  private lazy val specVecs: Map[Long, Array[Long]] =
+    specRaw.map { case (id, v) => id -> v.map(x => math.round(x * 1e6)) }
+  // perturbation applied to the RAW component before quantization — the
+  // engine's plantedQueries order of operations
+  private def specQv(id: Long): Array[Long] =
+    specRaw(id).zipWithIndex.map { case (x, j) =>
+      math.round((x + (if (j % 2 == 0) 0.001 else -0.001)) * 1e6) }
+  private def sqL2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("s103 rerank: exact top-3 of the ADC top-10 shortlist; recall " +
+      "never below the unreranked s101 path") {
+    val rer = run("s103_ann_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rer.length == 30, "10 queries x top-3")
+    // the shortlist the rerank consumed (same engine path, k=10)
+    val short = operators.Similarity.ivfpqSearch(spark, d, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2) }
+    rer.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.length == 3)
+      val qq = specQv(q)
+      // rerank output must equal the exact-L2 rank over the shortlist
+      // (membership compared as a set: the output distance is rounded to
+      // 6 dp, so re-sorting by it could transpose raw-distance ties)
+      val expect = short(q)
+        .map(n => (sqL2(qq, specVecs(n)), n)).sorted.take(3)
+      assert(g.map(_._2).toSet == expect.map(_._2).toSet,
+        s"query $q: rerank differs from exact rank over its shortlist")
+      // and the reported distances ARE the exact ones
+      g.foreach { case (_, n, dist) =>
+        assert(math.abs(dist - sqL2(qq, specVecs(n)) / 1e12) < 1e-6,
+          s"query $q neighbor $n: reported distance not exact")
+      }
+    }
+    // rerank recall@3 vs ground truth dominates the ADC-only s101 path:
+    // exact ordering within a superset shortlist can only promote true
+    // neighbors the ADC misranked
+    val adc3 = run("s101_ivfpq_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    val rer3 = rer.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    adc3.keys.foreach { q =>
+      val truth = specVecs.toSeq
+        .map { case (n, v) => (sqL2(specQv(q), v), n) }
+        .sorted.take(3).map(_._2).toSet
+      assert((rer3(q) & truth).size >= (adc3(q) & truth).size,
+        s"query $q: rerank lost recall vs the unreranked path")
+    }
+  }
+
+  test("s104 delta search: tiers split exactly at the bound; the merge is " +
+      "the lossless per-side top-3") {
+    val rows = run("s104_delta_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.length == 30, "10 queries x top-3")
+    val b = specVecs.keys.max * 95 / 100
+    rows.foreach { case (q, n, tier, _) =>
+      if (tier == "fresh") assert(n > b, s"($q,$n) fresh but indexed-range")
+      else { assert(tier == "indexed"); assert(n <= b) }
+    }
+    // recompute the merge from the engine's own full ADC candidate list
+    // (indexed side) + driver-side exact distances (fresh side)
+    val adcAll = operators.Similarity.ivfpqSearch(spark, d, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (q, got) =>
+      assert(got.length == 3)
+      val qq = specQv(q)
+      val indexed = adcAll.filter(r => r._1 == q && r._2 <= b)
+        .map(r => (r._3, r._2, "indexed")).sorted.take(3)
+      val fresh = specVecs.toSeq.filter(_._1 > b)
+        .map { case (n, v) => (sqL2(qq, v), n, "fresh") }.sorted.take(3)
+      val expect = (indexed ++ fresh).sorted.take(3)
+      assert(got.map(r => (r._2, r._3)).toSet ==
+        expect.map(e => (e._2, e._3)).toSet,
+        s"query $q: merged top-3 differs from per-side recomputation")
+    }
+  }
+
+  test("t101 scorecard reconciles with t99's gates, t96's routing and " +
+      "the exact-dup layer") {
+    val card = run("t101_source_scorecard").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(card.keySet == docs.map(_._2).toSet, "one row per source")
+    val keepOf = run("t99_gopher_rules").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val codeOf = run("t96_code_detect").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_code"))).toMap
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      val r = card(src)
+      assert(r.getLong(r.fieldIndex("n_docs")) == g.length)
+      assert(r.getLong(r.fieldIndex("n_langs")) ==
+        g.map(_._3).distinct.length)
+      val toks = g.map(x => x._4.trim.split("[ \t\n\f\r]+")
+        .count(_.nonEmpty))
+      assert(r.getLong(r.fieldIndex("n_tokens")) == toks.sum)
+      def rate(hits: Int): Double =
+        BigDecimal(hits.toDouble / g.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(r.fieldIndex("gopher_rate")) ==
+        rate(g.count(x => keepOf(x._1))),
+        s"$src: gopher_rate drifted from t99")
+      assert(r.getDouble(r.fieldIndex("code_rate")) ==
+        rate(g.count(x => codeOf(x._1))),
+        s"$src: code_rate drifted from t96")
+      assert(r.getLong(r.fieldIndex("dup_surplus")) ==
+        g.length - g.map(_._4).distinct.length,
+        s"$src: dup_surplus drifted from the exact-dup layer")
+    }
   }
 }

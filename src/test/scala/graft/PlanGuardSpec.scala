@@ -119,7 +119,19 @@ class PlanGuardSpec extends AnyFunSuite {
     // q73: the sessionize+distinct is pinned under all four consumers
     // (d98 discipline); per-type totals and basket count broadcast
     ("q73_event_cooccurrence", 2, Seq("SortMergeJoin"),
-      Seq("BroadcastHashJoin")))
+      Seq("BroadcastHashJoin")),
+    // s103: the rerank tier adds ONE corpus equi-join against the
+    // broadcast |queries|×10 shortlist on top of the s101 chain — the
+    // corpus must never shuffle for it
+    ("s103_ann_rerank", 7, Seq("SortMergeJoin"), Nil),
+    // s104: indexed tier = s101 chain filtered by the broadcast 1-row
+    // bound; fresh tier = map-side brute force over the delta — no new
+    // corpus-sized exchange on either side
+    ("s104_delta_search", 8, Seq("SortMergeJoin"), Nil),
+    // t101: ONE corpus scan; the two count-distincts plan through Expand
+    // whose partial aggregation collapses map-side — Expand is the
+    // single-scan plan here, so only the scan count is pinned
+    ("t101_source_scorecard", 1, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -184,7 +196,9 @@ class PlanGuardSpec extends AnyFunSuite {
       Seq(
         ("s100_pq_adc_search", "vector_index_embeddings_codes"),
         ("s101_ivfpq_search", "vector_index_embeddings_assign"),
-        ("s102_index_recall", "vector_index_embeddings_codes")
+        ("s102_index_recall", "vector_index_embeddings_codes"),
+        ("s103_ann_rerank", "vector_index_embeddings_codes"),
+        ("s104_delta_search", "vector_index_embeddings_assign")
       ).foreach { case (name, mustRead) =>
         val df = SparkEntry.queries(name)(spark, d)
         df.queryExecution.toRdd.foreach(_ => ())

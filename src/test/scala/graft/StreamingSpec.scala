@@ -85,6 +85,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runningScorecard: complete-mode stream equals the batch card's " +
+      "distributive columns, and both reconcile with t101") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq( // (doc_id, text, source, lang)
+      // passes every Gopher gate (>=10 tokens, sane word length, alpha,
+      // stopword evidence)
+      (1L, "the quick brown fox jumps over the lazy dog in a sunny park",
+        "s0", "en"),
+      // code-routed: both nonempty lines are >=25% structural chars
+      (2L, "x={a:(1)};\ny=[f(2)==g];", "s0", "en"),
+      // short prose: fails the token-count gate, not code
+      (3L, "hello world", "s1", "en"),
+      (4L, "", "s1", "de"), // empty: NULL ratios, dropped, not code
+      (5L, "the cat and the hat sat on a mat with a rat and a bat too",
+        "s1", "en"))
+    val src = MemoryStream[(Long, String, String, String)]
+    val q = streaming.DocStreams.runningScorecard(
+        src.toDF().toDF("doc_id", "text", "source", "lang"))
+      .writeStream.format("memory").queryName("scorecard")
+      .outputMode("complete").start()
+    try {
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scorecard").collect()
+        .map(_.toSeq).toSet
+      val batchSet = streaming.DocStreams.runningScorecard(
+          docs.toDF("doc_id", "text", "source", "lang"))
+        .collect().map(_.toSeq).toSet
+      assert(batchSet.nonEmpty && streamed == batchSet,
+        s"stream scorecard != batch:\n$streamed\nvs\n$batchSet")
+      // the planted verdicts actually exercised both gates
+      val s0 = spark.table("scorecard")
+        .filter(col("source") === "s0").collect().head
+      assert(s0.getLong(s0.fieldIndex("n_keep")) == 1L)
+      assert(s0.getLong(s0.fieldIndex("n_code")) == 1L)
+    } finally q.stop()
+    // and on the real corpus the twin's counts reproduce the oracle-gated
+    // t101 card (rates are counts/n_docs on the same 6-dp grid)
+    val card = SparkEntry.queries("t101_source_scorecard")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    streaming.DocStreams.runningScorecard(
+        spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"))
+      .collect().foreach { r =>
+        val c = card(r.getString(0))
+        assert(r.getLong(1) == c.getLong(c.fieldIndex("n_docs")))
+        assert(r.getLong(2) == c.getLong(c.fieldIndex("n_tokens")))
+        def rate(n: Long): Double =
+          BigDecimal(n.toDouble / r.getLong(1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(rate(r.getLong(3)) ==
+          c.getDouble(c.fieldIndex("gopher_rate")))
+        assert(rate(r.getLong(4)) ==
+          c.getDouble(c.fieldIndex("code_rate")))
+      }
+  }
+
   test("sessionsByUser: 30-min gap splits sessions correctly (batch mode)") {
     import spark.implicits._
     val out = EventStreams.sessionsByUser(events.toDF())
