@@ -1511,6 +1511,85 @@ object Relational {
              |FROM pr
              |JOIN pt pa ON pr.et_a = pa.event_type
              |JOIN pt pb ON pr.et_b = pb.event_type
-             |CROSS JOIN tot""".stripMargin))
+             |CROSS JOIN tot""".stripMargin)),
+
+    QueryDef(
+      "q74_session_transitions", // first-order Markov transition matrix
+                                 // over in-session event SEQUENCES — the
+                                 // ordered counterpart of q73's unordered
+                                 // co-occurrence (user-path analysis:
+                                 // "after a view, what happens next?").
+                                 // For every (from, to) event-type pair:
+                                 // consecutive-within-session occurrence
+                                 // count, the from-type's total outgoing
+                                 // transitions, and the conditional
+                                 // probability. Scale shape: ONE
+                                 // user-partitioned window pass computes
+                                 // the session index (q61's
+                                 // gaps-and-islands) AND the successor via
+                                 // lead over the SAME (partition, order)
+                                 // spec — cross-session successors are
+                                 // nulled by comparing the led session
+                                 // index, so no second exchange keyed by
+                                 // session is ever needed. After the
+                                 // window the corpus collapses to the
+                                 // |types|²-bounded transition counts;
+                                 // the row-total frame broadcasts back.
+                                 // p is one division of exact integers —
+                                 // bit-identical across engines.
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val newSession = when(
+          col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+            > 1800, 1).otherwise(0)
+        val trans = t(s, d, "events")
+          .withColumn("new_s", coalesce(newSession, lit(0)))
+          .withColumn("session_idx",
+            sum(col("new_s")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .withColumn("to_sess", lead(col("session_idx"), 1).over(byUser))
+          .filter(col("to_type").isNotNull &&
+            col("to_sess") === col("session_idx"))
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = trans.groupBy("from_type")
+          .agg(sum(col("n")).cast("long").as("n_from"))
+        trans.join(broadcast(fromTot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("n_from"),
+            round(col("n").cast("double") /
+              col("n_from").cast("double"), 6).as("p"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |         CAST(SUM(new_s) OVER (
+             |           PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM (SELECT user_id, event_id, ts, event_type,
+             |          CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER (
+             |                 PARTITION BY user_id ORDER BY ts, event_id))
+             |                 > 1800
+             |               THEN 1 ELSE 0 END AS new_s
+             |        FROM events)),
+             |tr AS (
+             |  SELECT event_type AS from_type,
+             |         LEAD(event_type, 1) OVER w AS to_type,
+             |         LEAD(session_idx, 1) OVER w AS to_sess,
+             |         session_idx
+             |  FROM s WINDOW w AS (PARTITION BY user_id
+             |                      ORDER BY ts, event_id)),
+             |cnt AS (SELECT from_type, to_type,
+             |               CAST(COUNT(*) AS BIGINT) AS n
+             |        FROM tr
+             |        WHERE to_type IS NOT NULL AND to_sess = session_idx
+             |        GROUP BY 1, 2),
+             |ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+             |       FROM cnt GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n, f.n_from,
+             |       ROUND(CAST(c.n AS DOUBLE) /
+             |             CAST(f.n_from AS DOUBLE), 6) AS p
+             |FROM cnt c JOIN ft f USING (from_type)""".stripMargin))
   )
 }

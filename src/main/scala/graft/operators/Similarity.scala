@@ -311,34 +311,79 @@ object Similarity {
        |  FROM ex)
        |WHERE rnk <= 3""".stripMargin
 
+  /** The s104 merged-tier chain (after `ivfpqCtes`), ending at `mtop` =
+    * (q_id, vec_id, tier, dq, rnk ≤ 3) — shared by s104 and s105. */
+  private lazy val deltaCtes =
+    """bnd AS (SELECT MAX(vec_id) * 95 // 100 AS b FROM embeddings),
+      |itop AS (SELECT q_id, vec_id, dq, tier FROM (
+      |    SELECT q_id, vec_id, adq AS dq, 'indexed' AS tier,
+      |           ROW_NUMBER() OVER (PARTITION BY q_id
+      |                              ORDER BY adq, vec_id) AS rnk
+      |    FROM adc WHERE vec_id <= (SELECT b FROM bnd))
+      |  WHERE rnk <= 3),
+      |dx AS (
+      |  SELECT q.q_id, p.vec_id,
+      |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
+      |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
+      |  WHERE p.vec_id > (SELECT b FROM bnd)
+      |  GROUP BY 1, 2),
+      |dtop AS (SELECT q_id, vec_id, dq, tier FROM (
+      |    SELECT q_id, vec_id, dq, 'fresh' AS tier,
+      |           ROW_NUMBER() OVER (PARTITION BY q_id
+      |                              ORDER BY dq, vec_id) AS rnk
+      |    FROM dx) WHERE rnk <= 3),
+      |u AS (SELECT * FROM itop UNION ALL SELECT * FROM dtop),
+      |mtop AS (SELECT q_id, vec_id, tier, dq FROM (
+      |    SELECT q_id, vec_id, tier, dq,
+      |           ROW_NUMBER() OVER (PARTITION BY q_id
+      |                              ORDER BY dq, vec_id) AS rnk
+      |    FROM u) WHERE rnk <= 3)""".stripMargin
+
   private lazy val s104OracleSql =
     s"""WITH $ivfpqCtes,
-       |bnd AS (SELECT MAX(vec_id) * 95 // 100 AS b FROM embeddings),
-       |itop AS (SELECT q_id, vec_id, dq, tier FROM (
-       |    SELECT q_id, vec_id, adq AS dq, 'indexed' AS tier,
-       |           ROW_NUMBER() OVER (PARTITION BY q_id
-       |                              ORDER BY adq, vec_id) AS rnk
-       |    FROM adc WHERE vec_id <= (SELECT b FROM bnd))
-       |  WHERE rnk <= 3),
-       |dx AS (
+       |$deltaCtes
+       |SELECT q_id, vec_id AS neighbor_id, tier,
+       |       ROUND(CAST(dq AS DOUBLE) / 1e12, 6) AS sq_dist
+       |FROM mtop""".stripMargin
+
+  private lazy val s105OracleSql =
+    s"""WITH $ivfpqCtes,
+       |$deltaCtes,
+       |ex AS (
        |  SELECT q.q_id, p.vec_id,
        |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
        |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
-       |  WHERE p.vec_id > (SELECT b FROM bnd)
        |  GROUP BY 1, 2),
-       |dtop AS (SELECT q_id, vec_id, dq, tier FROM (
-       |    SELECT q_id, vec_id, dq, 'fresh' AS tier,
+       |et AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
        |           ROW_NUMBER() OVER (PARTITION BY q_id
        |                              ORDER BY dq, vec_id) AS rnk
-       |    FROM dx) WHERE rnk <= 3),
-       |u AS (SELECT * FROM itop UNION ALL SELECT * FROM dtop)
-       |SELECT q_id, vec_id AS neighbor_id, tier,
-       |       ROUND(CAST(dq AS DOUBLE) / 1e12, 6) AS sq_dist
-       |FROM (SELECT q_id, vec_id, tier, dq,
-       |             ROW_NUMBER() OVER (PARTITION BY q_id
-       |                                ORDER BY dq, vec_id) AS rnk
-       |      FROM u)
-       |WHERE rnk <= 3""".stripMargin
+       |    FROM ex) WHERE rnk <= 3),
+       |rec AS (
+       |  SELECT e.q_id, CAST(COUNT(m.vec_id) AS BIGINT) AS n_hits
+       |  FROM et e LEFT JOIN mtop m
+       |    ON m.q_id = e.q_id AND m.vec_id = e.vec_id
+       |  GROUP BY e.q_id),
+       |hits AS (SELECT CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       |                CAST(COUNT(*) AS BIGINT) AS n_queries FROM rec),
+       |cnt AS (
+       |  SELECT CAST(SUM(CASE WHEN vec_id <= (SELECT b FROM bnd)
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+       |         CAST(SUM(CASE WHEN vec_id > (SELECT b FROM bnd)
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+       |  FROM embeddings),
+       |fs AS (SELECT CAST(SUM(CASE WHEN tier = 'fresh' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_fresh_served FROM mtop)
+       |SELECT n_indexed, n_fresh,
+       |       ROUND(CAST(n_fresh AS DOUBLE) / (n_indexed + n_fresh), 6)
+       |         AS fresh_frac,
+       |       n_fresh_served, total_hits, n_queries,
+       |       ROUND(CAST(total_hits AS DOUBLE) / (n_queries * 3), 6)
+       |         AS mean_recall_at_3,
+       |       (CAST(n_fresh AS DOUBLE) / (n_indexed + n_fresh) >= 0.05)
+       |         OR (CAST(total_hits AS DOUBLE) <
+       |             CAST(n_queries AS DOUBLE) * 3 * 0.7) AS rebuild
+       |FROM cnt, hits, fs""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1051,20 +1096,9 @@ object Similarity {
                            // alert on. A query with zero overlap still
                            // reports (n_hits = 0) — silent-miss-proof.
       (s, d) => {
-        val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-        val wr = Window.partitionBy("q_id")
-          .orderBy(col("dq").asc, col("neighbor_id").asc)
-        val exact = base
-          .crossJoin(broadcast(plantedQueries(s, d)
-            .select(col("q_id"), col("qv"))))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            l2q(col("qv"), col("vq")).as("dq"))
-          .withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= 3)
-          .select(col("q_id"), col("neighbor_id"))
         val approx = ivfpqSearch(s, d)
           .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
-        exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+        exactTop3(s, d).join(approx, Seq("q_id", "neighbor_id"), "left")
           .groupBy("q_id")
           .agg(count(col("hit")).as("n_hits"))
           .select(col("q_id"), col("n_hits"),
@@ -1147,7 +1181,29 @@ object Similarity {
                            // bound and queries broadcast; the delta scan
                            // is map-side; no new corpus-sized exchange.
       (s, d) => deltaSearch(s, d),
-      Some(s104OracleSql))
+      Some(s104OracleSql)),
+
+    QueryDef(
+      "s105_index_health", // the one-row index HEALTH CARD — the page an
+                           // on-call engineer reads before deciding to
+                           // rebuild: segment accounting (indexed vs
+                           // fresh counts and the fresh fraction),
+                           // recall@3 of the ACTUALLY-SERVED s104 path
+                           // (stale index + fresh delta) against exact
+                           // ground truth, how many served results came
+                           // from the fresh tier, and a rebuild verdict
+                           // (fresh fraction ≥ 5% OR recall < 0.7).
+                           // Distinct from s102, which audits the
+                           // full-corpus s101 path: this card measures
+                           // what production serves, so staleness damage
+                           // shows up in the number. Scale shape: one
+                           // segment-count aggregate over the corpus,
+                           // the |queries|-bounded exact baseline, and
+                           // 1-row cross-join assembly (d99's pattern);
+                           // integer hit counts keep every rate
+                           // engine-exact.
+      (s, d) => indexHealth(s, d),
+      Some(s105OracleSql))
   )
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the
@@ -1392,6 +1448,23 @@ object Similarity {
         round(col("dq").cast("double") / 1e12, 6).as("exact_sq"))
   }
 
+  /** Exact squared-L2 top-3 ground truth for the planted query set — the
+    * labeled brute-force baseline (broadcast queries × corpus, the s90
+    * shape) shared by s102's recall audit and s105's health card. */
+  private def exactTop3(s: SparkSession, d: String): DataFrame = {
+    val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("dq").asc, col("neighbor_id").asc)
+    base
+      .crossJoin(broadcast(plantedQueries(s, d)
+        .select(col("q_id"), col("qv"))))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        l2q(col("qv"), col("vq")).as("dq"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+  }
+
   /** s104: fresh-segment search — the immutable index serves vectors with
     * `vec_id <= B` (B = 95% of the max id, the in-plan 1-row bound), the
     * un-indexed delta (`vec_id > B`) is brute-forced EXACTLY against the
@@ -1433,6 +1506,47 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("neighbor_id"), col("tier"),
         round(col("dq").cast("double") / 1e12, 6).as("sq_dist"))
+  }
+
+  /** s105: the one-row index HEALTH CARD — what production actually
+    * serves (the s104 stale-index + fresh-delta path) audited against
+    * exact ground truth, plus the segment accounting that decides when to
+    * rebuild. Every input is a bounded frame: corpus-sized work is one
+    * segment-count aggregate and the ground-truth baseline's broadcast
+    * scan; the card assembles 1-row aggregates by cross join (d99's
+    * pattern). Integer hit counts make every derived rate engine-exact. */
+  private[graft] def indexHealth(s: SparkSession, d: String): DataFrame = {
+    val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+    val bnd = base.agg((max(col("vec_id")) * 95).as("b95"))
+      .select(expr("b95 div 100").as("b"))
+    val cnt = base.crossJoin(broadcast(bnd))
+      .agg(sum(when(col("vec_id") <= col("b"), 1L).otherwise(0L))
+          .as("n_indexed"),
+        sum(when(col("vec_id") > col("b"), 1L).otherwise(0L))
+          .as("n_fresh"))
+    val served = deltaSearch(s, d)
+    val hits = exactTop3(s, d)
+      .join(served.select(col("q_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+      .agg(sum(col("n_hits")).cast("long").as("total_hits"),
+        count(lit(1)).as("n_queries"))
+    val freshServed = served.agg(
+      sum(when(col("tier") === "fresh", 1L).otherwise(0L))
+        .as("n_fresh_served"))
+    cnt.crossJoin(hits).crossJoin(freshServed)
+      .select(col("n_indexed"), col("n_fresh"),
+        round(col("n_fresh").cast("double") /
+          (col("n_indexed") + col("n_fresh")).cast("double"), 6)
+          .as("fresh_frac"),
+        col("n_fresh_served"), col("total_hits"), col("n_queries"),
+        round(col("total_hits").cast("double") /
+          (col("n_queries") * 3).cast("double"), 6)
+          .as("mean_recall_at_3"),
+        (col("n_fresh").cast("double") /
+          (col("n_indexed") + col("n_fresh")).cast("double") >= 0.05 ||
+          col("total_hits").cast("double") <
+            col("n_queries").cast("double") * 3 * 0.7).as("rebuild"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay raw, the corpus is

@@ -271,7 +271,40 @@ class EngineSqlSpec extends AnyFunSuite {
          FROM pr
          JOIN pt pa ON pr.et_a = pa.event_type
          JOIN pt pb ON pr.et_b = pb.event_type
-         CROSS JOIN tot""")
+         CROSS JOIN tot""",
+    "q74_session_transitions" -> // epoch() is dialect-only
+      """WITH s AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CAST(SUM(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+           FROM (SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN CAST(ts AS LONG)
+                              - CAST(LAG(ts, 1) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS LONG)
+                              > 1800
+                        THEN 1 ELSE 0 END AS new_s
+                 FROM events)),
+         tr AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type, 1) OVER w AS to_type,
+                  LEAD(session_idx, 1) OVER w AS to_sess,
+                  session_idx
+           FROM s WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+         cnt AS (SELECT from_type, to_type,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM tr
+                 WHERE to_type IS NOT NULL AND to_sess = session_idx
+                 GROUP BY from_type, to_type),
+         ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                FROM cnt GROUP BY from_type)
+         SELECT c.from_type, c.to_type, c.n, f.n_from,
+                ROUND(CAST(c.n AS DOUBLE) /
+                      CAST(f.n_from AS DOUBLE), 6) AS p
+         FROM cnt c JOIN ft f USING (from_type)""")
 
   test("every §2 relational query runs as a SQL string with identical results") {
     val qNames = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted

@@ -424,7 +424,8 @@ class OperatorsSpec extends AnyFunSuite {
   test("vector-index serve path answers bit-identically to inline " +
       "training for s100/s101/s102") {
     val targets = Seq("s100_pq_adc_search", "s101_ivfpq_search",
-      "s102_index_recall", "s103_ann_rerank", "s104_delta_search")
+      "s102_index_recall", "s103_ann_rerank", "s104_delta_search",
+      "s105_index_health")
     // inline (no index built) is the baseline
     val inline = targets.map(n => n -> run(n).collect().toSet).toMap
     val cmds = new commands.TableCommands(spark,
@@ -1439,7 +1440,7 @@ class OperatorsSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => Set('t', 'd', 's', 'm').contains(n.head)) ++
       Seq("q61_sessionize", "q62_time_gap_fill", "q63_unpivot", "q64_funnel",
-        "q73_event_cooccurrence")
+        "q73_event_cooccurrence", "q74_session_transitions")
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -1533,6 +1534,66 @@ class OperatorsSpec extends AnyFunSuite {
         expect.map(e => (e._2, e._3)).toSet,
         s"query $q: merged top-3 differs from per-side recomputation")
     }
+  }
+
+  test("q74 transitions: reconcile against a driver-side sessionized " +
+      "replay") {
+    val rows = run("q74_session_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // independent replay: sort each user's events, split on >30-min gaps,
+    // count consecutive in-session type pairs
+    val ev = graft.Graft.table(spark, d, "events")
+      .selectExpr("user_id", "cast(ts as long) tsl", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3))
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        if (b._2 - a._2 <= 1800)
+          expect.updateWith((a._4, b._4))(c => Some(c.getOrElse(0L) + 1L))
+      }
+    }
+    assert(rows.keySet == expect.keySet, "transition pair sets differ")
+    val fromTot = expect.groupBy(_._1._1).map { case (f, m) =>
+      f -> m.values.sum }
+    rows.foreach { case ((f, to), (n, nFrom, p)) =>
+      assert(n == expect((f, to)), s"($f->$to) count")
+      assert(nFrom == fromTot(f), s"$f outgoing total")
+      assert(p == BigDecimal(n.toDouble / nFrom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("s105 health card reconciles with s104's served output and the " +
+      "exact baseline") {
+    val r = run("s105_index_health").collect() match {
+      case Array(only) => only
+      case rows => fail(s"expected one card row, got ${rows.length}")
+    }
+    val b = specVecs.keys.max * 95 / 100
+    assert(r.getLong(r.fieldIndex("n_indexed")) ==
+      specVecs.keys.count(_ <= b))
+    assert(r.getLong(r.fieldIndex("n_fresh")) == specVecs.keys.count(_ > b))
+    val served = run("s104_delta_search").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.getLong(r.fieldIndex("n_fresh_served")) ==
+      served.count(_._3 == "fresh"))
+    // total hits vs a driver-side exact ground truth
+    val total = served.groupBy(_._1).map { case (q, g) =>
+      val qq = specQv(q)
+      val exact = specVecs.toSeq.map { case (id, v) => (sqL2(qq, v), id) }
+        .sorted.take(3).map(_._2).toSet
+      g.count(x => exact.contains(x._2))
+    }.sum
+    assert(r.getLong(r.fieldIndex("total_hits")) == total)
+    assert(r.getLong(r.fieldIndex("n_queries")) == 10)
+    val freshFrac = r.getLong(r.fieldIndex("n_fresh")).toDouble /
+      specVecs.size
+    assert(r.getBoolean(r.fieldIndex("rebuild")) ==
+      (freshFrac >= 0.05 || total < 0.7 * 30),
+      "rebuild verdict drifted from its printed inputs")
   }
 
   test("t101 scorecard reconciles with t99's gates, t96's routing and " +

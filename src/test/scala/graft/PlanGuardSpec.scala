@@ -131,7 +131,15 @@ class PlanGuardSpec extends AnyFunSuite {
     // t101: ONE corpus scan; the two count-distincts plan through Expand
     // whose partial aggregation collapses map-side — Expand is the
     // single-scan plan here, so only the scan count is pinned
-    ("t101_source_scorecard", 1, Nil, Nil))
+    ("t101_source_scorecard", 1, Nil, Nil),
+    // s105: s104's chain + the exact baseline + segment counts — all
+    // joins broadcast/cluster-bounded, card assembly is 1-row crossjoins
+    ("s105_index_health", 11, Seq("SortMergeJoin"), Nil),
+    // q74: session index AND successor from ONE user-partitioned window
+    // pass (same partition+order spec); the |types|²-bounded row-total
+    // frame joins back broadcast
+    ("q74_session_transitions", 1, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -198,7 +206,8 @@ class PlanGuardSpec extends AnyFunSuite {
         ("s101_ivfpq_search", "vector_index_embeddings_assign"),
         ("s102_index_recall", "vector_index_embeddings_codes"),
         ("s103_ann_rerank", "vector_index_embeddings_codes"),
-        ("s104_delta_search", "vector_index_embeddings_assign")
+        ("s104_delta_search", "vector_index_embeddings_assign"),
+        ("s105_index_health", "vector_index_embeddings_assign")
       ).foreach { case (name, mustRead) =>
         val df = SparkEntry.queries(name)(spark, d)
         df.queryExecution.toRdd.foreach(_ => ())
