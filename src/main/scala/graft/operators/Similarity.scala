@@ -1448,6 +1448,64 @@ object Similarity {
         round(col("dq").cast("double") / 1e12, 6).as("exact_sq"))
   }
 
+  /** Frozen index artifacts for the streaming ingest path: the coarse
+    * centroids and PQ codebook collected driver-side ONCE at stream start
+    * (both are k-bounded model frames, never corpus-sized) and baked into
+    * the streaming plan as literals — the freeze pattern every DocStreams
+    * twin uses for its model artifact. */
+  final case class FrozenCent(clabel: Long, cqa: Seq[Long], ncq: Long)
+  final case class FrozenBookC(cid: Long, cq: Seq[Long])
+  final case class FrozenBookM(m: Int, bm: Seq[FrozenBookC])
+
+  private[graft] def freezeIndex(centroids: DataFrame, codebook: DataFrame)
+      : (Seq[FrozenCent], Seq[FrozenBookM]) = {
+    val cents = centroids
+      .select(col("clabel").cast("long"), col("cqa"),
+        col("ncq").cast("long"))
+      .collect()
+      .map(r => FrozenCent(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_.clabel).toSeq
+    val book = codebook
+      .select(col("m").cast("int"), col("cid").cast("long"), col("cq"))
+      .collect()
+      .map(r => (r.getInt(0), FrozenBookC(r.getLong(1), r.getSeq[Long](2))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (m, g) => FrozenBookM(m, g.map(_._2).sortBy(_.cid)) }
+    (cents, book)
+  }
+
+  /** Map-side coarse-route + PQ-encode of arriving vectors against a
+    * frozen index — the streaming ingest (growing-segment) path. The
+    * argmax-over-struct route reproduces `ivfAssignment`'s window ordering
+    * (sim DESC, clabel ASC ⟺ max (sim, -clabel)), and the per-subspace
+    * `array_min(struct(dist, cid))` is `pqEnc`'s own selection, over the
+    * SAME cid-sorted-within-m, m-sorted book layout `freezeIndex`
+    * replicates — so ingest rows are bit-identical to what BUILD would
+    * have written (proven by the StreamingSpec parity test). Stateless:
+    * no state store, any throughput. */
+  private[graft] def routeAndEncodeFrozen(vecs: DataFrame,
+      cents: Seq[FrozenCent], book: Seq[FrozenBookM]): DataFrame = {
+    val cl = typedlit(cents)
+    val bl = typedlit(book)
+    vecs
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+      .withColumn("nq", dotl(col("vq"), col("vq")))
+      .withColumn("best", array_max(transform(cl, c =>
+        struct(
+          cosQ(dotl(col("vq"), c("cqa")), col("nq"), c("ncq")).as("sim"),
+          (-c("clabel")).as("ncl")))))
+      .withColumn("enc", transform(bl, e =>
+        array_min(transform(e("bm"), c =>
+          struct(
+            l2q(slice(col("vq"), e("m") * pqSub + 1, lit(pqSub)), c("cq"))
+              .as("dist"),
+            c("cid").as("cid"))))))
+      .select(col("vec_id"), (-col("best")("ncl")).as("cluster"),
+        transform(col("enc"), x => x("cid")).as("codes"))
+  }
+
   /** Exact squared-L2 top-3 ground truth for the planted query set — the
     * labeled brute-force baseline (broadcast queries × corpus, the s90
     * shape) shared by s102's recall audit and s105's health card. */

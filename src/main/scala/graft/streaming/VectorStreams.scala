@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Similarity
+
+/** Streaming transforms over an EMBEDDING stream (vec_id, embedding) — the
+  * ingest leg of the vector-index lifecycle. BUILD (batch) trains and
+  * materializes the index; the serve queries (s100–s105) read it; this
+  * object is the third leg: vectors that arrive AFTER the build are routed
+  * and compressed ON INGEST so the growing segment carries the same
+  * (cluster, codes) artifact rows the stored tables hold — exactly the
+  * Milvus/Lucene growing-segment discipline, and the producer of s104's
+  * fresh tier once the segment is flushed.
+  *
+  * Possible statelessly because both model artifacts are k-bounded: the
+  * coarse centroids and the PQ codebook freeze driver-side at stream start
+  * ([[Similarity.freezeIndex]]) and ride the plan as literals, so each
+  * arriving vector is one map-side argmax + 8 subspace argmins — no state
+  * store, no shuffle, any throughput.
+  */
+object VectorStreams {
+
+  /** Collect the frozen model artifacts from served index frames (or any
+    * centroids/codebook pair with the build schema). */
+  def freeze(centroids: DataFrame, codebook: DataFrame)
+      : (Seq[Similarity.FrozenCent], Seq[Similarity.FrozenBookM]) =
+    Similarity.freezeIndex(centroids, codebook)
+
+  /** Route + PQ-encode each arriving vector against the frozen index.
+    * Output rows (vec_id, cluster, codes) are bit-identical to what BUILD
+    * would have written for the same vectors — the parity spec proves it
+    * against the stored assign/codes tables. Identical code path for
+    * batch (`spark.read`) and stream (`spark.readStream`). */
+  def routeAndEncode(vecs: DataFrame,
+      cents: Seq[Similarity.FrozenCent],
+      book: Seq[Similarity.FrozenBookM]): DataFrame =
+    Similarity.routeAndEncodeFrozen(vecs, cents, book)
+}

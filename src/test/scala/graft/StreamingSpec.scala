@@ -144,6 +144,49 @@ class StreamingSpec extends AnyFunSuite {
       }
   }
 
+  test("VectorStreams.routeAndEncode: streamed ingest rows are " +
+      "bit-identical to the stored assign/codes tables") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_vs_wh").toString)
+    operators.VectorIndex.build(spark, TestSpark.sfDir, cmds)
+    try {
+      val ix = operators.VectorIndex.served(spark, TestSpark.sfDir)
+        .getOrElse(fail("index build did not serve"))
+      val (cents, book) = streaming.VectorStreams.freeze(
+        ix.centroids, ix.codebook)
+      // replay the corpus as the arriving stream
+      val raw = spark.read
+        .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val src = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.VectorStreams.routeAndEncode(
+          src.toDF().toDF("vec_id", "embedding"), cents, book)
+        .writeStream.format("memory").queryName("vingest")
+        .outputMode("append").start()
+      try {
+        src.addData(raw.take(raw.length / 2): _*)
+        q.processAllAvailable()
+        src.addData(raw.drop(raw.length / 2): _*)
+        q.processAllAvailable()
+        def norm(rows: Array[org.apache.spark.sql.Row])
+            : Map[Long, (Long, List[Long])] =
+          rows.map { r =>
+            r.getLong(0) -> ((r.getAs[Number](1).longValue,
+              r.getSeq[Any](2).map(_.asInstanceOf[Number].longValue)
+                .toList))
+          }.toMap
+        val streamed = norm(spark.table("vingest").collect())
+        val stored = norm(ix.assign.join(ix.codes, "vec_id").collect())
+        assert(streamed.size == raw.length)
+        assert(streamed == stored,
+          "streamed ingest rows diverge from the BUILD artifacts")
+      } finally q.stop()
+    } finally operators.VectorIndex.drop(spark, cmds)
+  }
+
   test("sessionsByUser: 30-min gap splits sessions correctly (batch mode)") {
     import spark.implicits._
     val out = EventStreams.sessionsByUser(events.toDF())
