@@ -1590,6 +1590,71 @@ object Relational {
              |SELECT c.from_type, c.to_type, c.n, f.n_from,
              |       ROUND(CAST(c.n AS DOUBLE) /
              |             CAST(f.n_from AS DOUBLE), 6) AS p
-             |FROM cnt c JOIN ft f USING (from_type)""".stripMargin))
+             |FROM cnt c JOIN ft f USING (from_type)""".stripMargin)),
+
+    QueryDef(
+      "q75_tpch_regional_revenue", // TPC-H Q5 shape — the canonical
+                                   // 6-table join-order test: per-nation
+                                   // revenue where customer and supplier
+                                   // share a nation inside one region and
+                                   // one order year. The plan-quality
+                                   // showcase: everything is DECLARED —
+                                   // pruned scans with pushed filters,
+                                   // equi-joins in algebra order — and
+                                   // Catalyst + AQE pick the physical
+                                   // strategy. Only region→nation carries
+                                   // an explicit broadcast (a true
+                                   // catalog dimension at ANY scale);
+                                   // customer/supplier/orders are left
+                                   // unhinted because at 100 TB they are
+                                   // fact-sized and must be free to
+                                   // shuffle-join — at bench scale AQE
+                                   // promotes them to broadcast on its
+                                   // own, which is exactly the
+                                   // scale-adaptive behavior wanted.
+                                   // Revenue is the quantized-long exact
+                                   // sum (sumq), so the group totals are
+                                   // partition-order independent.
+      (s, d) => {
+        val nat = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1997-01-01")
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+            "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sumq(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            4).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |              * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+             |         AS revenue,
+             |       COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |              AND s_nationkey = c_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name""".stripMargin))
   )
 }

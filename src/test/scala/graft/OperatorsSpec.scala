@@ -1536,6 +1536,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 regional revenue: nations confined to the region, revenue " +
+      "reconciles with an independent two-step computation") {
+    val rows = run("q75_tpch_regional_revenue").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    val asia = graft.Graft.table(spark, d, "nation")
+      .join(graft.Graft.table(spark, d, "region")
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.keySet.subsetOf(asia), "a nation outside ASIA leaked in")
+    rows.values.foreach { case (rev, n) => assert(rev > 0 && n > 0) }
+    // independent recomputation via a different plan: aggregate lineitem
+    // per (orderkey, suppkey) FIRST, then walk the dimension chain
+    val li = graft.Graft.table(spark, d, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(floor((col("l_extendedprice") *
+        (lit(1) - col("l_discount"))) * 10000 + 0.5).cast("long"))
+        .as("revq"), count(lit(1)).as("n"))
+    val alt = li
+      .join(graft.Graft.table(spark, d, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Graft.table(spark, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Graft.table(spark, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(graft.Graft.table(spark, d, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(asia.toSeq.map(x => x: Any): _*))
+      .groupBy("n_name")
+      .agg((sum(col("revq")).cast("double") / 10000).as("revenue"),
+        sum(col("n")).cast("long").as("n_items"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(rows == alt, "q75 diverges from the independent plan")
+  }
+
   test("q74 transitions: reconcile against a driver-side sessionized " +
       "replay") {
     val rows = run("q74_session_transitions").collect()

@@ -139,7 +139,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // pass (same partition+order spec); the |types|²-bounded row-total
     // frame joins back broadcast
     ("q74_session_transitions", 1, Seq("SortMergeJoin"),
-      Seq("BroadcastHashJoin")))
+      Seq("BroadcastHashJoin")),
+    // q75: six pruned scans, no cartesian anywhere in the 6-table chain;
+    // join strategy is deliberately AQE's choice (fact joins must stay
+    // free to shuffle at real scale), so none is pinned
+    ("q75_tpch_regional_revenue", 6, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
