@@ -898,7 +898,77 @@ object Dedup {
                |       n_near_pairs, n_near_docs,
                |       ROUND(CAST(n_exact_groups AS DOUBLE) /
                |             CAST(n_docs AS DOUBLE), 6) AS unique_frac
-               |FROM ex CROSS JOIN np CROSS JOIN nd""".stripMargin))
+               |FROM ex CROSS JOIN np CROSS JOIN nd""".stripMargin)),
+
+    QueryDef(
+      "d101_incremental_near_dup", // the ingest-time NEAR-dup gate — d90's
+                                   // incremental discipline upgraded from
+                                   // exact hashes to MinHash: a new batch
+                                   // of arrivals (the doc_id ≡ 3 (mod 7)
+                                   // slice) is checked against the BAND
+                                   // INDEX of the history corpus, so
+                                   // near-copies of already-ingested
+                                   // content are caught at the door
+                                   // without re-pairing history against
+                                   // itself. 1000000 ≡ 1 (mod 7), so a
+                                   // planted near-copy and its original
+                                   // always land in DIFFERENT slices —
+                                   // every arrival has its twin in
+                                   // history, which is exactly the match
+                                   // the gate exists to find (recall
+                                   // spec-gated). Scale shape: ONE
+                                   // signature pipeline pinned by a
+                                   // (band, band_key) repartition under
+                                   // both filtered sides (the d98
+                                   // discipline), an arrivals×history
+                                   // band equi-join (arrivals are a batch,
+                                   // history index is read not rebuilt at
+                                   // real scale), and a batch-sized left
+                                   // join for the unmatched verdicts.
+      (s, d) => {
+        // The band index MATERIALIZES once (checkpoint, clustered by the
+        // probe key) before the slice filters split it: unlike d98's
+        // pinned exchange, the two consumers here carry DIFFERENT
+        // predicates, which Catalyst pushes to the scans and thereby
+        // forks the whole signature pipeline per side (measured: 6 scans
+        // without the checkpoint, 2 with). This is also the production
+        // shape — the index is built once per corpus release and PROBED
+        // by every arriving batch, never rebuilt per probe.
+        val bands = bandsOf(minhashSig(s, d))
+          .repartition(col("band"), col("band_key"))
+          .localCheckpoint()
+        val hist = bands.filter(col("doc_id") % 7 =!= 3)
+        val arr = bands.filter(col("doc_id") % 7 === 3)
+        val hits = arr.as("a").join(hist.as("h"),
+            col("a.band") === col("h.band") &&
+              col("a.band_key") === col("h.band_key"))
+          .groupBy(col("a.doc_id").as("doc_id"))
+          .agg(min(col("h.doc_id")).as("matched_doc"),
+            countDistinct(col("a.band")).as("n_bands_hit"))
+        corpusNear(s, d).filter(col("doc_id") % 7 === 3)
+          .select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("matched_doc"),
+            coalesce(col("n_bands_hit"), lit(0L)).cast("long")
+              .as("n_bands_hit"),
+            col("matched_doc").isNotNull.as("is_near_dup"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |hist AS (SELECT * FROM bands WHERE doc_id % 7 <> 3),
+              |arr AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
+              |hits AS (
+              |  SELECT a.doc_id, MIN(h.doc_id) AS matched_doc,
+              |         CAST(COUNT(DISTINCT a.band) AS BIGINT)
+              |           AS n_bands_hit
+              |  FROM arr a JOIN hist h
+              |    ON a.band = h.band AND a.band_key = h.band_key
+              |  GROUP BY a.doc_id)
+              |SELECT u.doc_id, t.matched_doc,
+              |       CAST(COALESCE(t.n_bands_hit, 0) AS BIGINT)
+              |         AS n_bands_hit,
+              |       t.matched_doc IS NOT NULL AS is_near_dup
+              |FROM (SELECT doc_id FROM corpus WHERE doc_id % 7 = 3) u
+              |LEFT JOIN hits t USING (doc_id)""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a
@@ -1126,19 +1196,83 @@ object Dedup {
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     shingleHashes(s, d).groupBy("doc_id").agg(laneMinCols.head, laneMinCols.tail: _*)
 
+  /** d101's history/arrival split exposed for the streaming twin's
+    * spec: (history band index, arriving documents). */
+  private[graft] def incrementalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    (bandsOf(minhashSig(s, d)).filter(col("doc_id") % 7 =!= 3),
+      corpusNear(s, d).filter(col("doc_id") % 7 === 3))
+
+  /** Map-side MinHash signature + band keys of a (doc_id, text) frame —
+    * the SAME shingles/hash/lane constants as the batch pipeline, computed
+    * as array expressions WITHIN each row (no explode, no aggregation), so
+    * it runs statelessly on a stream. The batch side explodes and
+    * partial-aggregates instead because at corpus scale the shuffle wants
+    * one row per doc, but the ARITHMETIC is identical, which is what the
+    * parity spec pins. A doc too short to shingle gets NULL minima, NULL
+    * band keys, and can never match. */
+  private def rowBandKeys(docs: DataFrame): DataFrame = {
+    val mins = (0 until numSeeds).map(i =>
+      array_min(transform(col("hs"),
+        h => (lit(laneA(i)) * h + lit(laneB(i))) % P31)).as(s"m$i"))
+    val bandKeys = (0 until numSeeds / bandSize).map { b =>
+      (b * bandSize until (b + 1) * bandSize)
+        .map(i => (lit(bandC(i)) * col(s"m$i") + lit(bandD(i))) % P31)
+        .reduce(_ + _).as(s"bk$b")
+    }
+    docs
+      .withColumn("hs",
+        transform(shingles(col("text"), 3), x => hash60(x) % P31))
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id") +: bandKeys: _*)
+  }
+
+  /** Stateless near-dup check of arriving docs against a static history
+    * band index — the streaming twin of d101. The static side collapses
+    * to one (band_key → min history doc) row per band key, and each band
+    * is a separate stream-static LEFT equi-join, so the verdict needs NO
+    * aggregation over the stream: matched_doc = least non-null per-band
+    * hit (= the batch MIN over all matching history docs), n_bands_hit =
+    * how many of the doc's bands hit. No state store; history is the
+    * stored index table at real scale. */
+  private[graft] def nearDupCheckAgainst(
+      docs: DataFrame, histBands: DataFrame): DataFrame = {
+    val nb = numSeeds / bandSize
+    val idx = (0 until nb).map(b => histBands
+      .filter(col("band") === b)
+      .groupBy(col("band_key").as(s"key$b"))
+      .agg(min(col("doc_id")).as(s"hit$b")))
+    val joined = (0 until nb).foldLeft(rowBandKeys(docs)) { (acc, b) =>
+      acc.join(idx(b), col(s"bk$b") === col(s"key$b"), "left")
+    }
+    joined
+      .select(col("doc_id"),
+        least((0 until nb).map(b => col(s"hit$b")): _*).as("matched_doc"),
+        (0 until nb).map(b =>
+          when(col(s"hit$b").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_bands_hit"))
+      .select(col("doc_id"), col("matched_doc"), col("n_bands_hit"),
+        col("matched_doc").isNotNull.as("is_near_dup"))
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsFromSig(minhashSig(s, d))
 
-  private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
-    // order-independent band key: sum of universally-hashed lane minima
-    // (4 addends < 2^31 — no overflow either engine)
+  /** The banded projection of a signature frame — (doc_id, band,
+    * band_key); order-independent band key: sum of universally-hashed
+    * lane minima (4 addends < 2^31 — no overflow either engine). */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until numSeeds / bandSize).map { b =>
       (b * bandSize until (b + 1) * bandSize)
         .map(i => (lit(bandC(i)) * col(s"m$i") + lit(bandD(i))) % P31)
         .reduce(_ + _)
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&

@@ -373,6 +373,17 @@ object DocStreams {
     * state grows with the stream, so a live dashboard takes the
     * distributive subset and leaves exact distincts to the batch card —
     * the same split production lambda architectures make. */
+  /** Ingest-time near-dup gate — the live twin of batch
+    * `d101_incremental_near_dup`: each arriving document's MinHash band
+    * keys are computed map-side (the batch pipeline's exact lane
+    * arithmetic as within-row array expressions) and checked against the
+    * static history band index by per-band stream-static LEFT joins.
+    * Fully stateless — the verdict needs no aggregation over the stream —
+    * so it gates any ingest rate; at real scale `histBands` is the stored
+    * index table, read not rebuilt. */
+  def nearDupCheck(docs: DataFrame, histBands: DataFrame): DataFrame =
+    graft.operators.Dedup.nearDupCheckAgainst(docs, histBands)
+
   def runningScorecard(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.scorecardSignals(docs)
       .groupBy("source")

@@ -1536,6 +1536,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d101 incremental gate: every arrival reports once, matches point " +
+      "into history, planted twins recalled") {
+    val rows = run("d101_incremental_near_dup").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getBoolean(3)))
+    val (_, arrDocs) = operators.Dedup.incrementalParts(spark, d)
+    val arrIds = arrDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.length == arrIds.size && rows.map(_._1).toSet == arrIds,
+      "gate must report every arrival exactly once")
+    rows.foreach { case (id, m, nb, flag) =>
+      assert(flag == m.isDefined)
+      assert(nb >= 0 && nb <= 3)
+      if (nb == 0) assert(m.isEmpty)
+      m.foreach(h => assert(!arrIds.contains(h),
+        s"arrival $id matched $h, which is not in history"))
+    }
+    // every arrival has a planted near-copy in the OTHER slice (1000000
+    // ≡ 1 mod 7), so the gate should flag the large majority
+    val recall = rows.count(_._4).toDouble / rows.length
+    assert(recall >= 0.8, f"incremental recall $recall%.2f below floor")
+  }
+
   test("q75 regional revenue: nations confined to the region, revenue " +
       "reconciles with an independent two-step computation") {
     val rows = run("q75_tpch_regional_revenue").collect()

@@ -143,7 +143,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q75: six pruned scans, no cartesian anywhere in the 6-table chain;
     // join strategy is deliberately AQE's choice (fact joins must stay
     // free to shuffle at real scale), so none is pinned
-    ("q75_tpch_regional_revenue", 6, Nil, Nil))
+    ("q75_tpch_regional_revenue", 6, Nil, Nil),
+    // d101: ONE signature pipeline pinned by the (band, band_key)
+    // repartition under both filtered sides + the arrivals universe scan
+    ("d101_incremental_near_dup", 2, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)

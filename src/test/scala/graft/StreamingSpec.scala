@@ -144,6 +144,33 @@ class StreamingSpec extends AnyFunSuite {
       }
   }
 
+  test("nearDupCheck: stream-static ingest gate == batch d101 " +
+      "bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (hist, arrDocs) =
+      operators.Dedup.incrementalParts(spark, TestSpark.sfDir)
+    val histBands = hist.cache()
+    val arrivals = arrDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.nearDupCheck(
+        src.toDF().toDF("doc_id", "text"), histBands)
+      .writeStream.format("memory").queryName("ndgate")
+      .outputMode("append").start()
+    try {
+      src.addData(arrivals.take(arrivals.length / 2): _*)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(arrivals.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ndgate").collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("d101_incremental_near_dup")(
+        spark, TestSpark.sfDir).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        "streaming gate diverges from batch d101")
+    } finally { q.stop(); histBands.unpersist(); () }
+  }
+
   test("VectorStreams.routeAndEncode: streamed ingest rows are " +
       "bit-identical to the stored assign/codes tables") {
     import spark.implicits._
