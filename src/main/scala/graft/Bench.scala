@@ -48,13 +48,14 @@ object Bench {
       .createTempDirectory("graft_bench_wh").toString
     val tb0 = System.nanoTime()
     try {
-      operators.VectorIndex.build(spark, sfDir,
-        new commands.TableCommands(spark, wh))
+      val cmds = new commands.TableCommands(spark, wh)
+      operators.VectorIndex.build(spark, sfDir, cmds)
+      operators.DedupIndex.build(spark, sfDir, cmds)
       System.err.println(
-        f"[bench] vector index build: ${(System.nanoTime() - tb0) / 1e9}%.3f s")
+        f"[bench] index builds: ${(System.nanoTime() - tb0) / 1e9}%.3f s")
     } catch { case e: Throwable =>
       System.err.println(
-        s"[bench] vector index build failed (inline fallback): ${e.getMessage}")
+        s"[bench] index build failed (inline fallback): ${e.getMessage}")
     }
 
     // Warm-up: run the full suite once at the smallest scale factor so

@@ -72,9 +72,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     }
   }
 
-  // a vector index persisted by a prior session re-registers like the
-  // bucketed-index pre-seed above, so its serve path survives restarts
+  // a vector/dedup index persisted by a prior session re-registers like
+  // the bucketed-index pre-seed above, so its serve path survives restarts
   operators.VectorIndex.reregister(spark, cmds)
+  operators.DedupIndex.reregister(spark, cmds)
 
   /** Pre-seed guard: a catalog table only counts as an index if it really
     * is CREATE INDEX's product — bucketed by exactly the column (list)
@@ -167,6 +168,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*BUILD\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val dropVectorIndex =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+  private val buildDedupIndex =
+    """(?is)\s*BUILD\s+DEDUP\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+  private val dropDedupIndex =
+    """(?is)\s*DROP\s+DEDUP\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val txnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
@@ -336,6 +341,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             s"vectors; got '$tbl'")
       operators.VectorIndex.drop(spark, cmds)
       status(s"dropped vector index on $tbl")
+    case buildDedupIndex(tbl) =>
+      if (!tbl.equalsIgnoreCase("documents"))
+        throw new IllegalArgumentException(
+          s"BUILD DEDUP INDEX: only the documents corpus carries " +
+            s"text; got '$tbl'")
+      operators.DedupIndex.build(spark, sfDir, cmds)
+      status(s"built dedup index on $tbl")
+    case dropDedupIndex(tbl) =>
+      if (!tbl.equalsIgnoreCase("documents"))
+        throw new IllegalArgumentException(
+          s"DROP DEDUP INDEX: only the documents corpus carries " +
+            s"text; got '$tbl'")
+      operators.DedupIndex.drop(spark, cmds)
+      status(s"dropped dedup index on $tbl")
     case explainDml(dml) =>
       // the rewrite frame is BUILT but never published — EXPLAIN must not
       // mutate. One row, one `plan` column, like Spark's own EXPLAIN.

@@ -25,11 +25,14 @@ object Verify {
     // s100/s101/s102 dumps exercise (and oracle-gate) the SERVE path —
     // stored artifacts are bit-identical to inline training, and a build
     // failure falls back to the inline path, never a missing dump.
-    try operators.VectorIndex.build(spark, sfDir, new commands.TableCommands(
-      spark, Files.createTempDirectory("graft_verify_wh").toString))
-    catch { case e: Throwable =>
+    try {
+      val wh = new commands.TableCommands(
+        spark, Files.createTempDirectory("graft_verify_wh").toString)
+      operators.VectorIndex.build(spark, sfDir, wh)
+      operators.DedupIndex.build(spark, sfDir, wh)
+    } catch { case e: Throwable =>
       System.err.println(
-        s"[verify] vector index build failed (inline fallback): ${e.getMessage}")
+        s"[verify] index build failed (inline fallback): ${e.getMessage}")
     }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

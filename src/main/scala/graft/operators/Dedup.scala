@@ -926,17 +926,20 @@ object Dedup {
                                    // real scale), and a batch-sized left
                                    // join for the unmatched verdicts.
       (s, d) => {
-        // The band index MATERIALIZES once (checkpoint, clustered by the
-        // probe key) before the slice filters split it: unlike d98's
-        // pinned exchange, the two consumers here carry DIFFERENT
-        // predicates, which Catalyst pushes to the scans and thereby
-        // forks the whole signature pipeline per side (measured: 6 scans
-        // without the checkpoint, 2 with). This is also the production
-        // shape — the index is built once per corpus release and PROBED
-        // by every arriving batch, never rebuilt per probe.
-        val bands = bandsOf(minhashSig(s, d))
-          .repartition(col("band"), col("band_key"))
-          .localCheckpoint()
+        // Train/serve split (the VectorIndex discipline on the text
+        // side): with a stored DedupIndex the plan READS the band table —
+        // zero shingle/hash stages. Inline fallback MATERIALIZES the
+        // index once (checkpoint, clustered by the probe key) before the
+        // slice filters split it: unlike d98's pinned exchange, the two
+        // consumers here carry DIFFERENT predicates, which Catalyst
+        // pushes to the scans and thereby forks the whole signature
+        // pipeline per side (measured: 6 scans without the checkpoint, 2
+        // with). Either way the index is built once per corpus release
+        // and PROBED by every arriving batch, never rebuilt per probe.
+        val bands = DedupIndex.served(s, d).getOrElse(
+          allBands(s, d)
+            .repartition(col("band"), col("band_key"))
+            .localCheckpoint())
         val hist = bands.filter(col("doc_id") % 7 =!= 3)
         val arr = bands.filter(col("doc_id") % 7 === 3)
         val hits = arr.as("a").join(hist.as("h"),
@@ -1196,11 +1199,16 @@ object Dedup {
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     shingleHashes(s, d).groupBy("doc_id").agg(laneMinCols.head, laneMinCols.tail: _*)
 
+  /** The complete band index of the near-dup corpus — what
+    * [[DedupIndex.build]] materializes and d101 probes. */
+  private[graft] def allBands(s: SparkSession, d: String): DataFrame =
+    bandsOf(minhashSig(s, d))
+
   /** d101's history/arrival split exposed for the streaming twin's
     * spec: (history band index, arriving documents). */
   private[graft] def incrementalParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    (bandsOf(minhashSig(s, d)).filter(col("doc_id") % 7 =!= 3),
+    (allBands(s, d).filter(col("doc_id") % 7 =!= 3),
       corpusNear(s, d).filter(col("doc_id") % 7 === 3))
 
   /** Map-side MinHash signature + band keys of a (doc_id, text) frame —

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.commands.TableCommands
+
+/** Build/serve split for the MinHash band index — the text-side twin of
+  * [[VectorIndex]]: a production dedup service computes the banded
+  * signatures of its corpus ONCE per release and lets every arriving batch
+  * PROBE the stored index; recomputing 12 hash lanes over the whole corpus
+  * per ingest batch is the d101 inline path's cost, not the serving shape.
+  *
+  * Artifacts (over the d101 near-dup corpus at a specific source dir):
+  *   - `bands` (doc_id, band, band_key) — 3 rows per document, the
+  *     complete LSH candidate-generation index. Slim (ints), and the only
+  *     thing the probe join needs.
+  *   - `meta` (src) — provenance: the corpus dir the index was built from.
+  *     [[served]] refuses an index built for a DIFFERENT dir, so a stale
+  *     index can never silently answer for the wrong corpus — the gate
+  *     falls back to inline signature computation instead.
+  *
+  * Build is invoked from SQL (`BUILD DEDUP INDEX ON documents`, the Engine
+  * route), from [[graft.Verify]]/[[graft.Bench]] as the setup step of
+  * their serve-path runs, and from specs. d101 consults [[served]]:
+  * present-and-matching → one stored-table read, ZERO shingle/hash stages
+  * in the plan; absent → inline computation, bit-identical output either
+  * way (the stored frame IS the inline frame, round-tripped through
+  * parquet with exact integer types).
+  */
+object DedupIndex {
+
+  private val corpus = "documents"
+  private[graft] def tableName(part: String): String =
+    s"dedup_index_${corpus}_$part"
+  private val parts = Seq("bands", "meta")
+
+  private def norm(d: String): String = new java.io.File(d).getAbsolutePath
+
+  /** Train + materialize the band index as a warehouse table + catalog
+    * entry. Idempotent (rebuilds replace). */
+  def build(s: SparkSession, d: String, cmds: TableCommands): Unit = {
+    drop(s, cmds)
+    import s.implicits._
+    val frames = Seq(
+      "bands" -> Dedup.allBands(s, d),
+      "meta" -> Seq(norm(d)).toDF("src"))
+    frames.foreach { case (p, df) =>
+      val n = tableName(p)
+      cmds.createTable(n, df)
+      s.sql(s"DROP TABLE IF EXISTS `$n`")
+      s.sql(s"CREATE TABLE `$n` USING parquet " +
+        s"LOCATION '${cmds.dataPath(n)}'")
+      ()
+    }
+  }
+
+  /** Remove the stored index; subsequent probes fall back to inline
+    * signature computation. */
+  def drop(s: SparkSession, cmds: TableCommands): Unit =
+    parts.foreach { p =>
+      val n = tableName(p)
+      s.sql(s"DROP TABLE IF EXISTS `$n`")
+      if (cmds.tableExists(n)) cmds.dropTable(n)
+    }
+
+  /** Re-register a persisted index from a prior session's warehouse into
+    * this session's catalog (Engine calls this at construction). */
+  def reregister(s: SparkSession, cmds: TableCommands): Unit =
+    if (parts.forall(p => cmds.tableExists(tableName(p))))
+      parts.foreach { p =>
+        val n = tableName(p)
+        if (!s.catalog.tableExists(n))
+          s.sql(s"CREATE TABLE `$n` USING parquet " +
+            s"LOCATION '${cmds.dataPath(n)}'")
+        ()
+      }
+
+  /** The stored band index for corpus dir `d`, iff complete and
+    * provenance-matching. */
+  def served(s: SparkSession, d: String): Option[DataFrame] =
+    if (!parts.forall(p => s.catalog.tableExists(tableName(p)))) None
+    else {
+      val meta = s.table(tableName("meta")).collect()
+      if (meta.length == 1 && meta(0).getString(0) == norm(d))
+        Some(s.table(tableName("bands")))
+      else None
+    }
+}

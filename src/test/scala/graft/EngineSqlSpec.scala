@@ -873,4 +873,58 @@ class EngineSqlSpec extends AnyFunSuite {
       e1.close()
     }
   }
+
+  test("BUILD DEDUP INDEX: build → serve → drop lifecycle; the gate " +
+    "probes the stored band table when built, computes inline otherwise") {
+    def gatePlan(): String = {
+      val df = SparkEntry.queries("d101_incremental_near_dup")(spark, d)
+      df.queryExecution.toRdd.foreach(_ => ())
+      df.queryExecution.executedPlan.toString
+    }
+    def gateRows(): Set[Seq[Any]] =
+      SparkEntry.queries("d101_incremental_near_dup")(spark, d)
+        .collect().map(_.toSeq).toSet
+    // no index: the inline path materializes a checkpoint (the band
+    // pipeline runs eagerly, so the plan reads an ExistingRDD)
+    val inlinePlan = gatePlan()
+    assert(!inlinePlan.contains("dedup_index_documents_bands"))
+    assert(inlinePlan.contains("ExistingRDD"),
+      "inline gate must probe its checkpointed band index")
+    val inlineAnswer = gateRows()
+    val wh = Files.createTempDirectory("graft_didx_sql_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    try {
+      intercept[IllegalArgumentException] {
+        e1.sql("BUILD DEDUP INDEX ON lineitem")
+      }
+      assert(e1.sql("BUILD DEDUP INDEX ON documents")
+        .head.getString(0).contains("built dedup index"))
+      // built: the gate reads the stored table, no signature pipeline,
+      // no checkpoint — and the answer is bit-identical
+      val served = gatePlan()
+      assert(served.contains("dedup_index_documents_bands"),
+        s"served gate must read the stored index:\n$served")
+      assert(!served.contains("word_shingles") &&
+        !served.contains("ExistingRDD"),
+        s"served gate must not recompute signatures:\n$served")
+      assert(gateRows() == inlineAnswer,
+        "served answer diverged from inline")
+      // the index is an ordinary catalog table — queryable
+      assert(e1.sql(
+        "SELECT COUNT(*) AS n FROM dedup_index_documents_bands")
+        .head.getLong(0) > 0)
+      // a NEW engine over the same warehouse re-registers the index
+      spark.sql("DROP TABLE IF EXISTS dedup_index_documents_meta")
+      new Engine(spark, d, wh).sql("SELECT 1")
+      assert(spark.catalog.tableExists("dedup_index_documents_meta"))
+      // dropped: back to inline, same answer
+      assert(e1.sql("DROP DEDUP INDEX ON documents")
+        .head.getString(0).contains("dropped dedup index"))
+      assert(!gatePlan().contains("dedup_index_documents_bands"))
+      assert(gateRows() == inlineAnswer)
+    } finally {
+      e1.sql("DROP DEDUP INDEX ON documents")
+      e1.close()
+    }
+  }
 }
