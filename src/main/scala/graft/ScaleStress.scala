@@ -32,10 +32,14 @@ object ScaleStress {
     // across corpus size while inline training grows with it.
     val buildIndex = sys.env.contains("GRAFT_VIDX")
     def prepare(d: String): Unit = if (buildIndex) {
+      val cmds = new commands.TableCommands(
+        spark, java.nio.file.Files.createTempDirectory("ss_wh").toString)
       val t0 = System.nanoTime()
-      operators.VectorIndex.build(spark, d, new commands.TableCommands(
-        spark, java.nio.file.Files.createTempDirectory("ss_wh").toString))
+      operators.VectorIndex.build(spark, d, cmds)
       println(f"VIDX_BUILD $d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      operators.DedupIndex.build(spark, d, cmds)
+      println(f"DIDX_BUILD $d ${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
     // JIT/codegen warm-up at the smallest provided scale
     names.foreach { n =>

@@ -925,53 +925,53 @@ object Dedup {
                                    // history index is read not rebuilt at
                                    // real scale), and a batch-sized left
                                    // join for the unmatched verdicts.
-      (s, d) => {
-        // Train/serve split (the VectorIndex discipline on the text
-        // side): with a stored DedupIndex the plan READS the band table —
-        // zero shingle/hash stages. Inline fallback MATERIALIZES the
-        // index once (checkpoint, clustered by the probe key) before the
-        // slice filters split it: unlike d98's pinned exchange, the two
-        // consumers here carry DIFFERENT predicates, which Catalyst
-        // pushes to the scans and thereby forks the whole signature
-        // pipeline per side (measured: 6 scans without the checkpoint, 2
-        // with). Either way the index is built once per corpus release
-        // and PROBED by every arriving batch, never rebuilt per probe.
-        val bands = DedupIndex.served(s, d).getOrElse(
-          allBands(s, d)
-            .repartition(col("band"), col("band_key"))
-            .localCheckpoint())
-        val hist = bands.filter(col("doc_id") % 7 =!= 3)
-        val arr = bands.filter(col("doc_id") % 7 === 3)
-        val hits = arr.as("a").join(hist.as("h"),
-            col("a.band") === col("h.band") &&
-              col("a.band_key") === col("h.band_key"))
-          .groupBy(col("a.doc_id").as("doc_id"))
-          .agg(min(col("h.doc_id")).as("matched_doc"),
-            countDistinct(col("a.band")).as("n_bands_hit"))
-        corpusNear(s, d).filter(col("doc_id") % 7 === 3)
-          .select("doc_id")
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("matched_doc"),
-            coalesce(col("n_bands_hit"), lit(0L)).cast("long")
-              .as("n_bands_hit"),
-            col("matched_doc").isNotNull.as("is_near_dup"))
-      },
+      (s, d) => incrementalGate(s, d),
       Some(s"""WITH $minhashCtes,
-              |hist AS (SELECT * FROM bands WHERE doc_id % 7 <> 3),
-              |arr AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
-              |hits AS (
-              |  SELECT a.doc_id, MIN(h.doc_id) AS matched_doc,
-              |         CAST(COUNT(DISTINCT a.band) AS BIGINT)
-              |           AS n_bands_hit
-              |  FROM arr a JOIN hist h
-              |    ON a.band = h.band AND a.band_key = h.band_key
-              |  GROUP BY a.doc_id)
+              |$incrGateCtes
               |SELECT u.doc_id, t.matched_doc,
               |       CAST(COALESCE(t.n_bands_hit, 0) AS BIGINT)
               |         AS n_bands_hit,
               |       t.matched_doc IS NOT NULL AS is_near_dup
               |FROM (SELECT doc_id FROM corpus WHERE doc_id % 7 = 3) u
-              |LEFT JOIN hits t USING (doc_id)""".stripMargin))
+              |LEFT JOIN hits t USING (doc_id)""".stripMargin)),
+
+    QueryDef(
+      "p102_ingest_gate", // the INGEST capstone — the admission table an
+                          // ingestion service writes per arriving batch:
+                          // every arrival's near-dup verdict against the
+                          // history band index (d101's gate) AND its
+                          // Gopher rule verdict (t99's thresholds, the
+                          // shared gopherVerdict kernel — the gates exist
+                          // in exactly one place), composed into one
+                          // admitted flag: new content that passes
+                          // structural quality. This is the decision
+                          // row p100's offline pipeline assumes was made
+                          // at the door. Scale shape: the gate side is
+                          // d101's bounded probe, the quality side is
+                          // map-side expression work, and the final
+                          // assembly is one batch-sized equi-join on
+                          // doc_id.
+      (s, d) => {
+        val gate = incrementalGate(s, d)
+          .select(col("doc_id"), col("is_near_dup"))
+        val g = TextAnalysis.gopherVerdict(
+            corpusNear(s, d).filter(col("doc_id") % 7 === 3))
+          .select(col("doc_id"), col("n_tokens"), col("keep"))
+        gate.join(g, "doc_id")
+          .select(col("doc_id"), col("is_near_dup"), col("keep"),
+            col("n_tokens"),
+            (col("keep") && !col("is_near_dup")).as("admitted"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |$incrGateCtes,
+              |adoc AS (SELECT doc_id, text FROM corpus
+              |         WHERE doc_id % 7 = 3),
+              |${TextAnalysis.gopherCtesSql("adoc")}
+              |SELECT g.doc_id,
+              |       t.matched_doc IS NOT NULL AS is_near_dup,
+              |       g.keep, g.n_tokens,
+              |       g.keep AND t.matched_doc IS NULL AS admitted
+              |FROM g LEFT JOIN hits t USING (doc_id)""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a
@@ -1210,6 +1210,54 @@ object Dedup {
       : (DataFrame, DataFrame) =
     (allBands(s, d).filter(col("doc_id") % 7 =!= 3),
       corpusNear(s, d).filter(col("doc_id") % 7 === 3))
+
+  /** d101's gate frame — (doc_id, matched_doc, n_bands_hit, is_near_dup)
+    * per arrival — shared with the p102 ingest capstone.
+    *
+    * Train/serve split (the VectorIndex discipline on the text side):
+    * with a stored [[DedupIndex]] the plan READS the band table — zero
+    * shingle/hash stages. Inline fallback MATERIALIZES the index once
+    * (checkpoint, clustered by the probe key) before the slice filters
+    * split it: unlike d98's pinned exchange, the two consumers here carry
+    * DIFFERENT predicates, which Catalyst pushes to the scans and thereby
+    * forks the whole signature pipeline per side (measured: 6 scans
+    * without the checkpoint, 2 with). Either way the index is built once
+    * per corpus release and PROBED by every arriving batch, never rebuilt
+    * per probe. */
+  private def incrementalGate(s: SparkSession, d: String): DataFrame = {
+    val bands = DedupIndex.served(s, d).getOrElse(
+      allBands(s, d)
+        .repartition(col("band"), col("band_key"))
+        .localCheckpoint())
+    val hist = bands.filter(col("doc_id") % 7 =!= 3)
+    val arr = bands.filter(col("doc_id") % 7 === 3)
+    val hits = arr.as("a").join(hist.as("h"),
+        col("a.band") === col("h.band") &&
+          col("a.band_key") === col("h.band_key"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("h.doc_id")).as("matched_doc"),
+        countDistinct(col("a.band")).as("n_bands_hit"))
+    corpusNear(s, d).filter(col("doc_id") % 7 === 3)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("matched_doc"),
+        coalesce(col("n_bands_hit"), lit(0L)).cast("long")
+          .as("n_bands_hit"),
+        col("matched_doc").isNotNull.as("is_near_dup"))
+  }
+
+  /** The d101 oracle's probe chain (after `minhashCtes`) — ends at
+    * `hits` = (doc_id, matched_doc, n_bands_hit); shared with p102. */
+  private lazy val incrGateCtes =
+    """hist AS (SELECT * FROM bands WHERE doc_id % 7 <> 3),
+      |iarr AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
+      |hits AS (
+      |  SELECT a.doc_id, MIN(h.doc_id) AS matched_doc,
+      |         CAST(COUNT(DISTINCT a.band) AS BIGINT)
+      |           AS n_bands_hit
+      |  FROM iarr a JOIN hist h
+      |    ON a.band = h.band AND a.band_key = h.band_key
+      |  GROUP BY a.doc_id)""".stripMargin
 
   /** Map-side MinHash signature + band keys of a (doc_id, text) frame —
     * the SAME shingles/hash/lane constants as the batch pipeline, computed

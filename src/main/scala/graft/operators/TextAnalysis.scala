@@ -40,6 +40,69 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(null).cast("double")).otherwise(num / den)
 
+  /** The t99 Gopher rule bundle over any (doc_id, text) frame — shared by
+    * the t99 QueryDef and the p102 ingest-gate capstone so the gate
+    * thresholds exist in exactly one place. Map-side only. */
+  private[operators] def gopherVerdict(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        aggregate(transform(col("toks"), tk => length(tk)), lit(0),
+          (acc, x) => acc + x).as("sum_len"),
+        size(filter(col("toks"), tk => tk.rlike("[A-Za-z]")))
+          .as("n_alpha"),
+        size(filter(col("toks"),
+          tk => tk.isin(stopwords.map(w => w: Any): _*)))
+          .as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(ratio(col("sum_len").cast("double"),
+          col("n_tokens").cast("double")), 6).as("mean_word_chars"),
+        round(ratio(col("n_alpha").cast("double"),
+          col("n_tokens").cast("double")), 6).as("frac_alpha"),
+        col("stop_hits"))
+      .withColumn("keep",
+        col("n_tokens").between(10, 100000) &&
+          coalesce(col("mean_word_chars").between(2.0, 12.0),
+            lit(false)) &&
+          coalesce(col("frac_alpha") >= 0.6, lit(false)) &&
+          col("stop_hits") >= 2)
+
+  /** t99's oracle CTE chain over an arbitrary source CTE/table name —
+    * ends at `g` = (doc_id, n_tokens, keep). Shared with p102. */
+  private[operators] def gopherCtesSql(src: String): String =
+    s"""gtk AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                     x -> x != '') AS toks
+       |  FROM $src),
+       |gm AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN len(toks) = 0 THEN NULL
+       |              ELSE ROUND(CAST(list_sum(list_transform(toks,
+       |                     x -> len(x))) AS DOUBLE) /
+       |                   CAST(len(toks) AS DOUBLE), 6) END
+       |           AS mean_word_chars,
+       |         CASE WHEN len(toks) = 0 THEN NULL
+       |              ELSE ROUND(CAST(len(list_filter(toks,
+       |                     x -> regexp_matches(x, '[A-Za-z]')))
+       |                     AS DOUBLE) /
+       |                   CAST(len(toks) AS DOUBLE), 6) END
+       |           AS frac_alpha,
+       |         CAST(len(list_filter(toks, x -> list_contains(
+       |             ['the','and','of','to','a','in','is'], x)))
+       |           AS INT) AS stop_hits
+       |  FROM gtk),
+       |g AS (
+       |  SELECT doc_id, n_tokens,
+       |         (n_tokens BETWEEN 10 AND 100000)
+       |           AND COALESCE(mean_word_chars BETWEEN 2.0 AND 12.0,
+       |                        FALSE)
+       |           AND COALESCE(frac_alpha >= 0.6, FALSE)
+       |           AND stop_hits >= 2 AS keep
+       |  FROM gm)""".stripMargin
+
   /** Per-document governance signals shared by batch `t101` and the
     * streaming scorecard twin ([[graft.streaming.DocStreams]]): content
     * hash, token count, the t99 Gopher gates on the same rounded grid, and
@@ -1898,31 +1961,7 @@ object TextAnalysis {
                           // engine-exact; empty docs report NULL ratios and
                           // are dropped (coalesce(false)) — the shared
                           // NULL-on-zero rule, not an abort.
-      (s, d) => {
-        t(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            size(col("toks")).as("n_tokens"),
-            aggregate(transform(col("toks"), tk => length(tk)), lit(0),
-              (acc, x) => acc + x).as("sum_len"),
-            size(filter(col("toks"), tk => tk.rlike("[A-Za-z]")))
-              .as("n_alpha"),
-            size(filter(col("toks"),
-              tk => tk.isin(stopwords.map(w => w: Any): _*)))
-              .as("stop_hits"))
-          .select(col("doc_id"), col("n_tokens"),
-            round(ratio(col("sum_len").cast("double"),
-              col("n_tokens").cast("double")), 6).as("mean_word_chars"),
-            round(ratio(col("n_alpha").cast("double"),
-              col("n_tokens").cast("double")), 6).as("frac_alpha"),
-            col("stop_hits"))
-          .withColumn("keep",
-            col("n_tokens").between(10, 100000) &&
-              coalesce(col("mean_word_chars").between(2.0, 12.0),
-                lit(false)) &&
-              coalesce(col("frac_alpha") >= 0.6, lit(false)) &&
-              col("stop_hits") >= 2)
-      },
+      (s, d) => gopherVerdict(t(s, d, "documents")),
       Some("""WITH tk AS (
              |  SELECT doc_id,
              |         list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -1559,6 +1559,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"incremental recall $recall%.2f below floor")
   }
 
+  test("p102 ingest gate: verdicts reconcile with d101 and the Gopher " +
+      "rules; admission is their conjunction") {
+    val rows = run("p102_ingest_gate").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    val d101 = run("d101_incremental_near_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rows.keySet == d101.keySet,
+      "capstone must cover exactly the arrival universe")
+    val t99ish = run("t99_gopher_rules").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(r.fieldIndex("keep"))))).toMap
+    rows.foreach { case (id, (nd, keep, ntok, admitted)) =>
+      assert(nd == d101(id), s"$id: near-dup verdict drifted from d101")
+      assert(admitted == (keep && !nd), s"$id: admission not the conjunction")
+      // raw documents among the arrivals must agree with t99 exactly
+      // (synthetic near-copies have derived text t99 never sees)
+      t99ish.get(id).foreach { case (tn, tk) =>
+        assert(ntok == tn && keep == tk, s"$id: gate drifted from t99")
+      }
+    }
+    assert(rows.values.exists(_._4) && rows.values.exists(!_._4),
+      "fixtures should produce both admitted and rejected arrivals")
+  }
+
   test("q75 regional revenue: nations confined to the region, revenue " +
       "reconciles with an independent two-step computation") {
     val rows = run("q75_tpch_regional_revenue").collect()

@@ -146,7 +146,10 @@ class PlanGuardSpec extends AnyFunSuite {
     ("q75_tpch_regional_revenue", 6, Nil, Nil),
     // d101: ONE signature pipeline pinned by the (band, band_key)
     // repartition under both filtered sides + the arrivals universe scan
-    ("d101_incremental_near_dup", 2, Nil, Nil))
+    ("d101_incremental_near_dup", 2, Nil, Nil),
+    // p102: d101's probe (checkpointed index + universe) + one map-side
+    // Gopher pass over the arrivals — batch-sized doc_id equi-join only
+    ("p102_ingest_gate", 4, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
