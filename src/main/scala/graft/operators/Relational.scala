@@ -1655,6 +1655,179 @@ object Relational {
              |WHERE r_name = 'ASIA'
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    QueryDef(
+      "q76_tpch_market_share", // TPC-H Q8 shape — national market share:
+                               // of all PROMO-part revenue sold into ASIA
+                               // customers, what fraction came from
+                               // NATION_7 suppliers, per order year. The
+                               // two-sided dimension pattern: nation joins
+                               // BOTH fact legs (customer region
+                               // membership and supplier identity), so the
+                               // 25-row nation/region frames broadcast
+                               // twice while the three fact tables
+                               // (lineitem, orders, customer) stay free to
+                               // shuffle-join. The share is a conditional
+                               // aggregate over ONE joined stream — no
+                               // second pass, no self-join. Numerator and
+                               // denominator are quantized-long exact, so
+                               // the 6-dp share is bit-identical across
+                               // engines and partition orders.
+      (s, d) => {
+        val asiaNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("asia_nk"))
+        val suppNation = t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_nk"),
+            col("n_name").as("supp_nation"))
+        val pts = t(s, d, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nk"))
+          .select("c_custkey")
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val volq = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000 + 0.5).cast("long")
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            volq.as("volq"))
+          .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_nationkey")
+            .join(broadcast(suppNation), col("s_nationkey") === col("sn_nk"))
+            .select("s_suppkey", "supp_nation")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_7", col("volq"))
+              .otherwise(0L)).cast("double") / 10000).as("nation_volume"),
+            (sum(col("volq")).cast("double") / 10000).as("total_volume"),
+            round(sum(when(col("supp_nation") === "NATION_7", col("volq"))
+              .otherwise(0L)).cast("double") /
+              sum(col("volq")).cast("double"), 6).as("mkt_share"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+             |         AS o_year,
+             |       CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+             |                     THEN volq ELSE 0 END) AS DOUBLE) / 10000
+             |         AS nation_volume,
+             |       CAST(SUM(volq) AS DOUBLE) / 10000 AS total_volume,
+             |       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+             |                          THEN volq ELSE 0 END) AS DOUBLE) /
+             |             CAST(SUM(volq) AS DOUBLE), 6) AS mkt_share
+             |FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+             |             CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |               * 10000 + 0.5) AS BIGINT) AS volq
+             |      FROM lineitem) l
+             |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |             AND r_name = 'ASIA'
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |GROUP BY 1""".stripMargin)),
+
+    QueryDef(
+      "q77_tpch_small_qty",    // TPC-H Q17 shape — the canonical
+                               // CORRELATED SCALAR SUBQUERY, decorrelated:
+                               // "lineitems whose quantity is below half
+                               // the average for their part". The naive
+                               // form re-scans lineitem per part; the
+                               // scale shape is ONE restricted scan,
+                               // grouped per part, joined back — and both
+                               // the per-part aggregate and the join key
+                               // on l_partkey, so the single exchange is
+                               // reused across agg and join (no second
+                               // shuffle). The threshold compare is exact
+                               // integer algebra: qty < avg/2  ⇔
+                               // 2·q100·cnt < sum(q100), so no float
+                               // division can flip a boundary row between
+                               // engines.
+      (s, d) => {
+        val pts = t(s, d, "part").filter(col("p_brand") === "Brand#4")
+          .select("p_partkey")
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("q100"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+              .as("ep100"))
+          .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "q100", "ep100")
+        val perPart = li.groupBy("l_partkey")
+          .agg(sum(col("q100")).as("sq"), count(lit(1)).as("cnt"))
+        li.join(perPart, "l_partkey")
+          .filter(lit(2) * col("q100") * col("cnt") < col("sq"))
+          .agg((sum(col("ep100")).cast("double") / 100 / 7.0)
+            .as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_partkey,
+             |         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+             |           AS q100,
+             |         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |           AS ep100
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#4'),
+             |ag AS (SELECT l_partkey, CAST(SUM(q100) AS BIGINT) AS sq,
+             |              COUNT(*) AS cnt
+             |       FROM li GROUP BY 1)
+             |SELECT CAST(SUM(ep100) AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+             |       COUNT(*) AS n_small
+             |FROM li JOIN ag USING (l_partkey)
+             |WHERE 2 * q100 * cnt < sq""".stripMargin)),
+
+    QueryDef(
+      "q78_tpch_large_orders", // TPC-H Q18 shape — large-volume orders:
+                               // GROUP BY + HAVING as a SEMI-style
+                               // reduction feeding a join. The aggregate
+                               // runs FIRST (lineitem collapses to
+                               // per-order totals before touching orders/
+                               // customer), so the expensive fact-fact
+                               // join happens on the ~0.1% surviving
+                               // HAVING — the order every optimizer wants
+                               // and the one declared here. Top-k via
+                               // TakeOrderedAndProject (no global sort),
+                               // tie-broken on the unique order key.
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("q100"))
+          .groupBy("l_orderkey")
+          .agg(sum(col("q100")).as("sq100"))
+          .filter(col("sq100") > 300 * 100)
+        big.join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            (col("sq100").cast("double") / 100).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey,
+             |         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5)
+             |           AS BIGINT)) AS BIGINT) AS sq100
+             |  FROM lineitem GROUP BY 1
+             |  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+             |         > 30000)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             |       o_totalprice,
+             |       CAST(sq100 AS DOUBLE) / 100 AS total_qty
+             |FROM big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey ASC
+             |LIMIT 20""".stripMargin))
   )
 }

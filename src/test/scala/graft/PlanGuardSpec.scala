@@ -149,7 +149,21 @@ class PlanGuardSpec extends AnyFunSuite {
     ("d101_incremental_near_dup", 2, Nil, Nil),
     // p102: d101's probe (checkpointed index + universe) + one map-side
     // Gopher pass over the arrivals — batch-sized doc_id equi-join only
-    ("p102_ingest_gate", 4, Nil, Nil))
+    ("p102_ingest_gate", 4, Nil, Nil),
+    // q76: eight pruned scans (nation twice — it joins BOTH fact legs);
+    // the share is ONE conditional aggregate over one joined stream, so
+    // no self-join and no cartesian may ever appear. Fact-join strategy
+    // is AQE's choice (same rationale as q75)
+    ("q76_tpch_market_share", 8, Nil, Nil),
+    // q77: the decorrelated scalar subquery — the per-part average joins
+    // BACK on the same l_partkey the aggregate grouped on, so the plan
+    // must stay within the restricted scans (AQE reuses an exchange at
+    // bench scale; a count above 4 means the decorrelation regressed to
+    // re-scanning lineitem per side)
+    ("q77_tpch_small_qty", 4, Nil, Nil),
+    // q78: the HAVING reduction runs BEFORE the orders/customer joins —
+    // exactly three scans, top-k via TakeOrdered (never a global sort)
+    ("q78_tpch_large_orders", 3, Nil, Seq("TakeOrderedAndProject")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
