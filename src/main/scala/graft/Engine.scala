@@ -172,6 +172,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*BUILD\s+DEDUP\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val dropDedupIndex =
     """(?is)\s*DROP\s+DEDUP\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+  // incremental maintenance: append index rows for corpus entries the
+  // stored index does not cover yet (O(delta), models frozen — see
+  // VectorIndex.refresh / DedupIndex.refresh for the contract)
+  private val refreshVectorIndex =
+    """(?is)\s*REFRESH\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+  private val refreshDedupIndex =
+    """(?is)\s*REFRESH\s+DEDUP\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val txnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\s*;?\s*""".r
   private val verifyStmt = """(?is)\s*VERIFY\s+(\w+)\s*;?\s*""".r
@@ -355,6 +362,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             s"text; got '$tbl'")
       operators.DedupIndex.drop(spark, cmds)
       status(s"dropped dedup index on $tbl")
+    case refreshVectorIndex(tbl) =>
+      if (!tbl.equalsIgnoreCase("embeddings"))
+        throw new IllegalArgumentException(
+          s"REFRESH VECTOR INDEX: only the embeddings corpus carries " +
+            s"vectors; got '$tbl'")
+      val n = operators.VectorIndex.refresh(spark, sfDir, cmds)
+      status(s"refreshed vector index on $tbl ($n vectors appended)")
+    case refreshDedupIndex(tbl) =>
+      if (!tbl.equalsIgnoreCase("documents"))
+        throw new IllegalArgumentException(
+          s"REFRESH DEDUP INDEX: only the documents corpus carries " +
+            s"text; got '$tbl'")
+      val n = operators.DedupIndex.refresh(spark, sfDir, cmds)
+      status(s"refreshed dedup index on $tbl ($n documents appended)")
     case explainDml(dml) =>
       // the rewrite frame is BUILT but never published — EXPLAIN must not
       // mutate. One row, one `plan` column, like Spark's own EXPLAIN.

@@ -75,6 +75,51 @@ object DedupIndex {
         ()
       }
 
+  /** Incremental maintenance (`REFRESH DEDUP INDEX`): band rows for
+    * documents present in the corpus but absent from the stored index are
+    * computed and appended. Unlike the vector index there is NO model to
+    * freeze — a document's band keys are a pure deterministic function of
+    * its text — so a refreshed index is BIT-IDENTICAL to a full rebuild
+    * (the spec asserts set equality), making refresh the strictly cheaper
+    * daily-ingest path: O(delta) signature work instead of O(corpus).
+    *
+    * The delta is a LEFT ANTI join on doc_id; Catalyst pushes the anti
+    * join below the shingle/hash projection, so signatures are only
+    * computed for missing documents. Reads go through the manifest
+    * pointer (a prior DELETE may have stranded the location-pinned
+    * catalog entry); the catalog is re-pointed at the end. Returns the
+    * number of documents appended. */
+  def refresh(s: SparkSession, d: String, cmds: TableCommands): Long = {
+    require(parts.forall(p => cmds.tableExists(tableName(p))),
+      "no dedup index to refresh - run BUILD DEDUP INDEX first")
+    val meta = cmds.table(tableName("meta")).collect()
+    require(meta.length == 1 && meta(0).getString(0) == norm(d),
+      "dedup index was built for a different corpus - rebuild with " +
+        "BUILD DEDUP INDEX")
+    val stored = cmds.table(tableName("bands"))
+    // localCheckpoint, NOT persist: the delta plan reads the very band
+    // table it appends to (see VectorIndex.refresh — append-by-path
+    // recache would otherwise re-evaluate the anti join mid-write)
+    val fresh = Dedup.allBands(s, d)
+      .join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = fresh.select("doc_id").distinct().count()
+    if (n > 0) {
+      val tgt = stored.schema
+      cmds.insertInto(tableName("bands"), fresh.select(
+        tgt.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*))
+    }
+    parts.foreach { p =>
+      val nm = tableName(p)
+      s.sql(s"DROP TABLE IF EXISTS `$nm`")
+      s.sql(s"CREATE TABLE `$nm` USING parquet " +
+        s"LOCATION '${cmds.dataPath(nm)}'")
+      ()
+    }
+    n
+  }
+
   /** The stored band index for corpus dir `d`, iff complete and
     * provenance-matching. */
   def served(s: SparkSession, d: String): Option[DataFrame] =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.commands.TableCommands
 
@@ -101,6 +102,84 @@ object VectorIndex {
             s"LOCATION '${cmds.dataPath(n)}'")
         ()
       }
+
+  /** Incremental maintenance (`REFRESH VECTOR INDEX`): vectors present in
+    * the corpus but absent from the stored assignment are routed and
+    * PQ-encoded against the FROZEN stored model (coarse centroids + PQ
+    * codebook collected once — both k-bounded) and appended to the
+    * `assign`/`codes` tables. The quantizers are deliberately NOT
+    * retrained — that is the production index-maintenance contract
+    * (Lucene/FAISS growing segments): appends are O(delta) map work, model
+    * drift is what the s105 health card audits, and a drifted index is
+    * rebuilt wholesale via BUILD. Appended rows are bit-identical to what
+    * BUILD would have written for the same vectors (the
+    * `routeAndEncodeFrozen` parity the streaming ingest spec proves), so
+    * refresh-then-search ≡ build-then-search for any vector the model
+    * routes identically.
+    *
+    * The delta is found by LEFT ANTI join on vec_id — Catalyst pushes the
+    * anti join below the encode projection, so only missing vectors are
+    * ever quantized. Returns the number of vectors appended. Reads go
+    * through the manifest pointer (`cmds.table`), not the session catalog
+    * — a prior DELETE may have version-bumped the store and left the
+    * catalog entry dangling; [[repoint]] re-registers all entries at the
+    * end. */
+  def refresh(s: SparkSession, d: String, cmds: TableCommands): Long = {
+    require(parts.forall(p => cmds.tableExists(tableName(p))),
+      "no vector index to refresh - run BUILD VECTOR INDEX first")
+    val meta = cmds.table(tableName("meta")).collect()
+    require(meta.length == 1 && meta(0).getString(0) == norm(d) &&
+      meta(0).getInt(1) == pqM && meta(0).getInt(2) == pqK &&
+      meta(0).getInt(3) == pqIters,
+      "vector index was built for a different corpus or parameter set - " +
+        "rebuild with BUILD VECTOR INDEX")
+    val assign = cmds.table(tableName("assign"))
+    val missing = graft.Graft.tableParallel(s, d, "embeddings")
+      .select("vec_id", "embedding")
+      .join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+    val (cents, book) = Similarity.freezeIndex(
+      cmds.table(tableName("centroids")), cmds.table(tableName("codebook")))
+    // localCheckpoint, NOT persist: the delta plan READS the assign path
+    // it is about to append to, and Spark recaches-by-path on write — a
+    // merely cached plan would be invalidated by the first append,
+    // recompute against the now-complete table, and silently append an
+    // EMPTY codes delta. Truncating lineage to the materialized rows
+    // makes the two appends consume the same frozen delta.
+    val enc = Similarity.routeAndEncodeFrozen(missing, cents, book)
+      .localCheckpoint()
+    val n = enc.count()
+    if (n > 0) {
+      insertConformed(cmds, tableName("assign"),
+        enc.select(col("vec_id"), col("cluster")))
+      insertConformed(cmds, tableName("codes"),
+        enc.select(col("vec_id"), col("codes")))
+    }
+    repoint(s, cmds)
+    n
+  }
+
+  /** Append `rows` cast column-by-column to the stored table's exact
+    * schema — the frozen-model kernel carries wider integer types than the
+    * build artifacts, and a type-mixed parquet directory would poison
+    * every later read. */
+  private def insertConformed(cmds: TableCommands, n: String,
+      rows: DataFrame): Unit = {
+    val tgt = cmds.table(n).schema
+    cmds.insertInto(n,
+      rows.select(tgt.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*))
+  }
+
+  /** Drop + recreate the session-catalog entries against the CURRENT
+    * manifest version of every part (a DELETE/OPTIMIZE on a stored part
+    * version-bumps the manifest and strands a location-pinned entry). */
+  private def repoint(s: SparkSession, cmds: TableCommands): Unit =
+    parts.foreach { p =>
+      val n = tableName(p)
+      s.sql(s"DROP TABLE IF EXISTS `$n`")
+      s.sql(s"CREATE TABLE `$n` USING parquet " +
+        s"LOCATION '${cmds.dataPath(n)}'")
+      ()
+    }
 
   /** The stored index for corpus dir `d`, iff complete and provenance-
     * matching. The meta read is one 1-row parquet file on the driver —

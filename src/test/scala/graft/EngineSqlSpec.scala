@@ -927,4 +927,95 @@ class EngineSqlSpec extends AnyFunSuite {
       e1.close()
     }
   }
+
+  test("REFRESH DEDUP INDEX: O(delta) append == full rebuild " +
+    "bit-for-bit; idempotent; requires a build") {
+    val wh = Files.createTempDirectory("graft_didx_refresh_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    try {
+      // only the documents corpus is refreshable, and only after a build
+      intercept[IllegalArgumentException] {
+        e1.sql("REFRESH DEDUP INDEX ON lineitem")
+      }
+      intercept[IllegalArgumentException] {
+        e1.sql("REFRESH DEDUP INDEX ON documents")
+      }
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      val full = spark.table("dedup_index_documents_bands")
+        .collect().map(_.toSeq).toSet
+      // simulate a lagging index: the store predates d101's arriving
+      // slice (doc_id % 7 == 3) — exactly the state a daily ingest cycle
+      // leaves between corpus append and index maintenance
+      new commands.TableCommands(spark, wh)
+        .delete("dedup_index_documents_bands", col("doc_id") % 7 === 3)
+      val msg = e1.sql("REFRESH DEDUP INDEX ON documents")
+        .head.getString(0)
+      assert(msg.contains("documents appended") &&
+        !msg.contains("(0 documents"), s"unexpected status: $msg")
+      // bands are a pure function of the text, so refresh must equal a
+      // full rebuild EXACTLY — same rows, same types
+      val refreshed = spark.table("dedup_index_documents_bands")
+        .collect().map(_.toSeq).toSet
+      assert(refreshed == full, "refreshed index diverged from rebuild")
+      // second refresh: nothing missing, nothing appended
+      assert(e1.sql("REFRESH DEDUP INDEX ON documents").head.getString(0)
+        .contains("(0 documents appended)"))
+    } finally {
+      e1.sql("DROP DEDUP INDEX ON documents")
+      e1.close()
+    }
+  }
+
+  test("REFRESH VECTOR INDEX: frozen-model append reproduces the BUILD " +
+    "artifacts; serve path intact; idempotent; requires a build") {
+    val wh = Files.createTempDirectory("graft_vidx_refresh_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    try {
+      intercept[IllegalArgumentException] {
+        e1.sql("REFRESH VECTOR INDEX ON lineitem")
+      }
+      intercept[IllegalArgumentException] {
+        e1.sql("REFRESH VECTOR INDEX ON embeddings")
+      }
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      // normalize array columns to Lists — raw arrays compare by
+      // reference and would never set-match
+      def rows(t: String): Set[Seq[Any]] = spark.table(t).collect()
+        .map(_.toSeq.map {
+          case a: Array[_] => a.toList
+          case s: scala.collection.Seq[_] => s.toList
+          case x => x
+        }).toSet
+      val fullAssign = rows("vector_index_embeddings_assign")
+      val fullCodes = rows("vector_index_embeddings_codes")
+      // simulate vectors that arrived after the build: drop a pseudo-
+      // random 10% of the stored routing/codes rows
+      val cmds2 = new commands.TableCommands(spark, wh)
+      cmds2.delete("vector_index_embeddings_assign", col("vec_id") % 10 === 7)
+      cmds2.delete("vector_index_embeddings_codes", col("vec_id") % 10 === 7)
+      val msg = e1.sql("REFRESH VECTOR INDEX ON embeddings")
+        .head.getString(0)
+      assert(msg.contains("vectors appended") && !msg.contains("(0 vectors"),
+        s"unexpected status: $msg")
+      // routeAndEncodeFrozen is bit-identical to what BUILD writes (the
+      // streaming-ingest parity), so the refreshed store must equal the
+      // original build exactly
+      assert(rows("vector_index_embeddings_assign") == fullAssign,
+        "refreshed assign diverged from the build artifacts")
+      assert(rows("vector_index_embeddings_codes") == fullCodes,
+        "refreshed codes diverged from the build artifacts")
+      // the refreshed index still serves: zero training stages
+      val df = SparkEntry.queries("s101_ivfpq_search")(spark, d)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("vector_sum_l"),
+        s"search trains inline after refresh:\n$p")
+      assert(p.contains("vector_index_embeddings_assign"))
+      assert(e1.sql("REFRESH VECTOR INDEX ON embeddings").head.getString(0)
+        .contains("(0 vectors appended)"))
+    } finally {
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+      e1.close()
+    }
+  }
 }
