@@ -1203,7 +1203,63 @@ object Similarity {
                            // integer hit counts keep every rate
                            // engine-exact.
       (s, d) => indexHealth(s, d),
-      Some(s105OracleSql))
+      Some(s105OracleSql)),
+
+    QueryDef(
+      "s106_filtered_search", // metadata-FILTERED ANN — the feature every
+                              // production vector store exposes ("top-k
+                              // among vectors WHERE <predicate>"), here
+                              // over the IVF-PQ serving stack with an
+                              // even-label predicate standing in for the
+                              // tenant/language/license filter of a real
+                              // deployment. This is PRE-filtering: the
+                              // slim (vec_id) allow-list equi-joins into
+                              // the ROUTING table before any codes are
+                              // fetched or ADC-scored, so (a) filtered-out
+                              // vectors cost nothing downstream and (b)
+                              // every query still gets k results from the
+                              // probed clusters regardless of filter
+                              // selectivity — post-filtering the top-k
+                              // instead would return < k (recall loss),
+                              // the classic filtered-ANN failure mode.
+                              // Scale shape: s101's chain unchanged (the
+                              // allow-list join is one more vec_id
+                              // equi-join on the cluster-bounded candidate
+                              // frame); the neighbor-label decoration
+                              // joins the |queries|×k result BROADCAST
+                              // against the corpus (s103's discipline).
+                              // Serve-path aware through artifactFrames.
+      (s, d) => {
+        val (centroids, assign, codebook, codes) = artifactFrames(s, d)
+        val allowed = Graft.tableParallel(s, d, "embeddings")
+          .filter(col("label") % 2 === 0)
+          .select(col("vec_id"), col("label"))
+        val assignF = assign
+          .join(allowed.select("vec_id"), "vec_id")
+          .select(col("vec_id"), col("cluster"))
+        val top = ivfpqSearchOn(s, d, centroids, assignF, codebook, codes,
+          k = 3)
+        broadcast(top)
+          .join(allowed.select(col("vec_id").as("neighbor_id"),
+            col("label")), "neighbor_id")
+          .select(col("q_id"), col("neighbor_id"),
+            round(col("adq").cast("double") / 1e12, 6).as("approx_sq"),
+            col("label"))
+      },
+      Some(s"""WITH $ivfpqCtes,
+              |lab AS (SELECT vec_id, label FROM embeddings
+              |        WHERE label % 2 = 0),
+              |fadc AS (
+              |  SELECT a.q_id, a.vec_id, a.adq, l.label
+              |  FROM adc a JOIN lab l ON l.vec_id = a.vec_id)
+              |SELECT q_id, neighbor_id, approx_sq, label FROM (
+              |  SELECT q_id, vec_id AS neighbor_id,
+              |         ROUND(CAST(adq AS DOUBLE) / 1e12, 6) AS approx_sq,
+              |         label,
+              |         ROW_NUMBER() OVER (PARTITION BY q_id
+              |                            ORDER BY adq, vec_id) AS rnk
+              |  FROM fadc)
+              |WHERE rnk <= 3""".stripMargin))
   )
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the

@@ -318,6 +318,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 6, s"planted-neighbor recall $hits/10 below floor")
   }
 
+  test("s106 filtered search: every neighbor satisfies the predicate; " +
+    "pre-filtering keeps k where post-filtering the top-k loses results") {
+    val rows = run("s106_filtered_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.length == 30, "10 queries x top-3")
+    rows.foreach(r => assert(r._4 % 2 == 0,
+      s"neighbor ${r._2} violates the even-label predicate"))
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.length == 3, s"query $q returned ${g.length} != k results")
+    }
+    // containment: an even-label neighbor ranked into the UNFILTERED
+    // top-3 (s101) can only rank better once odd-label candidates are
+    // removed, so it must appear in s106's answer
+    val labels = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s101 = run("s101_ivfpq_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    s101.filter(t => labels(t._2) % 2 == 0).foreach { case (q, n) =>
+      assert(byQ(q).contains(n),
+        s"query $q: even-label neighbor $n from the unfiltered top-3 " +
+          "missing from the filtered answer")
+    }
+    // and the failure mode the operator exists to avoid is REAL on this
+    // fixture: post-filtering the unfiltered top-3 returns < k somewhere
+    assert(s101.groupBy(_._1).exists { case (_, g) =>
+      g.count(t => labels(t._2) % 2 == 0) < 3
+    }, "fixture produced no post-filter loss; predicate too weak to test")
+  }
+
   test("p101 embedding prep: one artifact row per vector, reconciles with d92 and s99") {
     val rows = run("p101_embedding_prep").collect()
       .map(r => (r.getLong(0), (r.getAs[Number](1).longValue, r.getBoolean(2),

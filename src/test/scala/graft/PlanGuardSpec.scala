@@ -163,7 +163,11 @@ class PlanGuardSpec extends AnyFunSuite {
     ("q77_tpch_small_qty", 4, Nil, Nil),
     // q78: the HAVING reduction runs BEFORE the orders/customer joins —
     // exactly three scans, top-k via TakeOrdered (never a global sort)
-    ("q78_tpch_large_orders", 3, Nil, Seq("TakeOrderedAndProject")))
+    ("q78_tpch_large_orders", 3, Nil, Seq("TakeOrderedAndProject")),
+    // s106: s101's chain + the slim allow-list equi-join on the candidate
+    // frame + the broadcast result-decoration join — candidate generation
+    // must stay broadcast/cluster-bounded exactly like s101
+    ("s106_filtered_search", 7, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -231,7 +235,8 @@ class PlanGuardSpec extends AnyFunSuite {
         ("s102_index_recall", "vector_index_embeddings_codes"),
         ("s103_ann_rerank", "vector_index_embeddings_codes"),
         ("s104_delta_search", "vector_index_embeddings_assign"),
-        ("s105_index_health", "vector_index_embeddings_assign")
+        ("s105_index_health", "vector_index_embeddings_assign"),
+        ("s106_filtered_search", "vector_index_embeddings_assign")
       ).foreach { case (name, mustRead) =>
         val df = SparkEntry.queries(name)(spark, d)
         df.queryExecution.toRdd.foreach(_ => ())
