@@ -2186,6 +2186,111 @@ object TextAnalysis {
              |             AS DOUBLE) / COUNT(*), 6) AS code_rate,
              |       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT)
              |         AS dup_surplus
-             |FROM v GROUP BY source""".stripMargin))
+             |FROM v GROUP BY source""".stripMargin)),
+
+    QueryDef(
+      "t102_perplexity_buckets", // CCNet-style perplexity bucketing: each
+                                 // document lands in the head / middle /
+                                 // tail THIRD of its own LANGUAGE's
+                                 // surprisal distribution (Wenzek et al.,
+                                 // CCNet — the split used to stratify
+                                 // Common Crawl by LM quality before
+                                 // sampling). Composes t82's unigram
+                                 // surprisal with per-language tercile
+                                 // edges computed DISTRIBUTED: the edges
+                                 // come from a (lang, surprisal) VALUE
+                                 // HISTOGRAM — one partial-agg exchange —
+                                 // with a running count per language and
+                                 // the edge as MIN(value | 3·cum ≥ k·n),
+                                 // all exact integer comparisons (no
+                                 // float division can flip a boundary
+                                 // doc). The per-lang window runs over
+                                 // the HISTOGRAM (distinct 6-dp surprisal
+                                 // values), never documents — the q72
+                                 // lesson applied: a per-doc NTILE would
+                                 // funnel each language through one task;
+                                 // the value grid is bounded (~10⁷ rows
+                                 // per language worst case) regardless of
+                                 // corpus size. Edges (|langs| rows)
+                                 // broadcast back; bucketing is by VALUE,
+                                 // so equal-surprisal docs share a bucket
+                                 // deterministically in both engines.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+        val terms = docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("total"))
+        val vocabLq = vocab.crossJoin(broadcast(total))
+          .select(col("term"),
+            round(log(col("cnt").cast("double") / col("total")) * 1000000)
+              .cast("long").as("lq"))
+        val surp = terms.join(broadcast(vocabLq), "term")
+          .groupBy("doc_id")
+          .agg(round(-(sum(col("lq")).cast("double") /
+            (count(lit(1)) * 1000000)), 6).as("surprisal"))
+        val sl = surp.join(docs.select("doc_id", "lang"), "doc_id")
+        val hist = sl.groupBy("lang", "surprisal")
+          .agg(count(lit(1)).as("c"))
+        val wcum = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("surprisal")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+        val nl = sl.groupBy("lang").agg(count(lit(1)).as("n"))
+        val edges = cum.join(broadcast(nl), "lang")
+          .groupBy("lang")
+          .agg(min(when(col("cum") * 3 >= col("n"), col("surprisal")))
+            .as("e1"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("surprisal")))
+              .as("e2"))
+        sl.join(broadcast(edges), "lang")
+          .select(col("doc_id"), col("lang"), col("surprisal"),
+            when(col("surprisal") <= col("e1"), "head")
+              .when(col("surprisal") <= col("e2"), "middle")
+              .otherwise("tail").as("bucket"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           regexp_split_to_array(trim(lower(text)), '\s+'),
+             |           x -> x != '')) AS term
+             |  FROM documents),
+             |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+             |          FROM terms GROUP BY term),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+             |surp AS (
+             |  SELECT doc_id,
+             |         ROUND(-(CAST(SUM(lq) AS DOUBLE) /
+             |                 (COUNT(*) * 1000000)), 6) AS surprisal
+             |  FROM (SELECT t.doc_id,
+             |          CAST(ROUND(LN(CAST(v.cnt AS DOUBLE) / tot.total)
+             |               * 1000000) AS BIGINT) AS lq
+             |        FROM terms t JOIN vocab v ON t.term = v.term
+             |        CROSS JOIN tot)
+             |  GROUP BY doc_id),
+             |sl AS (SELECT s.doc_id, d.lang, s.surprisal
+             |       FROM surp s JOIN documents d USING (doc_id)),
+             |hist AS (SELECT lang, surprisal, CAST(COUNT(*) AS BIGINT) AS c
+             |         FROM sl GROUP BY 1, 2),
+             |cum AS (SELECT lang, surprisal,
+             |               SUM(c) OVER (PARTITION BY lang
+             |                 ORDER BY surprisal
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING
+             |                 AND CURRENT ROW) AS cum
+             |        FROM hist),
+             |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM sl GROUP BY 1),
+             |edges AS (
+             |  SELECT c.lang,
+             |         MIN(CASE WHEN c.cum * 3 >= n.n
+             |                  THEN c.surprisal END) AS e1,
+             |         MIN(CASE WHEN c.cum * 3 >= n.n * 2
+             |                  THEN c.surprisal END) AS e2
+             |  FROM cum c JOIN nl n USING (lang) GROUP BY c.lang)
+             |SELECT sl.doc_id, sl.lang, sl.surprisal,
+             |       CASE WHEN sl.surprisal <= e.e1 THEN 'head'
+             |            WHEN sl.surprisal <= e.e2 THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM sl JOIN edges e USING (lang)""".stripMargin))
   )
 }

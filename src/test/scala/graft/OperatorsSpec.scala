@@ -1751,4 +1751,38 @@ class OperatorsSpec extends AnyFunSuite {
         s"$src: dup_surplus drifted from the exact-dup layer")
     }
   }
+
+  test("t102 perplexity buckets: independent reimplementation of the " +
+      "tercile rule agrees; buckets are value-monotone and total") {
+    val rows = run("t102_perplexity_buckets").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    // totality: one bucket per doc that t82 scores (docs with >= 1 token)
+    assert(rows.length == run("t82_surprisal").count(),
+      "bucketed docs != surprisal-scored docs")
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val n = g.length
+      // independent edge computation from the result's own values:
+      // smallest value whose <=-count reaches a third / two thirds
+      val values = g.map(_._3).sorted.distinct
+      def edge(k: Int): Double =
+        values.find(v => g.count(_._3 <= v) * 3 >= k * n).get
+      val (e1, e2) = (edge(1), edge(2))
+      g.foreach { case (id, _, sp, b) =>
+        val expect = if (sp <= e1) "head"
+          else if (sp <= e2) "middle" else "tail"
+        assert(b == expect,
+          s"doc $id ($lang, surprisal $sp): bucket $b != $expect")
+      }
+      // value-monotone: every head value <= every middle <= every tail
+      def vs(b: String) = g.filter(_._4 == b).map(_._3)
+      for (h <- vs("head"); m <- vs("middle")) assert(h <= m)
+      for (m <- vs("middle"); t <- vs("tail")) assert(m < t || m == t)
+      // near-balance on a tie-free fixture: each bucket within one of n/3
+      if (values.length == n)
+        Seq("head", "middle", "tail").foreach(b =>
+          assert(math.abs(vs(b).length - n / 3) <= 2,
+            s"$lang/$b count ${vs(b).length} far from ${n / 3}"))
+    }
+  }
 }

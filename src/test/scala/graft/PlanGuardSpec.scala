@@ -167,7 +167,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // s106: s101's chain + the slim allow-list equi-join on the candidate
     // frame + the broadcast result-decoration join — candidate generation
     // must stay broadcast/cluster-bounded exactly like s101
-    ("s106_filtered_search", 7, Seq("SortMergeJoin"), Nil))
+    ("s106_filtered_search", 7, Seq("SortMergeJoin"), Nil),
+    // t102: t82's scoring chain + the tercile-edge histogram — the edge
+    // window must run over the (lang, surprisal) HISTOGRAM, partitioned
+    // by lang (q72's funnel lesson); the vocab and edge frames broadcast.
+    // Three scans: terms, the lang projection, and the reused-terms leg
+    // AQE keeps for the vocab side
+    ("t102_perplexity_buckets", 3, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
