@@ -2291,6 +2291,85 @@ object TextAnalysis {
              |       CASE WHEN sl.surprisal <= e.e1 THEN 'head'
              |            WHEN sl.surprisal <= e.e2 THEN 'middle'
              |            ELSE 'tail' END AS bucket
-             |FROM sl JOIN edges e USING (lang)""".stripMargin))
+             |FROM sl JOIN edges e USING (lang)""".stripMargin)),
+
+    QueryDef(
+      "t103_token_fertility", // tokenizer FERTILITY by language — the
+                              // multilingual-equity metric every tokenizer
+                              // report publishes (tokens per word, and
+                              // symbols per char as compression): a
+                              // tokenizer trained on skewed data splits
+                              // under-represented languages into more
+                              // pieces, inflating their training cost and
+                              // shrinking their effective context window.
+                              // Applies t93's learned merge table (the
+                              // t94 kernel — three 1-row broadcasts,
+                              // replace-chain in merge order = greedy
+                              // BPE) and aggregates per LANGUAGE instead
+                              // of per document. Scale shape: scan + map
+                              // against the broadcast merges, then one
+                              // |langs|-bounded partial-agg exchange;
+                              // integer sums make every ratio
+                              // engine-exact. NULL ratios for a language
+                              // with zero alpha words (the shared
+                              // NULL-on-zero rule).
+      (s, d) => {
+        val (t1, t2, t3) = bpeMergeTables(s, d)
+        val docs = t(s, d, "documents")
+          .select(col("lang"), regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
+        docs
+          .crossJoin(broadcast(t1.select(col("pr").as("p1"))))
+          .crossJoin(broadcast(t2.select(col("pr").as("p2"))))
+          .crossJoin(broadcast(t3.select(col("pr").as("p3"))))
+          .select(col("lang"),
+            size(col("ws")).cast("long").as("nw"),
+            aggregate(col("ws"), lit(0L),
+              (a, w) => a + length(w).cast("long")).as("nc"),
+            aggregate(transform(col("ws"), w =>
+              replace(replace(replace(w, col("p1"), lit("0")),
+                col("p2"), lit("1")), col("p3"), lit("2"))),
+              lit(0L), (a, w) => a + length(w).cast("long")).as("ns"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("ns")).as("n_tokens"),
+            round(when(sum(col("nw")) === 0, lit(null))
+              .otherwise(sum(col("ns")).cast("double") /
+                sum(col("nw")).cast("double")), 6).as("fertility"),
+            round(when(sum(col("nc")) === 0, lit(null))
+              .otherwise(sum(col("ns")).cast("double") /
+                sum(col("nc")).cast("double")), 6).as("compression"))
+      },
+      Some(s"""WITH $bpeCtes,
+             |docs AS (
+             |  SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |app AS (
+             |  SELECT lang, CAST(len(ws) AS BIGINT) AS nw,
+             |         COALESCE(CAST(list_sum(list_transform(ws,
+             |             w -> length(w))) AS BIGINT), 0) AS nc,
+             |         COALESCE(CAST(list_sum(list_transform(ws,
+             |             w -> length(replace(replace(replace(w,
+             |                    p1, '0'), p2, '1'), p3, '2'))))
+             |           AS BIGINT), 0) AS ns
+             |  FROM docs
+             |  CROSS JOIN (SELECT pr AS p1 FROM t1)
+             |  CROSS JOIN (SELECT pr AS p2 FROM t2)
+             |  CROSS JOIN (SELECT pr AS p3 FROM t3))
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(nw) AS BIGINT) AS n_words,
+             |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+             |       CAST(SUM(ns) AS BIGINT) AS n_tokens,
+             |       CASE WHEN SUM(nw) = 0 THEN NULL
+             |            ELSE ROUND(CAST(SUM(ns) AS DOUBLE) /
+             |                       CAST(SUM(nw) AS DOUBLE), 6) END
+             |         AS fertility,
+             |       CASE WHEN SUM(nc) = 0 THEN NULL
+             |            ELSE ROUND(CAST(SUM(ns) AS DOUBLE) /
+             |                       CAST(SUM(nc) AS DOUBLE), 6) END
+             |         AS compression
+             |FROM app GROUP BY lang""".stripMargin))
   )
 }

@@ -1752,6 +1752,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t103 fertility reconciles with t94's per-doc accounting; " +
+      "ratios are exact and bounded") {
+    val card = run("t103_token_fertility").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val langOf = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t94 = run("t94_bpe_apply").collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    assert(card.keySet == t94.map(_._1).toSet, "one row per language")
+    t94.groupBy(_._1).foreach { case (lang, g) =>
+      val r = card(lang)
+      assert(r.getLong(r.fieldIndex("n_docs")) == g.length)
+      assert(r.getLong(r.fieldIndex("n_chars")) == g.map(_._2).sum,
+        s"$lang: n_chars drifted from t94")
+      assert(r.getLong(r.fieldIndex("n_tokens")) == g.map(_._3).sum,
+        s"$lang: n_tokens drifted from t94")
+      val f = r.getDouble(r.fieldIndex("fertility"))
+      val nw = r.getLong(r.fieldIndex("n_words"))
+      assert(f == BigDecimal(g.map(_._3).sum.toDouble / nw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$lang: fertility != n_tokens / n_words")
+      // merges only shrink words, and every word keeps >= 1 symbol
+      assert(f >= 1.0 && f <= g.map(_._2).sum.toDouble / nw + 1e-9,
+        s"$lang: fertility $f outside [1, mean word length]")
+    }
+  }
+
   test("t102 perplexity buckets: independent reimplementation of the " +
       "tercile rule agrees; buckets are value-monotone and total") {
     val rows = run("t102_perplexity_buckets").collect()

@@ -174,7 +174,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // Three scans: terms, the lang projection, and the reused-terms leg
     // AQE keeps for the vocab side
     ("t102_perplexity_buckets", 3, Seq("SortMergeJoin"),
-      Seq("BroadcastHashJoin")))
+      Seq("BroadcastHashJoin")),
+    // t103: t94's apply shape — the merge-table chain (3 reused word-
+    // frequency rounds) + ONE lang-projected corpus scan; everything
+    // after the broadcasts is one |langs|-bounded partial agg
+    ("t103_token_fertility", 4, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
