@@ -1828,6 +1828,97 @@ object Relational {
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey ASC
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q79_tpch_sleepers",     // TPC-H Q22 shape — dormant high-balance
+                               // accounts: customers with an above-
+                               // average positive balance and NO order in
+                               // the most recent window (the synthetic
+                               // keys are dense, so Q22's literal
+                               // "never ordered" set is empty — the
+                               // recency filter keeps the anti-join
+                               // non-vacuous while preserving the shape),
+                               // grouped by nation. Two classic patterns
+                               // in one plan: a SCALAR subquery threshold
+                               // (the positive-balance average, one
+                               // broadcast row) and NOT EXISTS as a
+                               // LEFT ANTI join against the fact table.
+                               // The threshold compare is exact integer
+                               // algebra — bal > avg ⇔ bal·n > sum over
+                               // quantized longs — so no engine rounds a
+                               // boundary customer differently. The anti
+                               // join shuffles both sides on custkey at
+                               // real scale (correct: orders is fact-
+                               // sized); AQE promotes at bench scale.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bq"))
+        val thr = cust.filter(col("bq") > 0)
+          .agg(sum(col("bq")).as("s"), count(lit(1)).as("n"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("bq") * col("n") > col("s"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= "2000-01-01")
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            (sum(col("bq")).cast("double") / 100).as("totacctbal"))
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, c_nationkey,
+             |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bq
+             |  FROM customer),
+             |thr AS (SELECT CAST(SUM(bq) AS BIGINT) AS s,
+             |               COUNT(*) AS n
+             |        FROM cust WHERE bq > 0)
+             |SELECT c_nationkey, COUNT(*) AS numcust,
+             |       CAST(SUM(bq) AS DOUBLE) / 100 AS totacctbal
+             |FROM cust CROSS JOIN thr
+             |WHERE bq * n > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_nationkey""".stripMargin)),
+
+    QueryDef(
+      "q80_tpch_supplier_variety", // TPC-H Q16 shape — supplier variety
+                               // per part attribute: how many DISTINCT
+                               // suppliers ship each (brand, type, size)
+                               // combination, excluding a blocked supplier
+                               // set (the NOT IN subquery). The
+                               // part-supplier association collapses FIRST
+                               // (distinct pairs out of lineitem — the
+                               // only corpus-sized exchange), the blocked
+                               // set anti-joins broadcast, and part prunes
+                               // via a broadcast join before the distinct
+                               // count. COUNT(DISTINCT) over the already-
+                               // distinct pair stream costs one exchange
+                               // on the group key, not an Expand.
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val blocked = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val pts = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO")
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        ps.join(broadcast(blocked),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(pts, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+             |         AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3""".stripMargin))
   )
 }

@@ -178,7 +178,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // t103: t94's apply shape — the merge-table chain (3 reused word-
     // frequency rounds) + ONE lang-projected corpus scan; everything
     // after the broadcasts is one |langs|-bounded partial agg
-    ("t103_token_fertility", 4, Seq("SortMergeJoin"), Nil))
+    ("t103_token_fertility", 4, Seq("SortMergeJoin"), Nil),
+    // q79: the scalar threshold is a 1-row broadcast (the BNLJ is that
+    // bounded frame, never data×data); dormancy is a LEFT ANTI equi-join
+    ("q79_tpch_sleepers", 3, Nil, Nil),
+    // q80: the (part, supplier) association collapses to distinct pairs
+    // FIRST; blocked suppliers anti-join broadcast; no Expand — the
+    // distinct count rides the already-distinct pair stream
+    ("q80_tpch_supplier_variety", 3, Seq("Expand"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
