@@ -380,6 +380,53 @@ object TextAnalysis {
 
   /** Oracle CTE chain mirroring [[bpeMergeTables]] (declared before `defs`:
     * object init is textual order). */
+  /** t82/t102's unigram model artifact: (term, lq) with lq = the corpus
+    * unigram log-probability in integer micro-nats — vocabulary-bounded,
+    * broadcast at every consumer, and the frame the streaming bucketer
+    * freezes. */
+  private[graft] def unigramLq(s: SparkSession, d: String): DataFrame = {
+    val terms = Graft.tableParallel(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("cnt").cast("double") / col("total")) * 1000000)
+          .cast("long").as("lq"))
+  }
+
+  /** t102's two frames: `sl` = (doc_id, lang, surprisal) for every doc
+    * with ≥ 1 token, and `edges` = (lang, e1, e2) — the per-language
+    * tercile cut values from the grid-bounded value histogram (see the
+    * t102 QueryDef doc for the scale argument). Shared with the streaming
+    * twin's freeze step so stream and batch cannot drift. */
+  private[graft] def perplexityParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Graft.tableParallel(s, d, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val surp = terms.join(broadcast(unigramLq(s, d)), "term")
+      .groupBy("doc_id")
+      .agg(round(-(sum(col("lq")).cast("double") /
+        (count(lit(1)) * 1000000)), 6).as("surprisal"))
+    val sl = surp.join(docs.select("doc_id", "lang"), "doc_id")
+    val hist = sl.groupBy("lang", "surprisal")
+      .agg(count(lit(1)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("surprisal")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+    val nl = sl.groupBy("lang").agg(count(lit(1)).as("n"))
+    val edges = cum.join(broadcast(nl), "lang")
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("n"), col("surprisal")))
+        .as("e1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("surprisal")))
+          .as("e2"))
+    (sl, edges)
+  }
+
   private val bpeCtes =
     """words AS (
       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -2216,34 +2263,7 @@ object TextAnalysis {
                                  // so equal-surprisal docs share a bucket
                                  // deterministically in both engines.
       (s, d) => {
-        val docs = Graft.tableParallel(s, d, "documents")
-        val terms = docs.select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
-        val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-        val total = vocab.agg(sum(col("cnt")).as("total"))
-        val vocabLq = vocab.crossJoin(broadcast(total))
-          .select(col("term"),
-            round(log(col("cnt").cast("double") / col("total")) * 1000000)
-              .cast("long").as("lq"))
-        val surp = terms.join(broadcast(vocabLq), "term")
-          .groupBy("doc_id")
-          .agg(round(-(sum(col("lq")).cast("double") /
-            (count(lit(1)) * 1000000)), 6).as("surprisal"))
-        val sl = surp.join(docs.select("doc_id", "lang"), "doc_id")
-        val hist = sl.groupBy("lang", "surprisal")
-          .agg(count(lit(1)).as("c"))
-        val wcum = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("surprisal")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
-        val nl = sl.groupBy("lang").agg(count(lit(1)).as("n"))
-        val edges = cum.join(broadcast(nl), "lang")
-          .groupBy("lang")
-          .agg(min(when(col("cum") * 3 >= col("n"), col("surprisal")))
-            .as("e1"),
-            min(when(col("cum") * 3 >= col("n") * 2, col("surprisal")))
-              .as("e2"))
+        val (sl, edges) = perplexityParts(s, d)
         sl.join(broadcast(edges), "lang")
           .select(col("doc_id"), col("lang"), col("surprisal"),
             when(col("surprisal") <= col("e1"), "head")

@@ -384,6 +384,57 @@ object DocStreams {
   def nearDupCheck(docs: DataFrame, histBands: DataFrame): DataFrame =
     graft.operators.Dedup.nearDupCheckAgainst(docs, histBands)
 
+  case class DocBucket(doc_id: Long, lang: String, n_tokens: Long,
+      surprisal: Option[Double], bucket: Option[String], n_oov: Long)
+
+  /** Streaming perplexity bucketing — the live twin of batch
+    * `t102_perplexity_buckets` in the CCNet deployment shape: the unigram
+    * model (term → micro-nat log-prob, `TextAnalysis.unigramLq`) and the
+    * per-language tercile edges (the `perplexityParts` artifact) both
+    * FREEZE at stream start — edges are a corpus-distribution property, so
+    * they are necessarily a batch artifact; the stream's job is to route
+    * each arriving document against them, exactly as CCNet buckets new
+    * crawl snapshots against the previous snapshot's LM cutoffs. Fully
+    * stateless: O(1) model lookups per token, no join/agg state at any
+    * stream length. Scoring math is bit-identical to t82/t102 (integer
+    * micro-nat sums, one float division on identical operands, HALF_UP to
+    * 6 dp); tokens outside the frozen vocabulary take `oovLqMicro` (a
+    * pessimistic floor — unseen content reads as HIGH surprisal and lands
+    * in the tail for quarantine, never silently in the head) and are
+    * counted so vocabulary drift is visible. Token-free docs score NULL
+    * (the batch side emits no row for them); a language with no frozen
+    * edges buckets NULL rather than guessing. */
+  def perplexityBucket(docs: DataFrame, lq: Map[String, Long],
+      edges: Map[String, (Double, Double)],
+      oovLqMicro: Long = -20000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcL = spark.sparkContext.broadcast(lq)
+    val bcE = spark.sparkContext.broadcast(edges)
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val model = bcL.value; val e = bcE.value
+        it.map { case (id, lang, text) =>
+          val toks = Option(text).getOrElse("")
+            .trim.toLowerCase(java.util.Locale.ROOT)
+            .split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          var sum = 0L; var oov = 0L
+          toks.foreach { w =>
+            sum += model.getOrElse(w, { oov += 1; oovLqMicro })
+          }
+          val sp =
+            if (toks.isEmpty) None
+            else Some(java.math.BigDecimal
+              .valueOf(-(sum.toDouble / (toks.length * 1000000L)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          val bucket = for (s <- sp; (e1, e2) <- e.get(lang)) yield
+            if (s <= e1) "head" else if (s <= e2) "middle" else "tail"
+          DocBucket(id, lang, toks.length.toLong, sp, bucket, oov)
+        }
+      }.toDF()
+  }
+
   def runningScorecard(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.scorecardSignals(docs)
       .groupBy("source")

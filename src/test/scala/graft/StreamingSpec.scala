@@ -459,6 +459,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny(1) == ((2L, 0L, 0L, None)), "alpha-free doc must be NULL")
   }
 
+  test("perplexityBucket: streamed docs bucket bit-identical to batch " +
+      "t102 under the frozen LM + edges; OOV reads as tail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // freeze the two batch artifacts: the unigram micro-nat table and the
+    // per-language tercile edges
+    val lq = operators.TextAnalysis.unigramLq(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = operators.TextAnalysis
+      .perplexityParts(spark, TestSpark.sfDir)._2
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val rows = docs.as[(Long, String, String)].collect()
+    val src = MemoryStream[(Long, String, String)]
+    val q = streaming.DocStreams.perplexityBucket(
+        src.toDF().toDF("doc_id", "lang", "text"), lq, edges)
+      .writeStream.format("memory").queryName("ppl")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(20).toSeq); q.processAllAvailable()
+      src.addData(rows.drop(20).toSeq); q.processAllAvailable()
+      val out = spark.table("ppl").collect()
+        .map(r => (r.getLong(0), (r.getString(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4)),
+          r.getLong(5)))).toMap
+      assert(out.size == rows.length)
+      // the LM is self-trained on this corpus: zero OOV on a replay
+      assert(out.values.forall(_._4 == 0L), "no OOV against the corpus")
+      val batch = SparkEntry.queries("t102_perplexity_buckets")(
+          spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+      assert(batch.keySet.subsetOf(out.keySet))
+      batch.foreach { case (id, (lang, sp, b)) =>
+        val (sl, ssp, sb, _) = out(id)
+        assert((sl, ssp, sb) == ((lang, Some(sp), Some(b))),
+          s"doc $id diverged from t102: ($sl, $ssp, $sb) != " +
+            s"($lang, $sp, $b)")
+      }
+      // batch drops token-free docs; the stream surfaces them with NULLs
+      assert(out.keySet.diff(batch.keySet)
+        .forall(id => out(id)._2.isEmpty && out(id)._3.isEmpty))
+    } finally { q.stop(); () }
+    // OOV floor: unseen words read as maximal surprisal -> tail
+    val tiny = streaming.DocStreams.perplexityBucket(
+      Seq((1L, "xx", "zz qq")).toDF("doc_id", "lang", "text"),
+      Map("aa" -> -100L), Map("xx" -> ((1.0, 2.0)))).collect().head
+    assert(tiny.getLong(5) == 2, "both words OOV")
+    assert(tiny.getString(4) == "tail", "OOV must quarantine to tail")
+  }
+
   test("nbClassify: streamed docs classify bit-identical to batch t100 " +
       "under the frozen model; zero-token docs score on priors") {
     import spark.implicits._
