@@ -1182,9 +1182,21 @@ object Dedup {
   /** Per-occurrence 31-bit shingle hashes of [[corpusNear]] (the shared
     * input of the signature, band, and exact-jaccard computations). */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    corpusNear(s, d)
+    shingleHashesOf(corpusNear(s, d))
+
+  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
       .select(col("doc_id"), (hash60(col("s0")) % P31).as("h"))
+
+  /** Band rows for an explicit (doc_id, text) corpus frame — the
+    * signature pipeline parameterized over its input so incremental
+    * maintenance ([[DedupIndex.refresh]]) can restrict to the DELTA
+    * before any shingle/hash work happens, instead of hashing the corpus
+    * and discarding 99% at an anti join after the fact. */
+  private[graft] def bandsForCorpus(docs: DataFrame): DataFrame =
+    bandsOf(shingleHashesOf(docs)
+      .groupBy("doc_id").agg(laneMinCols.head, laneMinCols.tail: _*))
 
   /** Single-pass MinHash signature: all 12 per-lane MINs in one groupBy
     * (map-side partial aggregation collapses each partition to one row

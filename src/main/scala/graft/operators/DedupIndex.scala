@@ -97,11 +97,17 @@ object DedupIndex {
       "dedup index was built for a different corpus - rebuild with " +
         "BUILD DEDUP INDEX")
     val stored = cmds.table(tableName("bands"))
+    // the anti join restricts the raw (doc_id, text) corpus BEFORE the
+    // shingle/hash/min-lane pipeline runs — signatures are computed for
+    // the delta only (O(delta) hash work; measured at x100: the
+    // post-pipeline anti-join formulation re-hashed the whole corpus).
     // localCheckpoint, NOT persist: the delta plan reads the very band
     // table it appends to (see VectorIndex.refresh — append-by-path
     // recache would otherwise re-evaluate the anti join mid-write)
-    val fresh = Dedup.allBands(s, d)
-      .join(stored.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val fresh = Dedup.bandsForCorpus(
+      Dedup.corpusNear(s, d)
+        .join(stored.select("doc_id").distinct(), Seq("doc_id"),
+          "left_anti"))
       .localCheckpoint()
     val n = fresh.select("doc_id").distinct().count()
     if (n > 0) {
