@@ -1888,24 +1888,31 @@ object Relational {
                                // per part attribute: how many DISTINCT
                                // suppliers ship each (brand, type, size)
                                // combination, excluding a blocked supplier
-                               // set (the NOT IN subquery). The
-                               // part-supplier association collapses FIRST
-                               // (distinct pairs out of lineitem — the
-                               // only corpus-sized exchange), the blocked
-                               // set anti-joins broadcast, and part prunes
-                               // via a broadcast join before the distinct
-                               // count. COUNT(DISTINCT) over the already-
-                               // distinct pair stream costs one exchange
-                               // on the group key, not an Expand.
+                               // set (the NOT IN subquery). The blocked
+                               // set anti-joins broadcast and part prunes
+                               // via a broadcast join — both map-side —
+                               // and the single distinct aggregate's own
+                               // PARTIAL (group key + suppkey) collapses
+                               // duplicate pairs before the only corpus-
+                               // sized exchange. Deliberately no separate
+                               // `.distinct()` first: COUNT(DISTINCT)
+                               // already dedups map-side, and a
+                               // pre-distinct adds a THIRD full shuffle
+                               // of the pair stream for nothing (3 → 2
+                               // exchanges; at sf0.1 the win is modest —
+                               // the string-keyed hash agg dominates —
+                               // but at 100 TB the saved exchange is a
+                               // full pair-stream shuffle); a single
+                               // distinct agg also never Expands.
       (s, d) => {
-        val ps = t(s, d, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
         val blocked = t(s, d, "supplier")
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
         val pts = t(s, d, "part")
           .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO")
           .select("p_partkey", "p_brand", "p_type", "p_size")
-        ps.join(broadcast(blocked),
+        t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(blocked),
             col("l_suppkey") === col("s_suppkey"), "left_anti")
           .join(pts, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
