@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Graft
@@ -897,6 +898,82 @@ object Multimodal {
              |  WHERE rn = 1)
              |SELECT r.frame_hash, r.n_docs, r.n_occurrences,
              |       f.first_doc, f.first_frame
-             |FROM rep r JOIN firsts f USING (frame_hash)""".stripMargin))
+             |FROM rep r JOIN firsts f USING (frame_hash)""".stripMargin)),
+
+    QueryDef(
+      "m105_scene_cuts",  // video SCENE SEGMENTATION over the m104 frame
+                          // stream — the shot-boundary pass every video
+                          // curation pipeline runs before sampling
+                          // keyframes or captioning (one representative
+                          // per SCENE beats every-Nth-frame sampling:
+                          // static shots collapse, fast cuts keep their
+                          // variety). Frame "energy" is the exact integer
+                          // char-code sum of the 16-char window (the
+                          // text-as-video stand-in the m104 fixture
+                          // established); a cut is an energy jump > 150
+                          // between CONSECUTIVE frames, and scenes are
+                          // the q61 gaps-and-islands idiom: cut flags →
+                          // running sum → scene index. Scale shape: one
+                          // map-side frame explode, ONE doc-partitioned
+                          // window pass (both the lag delta and the
+                          // running sum share the same partition+order
+                          // spec — one Window operator, no second
+                          // exchange), then a (doc, scene) groupBy that
+                          // partial-aggregates map-side. Integer energy
+                          // keeps every boundary and average engine-exact.
+      (s, d) => {
+        val frameSize = 16
+        val frames = Graft.table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(when(length(col("text")) > 0,
+              sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
+              .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"),
+            col("text"))
+          .select(col("doc_id"), col("frame_idx"),
+            aggregate(split(expr(
+              s"substring(text, frame_idx * $frameSize + 1, $frameSize)"),
+              ""), lit(0L), (a, c) => a + ascii(c)).as("energy"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+        val cut = when(abs(col("energy") -
+          lag(col("energy"), 1).over(byDoc)) > 150, 1).otherwise(0)
+        frames
+          .withColumn("scene_idx", sum(cut).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "scene_idx")
+          .agg(min(col("frame_idx")).as("start_frame"),
+            max(col("frame_idx")).as("end_frame"),
+            count(lit(1)).as("n_frames"),
+            round(sum(col("energy")).cast("double") / count(lit(1)), 6)
+              .as("avg_energy"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, frame_idx,
+             |         CAST(list_sum(list_transform(regexp_split_to_array(
+             |           substr(text, frame_idx * 16 + 1, 16), ''),
+             |           c -> ord(c))) AS BIGINT) AS energy
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(0, ((LENGTH(text) - 1) // 16) + 1))
+             |            AS frame_idx
+             |        FROM documents WHERE LENGTH(text) > 0)),
+             |cuts AS (
+             |  SELECT doc_id, frame_idx, energy,
+             |         CASE WHEN ABS(energy - LAG(energy) OVER (
+             |                PARTITION BY doc_id ORDER BY frame_idx)) > 150
+             |              THEN 1 ELSE 0 END AS cut
+             |  FROM fr),
+             |sc AS (
+             |  SELECT doc_id, frame_idx, energy,
+             |         CAST(SUM(cut) OVER (PARTITION BY doc_id
+             |           ORDER BY frame_idx
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS scene_idx
+             |  FROM cuts)
+             |SELECT doc_id, scene_idx,
+             |       MIN(frame_idx) AS start_frame,
+             |       MAX(frame_idx) AS end_frame,
+             |       COUNT(*) AS n_frames,
+             |       ROUND(CAST(SUM(energy) AS DOUBLE) / COUNT(*), 6)
+             |         AS avg_energy
+             |FROM sc GROUP BY 1, 2""".stripMargin))
   )
 }

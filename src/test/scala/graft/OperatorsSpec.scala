@@ -1752,6 +1752,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m105 scene cuts: scenes tile the frame stream contiguously; " +
+      "boundaries are exactly the >150 energy jumps (driver replay)") {
+    val rows = run("m105_scene_cuts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (doc, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(0L until sorted.length),
+        s"doc $doc: scene indices not consecutive from 0")
+      var expectStart = 0L
+      sorted.foreach { case (_, _, s0, e0, n) =>
+        assert(s0 == expectStart, s"doc $doc: gap before frame $s0")
+        assert(n == e0 - s0 + 1, s"doc $doc: scene count != frame span")
+        expectStart = e0 + 1
+      }
+    }
+    // independent replay: recompute frame energies driver-side and check
+    // every scene boundary is a >150 jump and every within-scene step
+    // is <= 150
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def energies(t: String): Array[Long] =
+      (0 to (t.length - 1) / 16).map { i =>
+        t.substring(i * 16, math.min(i * 16 + 16, t.length))
+          .map(_.toLong).sum
+      }.toArray
+    rows.groupBy(_._1).take(50).foreach { case (doc, g) =>
+      val e = energies(texts(doc))
+      val starts = g.map(_._3).filter(_ > 0).toSet
+      (1 until e.length).foreach { i =>
+        val jump = math.abs(e(i) - e(i - 1)) > 150
+        assert(jump == starts.contains(i.toLong),
+          s"doc $doc frame $i: cut=${starts.contains(i.toLong)} but " +
+            s"|delta|=${math.abs(e(i) - e(i - 1))}")
+      }
+    }
+  }
+
   test("t103 fertility reconciles with t94's per-doc accounting; " +
       "ratios are exact and bounded") {
     val card = run("t103_token_fertility").collect()

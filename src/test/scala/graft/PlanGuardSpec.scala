@@ -182,10 +182,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // q79: the scalar threshold is a 1-row broadcast (the BNLJ is that
     // bounded frame, never data×data); dormancy is a LEFT ANTI equi-join
     ("q79_tpch_sleepers", 3, Nil, Nil),
-    // q80: the (part, supplier) association collapses to distinct pairs
-    // FIRST; blocked suppliers anti-join broadcast; no Expand — the
-    // distinct count rides the already-distinct pair stream
-    ("q80_tpch_supplier_variety", 3, Seq("Expand"), Nil))
+    // q80: blocked suppliers anti-join broadcast; the single distinct
+    // aggregate's partial collapses pairs map-side (no pre-distinct
+    // third exchange, no Expand)
+    ("q80_tpch_supplier_variety", 3, Seq("Expand"), Nil),
+    // m105: ONE frame scan; lag delta and running scene sum share one
+    // doc-partitioned window spec (single exchange+sort); the (doc,
+    // scene) groupBy partial-aggregates map-side
+    ("m105_scene_cuts", 1, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
