@@ -974,6 +974,93 @@ object Multimodal {
              |       COUNT(*) AS n_frames,
              |       ROUND(CAST(SUM(energy) AS DOUBLE) / COUNT(*), 6)
              |         AS avg_energy
-             |FROM sc GROUP BY 1, 2""".stripMargin))
+             |FROM sc GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "m106_scene_keyframes", // the SAMPLING payoff of m105's
+                              // segmentation: ONE representative frame per
+                              // scene — the frame whose energy is closest
+                              // to the scene mean (most "typical" of the
+                              // shot; earliest frame breaks ties), which
+                              // is what a captioning/embedding stage
+                              // consumes instead of every-Nth-frame
+                              // sampling. Selection is the argmin-by-
+                              // struct idiom: scene means join back onto
+                              // the frame stream ON THE SAME (doc, scene)
+                              // keys the aggregate produced (exchange
+                              // reuse, no window), min(struct(dist,
+                              // frame, e)) picks the keyframe in one
+                              // aggregate. The distance-to-mean compare
+                              // never touches a float: |e − se/cn| is
+                              // ranked as |e·cn − se|, exact integers in
+                              // both engines, so the argmin cannot flip
+                              // on rounding.
+      (s, d) => {
+        val frameSize = 16
+        val frames = Graft.table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(when(length(col("text")) > 0,
+              sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
+              .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"),
+            col("text"))
+          .select(col("doc_id"), col("frame_idx"),
+            aggregate(split(expr(
+              s"substring(text, frame_idx * $frameSize + 1, $frameSize)"),
+              ""), lit(0L), (a, c) => a + ascii(c)).as("energy"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+        val cut = when(abs(col("energy") -
+          lag(col("energy"), 1).over(byDoc)) > 150, 1).otherwise(0)
+        val scenes = frames
+          .withColumn("scene_idx", sum(cut).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        val means = scenes.groupBy("doc_id", "scene_idx")
+          .agg(sum(col("energy")).as("se"), count(lit(1)).as("cn"))
+        scenes.join(means, Seq("doc_id", "scene_idx"))
+          .select(col("doc_id"), col("scene_idx"), col("frame_idx"),
+            col("energy"),
+            abs(col("energy") * col("cn") - col("se")).as("dist"))
+          .groupBy("doc_id", "scene_idx")
+          .agg(min(struct(col("dist"), col("frame_idx"), col("energy")))
+            .as("k"))
+          .select(col("doc_id"), col("scene_idx"),
+            col("k")("frame_idx").as("keyframe_idx"),
+            col("k")("energy").as("energy"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, frame_idx,
+             |         CAST(list_sum(list_transform(regexp_split_to_array(
+             |           substr(text, frame_idx * 16 + 1, 16), ''),
+             |           c -> ord(c))) AS BIGINT) AS energy
+             |  FROM (SELECT doc_id, text,
+             |          unnest(range(0, ((LENGTH(text) - 1) // 16) + 1))
+             |            AS frame_idx
+             |        FROM documents WHERE LENGTH(text) > 0)),
+             |cuts AS (
+             |  SELECT doc_id, frame_idx, energy,
+             |         CASE WHEN ABS(energy - LAG(energy) OVER (
+             |                PARTITION BY doc_id ORDER BY frame_idx)) > 150
+             |              THEN 1 ELSE 0 END AS cut
+             |  FROM fr),
+             |sc AS (
+             |  SELECT doc_id, frame_idx, energy,
+             |         CAST(SUM(cut) OVER (PARTITION BY doc_id
+             |           ORDER BY frame_idx
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS scene_idx
+             |  FROM cuts),
+             |mn AS (SELECT doc_id, scene_idx,
+             |              CAST(SUM(energy) AS BIGINT) AS se,
+             |              COUNT(*) AS cn
+             |       FROM sc GROUP BY 1, 2),
+             |dist AS (
+             |  SELECT s.doc_id, s.scene_idx, s.frame_idx, s.energy,
+             |         ABS(s.energy * m.cn - m.se) AS dist
+             |  FROM sc s JOIN mn m USING (doc_id, scene_idx))
+             |SELECT doc_id, scene_idx, frame_idx AS keyframe_idx, energy
+             |FROM (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY doc_id, scene_idx
+             |        ORDER BY dist, frame_idx) AS rn
+             |      FROM dist)
+             |WHERE rn = 1""".stripMargin))
   )
 }

@@ -1791,6 +1791,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m106 keyframes: one per m105 scene, inside the scene's range, " +
+      "and the argmin of |energy - scene mean| with earliest tie-break") {
+    val scenes = run("m105_scene_cuts").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val keys = run("m106_scene_keyframes").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(keys.keySet == scenes.keySet, "one keyframe per scene")
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def energy(t: String, i: Long): Long =
+      t.substring(i.toInt * 16, math.min(i.toInt * 16 + 16, t.length))
+        .map(_.toLong).sum
+    keys.foreach { case ((doc, sc), (kf, e)) =>
+      val (s0, e0, cn, _) = scenes((doc, sc))
+      assert(kf >= s0 && kf <= e0, s"doc $doc scene $sc: keyframe outside")
+      assert(e == energy(texts(doc), kf), s"doc $doc: keyframe energy")
+      // argmin check: no earlier-or-closer frame beats it
+      val se = (s0 to e0).map(energy(texts(doc), _)).sum
+      val kd = math.abs(e * cn - se)
+      (s0 to e0).foreach { f =>
+        val fd = math.abs(energy(texts(doc), f) * cn - se)
+        assert(fd > kd || (fd == kd && f >= kf),
+          s"doc $doc scene $sc: frame $f (dist $fd) beats keyframe " +
+            s"$kf (dist $kd)")
+      }
+    }
+  }
+
   test("t103 fertility reconciles with t94's per-doc accounting; " +
       "ratios are exact and bounded") {
     val card = run("t103_token_fertility").collect()

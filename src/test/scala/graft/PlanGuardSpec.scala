@@ -189,7 +189,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // m105: ONE frame scan; lag delta and running scene sum share one
     // doc-partitioned window spec (single exchange+sort); the (doc,
     // scene) groupBy partial-aggregates map-side
-    ("m105_scene_cuts", 1, Seq("SortMergeJoin"), Nil))
+    ("m105_scene_cuts", 1, Seq("SortMergeJoin"), Nil),
+    // m106: m105's single-scan chain + the scene-mean join back on the
+    // SAME (doc, scene) keys — one reused exchange, no second scan
+    ("m106_scene_keyframes", 1, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
