@@ -306,6 +306,39 @@ object Multimodal {
     bmpBlobs(s, d, pixHex)
   }
 
+  /** The m104/m105/m106 synthetic frame stream: one row per 16-char
+    * window of the text with its exact integer char-code-sum "energy" —
+    * pure map-side generator + expression work, so it runs identically
+    * over `spark.read` and `spark.readStream` (the streaming scene twin
+    * feeds on exactly this frame shape). */
+  private[graft] def frameEnergies(docs: DataFrame): DataFrame = {
+    val frameSize = 16
+    docs
+      .select(col("doc_id"),
+        explode(when(length(col("text")) > 0,
+          sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
+          .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        aggregate(split(expr(
+          s"substring(text, frame_idx * $frameSize + 1, $frameSize)"),
+          ""), lit(0L), (a, c) => a + ascii(c)).as("energy"))
+  }
+
+  /** m105's per-frame scene assignment: (doc_id, frame_idx, energy,
+    * scene_idx) — the lag delta and the running cut sum share ONE
+    * doc-partitioned window spec. Shared by m105 (segment summary), m106
+    * (keyframe selection) and the streaming parity spec. */
+  private[graft] def sceneFrames(s: SparkSession, d: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val frames = frameEnergies(
+      Graft.table(s, d, "documents").select("doc_id", "text"))
+    val cut = when(abs(col("energy") -
+      lag(col("energy"), 1).over(byDoc)) > 150, 1).otherwise(0)
+    frames.withColumn("scene_idx", sum(cut).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -921,31 +954,13 @@ object Multimodal {
                           // exchange), then a (doc, scene) groupBy that
                           // partial-aggregates map-side. Integer energy
                           // keeps every boundary and average engine-exact.
-      (s, d) => {
-        val frameSize = 16
-        val frames = Graft.table(s, d, "documents")
-          .select(col("doc_id"),
-            explode(when(length(col("text")) > 0,
-              sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
-              .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"),
-            col("text"))
-          .select(col("doc_id"), col("frame_idx"),
-            aggregate(split(expr(
-              s"substring(text, frame_idx * $frameSize + 1, $frameSize)"),
-              ""), lit(0L), (a, c) => a + ascii(c)).as("energy"))
-        val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
-        val cut = when(abs(col("energy") -
-          lag(col("energy"), 1).over(byDoc)) > 150, 1).otherwise(0)
-        frames
-          .withColumn("scene_idx", sum(cut).over(
-            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("doc_id", "scene_idx")
-          .agg(min(col("frame_idx")).as("start_frame"),
-            max(col("frame_idx")).as("end_frame"),
-            count(lit(1)).as("n_frames"),
-            round(sum(col("energy")).cast("double") / count(lit(1)), 6)
-              .as("avg_energy"))
-      },
+      (s, d) => sceneFrames(s, d)
+        .groupBy("doc_id", "scene_idx")
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          round(sum(col("energy")).cast("double") / count(lit(1)), 6)
+            .as("avg_energy")),
       Some("""WITH fr AS (
              |  SELECT doc_id, frame_idx,
              |         CAST(list_sum(list_transform(regexp_split_to_array(
@@ -996,23 +1011,7 @@ object Multimodal {
                               // both engines, so the argmin cannot flip
                               // on rounding.
       (s, d) => {
-        val frameSize = 16
-        val frames = Graft.table(s, d, "documents")
-          .select(col("doc_id"),
-            explode(when(length(col("text")) > 0,
-              sequence(lit(0), expr(s"(length(text) - 1) div $frameSize")))
-              .otherwise(typedLit(Seq.empty[Long]))).as("frame_idx"),
-            col("text"))
-          .select(col("doc_id"), col("frame_idx"),
-            aggregate(split(expr(
-              s"substring(text, frame_idx * $frameSize + 1, $frameSize)"),
-              ""), lit(0L), (a, c) => a + ascii(c)).as("energy"))
-        val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
-        val cut = when(abs(col("energy") -
-          lag(col("energy"), 1).over(byDoc)) > 150, 1).otherwise(0)
-        val scenes = frames
-          .withColumn("scene_idx", sum(cut).over(
-            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        val scenes = sceneFrames(s, d)
         val means = scenes.groupBy("doc_id", "scene_idx")
           .agg(sum(col("energy")).as("se"), count(lit(1)).as("cn"))
         scenes.join(means, Seq("doc_id", "scene_idx"))

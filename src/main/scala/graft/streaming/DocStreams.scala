@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.GraftFunctions
 
@@ -433,6 +434,50 @@ object DocStreams {
           DocBucket(id, lang, toks.length.toLong, sp, bucket, oov)
         }
       }.toDF()
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Long, energy: Long)
+  case class SceneCursor(lastIdx: Long, lastEnergy: Long, scene: Long)
+  case class FrameScene(doc_id: Long, frame_idx: Long, energy: Long,
+      scene_idx: Long)
+
+  /** Streaming scene segmentation — the live twin of batch
+    * `m105_scene_cuts` on the ingest direction: decoded frames arrive as
+    * a stream (the shape a video-decode stage emits) and each is assigned
+    * its scene index ON ARRIVAL, so downstream keyframe sampling and
+    * captioning start before the asset finishes decoding. Scene identity
+    * needs exactly one comparison against the PREVIOUS frame, so the
+    * custom state (`flatMapGroupsWithState`, the engine's escape hatch
+    * for cross-row streaming semantics) is a 3-field cursor per asset —
+    * last frame index, last energy, current scene — NOT a frame buffer:
+    * state is O(assets-in-flight), never O(frames). Frames within a
+    * micro-batch sort by index (decode emits in order; a batch may
+    * interleave); ACROSS batches in-order delivery per asset is the
+    * ingest contract, as for every cursor-carrying stream. Cut rule and
+    * integer energies are the batch kernel's own, so stream assignments
+    * equal m105's bit-for-bit (parity spec feeds frames split mid-asset
+    * across batches). */
+  def sceneAssign(frames: Dataset[Frame],
+      threshold: Long = 150L): Dataset[FrameScene] = {
+    import frames.sparkSession.implicits._
+    frames
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[SceneCursor, FrameScene](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, it: Iterator[Frame], state: GroupState[SceneCursor]) =>
+          var cur = state.getOption.getOrElse(SceneCursor(-1L, 0L, 0L))
+          val out = it.toArray.sortBy(_.frame_idx).map { f =>
+            val scene =
+              if (cur.lastIdx < 0) 0L
+              else if (math.abs(f.energy - cur.lastEnergy) > threshold)
+                cur.scene + 1
+              else cur.scene
+            cur = SceneCursor(f.frame_idx, f.energy, scene)
+            FrameScene(doc, f.frame_idx, f.energy, scene)
+          }
+          state.update(cur)
+          out.iterator
+      }
   }
 
   def runningScorecard(docs: DataFrame): DataFrame =

@@ -459,6 +459,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny(1) == ((2L, 0L, 0L, None)), "alpha-free doc must be NULL")
   }
 
+  test("sceneAssign: streamed frames get batch m105's scene indices " +
+      "bit-for-bit, with assets split mid-stream across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch kernel's own frame stream, in per-asset decode order
+    val frames = operators.Multimodal.frameEnergies(
+        graft.Graft.table(spark, TestSpark.sfDir, "documents")
+          .select("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(f => (f._1, f._2))
+      .map(f => streaming.DocStreams.Frame(f._1, f._2, f._3))
+    val src = MemoryStream[streaming.DocStreams.Frame]
+    val q = streaming.DocStreams.sceneAssign(src.toDS())
+      .writeStream.format("memory").queryName("scenes")
+      .outputMode("append").start()
+    try {
+      // split MID-ASSET: every doc's frame run straddles the batch
+      // boundary unless it is tiny — the cursor must carry across
+      val (a, b) = frames.splitAt(frames.length / 2)
+      src.addData(a.toSeq); q.processAllAvailable()
+      src.addData(b.toSeq); q.processAllAvailable()
+      val out = spark.table("scenes").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      assert(out.size == frames.length, "one scene row per frame")
+      val batch = operators.Multimodal
+        .sceneFrames(spark, TestSpark.sfDir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      assert(batch.keySet == out.keySet)
+      batch.foreach { case (k, v) =>
+        assert(out(k) == v, s"frame $k diverged from m105: ${out(k)} != $v")
+      }
+      // the split really exercised the cursor: some doc straddles
+      val cutDoc = a.last.doc_id
+      assert(b.headOption.exists(_.doc_id == cutDoc) ||
+        a.map(_.doc_id).toSet.intersect(b.map(_.doc_id).toSet).nonEmpty,
+        "fixture degenerated: no asset straddles the batch boundary")
+    } finally { q.stop(); () }
+  }
+
   test("perplexityBucket: streamed docs bucket bit-identical to batch " +
       "t102 under the frozen LM + edges; OOV reads as tail") {
     import spark.implicits._
