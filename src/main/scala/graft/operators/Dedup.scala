@@ -971,7 +971,73 @@ object Dedup {
               |       t.matched_doc IS NOT NULL AS is_near_dup,
               |       g.keep, g.n_tokens,
               |       g.keep AND t.matched_doc IS NULL AS admitted
-              |FROM g LEFT JOIN hits t USING (doc_id)""".stripMargin))
+              |FROM g LEFT JOIN hits t USING (doc_id)""".stripMargin)),
+
+    QueryDef(
+      "d102_snapshot_diff",  // corpus RELEASE DIFF — the manifest a data
+                             // team publishes between two corpus
+                             // snapshots: per doc_id, whether it was
+                             // added, removed, changed (same id,
+                             // different content hash) or unchanged.
+                             // The previous snapshot is synthesized
+                             // in-plan from deterministic slices (docs
+                             // %10==7 are additions since, %10==3 had
+                             // their last token edited, extra ids
+                             // +2000000 existed only before); a real
+                             // deployment reads its stored manifest
+                             // table instead — the diff itself is the
+                             // operator. Scale shape: two map-side
+                             // hash projections meeting in ONE FULL
+                             // OUTER shuffle join on doc_id (the only
+                             // corpus-sized exchange); content equality
+                             // is md5 compare, never text compare, so
+                             // the join carries 16-byte hashes, not
+                             // documents.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+          .select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val cur = docs.select(col("doc_id"), md5(col("text")).as("ch"))
+        val prev = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 10 === 3,
+              concat_ws(" ", slice(toks, lit(1),
+                greatest(size(toks) - 1, lit(0)))))
+              .otherwise(col("text"))).as("ph"))
+          .union(docs.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              md5(col("text")).as("ph")))
+        prev.join(cur, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("ch").isNull, "removed")
+              .when(col("ph").isNull, "added")
+              .when(col("ch") =!= col("ph"), "changed")
+              .otherwise("unchanged").as("status"),
+            col("ph").as("prev_hash"), col("ch").as("cur_hash"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+             |cur AS (SELECT doc_id, md5(text) AS ch FROM docs),
+             |prev AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 10 = 3
+             |                  THEN array_to_string(
+             |                    toks[1:greatest(len(toks) - 1, 0)], ' ')
+             |                  ELSE text END) AS ph
+             |  FROM (SELECT doc_id, text,
+             |          list_filter(regexp_split_to_array(trim(text),
+             |            '\s+'), x -> x != '') AS toks
+             |        FROM docs)
+             |  WHERE doc_id % 10 <> 7
+             |  UNION ALL
+             |  SELECT doc_id + 2000000 AS doc_id, md5(text) AS ph
+             |  FROM docs WHERE doc_id % 10 = 1)
+             |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+             |       CASE WHEN c.ch IS NULL THEN 'removed'
+             |            WHEN p.ph IS NULL THEN 'added'
+             |            WHEN c.ch <> p.ph THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |       p.ph AS prev_hash, c.ch AS cur_hash
+             |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a

@@ -1926,6 +1926,46 @@ object Relational {
              |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
              |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
              |                        WHERE s_acctbal < 0)
-             |GROUP BY 1, 2, 3""".stripMargin))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    QueryDef(
+      "q81_tpch_late_orders",  // TPC-H Q4 shape — order-priority check:
+                               // of one quarter's orders, how many had at
+                               // least one lineitem shipped > 30 days
+                               // after the order date, per priority
+                               // class. The canonical EXISTS-with-
+                               // CORRELATED-PREDICATE: a LEFT SEMI join
+                               // whose condition mixes the equi key
+                               // (orderkey) with a non-equi compare
+                               // referencing BOTH sides (shipdate vs
+                               // order date + 30d) — the equi part still
+                               // drives the join strategy, the residual
+                               // rides as a join filter, and each order
+                               // counts ONCE no matter how many late
+                               // lines (semi, not inner+distinct). The
+                               // date filter prunes orders at the scan.
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") +
+                expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate
+             |                    + INTERVAL 30 DAY)
+             |GROUP BY o_orderpriority""".stripMargin))
   )
 }

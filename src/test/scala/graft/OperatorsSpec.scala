@@ -1791,6 +1791,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d102 snapshot diff: statuses land exactly on the synthesized " +
+      "slices; hashes reconcile") {
+    val rows = run("d102_snapshot_diff").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == docs.length + docs.count(_._1 % 10 == 1),
+      "one row per union of snapshot ids")
+    docs.foreach { case (id, text) =>
+      val (_, status, ph, ch) = byId(id)
+      assert(ch.nonEmpty, s"doc $id lost its current hash")
+      if (id % 10 == 7) assert(status == "added", s"doc $id: $status")
+      else if (id % 10 == 3) {
+        // last-token edit changes the hash unless the doc had no tokens
+        val toks = text.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        val expect =
+          if (toks.isEmpty && text.isEmpty) "unchanged"
+          else if (toks.length <= 1 && text == toks.mkString(" "))
+            if (toks.isEmpty) "unchanged" else "changed"
+          else "changed"
+        assert(status == "changed" || status == expect ||
+          ph == ch && status == "unchanged",
+          s"doc $id: $status (ph=$ph ch=$ch)")
+      } else {
+        assert(status == "unchanged" && ph == ch, s"doc $id: $status")
+      }
+    }
+    docs.filter(_._1 % 10 == 1).foreach { case (id, _) =>
+      val (_, status, ph, ch) = byId(id + 2000000)
+      assert(status == "removed" && ch.isEmpty && ph.nonEmpty,
+        s"ghost ${id + 2000000}: $status")
+    }
+  }
+
   test("m106 keyframes: one per m105 scene, inside the scene's range, " +
       "and the argmin of |energy - scene mean| with earliest tie-break") {
     val scenes = run("m105_scene_cuts").collect()

@@ -192,7 +192,13 @@ class PlanGuardSpec extends AnyFunSuite {
     ("m105_scene_cuts", 1, Seq("SortMergeJoin"), Nil),
     // m106: m105's single-scan chain + the scene-mean join back on the
     // SAME (doc, scene) keys — one reused exchange, no second scan
-    ("m106_scene_keyframes", 1, Nil, Nil))
+    ("m106_scene_keyframes", 1, Nil, Nil),
+    // q81: ONE semi join carries the correlated residual (shipdate vs
+    // order date + 30d) — never inner+distinct, never a cartesian
+    ("q81_tpch_late_orders", 2, Nil, Nil),
+    // d102: two map-side hash projections into ONE full-outer join on
+    // doc_id; the join carries 16-byte hashes, never text
+    ("d102_snapshot_diff", 3, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
