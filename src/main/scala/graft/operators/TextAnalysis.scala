@@ -292,6 +292,91 @@ object TextAnalysis {
     * (round-6 then DECIMAL), so stream scores are bit-identical by
     * construction. Collecting here is legitimate serving-artifact export:
     * the model is vocab × |lang|-bounded, never corpus-sized. */
+  /** t100's per-doc prediction frame (doc_id, lang, predicted, score,
+    * correct) — the scoring chain shared by t100 (per-doc output) and
+    * t104 (the confusion-matrix evaluation). See the t100 QueryDef doc
+    * for the determinism grid and plan shape. */
+  private[graft] def nbPredictions(s: SparkSession, d: String): DataFrame = {
+    val (wc, cls) = nbModel(s, d)
+    val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      explode(tokens(lower(col("text")))).as("word"))
+    // score: test tokens collapse to (doc, word, k) once, then meet
+    // the broadcast model; unseen words smooth to cnt=0.
+    val tw = toks.filter(col("doc_id") % 2 === 1)
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("k"))
+    val scored = tw.crossJoin(broadcast(cls))
+      .join(broadcast(wc),
+        wc("clang") === cls("clang") && wc("word") === tw("word"),
+        "left")
+      .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
+        (col("k").cast("decimal(18,0)") *
+          round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
+            (col("n_tok") + col("v")).cast("double")), 6)
+            .cast("decimal(18,6)")).as("contrib"))
+      .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
+      .agg(sum(col("contrib")).as("ll"))
+      .select(col("doc_id"), col("lang"), col("clang"),
+        (col("prior") + col("ll")).as("score"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("clang").asc)
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        col("clang").as("predicted"),
+        col("score").cast("double").as("score"),
+        (col("lang") === col("clang")).as("correct"))
+  }
+
+  /** The t100 oracle chain ending at `pred` = (doc_id, lang, predicted,
+    * score, correct) — shared by the t100 and t104 oracles. */
+  private val nbPredCtes =
+    """tk AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_filter(
+      |           regexp_split_to_array(trim(lower(text)), '\s+'),
+      |           x -> x != '')) AS word
+      |  FROM documents),
+      |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+      |wc AS (SELECT lang AS clang, word,
+      |              CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM tr GROUP BY 1, 2),
+      |lt AS (SELECT clang, SUM(cnt) AS n_tok FROM wc GROUP BY 1),
+      |ld AS (SELECT lang AS clang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      |       FROM wc),
+      |tot AS (SELECT SUM(n_docs) AS total_docs FROM ld),
+      |cls AS (
+      |  SELECT ld.clang, lt.n_tok, vv.v,
+      |         CAST(ROUND(LN(CAST(ld.n_docs AS DOUBLE) /
+      |                  CAST(tot.total_docs AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6)) AS prior
+      |  FROM ld JOIN lt USING (clang)
+      |  CROSS JOIN vv CROSS JOIN tot),
+      |tw AS (SELECT doc_id, lang, word,
+      |              CAST(COUNT(*) AS BIGINT) AS k
+      |       FROM tk WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT tw.doc_id, tw.lang, cls.clang,
+      |         cls.prior + SUM(CAST(tw.k AS DECIMAL(18,0)) *
+      |           CAST(ROUND(LN(
+      |             CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE) /
+      |             CAST(cls.n_tok + cls.v AS DOUBLE)), 6)
+      |             AS DECIMAL(18,6))) AS score
+      |  FROM tw CROSS JOIN cls
+      |  LEFT JOIN wc ON wc.clang = cls.clang AND wc.word = tw.word
+      |  GROUP BY tw.doc_id, tw.lang, cls.clang, cls.prior),
+      |pred AS (
+      |  SELECT doc_id, lang, clang AS predicted,
+      |         CAST(score AS DOUBLE) AS score,
+      |         lang = clang AS correct
+      |  FROM (SELECT *, ROW_NUMBER() OVER (
+      |          PARTITION BY doc_id
+      |          ORDER BY score DESC, clang) AS rn
+      |        FROM sc)
+      |  WHERE rn = 1)""".stripMargin
+
   private[graft] def nbModelMicros(s: SparkSession, d: String)
       : (Map[String, (Long, Long)], Map[(String, String), Long]) = {
     val (wc, cls) = nbModel(s, d)
@@ -2066,81 +2151,46 @@ object TextAnalysis {
                             // and DuckDB at sf0.01. The score is then an
                             // exact multiple of 1e-6 and casts to the same
                             // double in both engines with no second round.
+      (s, d) => nbPredictions(s, d),
+      Some(s"""WITH $nbPredCtes
+             |SELECT doc_id, lang, predicted, score, correct
+             |FROM pred""".stripMargin)),
+
+    QueryDef(
+      "t104_confusion_matrix", // classifier EVALUATION artifact — the
+                               // per-language confusion matrix + recall a
+                               // model card publishes for t100's trained
+                               // scorer: for every (actual, predicted)
+                               // language pair, the doc count and the
+                               // share of the actual language's test docs
+                               // (recall on the diagonal, confusion mass
+                               // off it). Routing a corpus by a skewed
+                               // classifier silently starves the confused
+                               // languages — this is the table that makes
+                               // it visible. Scale shape: t100's scoring
+                               // chain (vocab-bounded model broadcasts),
+                               // then a |langs|²-bounded aggregate and a
+                               // |langs|-row broadcast join for the
+                               // totals; recall = exact integer division
+                               // rounded at 6 dp.
       (s, d) => {
-        val (wc, cls) = nbModel(s, d)
-        val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
-          explode(tokens(lower(col("text")))).as("word"))
-        // score: test tokens collapse to (doc, word, k) once, then meet
-        // the broadcast model; unseen words smooth to cnt=0.
-        val tw = toks.filter(col("doc_id") % 2 === 1)
-          .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("k"))
-        val scored = tw.crossJoin(broadcast(cls))
-          .join(broadcast(wc),
-            wc("clang") === cls("clang") && wc("word") === tw("word"),
-            "left")
-          .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
-            (col("k").cast("decimal(18,0)") *
-              round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
-                (col("n_tok") + col("v")).cast("double")), 6)
-                .cast("decimal(18,6)")).as("contrib"))
-          .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
-          .agg(sum(col("contrib")).as("ll"))
-          .select(col("doc_id"), col("lang"), col("clang"),
-            (col("prior") + col("ll")).as("score"))
-        val best = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
-          .orderBy(col("score").desc, col("clang").asc)
-        scored.withColumn("rn", row_number().over(best))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("lang"),
-            col("clang").as("predicted"),
-            col("score").cast("double").as("score"),
-            (col("lang") === col("clang")).as("correct"))
+        val pred = nbPredictions(s, d)
+          .select(col("lang"), col("predicted"))
+        val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_actual"))
+        pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .join(broadcast(totals), "lang")
+          .select(col("lang"), col("predicted"), col("n"), col("n_actual"),
+            round(col("n").cast("double") / col("n_actual").cast("double"),
+              6).as("share"))
       },
-      Some("""WITH tk AS (
-             |  SELECT doc_id, lang,
-             |         unnest(list_filter(
-             |           regexp_split_to_array(trim(lower(text)), '\s+'),
-             |           x -> x != '')) AS word
-             |  FROM documents),
-             |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
-             |wc AS (SELECT lang AS clang, word,
-             |              CAST(COUNT(*) AS BIGINT) AS cnt
-             |       FROM tr GROUP BY 1, 2),
-             |lt AS (SELECT clang, SUM(cnt) AS n_tok FROM wc GROUP BY 1),
-             |ld AS (SELECT lang AS clang, CAST(COUNT(*) AS BIGINT) AS n_docs
-             |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-             |vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
-             |       FROM wc),
-             |tot AS (SELECT SUM(n_docs) AS total_docs FROM ld),
-             |cls AS (
-             |  SELECT ld.clang, lt.n_tok, vv.v,
-             |         CAST(ROUND(LN(CAST(ld.n_docs AS DOUBLE) /
-             |                  CAST(tot.total_docs AS DOUBLE)), 6)
-             |           AS DECIMAL(18,6)) AS prior
-             |  FROM ld JOIN lt USING (clang)
-             |  CROSS JOIN vv CROSS JOIN tot),
-             |tw AS (SELECT doc_id, lang, word,
-             |              CAST(COUNT(*) AS BIGINT) AS k
-             |       FROM tk WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
-             |sc AS (
-             |  SELECT tw.doc_id, tw.lang, cls.clang,
-             |         cls.prior + SUM(CAST(tw.k AS DECIMAL(18,0)) *
-             |           CAST(ROUND(LN(
-             |             CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE) /
-             |             CAST(cls.n_tok + cls.v AS DOUBLE)), 6)
-             |             AS DECIMAL(18,6))) AS score
-             |  FROM tw CROSS JOIN cls
-             |  LEFT JOIN wc ON wc.clang = cls.clang AND wc.word = tw.word
-             |  GROUP BY tw.doc_id, tw.lang, cls.clang, cls.prior)
-             |SELECT doc_id, lang, clang AS predicted,
-             |       CAST(score AS DOUBLE) AS score,
-             |       lang = clang AS correct
-             |FROM (SELECT *, ROW_NUMBER() OVER (
-             |        PARTITION BY doc_id
-             |        ORDER BY score DESC, clang) AS rn
-             |      FROM sc)
-             |WHERE rn = 1""".stripMargin)),
+      Some(s"""WITH $nbPredCtes
+             |SELECT lang, predicted, n, n_actual,
+             |       ROUND(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6)
+             |         AS share
+             |FROM (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+             |      FROM pred GROUP BY 1, 2) c
+             |JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_actual
+             |      FROM pred GROUP BY 1) t USING (lang)""".stripMargin)),
 
     QueryDef(
       "t101_source_scorecard", // the per-SOURCE governance scorecard — the

@@ -1791,6 +1791,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t104 confusion matrix reconciles cell-by-cell with t100's " +
+      "predictions; shares sum to one per language") {
+    val cells = run("t104_confusion_matrix").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val pred = run("t100_nb_classifier").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expect = pred.groupBy(identity).view.mapValues(_.length).toMap
+    assert(cells.keySet == expect.keySet, "cell set != observed pairs")
+    val totals = pred.groupBy(_._1).view.mapValues(_.length).toMap
+    cells.foreach { case ((lang, p), (n, na, share)) =>
+      assert(n == expect((lang, p)), s"($lang,$p): count drifted")
+      assert(na == totals(lang), s"($lang,$p): total drifted")
+      assert(share == BigDecimal(n.toDouble / na)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    totals.keys.foreach { lang =>
+      val s = cells.collect { case ((l, _), (n, _, _)) if l == lang => n }
+        .sum
+      assert(s == totals(lang), s"$lang: cells don't cover all test docs")
+    }
+  }
+
   test("d102 snapshot diff: statuses land exactly on the synthesized " +
       "slices; hashes reconcile") {
     val rows = run("d102_snapshot_diff").collect()

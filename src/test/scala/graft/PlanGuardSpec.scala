@@ -198,7 +198,11 @@ class PlanGuardSpec extends AnyFunSuite {
     ("q81_tpch_late_orders", 2, Nil, Nil),
     // d102: two map-side hash projections into ONE full-outer join on
     // doc_id; the join carries 16-byte hashes, never text
-    ("d102_snapshot_diff", 3, Nil, Nil))
+    ("d102_snapshot_diff", 3, Nil, Nil),
+    // t104: t100's scoring chain (broadcast model, 3 scans) + a
+    // |langs|²-bounded aggregate; the per-lang totals join broadcast
+    ("t104_confusion_matrix", 3, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
