@@ -760,9 +760,13 @@ class StreamingSpec extends AnyFunSuite {
     val mix = streaming.DocStreams.runningMixture(docs)
       .writeStream.format("memory").queryName("patho_mix")
       .outputMode("complete").start()
+    val ppl = streaming.DocStreams.perplexityBucket(docs,
+        Map("single" -> -500000L), Map("en" -> ((0.4, 0.6))))
+      .writeStream.format("memory").queryName("patho_ppl")
+      .outputMode("append").start()
     try {
       src.addData(degenerate)
-      Seq(dedup, decon, surp, mix).foreach(_.processAllAvailable())
+      Seq(dedup, decon, surp, mix, ppl).foreach(_.processAllAvailable())
       // every doc gets a verdict from the stateless scorers
       assert(spark.table("patho_decon").count() == 4)
       assert(spark.table("patho_surp").count() == 4)
@@ -772,7 +776,44 @@ class StreamingSpec extends AnyFunSuite {
       // the mixture report accounts for every (source, lang) cell:
       // (src0,en), (src1,de), (src1,fr)
       assert(spark.table("patho_mix").count() == 3)
-    } finally Seq(dedup, decon, surp, mix).foreach(_.stop())
+      // the bucketer: every doc answered; token-free docs carry NULL
+      // surprisal+bucket, edge-less languages carry NULL bucket — no row
+      // lost, nothing thrown
+      val pb = spark.table("patho_ppl").collect()
+        .map(r => r.getLong(0) -> (r.isNullAt(3), r.isNullAt(4))).toMap
+      assert(pb.size == 4)
+      assert(pb(1L) == ((true, true)), "empty doc must be all-NULL")
+      assert(pb(3L) == ((true, true)), "whitespace doc must be all-NULL")
+      assert(pb(2L) == ((false, false)), "in-vocab en doc buckets")
+      assert(pb(4L) == ((false, true)), "edge-less fr doc: score, no bucket")
+    } finally Seq(dedup, decon, surp, mix, ppl).foreach(_.stop())
+  }
+
+  test("sceneAssign survives a degenerate frame stream") {
+    // single-frame assets, duplicate energies, an asset whose frames all
+    // arrive in one batch after another asset interleaves
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[streaming.DocStreams.Frame]
+    val q = streaming.DocStreams.sceneAssign(src.toDS())
+      .writeStream.format("memory").queryName("patho_scene")
+      .outputMode("append").start()
+    try {
+      src.addData(Seq(
+        streaming.DocStreams.Frame(1L, 0L, 100L),   // lone frame
+        streaming.DocStreams.Frame(2L, 0L, 100L),
+        streaming.DocStreams.Frame(2L, 1L, 100L)))  // flat: one scene
+      q.processAllAvailable()
+      src.addData(Seq(
+        streaming.DocStreams.Frame(2L, 2L, 1000L))) // cut across batches
+      q.processAllAvailable()
+      val out = spark.table("patho_scene").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(out((1L, 0L)) == 0L)
+      assert(out((2L, 0L)) == 0L && out((2L, 1L)) == 0L)
+      assert(out((2L, 2L)) == 1L,
+        "the cross-batch jump must open scene 1 from carried state")
+    } finally { q.stop(); () }
   }
 
   test("contentDedupWithinWatermark: dups dropped inside the horizon, " +
