@@ -1259,7 +1259,122 @@ object Similarity {
               |         ROW_NUMBER() OVER (PARTITION BY q_id
               |                            ORDER BY adq, vec_id) AS rnk
               |  FROM fadc)
-              |WHERE rnk <= 3""".stripMargin))
+              |WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef(
+      "s107_nprobe_sweep", // the TUNING CURVE every IVF deployment
+                           // publishes before fixing its serving config:
+                           // recall@3 and candidates-scanned at nprobe ∈
+                           // {1, 2, 4}. Recall rises with probes while
+                           // scan cost rises linearly in the probed
+                           // cluster mass — this one table is how the
+                           // latency/recall operating point gets chosen
+                           // (and re-checked after drift; the s105 card
+                           // alerts, this query answers "would more
+                           // probes fix it?"). Scale shape: the ranked
+                           // probe table is |queries|×|clusters| (both
+                           // bounded) computed once; each sweep point is
+                           // the s101 chain at its nprobe — candidates
+                           // stay cluster-bounded equi-joins — and the
+                           // scan-cost column is an ARITHMETIC join of
+                           // probes × cluster sizes (never a second
+                           // corpus pass). Exact integer hits; recall is
+                           // one division by the in-plan truth count.
+      (s, d) => {
+        val (centroids, assign, codebook, codes) = artifactFrames(s, d)
+        val et = exactTop3(s, d)
+        val truth = et.agg(count(lit(1)).as("n_truth"))
+        val sizes = assign.groupBy(col("cluster").as("clabel"))
+          .agg(count(lit(1)).as("csz"))
+        val wp = Window.partitionBy("q_id")
+          .orderBy(col("csim").desc, col("clabel").asc)
+        val ranked = plantedQueries(s, d)
+          .crossJoin(broadcast(centroids))
+          .select(col("q_id"), col("clabel"),
+            cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
+              .as("csim"))
+          .withColumn("rnk", row_number().over(wp))
+        Seq(1, 2, 4).map { np =>
+          val top = ivfpqSearchOn(s, d, centroids, assign, codebook,
+              codes, k = 3, nprobe = np)
+            .select(col("q_id"), col("neighbor_id"))
+          val hits = et.join(top, Seq("q_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+          val cands = ranked.filter(col("rnk") <= np)
+            .join(broadcast(sizes), "clabel")
+            .agg(coalesce(sum(col("csz")), lit(0L)).as("n_candidates"))
+          hits.crossJoin(cands).crossJoin(broadcast(truth))
+            .select(lit(np).as("nprobe"), col("n_hits"),
+              round(col("n_hits").cast("double") /
+                col("n_truth").cast("double"), 6).as("recall_at_3"),
+              col("n_candidates"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""WITH $ivfpqCtes,
+              |prk AS (
+              |  SELECT d.q_id, d.clabel,
+              |         ROW_NUMBER() OVER (
+              |           PARTITION BY d.q_id
+              |           ORDER BY CASE WHEN qn2.n2 = 0 OR nc.ncq = 0
+              |                    THEN 0.0
+              |                    ELSE CAST(d.dotq AS DOUBLE) /
+              |                    (SQRT(CAST(qn2.n2 AS DOUBLE)) *
+              |                     SQRT(CAST(nc.ncq AS DOUBLE))) END DESC,
+              |                    d.clabel) AS rnk
+              |  FROM qcd d JOIN qn2 ON d.q_id = qn2.q_id
+              |             JOIN nc ON d.clabel = nc.clabel),
+              |ex AS (
+              |  SELECT q.q_id, p.vec_id,
+              |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
+              |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
+              |  GROUP BY 1, 2),
+              |et AS (SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q_id
+              |                              ORDER BY dq, vec_id) AS rnk
+              |    FROM ex) WHERE rnk <= 3),
+              |trth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM et),
+              |csz AS (SELECT assigned_label AS clabel,
+              |               CAST(COUNT(*) AS BIGINT) AS csz
+              |        FROM assign GROUP BY 1),
+              |sw AS (SELECT unnest([1, 2, 4]) AS nprobe),
+              |cd2 AS (
+              |  SELECT s.nprobe, p.q_id, a.vec_id
+              |  FROM sw s JOIN prk p ON p.rnk <= s.nprobe
+              |  JOIN assign a ON a.assigned_label = p.clabel),
+              |adc2 AS (
+              |  SELECT cd.nprobe, cd.q_id, cd.vec_id, SUM(l.dq) AS adq
+              |  FROM cd2 cd
+              |  JOIN a3 a ON a.vec_id = cd.vec_id
+              |  JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m
+              |            AND l.cid = a.cid
+              |  GROUP BY 1, 2, 3),
+              |top2 AS (SELECT nprobe, q_id, vec_id FROM (
+              |    SELECT nprobe, q_id, vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+              |                              ORDER BY adq, vec_id) AS rnk
+              |    FROM adc2) WHERE rnk <= 3),
+              |hits AS (
+              |  SELECT s.nprobe, CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits
+              |  FROM sw s LEFT JOIN (
+              |    SELECT t2.nprobe, t2.vec_id
+              |    FROM top2 t2 JOIN et e ON e.q_id = t2.q_id
+              |                          AND e.vec_id = t2.vec_id) t
+              |    ON t.nprobe = s.nprobe
+              |  GROUP BY 1),
+              |cands AS (
+              |  SELECT s.nprobe,
+              |         CAST(COALESCE(SUM(c.csz), 0) AS BIGINT)
+              |           AS n_candidates
+              |  FROM sw s JOIN prk p ON p.rnk <= s.nprobe
+              |  JOIN csz c ON c.clabel = p.clabel
+              |  GROUP BY 1)
+              |SELECT h.nprobe, h.n_hits,
+              |       ROUND(CAST(h.n_hits AS DOUBLE) /
+              |             CAST(trth.n_truth AS DOUBLE), 6) AS recall_at_3,
+              |       c.n_candidates
+              |FROM hits h JOIN cands c USING (nprobe)
+              |CROSS JOIN trth""".stripMargin))
   )
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the
@@ -1433,11 +1548,11 @@ object Similarity {
   }
 
   /** The IVF-PQ serve pipeline against explicit artifact frames
-    * (stored tables or inline-trained, per [[ivfpqSearch]]). */
+    * (stored tables or inline-trained, per [[ivfpqSearch]]). `nprobe`
+    * defaults to the published serving configuration; s107 sweeps it. */
   private def ivfpqSearchOn(s: SparkSession, d: String,
       centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
-      codes: DataFrame, k: Int): DataFrame = {
-    val nprobe = 2
+      codes: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     val queries = plantedQueries(s, d)
     val wp = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("clabel").asc)

@@ -1791,6 +1791,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s107 nprobe sweep: candidates strictly widen, recall " +
+      "reconciles with s102 at the serving nprobe, rates bounded") {
+    val rows = run("s107_nprobe_sweep").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(rows.keySet == Set(1, 2, 4))
+    // more probes = strictly more scanned cluster mass
+    assert(rows(1)._3 < rows(2)._3 && rows(2)._3 < rows(4)._3,
+      s"candidate mass not widening: $rows")
+    rows.values.foreach { case (h, rec, _) =>
+      assert(rec >= 0.0 && rec <= 1.0 && h >= 0)
+    }
+    // the sweep's nprobe=2 point IS the serving config: its hit total
+    // must equal the sum of s102's per-query n_hits
+    val s102 = run("s102_index_recall").collect()
+      .map(r => r.getLong(1)).sum
+    assert(rows(2)._1 == s102,
+      s"nprobe=2 hits ${rows(2)._1} != s102 total $s102")
+    // the widest sweep should not fall below the narrowest (soft ANN
+    // monotonicity; exact on this fixture)
+    assert(rows(4)._2 >= rows(1)._2,
+      s"recall fell as probes widened: $rows")
+  }
+
   test("t104 confusion matrix reconciles cell-by-cell with t100's " +
       "predictions; shares sum to one per language") {
     val cells = run("t104_confusion_matrix").collect()

@@ -202,7 +202,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // t104: t100's scoring chain (broadcast model, 3 scans) + a
     // |langs|²-bounded aggregate; the per-lang totals join broadcast
     ("t104_confusion_matrix", 3, Seq("SortMergeJoin"),
-      Seq("BroadcastHashJoin")))
+      Seq("BroadcastHashJoin")),
+    // s107: three sweep points over the s101 chain (28 reused exchanges
+    // — the shared probe/LUT/exact frames materialize once) + the
+    // arithmetic probes×cluster-sizes join; candidates stay broadcast/
+    // cluster-bounded at every nprobe
+    ("s107_nprobe_sweep", 6, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -271,7 +276,8 @@ class PlanGuardSpec extends AnyFunSuite {
         ("s103_ann_rerank", "vector_index_embeddings_codes"),
         ("s104_delta_search", "vector_index_embeddings_assign"),
         ("s105_index_health", "vector_index_embeddings_assign"),
-        ("s106_filtered_search", "vector_index_embeddings_assign")
+        ("s106_filtered_search", "vector_index_embeddings_assign"),
+        ("s107_nprobe_sweep", "vector_index_embeddings_assign")
       ).foreach { case (name, mustRead) =>
         val df = SparkEntry.queries(name)(spark, d)
         df.queryExecution.toRdd.foreach(_ => ())
