@@ -160,6 +160,24 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // [name] [USING type] ON t (c1, c2, ...)`
   private val createIndex =
     """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:(\w+)\s+)?(?:USING\s+(\w+)\s+)?ON\s+(\w+)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
+  // DDL symmetry for the bucketed-index lifecycle: CREATE INDEX names its
+  // product (`<t>_by_<cols>`); DROP INDEX sheds one by that name and stops
+  // the automatic routing; SHOW INDEXES lists what routing serves. (The
+  // reference grammar has CREATE INDEX only — `nanosql.g:426-448`; these
+  // complete the surface a real user needs to manage the lifecycle.)
+  private val dropIndexStmt =
+    """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val showIndexesStmt = """(?is)\s*SHOW\s+INDEXES\s*;?\s*""".r
+  // doCommand parity for the d/s/t/m/p operator inventory (§2.9): every
+  // SparkEntry query runs as a SQL statement — `RUN QUERY '<name>' [ON
+  // '<dir>']` — so the full extension surface is reachable over
+  // SharedServer/REPL exactly like the relational rows. The reference
+  // analog is FunctionDirectory extensibility
+  // (`functions/FunctionDirectory.java:80-96`): registered capability,
+  // invocable from the string interface.
+  private val runQueryStmt =
+    """(?is)\s*RUN\s+QUERY\s+'?(\w+)'?(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
+  private val showQueriesStmt = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
   // the ANN train/serve split: BUILD materializes the trained IVF-PQ
   // artifacts as warehouse tables (the vector analog of CREATE INDEX's
   // build-then-scan split — reference CreateIndexCommand.java feeding
@@ -334,6 +352,50 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       val idx = cmds.indexTableName(tbl, cols)
       recordIndex(tbl, cols.head, idx)
       status(s"indexed $tbl by ${cols.mkString(", ")} as $idx")
+    case dropIndexStmt(ifExists, idxRaw) =>
+      val found = indexes.toSeq.flatMap { case (base, m) =>
+        m.collectFirst { case (c, i) if i.equalsIgnoreCase(idxRaw) =>
+          (base, c, i)
+        }
+      }.headOption
+      found match {
+        case Some((base, c, idx)) =>
+          indexes(base).remove(c)
+          if (indexes(base).isEmpty) indexes.remove(base)
+          spark.sql(s"DROP TABLE IF EXISTS `$idx`")
+          status(s"dropped index $idx")
+        case None if ifExists != null =>
+          status(s"index $idxRaw does not exist")
+        case None => throw new IllegalArgumentException(
+          s"DROP INDEX: no index named '$idxRaw' - SHOW INDEXES lists them")
+      }
+    case showIndexesStmt() =>
+      import spark.implicits._
+      indexes.toSeq.flatMap { case (base, m) =>
+        m.values.toSeq.distinct.map { idx =>
+          val cols = idx match {
+            case indexName(_, cj) =>
+              bucketColsOf(idx, base, cj).map(_.mkString(", "))
+                .getOrElse(cj)
+            case _ => ""
+          }
+          (base, cols, idx)
+        }
+      }.distinct.sortBy(_._3).toDF("table", "columns", "index")
+    case runQueryStmt(name, dirOpt) =>
+      val dir = Option(dirOpt).getOrElse(sfDir)
+      SparkEntry.queries.get(name)
+        .orElse(SparkEntry.queries.collectFirst {
+          case (k, fn) if k.equalsIgnoreCase(name) => fn
+        }) match {
+        case Some(fn) => fn(spark, dir)
+        case None => throw new IllegalArgumentException(
+          s"RUN QUERY: unknown query '$name' - SHOW QUERIES lists the " +
+            "inventory")
+      }
+    case showQueriesStmt() =>
+      import spark.implicits._
+      SparkEntry.queries.keys.toSeq.sorted.toDF("query")
     case buildVectorIndex(tbl) =>
       if (!tbl.equalsIgnoreCase("embeddings"))
         throw new IllegalArgumentException(

@@ -982,8 +982,11 @@ object Dedup {
                              // The previous snapshot is synthesized
                              // in-plan from deterministic slices (docs
                              // %10==7 are additions since, %10==3 had
-                             // their last token edited, extra ids
-                             // +2000000 existed only before); a real
+                             // their last token edited, NEGATED ids
+                             // existed only before — negation cannot
+                             // collide with real non-negative doc_ids
+                             // at ANY corpus size, where a fixed
+                             // offset would once ids reached it); a real
                              // deployment reads its stored manifest
                              // table instead — the diff itself is the
                              // operator. Scale shape: two map-side
@@ -1005,7 +1008,7 @@ object Dedup {
                 greatest(size(toks) - 1, lit(0)))))
               .otherwise(col("text"))).as("ph"))
           .union(docs.filter(col("doc_id") % 10 === 1)
-            .select((col("doc_id") + 2000000).as("doc_id"),
+            .select((-col("doc_id")).as("doc_id"),
               md5(col("text")).as("ph")))
         prev.join(cur, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
@@ -1029,7 +1032,7 @@ object Dedup {
              |        FROM docs)
              |  WHERE doc_id % 10 <> 7
              |  UNION ALL
-             |  SELECT doc_id + 2000000 AS doc_id, md5(text) AS ph
+             |  SELECT -doc_id AS doc_id, md5(text) AS ph
              |  FROM docs WHERE doc_id % 10 = 1)
              |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
              |       CASE WHEN c.ch IS NULL THEN 'removed'
@@ -1345,7 +1348,9 @@ object Dedup {
     * one row per doc, but the ARITHMETIC is identical, which is what the
     * parity spec pins. A doc too short to shingle gets NULL minima, NULL
     * band keys, and can never match. */
-  private def rowBandKeys(docs: DataFrame): DataFrame = {
+  private def rowBandKeys(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val carry = keep.map(col)
     val mins = (0 until numSeeds).map(i =>
       array_min(transform(col("hs"),
         h => (lit(laneA(i)) * h + lit(laneB(i))) % P31)).as(s"m$i"))
@@ -1357,8 +1362,8 @@ object Dedup {
     docs
       .withColumn("hs",
         transform(shingles(col("text"), 3), x => hash60(x) % P31))
-      .select(col("doc_id") +: mins: _*)
-      .select(col("doc_id") +: bandKeys: _*)
+      .select(col("doc_id") +: (carry ++ mins): _*)
+      .select(col("doc_id") +: (carry ++ bandKeys): _*)
   }
 
   /** Stateless near-dup check of arriving docs against a static history
@@ -1368,25 +1373,30 @@ object Dedup {
     * aggregation over the stream: matched_doc = least non-null per-band
     * hit (= the batch MIN over all matching history docs), n_bands_hit =
     * how many of the doc's bands hit. No state store; history is the
-    * stored index table at real scale. */
+    * stored index table at real scale. `keep` names pass-through columns
+    * of `docs` carried to the output (the admission twin threads its
+    * quality verdicts through, avoiding a stream-stream self-join). */
   private[graft] def nearDupCheckAgainst(
-      docs: DataFrame, histBands: DataFrame): DataFrame = {
+      docs: DataFrame, histBands: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val nb = numSeeds / bandSize
+    val carry = keep.map(col)
     val idx = (0 until nb).map(b => histBands
       .filter(col("band") === b)
       .groupBy(col("band_key").as(s"key$b"))
       .agg(min(col("doc_id")).as(s"hit$b")))
-    val joined = (0 until nb).foldLeft(rowBandKeys(docs)) { (acc, b) =>
+    val joined = (0 until nb).foldLeft(rowBandKeys(docs, keep)) { (acc, b) =>
       acc.join(idx(b), col(s"bk$b") === col(s"key$b"), "left")
     }
     joined
-      .select(col("doc_id"),
-        least((0 until nb).map(b => col(s"hit$b")): _*).as("matched_doc"),
-        (0 until nb).map(b =>
+      .select(col("doc_id") +: (carry :+
+        least((0 until nb).map(b => col(s"hit$b")): _*).as("matched_doc") :+
+        ((0 until nb).map(b =>
           when(col(s"hit$b").isNotNull, 1L).otherwise(0L))
-          .reduce(_ + _).as("n_bands_hit"))
-      .select(col("doc_id"), col("matched_doc"), col("n_bands_hit"),
-        col("matched_doc").isNotNull.as("is_near_dup"))
+          .reduce(_ + _).as("n_bands_hit"))): _*)
+      .select(col("doc_id") +: (carry :+ col("matched_doc") :+
+        col("n_bands_hit") :+
+        col("matched_doc").isNotNull.as("is_near_dup")): _*)
   }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =

@@ -1332,18 +1332,28 @@ object Relational {
                  // funnel the whole user dimension through one task three
                  // times (fine at sf0.1, the classic single-task sort
                  // bottleneck at 10⁸–10⁹ users). Two-phase range rank
-                 // instead: range-repartition on (metric, user_id) — a
-                 // heavy metric value SPREADS across partitions by
+                 // instead, over ONE range partitioning for all three
+                 // metrics (the round-6 form re-sampled and re-shuffled
+                 // the user table once per metric — 3 sampling jobs; the
+                 // gap was pure scheduling latency): each user explodes
+                 // to three (metric_id, value) rows — recency negated so
+                 // ASC order matches NTILE ... ORDER BY r DESC — and one
+                 // repartitionByRange on (metric_id, value, user_id)
+                 // clusters each metric into contiguous partition runs.
+                 // A heavy value still SPREADS across partitions by
                  // user_id range, so value skew cannot re-create the
-                 // funnel — per-partition counts become cumulative
-                 // offsets via a |partitions|²-bounded self-join (no
-                 // unpartitioned window anywhere in the plan), and
-                 // within-partition row_number supplies the remainder.
-                 // The NTILE bucket of (rank, n) is then arithmetic: the
-                 // first n%4 buckets take ceil(n/4) ranks, the rest
-                 // floor(n/4) — bit-identical to the oracle's NTILE(4)
-                 // with the same (metric, user_id) tie-break. Monetary
-                 // uses the DECIMAL-cast sum (partition-order exact).
+                 // funnel. Per-(partition, metric) counts become
+                 // cumulative offsets via a (3·|partitions|)²-bounded
+                 // self-join (no unpartitioned window anywhere), a
+                 // (pid, metric)-partitioned row_number supplies the
+                 // remainder, and the NTILE bucket of (rank, n) is
+                 // arithmetic: the first n%4 buckets take ceil(n/4)
+                 // ranks, the rest floor(n/4) — bit-identical to the
+                 // oracle's NTILE(4) with the same tie-break. The pivot
+                 // back to one row per user is a user_id groupBy (the
+                 // DOUBLE metric values are exact: day counts and event
+                 // counts are integers < 2^53, and monetary is already
+                 // the DECIMAL-cast sum cast to double).
       (s, d) => {
         val ev = t(s, d, "events")
           .select(col("user_id"), to_date(col("ts")).as("dt"), col("value"))
@@ -1365,31 +1375,42 @@ object Relational {
             .otherwise(rem +
               floor((rk - cut + base - lit(1)) / base).cast("long"))
         }
-        def withScore(df: DataFrame, key: Column,
-            score: String): DataFrame = {
-          val parted = df.repartitionByRange(key.asc, col("user_id").asc)
-            .withColumn("pid", spark_partition_id())
-          val hist = parted.groupBy("pid").agg(count(lit(1)).as("c"))
-          val offs = hist
-            .join(hist.select(col("pid").as("p2"), col("c").as("c2")),
-              col("p2") < col("pid"), "left")
-            .groupBy("pid")
-            .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
-          val w = Window.partitionBy("pid")
-            .orderBy(key.asc, col("user_id").asc)
-          // materialize the rank BEFORE ntile4 references it (the bucket
-          // arithmetic uses rk three times; inlining would plan three
-          // identical row_number window expressions)
-          parted.join(broadcast(offs), "pid")
-            .withColumn("rk", col("off") + row_number().over(w))
-            .withColumn(score, ntile4(col("rk"), col("n")))
-            .drop("pid", "off", "rk")
-        }
-        val scored = withScore(withScore(withScore(anchored,
-          -col("r"), "r_s"), col("f"), "f_s"), col("m"), "m_s")
-        scored.select(col("user_id"), col("r"), col("f"), col("m"),
-          col("r_s"), col("f_s"), col("m_s"),
-          concat(col("r_s"), col("f_s"), col("m_s")).as("segment"))
+        val metricRows = anchored
+          .select(col("user_id"), col("r"), col("f"), col("m"), col("n"),
+            explode(array(
+              struct(lit(0).as("mid"), (-col("r")).cast("double").as("v")),
+              struct(lit(1).as("mid"), col("f").cast("double").as("v")),
+              struct(lit(2).as("mid"), col("m").as("v")))).as("e"))
+          .select(col("user_id"), col("r"), col("f"), col("m"), col("n"),
+            col("e.mid").as("mid"), col("e.v").as("v"))
+        val parted = metricRows
+          .repartitionByRange(col("mid").asc, col("v").asc,
+            col("user_id").asc)
+          .withColumn("pid", spark_partition_id())
+        val hist = parted.groupBy("pid", "mid").agg(count(lit(1)).as("c"))
+        val offs = hist
+          .join(hist.select(col("mid").as("m2"), col("pid").as("p2"),
+            col("c").as("c2")),
+            col("m2") === col("mid") && col("p2") < col("pid"), "left")
+          .groupBy("pid", "mid")
+          .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+        val w = Window.partitionBy("pid", "mid")
+          .orderBy(col("v").asc, col("user_id").asc)
+        // materialize the rank BEFORE ntile4 references it (the bucket
+        // arithmetic uses rk three times; inlining would plan three
+        // identical row_number window expressions)
+        val scoredRows = parted.join(broadcast(offs), Seq("pid", "mid"))
+          .withColumn("rk", col("off") + row_number().over(w))
+          .withColumn("sc", ntile4(col("rk"), col("n")))
+        scoredRows.groupBy("user_id")
+          .agg(max(col("r")).as("r"), max(col("f")).as("f"),
+            max(col("m")).as("m"),
+            max(when(col("mid") === 0, col("sc"))).as("r_s"),
+            max(when(col("mid") === 1, col("sc"))).as("f_s"),
+            max(when(col("mid") === 2, col("sc"))).as("m_s"))
+          .select(col("user_id"), col("r"), col("f"), col("m"),
+            col("r_s"), col("f_s"), col("m_s"),
+            concat(col("r_s"), col("f_s"), col("m_s")).as("segment"))
       },
       Some("""WITH ev AS (
              |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS dt, value

@@ -312,20 +312,28 @@ object Similarity {
        |WHERE rnk <= 3""".stripMargin
 
   /** The s104 merged-tier chain (after `ivfpqCtes`), ending at `mtop` =
-    * (q_id, vec_id, tier, dq, rnk ≤ 3) — shared by s104 and s105. */
+    * (q_id, vec_id, tier, dq, rnk ≤ 3) — shared by s104 and s105. The
+    * fresh segment is the REAL index delta (corpus ∖ assignment), which
+    * in the oracle — whose `assign` CTE is by construction complete over
+    * the corpus — is the empty set: with a fully-covering index s104
+    * degenerates to the indexed tier, exactly as the engine's anti-join
+    * finds nothing to brute-force. The non-empty lifecycle (build →
+    * ingest → fresh-tier serve → refresh → empty again) is pinned by the
+    * EngineSqlSpec lifecycle test over an appendable corpus. */
   private lazy val deltaCtes =
-    """bnd AS (SELECT MAX(vec_id) * 95 // 100 AS b FROM embeddings),
-      |itop AS (SELECT q_id, vec_id, dq, tier FROM (
+    """itop AS (SELECT q_id, vec_id, dq, tier FROM (
       |    SELECT q_id, vec_id, adq AS dq, 'indexed' AS tier,
       |           ROW_NUMBER() OVER (PARTITION BY q_id
       |                              ORDER BY adq, vec_id) AS rnk
-      |    FROM adc WHERE vec_id <= (SELECT b FROM bnd))
+      |    FROM adc)
       |  WHERE rnk <= 3),
+      |fresh AS (SELECT e.vec_id FROM embeddings e
+      |          WHERE e.vec_id NOT IN (SELECT vec_id FROM assign)),
       |dx AS (
       |  SELECT q.q_id, p.vec_id,
       |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
       |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
-      |  WHERE p.vec_id > (SELECT b FROM bnd)
+      |  JOIN fresh fr ON fr.vec_id = p.vec_id
       |  GROUP BY 1, 2),
       |dtop AS (SELECT q_id, vec_id, dq, tier FROM (
       |    SELECT q_id, vec_id, dq, 'fresh' AS tier,
@@ -367,11 +375,11 @@ object Similarity {
        |hits AS (SELECT CAST(SUM(n_hits) AS BIGINT) AS total_hits,
        |                CAST(COUNT(*) AS BIGINT) AS n_queries FROM rec),
        |cnt AS (
-       |  SELECT CAST(SUM(CASE WHEN vec_id <= (SELECT b FROM bnd)
+       |  SELECT CAST(SUM(CASE WHEN a.vec_id IS NOT NULL
        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
-       |         CAST(SUM(CASE WHEN vec_id > (SELECT b FROM bnd)
+       |         CAST(SUM(CASE WHEN a.vec_id IS NULL
        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
-       |  FROM embeddings),
+       |  FROM embeddings e LEFT JOIN assign a ON a.vec_id = e.vec_id),
        |fs AS (SELECT CAST(SUM(CASE WHEN tier = 'fresh' THEN 1 ELSE 0 END)
        |              AS BIGINT) AS n_fresh_served FROM mtop)
        |SELECT n_indexed, n_fresh,
@@ -1165,21 +1173,28 @@ object Similarity {
       "s104_delta_search", // index freshness — the fresh-segment pattern
                            // (Lucene's uncommitted segment, Milvus's
                            // growing segment): vectors that arrived AFTER
-                           // the index build (here: the top 5% of ids,
-                           // bounded by an in-plan 1-row MAX(vec_id)
-                           // aggregate) are not in the IVF assignment or
-                           // PQ codes, yet search must still see them.
-                           // The indexed tier serves the s101 IVF-PQ
-                           // chain restricted to indexed ids; the fresh
-                           // tier brute-forces the small delta exactly
-                           // against the broadcast queries; per-segment
-                           // top-3 lists merge losslessly into the global
-                           // top-3 (same integer squared-L2 units). The
-                           // tier column makes staleness OBSERVABLE — a
+                           // the index build are absent from the stored
+                           // IVF assignment and PQ codes, yet search must
+                           // still see them. The fresh segment is the
+                           // REAL corpus ∖ assignment delta — the same
+                           // anti-join REFRESH VECTOR INDEX performs —
+                           // so what this query serves is exactly what
+                           // the index has not absorbed (empty on a
+                           // fully-refreshed index; the EngineSqlSpec
+                           // lifecycle pins the non-empty path). The
+                           // indexed tier serves the s101 IVF-PQ chain
+                           // over the stored frames; the fresh tier
+                           // brute-forces the delta exactly against the
+                           // broadcast queries; per-segment top-3 lists
+                           // merge losslessly into the global top-3
+                           // (same integer squared-L2 units). The tier
+                           // column makes staleness OBSERVABLE — a
                            // dashboard alerting on fresh-tier hit rate
                            // knows when to rebuild. Scale shape: the
-                           // bound and queries broadcast; the delta scan
-                           // is map-side; no new corpus-sized exchange.
+                           // delta anti-join shuffles on vec_id (both
+                           // sides corpus-sized — shuffle_hash pinned);
+                           // queries broadcast; the fresh scan is
+                           // map-side; no other corpus-sized exchange.
       (s, d) => deltaSearch(s, d),
       Some(s104OracleSql)),
 
@@ -1196,12 +1211,17 @@ object Similarity {
                            // Distinct from s102, which audits the
                            // full-corpus s101 path: this card measures
                            // what production serves, so staleness damage
-                           // shows up in the number. Scale shape: one
-                           // segment-count aggregate over the corpus,
-                           // the |queries|-bounded exact baseline, and
-                           // 1-row cross-join assembly (d99's pattern);
-                           // integer hit counts keep every rate
-                           // engine-exact.
+                           // shows up in the number. Segment counts come
+                           // from the REAL stored assignment (one LEFT
+                           // join on vec_id), so n_fresh is the true
+                           // unabsorbed delta — REFRESH drives it to 0
+                           // and flips the verdict (the EngineSqlSpec
+                           // lifecycle pins exactly that loop). Scale
+                           // shape: one corpus×assignment equi-join for
+                           // the accounting, the |queries|-bounded exact
+                           // baseline, and 1-row cross-join assembly
+                           // (d99's pattern); integer hit counts keep
+                           // every rate engine-exact.
       (s, d) => indexHealth(s, d),
       Some(s105OracleSql)),
 
@@ -1694,35 +1714,38 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
   }
 
-  /** s104: fresh-segment search — the immutable index serves vectors with
-    * `vec_id <= B` (B = 95% of the max id, the in-plan 1-row bound), the
-    * un-indexed delta (`vec_id > B`) is brute-forced EXACTLY against the
-    * broadcast queries, and the two per-segment top-3 lists merge into a
-    * global top-3 (both sides are squared-L2 in the same integer units).
-    * Per-side top-3 then global top-3 is lossless for a global top-3.
-    * Scale shape: the delta side is a filter over one corpus scan against
-    * |queries| broadcast rows (map-side); the indexed side is the s101
-    * chain with its assignment/codes frames filtered by the broadcast
-    * bound — no new corpus-sized exchange anywhere. */
+  /** s104: fresh-segment search over the REAL index delta — the
+    * immutable index serves exactly the vectors its stored assignment
+    * covers; the fresh segment is corpus ∖ assignment, found by the SAME
+    * LEFT ANTI join on vec_id that `REFRESH VECTOR INDEX` performs
+    * ([[VectorIndex.refresh]]) — never a synthesized id slice. The fresh
+    * delta is brute-forced EXACTLY against the broadcast queries, the
+    * indexed tier is the s101 ADC chain over the stored frames, and the
+    * two per-segment top-3 lists merge into a global top-3 (both sides
+    * are squared-L2 in the same integer units; per-side top-3 then
+    * global top-3 is lossless). On a fully-refreshed index the delta is
+    * EMPTY and the query degenerates to the indexed tier — the honest
+    * answer, and what the DuckDB oracle (whose assignment is complete by
+    * construction) mirrors; the non-empty lifecycle is pinned by the
+    * EngineSqlSpec build→ingest→serve→refresh test. Scale shape: the
+    * delta anti-join is a corpus×assignment equi-join on vec_id — both
+    * sides corpus-sized, so it MUST be free to shuffle; the shuffle_hash
+    * hint pins the hash (not sort-merge) strategy deterministically at
+    * every SF, with the slim (vec_id) assignment projection as build
+    * side. The fresh scan itself is map-side against |queries| broadcast
+    * rows; no other new corpus-sized exchange anywhere. */
   private[graft] def deltaSearch(s: SparkSession, d: String): DataFrame = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-    val bnd = base.agg((max(col("vec_id")) * 95).as("b95"))
-      .select(expr("b95 div 100").as("b"))
     val (centroids, assign, codebook, codes) = artifactFrames(s, d)
-    val assignIx = assign.crossJoin(broadcast(bnd))
-      .filter(col("vec_id") <= col("b"))
-      .select(col("vec_id"), col("cluster"))
-    val codesIx = codes.crossJoin(broadcast(bnd))
-      .filter(col("vec_id") <= col("b"))
-      .select(col("vec_id"), col("codes"))
     val wr = Window.partitionBy("q_id")
       .orderBy(col("dq").asc, col("neighbor_id").asc)
     val indexedTop =
-      ivfpqSearchOn(s, d, centroids, assignIx, codebook, codesIx, k = 3)
+      ivfpqSearchOn(s, d, centroids, assign, codebook, codes, k = 3)
         .select(col("q_id"), col("neighbor_id"),
           col("adq").as("dq"), lit("indexed").as("tier"))
-    val deltaTop = base.crossJoin(broadcast(bnd))
-      .filter(col("vec_id") > col("b"))
+    val deltaTop = base
+      .join(assign.select("vec_id").hint("shuffle_hash"),
+        Seq("vec_id"), "left_anti")
       .crossJoin(broadcast(plantedQueries(s, d)
         .select(col("q_id"), col("qv"))))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -1746,12 +1769,16 @@ object Similarity {
     * pattern). Integer hit counts make every derived rate engine-exact. */
   private[graft] def indexHealth(s: SparkSession, d: String): DataFrame = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-    val bnd = base.agg((max(col("vec_id")) * 95).as("b95"))
-      .select(expr("b95 div 100").as("b"))
-    val cnt = base.crossJoin(broadcast(bnd))
-      .agg(sum(when(col("vec_id") <= col("b"), 1L).otherwise(0L))
+    // segment accounting against the REAL stored assignment (one LEFT
+    // join on vec_id — the same shuffle_hash discipline as the s104
+    // delta), so n_fresh is the true corpus ∖ index count, not a slice
+    val (_, assign, _, _) = artifactFrames(s, d)
+    val cnt = base.select("vec_id")
+      .join(assign.select(col("vec_id"), lit(1).as("ix"))
+        .hint("shuffle_hash"), Seq("vec_id"), "left")
+      .agg(sum(when(col("ix").isNotNull, 1L).otherwise(0L))
           .as("n_indexed"),
-        sum(when(col("vec_id") > col("b"), 1L).otherwise(0L))
+        sum(when(col("ix").isNull, 1L).otherwise(0L))
           .as("n_fresh"))
     val served = deltaSearch(s, d)
     val hits = exactTop3(s, d)

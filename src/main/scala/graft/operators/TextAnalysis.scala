@@ -41,12 +41,18 @@ object TextAnalysis {
     when(den === 0, lit(null).cast("double")).otherwise(num / den)
 
   /** The t99 Gopher rule bundle over any (doc_id, text) frame — shared by
-    * the t99 QueryDef and the p102 ingest-gate capstone so the gate
-    * thresholds exist in exactly one place. Map-side only. */
-  private[operators] def gopherVerdict(docs: DataFrame): DataFrame =
+    * the t99 QueryDef, the p102 ingest-gate capstone, and the streaming
+    * admission twin ([[graft.streaming.DocStreams.admit]]) so the gate
+    * thresholds exist in exactly one place. Map-side only. `keepText`
+    * carries the text column through (the streaming twin computes band
+    * keys from it downstream — a join back would be a stream-stream
+    * self-join, state where none is needed). */
+  private[graft] def gopherVerdict(docs: DataFrame,
+      keepText: Boolean = false): DataFrame = {
+    val carry = if (keepText) Seq(col("text")) else Nil
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: tokens(col("text")).as("toks") +: carry: _*)
+      .select(Seq(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         aggregate(transform(col("toks"), tk => length(tk)), lit(0),
           (acc, x) => acc + x).as("sum_len"),
@@ -54,19 +60,20 @@ object TextAnalysis {
           .as("n_alpha"),
         size(filter(col("toks"),
           tk => tk.isin(stopwords.map(w => w: Any): _*)))
-          .as("stop_hits"))
-      .select(col("doc_id"), col("n_tokens"),
+          .as("stop_hits")) ++ carry: _*)
+      .select(Seq(col("doc_id"), col("n_tokens"),
         round(ratio(col("sum_len").cast("double"),
           col("n_tokens").cast("double")), 6).as("mean_word_chars"),
         round(ratio(col("n_alpha").cast("double"),
           col("n_tokens").cast("double")), 6).as("frac_alpha"),
-        col("stop_hits"))
+        col("stop_hits")) ++ carry: _*)
       .withColumn("keep",
         col("n_tokens").between(10, 100000) &&
           coalesce(col("mean_word_chars").between(2.0, 12.0),
             lit(false)) &&
           coalesce(col("frac_alpha") >= 0.6, lit(false)) &&
           col("stop_hits") >= 2)
+  }
 
   /** t99's oracle CTE chain over an arbitrary source CTE/table name —
     * ends at `g` = (doc_id, n_tokens, keep). Shared with p102. */
@@ -377,7 +384,23 @@ object TextAnalysis {
       |        FROM sc)
       |  WHERE rn = 1)""".stripMargin
 
-  private[graft] def nbModelMicros(s: SparkSession, d: String)
+  /** The frozen NB model for the streaming serve twin, in exact micros.
+    *
+    * The driver-side likelihood map is VOCABULARY-CAPPED: only the top
+    * `maxTermsPerClass` terms per class (by training count, word asc on
+    * ties) are frozen, so the collected map is provably bounded by
+    * k × |classes| regardless of corpus vocabulary — at open-web scale
+    * the vocabulary is 10⁸⁺ terms and an uncapped freeze would OOM the
+    * driver (the k-bounded discipline of `Similarity.freezeIndex`).
+    * Evicted terms fall to the class's unseen-word default `dm` =
+    * log(1/(n_tok+v)) — the model's own OOV floor, which every seen
+    * term's likelihood strictly exceeds, so eviction only DAMPENS a
+    * rare term's vote, never inverts it. Scoring stays bit-identical to
+    * batch for any document whose words survive the cap in every class
+    * (the spec pins this); the default cap is far above any test-corpus
+    * vocabulary, so the shipped twins are exactly the batch model. */
+  private[graft] def nbModelMicros(s: SparkSession, d: String,
+      maxTermsPerClass: Int = 1000000)
       : (Map[String, (Long, Long)], Map[(String, String), Long]) = {
     val (wc, cls) = nbModel(s, d)
     val langStats = cls.select(col("clang"),
@@ -387,7 +410,12 @@ object TextAnalysis {
           .cast("decimal(18,6)") * 1000000).cast("long").as("dm"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    val lik = wc.join(cls.select("clang", "n_tok", "v"), "clang")
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("clang").orderBy(col("cnt").desc, col("word").asc)
+    val lik = wc
+      .withColumn("rnk", row_number().over(wCap))
+      .filter(col("rnk") <= maxTermsPerClass)
+      .join(cls.select("clang", "n_tok", "v"), "clang")
       .select(col("clang"), col("word"),
         (round(log((col("cnt") + 1).cast("double") /
           (col("n_tok") + col("v")).cast("double")), 6)

@@ -117,13 +117,24 @@ object VectorIndex {
     * refresh-then-search ≡ build-then-search for any vector the model
     * routes identically.
     *
-    * The delta is found by LEFT ANTI join on vec_id — Catalyst pushes the
-    * anti join below the encode projection, so only missing vectors are
-    * ever quantized. Returns the number of vectors appended. Reads go
-    * through the manifest pointer (`cmds.table`), not the session catalog
-    * — a prior DELETE may have version-bumped the store and left the
-    * catalog entry dangling; [[repoint]] re-registers all entries at the
-    * end. */
+    * The delta is found by LEFT ANTI join on vec_id against the
+    * INTERSECTION of assign and codes coverage — not assign alone. The
+    * two appends below are not atomic (separate manifest publishes), so a
+    * crash between them leaves a STRAGGLER present in one table and
+    * absent from the other; deriving the delta from assign alone would
+    * then hide an assign-only straggler from every later refresh (0
+    * appended, codes permanently missing the vector, ADC search silently
+    * blind to it). Against the intersection, a straggler stays in the
+    * delta until both tables carry it, and the per-table anti-joins at
+    * append time keep the heal IDEMPOTENT (the table that already has
+    * the row is not appended twice). A row-count parity check at the end
+    * turns any remaining inconsistency into a loud error instead of a
+    * silent serving gap. Catalyst pushes the anti join below the encode
+    * projection, so only missing vectors are ever quantized. Returns the
+    * number of vectors newly covered. Reads go through the manifest
+    * pointer (`cmds.table`), not the session catalog — a prior DELETE
+    * may have version-bumped the store and left the catalog entry
+    * dangling; [[repoint]] re-registers all entries at the end. */
   def refresh(s: SparkSession, d: String, cmds: TableCommands): Long = {
     require(parts.forall(p => cmds.tableExists(tableName(p))),
       "no vector index to refresh - run BUILD VECTOR INDEX first")
@@ -134,27 +145,42 @@ object VectorIndex {
       "vector index was built for a different corpus or parameter set - " +
         "rebuild with BUILD VECTOR INDEX")
     val assign = cmds.table(tableName("assign"))
+    val codes = cmds.table(tableName("codes"))
+    val covered = assign.select("vec_id")
+      .join(codes.select("vec_id"), Seq("vec_id"))
     val missing = graft.Graft.tableParallel(s, d, "embeddings")
       .select("vec_id", "embedding")
-      .join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(covered, Seq("vec_id"), "left_anti")
     val (cents, book) = Similarity.freezeIndex(
       cmds.table(tableName("centroids")), cmds.table(tableName("codebook")))
-    // localCheckpoint, NOT persist: the delta plan READS the assign path
+    // localCheckpoint, NOT persist: the delta plan READS the table paths
     // it is about to append to, and Spark recaches-by-path on write — a
     // merely cached plan would be invalidated by the first append,
     // recompute against the now-complete table, and silently append an
-    // EMPTY codes delta. Truncating lineage to the materialized rows
-    // makes the two appends consume the same frozen delta.
+    // EMPTY second delta. Truncating lineage to the materialized rows
+    // makes both appends consume the same frozen delta.
     val enc = Similarity.routeAndEncodeFrozen(missing, cents, book)
       .localCheckpoint()
     val n = enc.count()
     if (n > 0) {
-      insertConformed(cmds, tableName("assign"),
-        enc.select(col("vec_id"), col("cluster")))
+      // codes FIRST: a crash after it leaves an assign-missing straggler,
+      // which the next refresh's intersection delta re-covers; each side
+      // appends only what IT is missing (idempotent under stragglers)
       insertConformed(cmds, tableName("codes"),
-        enc.select(col("vec_id"), col("codes")))
+        enc.select(col("vec_id"), col("codes"))
+          .join(codes.select("vec_id"), Seq("vec_id"), "left_anti"))
+      insertConformed(cmds, tableName("assign"),
+        enc.select(col("vec_id"), col("cluster"))
+          .join(assign.select("vec_id"), Seq("vec_id"), "left_anti"))
     }
     repoint(s, cmds)
+    // parity audit: the two coverage tables must agree row-for-row after
+    // a refresh — parquet-footer counts, metadata-cheap
+    val na = cmds.table(tableName("assign")).count()
+    val nc = cmds.table(tableName("codes")).count()
+    require(na == nc,
+      s"vector index inconsistent after refresh: assign=$na codes=$nc " +
+        "rows - rebuild with BUILD VECTOR INDEX")
     n
   }
 

@@ -15,6 +15,18 @@ import graft.functions.GraftFunctions
   */
 object DocStreams {
 
+  /** Pessimistic OOV floor for a frozen micro-nat log-prob model: strictly
+    * below every log-prob the model ever assigns (margin = 1 nat), capped
+    * at the legacy -20M constant so tiny test models still quarantine
+    * hard. A FIXED floor is not a guaranteed surprisal maximum — a model
+    * trained on more than ~e^20 tokens gives hapaxes log-probs below
+    * -20M micro-nats, and OOV tokens would then read as LESS surprising
+    * than real rare words — so the default floor derives from the frozen
+    * model at freeze time instead. */
+  private[graft] def oovFloorMicro(model: Iterable[Long]): Long =
+    if (model.isEmpty) -20000000L
+    else math.min(model.min - 1000000L, -20000000L)
+
   /** Content dedup on a document stream: signature per row (stateless),
     * then first-writer-wins on the signature. Identical code path for
     * batch (`spark.read`) and stream (`spark.readStream`).
@@ -74,7 +86,11 @@ object DocStreams {
       .mapPartitions { it =>
         val set = bc.value
         it.map { case (id, text) =>
-          val toks = text.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          // no Java .trim: it strips EVERY control char <= U+0020, while
+          // the batch kernel's Spark trim strips spaces only — the empty-
+          // token filter already absorbs leading whitespace of any kind,
+          // so skipping trim is what makes stream == batch bit-identical
+          val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
           val seen = scala.collection.mutable.HashSet.empty[String]
           var n = 0; var hit = 0
           if (toks.length >= k)
@@ -105,21 +121,27 @@ object DocStreams {
     * Scoring math is bit-identical to t87: integer micro-nat sums, the one
     * float division on identical operands, HALF_UP after negation. */
   def surprisalScore(docs: DataFrame, lm: Map[String, Long],
-      oovLogpMicro: Long = -20000000L): DataFrame = {
+      oovLogpMicro: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(lm)
+    // default floor derives from the frozen model ([[oovFloorMicro]]): a
+    // fixed constant stops being a surprisal maximum once the LM's own
+    // rarest bigram scores below it
+    val floor = oovLogpMicro.getOrElse(oovFloorMicro(lm.values))
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val model = bc.value
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          // no Java .trim (strips  etc. the batch Spark trim keeps);
+          // the empty-token filter absorbs leading whitespace
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
             .split("[ \t\n\f\r]+").filter(_.nonEmpty)
           var n = 0L; var sum = 0L; var oov = 0L
           if (toks.length >= 2)
             toks.sliding(2).foreach { w =>
               val lp = model.getOrElse(w(0) + " " + w(1), {
-                oov += 1; oovLogpMicro
+                oov += 1; floor
               })
               n += 1; sum += lp
             }
@@ -200,9 +222,10 @@ object DocStreams {
       .mapPartitions { it =>
         val langs = bcL.value; val lik = bcW.value
         it.map { case (id, text) =>
+          // no Java .trim (see decontaminate) — empty-token filter only
           val toks = Option(text).getOrElse("")
             .toLowerCase(java.util.Locale.ROOT)
-            .trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+            .split("[ \t\n\f\r]+").filter(_.nonEmpty)
           var bestLang: String = null
           var bestScore = Long.MinValue
           langs.foreach { case (lang, (prior, dflt)) =>
@@ -385,6 +408,29 @@ object DocStreams {
   def nearDupCheck(docs: DataFrame, histBands: DataFrame): DataFrame =
     graft.operators.Dedup.nearDupCheckAgainst(docs, histBands)
 
+  /** Streaming ingest ADMISSION — the live twin of batch
+    * `p102_ingest_gate`, completing the ingest story end-to-end: each
+    * arriving document gets its near-dup verdict against the static
+    * history band index ([[nearDupCheck]]'s stream-static probes) AND its
+    * Gopher quality verdict (the SHARED `gopherVerdict` kernel — the
+    * thresholds exist in exactly one place), composed into one `admitted`
+    * flag. Entirely STATELESS: the quality columns are map-side
+    * expressions computed BEFORE the band probes and THREADED THROUGH
+    * them as pass-through columns — joining two per-doc verdict streams
+    * back together would be a stream-stream self-join (state where none
+    * is needed), the same reason the batch capstone shares one scan. At
+    * real scale `histBands` is the stored dedup-index table, read not
+    * rebuilt. Output matches batch p102 column-for-column:
+    * (doc_id, is_near_dup, keep, n_tokens, admitted). */
+  def admit(docs: DataFrame, histBands: DataFrame): DataFrame =
+    graft.operators.Dedup.nearDupCheckAgainst(
+      graft.operators.TextAnalysis.gopherVerdict(docs, keepText = true)
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("keep")),
+      histBands, keep = Seq("n_tokens", "keep"))
+      .select(col("doc_id"), col("is_near_dup"), col("keep"),
+        col("n_tokens"),
+        (col("keep") && !col("is_near_dup")).as("admitted"))
+
   case class DocBucket(doc_id: Long, lang: String, n_tokens: Long,
       surprisal: Option[Double], bucket: Option[String], n_oov: Long)
 
@@ -407,22 +453,29 @@ object DocStreams {
     * edges buckets NULL rather than guessing. */
   def perplexityBucket(docs: DataFrame, lq: Map[String, Long],
       edges: Map[String, (Double, Double)],
-      oovLqMicro: Long = -20000000L): DataFrame = {
+      oovLqMicro: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bcL = spark.sparkContext.broadcast(lq)
     val bcE = spark.sparkContext.broadcast(edges)
+    // default floor derives from the frozen model ([[oovFloorMicro]]) so
+    // an OOV token is GUARANTEED to read as more surprising than any
+    // in-vocabulary token, at any training-corpus size
+    val floor = oovLqMicro.getOrElse(oovFloorMicro(lq.values))
     docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val model = bcL.value; val e = bcE.value
         it.map { case (id, lang, text) =>
+          // no Java .trim: it strips every control char <= U+0020 while
+          // the batch kernel's Spark trim strips only spaces — the
+          // empty-token filter absorbs leading whitespace either way
           val toks = Option(text).getOrElse("")
-            .trim.toLowerCase(java.util.Locale.ROOT)
+            .toLowerCase(java.util.Locale.ROOT)
             .split("[ \t\n\f\r]+").filter(_.nonEmpty)
           var sum = 0L; var oov = 0L
           toks.foreach { w =>
-            sum += model.getOrElse(w, { oov += 1; oovLqMicro })
+            sum += model.getOrElse(w, { oov += 1; floor })
           }
           val sp =
             if (toks.isEmpty) None
@@ -449,8 +502,20 @@ object DocStreams {
     * needs exactly one comparison against the PREVIOUS frame, so the
     * custom state (`flatMapGroupsWithState`, the engine's escape hatch
     * for cross-row streaming semantics) is a 3-field cursor per asset —
-    * last frame index, last energy, current scene — NOT a frame buffer:
-    * state is O(assets-in-flight), never O(frames). Frames within a
+    * last frame index, last energy, current scene — NOT a frame buffer.
+    *
+    * State BOUND: each asset's cursor is evicted on a processing-time
+    * idle timeout (`idleTimeout`, default 30 minutes), making state
+    * O(assets-in-flight); without eviction it would grow with every
+    * asset EVER seen — unbounded on a long-running ingest stream. The
+    * eviction contract: an asset's frames arrive within `idleTimeout`
+    * of each other (a decode stage emits an asset's frames
+    * back-to-back, so an idle asset is a FINISHED asset). A straggler
+    * frame arriving after its cursor expired RE-OPENS the asset with a
+    * fresh cursor — scene numbering restarts at 0 from that frame,
+    * exactly as if the tail were a new asset; a pipeline that cannot
+    * bound decode latency should widen the timeout rather than lean on
+    * re-open semantics. Frames within a
     * micro-batch sort by index (decode emits in order; a batch may
     * interleave); ACROSS batches in-order delivery per asset is the
     * ingest contract, as for every cursor-carrying stream. Cut rule and
@@ -458,25 +523,33 @@ object DocStreams {
     * equal m105's bit-for-bit (parity spec feeds frames split mid-asset
     * across batches). */
   def sceneAssign(frames: Dataset[Frame],
-      threshold: Long = 150L): Dataset[FrameScene] = {
+      threshold: Long = 150L,
+      idleTimeout: String = "30 minutes"): Dataset[FrameScene] = {
     import frames.sparkSession.implicits._
     frames
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[SceneCursor, FrameScene](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (doc: Long, it: Iterator[Frame], state: GroupState[SceneCursor]) =>
-          var cur = state.getOption.getOrElse(SceneCursor(-1L, 0L, 0L))
-          val out = it.toArray.sortBy(_.frame_idx).map { f =>
-            val scene =
-              if (cur.lastIdx < 0) 0L
-              else if (math.abs(f.energy - cur.lastEnergy) > threshold)
-                cur.scene + 1
-              else cur.scene
-            cur = SceneCursor(f.frame_idx, f.energy, scene)
-            FrameScene(doc, f.frame_idx, f.energy, scene)
+          if (state.hasTimedOut) {
+            // idle asset = finished asset: evict its cursor, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(SceneCursor(-1L, 0L, 0L))
+            val out = it.toArray.sortBy(_.frame_idx).map { f =>
+              val scene =
+                if (cur.lastIdx < 0) 0L
+                else if (math.abs(f.energy - cur.lastEnergy) > threshold)
+                  cur.scene + 1
+                else cur.scene
+              cur = SceneCursor(f.frame_idx, f.energy, scene)
+              FrameScene(doc, f.frame_idx, f.energy, scene)
+            }
+            state.update(cur)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
           }
-          state.update(cur)
-          out.iterator
       }
   }
 

@@ -1013,6 +1013,167 @@ class EngineSqlSpec extends AnyFunSuite {
       assert(p.contains("vector_index_embeddings_assign"))
       assert(e1.sql("REFRESH VECTOR INDEX ON embeddings").head.getString(0)
         .contains("(0 vectors appended)"))
+      // straggler heal: a crash between the two refresh appends leaves a
+      // vector in ONE coverage table only. The delta is computed against
+      // the assign∩codes INTERSECTION and each side appends only what IT
+      // is missing, so the next refresh re-covers the straggler without
+      // duplicating the table that already has it.
+      cmds2.delete("vector_index_embeddings_codes",
+        col("vec_id") % 10 === 3)
+      val healMsg = e1.sql("REFRESH VECTOR INDEX ON embeddings")
+        .head.getString(0)
+      assert(healMsg.contains("vectors appended") &&
+        !healMsg.contains("(0 vectors"), s"unexpected status: $healMsg")
+      assert(rows("vector_index_embeddings_assign") == fullAssign,
+        "straggler heal duplicated assign rows")
+      assert(rows("vector_index_embeddings_codes") == fullCodes,
+        "straggler heal did not restore the codes table")
+    } finally {
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+      e1.close()
+    }
+  }
+
+  test("RUN QUERY: the d/s/t/m/p operator inventory runs as SQL strings " +
+      "— one per family, identical to the DataFrame form") {
+    // doCommand parity for §2.9: the extension surface must be reachable
+    // from the string interface (SharedServer/REPL), like every
+    // relational row already is. One representative per family; scalar
+    // output columns so row-set compare is exact.
+    val names = Seq("q71_retention", "t99_gopher_rules", "d80_dedup_exact",
+      "s90_ann_bruteforce", "m97_wav_decode", "p102_ingest_gate")
+    names.foreach { n =>
+      val viaSql = engine.sql(s"RUN QUERY '$n'").collect()
+        .map(_.toSeq).toSet
+      val direct = SparkEntry.queries(n)(spark, d).collect()
+        .map(_.toSeq).toSet
+      assert(direct.nonEmpty && viaSql == direct,
+        s"$n diverged through RUN QUERY")
+    }
+    // explicit ON '<dir>' override; unquoted name; unknown name errors
+    assert(engine.sql(s"RUN QUERY 'd80_dedup_exact' ON '$d'").count() ==
+      SparkEntry.queries("d80_dedup_exact")(spark, d).count())
+    assert(engine.sql("RUN QUERY t99_gopher_rules").count() ==
+      SparkEntry.queries("t99_gopher_rules")(spark, d).count())
+    val ex = intercept[IllegalArgumentException] {
+      engine.sql("RUN QUERY 'no_such_query'")
+    }
+    assert(ex.getMessage.contains("SHOW QUERIES"))
+    // SHOW QUERIES lists the complete inventory
+    val listed = engine.sql("SHOW QUERIES").collect()
+      .map(_.getString(0)).toSet
+    assert(listed == SparkEntry.queries.keySet)
+  }
+
+  test("DROP INDEX / SHOW INDEXES: the bucketed-index lifecycle is " +
+      "managed end-to-end from SQL; routing stops after drop") {
+    engine.sql("CREATE COLSTORE idxlife AS " +
+      "SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p " +
+      "FROM orders")
+    try {
+      engine.sql("CREATE INDEX ON idxlife (c)")
+      val listed = engine.sql("SHOW INDEXES").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(listed.contains(("idxlife", "c", "idxlife_by_c")),
+        s"SHOW INDEXES missing the created index: ${listed.mkString(", ")}")
+      // routing serves the bucketed clone while the index exists
+      val routed = engine.sql(
+        "SELECT c, count(*) AS n FROM idxlife GROUP BY c")
+      assert(routed.queryExecution.analyzed.toString
+        .contains("idxlife_by_c"), "plain query not routed to the index")
+      // drop: catalog table gone, SHOW INDEXES empty for it, routing off
+      assert(engine.sql("DROP INDEX idxlife_by_c").head.getString(0)
+        .contains("dropped index idxlife_by_c"))
+      assert(!spark.catalog.tableExists("idxlife_by_c"))
+      assert(!engine.sql("SHOW INDEXES").collect()
+        .exists(_.getString(2) == "idxlife_by_c"))
+      val unrouted = engine.sql(
+        "SELECT c, count(*) AS n FROM idxlife GROUP BY c")
+      assert(!unrouted.queryExecution.analyzed.toString
+        .contains("idxlife_by_c"), "routing survived DROP INDEX")
+      // error surface: missing index throws; IF EXISTS is a status
+      intercept[IllegalArgumentException] {
+        engine.sql("DROP INDEX idxlife_by_c")
+      }
+      assert(engine.sql("DROP INDEX IF EXISTS idxlife_by_c")
+        .head.getString(0).contains("does not exist"))
+    } finally engine.sql("DROP TABLE idxlife")
+  }
+
+  test("vector index lifecycle: BUILD → ingest delta → s104 serves it " +
+      "from the fresh tier → REFRESH → fresh drains and s105 flips") {
+    // the s104/s105 fresh segment is the REAL corpus ∖ assignment delta;
+    // this test drives the full production loop on an appendable corpus
+    // copy: a freshly-built index has an empty delta, ingested vectors
+    // appear in the fresh tier (served exactly, observable via `tier`),
+    // the health card crosses its rebuild threshold, and REFRESH absorbs
+    // the delta — fresh count back to zero, verdict back to healthy.
+    import java.nio.file.{Files => F, Path, Paths, StandardCopyOption}
+    val corp = F.createTempDirectory("graft_vidx_life").toString
+    // embeddings gets a REAL copy (the test appends into it); the other
+    // tables the Engine registers are read-only — symlinks suffice
+    def copyDir(src: Path, dst: Path): Unit = {
+      F.createDirectories(dst)
+      F.list(src).forEach { p =>
+        val t = dst.resolve(p.getFileName)
+        if (F.isDirectory(p)) copyDir(p, t)
+        else { F.copy(p, t, StandardCopyOption.REPLACE_EXISTING); () }
+      }
+    }
+    copyDir(Paths.get(s"$d/embeddings.parquet"),
+      Paths.get(s"$corp/embeddings.parquet"))
+    Graft.tableNames.filterNot(_ == "embeddings").foreach { t =>
+      F.createSymbolicLink(Paths.get(s"$corp/$t.parquet"),
+        Paths.get(s"$d/$t.parquet")); ()
+    }
+    val wh = Files.createTempDirectory("graft_vidx_life_wh").toString
+    val e1 = new Engine(spark, corp, wh)
+    def health: org.apache.spark.sql.Row =
+      SparkEntry.queries("s105_index_health")(spark, corp).head()
+    def servedTiers: Map[String, Array[Long]] =
+      SparkEntry.queries("s104_delta_search")(spark, corp).collect()
+        .groupBy(_.getString(2)).map { case (t, g) =>
+          t -> g.map(_.getLong(1))
+        }
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val h0 = health
+      assert(h0.getLong(h0.fieldIndex("n_fresh")) == 0L,
+        "freshly built index must have an empty delta")
+      assert(!servedTiers.contains("fresh"))
+      // ingest: append ~7% of the corpus as id-shifted copies (near-dups
+      // of existing vectors, so some MUST surface in the served top-3)
+      val emb = spark.read.parquet(s"$corp/embeddings.parquet")
+      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val nDelta = math.max((emb.count() * 7) / 100, 10L)
+      emb.filter(col("vec_id") < nDelta)
+        .withColumn("vec_id", col("vec_id") + maxId + 1)
+        .write.mode("append").parquet(s"$corp/embeddings.parquet")
+      // stale index: the delta serves from the fresh tier — and because
+      // the appended vectors duplicate the query neighborhoods, appended
+      // ids actually WIN slots in the merged top-3
+      val tiers = servedTiers
+      assert(tiers.contains("fresh"), "ingested delta not served")
+      assert(tiers("fresh").forall(_ > maxId),
+        "fresh tier served an indexed vector")
+      val h1 = health
+      assert(h1.getLong(h1.fieldIndex("n_fresh")) == nDelta)
+      assert(h1.getBoolean(h1.fieldIndex("rebuild")),
+        "a 7% unindexed delta must cross the rebuild threshold")
+      // REFRESH absorbs the delta O(delta): fresh drains to zero and the
+      // verdict returns to the recall-only criterion
+      val msg = e1.sql("REFRESH VECTOR INDEX ON embeddings")
+        .head.getString(0)
+      assert(msg.contains(s"($nDelta vectors appended)"),
+        s"unexpected status: $msg")
+      val h2 = health
+      assert(h2.getLong(h2.fieldIndex("n_fresh")) == 0L)
+      assert(h2.getDouble(h2.fieldIndex("fresh_frac")) == 0.0)
+      assert(!servedTiers.contains("fresh"), "fresh tier still serving")
+      assert(h2.getBoolean(h2.fieldIndex("rebuild")) ==
+        (h2.getLong(h2.fieldIndex("total_hits")) <
+          0.7 * 3 * h2.getLong(h2.fieldIndex("n_queries"))),
+        "post-refresh verdict must be the recall criterion alone")
     } finally {
       e1.sql("DROP VECTOR INDEX ON embeddings")
       e1.close()
