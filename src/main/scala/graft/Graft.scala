@@ -78,6 +78,26 @@ object Graft {
     }
   }
 
+  /** Drop memoized frames under `sfDir` — the path-table analog of
+    * Spark's `REFRESH TABLE`, for the one case the memo's "test data is
+    * immutable" premise breaks: an EXTERNAL writer appended to a corpus
+    * directory. A memoized DataFrame pins the file listing resolved at
+    * read time (its `InMemoryFileIndex` snapshot), so without
+    * invalidation every later query serves the pre-append corpus.
+    * Also flushes Spark's own by-path caches (shared file-status cache,
+    * cached relations) so the NEXT resolution re-lists from disk. Any
+    * ingest that writes directly into a corpus dir — rather than through
+    * an [[Engine]] catalog table, whose manifest pointer swap already
+    * forces re-resolution — must call this before serving reads. */
+  def invalidate(spark: SparkSession, sfDir: String): Unit = {
+    val it = tableCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == spark && k._2 == sfDir) it.remove()
+    }
+    spark.catalog.refreshByPath(sfDir)
+  }
+
   /** Read one table from a scale-factor directory.
     *
     * `events.ts` has shipped in two physical layouts across test-data

@@ -489,7 +489,14 @@ object DocStreams {
       }.toDF()
   }
 
-  case class Frame(doc_id: Long, frame_idx: Long, energy: Long)
+  // event_ts default is epoch+1ms, NOT epoch: the engine drops rows at
+  // ts <= watermark, and the watermark starts at 0 — a 0 default would
+  // silently drop every frame. At +1ms a constant event time keeps the
+  // watermark pinned at 0 (ts - idleGap is negative), so nothing is
+  // late and no cursor ever evicts: the batch-parity mode. Production
+  // streams stamp the real decode time to get bounded state.
+  case class Frame(doc_id: Long, frame_idx: Long, energy: Long,
+      event_ts: java.sql.Timestamp = new java.sql.Timestamp(1L))
   case class SceneCursor(lastIdx: Long, lastEnergy: Long, scene: Long)
   case class FrameScene(doc_id: Long, frame_idx: Long, energy: Long,
       scene_idx: Long)
@@ -504,32 +511,45 @@ object DocStreams {
     * for cross-row streaming semantics) is a 3-field cursor per asset —
     * last frame index, last energy, current scene — NOT a frame buffer.
     *
-    * State BOUND: each asset's cursor is evicted on a processing-time
-    * idle timeout (`idleTimeout`, default 30 minutes), making state
+    * State BOUND: each asset's cursor is evicted on an EVENT-TIME idle
+    * timeout — the cursor dies `idleGap` after the asset's last frame's
+    * `event_ts`, measured against the stream's watermark — making state
     * O(assets-in-flight); without eviction it would grow with every
     * asset EVER seen — unbounded on a long-running ingest stream. The
-    * eviction contract: an asset's frames arrive within `idleTimeout`
-    * of each other (a decode stage emits an asset's frames
+    * eviction contract: an asset's frames carry event times within
+    * `idleGap` of each other (a decode stage emits an asset's frames
     * back-to-back, so an idle asset is a FINISHED asset). A straggler
     * frame arriving after its cursor expired RE-OPENS the asset with a
     * fresh cursor — scene numbering restarts at 0 from that frame,
     * exactly as if the tail were a new asset; a pipeline that cannot
-    * bound decode latency should widen the timeout rather than lean on
-    * re-open semantics. Frames within a
-    * micro-batch sort by index (decode emits in order; a batch may
-    * interleave); ACROSS batches in-order delivery per asset is the
-    * ingest contract, as for every cursor-carrying stream. Cut rule and
-    * integer energies are the batch kernel's own, so stream assignments
-    * equal m105's bit-for-bit (parity spec feeds frames split mid-asset
-    * across batches). */
+    * bound decode latency should widen the gap rather than lean on
+    * re-open semantics. Frames within a micro-batch sort by index
+    * (decode emits in order; a batch may interleave); ACROSS batches
+    * in-order delivery per asset is the ingest contract, as for every
+    * cursor-carrying stream. Cut rule and integer energies are the
+    * batch kernel's own, so stream assignments equal m105's
+    * bit-for-bit (parity spec feeds frames split mid-asset across
+    * batches).
+    *
+    * WHY event time and not `ProcessingTimeTimeout`: with a
+    * processing-time timeout registered, the micro-batch engine's
+    * `shouldRunAnotherBatch` is ALWAYS true (wall-clock always
+    * advances), so under the default trigger the query spins empty
+    * timeout-check batches back-to-back — a long-running ingest stream
+    * burns a cluster while idle, and `processAllAvailable()` (hence any
+    * test harness awaiting quiescence) never returns. Event-time
+    * timeouts only schedule extra batches when the WATERMARK advances,
+    * which only happens on new data — idle stream, idle cluster. */
   def sceneAssign(frames: Dataset[Frame],
       threshold: Long = 150L,
-      idleTimeout: String = "30 minutes"): Dataset[FrameScene] = {
+      idleGap: String = "30 minutes"): Dataset[FrameScene] = {
     import frames.sparkSession.implicits._
     frames
+      .withWatermark("event_ts", idleGap)
+      .as[Frame]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[SceneCursor, FrameScene](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (doc: Long, it: Iterator[Frame], state: GroupState[SceneCursor]) =>
           if (state.hasTimedOut) {
             // idle asset = finished asset: evict its cursor, emit nothing
@@ -537,7 +557,8 @@ object DocStreams {
             Iterator.empty
           } else {
             var cur = state.getOption.getOrElse(SceneCursor(-1L, 0L, 0L))
-            val out = it.toArray.sortBy(_.frame_idx).map { f =>
+            val arr = it.toArray.sortBy(_.frame_idx)
+            val out = arr.map { f =>
               val scene =
                 if (cur.lastIdx < 0) 0L
                 else if (math.abs(f.energy - cur.lastEnergy) > threshold)
@@ -547,7 +568,11 @@ object DocStreams {
               FrameScene(doc, f.frame_idx, f.energy, scene)
             }
             state.update(cur)
-            state.setTimeoutDuration(idleTimeout)
+            // evict once the watermark passes last-frame-ts + idleGap;
+            // rows older than the watermark were already dropped by the
+            // engine, so this timestamp is always > the current watermark
+            state.setTimeoutTimestamp(arr.map(_.event_ts.getTime).max,
+              idleGap)
             out.iterator
           }
       }

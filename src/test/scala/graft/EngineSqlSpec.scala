@@ -1108,20 +1108,15 @@ class EngineSqlSpec extends AnyFunSuite {
     // appear in the fresh tier (served exactly, observable via `tier`),
     // the health card crosses its rebuild threshold, and REFRESH absorbs
     // the delta — fresh count back to zero, verdict back to healthy.
-    import java.nio.file.{Files => F, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files => F, Paths}
     val corp = F.createTempDirectory("graft_vidx_life").toString
-    // embeddings gets a REAL copy (the test appends into it); the other
-    // tables the Engine registers are read-only — symlinks suffice
-    def copyDir(src: Path, dst: Path): Unit = {
-      F.createDirectories(dst)
-      F.list(src).forEach { p =>
-        val t = dst.resolve(p.getFileName)
-        if (F.isDirectory(p)) copyDir(p, t)
-        else { F.copy(p, t, StandardCopyOption.REPLACE_EXISTING); () }
-      }
-    }
-    copyDir(Paths.get(s"$d/embeddings.parquet"),
-      Paths.get(s"$corp/embeddings.parquet"))
+    // embeddings gets a REAL copy (the test appends into it) — and the
+    // copy must be DIRECTORY-shaped: the fixture tables are single
+    // .parquet FILES, and Spark's append mode can only add part files
+    // under a directory. A read→write round-trip normalizes the shape
+    // regardless of how the fixture is laid out.
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .write.parquet(s"$corp/embeddings.parquet")
     Graft.tableNames.filterNot(_ == "embeddings").foreach { t =>
       F.createSymbolicLink(Paths.get(s"$corp/$t.parquet"),
         Paths.get(s"$d/$t.parquet")); ()
@@ -1149,6 +1144,11 @@ class EngineSqlSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < nDelta)
         .withColumn("vec_id", col("vec_id") + maxId + 1)
         .write.mode("append").parquet(s"$corp/embeddings.parquet")
+      // the append bypassed the Engine (a raw external write), so cached
+      // file listings must be dropped — the ingest contract Graft
+      // .invalidate documents; without it every read below would serve
+      // the pre-append snapshot
+      Graft.invalidate(spark, corp)
       // stale index: the delta serves from the fresh tier — and because
       // the appended vectors duplicate the query neighborhoods, appended
       // ids actually WIN slots in the merged top-3

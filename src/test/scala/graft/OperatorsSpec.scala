@@ -1872,10 +1872,12 @@ class OperatorsSpec extends AnyFunSuite {
         assert(status == "unchanged" && ph == ch, s"doc $id: $status")
       }
     }
+    // removed docs synthesize as NEGATED ids (collision-safe at any
+    // corpus size — no positive doc_id can collide with -id)
     docs.filter(_._1 % 10 == 1).foreach { case (id, _) =>
-      val (_, status, ph, ch) = byId(id + 2000000)
+      val (_, status, ph, ch) = byId(-id)
       assert(status == "removed" && ch.isEmpty && ph.nonEmpty,
-        s"ghost ${id + 2000000}: $status")
+        s"ghost ${-id}: $status")
     }
   }
 

@@ -816,6 +816,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); () }
   }
 
+  test("sceneAssign evicts idle-asset cursors on the event-time gap: " +
+      "a straggler past the watermark re-opens its asset at scene 0") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def f(doc: Long, idx: Long, e: Long, t: String) =
+      streaming.DocStreams.Frame(doc, idx, e, ts(t))
+    val src = MemoryStream[streaming.DocStreams.Frame]
+    val q = streaming.DocStreams.sceneAssign(src.toDS(),
+        idleGap = "10 seconds")
+      .writeStream.format("memory").queryName("evict_scene")
+      .outputMode("append").start()
+    try {
+      // asset 1: two frames, a cut between them → scenes 0, 1
+      src.addData(Seq(
+        f(1L, 0L, 100L, "2026-01-01 10:00:00"),
+        f(1L, 1L, 500L, "2026-01-01 10:00:01")))
+      q.processAllAvailable()
+      // an unrelated asset far in the future drives the watermark to
+      // 10:04:50, past asset 1's 10:00:11 timeout → cursor evicted on
+      // the watermark-advance batch (no wall-clock spinning involved)
+      src.addData(Seq(f(9L, 0L, 0L, "2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      // a straggler for asset 1 (NOT late vs the watermark) re-opens it:
+      // scene restarts at 0 even though its energy equals the evicted
+      // cursor's last energy — proof the cursor is GONE, not carried
+      src.addData(Seq(f(1L, 5L, 500L, "2026-01-01 10:06:00")))
+      q.processAllAvailable()
+      val out = spark.table("evict_scene").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(out((1L, 0L)) == 0L && out((1L, 1L)) == 1L)
+      assert(out((9L, 0L)) == 0L)
+      assert(out((1L, 5L)) == 0L,
+        "straggler after eviction must re-open the asset at scene 0; " +
+          "a carried cursor would have continued scene 1")
+    } finally { q.stop(); () }
+  }
+
   test("contentDedupWithinWatermark: dups dropped inside the horizon, " +
       "state evicted past it") {
     import spark.implicits._
