@@ -104,10 +104,53 @@ object Bench {
     val sorted = results.map(_._2).sorted
     def pct(p: Double) = sorted((p * (sorted.size - 1)).round.toInt)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    spark.stop()
+    // Same-session per-query DuckDB anchor, embedded in the artifact so
+    // host-load drift is self-evident (a query whose Spark time doubled
+    // while its duck time also doubled is load, not a plan regression).
+    // DuckDB is a DRIVER-SIDE tool, never a library dependency — the
+    // anchor shells out to tools/duck_bench.py against this run's own
+    // oracle SQL, after spark.stop() so the two engines never contend.
+    // Missing python3/duckdb/script degrades to "duckdb":null
+    // (GRAFT_NO_DUCK=1 forces the skip).
+    val duck: String = (if (sys.env.contains("GRAFT_NO_DUCK")) None else try {
+      val script = new java.io.File("tools/duck_bench.py")
+      if (!script.isFile) None
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_duck")
+        def q(s: String): String = "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"),
+          SparkEntry.oracleSql
+            .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+            .mkString("{", ",", "}"))
+        // stderr streams through (a full stderr pipe would deadlock the
+        // readAllBytes below); stdout is the one JSON line we capture
+        val p = new ProcessBuilder("python3", script.getPath, sfDir,
+          tmp.toString, sys.env.getOrElse("GRAFT_DUCK_N", "2"))
+          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); ()
+        }
+        out.linesIterator.map(_.trim).filter(_.startsWith("{")).toSeq
+          .lastOption
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] duckdb anchor skipped: ${e.getMessage}")
+      None
+    }).getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
+      s""""failed":$failedJson,"duckdb":$duck,"sf":"$sfDir"}""")
     // a failing query must fail the round loudly — a silent near-zero time
     // would let a regression masquerade as a speedup
     if (failed.nonEmpty) sys.exit(1)

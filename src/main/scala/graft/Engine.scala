@@ -175,8 +175,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // analog is FunctionDirectory extensibility
   // (`functions/FunctionDirectory.java:80-96`): registered capability,
   // invocable from the string interface.
+  // quotes must be balanced or absent: two alternatives, NOT '?(\w+)'?,
+  // which would accept `RUN QUERY 'name` and `RUN QUERY name'`
   private val runQueryStmt =
-    """(?is)\s*RUN\s+QUERY\s+'?(\w+)'?(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
   private val showQueriesStmt = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
   // the ANN train/serve split: BUILD materializes the trained IVF-PQ
   // artifacts as warehouse tables (the vector analog of CREATE INDEX's
@@ -382,7 +384,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           (base, cols, idx)
         }
       }.distinct.sortBy(_._3).toDF("table", "columns", "index")
-    case runQueryStmt(name, dirOpt) =>
+    case runQueryStmt(quoted, bare, dirOpt) =>
+      val name = Option(quoted).getOrElse(bare)
       val dir = Option(dirOpt).getOrElse(sfDir)
       SparkEntry.queries.get(name)
         .orElse(SparkEntry.queries.collectFirst {

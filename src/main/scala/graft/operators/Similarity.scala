@@ -1743,8 +1743,16 @@ object Similarity {
       ivfpqSearchOn(s, d, centroids, assign, codebook, codes, k = 3)
         .select(col("q_id"), col("neighbor_id"),
           col("adq").as("dq"), lit("indexed").as("tier"))
+    // coverage = assign ∩ codes, the SAME intersection REFRESH drains
+    // ([[VectorIndex.refresh]]): an assign-only straggler (crash between
+    // the two artifact appends) has no code row, so the indexed ADC tier
+    // cannot serve it — against assign alone it would fall in NEITHER
+    // tier until the next refresh. Both projections are slim (vec_id);
+    // the inner join keeps the build side one column wide.
     val deltaTop = base
-      .join(assign.select("vec_id").hint("shuffle_hash"),
+      .join(assign.select("vec_id")
+          .join(codes.select("vec_id"), Seq("vec_id"))
+          .hint("shuffle_hash"),
         Seq("vec_id"), "left_anti")
       .crossJoin(broadcast(plantedQueries(s, d)
         .select(col("q_id"), col("qv"))))
@@ -1769,12 +1777,15 @@ object Similarity {
     * pattern). Integer hit counts make every derived rate engine-exact. */
   private[graft] def indexHealth(s: SparkSession, d: String): DataFrame = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-    // segment accounting against the REAL stored assignment (one LEFT
-    // join on vec_id — the same shuffle_hash discipline as the s104
-    // delta), so n_fresh is the true corpus ∖ index count, not a slice
-    val (_, assign, _, _) = artifactFrames(s, d)
+    // segment accounting against the REAL stored coverage — the
+    // assign ∩ codes intersection, matching both the s104 delta and
+    // what REFRESH drains (one LEFT join on vec_id, same shuffle_hash
+    // discipline) — so n_fresh is the true corpus ∖ servable count
+    val (_, assign, _, codes) = artifactFrames(s, d)
     val cnt = base.select("vec_id")
-      .join(assign.select(col("vec_id"), lit(1).as("ix"))
+      .join(assign.select("vec_id")
+          .join(codes.select("vec_id"), Seq("vec_id"))
+          .select(col("vec_id"), lit(1).as("ix"))
         .hint("shuffle_hash"), Seq("vec_id"), "left")
       .agg(sum(when(col("ix").isNotNull, 1L).otherwise(0L))
           .as("n_indexed"),

@@ -1059,6 +1059,11 @@ class EngineSqlSpec extends AnyFunSuite {
       engine.sql("RUN QUERY 'no_such_query'")
     }
     assert(ex.getMessage.contains("SHOW QUERIES"))
+    // unbalanced quotes are a parse error, not a silently-accepted name
+    Seq("RUN QUERY 'd80_dedup_exact", "RUN QUERY d80_dedup_exact'")
+      .foreach { bad =>
+        intercept[Exception] { engine.sql(bad) }; ()
+      }
     // SHOW QUERIES lists the complete inventory
     val listed = engine.sql("SHOW QUERIES").collect()
       .map(_.getString(0)).toSet

@@ -171,6 +171,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); histBands.unpersist(); () }
   }
 
+  test("admit: streaming ingest admission == batch p102 bit-for-bit, " +
+      "quality columns threaded through the band probes across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (hist, arrDocs) =
+      operators.Dedup.incrementalParts(spark, TestSpark.sfDir)
+    val histBands = hist.cache()
+    val arrivals = arrDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.admit(
+        src.toDF().toDF("doc_id", "text"), histBands)
+      .writeStream.format("memory").queryName("admitg")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches: the gate is stateless, so the split
+      // must not change a single verdict
+      src.addData(arrivals.take(arrivals.length / 2): _*)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(arrivals.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("admitg").collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("p102_ingest_gate")(
+        spark, TestSpark.sfDir).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        "streaming admission diverges from batch p102")
+      // the fixture actually exercises BOTH verdict axes: some arrival
+      // fails quality, some is a near-dup, some is admitted — otherwise
+      // the composed flag was never really tested
+      val flags = spark.table("admitg").collect()
+        .map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(4)))
+      assert(flags.exists(_._3), "no arrival admitted")
+      assert(flags.exists(f => !f._3 && f._1), "no near-dup rejection")
+      assert(flags.exists(f => !f._3 && !f._2), "no quality rejection")
+    } finally { q.stop(); histBands.unpersist(); () }
+  }
+
   test("VectorStreams.routeAndEncode: streamed ingest rows are " +
       "bit-identical to the stored assign/codes tables") {
     import spark.implicits._
@@ -601,6 +638,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny(0) == ((1L, 0L, "aa", -100L)),
       s"prior tie must break lang-ascending: ${tiny(0)}")
     assert(tiny(1) == ((2L, 2L, "bb", -100L - 2 * 700L)), s"got ${tiny(1)}")
+  }
+
+  test("nbModelMicros vocabulary cap: frozen map bounded by k x |classes|, " +
+      "evicted terms score at the OOV floor, cap-surviving docs == batch") {
+    import spark.implicits._
+    val (fullStats, fullLik) =
+      operators.TextAnalysis.nbModelMicros(spark, TestSpark.sfDir)
+    val classes = fullStats.keySet
+    // size the cap off the frozen model so it BINDS at any fixture SF:
+    // half the largest class vocabulary guarantees eviction somewhere
+    val k = math.max(1,
+      classes.map(c => fullLik.count(_._1._1 == c)).max / 2)
+    val (capStats, capLik) = operators.TextAnalysis
+      .nbModelMicros(spark, TestSpark.sfDir, maxTermsPerClass = k)
+    // the cap must BIND on this corpus or the test proves nothing
+    assert(fullLik.size > capLik.size,
+      s"fixture vocab (${fullLik.size}) never exceeds the cap - shrink k")
+    // (a) the driver map is provably bounded by k x |classes|
+    assert(capLik.size <= k * classes.size)
+    classes.foreach { c =>
+      assert(capLik.count(_._1._1 == c) <= k, s"class $c over cap") }
+    // priors and unseen-word defaults are untouched by the cap, and the
+    // survivors keep their full-model likelihoods bit-for-bit (the cap
+    // EVICTS, it never re-estimates)
+    assert(capStats == fullStats)
+    capLik.foreach { case (key, lm) =>
+      assert(fullLik(key) == lm, s"survivor $key re-estimated") }
+    // (b) capped == full scoring for any doc whose (class, word) lookups
+    // the cap left unchanged — i.e. every word either survived in a
+    // class or was never in that class's vocabulary to begin with. Real
+    // corpus docs all mix in evicted words at this fixture size, so the
+    // survivor docs are SYNTHESIZED from the cap-stable vocabulary (the
+    // invariant is about lookups, not about which doc carries them).
+    val stableWords = fullLik.keysIterator.map(_._2).toSeq.distinct
+      .filter(w => classes.forall(c =>
+        capLik.contains((c, w)) == fullLik.contains((c, w))))
+      .sorted
+    assert(stableWords.nonEmpty,
+      "fixture: every word had an eviction somewhere - raise k")
+    val survivors = stableWords.grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val capOut = streaming.DocStreams.nbClassify(
+        survivors.toDF("doc_id", "text"), capStats, capLik)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val fullOut = streaming.DocStreams.nbClassify(
+        survivors.toDF("doc_id", "text"), fullStats, fullLik)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(capOut == fullOut,
+      "capped model diverged on docs whose words survive the cap")
+    // (c) an evicted term is indistinguishable from an UNSEEN term: both
+    // take the class's dm floor, so a doc of one evicted-everywhere word
+    // scores exactly like a doc of a vocabulary-free word
+    val evictedEverywhere = fullLik.keysIterator.map(_._2)
+      .filter(w => classes.forall(c => !capLik.contains((c, w))))
+      .to(LazyList).headOption
+    evictedEverywhere.foreach { w =>
+      assert(classes.forall(c => !fullLik.contains((c, "zzqqxxyy"))),
+        "sentinel unseen word collided with the corpus vocabulary")
+      val pair = streaming.DocStreams.nbClassify(
+          Seq((1L, w), (2L, "zzqqxxyy")).toDF("doc_id", "text"),
+          capStats, capLik)
+        .collect().map(r => (r.getString(2), r.getLong(3))).distinct
+      assert(pair.length == 1,
+        s"evicted word '$w' must score exactly like an unseen word: $pair")
+    }
+    assert(evictedEverywhere.nonEmpty,
+      "fixture: no word evicted from every class - shrink k")
   }
 
   test("imagePhashDedup: streamed image ingest dedups to the same phash " +
