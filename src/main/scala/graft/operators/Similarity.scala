@@ -1536,20 +1536,69 @@ object Similarity {
     * pipelines otherwise. Same deterministic frames either way, so every
     * consumer (s101 search, s103 rerank, s104 delta) is bit-identical
     * served or not. */
-  private def artifactFrames(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+  private def artifactFramesStored(s: SparkSession, d: String)
+      : ((DataFrame, DataFrame, DataFrame, DataFrame), Boolean) =
     VectorIndex.served(s, d) match {
-      case Some(ix) => (ix.centroids, ix.assign, ix.codebook, ix.codes)
+      case Some(ix) =>
+        ((ix.centroids, ix.assign, ix.codebook, ix.codes), true)
       case None =>
         val (_, _, trained) = pqParts(s, d, 8, 8, 2)
         val codes = pqEnc(
           quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
           .select(col("vec_id"),
             transform(col("enc"), x => x("cid")).as("codes"))
-        (labelCentroids(s, d),
+        ((labelCentroids(s, d),
           ivfAssignment(s, d).select(col("vec_id"), col("cluster")),
-          trained, codes)
+          trained, codes), false)
     }
+
+  private def artifactFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    artifactFramesStored(s, d)._1
+
+  /** The servable coverage id set — assign ∩ codes, the SAME intersection
+    * `REFRESH VECTOR INDEX` drains ([[VectorIndex.refresh]]): a vector in
+    * only ONE coverage table (crash between the two artifact appends)
+    * cannot be served by the ADC tier, so it must fall in the fresh
+    * tier, not between tiers.
+    *
+    * COST of the intersection is a corpus-sized shuffle join, so the
+    * common case takes a metadata fast path: the two tables are NESTED
+    * at every commit boundary — BUILD publishes identical id sets, and
+    * each refresh append atomically jumps one side to a superset of the
+    * other (manifest publishes are all-or-nothing pointer swaps, and
+    * each side appends exactly its missing slice of a common delta).
+    * Two nested finite sets with EQUAL cardinality are equal, so equal
+    * row counts (parquet footer metadata on the stored tables — no data
+    * scan, no shuffle) prove equal coverage and assign alone suffices.
+    * Unequal counts are precisely the straggler signature, and only
+    * then does coverage pay the intersection join. The inline-training
+    * fallback derives both frames from the full corpus in one pipeline
+    * — coverage is complete by construction (and counting would execute
+    * the training chain), so it always uses assign directly. */
+  private def coveredIds(assign: DataFrame, codes: DataFrame,
+      stored: Boolean): DataFrame = {
+    val a = assign.select("vec_id")
+    if (!stored || footerCount(assign) == footerCount(codes)) a
+    else a.join(codes.select("vec_id"), Seq("vec_id"))
+  }
+
+  /** Exact row count of a stored parquet table from file FOOTERS —
+    * driver-side metadata IO (the already-resolved listing via
+    * `inputFiles` plus one footer read per file), zero Spark jobs. The
+    * stored index tables are written as a handful of files per version,
+    * so this is O(files) milliseconds; a deployment that shards coverage
+    * tables into thousands of files should persist counts in the table
+    * manifest instead (REFRESH already computes both ends). */
+  private def footerCount(df: DataFrame): Long = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    df.inputFiles.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Full IVF-PQ search over the planted query set (see s101's QueryDef
     * doc for the plan shape): returns (q_id, neighbor_id, adq) — the
@@ -1715,10 +1764,11 @@ object Similarity {
   }
 
   /** s104: fresh-segment search over the REAL index delta — the
-    * immutable index serves exactly the vectors its stored assignment
-    * covers; the fresh segment is corpus ∖ assignment, found by the SAME
-    * LEFT ANTI join on vec_id that `REFRESH VECTOR INDEX` performs
-    * ([[VectorIndex.refresh]]) — never a synthesized id slice. The fresh
+    * immutable index serves exactly the vectors its stored coverage
+    * holds; the fresh segment is corpus ∖ coverage ([[coveredIds]] —
+    * the SAME assign∩codes set `REFRESH VECTOR INDEX` drains,
+    * [[VectorIndex.refresh]]), found by a LEFT ANTI join on vec_id —
+    * never a synthesized id slice. The fresh
     * delta is brute-forced EXACTLY against the broadcast queries, the
     * indexed tier is the s101 ADC chain over the stored frames, and the
     * two per-segment top-3 lists merge into a global top-3 (both sides
@@ -1736,23 +1786,18 @@ object Similarity {
     * rows; no other new corpus-sized exchange anywhere. */
   private[graft] def deltaSearch(s: SparkSession, d: String): DataFrame = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-    val (centroids, assign, codebook, codes) = artifactFrames(s, d)
+    val ((centroids, assign, codebook, codes), stored) =
+      artifactFramesStored(s, d)
     val wr = Window.partitionBy("q_id")
       .orderBy(col("dq").asc, col("neighbor_id").asc)
     val indexedTop =
       ivfpqSearchOn(s, d, centroids, assign, codebook, codes, k = 3)
         .select(col("q_id"), col("neighbor_id"),
           col("adq").as("dq"), lit("indexed").as("tier"))
-    // coverage = assign ∩ codes, the SAME intersection REFRESH drains
-    // ([[VectorIndex.refresh]]): an assign-only straggler (crash between
-    // the two artifact appends) has no code row, so the indexed ADC tier
-    // cannot serve it — against assign alone it would fall in NEITHER
-    // tier until the next refresh. Both projections are slim (vec_id);
-    // the inner join keeps the build side one column wide.
+    // coverage per [[coveredIds]] — assign ∩ codes when the stored
+    // counts disagree (straggler), assign alone otherwise
     val deltaTop = base
-      .join(assign.select("vec_id")
-          .join(codes.select("vec_id"), Seq("vec_id"))
-          .hint("shuffle_hash"),
+      .join(coveredIds(assign, codes, stored).hint("shuffle_hash"),
         Seq("vec_id"), "left_anti")
       .crossJoin(broadcast(plantedQueries(s, d)
         .select(col("q_id"), col("qv"))))
@@ -1777,14 +1822,13 @@ object Similarity {
     * pattern). Integer hit counts make every derived rate engine-exact. */
   private[graft] def indexHealth(s: SparkSession, d: String): DataFrame = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-    // segment accounting against the REAL stored coverage — the
-    // assign ∩ codes intersection, matching both the s104 delta and
-    // what REFRESH drains (one LEFT join on vec_id, same shuffle_hash
-    // discipline) — so n_fresh is the true corpus ∖ servable count
-    val (_, assign, _, codes) = artifactFrames(s, d)
+    // segment accounting against the REAL stored coverage
+    // ([[coveredIds]] — the same set the s104 delta and REFRESH use; one
+    // LEFT join on vec_id, same shuffle_hash discipline) — so n_fresh is
+    // the true corpus ∖ servable count
+    val ((_, assign, _, codes), stored) = artifactFramesStored(s, d)
     val cnt = base.select("vec_id")
-      .join(assign.select("vec_id")
-          .join(codes.select("vec_id"), Seq("vec_id"))
+      .join(coveredIds(assign, codes, stored)
           .select(col("vec_id"), lit(1).as("ix"))
         .hint("shuffle_hash"), Seq("vec_id"), "left")
       .agg(sum(when(col("ix").isNotNull, 1L).otherwise(0L))

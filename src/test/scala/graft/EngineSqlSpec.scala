@@ -1020,6 +1020,32 @@ class EngineSqlSpec extends AnyFunSuite {
       // duplicating the table that already has it.
       cmds2.delete("vector_index_embeddings_codes",
         col("vec_id") % 10 === 3)
+      // SERVING under the straggler: a vector in assign but not codes
+      // cannot be ADC-served, so it must count as fresh — the equal-
+      // count fast path is off (counts now differ) and coverage falls
+      // back to the assign∩codes intersection. Without this, stragglers
+      // would be served by NEITHER tier until the next refresh.
+      // The delete above version-bumped the store and stranded the
+      // catalog entry (the documented repoint contract) — re-register it
+      // at the current manifest version, as an engine restart or any
+      // maintenance command's repoint does, so serving reads the
+      // post-crash store rather than a dangling path.
+      Seq("vector_index_embeddings_codes").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        spark.sql(s"CREATE TABLE `$t` USING parquet " +
+          s"LOCATION '${cmds2.dataPath(t)}'")
+      }
+      val nStrag = spark.table("vector_index_embeddings_assign")
+        .join(spark.table("vector_index_embeddings_codes"),
+          Seq("vec_id"), "left_anti").count()
+      assert(nStrag > 0, "fixture: the codes delete removed nothing")
+      val hs = SparkEntry.queries("s105_index_health")(spark, d).head()
+      assert(hs.getLong(hs.fieldIndex("n_fresh")) == nStrag,
+        "stragglers not counted as fresh by the serving health card")
+      val fresh104 = SparkEntry.queries("s104_delta_search")(spark, d)
+        .filter(col("tier") === "fresh").collect().map(_.getLong(1))
+      assert(fresh104.forall(_ % 10 == 3),
+        "s104's fresh tier served a fully-covered vector")
       val healMsg = e1.sql("REFRESH VECTOR INDEX ON embeddings")
         .head.getString(0)
       assert(healMsg.contains("vectors appended") &&
