@@ -1314,21 +1314,45 @@ object Similarity {
             cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
               .as("csim"))
           .withColumn("rnk", row_number().over(wp))
-        Seq(1, 2, 4).map { np =>
-          val top = ivfpqSearchOn(s, d, centroids, assign, codebook,
-              codes, k = 3, nprobe = np)
-            .select(col("q_id"), col("neighbor_id"))
-          val hits = et.join(top, Seq("q_id", "neighbor_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits"))
-          val cands = ranked.filter(col("rnk") <= np)
-            .join(broadcast(sizes), "clabel")
-            .agg(coalesce(sum(col("csz")), lit(0L)).as("n_candidates"))
-          hits.crossJoin(cands).crossJoin(broadcast(truth))
-            .select(lit(np).as("nprobe"), col("n_hits"),
-              round(col("n_hits").cast("double") /
-                col("n_truth").cast("double"), 6).as("recall_at_3"),
-              col("n_candidates"))
-        }.reduce(_ unionByName _)
+        // ONE pipeline for the whole sweep: nprobe=1 candidates are a
+        // crnk-prefix of nprobe=2 of nprobe=4, so the widest ADC chain
+        // runs ONCE and each candidate explodes into the sweep points it
+        // participates in (np ≥ its cluster's rank). One (nprobe, q_id)
+        // window, one semi join, one aggregate then replace three
+        // unioned branches — the sweep costs one chain plus a
+        // |points|-bounded fan-out, not |points| chains' worth of
+        // stages. The 3-row np spine left-joins the aggregates so a
+        // zero-hit sweep point still reports 0, as the per-branch
+        // count() did.
+        val sweeps = array(lit(1), lit(2), lit(4))
+        val byPoint = ivfpqCandidates(s, d, centroids, assign, codebook,
+            codes, nprobe = 4)
+          .select(col("q_id"), col("neighbor_id"), col("adq"),
+            explode(filter(sweeps, np => np >= col("crnk")))
+              .as("nprobe"))
+        val wr = Window.partitionBy("nprobe", "q_id")
+          .orderBy(col("adq").asc, col("neighbor_id").asc)
+        val hits = byPoint
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .join(et, Seq("q_id", "neighbor_id"), "left_semi")
+          .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+        val cands = ranked
+          .select(col("clabel"),
+            explode(filter(sweeps, np => np >= col("rnk"))).as("nprobe"))
+          .join(broadcast(sizes), "clabel")
+          .groupBy("nprobe")
+          .agg(sum(col("csz")).as("n_candidates"))
+        s.range(1)
+          .select(explode(sweeps).as("nprobe"))
+          .join(hits, Seq("nprobe"), "left")
+          .join(cands, Seq("nprobe"), "left")
+          .crossJoin(broadcast(truth))
+          .select(col("nprobe"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_truth").cast("double"), 6).as("recall_at_3"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
       },
       Some(s"""WITH $ivfpqCtes,
               |prk AS (
@@ -1619,9 +1643,15 @@ object Similarity {
   /** The IVF-PQ serve pipeline against explicit artifact frames
     * (stored tables or inline-trained, per [[ivfpqSearch]]). `nprobe`
     * defaults to the published serving configuration; s107 sweeps it. */
-  private def ivfpqSearchOn(s: SparkSession, d: String,
+  /** ADC-scored candidates from the `nprobe` highest-ranked clusters,
+    * each row carrying its probed cluster's rank (`crnk`) — the shared
+    * kernel under [[ivfpqSearchOn]] and s107's sweep. Because the
+    * nprobe=1 candidate set is a PREFIX (by crnk) of nprobe=2 of
+    * nprobe=4, one chain at the widest point serves every narrower one
+    * as a filter — s107 exploits exactly that. */
+  private def ivfpqCandidates(s: SparkSession, d: String,
       centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
-      codes: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+      codes: DataFrame, nprobe: Int): DataFrame = {
     val queries = plantedQueries(s, d)
     val wp = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("clabel").asc)
@@ -1630,9 +1660,9 @@ object Similarity {
       .select(col("q_id"), col("clabel"),
         cosQ(dotl(col("qv"), col("cqa")), col("qn"), col("ncq"))
           .as("csim"))
-      .withColumn("rnk", row_number().over(wp))
-      .filter(col("rnk") <= nprobe)
-      .select(col("q_id"), col("clabel"))
+      .withColumn("crnk", row_number().over(wp))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("clabel"), col("crnk"))
     val qsubs = queries
       .select(col("q_id"), explode(transform(
         sequence(lit(0), lit(7)),
@@ -1648,16 +1678,23 @@ object Similarity {
     val cand = broadcast(probes)
       .join(assign.select(col("vec_id"),
         col("cluster").as("clabel")), "clabel")
-      .select(col("q_id"), col("vec_id"))
-    val wr = Window.partitionBy("q_id")
-      .orderBy(col("adq").asc, col("neighbor_id").asc)
+      .select(col("q_id"), col("vec_id"), col("crnk"))
     cand.join(codes, "vec_id")
       .join(broadcast(lutq), "q_id")
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         aggregate(zip_with(col("codes"),
           sequence(lit(0), lit(7)),
           (code, mm) => element_at(col("qlut"), mm * 100 + code)),
-          lit(0L), (a, x) => a + x).as("adq"))
+          lit(0L), (a, x) => a + x).as("adq"),
+        col("crnk"))
+  }
+
+  private def ivfpqSearchOn(s: SparkSession, d: String,
+      centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
+      codes: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("adq").asc, col("neighbor_id").asc)
+    ivfpqCandidates(s, d, centroids, assign, codebook, codes, nprobe)
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("neighbor_id"), col("adq"))
