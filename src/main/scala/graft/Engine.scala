@@ -195,6 +195,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // incremental maintenance: append index rows for corpus entries the
   // stored index does not cover yet (O(delta), models frozen — see
   // VectorIndex.refresh / DedupIndex.refresh for the contract)
+  // the path-table REFRESH TABLE analog over SQL: after an EXTERNAL
+  // writer appends into the corpus dir (bypassing the engine's manifest
+  // tables), cached file listings must drop or every later read serves
+  // the pre-append snapshot ([[Graft.invalidate]]). Optional ON '<dir>'
+  // targets another corpus; default is this engine's own.
+  private val refreshCorpus =
+    """(?is)\s*REFRESH\s+CORPUS(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
   private val refreshVectorIndex =
     """(?is)\s*REFRESH\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val refreshDedupIndex =
@@ -427,6 +434,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             s"text; got '$tbl'")
       operators.DedupIndex.drop(spark, cmds)
       status(s"dropped dedup index on $tbl")
+    case refreshCorpus(dirOpt) =>
+      val dir = Option(dirOpt).getOrElse(sfDir)
+      Graft.invalidate(spark, dir)
+      status(s"refreshed corpus $dir")
     case refreshVectorIndex(tbl) =>
       if (!tbl.equalsIgnoreCase("embeddings"))
         throw new IllegalArgumentException(

@@ -1178,8 +1178,10 @@ class EngineSqlSpec extends AnyFunSuite {
       // the append bypassed the Engine (a raw external write), so cached
       // file listings must be dropped — the ingest contract Graft
       // .invalidate documents; without it every read below would serve
-      // the pre-append snapshot
-      Graft.invalidate(spark, corp)
+      // the pre-append snapshot. Driven through the SQL face here so the
+      // statement's plumbing is part of the lifecycle evidence.
+      assert(e1.sql("REFRESH CORPUS").head.getString(0)
+        .contains("refreshed corpus"))
       // stale index: the delta serves from the fresh tier — and because
       // the appended vectors duplicate the query neighborhoods, appended
       // ids actually WIN slots in the merged top-3
