@@ -651,3 +651,36 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     base + "\n== Plan Cost (optimizer statistics) ==\n" + costs.mkString("\n")
   }
 }
+
+object TableCommands {
+
+  /** Re-register any of `names` whose session-catalog entry no longer
+    * points at its manifest's CURRENT version. A mutation version-bumps
+    * a stored table and may sweep the old directory; commands repoint
+    * the catalog afterwards, but a CRASH between the publish and the
+    * repoint leaves the entry pinned to a swept path — which Spark reads
+    * as an EMPTY table, so a serve path would silently answer from a
+    * zero-row artifact until the next maintenance command. Healing is
+    * driver-side metadata only (one catalog lookup + one CURRENT read
+    * per table, no Spark job); the manifest dir is derived from the
+    * stale location itself (its parent), so the query path needs no
+    * warehouse handle. */
+  def healCatalog(s: org.apache.spark.sql.SparkSession,
+      names: Seq[String]): Unit = names.foreach { n =>
+    val cat = s.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(n)
+    if (cat.tableExists(ident)) {
+      val loc = java.nio.file.Paths.get(cat.getTableMetadata(ident).location)
+      val cur = loc.getParent.resolve("CURRENT")
+      if (java.nio.file.Files.isRegularFile(cur)) {
+        val want = loc.getParent
+          .resolve(java.nio.file.Files.readString(cur).trim)
+        if (want != loc) {
+          s.sql(s"DROP TABLE IF EXISTS `$n`")
+          s.sql(s"CREATE TABLE `$n` USING parquet LOCATION '$want'")
+          ()
+        }
+      }
+    }
+  }
+}

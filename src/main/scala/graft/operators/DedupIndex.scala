@@ -127,8 +127,12 @@ object DedupIndex {
   }
 
   /** The stored band index for corpus dir `d`, iff complete and
-    * provenance-matching. */
-  def served(s: SparkSession, d: String): Option[DataFrame] =
+    * provenance-matching. Heals crash-stranded catalog entries first
+    * ([[graft.commands.TableCommands.healCatalog]] — a stranded entry
+    * reads as an EMPTY table, which would silently gate against a
+    * zero-row history index). */
+  def served(s: SparkSession, d: String): Option[DataFrame] = {
+    graft.commands.TableCommands.healCatalog(s, parts.map(tableName))
     if (!parts.forall(p => s.catalog.tableExists(tableName(p)))) None
     else {
       val meta = s.table(tableName("meta")).collect()
@@ -136,4 +140,5 @@ object DedupIndex {
         Some(s.table(tableName("bands")))
       else None
     }
+  }
 }

@@ -1614,14 +1614,24 @@ object Similarity {
     * so this is O(files) milliseconds; a deployment that shards coverage
     * tables into thousands of files should persist counts in the table
     * manifest instead (REFRESH already computes both ends). */
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private def footerCount(df: DataFrame): Long = {
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    df.inputFiles.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    val files = df.inputFiles.sorted
+    // memoized by the exact file list: version dirs are immutable (a
+    // mutation writes a NEW version directory), so a repeated file set
+    // always has the same count — the serve suite probes the same two
+    // coverage tables per query and pays the footer reads once
+    footerCountCache.computeIfAbsent(files.mkString(" "), _ => {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
   }
 
   /** Full IVF-PQ search over the planted query set (see s101's QueryDef

@@ -209,8 +209,13 @@ object VectorIndex {
 
   /** The stored index for corpus dir `d`, iff complete and provenance-
     * matching. The meta read is one 1-row parquet file on the driver —
-    * catalog-metadata-scale, like the Engine's constraint reads. */
-  def served(s: SparkSession, d: String): Option[Served] =
+    * catalog-metadata-scale, like the Engine's constraint reads. Every
+    * serve first heals catalog entries stranded by a crash between a
+    * version-bump publish and its repoint ([[TableCommands.healCatalog]]
+    * — a stranded entry reads as an EMPTY table, which would silently
+    * serve zero-row artifacts). */
+  def served(s: SparkSession, d: String): Option[Served] = {
+    TableCommands.healCatalog(s, parts.map(tableName))
     if (!parts.forall(p => s.catalog.tableExists(tableName(p)))) None
     else {
       val meta = s.table(tableName("meta")).collect()
@@ -224,4 +229,5 @@ object VectorIndex {
         s.table(tableName("codebook")),
         s.table(tableName("codes"))))
     }
+  }
 }

@@ -1060,6 +1060,40 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("serving self-heals a catalog entry stranded by a crash between " +
+      "a version-bump publish and its repoint") {
+    // a mutation publishes a new version and SWEEPS the old directory;
+    // the command-level repoint normally re-registers the catalog — a
+    // crash in between leaves the entry pinned to the swept path, which
+    // Spark reads as an EMPTY table. served() must heal from the
+    // manifest pointer rather than silently serve zero-row artifacts.
+    val wh = Files.createTempDirectory("graft_vidx_heal_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val before = SparkEntry.queries("s101_ivfpq_search")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(before.nonEmpty)
+      // no-op COW delete: data identical, version bumped, old dir swept,
+      // catalog NOT repointed — exactly the crash window's store state
+      new commands.TableCommands(spark, wh)
+        .delete("vector_index_embeddings_codes", col("vec_id") < 0)
+      val after = SparkEntry.queries("s101_ivfpq_search")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(after == before,
+        "serving diverged after a publish/repoint crash window " +
+          "(an empty result here means the stranded entry was not healed)")
+      // the serve path really is the stored index, not inline fallback
+      val p = SparkEntry.queries("s101_ivfpq_search")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("vector_index_embeddings_codes"),
+        "query fell back to inline training instead of healing")
+    } finally {
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+      e1.close()
+    }
+  }
+
   test("RUN QUERY: the d/s/t/m/p operator inventory runs as SQL strings " +
       "— one per family, identical to the DataFrame form") {
     // doCommand parity for §2.9: the extension surface must be reachable
