@@ -1114,6 +1114,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest front door end-to-end: admit gates the stream and route " +
+      "lands the verdicts in two exactly-once warehouse tables") {
+    // the production composition of the round's admission story: arriving
+    // docs -> near-dup + quality verdicts (admit, == batch p102) -> the
+    // admitted flag routes each doc into the corpus or the quarantine
+    // table, both with exactly-once batch cursors. This is the decision
+    // path a real ingest service runs per micro-batch.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (hist, arrDocs) =
+      operators.Dedup.incrementalParts(spark, TestSpark.sfDir)
+    val histBands = hist.cache()
+    val arrivals = arrDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_door_wh").toString
+    val cmds = new graft.commands.TableCommands(spark, wh)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.WarehouseSink.route(
+      streaming.DocStreams.admit(
+        src.toDF().toDF("doc_id", "text"), histBands),
+      cmds, col("admitted"), "corpus_admitted", "quarantine")
+    try {
+      src.addData(arrivals.take(arrivals.length / 2): _*)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(arrivals.length / 2): _*)
+      q.processAllAvailable()
+      val admitted = cmds.table("corpus_admitted")
+        .select("doc_id").as[Long].collect().toSet
+      val rejected = cmds.table("quarantine")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = SparkEntry.queries("p102_ingest_gate")(
+          spark, TestSpark.sfDir).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(admitted == batch.filter(_._2).keySet,
+        "admitted table diverged from batch p102's admitted slice")
+      assert(rejected == batch.filterNot(_._2).keySet,
+        "quarantine table diverged from batch p102's rejected slice")
+      assert(admitted.nonEmpty && rejected.nonEmpty,
+        "fixture degenerated: one side of the gate is empty")
+      // both tables carry replay cursors — the exactly-once contract
+      assert(cmds.lastCommittedBatch("corpus_admitted").isDefined &&
+        cmds.lastCommittedBatch("quarantine").isDefined)
+    } finally { q.stop(); histBands.unpersist(); () }
+  }
+
   test("WarehouseSink exactly-once: re-delivered batches do not duplicate rows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
