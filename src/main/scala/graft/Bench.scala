@@ -136,11 +136,28 @@ object Bench {
         val p = new ProcessBuilder("python3", script.getPath, sfDir,
           tmp.toString, sys.env.getOrElse("GRAFT_DUCK_N", "2"))
           .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+        // watchdog BEFORE the blocking read: readAllBytes only returns
+        // when the child closes stdout, so a waitFor-with-timeout placed
+        // after it could never fire — a hung duck_bench.py would hang
+        // the whole bench and lose the Spark measurements with it. The
+        // watchdog kills the child at the deadline, which closes stdout
+        // and unblocks the read; the anchor degrades to null.
+        val watchdog = new Thread(() => {
+          if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
+            System.err.println("[bench] duckdb anchor timed out; killed")
+            p.destroyForcibly(); ()
+          }
+        })
+        watchdog.setDaemon(true)
+        watchdog.start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly(); ()
-        }
+        p.waitFor()
+        // litter control: the temp dir holds the full oracle dump; a
+        // long-lived measurement host accumulates them otherwise
+        Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .foreach(f => { f.delete(); () })
+        java.nio.file.Files.deleteIfExists(tmp)
         out.linesIterator.map(_.trim).filter(_.startsWith("{")).toSeq
           .lastOption
       }

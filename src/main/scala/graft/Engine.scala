@@ -268,8 +268,24 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   }
 
   private def localName(qualifier: String, tbl: String, verb: String): String =
-    if (isLocalDb(qualifier)) cmds.resolveTable(tbl).getOrElse(tbl)
-    else throw new UnsupportedOperationException(
+    if (isLocalDb(qualifier)) {
+      val resolved = cmds.resolveTable(tbl).getOrElse(tbl)
+      // index-internal tables are SYSTEM tables: their two-table coverage
+      // invariant (assign/codes nested at every commit boundary — the
+      // premise of the serving fast path and of REFRESH's straggler
+      // heal) only holds because BUILD/REFRESH are their sole writers.
+      // Direct DML could delete offsetting row sets from the two sides
+      // (equal counts, different ids) and silently lose vectors between
+      // serving tiers, so the SQL surface refuses it — the supported
+      // mutations are BUILD / REFRESH / DROP ... INDEX.
+      val low = resolved.toLowerCase
+      if (low.startsWith("vector_index_") || low.startsWith("dedup_index_"))
+        throw new UnsupportedOperationException(
+          s"graft engine: $verb on '$resolved' is not supported — index " +
+            "artifacts are system tables; use BUILD/REFRESH/DROP " +
+            "VECTOR|DEDUP INDEX")
+      resolved
+    } else throw new UnsupportedOperationException(
       s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
         s"supported — the warehouse is single-database; use the bare name '$tbl'")
 
@@ -335,7 +351,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // resolves CASE-INSENSITIVELY (SQL identifier semantics): a
       // case-variant spelling must not slip past the engine to Spark's
       // catalog append, which would bypass NOT NULL checks and txn COW.
-      val tbl = cmds.resolveTable(tblRaw).get
+      val tbl = localName(q, cmds.resolveTable(tblRaw).get, "INSERT")
       cmds.insertInto(tbl, insertRows(tbl, Option(colList), body))
       registerTable(tbl) // txn-path COW may have moved the pointer
       dropIndexesOf(tbl)

@@ -675,12 +675,26 @@ object TableCommands {
       if (java.nio.file.Files.isRegularFile(cur)) {
         val want = loc.getParent
           .resolve(java.nio.file.Files.readString(cur).trim)
-        if (want != loc) {
-          s.sql(s"DROP TABLE IF EXISTS `$n`")
-          s.sql(s"CREATE TABLE `$n` USING parquet LOCATION '$want'")
-          ()
-        }
+        if (want != loc) registerCatalog(s, n, want.toString)
       }
     }
+  }
+
+  /** Point session-catalog entry `n` at `path`. For an EXISTING entry
+    * this is one atomic `ALTER TABLE SET LOCATION` — no drop-then-create
+    * window in which a crash would leave NO entry at all (a stranding
+    * mode [[healCatalog]] could not recover, since the manifest dir is
+    * derived from the entry's own location). Only a missing entry pays
+    * the two-statement create. Shared by the heal path and the
+    * command-level repoints so the registration contract lives in one
+    * place. */
+  def registerCatalog(s: org.apache.spark.sql.SparkSession,
+      n: String, path: String): Unit = {
+    if (s.catalog.tableExists(n))
+      s.sql(s"ALTER TABLE `$n` SET LOCATION '$path'")
+    else
+      s.sql(s"CREATE TABLE `$n` USING parquet LOCATION '$path'")
+    // a location change invalidates any cached relation/file listing
+    s.catalog.refreshTable(n)
   }
 }

@@ -1622,8 +1622,13 @@ object Similarity {
     // memoized by the exact file list: version dirs are immutable (a
     // mutation writes a NEW version directory), so a repeated file set
     // always has the same count — the serve suite probes the same two
-    // coverage tables per query and pays the footer reads once
-    footerCountCache.computeIfAbsent(files.mkString(" "), _ => {
+    // coverage tables per query and pays the footer reads once.
+    // BOUNDED: every refresh publishes new version paths (fresh keys),
+    // so a long-running session interleaving maintenance would
+    // accumulate dead keys forever; stale entries are never re-read, so
+    // a full clear at the bound only re-reads the live tables' footers
+    if (footerCountCache.size > 256) footerCountCache.clear()
+    footerCountCache.computeIfAbsent(files.mkString("\u0000"), _ => {
       val conf = df.sparkSession.sessionState.newHadoopConf()
       files.map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(

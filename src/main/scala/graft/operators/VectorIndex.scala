@@ -201,10 +201,7 @@ object VectorIndex {
   private def repoint(s: SparkSession, cmds: TableCommands): Unit =
     parts.foreach { p =>
       val n = tableName(p)
-      s.sql(s"DROP TABLE IF EXISTS `$n`")
-      s.sql(s"CREATE TABLE `$n` USING parquet " +
-        s"LOCATION '${cmds.dataPath(n)}'")
-      ()
+      TableCommands.registerCatalog(s, n, cmds.dataPath(n))
     }
 
   /** The stored index for corpus dir `d`, iff complete and provenance-

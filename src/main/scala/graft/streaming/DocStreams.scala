@@ -523,10 +523,16 @@ object DocStreams {
     * fresh cursor — scene numbering restarts at 0 from that frame,
     * exactly as if the tail were a new asset; a pipeline that cannot
     * bound decode latency should widen the gap rather than lean on
-    * re-open semantics. Frames within a micro-batch sort by index
-    * (decode emits in order; a batch may interleave); ACROSS batches
-    * in-order delivery per asset is the ingest contract, as for every
-    * cursor-carrying stream. Cut rule and integer energies are the
+    * re-open semantics. LATE frames — event_ts at or behind the
+    * watermark, i.e. more than `idleGap` behind the stream's max event
+    * time — are DROPPED by the engine before this operator runs (the
+    * standard watermark contract; the eviction spec pins it): a dropped
+    * frame emits NO row, it does not re-open its asset. That is the
+    * price of bounded state; a pipeline whose decode latency can exceed
+    * `idleGap` must widen the gap, not expect late output. Frames
+    * within a micro-batch sort by index (decode emits in order; a batch
+    * may interleave); ACROSS batches in-order delivery per asset is the
+    * ingest contract, as for every cursor-carrying stream. Cut rule and integer energies are the
     * batch kernel's own, so stream assignments equal m105's
     * bit-for-bit (parity spec feeds frames split mid-asset across
     * batches).
@@ -546,7 +552,6 @@ object DocStreams {
     import frames.sparkSession.implicits._
     frames
       .withWatermark("event_ts", idleGap)
-      .as[Frame]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[SceneCursor, FrameScene](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -1060,6 +1060,27 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("index artifacts are system tables: the SQL surface refuses " +
+      "direct DML on them") {
+    // the serving fast path and REFRESH's straggler heal both rest on
+    // the coverage tables being NESTED at every commit boundary — true
+    // only while BUILD/REFRESH are their sole writers. Offsetting
+    // deletes (equal counts, different ids) through SQL would silently
+    // lose vectors between serving tiers, so DML is refused by NAME,
+    // before any existence check.
+    Seq("DELETE FROM vector_index_embeddings_codes WHERE vec_id < 0",
+        "UPDATE vector_index_embeddings_assign SET cluster = 0",
+        "DELETE FROM dedup_index_documents_bands WHERE doc_id < 0",
+        "MERGE INTO vector_index_embeddings_codes t USING (SELECT 1 AS x) " +
+          "s ON t.vec_id = s.x WHEN MATCHED THEN DELETE")
+      .foreach { stmt =>
+        val ex = intercept[UnsupportedOperationException] {
+          engine.sql(stmt)
+        }
+        assert(ex.getMessage.contains("system tables"), s"for: $stmt")
+      }
+  }
+
   test("serving self-heals a catalog entry stranded by a crash between " +
       "a version-bump publish and its repoint") {
     // a mutation publishes a new version and SWEEPS the old directory;

@@ -946,8 +946,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       // a straggler for asset 1 (NOT late vs the watermark) re-opens it:
       // scene restarts at 0 even though its energy equals the evicted
-      // cursor's last energy — proof the cursor is GONE, not carried
-      src.addData(Seq(f(1L, 5L, 500L, "2026-01-01 10:06:00")))
+      // cursor's last energy — proof the cursor is GONE, not carried.
+      // A frame BEHIND the watermark (10:04:50) is late data: the
+      // engine drops it before the operator runs — no row, no re-open —
+      // the documented price of bounded state.
+      src.addData(Seq(
+        f(1L, 5L, 500L, "2026-01-01 10:06:00"),
+        f(7L, 0L, 100L, "2026-01-01 10:00:30"))) // late: < watermark
       q.processAllAvailable()
       val out = spark.table("evict_scene").collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
@@ -956,6 +961,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(out((1L, 5L)) == 0L,
         "straggler after eviction must re-open the asset at scene 0; " +
           "a carried cursor would have continued scene 1")
+      assert(!out.contains((7L, 0L)),
+        "a frame behind the watermark must be dropped as late data")
     } finally { q.stop(); () }
   }
 
