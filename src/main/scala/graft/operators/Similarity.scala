@@ -1595,6 +1595,10 @@ object Similarity {
     * Two nested finite sets with EQUAL cardinality are equal, so equal
     * row counts (parquet footer metadata on the stored tables — no data
     * scan, no shuffle) prove equal coverage and assign alone suffices.
+    * The nesting premise holds because BUILD/REFRESH are the tables'
+    * ONLY writers — the Engine refuses direct DML on index artifacts
+    * (system tables, guarded in `Engine.localName`), since offsetting
+    * deletes (equal counts, different ids) would break it silently.
     * Unequal counts are precisely the straggler signature, and only
     * then does coverage pay the intersection join. The inline-training
     * fallback derives both frames from the full corpus in one pipeline
