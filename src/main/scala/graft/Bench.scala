@@ -113,57 +113,67 @@ object Bench {
     // oracle SQL, after spark.stop() so the two engines never contend.
     // Missing python3/duckdb/script degrades to "duckdb":null
     // (GRAFT_NO_DUCK=1 forces the skip).
-    val duck: String = (if (sys.env.contains("GRAFT_NO_DUCK")) None else try {
+    val duck: String = (if (sys.env.contains("GRAFT_NO_DUCK")) None else {
       val script = new java.io.File("tools/duck_bench.py")
       if (!script.isFile) None
-      else {
+      else try {
         val tmp = java.nio.file.Files.createTempDirectory("graft_bench_duck")
-        def q(s: String): String = "\"" + s.flatMap {
-          case '"'  => "\\\""
-          case '\\' => "\\\\"
-          case '\n' => "\\n"
-          case '\r' => "\\r"
-          case '\t' => "\\t"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\""
-        java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"),
-          SparkEntry.oracleSql
-            .map { case (k, v) => s"${q(k)}: ${q(v)}" }
-            .mkString("{", ",", "}"))
-        // stderr streams through (a full stderr pipe would deadlock the
-        // readAllBytes below); stdout is the one JSON line we capture
-        val p = new ProcessBuilder("python3", script.getPath, sfDir,
-          tmp.toString, sys.env.getOrElse("GRAFT_DUCK_N", "2"))
-          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
-        // watchdog BEFORE the blocking read: readAllBytes only returns
-        // when the child closes stdout, so a waitFor-with-timeout placed
-        // after it could never fire — a hung duck_bench.py would hang
-        // the whole bench and lose the Spark measurements with it. The
-        // watchdog kills the child at the deadline, which closes stdout
-        // and unblocks the read; the anchor degrades to null.
-        val watchdog = new Thread(() => {
-          if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
-            System.err.println("[bench] duckdb anchor timed out; killed")
-            p.destroyForcibly(); ()
-          }
-        })
-        watchdog.setDaemon(true)
-        watchdog.start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        p.waitFor()
-        // litter control: the temp dir holds the full oracle dump; a
-        // long-lived measurement host accumulates them otherwise
-        Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-          .foreach(f => { f.delete(); () })
-        java.nio.file.Files.deleteIfExists(tmp)
-        out.linesIterator.map(_.trim).filter(_.startsWith("{")).toSeq
-          .lastOption
+        try {
+          def q(s: String): String = "\"" + s.flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+          java.nio.file.Files.writeString(tmp.resolve("oracle_sql.json"),
+            SparkEntry.oracleSql
+              .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+              .mkString("{", ",", "}"))
+          // stderr streams through (a full stderr pipe would deadlock the
+          // readAllBytes below); stdout is the one JSON line we capture
+          val p = new ProcessBuilder("python3", script.getPath, sfDir,
+            tmp.toString, sys.env.getOrElse("GRAFT_DUCK_N", "2"))
+            .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+          // watchdog BEFORE the blocking read: readAllBytes only returns
+          // when the child closes stdout, so a waitFor-with-timeout placed
+          // after it could never fire — a hung duck_bench.py would hang
+          // the whole bench and lose the Spark measurements with it. The
+          // watchdog kills the child at the deadline, which closes stdout
+          // and unblocks the read; the anchor degrades to null.
+          val watchdog = new Thread(() => {
+            if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
+              System.err.println("[bench] duckdb anchor timed out; killed")
+              p.destroyForcibly(); ()
+            }
+          })
+          watchdog.setDaemon(true)
+          watchdog.start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          p.waitFor()
+          out.linesIterator.map(_.trim).filter(_.startsWith("{")).toSeq
+            .lastOption
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] duckdb anchor skipped: ${e.getMessage}")
+          None
+        } finally {
+          // litter control in a FINALLY (and never fatal to a captured
+          // result): the temp dir holds the full oracle dump; a
+          // long-lived measurement host accumulates them otherwise
+          try {
+            Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+              .foreach(f => { f.delete(); () })
+            java.nio.file.Files.deleteIfExists(tmp); ()
+          } catch { case _: Throwable => () }
+        }
+      } catch { case e: Throwable => // e.g. temp-dir creation itself
+        System.err.println(s"[bench] duckdb anchor skipped: ${e.getMessage}")
+        None
       }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] duckdb anchor skipped: ${e.getMessage}")
-      None
     }).getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +

@@ -267,25 +267,30 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       q == "spark_catalog.default"
   }
 
+  /** Refuse statements against index-internal tables (and reserve their
+    * name prefixes): the two-table coverage invariant (assign/codes
+    * nested at every commit boundary — the premise of the serving fast
+    * path and of REFRESH's straggler heal) only holds because
+    * BUILD/REFRESH are their sole writers. Direct DML could delete
+    * offsetting row sets from the two sides (equal counts, different
+    * ids) and silently lose vectors between serving tiers; a direct
+    * DROP would mutate one side of the pair; a user table CREATEd under
+    * the prefix would be born permanently un-writable. The supported
+    * lifecycle is BUILD / REFRESH / DROP ... INDEX. */
+  private def guardSystemTable(name: String, verb: String): String = {
+    val low = name.toLowerCase
+    if (low.startsWith("vector_index_") || low.startsWith("dedup_index_"))
+      throw new UnsupportedOperationException(
+        s"graft engine: $verb on '$name' is not supported — the " +
+          "vector_index_/dedup_index_ prefixes are reserved for index " +
+          "system tables; use BUILD/REFRESH/DROP VECTOR|DEDUP INDEX")
+    name
+  }
+
   private def localName(qualifier: String, tbl: String, verb: String): String =
-    if (isLocalDb(qualifier)) {
-      val resolved = cmds.resolveTable(tbl).getOrElse(tbl)
-      // index-internal tables are SYSTEM tables: their two-table coverage
-      // invariant (assign/codes nested at every commit boundary — the
-      // premise of the serving fast path and of REFRESH's straggler
-      // heal) only holds because BUILD/REFRESH are their sole writers.
-      // Direct DML could delete offsetting row sets from the two sides
-      // (equal counts, different ids) and silently lose vectors between
-      // serving tiers, so the SQL surface refuses it — the supported
-      // mutations are BUILD / REFRESH / DROP ... INDEX.
-      val low = resolved.toLowerCase
-      if (low.startsWith("vector_index_") || low.startsWith("dedup_index_"))
-        throw new UnsupportedOperationException(
-          s"graft engine: $verb on '$resolved' is not supported — index " +
-            "artifacts are system tables; use BUILD/REFRESH/DROP " +
-            "VECTOR|DEDUP INDEX")
-      resolved
-    } else throw new UnsupportedOperationException(
+    if (isLocalDb(qualifier))
+      guardSystemTable(cmds.resolveTable(tbl).getOrElse(tbl), verb)
+    else throw new UnsupportedOperationException(
       s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
         s"supported — the warehouse is single-database; use the bare name '$tbl'")
 
@@ -319,6 +324,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // reference: CREATE COLSTORE/TABLE ... FROM <file> profiles the file
       // and builds the columnar store (commands/CreateColStoreCommand.java,
       // storage/FileAnalyzer.java); Parquet picks encodings natively
+      guardSystemTable(name, "CREATE")
       cmds.createTable(name, readIngest(path, None))
       finishCreate(name, temp != null)
       status(s"created colstore table $name")
@@ -327,6 +333,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // table (versioned dirs + pointer), so it gets UPDATE/DELETE/txn/
       // VERIFY/OPTIMIZE — a plain Spark CTAS (the fallthrough) would make
       // a catalog-managed table outside the storage engine
+      guardSystemTable(name, "CREATE")
       cmds.createTable(name, query(select))
       finishCreate(name, temp != null)
       status(s"created colstore table $name from query")
@@ -339,6 +346,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (ifNotExists != null && cmds.tableExists(name))
         status(s"table $name already exists")
       else {
+        guardSystemTable(name, "CREATE")
         val (schema, notNull, pk) = parseColumnDdl(colsDdl)
         cmds.createEmpty(name, schema, notNull, pk)
         finishCreate(name, temp != null)
@@ -351,14 +359,15 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // resolves CASE-INSENSITIVELY (SQL identifier semantics): a
       // case-variant spelling must not slip past the engine to Spark's
       // catalog append, which would bypass NOT NULL checks and txn COW.
-      val tbl = localName(q, cmds.resolveTable(tblRaw).get, "INSERT")
+      val tbl = localName(q, tblRaw, "INSERT")
       cmds.insertInto(tbl, insertRows(tbl, Option(colList), body))
       registerTable(tbl) // txn-path COW may have moved the pointer
       dropIndexesOf(tbl)
       status(s"inserted into $tbl")
     case loadFile(path, nameRaw) =>
       // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
-      val name = cmds.resolveTable(nameRaw).getOrElse(nameRaw)
+      val name = guardSystemTable(
+        cmds.resolveTable(nameRaw).getOrElse(nameRaw), "LOAD INTO")
       cmds.insertInto(name, readIngest(path, Some(cmds.table(name).schema)))
       registerTable(name)
       dropIndexesOf(name)
@@ -571,7 +580,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       status(r)
     case dropTableStmt(ifExists, q, tblRaw) if isLocalDb(q) &&
         cmds.resolveTable(tblRaw).isDefined =>
-      val tbl = cmds.resolveTable(tblRaw).get
+      val tbl = guardSystemTable(cmds.resolveTable(tblRaw).get, "DROP TABLE")
       // warehouse tables need BOTH the manifest dirs and the catalog entry
       // gone, or a later CREATE COLSTORE of the same name would refuse.
       // (A genuinely foreign-qualified DROP falls through to Spark SQL,
@@ -984,11 +993,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     tempTables.clear()
   }
 
-  private def registerTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.sql(s"CREATE TABLE `$name` USING parquet " +
-      s"LOCATION '${cmds.dataPath(name)}'"); ()
-  }
+  private def registerTable(name: String): Unit =
+    commands.TableCommands.registerCatalog(spark, name, cmds.dataPath(name))
 
   private def status(msg: String): DataFrame = {
     import spark.implicits._

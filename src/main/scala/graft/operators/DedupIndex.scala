@@ -47,10 +47,7 @@ object DedupIndex {
     frames.foreach { case (p, df) =>
       val n = tableName(p)
       cmds.createTable(n, df)
-      s.sql(s"DROP TABLE IF EXISTS `$n`")
-      s.sql(s"CREATE TABLE `$n` USING parquet " +
-        s"LOCATION '${cmds.dataPath(n)}'")
-      ()
+      TableCommands.registerCatalog(s, n, cmds.dataPath(n))
     }
   }
 
@@ -69,10 +66,7 @@ object DedupIndex {
     if (parts.forall(p => cmds.tableExists(tableName(p))))
       parts.foreach { p =>
         val n = tableName(p)
-        if (!s.catalog.tableExists(n))
-          s.sql(s"CREATE TABLE `$n` USING parquet " +
-            s"LOCATION '${cmds.dataPath(n)}'")
-        ()
+        TableCommands.registerCatalog(s, n, cmds.dataPath(n))
       }
 
   /** Incremental maintenance (`REFRESH DEDUP INDEX`): band rows for
@@ -118,10 +112,7 @@ object DedupIndex {
     }
     parts.foreach { p =>
       val nm = tableName(p)
-      s.sql(s"DROP TABLE IF EXISTS `$nm`")
-      s.sql(s"CREATE TABLE `$nm` USING parquet " +
-        s"LOCATION '${cmds.dataPath(nm)}'")
-      ()
+      TableCommands.registerCatalog(s, nm, cmds.dataPath(nm))
     }
     n
   }

@@ -74,10 +74,7 @@ object VectorIndex {
       case (p, df) =>
         val n = tableName(p)
         cmds.createTable(n, df)
-        s.sql(s"DROP TABLE IF EXISTS `$n`")
-        s.sql(s"CREATE TABLE `$n` USING parquet " +
-          s"LOCATION '${cmds.dataPath(n)}'")
-        ()
+        TableCommands.registerCatalog(s, n, cmds.dataPath(n))
     }
   }
 
@@ -97,10 +94,7 @@ object VectorIndex {
     if (parts.forall(p => cmds.tableExists(tableName(p))))
       parts.foreach { p =>
         val n = tableName(p)
-        if (!s.catalog.tableExists(n))
-          s.sql(s"CREATE TABLE `$n` USING parquet " +
-            s"LOCATION '${cmds.dataPath(n)}'")
-        ()
+        TableCommands.registerCatalog(s, n, cmds.dataPath(n))
       }
 
   /** Incremental maintenance (`REFRESH VECTOR INDEX`): vectors present in

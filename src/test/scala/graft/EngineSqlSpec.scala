@@ -1072,13 +1072,40 @@ class EngineSqlSpec extends AnyFunSuite {
         "UPDATE vector_index_embeddings_assign SET cluster = 0",
         "DELETE FROM dedup_index_documents_bands WHERE doc_id < 0",
         "MERGE INTO vector_index_embeddings_codes t USING (SELECT 1 AS x) " +
-          "s ON t.vec_id = s.x WHEN MATCHED THEN DELETE")
+          "s ON t.vec_id = s.x WHEN MATCHED THEN DELETE",
+        "LOAD '/tmp/nonexistent.csv' INTO vector_index_embeddings_codes",
+        // the prefix is reserved outright: a user table created under it
+        // would be born permanently un-writable
+        "CREATE TABLE vector_index_mine (id BIGINT)",
+        "CREATE COLSTORE dedup_index_mine AS SELECT 1 AS x")
       .foreach { stmt =>
-        val ex = intercept[UnsupportedOperationException] {
-          engine.sql(stmt)
-        }
-        assert(ex.getMessage.contains("system tables"), s"for: $stmt")
+        val ex = intercept[Exception] { engine.sql(stmt) }
+        assert(ex.getMessage.contains("system tables") ||
+          ex.getMessage.contains("reserved"), s"for: $stmt -> $ex")
       }
+    // INSERT routes through the engine only for EXISTING warehouse
+    // tables, so give the guard a real artifact to refuse: create it via
+    // the internal writer (the allowed path), then try SQL DML
+    val whi = Files.createTempDirectory("graft_sysguard_wh").toString
+    val cmdsI = new commands.TableCommands(spark, whi)
+    import spark.implicits._
+    cmdsI.createTable("dedup_index_documents_bands",
+      Seq((1L, 0, 7)).toDF("doc_id", "band", "band_key"))
+    val e2 = new Engine(spark, d, whi)
+    try {
+      Seq("INSERT INTO dedup_index_documents_bands VALUES (2, 1, 9)",
+          "DROP TABLE dedup_index_documents_bands")
+        .foreach { stmt =>
+          val ex = intercept[UnsupportedOperationException] {
+            e2.sql(stmt)
+          }
+          assert(ex.getMessage.contains("reserved"), s"for: $stmt")
+        }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dedup_index_documents_bands")
+      cmdsI.dropTable("dedup_index_documents_bands")
+      e2.close()
+    }
   }
 
   test("serving self-heals a catalog entry stranded by a crash between " +
