@@ -204,7 +204,7 @@ object Similarity {
     * `comp`) + planted queries, probes, ADC LUT and candidate scoring —
     * ends at `adc` = (q_id, vec_id, adq). Declared before `defs` (object
     * init is textual order). */
-  private lazy val ivfpqCtes =
+  private def ivfpqCtesWith(qcompCte: String): String =
     s"""$ivfCtes,
        |${pqChainCtes(8, 2, "pcomp")},
        |comp0 AS (
@@ -212,12 +212,7 @@ object Similarity {
        |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
        |               generate_subscripts(embedding, 1) AS j
        |        FROM embeddings)),
-       |qcomp AS (
-       |  SELECT vec_id AS q_id, j0,
-       |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
-       |                               ELSE -0.001 END) * 1000000)
-       |              AS BIGINT) AS xq
-       |  FROM comp0 WHERE vec_id < 10),
+       |$qcompCte,
        |qn2 AS (SELECT q_id, CAST(SUM(xq * xq) AS BIGINT) AS n2
        |        FROM qcomp GROUP BY q_id),
        |qcd AS (
@@ -256,6 +251,30 @@ object Similarity {
        |  JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m
        |            AND l.cid = a.cid
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The planted s95 query set as a qcomp CTE (±0.001 by dim parity,
+    * quantized) — the fixture every s9x/s10x oracle shares. */
+  private lazy val ivfpqCtes = ivfpqCtesWith(
+    """qcomp AS (
+      |  SELECT vec_id AS q_id, j0,
+      |         CAST(ROUND((x + CASE WHEN j0 % 2 = 0 THEN 0.001
+      |                               ELSE -0.001 END) * 1000000)
+      |              AS BIGINT) AS xq
+      |  FROM comp0 WHERE vec_id < 10)""".stripMargin)
+
+  /** s108's EXTERNAL query set: midpoints of adjacent corpus vectors
+    * (vec_id 10..19 paired with vec_id+1) — genuinely out-of-corpus
+    * points, so the oracle exercises [[searchVectors]]'s arbitrary-vector
+    * quantization, not the planted fixture. Both engines average the
+    * DOUBLE-cast components then round once — identical IEEE ops on
+    * identical inputs, so the quantized grids agree bit-for-bit. */
+  private lazy val externalQcompCte =
+    """qcomp AS (
+      |  SELECT a.vec_id AS q_id, a.j0,
+      |         CAST(ROUND(((a.x + b.x) / 2) * 1000000) AS BIGINT) AS xq
+      |  FROM comp0 a JOIN comp0 b
+      |    ON b.vec_id = a.vec_id + 1 AND b.j0 = a.j0
+      |  WHERE a.vec_id BETWEEN 10 AND 19)""".stripMargin
 
   private lazy val s101OracleSql =
     s"""WITH $ivfpqCtes
@@ -1418,7 +1437,46 @@ object Similarity {
               |             CAST(trth.n_truth AS DOUBLE), 6) AS recall_at_3,
               |       c.n_candidates
               |FROM hits h JOIN cands c USING (nprobe)
-              |CROSS JOIN trth""".stripMargin))
+              |CROSS JOIN trth""".stripMargin)),
+
+    QueryDef(
+      "s108_search_vectors", // the PRODUCTION serve call: top-k for
+                             // ARBITRARY query vectors a caller hands in
+                             // — every other s-query probes the planted
+                             // fixture; this one pushes genuinely
+                             // out-of-corpus points (midpoints of
+                             // adjacent corpus vectors, vec_id 10..19 ×
+                             // +1) through the public [[searchVectors]]
+                             // API: caller-side (q_id, embedding) frame
+                             // → corpus-grid quantization → the same
+                             // two-tier indexed+fresh kernel s104 pins.
+                             // The query-frame build is two slim
+                             // 10-row-bounded scans equi-joined on
+                             // vec_id (filters pushed to parquet) —
+                             // serve cost never depends on how the
+                             // caller sourced the vectors. Scale shape
+                             // inherited from twoTierServe: queries
+                             // broadcast, one ADC chain + one anti-join
+                             // over the corpus, |q|×k-bounded result.
+      (s, d) => {
+        val e = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val a = e.filter(col("vec_id").between(10, 19))
+        val b = e.filter(col("vec_id").between(11, 20))
+          .select((col("vec_id") - 1).as("vec_id"),
+            col("embedding").as("emb_b"))
+        val q = a.join(b, "vec_id")
+          .select(col("vec_id").as("q_id"),
+            zip_with(col("embedding"), col("emb_b"),
+              (x, y) => (x.cast("double") + y.cast("double")) / 2)
+              .as("embedding"))
+        searchVectors(s, d, q, k = 3)
+      },
+      Some(s"""WITH ${ivfpqCtesWith(externalQcompCte)},
+              |$deltaCtes
+              |SELECT q_id, vec_id AS neighbor_id, tier,
+              |       ROUND(CAST(dq AS DOUBLE) / 1e12, 6) AS sq_dist
+              |FROM mtop""".stripMargin))
   )
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the
@@ -1670,8 +1728,9 @@ object Similarity {
     * as a filter — s107 exploits exactly that. */
   private def ivfpqCandidates(s: SparkSession, d: String,
       centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
-      codes: DataFrame, nprobe: Int): DataFrame = {
-    val queries = plantedQueries(s, d)
+      codes: DataFrame, nprobe: Int,
+      queriesOpt: Option[DataFrame] = None): DataFrame = {
+    val queries = queriesOpt.getOrElse(plantedQueries(s, d))
     val wp = Window.partitionBy("q_id")
       .orderBy(col("csim").desc, col("clabel").asc)
     val probes = queries
@@ -1710,10 +1769,12 @@ object Similarity {
 
   private def ivfpqSearchOn(s: SparkSession, d: String,
       centroids: DataFrame, assign: DataFrame, codebook: DataFrame,
-      codes: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+      codes: DataFrame, k: Int, nprobe: Int = 2,
+      queriesOpt: Option[DataFrame] = None): DataFrame = {
     val wr = Window.partitionBy("q_id")
       .orderBy(col("adq").asc, col("neighbor_id").asc)
-    ivfpqCandidates(s, d, centroids, assign, codebook, codes, nprobe)
+    ivfpqCandidates(s, d, centroids, assign, codebook, codes, nprobe,
+        queriesOpt)
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("neighbor_id"), col("adq"))
@@ -1840,14 +1901,26 @@ object Similarity {
     * every SF, with the slim (vec_id) assignment projection as build
     * side. The fresh scan itself is map-side against |queries| broadcast
     * rows; no other new corpus-sized exchange anywhere. */
-  private[graft] def deltaSearch(s: SparkSession, d: String): DataFrame = {
+  private[graft] def deltaSearch(s: SparkSession, d: String): DataFrame =
+    twoTierServe(s, d, plantedQueries(s, d), k = 3)
+
+  /** The two-tier serve kernel behind [[deltaSearch]] (s104) and the
+    * production [[searchVectors]] API: indexed-tier ADC over the stored
+    * (or inline-trained) artifacts, exact brute force over the fresh
+    * delta, lossless per-side-then-global top-k merge. `queries` is the
+    * NORMALIZED frame (q_id, qv, qn) — quantized integer components plus
+    * the squared norm, exactly [[plantedQueries]]'s shape — so every
+    * caller shares one plan and the s104 oracle also pins this kernel. */
+  private def twoTierServe(s: SparkSession, d: String,
+      queries: DataFrame, k: Int): DataFrame = {
     val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
     val ((centroids, assign, codebook, codes), stored) =
       artifactFramesStored(s, d)
     val wr = Window.partitionBy("q_id")
       .orderBy(col("dq").asc, col("neighbor_id").asc)
     val indexedTop =
-      ivfpqSearchOn(s, d, centroids, assign, codebook, codes, k = 3)
+      ivfpqSearchOn(s, d, centroids, assign, codebook, codes, k = k,
+          queriesOpt = Some(queries))
         .select(col("q_id"), col("neighbor_id"),
           col("adq").as("dq"), lit("indexed").as("tier"))
     // coverage per [[coveredIds]] — assign ∩ codes when the stored
@@ -1855,18 +1928,42 @@ object Similarity {
     val deltaTop = base
       .join(coveredIds(assign, codes, stored).hint("shuffle_hash"),
         Seq("vec_id"), "left_anti")
-      .crossJoin(broadcast(plantedQueries(s, d)
-        .select(col("q_id"), col("qv"))))
+      .crossJoin(broadcast(queries.select(col("q_id"), col("qv"))))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         l2q(col("qv"), col("vq")).as("dq"), lit("fresh").as("tier"))
       .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .drop("rnk")
     indexedTop.union(deltaTop)
       .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("neighbor_id"), col("tier"),
         round(col("dq").cast("double") / 1e12, 6).as("sq_dist"))
+  }
+
+  /** PRODUCTION serve API: two-tier IVF-PQ top-k over ARBITRARY query
+    * vectors — the piece every prior serve path hardwired to the planted
+    * fixture. `queries` carries (q_id: long, embedding: array<numeric>)
+    * with the corpus dimensionality (64); components are quantized with
+    * the corpus's own 1e-6 grid so query-vs-code distances live in the
+    * same integer units as BUILD wrote. Output is s104's schema —
+    * (q_id, neighbor_id, tier, sq_dist) — with tier marking whether the
+    * neighbor came off the immutable index or the fresh (not yet
+    * refreshed) delta. Scale shape inherited from the kernel: queries
+    * broadcast (serve batches are query-bounded, never corpus-sized),
+    * the corpus is touched once by the ADC chain and once by the
+    * anti-join; k and |queries| only size the broadcast and the final
+    * window. Reference analog: IndexScanNode serving arbitrary probe
+    * keys against a stored index (plans/IndexScanNode.java:17-51), not
+    * just the keys the build happened to see. */
+  def searchVectors(s: SparkSession, d: String,
+      queries: DataFrame, k: Int = 3): DataFrame = {
+    val q = queries
+      .select(col("q_id").cast("long").as("q_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("qv"))
+      .withColumn("qn", dotl(col("qv"), col("qv")))
+    twoTierServe(s, d, q, k)
   }
 
   /** s105: the one-row index HEALTH CARD — what production actually

@@ -1570,6 +1570,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s108 searchVectors: planted fixture through the public API is " +
+      "bit-identical to s104; top-3 is a prefix of top-5") {
+    import spark.implicits._
+    // the planted queries handed in as a CALLER frame of raw doubles —
+    // same perturb-then-quantize order of operations as the fixture, so
+    // the public API must reproduce s104 exactly
+    val callerQ = specRaw.toSeq.filter(_._1 < 10)
+      .map { case (id, v) =>
+        (id, v.zipWithIndex.map { case (x, j) =>
+          x + (if (j % 2 == 0) 0.001 else -0.001) }.toSeq) }
+      .toDF("q_id", "embedding")
+    val got = operators.Similarity.searchVectors(spark, d, callerQ)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val s104 = run("s104_delta_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == s104,
+      "public searchVectors on the planted fixture must equal s104")
+    // k is honored and monotone: the k=3 answer per query is a subset of
+    // the k=5 answer (same ranking, longer prefix)
+    val top5 = operators.Similarity.searchVectors(spark, d, callerQ, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    assert(top5.forall(_._2.size == 5), "k=5 must return 5 per query")
+    got.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).subsetOf(top5(q)),
+        s"query $q: top-3 not a prefix of top-5")
+    }
+  }
+
+  test("s108 query-frame build: midpoints are genuinely out-of-corpus " +
+      "points and every query gets k results") {
+    val rows = run("s108_search_vectors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSet == (10L to 19L).toSet &&
+      rows.groupBy(_._1).forall(_._2.length == 3),
+      "10 midpoint queries x top-3")
+    // complete inline coverage ⇒ indexed tier only (the fresh path for
+    // arbitrary vectors rides the same kernel s104's lifecycle pins)
+    rows.foreach { case (q, n, tier) =>
+      assert(tier == "indexed", s"($q,$n) served fresh under full coverage")
+    }
+    // the midpoint of two distinct corpus vectors is not a corpus row:
+    // its quantized grid differs from BOTH endpoints somewhere
+    (10L to 19L).foreach { q =>
+      val mid = specRaw(q).zip(specRaw(q + 1))
+        .map { case (x, y) => math.round((x + y) / 2 * 1e6) }
+      assert(!mid.sameElements(specVecs(q)) &&
+        !mid.sameElements(specVecs(q + 1)),
+        s"midpoint query $q degenerated to a corpus vector")
+    }
+  }
+
   test("d101 incremental gate: every arrival reports once, matches point " +
       "into history, planted twins recalled") {
     val rows = run("d101_incremental_near_dup").collect()
