@@ -180,6 +180,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val runQueryStmt =
     """(?is)\s*RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
   private val showQueriesStmt = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
+  // the vector index's SERVE face: top-k neighbors for the query vectors
+  // a warehouse table / view supplies — the probe-by-arbitrary-key analog
+  // of IndexScanNode (plans/IndexScanNode.java:17-51), completing the
+  // BUILD/REFRESH/DROP lifecycle with the read that justifies it
+  private val searchVectorsStmt =
+    """(?is)\s*SEARCH\s+VECTORS\s+USING\s+(\w+)(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
   // the ANN train/serve split: BUILD materializes the trained IVF-PQ
   // artifacts as warehouse tables (the vector analog of CREATE INDEX's
   // build-then-scan split — reference CreateIndexCommand.java feeding
@@ -431,6 +437,27 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     case showQueriesStmt() =>
       import spark.implicits._
       SparkEntry.queries.keys.toSeq.sorted.toDF("query")
+    case searchVectorsStmt(tbl, kOpt) =>
+      val k = Option(kOpt).map(_.toInt).getOrElse(3)
+      if (k < 1) throw new IllegalArgumentException(
+        s"SEARCH VECTORS: TOP must be >= 1; got $k")
+      // warehouse tables resolve case-insensitively like every DML route;
+      // catalog tables and views (incl. the corpus externals) fall through
+      // to the session catalog
+      val q = cmds.resolveTable(tbl) match {
+        case Some(t) => cmds.table(t)
+        case None =>
+          if (!spark.catalog.tableExists(tbl))
+            throw new IllegalArgumentException(
+              s"SEARCH VECTORS: unknown table or view '$tbl'")
+          spark.table(tbl)
+      }
+      val low = q.columns.map(_.toLowerCase)
+      if (!low.contains("q_id") || !low.contains("embedding"))
+        throw new IllegalArgumentException(
+          s"SEARCH VECTORS: '$tbl' must carry (q_id, embedding) columns; " +
+            s"got (${q.columns.mkString(", ")})")
+      operators.Similarity.searchVectors(spark, sfDir, q, k)
     case buildVectorIndex(tbl) =>
       if (!tbl.equalsIgnoreCase("embeddings"))
         throw new IllegalArgumentException(

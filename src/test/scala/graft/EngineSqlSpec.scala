@@ -1178,6 +1178,43 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(listed == SparkEntry.queries.keySet)
   }
 
+  test("SEARCH VECTORS: the serve face answers arbitrary query tables " +
+      "— warehouse-resolved, k honored, schema and name errors crisp") {
+    // the planted fixture authored as a CALLER table (raw doubles,
+    // perturb-then-quantize happens inside the serve call) — the SQL face
+    // must reproduce s104 exactly, like the public API does
+    engine.sql("CREATE COLSTORE qvecs AS " +
+      "SELECT vec_id AS q_id, " +
+      "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + " +
+      "IF(j % 2 = 0, 0.001D, -0.001D)) AS embedding " +
+      "FROM embeddings WHERE vec_id < 10")
+    try {
+      val viaSql = engine.sql("SEARCH VECTORS USING qvecs").collect()
+        .map(_.toSeq).toSet
+      val s104 = SparkEntry.queries("s104_delta_search")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(viaSql.nonEmpty && viaSql == s104,
+        "SEARCH VECTORS on the planted fixture diverged from s104")
+      // TOP k widens the answer; warehouse names resolve case-insensitively
+      val top5 = engine.sql("SEARCH VECTORS USING QVECS TOP 5").collect()
+      assert(top5.length == 50, "10 queries x TOP 5")
+      assert(top5.map(_.getLong(0)).distinct.length == 10)
+      // error surface: unknown table, wrong schema, degenerate k
+      val missing = intercept[IllegalArgumentException] {
+        engine.sql("SEARCH VECTORS USING no_such_table")
+      }
+      assert(missing.getMessage.contains("unknown table"))
+      val badSchema = intercept[IllegalArgumentException] {
+        engine.sql("SEARCH VECTORS USING region")
+      }
+      assert(badSchema.getMessage.contains("q_id"))
+      val badK = intercept[IllegalArgumentException] {
+        engine.sql("SEARCH VECTORS USING qvecs TOP 0")
+      }
+      assert(badK.getMessage.contains(">= 1"))
+    } finally engine.sql("DROP TABLE IF EXISTS qvecs")
+  }
+
   test("DROP INDEX / SHOW INDEXES: the bucketed-index lifecycle is " +
       "managed end-to-end from SQL; routing stops after drop") {
     engine.sql("CREATE COLSTORE idxlife AS " +
