@@ -207,7 +207,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // — the shared probe/LUT/exact frames materialize once) + the
     // arithmetic probes×cluster-sizes join; candidates stay broadcast/
     // cluster-bounded at every nprobe
-    ("s107_nprobe_sweep", 6, Seq("SortMergeJoin"), Nil))
+    ("s107_nprobe_sweep", 6, Seq("SortMergeJoin"), Nil),
+    // s108: s104's two-tier serve + the caller query-frame build — two
+    // extra SLIM pushed-filter scans (10-row-bounded midpoint join, AQE
+    // broadcasts it); the serve itself must stay exactly s104's shape,
+    // so no corpus-sized sort-merge anywhere
+    ("s108_search_vectors", 10, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -277,7 +282,8 @@ class PlanGuardSpec extends AnyFunSuite {
         ("s104_delta_search", "vector_index_embeddings_assign"),
         ("s105_index_health", "vector_index_embeddings_assign"),
         ("s106_filtered_search", "vector_index_embeddings_assign"),
-        ("s107_nprobe_sweep", "vector_index_embeddings_assign")
+        ("s107_nprobe_sweep", "vector_index_embeddings_assign"),
+        ("s108_search_vectors", "vector_index_embeddings_assign")
       ).foreach { case (name, mustRead) =>
         val df = SparkEntry.queries(name)(spark, d)
         df.queryExecution.toRdd.foreach(_ => ())
