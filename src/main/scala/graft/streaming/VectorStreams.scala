@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.commands.TableCommands
 import graft.operators.Similarity
 
 /** Streaming transforms over an EMBEDDING stream (vec_id, embedding) — the
@@ -36,4 +38,34 @@ object VectorStreams {
       cents: Seq[Similarity.FrozenCent],
       book: Seq[Similarity.FrozenBookM]): DataFrame =
     Similarity.routeAndEncodeFrozen(vecs, cents, book)
+
+  /** Streaming query SERVING — the fourth leg of the lifecycle: a live
+    * stream of (q_id, embedding) query vectors is answered one
+    * micro-batch at a time by the batch two-tier kernel
+    * ([[Similarity.searchVectors]] — stored-index ADC tier + fresh-delta
+    * brute force) and landed EXACTLY-ONCE in a warehouse results table
+    * (`insertCommitted`: the answer version and its batch marker commit
+    * in one pointer rename, so a crash-replayed batch is recognized and
+    * skipped — an online serving log must not double-answer). Each
+    * micro-batch plans exactly the batch plan (queries broadcast, one
+    * ADC chain + one coverage anti-join), so streamed answers are
+    * bit-identical to batch answers for the same query set — the parity
+    * spec proves it. Scale shape: per-batch cost is the serve kernel's
+    * (query-bounded broadcasts against the immutable index tables);
+    * nothing accumulates in the stream — no state store, any query
+    * rate that the per-batch serve latency sustains. */
+  def serve(queryStream: DataFrame, d: String, cmds: TableCommands,
+      table: String, k: Int = 3): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // skip empty batches: creating a table from one would publish a
+        // schema-less version, and replaying an empty append is a no-op
+        if (!batch.isEmpty)
+          cmds.insertCommitted(table,
+            Similarity.searchVectors(batch.sparkSession, d, batch, k),
+            batchId)
+        ()
+      }
+      .start()
 }

@@ -208,6 +208,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); histBands.unpersist(); () }
   }
 
+  test("VectorStreams.serve: streamed query answers are bit-identical " +
+      "to batch searchVectors and land exactly-once in the warehouse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = TestSpark.sfDir
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_vserve_wh").toString)
+    // serve against the STORED index — the production posture (the
+    // inline fallback would retrain per micro-batch)
+    operators.VectorIndex.build(spark, d, cmds)
+    try {
+      // the planted fixture as a CALLER stream of raw doubles, split
+      // across two micro-batches — per-query independence means the
+      // batch answer over the union is the union of per-batch answers
+      val callerQ = spark.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id",
+          "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + " +
+            "IF(j % 2 = 0, 0.001D, -0.001D)) AS emb")
+        .filter(col("vec_id") < 10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = streaming.VectorStreams.serve(
+        src.toDF().toDF("q_id", "embedding"), d, cmds, "answers")
+      try {
+        src.addData(callerQ.filter(_._1 < 5): _*)
+        q.processAllAvailable()
+        src.addData(callerQ.filter(_._1 >= 5): _*)
+        q.processAllAvailable()
+        val streamed = cmds.table("answers").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getDouble(3))).toSet
+        val batch = operators.Similarity.searchVectors(spark, d,
+            callerQ.toSeq.toDF("q_id", "embedding")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getDouble(3))).toSet
+        assert(streamed.nonEmpty && streamed == batch,
+          "streamed serve answers diverge from batch searchVectors")
+        // the answer log is a real warehouse table (integrity scan runs)
+        assert(cmds.verifyTable("answers") == streamed.size.toLong)
+      } finally q.stop()
+    } finally operators.VectorIndex.drop(spark, cmds)
+  }
+
   test("VectorStreams.routeAndEncode: streamed ingest rows are " +
       "bit-identical to the stored assign/codes tables") {
     import spark.implicits._
