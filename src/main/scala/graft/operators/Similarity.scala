@@ -1958,10 +1958,21 @@ object Similarity {
     * just the keys the build happened to see. */
   def searchVectors(s: SparkSession, d: String,
       queries: DataFrame, k: Int = 3): DataFrame = {
+    // dimension contract enforced IN the plan: a wrong-width query would
+    // otherwise slice short subvectors and ADC-score garbage silently —
+    // the worst failure mode for a serving API. raise_error rides the
+    // same projection, so the check is free row-parallel work, not a
+    // driver-side pre-pass over the caller's frame.
+    val dim = VectorIndex.pqM * pqSub
     val q = queries
       .select(col("q_id").cast("long").as("q_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000).cast("long")).as("qv"))
+        when(size(col("embedding")) =!= dim,
+          raise_error(concat(lit(s"searchVectors: query dimension "),
+            size(col("embedding")).cast("string"),
+            lit(s" does not match the corpus dimension $dim (q_id "),
+            col("q_id").cast("string"), lit(")"))))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") * 1000000).cast("long"))).as("qv"))
       .withColumn("qn", dotl(col("qv"), col("qv")))
     twoTierServe(s, d, q, k)
   }

@@ -1600,6 +1600,16 @@ class OperatorsSpec extends AnyFunSuite {
       assert(g.map(_._2).subsetOf(top5(q)),
         s"query $q: top-3 not a prefix of top-5")
     }
+    // wrong-width queries fail FAST with a crisp plan-side error — never
+    // silently ADC-score truncated subvector slices
+    val bad = Seq((99L, Seq(1.0, 2.0, 3.0))).toDF("q_id", "embedding")
+    val err = intercept[Throwable] {
+      operators.Similarity.searchVectors(spark, d, bad).collect()
+    }
+    val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("does not match the corpus dimension"),
+      s"dimension mismatch not surfaced: $chain")
   }
 
   test("s108 query-frame build: midpoints are genuinely out-of-corpus " +
