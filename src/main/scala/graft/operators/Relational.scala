@@ -1987,6 +1987,169 @@ object Relational {
              |              WHERE l.l_orderkey = o.o_orderkey
              |                AND l.l_shipdate > o.o_orderdate
              |                    + INTERVAL 30 DAY)
-             |GROUP BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q82_tpch_waiting_suppliers", // TPC-H Q21 shape — the hardest
+                               // classic: suppliers who were the SOLE
+                               // late shipper on a multi-supplier
+                               // finished order (lateness adapted to
+                               // this schema as shipdate > order date +
+                               // 30d, q81's convention). Canonically two
+                               // correlated SELF-joins on the fact table
+                               // (EXISTS another supplier; NOT EXISTS
+                               // another LATE supplier); here ONE
+                               // per-order aggregation replaces both:
+                               // dedup to (order, supplier, any-late),
+                               // then per order count suppliers and late
+                               // suppliers — a waiter's order needs
+                               // nsupp ≥ 2 ∧ nlate = 1. The two-level
+                               // agg partial-collapses map-side and
+                               // never Expands (no multi-distinct), and
+                               // the fact table is scanned/shuffled a
+                               // bounded number of times instead of
+                               // three self-join legs at 100 TB. The
+                               // oracle runs the CANONICAL EXISTS/NOT
+                               // EXISTS form — two independently derived
+                               // plans must agree row-for-row. Top-10 by
+                               // numwait with s_name tiebreak (unique),
+                               // via TakeOrdered, never a global sort.
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val lf = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 30 DAYS")).as("late"))
+        val stats = lf
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("slate"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("nsupp"),
+            sum(when(col("slate"), 1L).otherwise(0L)).as("nlate"))
+          .filter(col("nsupp") >= 2 && col("nlate") === 1)
+          .select("l_orderkey")
+        lf.filter(col("late"))
+          .join(stats, "l_orderkey")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .select("s_name", "numwait")
+          .limit(10)
+      },
+      Some("""WITH lf AS (
+             |  SELECT l.l_orderkey, l.l_suppkey,
+             |         l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+             |           AS late
+             |  FROM lineitem l JOIN orders o
+             |    ON o.o_orderkey = l.l_orderkey
+             |  WHERE o.o_orderstatus = 'F')
+             |SELECT s_name, numwait FROM (
+             |  SELECT w.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+             |  FROM lf w
+             |  WHERE w.late
+             |    AND EXISTS (SELECT 1 FROM lf o2
+             |                WHERE o2.l_orderkey = w.l_orderkey
+             |                  AND o2.l_suppkey <> w.l_suppkey)
+             |    AND NOT EXISTS (SELECT 1 FROM lf o3
+             |                    WHERE o3.l_orderkey = w.l_orderkey
+             |                      AND o3.l_suppkey <> w.l_suppkey
+             |                      AND o3.late)
+             |  GROUP BY 1) wa
+             |JOIN supplier ON s_suppkey = wa.l_suppkey
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 10""".stripMargin)),
+
+    QueryDef(
+      "q83_tpch_cust_distribution", // TPC-H Q13 shape — customer order-
+                               // count distribution: how many customers
+                               // placed 0, 1, 2, … non-urgent orders.
+                               // The canonical LEFT OUTER JOIN + DOUBLE
+                               // aggregation, with the zero bucket alive
+                               // (customers with no qualifying orders
+                               // must appear — an inner join would drop
+                               // them). Spark-first: count per customer
+                               // on the ORDERS side first (fact-sized
+                               // agg whose partials collapse map-side),
+                               // then LEFT join the slim count frame to
+                               // the customer spine and histogram — the
+                               // joined stream is never re-shuffled,
+                               // unlike the join-then-group form, and at
+                               // 100 TB the saved exchange is the full
+                               // customer×orders stream. coalesce(cnt,0)
+                               // keeps the zero bucket exact.
+      (s, d) => {
+        val cnts = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"))
+        t(s, d, "customer").select("c_custkey")
+          .join(cnts, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+             |FROM (
+             |  SELECT COALESCE(cnt, 0) AS c_count
+             |  FROM customer LEFT JOIN (
+             |    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+             |    FROM orders WHERE o_orderpriority <> '1-URGENT'
+             |    GROUP BY 1) oc
+             |  ON c_custkey = oc.o_custkey)
+             |GROUP BY 1""".stripMargin)),
+
+    QueryDef(
+      "q84_tpch_top_supplier",  // TPC-H Q15 shape — the top supplier by
+                               // one quarter's revenue: the classic
+                               // aggregate-then-compare-to-its-own-MAX
+                               // (the reference grammar's CREATE VIEW +
+                               // scalar subquery; Spark reuses the agg
+                               // exchange for both consumers). Revenue
+                               // is quantized to LONG units BEFORE the
+                               // max-equality compare, so the "achieves
+                               // the maximum" predicate is exact integer
+                               // algebra — no engine rounds the boundary
+                               // supplier differently — and only the
+                               // surfaced column divides back to
+                               // currency. One fact scan, one supplier-
+                               // keyed agg; the 1-row max broadcasts and
+                               // the name decoration joins broadcast.
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1996-04-01")
+          .select(col("l_suppkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000 + 0.5).cast("long").as("rq"))
+          .groupBy("l_suppkey")
+          .agg(sum(col("rq")).as("rq"))
+        val mx = rev.agg(max(col("rq")).as("mrq"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("rq") === col("mrq"))
+          .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("rq").cast("double") / 10000).as("total_revenue"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |             * 10000 + 0.5) AS BIGINT)) AS rq
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(rq AS DOUBLE) / 10000
+             |         AS total_revenue
+             |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE rq = (SELECT MAX(rq) FROM rev)""".stripMargin))
   )
 }

@@ -212,7 +212,20 @@ class PlanGuardSpec extends AnyFunSuite {
     // extra SLIM pushed-filter scans (10-row-bounded midpoint join, AQE
     // broadcasts it); the serve itself must stay exactly s104's shape,
     // so no corpus-sized sort-merge anywhere
-    ("s108_search_vectors", 10, Seq("SortMergeJoin"), Nil))
+    ("s108_search_vectors", 10, Seq("SortMergeJoin"), Nil),
+    // q82: Q21's two correlated self-joins replaced by ONE per-order
+    // two-level aggregation (dedup to (order,supp,late) then order
+    // stats) — no Expand (no multi-distinct), no cartesian, top-10 via
+    // TakeOrdered; the lf frame feeds stats AND waiters (≤2 fact scans)
+    ("q82_tpch_waiting_suppliers", 5, Seq("Expand"),
+      Seq("TakeOrderedAndProject")),
+    // q83: Q13's outer-join double agg — counts built on the ORDERS side
+    // first, so the customer join stream is never re-shuffled
+    ("q83_tpch_cust_distribution", 2, Nil, Nil),
+    // q84: Q15's max-of-aggregate — one fact scan per consumer leg at
+    // most, 1-row max broadcast (BNLJ on a bounded frame, never
+    // data×data), supplier decoration broadcast
+    ("q84_tpch_top_supplier", 3, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
