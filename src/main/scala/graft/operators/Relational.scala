@@ -2150,6 +2150,67 @@ object Relational {
              |SELECT s_suppkey, s_name, CAST(rq AS DOUBLE) / 10000
              |         AS total_revenue
              |FROM rev JOIN supplier ON s_suppkey = l_suppkey
-             |WHERE rq = (SELECT MAX(rq) FROM rev)""".stripMargin))
+             |WHERE rq = (SELECT MAX(rq) FROM rev)""".stripMargin)),
+
+    QueryDef(
+      "q85_tpch_returned_items", // TPC-H Q10 shape — the returned-item
+                               // report: customers ranked by the revenue
+                               // they returned in one quarter (flag 'R'),
+                               // decorated with their nation. The shape
+                               // this adds to the inventory: a top-k
+                               // over a HIGH-CARDINALITY group key
+                               // (customer) fed by a 4-table join — the
+                               // revenue agg groups on the join key it
+                               // arrived partitioned by (custkey, one
+                               // exchange serves join and agg), the
+                               // nation decoration broadcasts AFTER the
+                               // aggregate (|customers| rows, not the
+                               // fact stream), and the top-20 is
+                               // TakeOrdered, never a global sort.
+                               // Revenue in exact LONG units until the
+                               // surfaced column (q84's discipline);
+                               // c_custkey tiebreak makes the LIMIT
+                               // boundary deterministic.
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01")
+          .select("o_orderkey", "o_custkey")
+        val ret = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000 + 0.5).cast("long").as("rq"))
+        val cust = t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum(col("rq")).as("rq"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .orderBy(col("rq").desc, col("c_custkey").asc)
+          .select(col("c_custkey"), col("c_name"),
+            (col("rq").cast("double") / 10000).as("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |       CAST(rq AS DOUBLE) / 10000 AS revenue,
+             |       c_acctbal, n_name
+             |FROM (
+             |  SELECT o_custkey,
+             |         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |             * 10000 + 0.5) AS BIGINT)) AS rq
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1) r
+             |JOIN customer ON c_custkey = r.o_custkey
+             |JOIN nation ON n_nationkey = c_nationkey
+             |ORDER BY rq DESC, c_custkey
+             |LIMIT 20""".stripMargin))
   )
 }

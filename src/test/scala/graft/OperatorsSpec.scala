@@ -1610,6 +1610,11 @@ class OperatorsSpec extends AnyFunSuite {
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("does not match the corpus dimension"),
       s"dimension mismatch not surfaced: $chain")
+    // degenerate serve batch: an empty query frame answers empty, not an
+    // error — an online server's idle micro-batch must be a no-op
+    val none = operators.Similarity.searchVectors(spark, d,
+      callerQ.limit(0)).collect()
+    assert(none.isEmpty, "empty query frame must serve an empty answer")
   }
 
   test("s108 query-frame build: midpoints are genuinely out-of-corpus " +

@@ -225,7 +225,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // q84: Q15's max-of-aggregate — one fact scan per consumer leg at
     // most, 1-row max broadcast (BNLJ on a bounded frame, never
     // data×data), supplier decoration broadcast
-    ("q84_tpch_top_supplier", 3, Seq("SortMergeJoin"), Nil))
+    ("q84_tpch_top_supplier", 3, Seq("SortMergeJoin"), Nil),
+    // q85: Q10's high-cardinality top-k — revenue aggregates BEFORE the
+    // customer/nation decorations (the fact stream never carries names),
+    // nation broadcasts, top-20 via TakeOrdered, never a global sort
+    ("q85_tpch_returned_items", 4, Nil, Seq("TakeOrderedAndProject")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
