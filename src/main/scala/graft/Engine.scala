@@ -194,6 +194,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*BUILD\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val dropVectorIndex =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+  // observability siblings of SHOW INDEXES for the trained index kinds:
+  // provenance (corpus dir + training params) and coverage counts — the
+  // numbers an operator checks before trusting a serve path
+  private val showVectorIndexes =
+    """(?is)\s*SHOW\s+VECTOR\s+INDEXES\s*;?\s*""".r
+  private val showDedupIndexes =
+    """(?is)\s*SHOW\s+DEDUP\s+INDEXES\s*;?\s*""".r
   private val buildDedupIndex =
     """(?is)\s*BUILD\s+DEDUP\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   private val dropDedupIndex =
@@ -486,6 +493,33 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             s"text; got '$tbl'")
       operators.DedupIndex.drop(spark, cmds)
       status(s"dropped dedup index on $tbl")
+    case showVectorIndexes() =>
+      import spark.implicits._
+      val metaT = operators.VectorIndex.tableName("meta")
+      if (cmds.tableExists(metaT)) {
+        val m = cmds.table(metaT).head()
+        // coverage counts read the stored tables, not a corpus scan —
+        // unequal n_assign/n_codes is the straggler signature REFRESH
+        // heals (see Similarity.coveredIds)
+        val nA = cmds.table(
+          operators.VectorIndex.tableName("assign")).count()
+        val nC = cmds.table(
+          operators.VectorIndex.tableName("codes")).count()
+        Seq(("embeddings", m.getString(0), m.getInt(1), m.getInt(2),
+          m.getInt(3), nA, nC))
+          .toDF("corpus", "src", "m", "k", "iters", "n_assign", "n_codes")
+      } else Seq.empty[(String, String, Int, Int, Int, Long, Long)]
+        .toDF("corpus", "src", "m", "k", "iters", "n_assign", "n_codes")
+    case showDedupIndexes() =>
+      import spark.implicits._
+      val metaT = operators.DedupIndex.tableName("meta")
+      if (cmds.tableExists(metaT)) {
+        val src = cmds.table(metaT).head().getString(0)
+        val nB = cmds.table(
+          operators.DedupIndex.tableName("bands")).count()
+        Seq(("documents", src, nB)).toDF("corpus", "src", "n_bands")
+      } else Seq.empty[(String, String, Long)]
+        .toDF("corpus", "src", "n_bands")
     case refreshCorpus(dirOpt) =>
       val dir = Option(dirOpt).getOrElse(sfDir)
       Graft.invalidate(spark, dir)

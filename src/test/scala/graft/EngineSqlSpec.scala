@@ -1215,6 +1215,38 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS qvecs")
   }
 
+  test("SHOW VECTOR INDEXES / SHOW DEDUP INDEXES: provenance and coverage " +
+      "counts track the build/drop lifecycle") {
+    // absent index → empty frame with the full schema (an operator's
+    // dashboard query must not error on a fresh warehouse)
+    val cols = Seq("corpus", "src", "m", "k", "iters", "n_assign", "n_codes")
+    assert(engine.sql("SHOW VECTOR INDEXES").columns.toSeq == cols)
+    assert(engine.sql("SHOW VECTOR INDEXES").count() == 0)
+    assert(engine.sql("SHOW DEDUP INDEXES").count() == 0)
+    engine.sql("BUILD VECTOR INDEX ON embeddings")
+    engine.sql("BUILD DEDUP INDEX ON documents")
+    try {
+      val v = engine.sql("SHOW VECTOR INDEXES").collect()
+      assert(v.length == 1)
+      val r = v.head
+      assert(r.getString(0) == "embeddings" &&
+        r.getString(1) == new java.io.File(d).getAbsolutePath &&
+        (r.getInt(2), r.getInt(3), r.getInt(4)) == ((8, 8, 2)))
+      // full coverage right after BUILD: both counts equal the corpus
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      assert(r.getLong(5) == n && r.getLong(6) == n,
+        s"coverage ${r.getLong(5)}/${r.getLong(6)} != corpus $n")
+      val dd = engine.sql("SHOW DEDUP INDEXES").collect()
+      assert(dd.length == 1 && dd.head.getString(0) == "documents" &&
+        dd.head.getLong(2) > 0)
+    } finally {
+      engine.sql("DROP VECTOR INDEX ON embeddings")
+      engine.sql("DROP DEDUP INDEX ON documents")
+    }
+    assert(engine.sql("SHOW VECTOR INDEXES").count() == 0)
+    assert(engine.sql("SHOW DEDUP INDEXES").count() == 0)
+  }
+
   test("DROP INDEX / SHOW INDEXES: the bucketed-index lifecycle is " +
       "managed end-to-end from SQL; routing stops after drop") {
     engine.sql("CREATE COLSTORE idxlife AS " +
