@@ -212,7 +212,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // extra SLIM pushed-filter scans (10-row-bounded midpoint join, AQE
     // broadcasts it); the serve itself must stay exactly s104's shape,
     // so no corpus-sized sort-merge anywhere
-    ("s108_search_vectors", 10, Seq("SortMergeJoin"), Nil),
+    ("s108_search_vectors", 8, Seq("SortMergeJoin"), Nil),
     // q82: Q21's two correlated self-joins replaced by ONE per-order
     // two-level aggregation (dedup to (order,supp,late) then order
     // stats) — no Expand (no multi-distinct), no cartesian, top-10 via
