@@ -518,6 +518,75 @@ object Similarity {
       Some(d92OracleSql)),
 
     QueryDef(
+      "d103_semantic_decontam", // embedding-level DECONTAMINATION — the
+                            // semantic sibling of d88 (n-gram contamination)
+                            // and the cross-set analog of d92 (SemDeDup):
+                            // training vectors whose embedding is
+                            // near-identical to an EVAL-set vector leak the
+                            // benchmark into the training corpus even when
+                            // no n-gram matches (paraphrases, translations,
+                            // reformatted dumps). Eval slice = vec_id % 23
+                            // = 0 (deterministic, cross-cutting clusters);
+                            // candidates come from the SAME coarse-cluster
+                            // equi-join d92 uses — per-cluster work is
+                            // |train∩c|×|eval∩c|, never corpus×eval (at
+                            // 100 TB the eval side is still TBs — too big
+                            // to broadcast, exactly right to shuffle on
+                            // the cluster key). Each contaminated train
+                            // vector reports its single BEST eval match
+                            // (max cosine, smaller eval_id on ties — the
+                            // rank key is the ROUNDED sim both engines
+                            // compute identically from exact integers), so
+                            // the output is an actionable drop list with
+                            // provenance, not a pair dump.
+      (s, d) => {
+        val av = ivfAssignment(s, d)
+          .select(col("vec_id"), col("cluster"))
+          .join(quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+            .withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
+        val ev = av.filter(col("vec_id") % 23 === 0)
+          .select(col("cluster").as("ec"), col("vec_id").as("eval_id"),
+            col("vq").as("evq"), col("nq").as("enq"))
+        val wr = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("eval_id").asc)
+        av.filter(col("vec_id") % 23 =!= 0)
+          .join(ev, col("cluster") === col("ec"))
+          .select(col("vec_id"), col("cluster"), col("eval_id"),
+            round(cosQ(dotl(col("vq"), col("evq")),
+              col("nq"), col("enq")), 6).as("sim"))
+          .filter(col("sim") > 0.3)
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("cluster"), col("eval_id"),
+            col("sim"))
+      },
+      Some(s"""WITH $ivfCtes,
+              |tp AS (
+              |  SELECT t.vec_id, t.assigned_label AS cluster,
+              |         e.vec_id AS eval_id,
+              |         ROUND(CASE WHEN nt.nq = 0 OR ne.nq = 0 THEN 0.0
+              |               ELSE CAST(SUM(ct.xq * ce.xq) AS DOUBLE) /
+              |               (SQRT(CAST(nt.nq AS DOUBLE)) *
+              |                SQRT(CAST(ne.nq AS DOUBLE)))
+              |               END, 6) AS sim
+              |  FROM assign t JOIN assign e
+              |         ON e.assigned_label = t.assigned_label
+              |        AND e.vec_id % 23 = 0 AND t.vec_id % 23 <> 0
+              |  JOIN comp ct ON ct.vec_id = t.vec_id
+              |  JOIN comp ce ON ce.vec_id = e.vec_id AND ce.j0 = ct.j0
+              |  JOIN nv nt ON nt.vec_id = t.vec_id
+              |  JOIN nv ne ON ne.vec_id = e.vec_id
+              |  GROUP BY t.vec_id, t.assigned_label, e.vec_id,
+              |           nt.nq, ne.nq)
+              |SELECT vec_id, cluster, eval_id, sim FROM (
+              |  SELECT vec_id, cluster, eval_id, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY vec_id
+              |                            ORDER BY sim DESC, eval_id)
+              |           AS rnk
+              |  FROM tp WHERE sim > 0.3)
+              |WHERE rnk = 1""".stripMargin)),
+
+    QueryDef(
       "s94_ann_bucketed", // the 100 TB ANN path end-to-end: LSH bucket
                           // equi-join -> within-bucket exact ranking. Queries
                           // are planted near-copies (±0.001 per component by

@@ -1640,6 +1640,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d103 semantic decontam: flags are train-side only, matches share " +
+      "a cluster, and each reported match is the best eval match") {
+    val rows = run("d103_semantic_decontam").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the synthetic corpus must show SOME leakage")
+    // d92 reports every vector's cluster — the same assignment d103's
+    // candidate join uses
+    val clusterOf = run("d92_semantic_dedup").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
+    def cos6(a: Long, b: Long): Double = {
+      val (va, vb) = (specVecs(a), specVecs(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum.toDouble
+      val (na, nb) = (va.map(x => x * x).sum, vb.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(dot / (math.sqrt(na.toDouble) *
+        math.sqrt(nb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val evalIds = specVecs.keys.filter(_ % 23 == 0).toSeq
+    rows.foreach { case (v, c, e, sim) =>
+      assert(v % 23 != 0, s"$v: eval vector flagged as train")
+      assert(e % 23 == 0, s"$v: match $e is not an eval vector")
+      assert(clusterOf(v) == c && clusterOf(e) == c,
+        s"$v/$e: reported pair does not share cluster $c")
+      assert(math.abs(sim - cos6(v, e)) < 1e-6,
+        s"$v/$e: reported sim $sim != exact ${cos6(v, e)}")
+      assert(sim > 0.3, s"$v: flagged below the threshold")
+      // best-match: no same-cluster eval vector beats (sim, -eval_id)
+      val better = evalIds.filter(o => clusterOf(o) == c && o != e)
+        .map(o => (cos6(v, o), o))
+        .exists { case (os, o) => os > sim || (os == sim && o < e) }
+      assert(!better, s"$v: a better eval match than $e exists")
+    }
+    // and a train vector with no same-cluster eval above threshold is
+    // never flagged
+    val flagged = rows.map(_._1).toSet
+    val unflagged = specVecs.keys
+      .filter(v => v % 23 != 0 && !flagged.contains(v))
+    unflagged.foreach { v =>
+      val leak = evalIds.exists(o =>
+        clusterOf(o) == clusterOf(v) && cos6(v, o) > 0.3)
+      assert(!leak, s"$v leaks above threshold but was not flagged")
+    }
+  }
+
   test("d101 incremental gate: every arrival reports once, matches point " +
       "into history, planted twins recalled") {
     val rows = run("d101_incremental_near_dup").collect()
