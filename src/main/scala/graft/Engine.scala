@@ -186,6 +186,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // BUILD/REFRESH/DROP lifecycle with the read that justifies it
   private val searchVectorsStmt =
     """(?is)\s*SEARCH\s+VECTORS\s+USING\s+(\w+)(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
+  // the semantic-decontamination gate's SQL face (d103's kernel,
+  // Similarity.decontamVectors): audit caller-supplied candidate vectors
+  // against the corpus's eval slice before they are admitted to training
+  private val decontamVectorsStmt =
+    """(?is)\s*DECONTAM\s+VECTORS\s+USING\s+(\w+)(?:\s+THRESHOLD\s+(\d+(?:\.\d+)?))?\s*;?\s*""".r
   // the ANN train/serve split: BUILD materializes the trained IVF-PQ
   // artifacts as warehouse tables (the vector analog of CREATE INDEX's
   // build-then-scan split — reference CreateIndexCommand.java feeding
@@ -465,6 +470,24 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           s"SEARCH VECTORS: '$tbl' must carry (q_id, embedding) columns; " +
             s"got (${q.columns.mkString(", ")})")
       operators.Similarity.searchVectors(spark, sfDir, q, k)
+    case decontamVectorsStmt(tbl, thrOpt) =>
+      val thr = Option(thrOpt).map(_.toDouble).getOrElse(0.3)
+      if (thr > 1) throw new IllegalArgumentException(
+        s"DECONTAM VECTORS: THRESHOLD is a cosine, must be <= 1; got $thr")
+      val v = cmds.resolveTable(tbl) match {
+        case Some(t) => cmds.table(t)
+        case None =>
+          if (!spark.catalog.tableExists(tbl))
+            throw new IllegalArgumentException(
+              s"DECONTAM VECTORS: unknown table or view '$tbl'")
+          spark.table(tbl)
+      }
+      val lowv = v.columns.map(_.toLowerCase)
+      if (!lowv.contains("vec_id") || !lowv.contains("embedding"))
+        throw new IllegalArgumentException(
+          s"DECONTAM VECTORS: '$tbl' must carry (vec_id, embedding) " +
+            s"columns; got (${v.columns.mkString(", ")})")
+      operators.Similarity.decontamVectors(spark, sfDir, v, thr)
     case buildVectorIndex(tbl) =>
       if (!tbl.equalsIgnoreCase("embeddings"))
         throw new IllegalArgumentException(

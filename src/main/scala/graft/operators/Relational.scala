@@ -2211,6 +2211,239 @@ object Relational {
              |JOIN customer ON c_custkey = r.o_custkey
              |JOIN nation ON n_nationkey = c_nationkey
              |ORDER BY rq DESC, c_custkey
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q86_tpch_shipping_priority", // TPC-H Q3 shape — the unshipped-
+                               // orders report: revenue still open per
+                               // order for one market segment, top-10.
+                               // The canonical 3-table join with date
+                               // predicates on BOTH fact sides; the
+                               // segment filter reaches the customer
+                               // scan, both date filters reach their
+                               // scans (PushedFilters), and the segment
+                               // membership is a LEFT SEMI — an order
+                               // has exactly one customer, but semi
+                               // states the intent and never widens the
+                               // row. The group key (l_orderkey) is the
+                               // key the lineitem join already shuffled
+                               // on, so one exchange serves join + agg;
+                               // top-10 is TakeOrdered (no global sort
+                               // of |orders| rows at 100 TB). Revenue in
+                               // exact LONG units until surfaced
+                               // (q84's discipline); l_orderkey tiebreak
+                               // pins the LIMIT boundary.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") < "1997-01-01")
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_orderpriority")
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") > "1997-01-01")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000 + 0.5).cast("long").as("rq"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(col("rq")).as("rq"))
+          .orderBy(col("rq").desc, col("l_orderkey").asc)
+          .select(col("l_orderkey"),
+            (col("rq").cast("double") / 10000).as("revenue"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |       CAST(rq AS DOUBLE) / 10000 AS revenue,
+             |       o_orderdate, o_orderpriority
+             |FROM (
+             |  SELECT l_orderkey,
+             |         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |             * 10000 + 0.5) AS BIGINT)) AS rq,
+             |         o_orderdate, o_orderpriority
+             |  FROM customer
+             |  JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |    AND l_shipdate > TIMESTAMP '1997-01-01'
+             |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+             |ORDER BY rq DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    QueryDef(
+      "q87_tpch_big_orders",   // TPC-H Q18 shape — large-volume
+                               // customers: orders whose total quantity
+                               // exceeds a threshold, decorated with the
+                               // customer. Canonically an IN over a
+                               // grouped HAVING subquery that re-scans
+                               // lineitem; here ONE per-order aggregate
+                               // serves both the filter and the surfaced
+                               // sum_qty (the canonical form aggregates
+                               // the fact table twice — at 100 TB that
+                               // is a second full scan+shuffle for a
+                               // frame the first agg already holds).
+                               // Quantity sums in the exact DECIMAL
+                               // pattern so the >300 boundary is the
+                               // same row set in both engines; the
+                               // having frame is |big orders| (tiny),
+                               // so its joins to orders/customer
+                               // broadcast the AGGREGATED side, never
+                               // the fact stream. Top-100 TakeOrdered
+                               // by o_totalprice with o_orderkey
+                               // tiebreak.
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .groupBy("l_orderkey")
+          .agg(sumd(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        big.join(t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+              "o_totalprice"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty")
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             |       o_totalprice, sum_qty
+             |FROM (
+             |  SELECT l_orderkey,
+             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             |              AS DOUBLE) AS sum_qty
+             |  FROM lineitem GROUP BY 1) lq
+             |JOIN orders ON o_orderkey = lq.l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |WHERE sum_qty > 300
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q88_tpch_volume_shipping", // TPC-H Q7 shape — volume shipping
+                               // between two trade blocs: revenue by
+                               // (supplier nation, customer nation,
+                               // ship year) for flows crossing bloc
+                               // A (nations 0-4) ↔ bloc B (nations
+                               // 20-24), two shipping years. The shape
+                               // this adds: a 6-table join where the
+                               // same dimension (nation) decorates TWO
+                               // different fact foreign keys, with the
+                               // canonical disjunctive PAIR predicate
+                               // ((A,B) OR (B,A)). Spark-first: each
+                               // nation leg is pre-filtered to its
+                               // bloc union BEFORE joining (the 25-row
+                               // broadcast prunes suppliers/customers
+                               // at their scans — the fact stream
+                               // shrinks at the earliest join, not at
+                               // the final filter), and only the
+                               // residual cross-pair disjunction runs
+                               // after both legs are attached. Joins
+                               // ordered fact→orders→customer (the
+                               // orderkey join is the big shuffle;
+                               // everything after rides broadcast).
+                               // YEAR() on a pushed date-range scan;
+                               // revenue in exact LONG units.
+      (s, d) => {
+        val blocs = broadcast(t(s, d, "nation")
+          .filter(col("n_nationkey") < 5 || col("n_nationkey") >= 20)
+          .select(col("n_nationkey"), col("n_name"),
+            (col("n_nationkey") < 5).as("bloc_a")))
+        val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+          .join(blocs, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"),
+            col("bloc_a").as("s_bloc_a"))
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+          .join(blocs, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"),
+            col("bloc_a").as("c_bloc_a"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1998-01-01")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000 + 0.5).cast("long").as("rq"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .filter(col("s_bloc_a") =!= col("c_bloc_a"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg((sum(col("rq")).cast("double") / 10000).as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice
+             |           * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+             |         AS DOUBLE) / 10000 AS revenue
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+             |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND ((n1.n_nationkey < 5 AND n2.n_nationkey >= 20)
+             |    OR (n1.n_nationkey >= 20 AND n2.n_nationkey < 5))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    QueryDef(
+      "q89_tpch_dormant_accounts", // TPC-H Q22 shape — the global-
+                               // sales-opportunity report adapted to
+                               // this schema: customers with above-
+                               // average positive balances and NO
+                               // RECENT orders (canonical Q22's "no
+                               // orders at all" is vacuous here — every
+                               // synthetic customer has ancient
+                               // orders; dormancy since 2000-01-01
+                               // keeps the intent). Three classic
+                               // pieces in one plan: a SCALAR subquery
+                               // threshold (1-row broadcast cross —
+                               // never a shuffle), an ANTI join against
+                               // the fact table (orders pruned to the
+                               // recent window AT THE SCAN, projected
+                               // to the join key only), and a final
+                               // small agg by nation. The threshold is
+                             // exact-decimal sum / count surfaced as
+                               // one IEEE division, so both engines
+                               // compare against bit-identical
+                               // doubles.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg((sumd(col("c_acctbal")) / count(lit(1))).as("thr"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "2000-01-01")
+          .select("o_custkey")
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sumd(col("c_acctbal")).as("totacctbal"))
+      },
+      Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             |         AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             |             AS DOUBLE) / COUNT(*)
+             |    FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -539,27 +539,10 @@ object Similarity {
                             // compute identically from exact integers), so
                             // the output is an actionable drop list with
                             // provenance, not a pair dump.
-      (s, d) => {
-        val av = ivfAssignment(s, d)
-          .select(col("vec_id"), col("cluster"))
-          .join(quantizedVecs(s, d).select(col("vec_id"), col("vq"))
-            .withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
-        val ev = av.filter(col("vec_id") % 23 === 0)
-          .select(col("cluster").as("ec"), col("vec_id").as("eval_id"),
-            col("vq").as("evq"), col("nq").as("enq"))
-        val wr = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("eval_id").asc)
-        av.filter(col("vec_id") % 23 =!= 0)
-          .join(ev, col("cluster") === col("ec"))
-          .select(col("vec_id"), col("cluster"), col("eval_id"),
-            round(cosQ(dotl(col("vq"), col("evq")),
-              col("nq"), col("enq")), 6).as("sim"))
-          .filter(col("sim") > 0.3)
-          .withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("cluster"), col("eval_id"),
-            col("sim"))
-      },
+      (s, d) => decontamVectors(s, d,
+        Graft.tableParallel(s, d, "embeddings")
+          .filter(col("vec_id") % 23 =!= 0)
+          .select("vec_id", "embedding")),
       Some(s"""WITH $ivfCtes,
               |tp AS (
               |  SELECT t.vec_id, t.assigned_label AS cluster,
@@ -1872,6 +1855,60 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("neighbor_id"),
         round(col("dq").cast("double") / 1e12, 6).as("exact_sq"))
+  }
+
+  /** Semantic-decontamination kernel shared by the batch operator (d103)
+    * and the streaming ingest gate
+    * ([[graft.streaming.VectorStreams.decontamGate]]): flag every CANDIDATE
+    * vector in `vecs` (vec_id, embedding) whose cosine to some eval-set
+    * vector of corpus `d` (the deterministic vec_id % 23 == 0 slice)
+    * exceeds `thr`, reporting each flagged vector's single BEST eval match
+    * (max rounded sim, smaller eval_id on ties) — an actionable drop list
+    * with provenance, not a pair dump. Candidates are routed to the SAME
+    * label-centroid clusters the corpus assignment uses (the ~|labels|
+    * centroid frame broadcasts — routing is map-side; the per-vector
+    * argmax window carries only (vec_id, clabel, sim), never the component
+    * arrays, and the arrays are equi-joined back from the input once,
+    * ivfAssignment's discipline), and the candidate×eval pairing is a
+    * cluster EQUI-join — per-cluster work is |cand∩c|×|eval∩c|, never
+    * candidates×eval (at 100 TB the eval side is still TBs: too big to
+    * broadcast, exactly right to shuffle on the cluster key). The batch
+    * operator passes the whole train side; the stream passes one
+    * micro-batch — the plan is identical either way, so streamed verdicts
+    * are bit-identical to batch verdicts for the same vectors (the
+    * StreamingSpec parity test proves it). */
+  private[graft] def decontamVectors(s: SparkSession, d: String,
+      vecs: DataFrame, thr: Double = 0.3): DataFrame = {
+    val centArr = labelCentroids(s, d)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("clabel").asc)
+    def assign(vq: DataFrame): DataFrame =
+      vq.withColumn("nq", dotl(col("vq"), col("vq")))
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("clabel"),
+          cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq"))
+            .as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("clabel").as("cluster"))
+        .join(vq.withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
+    val cand = assign(vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("long")).as("vq")))
+    val ev = assign(quantizedVecs(s, d)
+        .filter(col("vec_id") % 23 === 0).select("vec_id", "vq"))
+      .select(col("cluster").as("ec"), col("vec_id").as("eval_id"),
+        col("vq").as("evq"), col("nq").as("enq"))
+    val wr = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("eval_id").asc)
+    cand.join(ev, col("cluster") === col("ec"))
+      .select(col("vec_id"), col("cluster"), col("eval_id"),
+        round(cosQ(dotl(col("vq"), col("evq")),
+          col("nq"), col("enq")), 6).as("sim"))
+      .filter(col("sim") > thr)
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cluster"), col("eval_id"), col("sim"))
   }
 
   /** Frozen index artifacts for the streaming ingest path: the coarse

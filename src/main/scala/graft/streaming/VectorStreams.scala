@@ -54,6 +54,35 @@ object VectorStreams {
     * (query-bounded broadcasts against the immutable index tables);
     * nothing accumulates in the stream — no state store, any query
     * rate that the per-batch serve latency sustains. */
+  /** Streaming SEMANTIC-DECONTAMINATION gate — d103's ingest twin: each
+    * arriving (vec_id, embedding) micro-batch is checked against the
+    * corpus's eval slice by the batch kernel
+    * ([[Similarity.decontamVectors]] — map-side centroid routing, then a
+    * cluster equi-join against the eval side, never batch×eval), and the
+    * flagged rows (vec_id, cluster, eval_id, sim — best eval match with
+    * provenance) land EXACTLY-ONCE in a warehouse table via
+    * `insertCommitted` (a crash-replayed batch is recognized by its
+    * batch marker and skipped — a contamination audit log must not
+    * double-report). Because each micro-batch plans exactly the batch
+    * plan, streamed verdicts are bit-identical to batch d103 verdicts
+    * for the same vectors — the parity spec proves it. Scale shape:
+    * per-batch cost is the gate kernel's (batch-bounded candidate side,
+    * broadcast centroids, cluster-key shuffle of the batch); nothing
+    * accumulates in the stream — no state store, any arrival rate the
+    * per-batch check latency sustains. */
+  def decontamGate(vecStream: DataFrame, d: String, cmds: TableCommands,
+      table: String, thr: Double = 0.3): StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          cmds.insertCommitted(table,
+            Similarity.decontamVectors(batch.sparkSession, d, batch, thr),
+            batchId)
+        ()
+      }
+      .start()
+
   def serve(queryStream: DataFrame, d: String, cmds: TableCommands,
       table: String, k: Int = 3): StreamingQuery =
     queryStream.writeStream

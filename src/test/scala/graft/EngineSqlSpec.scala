@@ -1215,6 +1215,42 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS qvecs")
   }
 
+  test("DECONTAM VECTORS: the gate face audits arbitrary candidate tables " +
+      "— d103 parity on the train side, THRESHOLD honored, errors crisp") {
+    // the whole train side authored as a CALLER table: the SQL face must
+    // reproduce the batch operator exactly, like the public kernel does
+    engine.sql("CREATE COLSTORE cand AS " +
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 0")
+    try {
+      val viaSql = engine.sql("DECONTAM VECTORS USING cand").collect()
+        .map(_.toSeq).toSet
+      val d103 = SparkEntry.queries("d103_semantic_decontam")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(viaSql.nonEmpty && viaSql == d103,
+        "DECONTAM VECTORS on the train side diverged from batch d103")
+      // a tighter threshold can only shrink the flag set (monotone gate);
+      // warehouse names resolve case-insensitively
+      val tight = engine.sql("DECONTAM VECTORS USING CAND THRESHOLD 0.9")
+        .collect().map(_.toSeq).toSet
+      assert(tight.subsetOf(viaSql))
+      assert(tight.size < viaSql.size,
+        "the 0.9 threshold should prune some 0.3-flags in this fixture")
+      // error surface: unknown table, wrong schema, non-cosine threshold
+      val missing = intercept[IllegalArgumentException] {
+        engine.sql("DECONTAM VECTORS USING no_such_table")
+      }
+      assert(missing.getMessage.contains("unknown table"))
+      val badSchema = intercept[IllegalArgumentException] {
+        engine.sql("DECONTAM VECTORS USING region")
+      }
+      assert(badSchema.getMessage.contains("vec_id"))
+      val badThr = intercept[IllegalArgumentException] {
+        engine.sql("DECONTAM VECTORS USING cand THRESHOLD 1.5")
+      }
+      assert(badThr.getMessage.contains("cosine"))
+    } finally engine.sql("DROP TABLE IF EXISTS cand")
+  }
+
   test("SHOW VECTOR INDEXES / SHOW DEDUP INDEXES: provenance and coverage " +
       "counts track the build/drop lifecycle") {
     // absent index → empty frame with the full schema (an operator's

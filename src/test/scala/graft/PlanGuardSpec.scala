@@ -229,7 +229,28 @@ class PlanGuardSpec extends AnyFunSuite {
     // q85: Q10's high-cardinality top-k — revenue aggregates BEFORE the
     // customer/nation decorations (the fact stream never carries names),
     // nation broadcasts, top-20 via TakeOrdered, never a global sort
-    ("q85_tpch_returned_items", 4, Nil, Seq("TakeOrderedAndProject")))
+    ("q85_tpch_returned_items", 4, Nil, Seq("TakeOrderedAndProject")),
+    // q86: Q3's 3-table chain — segment membership is a LEFT SEMI, both
+    // date filters reach their scans, the orderkey agg reuses the join
+    // exchange, top-10 via TakeOrdered (never a global sort)
+    ("q86_tpch_shipping_priority", 3, Nil, Seq("TakeOrderedAndProject")),
+    // q87: Q18 with the canonical IN-subquery's SECOND fact scan folded
+    // away — one per-order aggregate serves the HAVING filter and the
+    // surfaced sum_qty, so exactly 3 scans; top-100 via TakeOrdered
+    ("q87_tpch_big_orders", 3, Nil, Seq("TakeOrderedAndProject")),
+    // q88: Q7's 6-table chain in 5 scans (one nation scan serves BOTH
+    // bloc legs via exchange reuse); the pair disjunction is a residual
+    // AFTER bloc-pruned broadcasts, never a cartesian; fact-join
+    // strategy stays AQE's choice (q75's rationale)
+    ("q88_tpch_volume_shipping", 5, Nil, Nil),
+    // q89: Q22's three pieces — 1-row scalar threshold broadcast (BNLJ
+    // on a bounded frame), LEFT ANTI against the recent-orders scan,
+    // nation agg; customer feeds threshold AND selection in ≤2 scans
+    ("q89_tpch_dormant_accounts", 3, Nil, Nil),
+    // d103: three embeddings scans (centroids, candidates, eval slice);
+    // the candidate×eval pairing must stay a cluster EQUI-join — a
+    // cartesian means the decontam check regressed to corpus×eval
+    ("d103_semantic_decontam", 3, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)

@@ -294,6 +294,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally operators.VectorIndex.drop(spark, cmds)
   }
 
+  test("VectorStreams.decontamGate: streamed contamination verdicts are " +
+      "bit-identical to batch d103 and land exactly-once in the warehouse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = TestSpark.sfDir
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_vdg_wh").toString)
+    // replay the TRAIN side of the corpus as the arriving stream — the
+    // eval slice (vec_id % 23 == 0) is the gate's fixed reference, never
+    // an arrival; splitting arrivals across two micro-batches exercises
+    // per-batch independence (each vector's best-eval verdict depends
+    // only on itself and the eval side, so gate(b1) ∪ gate(b2) must
+    // equal batch d103 over b1 ∪ b2)
+    val arrivals = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") % 23 =!= 0)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = streaming.VectorStreams.decontamGate(
+      src.toDF().toDF("vec_id", "embedding"), d, cmds, "contam")
+    try {
+      val (b1, b2) = arrivals.partition(_._1 % 2 == 0)
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+          r.getDouble(3))
+      }.toSet
+      val streamed = norm(cmds.table("contam").collect())
+      val batch = norm(SparkEntry
+        .queries("d103_semantic_decontam")(spark, d).collect())
+      assert(streamed.nonEmpty,
+        "the synthetic corpus must show SOME leakage through the gate")
+      assert(streamed == batch,
+        "streamed contamination verdicts diverge from batch d103")
+      // the audit log is a real warehouse table (integrity scan runs)
+      assert(cmds.verifyTable("contam") == streamed.size.toLong)
+    } finally q.stop()
+  }
+
   test("sessionsByUser: 30-min gap splits sessions correctly (batch mode)") {
     import spark.implicits._
     val out = EventStreams.sessionsByUser(events.toDF())
