@@ -1040,7 +1040,98 @@ object Dedup {
              |            WHEN c.ch <> p.ph THEN 'changed'
              |            ELSE 'unchanged' END AS status,
              |       p.ph AS prev_hash, c.ch AS cur_hash
-             |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin))
+             |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin)),
+
+    QueryDef(
+      "p103_decontam_scorecard", // DEFENSE-IN-DEPTH decontamination — the
+                             // per-source governance report a data team
+                             // publishes before a training run: every
+                             // train document checked against the eval
+                             // slice (doc_id % 23 == 0, d103's split) by
+                             // BOTH detectors — LEXICAL (MinHash band
+                             // collision, the d83/d94 signature pipeline
+                             // over the real corpus: verbatim/truncated
+                             // dumps) and SEMANTIC (d103's embedding
+                             // check: paraphrases and translations no
+                             // n-gram ever matches) — because each leg
+                             // catches leakage the other is blind to.
+                             // Output per source: doc count, flagged by
+                             // lexical only / semantic only / both, and
+                             // the total flagged share. Scale shape: the
+                             // lexical probe is train-bands ⋈ eval-bands
+                             // on (band, band_key) — the eval side is
+                             // |eval|×bands rows, broadcastable at any
+                             // corpus size where the eval suite is
+                             // benchmark-sized; the semantic leg is
+                             // d103's cluster equi-join; the assembly
+                             // LEFT-joins two SLIM distinct flag frames
+                             // (ids only) to the doc spine and collapses
+                             // to |sources| rows in one partial-agg pass.
+      (s, d) => {
+        val docs = Graft.tableParallel(s, d, "documents")
+          .select("doc_id", "text")
+        val bands = bandsForCorpus(docs)
+        val eb = bands.filter(col("doc_id") % 23 === 0)
+          .select(col("band").as("eband"), col("band_key").as("ekey"))
+        val lex = bands.filter(col("doc_id") % 23 =!= 0)
+          .join(eb, col("band") === col("eband") &&
+            col("band_key") === col("ekey"))
+          .select("doc_id").distinct()
+          .withColumn("lex", lit(true))
+        val sem = Similarity.decontamVectors(s, d,
+            Graft.tableParallel(s, d, "embeddings")
+              .filter(col("vec_id") % 23 =!= 0)
+              .select("vec_id", "embedding"))
+          .select(col("vec_id").as("doc_id")).distinct()
+          .withColumn("sem", lit(true))
+        Graft.tableParallel(s, d, "documents")
+          .filter(col("doc_id") % 23 =!= 0)
+          .select("doc_id", "source")
+          .join(lex, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lex") && col("sem").isNull, 1L).otherwise(0L))
+              .as("n_lexical_only"),
+            sum(when(col("sem") && col("lex").isNull, 1L).otherwise(0L))
+              .as("n_semantic_only"),
+            sum(when(col("lex") && col("sem"), 1L).otherwise(0L))
+              .as("n_both"),
+            round(sum(when(col("lex") || col("sem"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("flagged_share"))
+      },
+      Some(s"""WITH ${minhashCtesFor("SELECT doc_id, text FROM documents")},
+              |lex AS (
+              |  SELECT DISTINCT b.doc_id
+              |  FROM bands b JOIN bands e
+              |    ON b.band = e.band AND b.band_key = e.band_key
+              |   AND e.doc_id % 23 = 0 AND b.doc_id % 23 <> 0),
+              |sem AS (
+              |  SELECT DISTINCT vec_id AS doc_id
+              |  FROM (${Similarity.d103OracleSql}) sq)
+              |SELECT d.source,
+              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       CAST(SUM(CASE WHEN l.doc_id IS NOT NULL
+              |                      AND s.doc_id IS NULL
+              |                     THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_lexical_only,
+              |       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL
+              |                      AND l.doc_id IS NULL
+              |                     THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_semantic_only,
+              |       CAST(SUM(CASE WHEN l.doc_id IS NOT NULL
+              |                      AND s.doc_id IS NOT NULL
+              |                     THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_both,
+              |       ROUND(CAST(SUM(CASE WHEN l.doc_id IS NOT NULL
+              |                            OR s.doc_id IS NOT NULL
+              |                           THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / COUNT(*), 6) AS flagged_share
+              |FROM documents d
+              |LEFT JOIN lex l ON l.doc_id = d.doc_id
+              |LEFT JOIN sem s ON s.doc_id = d.doc_id
+              |WHERE d.doc_id % 23 <> 0
+              |GROUP BY 1""".stripMargin))
   )
 
   /** d82's core: n-gram (3-shingle) Jaccard near-dup pairs over a
@@ -1436,8 +1527,14 @@ object Dedup {
     * occurrence, then integer lane mixing `(a*h + b) % (2^31-1)` with the
     * inlined independent constants — bit-identical across engines because
     * every intermediate stays below 2^63. */
-  private lazy val minhashCtes: String =
-    s"""corpus AS ($corpusNearSql),
+  private lazy val minhashCtes: String = minhashCtesFor(corpusNearSql)
+
+  /** [[minhashCtes]] parameterized over its corpus — p103's lexical leg
+    * runs the identical signature pipeline over the REAL documents table
+    * (no planted twins), so the CTE chain must not hardwire
+    * [[corpusNearSql]]. */
+  private def minhashCtesFor(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
        |sh AS (
        |  SELECT doc_id, unnest(${shinglesSql(3)}) AS s
        |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),

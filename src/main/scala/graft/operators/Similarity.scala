@@ -412,6 +412,36 @@ object Similarity {
        |             CAST(n_queries AS DOUBLE) * 3 * 0.7) AS rebuild
        |FROM cnt, hits, fs""".stripMargin
 
+  /** d103's complete oracle — exposed so the p103 defense-in-depth
+    * scorecard (Dedup.scala) can nest the semantic leg as a derived
+    * table without duplicating the CTE chain. */
+  private[graft] lazy val d103OracleSql: String =
+    s"""WITH $ivfCtes,
+       |tp AS (
+       |  SELECT t.vec_id, t.assigned_label AS cluster,
+       |         e.vec_id AS eval_id,
+       |         ROUND(CASE WHEN nt.nq = 0 OR ne.nq = 0 THEN 0.0
+       |               ELSE CAST(SUM(ct.xq * ce.xq) AS DOUBLE) /
+       |               (SQRT(CAST(nt.nq AS DOUBLE)) *
+       |                SQRT(CAST(ne.nq AS DOUBLE)))
+       |               END, 6) AS sim
+       |  FROM assign t JOIN assign e
+       |         ON e.assigned_label = t.assigned_label
+       |        AND e.vec_id % 23 = 0 AND t.vec_id % 23 <> 0
+       |  JOIN comp ct ON ct.vec_id = t.vec_id
+       |  JOIN comp ce ON ce.vec_id = e.vec_id AND ce.j0 = ct.j0
+       |  JOIN nv nt ON nt.vec_id = t.vec_id
+       |  JOIN nv ne ON ne.vec_id = e.vec_id
+       |  GROUP BY t.vec_id, t.assigned_label, e.vec_id,
+       |           nt.nq, ne.nq)
+       |SELECT vec_id, cluster, eval_id, sim FROM (
+       |  SELECT vec_id, cluster, eval_id, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY sim DESC, eval_id)
+       |           AS rnk
+       |  FROM tp WHERE sim > 0.3)
+       |WHERE rnk = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -543,31 +573,7 @@ object Similarity {
         Graft.tableParallel(s, d, "embeddings")
           .filter(col("vec_id") % 23 =!= 0)
           .select("vec_id", "embedding")),
-      Some(s"""WITH $ivfCtes,
-              |tp AS (
-              |  SELECT t.vec_id, t.assigned_label AS cluster,
-              |         e.vec_id AS eval_id,
-              |         ROUND(CASE WHEN nt.nq = 0 OR ne.nq = 0 THEN 0.0
-              |               ELSE CAST(SUM(ct.xq * ce.xq) AS DOUBLE) /
-              |               (SQRT(CAST(nt.nq AS DOUBLE)) *
-              |                SQRT(CAST(ne.nq AS DOUBLE)))
-              |               END, 6) AS sim
-              |  FROM assign t JOIN assign e
-              |         ON e.assigned_label = t.assigned_label
-              |        AND e.vec_id % 23 = 0 AND t.vec_id % 23 <> 0
-              |  JOIN comp ct ON ct.vec_id = t.vec_id
-              |  JOIN comp ce ON ce.vec_id = e.vec_id AND ce.j0 = ct.j0
-              |  JOIN nv nt ON nt.vec_id = t.vec_id
-              |  JOIN nv ne ON ne.vec_id = e.vec_id
-              |  GROUP BY t.vec_id, t.assigned_label, e.vec_id,
-              |           nt.nq, ne.nq)
-              |SELECT vec_id, cluster, eval_id, sim FROM (
-              |  SELECT vec_id, cluster, eval_id, sim,
-              |         ROW_NUMBER() OVER (PARTITION BY vec_id
-              |                            ORDER BY sim DESC, eval_id)
-              |           AS rnk
-              |  FROM tp WHERE sim > 0.3)
-              |WHERE rnk = 1""".stripMargin)),
+      Some(d103OracleSql)),
 
     QueryDef(
       "s94_ann_bucketed", // the 100 TB ANN path end-to-end: LSH bucket

@@ -1686,6 +1686,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("p103 decontam scorecard: totals reconcile with the train universe " +
+      "and the d103 flag set; both detector legs fire; shares exact") {
+    val rows = run("p103_decontam_scorecard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // every train doc is accounted for in exactly one source row
+    val trainDocs = spark.read.parquet(s"$d/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 23 =!= 0)
+      .count()
+    assert(rows.map(_._2).sum == trainDocs,
+      "scorecard doc counts do not cover the train universe")
+    // the semantic columns are exactly d103's distinct flag set
+    val semFlagged = run("d103_semantic_decontam").collect()
+      .map(_.getLong(0)).distinct.length
+    assert(rows.map(r => r._4 + r._5).sum == semFlagged,
+      "semantic-only + both must equal the d103 flag count")
+    // defense-in-depth is real in this fixture: each leg catches docs
+    // the other does not (lexical-only and semantic-only both nonzero)
+    assert(rows.map(_._3).sum > 0, "lexical leg never fired")
+    assert(rows.map(_._4).sum > 0, "semantic leg never fired")
+    // the share column is the exact rounded ratio of its own counts
+    rows.foreach { case (src, n, lo, so, both, share) =>
+      val expect = BigDecimal((lo + so + both).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(share - expect) < 1e-9,
+        s"$src: flagged_share $share != ($lo+$so+$both)/$n")
+    }
+  }
+
   test("d101 incremental gate: every arrival reports once, matches point " +
       "into history, planted twins recalled") {
     val rows = run("d101_incremental_near_dup").collect()

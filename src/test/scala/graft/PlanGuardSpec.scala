@@ -250,7 +250,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // d103: three embeddings scans (centroids, candidates, eval slice);
     // the candidate×eval pairing must stay a cluster EQUI-join — a
     // cartesian means the decontam check regressed to corpus×eval
-    ("d103_semantic_decontam", 3, Nil, Nil))
+    ("d103_semantic_decontam", 3, Nil, Nil),
+    // p103: both detector legs + the doc spine (3 documents scans, 3
+    // embeddings scans); lexical probe is a (band, band_key) equi-join,
+    // semantic leg is d103's cluster equi-join — a cartesian anywhere
+    // means a leg regressed to all-pairs
+    ("p103_decontam_scorecard", 6, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
