@@ -2444,6 +2444,61 @@ object Relational {
              |    SELECT 1 FROM orders
              |    WHERE o_custkey = c_custkey
              |      AND o_orderdate >= TIMESTAMP '2000-01-01')
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    QueryDef(
+      "q90_tpch_discounted_revenue", // TPC-H Q19 shape — the disjunctive
+                               // cross-side predicate: revenue from three
+                               // (brand, size-range, quantity-range)
+                               // bundles, where each OR arm references
+                               // BOTH join inputs, so the disjunction can
+                               // only run as a join residual. The classic
+                               // Q19 optimization is stated explicitly:
+                               // each side ALSO gets the derived superset
+                               // of its own columns (quantity ∈ [1,45]
+                               // on lineitem; brand ∈ {3} ∧ size ∈ [1,35]
+                               // on part — implied by the disjunction, so
+                               // semantics are unchanged) pushed to the
+                               // SCAN, which at 100 TB is the difference
+                               // between joining the full fact table and
+                               // joining the bundles' slice; the brand-
+                               // pruned part side broadcasts. Exact LONG
+                               // revenue units; 1-row audit output keeps
+                               // the match count alongside the sum.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 45)
+          .select(col("l_partkey"), col("l_quantity"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000 + 0.5).cast("long").as("rq"))
+        val pt = t(s, d, "part")
+          .filter(col("p_brand")
+            .isin("Brand#13", "Brand#22", "Brand#25") &&
+            col("p_size") >= 1 && col("p_size") <= 35)
+          .select("p_partkey", "p_brand", "p_size")
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#13" &&
+              col("p_size") <= 15 &&
+              col("l_quantity") >= 1 && col("l_quantity") <= 15) ||
+            (col("p_brand") === "Brand#22" &&
+              col("p_size") <= 25 &&
+              col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+            (col("p_brand") === "Brand#25" &&
+              col("l_quantity") >= 20 && col("l_quantity") <= 45))
+          .agg(count(lit(1)).as("n_items"),
+            (sum(col("rq")).cast("double") / 10000).as("revenue"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             |       CAST(SUM(CAST(FLOOR(l_extendedprice
+             |           * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+             |         AS DOUBLE) / 10000 AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 15)
+             |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+             |       AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+             |       AND l_quantity BETWEEN 20 AND 45)""".stripMargin))
   )
 }

@@ -1248,6 +1248,22 @@ class EngineSqlSpec extends AnyFunSuite {
         engine.sql("DECONTAM VECTORS USING cand THRESHOLD 1.5")
       }
       assert(badThr.getMessage.contains("cosine"))
+      // degenerate inputs: an empty candidate set audits to an empty
+      // frame (not a crash), and an all-zero embedding matches nothing
+      // (the cosQ zero-norm guard — sim 0, never a DIVIDE_BY_ZERO)
+      engine.sql("CREATE VIEW cand_empty AS " +
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 0")
+      engine.sql("CREATE VIEW cand_zero AS " +
+        "SELECT vec_id, transform(embedding, x -> CAST(0.0 AS FLOAT)) " +
+        "AS embedding FROM embeddings WHERE vec_id = 1")
+      try {
+        assert(engine.sql("DECONTAM VECTORS USING cand_empty").count() == 0)
+        assert(engine.sql("DECONTAM VECTORS USING cand_zero").count() == 0)
+      } finally {
+        spark.sql("DROP VIEW IF EXISTS cand_empty")
+        spark.sql("DROP VIEW IF EXISTS cand_zero")
+        ()
+      }
     } finally engine.sql("DROP TABLE IF EXISTS cand")
   }
 

@@ -255,7 +255,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // embeddings scans); lexical probe is a (band, band_key) equi-join,
     // semantic leg is d103's cluster equi-join — a cartesian anywhere
     // means a leg regressed to all-pairs
-    ("p103_decontam_scorecard", 6, Nil, Nil))
+    ("p103_decontam_scorecard", 6, Nil, Nil),
+    // q90: Q19's cross-side disjunction runs as a join residual, but the
+    // derived single-side supersets (qty range; brand IN + size range)
+    // must reach BOTH scans (plan-audited PushedFilters) and the
+    // brand-pruned part side must broadcast — an SMJ means the fact
+    // stream shuffled for a 3-brand dimension slice
+    ("q90_tpch_discounted_revenue", 2, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
