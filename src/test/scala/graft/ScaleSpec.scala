@@ -58,8 +58,13 @@ class ScaleSpec extends AnyFunSuite {
     // the corpus grows. That is why d86's own doc marks it the small-scale
     // exact baseline and routes scale to s94/d92, whose linearity IS
     // asserted here (band / cluster-size bound below).
+    // d103 joins train×eval inside clusters: disjoint per-copy clusters
+    // keep candidates within copies, so flags scale linearly — but only
+    // as a band, because ID_STRIDE % 23 != 0 shifts each copy's eval
+    // slice to a different (equally-sized) subset, re-rolling which
+    // train vectors happen to sit near an eval vector.
     for (q <- Seq("d83_dedup_minhash", "d85_simhash_pairs",
-                  "d95_winnow_near_dup")) {
+                  "d95_winnow_near_dup", "d103_semantic_decontam")) {
       val n1 = rows(q, dir1)
       val n3 = rows(q, dir3)
       assert(n3 <= 4.5 * n1 + 8 && n3 >= 1.5 * n1 - 8,
