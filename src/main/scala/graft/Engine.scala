@@ -179,6 +179,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // which would accept `RUN QUERY 'name` and `RUN QUERY name'`
   private val runQueryStmt =
     """(?is)\s*RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
+  // plan observability for the inventory: the formatted Spark plan of any
+  // RUN QUERY, without executing it — the `EXPLAIN <select>` sibling for
+  // operators whose body is DataFrame code, not a SQL string
+  private val explainRunQueryStmt =
+    """(?is)\s*EXPLAIN\s+RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
   private val showQueriesStmt = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
   // the vector index's SERVE face: top-k neighbors for the query vectors
   // a warehouse table / view supplies — the probe-by-arbitrary-key analog
@@ -434,6 +439,25 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           (base, cols, idx)
         }
       }.distinct.sortBy(_._3).toDF("table", "columns", "index")
+    case explainRunQueryStmt(quoted, bare, dirOpt) =>
+      // plan only — the query is PLANNED, never executed (EXPLAIN must
+      // not pay a corpus scan). One row, one `plan` column, matching
+      // EXPLAIN UPDATE's convention.
+      val name = Option(quoted).getOrElse(bare)
+      val dir = Option(dirOpt).getOrElse(sfDir)
+      SparkEntry.queries.get(name)
+        .orElse(SparkEntry.queries.collectFirst {
+          case (k, fn) if k.equalsIgnoreCase(name) => fn
+        }) match {
+        case Some(fn) =>
+          import spark.implicits._
+          Seq(fn(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode
+              .fromString("formatted"))).toDF("plan")
+        case None => throw new IllegalArgumentException(
+          s"EXPLAIN RUN QUERY: unknown query '$name' - SHOW QUERIES " +
+            "lists the inventory")
+      }
     case runQueryStmt(quoted, bare, dirOpt) =>
       val name = Option(quoted).getOrElse(bare)
       val dir = Option(dirOpt).getOrElse(sfDir)

@@ -1176,6 +1176,17 @@ class EngineSqlSpec extends AnyFunSuite {
     val listed = engine.sql("SHOW QUERIES").collect()
       .map(_.getString(0)).toSet
     assert(listed == SparkEntry.queries.keySet)
+    // EXPLAIN RUN QUERY: one plan row for any inventory operator —
+    // the formatted Spark plan, planned but never executed
+    val plan = engine.sql("EXPLAIN RUN QUERY 'q01_scan_filter'").collect()
+    assert(plan.length == 1)
+    assert(plan(0).getString(0).contains("Scan parquet") &&
+      plan(0).getString(0).contains("PushedFilters"),
+      "EXPLAIN RUN QUERY must surface the physical scan + pushdown")
+    val exBad = intercept[IllegalArgumentException] {
+      engine.sql("EXPLAIN RUN QUERY no_such_query")
+    }
+    assert(exBad.getMessage.contains("SHOW QUERIES"))
   }
 
   test("SEARCH VECTORS: the serve face answers arbitrary query tables " +
