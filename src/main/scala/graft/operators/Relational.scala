@@ -2499,6 +2499,113 @@ object Relational {
              |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
              |       AND l_quantity BETWEEN 10 AND 30)
              |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
-             |       AND l_quantity BETWEEN 20 AND 45)""".stripMargin))
+             |       AND l_quantity BETWEEN 20 AND 45)""".stripMargin)),
+
+    QueryDef(
+      "q91_tpch_promo_revenue", // TPC-H Q14 shape — conditional
+                               // aggregation against a broadcast dim:
+                               // what share of one month's revenue came
+                               // from PROMO parts. The month predicate is
+                               // a scan-pushed range on the fact table
+                               // (at 100 TB shipdate min/max row-group
+                               // pruning reads ~1/80th of the corpus);
+                               // part projects to (key, type) and
+                               // broadcasts; the CASE rides inside ONE
+                               // partial aggregate — never two passes or
+                               // a filtered self-union. Both the promo
+                               // and total sums are exact LONG units, so
+                               // the ratio divides two exact doubles
+                               // (IEEE-deterministic vs the oracle).
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1997-09-01" &&
+            col("l_shipdate") < "1997-10-01")
+          .select(col("l_partkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000 + 0.5).cast("long").as("rq"))
+        val pt = t(s, d, "part").select("p_partkey", "p_type")
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (sum(when(col("p_type") === "PROMO", col("rq"))
+              .otherwise(0L)).cast("double") / 10000)
+              .as("promo_revenue"),
+            (sum(col("rq")).cast("double") / 10000).as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+              .as("promo_pct"))
+      },
+      Some("""WITH m AS (
+             |  SELECT p_type,
+             |         CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |             * 10000 + 0.5) AS BIGINT) AS rq
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             |    AND l_shipdate < TIMESTAMP '1997-10-01'),
+             |a AS (
+             |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rq
+             |                       ELSE 0 END) AS DOUBLE) / 10000
+             |           AS promo_revenue,
+             |         CAST(SUM(rq) AS DOUBLE) / 10000 AS total_revenue
+             |  FROM m)
+             |SELECT promo_revenue, total_revenue,
+             |       100.0 * promo_revenue / total_revenue AS promo_pct
+             |FROM a""".stripMargin)),
+
+    QueryDef(
+      "q92_tpch_product_profit", // TPC-H Q9 shape — product-type profit
+                               // by (supplier nation, year): the widest
+                               // classic star, adapted to this schema
+                               // (no partsupp table, so supply cost is
+                               // proxied as 60% of p_retailprice per
+                               // unit — the SHAPE, a fact scanned once
+                               // against three dims with a derived
+                               // profit expression, is what's being
+                               // exercised). The p_name LIKE filter
+                               // prunes the part build side BEFORE
+                               // broadcast; supplier and nation
+                               // broadcast whole (O(10^4)/O(10^2) rows
+                               // at any SF — dims scale with entities,
+                               // not events); profit quantizes to LONG
+                               // units BEFORE the sum (FLOOR(x+0.5)
+                               // mirrored verbatim by the oracle, so
+                               // negative-margin rows agree too), and
+                               // the (nation × year) group count is
+                               // O(10^2) — the partial agg collapses
+                               // map-side and the final exchange moves
+                               // hundreds of rows at 100 TB.
+      (s, d) => {
+        val pt = t(s, d, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select("p_partkey", "p_retailprice")
+        val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            year(col("l_shipdate")).as("o_year"))
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("o_year"),
+            floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              lit(0.6) * col("p_retailprice") * col("l_quantity"))
+              * 10000 + 0.5).cast("long").as("aq"))
+          .groupBy("nation", "o_year")
+          .agg((sum(col("aq")).cast("double") / 10000).as("sum_profit"))
+      },
+      Some("""SELECT n_name AS nation,
+             |       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)
+             |         AS o_year,
+             |       CAST(SUM(CAST(FLOOR((l_extendedprice
+             |             * (1 - l_discount)
+             |             - 0.6 * p_retailprice * l_quantity)
+             |           * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+             |         AS sum_profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY n_name, o_year""".stripMargin))
   )
 }

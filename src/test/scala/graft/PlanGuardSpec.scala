@@ -262,6 +262,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // brand-pruned part side must broadcast — an SMJ means the fact
     // stream shuffled for a 3-brand dimension slice
     ("q90_tpch_discounted_revenue", 2, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")),
+    // q91: Q14's conditional aggregate rides ONE fact pass — the month
+    // range must prune at the scan and the (key, type) part projection
+    // must broadcast; an SMJ means the fact stream shuffled for a dim
+    ("q91_tpch_promo_revenue", 2, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")),
+    // q92: Q9's star — one fact pass against three broadcast dims
+    // (part name-pruned BEFORE broadcast); any SMJ means an
+    // entity-bounded dim started shuffling the event stream
+    ("q92_tpch_product_profit", 4, Seq("SortMergeJoin"),
       Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
