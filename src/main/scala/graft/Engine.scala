@@ -184,6 +184,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // operators whose body is DataFrame code, not a SQL string
   private val explainRunQueryStmt =
     """(?is)\s*EXPLAIN\s+RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
+  // runtime observability for the inventory: EXECUTE the query and
+  // surface the final adaptive plan's per-operator metrics (output rows,
+  // shuffle bytes, spill) — at 100 TB the question "which exchange
+  // dominates?" is answered by these counters, not by the plan text
+  private val analyzeRunQueryStmt =
+    """(?is)\s*ANALYZE\s+RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
   private val showQueriesStmt = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
   // the vector index's SERVE face: top-k neighbors for the query vectors
   // a warehouse table / view supplies — the probe-by-arbitrary-key analog
@@ -456,6 +462,40 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               .fromString("formatted"))).toDF("plan")
         case None => throw new IllegalArgumentException(
           s"EXPLAIN RUN QUERY: unknown query '$name' - SHOW QUERIES " +
+            "lists the inventory")
+      }
+    case analyzeRunQueryStmt(quoted, bare, dirOpt) =>
+      // EXECUTE the inventory query, then read the final adaptive plan's
+      // operator metrics. Driving THIS DataFrame's QueryExecution (not a
+      // fresh action) is what finalizes AQE and populates the counters;
+      // the walk must descend through AdaptiveSparkPlanExec and the
+      // materialized QueryStageExec wrappers — `children` alone stops at
+      // stage boundaries and would report an empty tree under AQE.
+      val name = Option(quoted).getOrElse(bare)
+      val dir = Option(dirOpt).getOrElse(sfDir)
+      SparkEntry.queries.get(name)
+        .orElse(SparkEntry.queries.collectFirst {
+          case (k, fn) if k.equalsIgnoreCase(name) => fn
+        }) match {
+        case Some(fn) =>
+          import spark.implicits._
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{
+            AdaptiveSparkPlanExec, QueryStageExec}
+          val qe = fn(spark, dir).queryExecution
+          qe.toRdd.foreach(_ => ())
+          def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec => walk(q.plan)
+            case other => other.children.flatMap(walk)
+          })
+          walk(qe.executedPlan).zipWithIndex.flatMap { case (node, i) =>
+            node.metrics.toSeq.map { case (_, m) =>
+              (i.toLong, node.nodeName, m.name.getOrElse("metric"), m.value)
+            }
+          }.toDF("node_id", "operator", "metric", "value")
+        case None => throw new IllegalArgumentException(
+          s"ANALYZE RUN QUERY: unknown query '$name' - SHOW QUERIES " +
             "lists the inventory")
       }
     case runQueryStmt(quoted, bare, dirOpt) =>

@@ -1187,6 +1187,24 @@ class EngineSqlSpec extends AnyFunSuite {
       engine.sql("EXPLAIN RUN QUERY no_such_query")
     }
     assert(exBad.getMessage.contains("SHOW QUERIES"))
+    // ANALYZE RUN QUERY: executed-plan metrics — the walk must descend
+    // through the AQE wrapper and stage boundaries, so a shuffling agg
+    // query must surface BOTH a scan with rows read and an exchange
+    // with bytes written
+    val met = engine.sql("ANALYZE RUN QUERY 'q10_agg_pricing_summary'")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(met.exists { case (op, m, v) =>
+      op.toLowerCase.contains("scan") &&
+        m.contains("output rows") && v > 0 },
+      s"no scan output-rows metric in:\n${met.take(40).mkString("\n")}")
+    assert(met.exists { case (op, m, v) =>
+      op.contains("Exchange") && m.contains("written") && v > 0 },
+      "no exchange bytes-written metric — the walk stopped at a " +
+        "stage boundary")
+    val exBad2 = intercept[IllegalArgumentException] {
+      engine.sql("ANALYZE RUN QUERY 'no_such_query'")
+    }
+    assert(exBad2.getMessage.contains("SHOW QUERIES"))
   }
 
   test("SEARCH VECTORS: the serve face answers arbitrary query tables " +
