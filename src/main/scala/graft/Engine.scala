@@ -178,7 +178,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // quotes must be balanced or absent: two alternatives, NOT '?(\w+)'?,
   // which would accept `RUN QUERY 'name` and `RUN QUERY name'`
   private val runQueryStmt =
-    """(?is)\s*RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*RUN\s+QUERY\s+(?:'(\w+)'|(\w+))(?:\s+ON\s+'([^']+)')?(?:\s+INTO\s+(\w+))?\s*;?\s*""".r
   // plan observability for the inventory: the formatted Spark plan of any
   // RUN QUERY, without executing it — the `EXPLAIN <select>` sibling for
   // operators whose body is DataFrame code, not a SQL string
@@ -498,14 +498,28 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           s"ANALYZE RUN QUERY: unknown query '$name' - SHOW QUERIES " +
             "lists the inventory")
       }
-    case runQueryStmt(quoted, bare, dirOpt) =>
+    case runQueryStmt(quoted, bare, dirOpt, intoOpt) =>
       val name = Option(quoted).getOrElse(bare)
       val dir = Option(dirOpt).getOrElse(sfDir)
       SparkEntry.queries.get(name)
         .orElse(SparkEntry.queries.collectFirst {
           case (k, fn) if k.equalsIgnoreCase(name) => fn
         }) match {
-        case Some(fn) => fn(spark, dir)
+        case Some(fn) =>
+          val df = fn(spark, dir)
+          Option(intoOpt) match {
+            // INTO = the inventory's CTAS: land the verdict frame (dedup
+            // decisions, quality gates, …) as a managed warehouse table so
+            // downstream DML/MERGE/SEARCH reads a pinned snapshot instead
+            // of re-running the operator. Same createTable path as CREATE
+            // TABLE AS — reserved-name guard, versioned publish, atomic
+            // pointer swap — so a served index can never be clobbered.
+            case Some(tbl) =>
+              cmds.createTable(guardSystemTable(tbl, "RUN QUERY INTO"), df)
+              finishCreate(tbl, temporary = false)
+              status(s"created table $tbl from query $name")
+            case None => df
+          }
         case None => throw new IllegalArgumentException(
           s"RUN QUERY: unknown query '$name' - SHOW QUERIES lists the " +
             "inventory")

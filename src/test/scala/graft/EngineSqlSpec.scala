@@ -1207,6 +1207,42 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(exBad2.getMessage.contains("SHOW QUERIES"))
   }
 
+  test("RUN QUERY ... INTO: inventory results land as managed warehouse " +
+      "tables — pinned snapshot, DML-able, guards intact") {
+    val wh = Files.createTempDirectory("graft_rq_into_wh").toString
+    val e2 = new Engine(spark, d, wh)
+    try {
+      // the motivating flow: pin the dedup verdicts, then DML the pin
+      val st = e2.sql("RUN QUERY 'd93_dedup_decisions' INTO verdicts")
+        .collect()(0).getString(0)
+      assert(st.contains("verdicts"))
+      val direct = SparkEntry.queries("d93_dedup_decisions")(spark, d)
+        .collect().map(_.toSeq).toSet
+      val landed = e2.sql("SELECT * FROM verdicts").collect()
+        .map(_.toSeq).toSet
+      assert(landed == direct, "the landed table diverged from the query")
+      // a pinned SNAPSHOT: re-running the operator doesn't mutate it,
+      // and the table is a first-class DML target
+      e2.sql("DELETE FROM verdicts WHERE is_kept = true")
+      val left = e2.sql("SELECT * FROM verdicts").collect()
+      assert(left.nonEmpty && left.forall(r => !r.getBoolean(2)),
+        "DELETE over the landed snapshot must remove exactly the kept rows")
+      // CREATE TABLE AS semantics: an existing name is an error
+      val exDup = intercept[IllegalArgumentException] {
+        e2.sql("RUN QUERY 'd93_dedup_decisions' INTO verdicts")
+      }
+      assert(exDup.getMessage.contains("already exists"))
+      // the index system-table prefix stays reserved on this path too
+      val exRes = intercept[UnsupportedOperationException] {
+        e2.sql("RUN QUERY 'd80_dedup_exact' INTO vector_index_sneaky")
+      }
+      assert(exRes.getMessage.contains("reserved"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS verdicts")
+      e2.close()
+    }
+  }
+
   test("SEARCH VECTORS: the serve face answers arbitrary query tables " +
       "— warehouse-resolved, k honored, schema and name errors crisp") {
     // the planted fixture authored as a CALLER table (raw doubles,
