@@ -298,6 +298,28 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("whole inventory: no query plans a CartesianProduct") {
+    // The per-query guards above pin scan counts and join strategies for
+    // the heaviest operators; this is the blanket invariant for ALL 175:
+    // candidate generation is always an equi-join on a bounded key, so a
+    // CartesianProduct anywhere is a scale-killer slipping in. Planned
+    // (not executed) at sf0.001 — the cartesian is structural, visible in
+    // the initial plan, and AQE only ever narrows join strategies
+    // (SMJ→BHJ/BNLJ), never widens to a cartesian. The 45 queries whose
+    // plans carry a BroadcastNestedLoopJoin are the documented 1-row
+    // broadcast scalar idioms (thresholds, totals, centroid tables) —
+    // bounded by construction, so only CartesianProduct is forbidden.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hit = fn(spark, "/root/testdata/sf0.001").queryExecution
+          .executedPlan.toString.contains("CartesianProduct")
+        spark.catalog.clearCache()
+        if (hit) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"inventory queries planning a cartesian: ${offenders.mkString(", ")}")
+  }
+
   test("q72: quartile ranks never funnel the user dimension through " +
       "one task") {
     // the round-5 verdict's q72 defect: three unpartitioned NTILE
