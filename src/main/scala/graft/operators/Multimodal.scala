@@ -250,7 +250,38 @@ object Multimodal {
       }
       out.toSeq
     }
+
+    /** m103's per-asset Haitsma-Kalker-style fingerprint, computed in the
+      * SAME map-side pass as the decode: window count plus the delta-sign
+      * bit string (bit w-1 = energy rose from window w-1 to w) over
+      * [[windows]]' energies, so the bits cannot drift from m100's window
+      * kernel. Returning the finished (n_win, bits) pair here — instead of
+      * emitting window rows and reassembling them with a groupBy +
+      * collect_list — keeps the corpus-sized decoded-window stream OFF the
+      * network entirely: the asset's bytes and its windows live in one
+      * task, so the first thing that shuffles is the ≤(id, bit-string)
+      * fingerprint, invariant at any payload length. None = malformed
+      * payload (the asset is excluded, matching m102's valid-flag
+      * discipline). */
+    def fingerprint(docId: Long, b: Array[Byte],
+        winSize: Int): Option[(Int, String)] = {
+      val ws = windows(docId, b, winSize)
+      if (ws.exists(!_.valid)) None
+      else {
+        val es = ws.sortBy(_.win).map(_.energy)
+        val sb = new java.lang.StringBuilder(math.max(es.length - 1, 0))
+        var i = 1
+        while (i < es.length) {
+          sb.append(if (es(i) > es(i - 1)) '1' else '0')
+          i += 1
+        }
+        Some((es.length, sb.toString))
+      }
+    }
   }
+
+  /** m103's map-side fingerprint row: one per valid audio asset. */
+  case class AudioFp(doc_id: Long, n_win: Int, bits: String)
 
   // little-endian hex of a 32/16-bit value (RIFF and BMP headers are both
   // little-endian) — byte-pairwise reorder of the big-endian hex string.
@@ -576,26 +607,22 @@ object Multimodal {
           le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
           le16(lit(2)), le16(lit(16)),
           lit("64617461"), le32(dataSize), pcmHex)
-        val wins = Graft.table(s, d, "documents")
+        // Decode → windows → delta-sign bit string all inside ONE map-side
+        // pass (PcmFeatures.fingerprint): the decoded window stream — the
+        // corpus-sized intermediate — never shuffles. The previous shape
+        // (window rows + groupBy(doc_id) + collect_list) re-sent every
+        // asset's windows over the network just to reassemble what the
+        // decoding task already held; at 100 TB that exchange is the whole
+        // decoded corpus. A malformed payload returns None and excludes
+        // the asset (m102's valid-flag discipline).
+        val fp = Graft.table(s, d, "documents")
           .select(col("doc_id"), unhex(payloadHex).as("payload"),
             lit("audio/wav").as("mime"))
           .as[Blob]
           .mapPartitions(_.flatMap(b =>
-            PcmFeatures.windows(b.doc_id, b.payload, 32)))
+            PcmFeatures.fingerprint(b.doc_id, b.payload, 32)
+              .map { case (nw, bits) => AudioFp(b.doc_id, nw, bits) }))
           .toDF()
-          // Defensive: a malformed payload emits a (win=-1, energy=-1)
-          // sentinel; exclude the asset instead of corrupting its bit
-          // string (matches m102's valid-flag discipline).
-          .filter(col("valid"))
-        val fp = wins.groupBy("doc_id")
-          .agg(sort_array(collect_list(
-            struct(col("win"), col("energy")))).as("ws"))
-          .select(col("doc_id"), size(col("ws")).as("n_win"),
-            concat_ws("", transform(
-              sequence(lit(1), size(col("ws")) - 1),
-              i => when(element_at(col("ws"), i + 1)("energy") >
-                element_at(col("ws"), i)("energy"), "1").otherwise("0")))
-              .as("bits"))
         val grp = fp.groupBy("n_win", "bits")
           .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
         val bands = grp

@@ -2606,6 +2606,264 @@ object Relational {
              |JOIN supplier ON s_suppkey = l_suppkey
              |JOIN nation ON n_nationkey = s_nationkey
              |WHERE p_name LIKE '%widget%'
-             |GROUP BY n_name, o_year""".stripMargin))
+             |GROUP BY n_name, o_year""".stripMargin)),
+
+    QueryDef(
+      "q93_tpch_min_cost_supplier", // TPC-H Q2 shape — the min-cost
+                               // supplier per part: the defining feature
+                               // is the CORRELATED SCALAR MIN subquery
+                               // (cost = MIN(cost) over the same part).
+                               // This schema has no partsupp, so the
+                               // supply relation derives from lineitem:
+                               // per (part, supplier), the best unit
+                               // price ever quoted, in exact CENTS
+                               // (FLOOR(x*100+0.5) BEFORE the MIN — both
+                               // engines min the same longs, so ties are
+                               // ties in both). The correlated MIN is a
+                               // WINDOW over the supply frame — ONE
+                               // extra exchange on partkey, where the
+                               // naive self-join-against-groupBy spells
+                               // two plus a join — and ALL tied
+                               // suppliers survive, as in the classic.
+                               // part prunes (size band) before its
+                               // broadcast; supplier broadcasts whole
+                               // (dims scale with entities, not events).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val supply = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+              .cast("long").as("cents"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("cents")).as("cost_cents"))
+        val best = supply
+          .withColumn("min_cost",
+            min(col("cost_cents")).over(
+              Window.partitionBy(col("l_partkey"))))
+          .filter(col("cost_cents") === col("min_cost"))
+        val pt = t(s, d, "part")
+          .filter(col("p_size").between(10, 20))
+          .select("p_partkey", "p_name")
+        best
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_name", "s_acctbal")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("s_acctbal"),
+            (col("cost_cents").cast("double") / 100).as("supply_cost"))
+      },
+      Some("""WITH supply AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100
+             |                        + 0.5) AS BIGINT)) AS cost_cents
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT p_partkey, p_name, s_name, s_acctbal,
+             |       CAST(cost_cents AS DOUBLE) / 100 AS supply_cost
+             |FROM supply
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE p_size BETWEEN 10 AND 20
+             |  AND cost_cents = (SELECT MIN(s2.cost_cents) FROM supply s2
+             |                    WHERE s2.l_partkey = supply.l_partkey)"""
+        .stripMargin)),
+
+    QueryDef(
+      "q94_tpch_important_parts", // TPC-H Q11 shape — the important-
+                               // stock cut: per-group value compared
+                               // against a GLOBAL SCALAR (the classic's
+                               // HAVING > (SELECT SUM(...) * fraction)).
+                               // The cut here is 1.2× the MEAN part
+                               // value rather than a fixed fraction of
+                               // the total: the classic scales its
+                               // fraction by 1/SF for exactly this
+                               // reason (part count grows with SF, so
+                               // any fixed fraction degenerates to all-
+                               // or-nothing); anchoring to the mean
+                               // keeps ~17% selectivity at every SF
+                               // with the same plan shape. Value
+                               // quantizes to cents pre-sum and the
+                               // compare is INTEGER (val·n·10 >
+                               // total·12) — no float edge can split
+                               // the engines. The global (total, n) is
+                               // a 1-row aggregate cross-joined
+                               // broadcast (the documented scalar
+                               // idiom): lineitem is scanned twice —
+                               // inherent to the shape, the scalar
+                               // needs every part — but both scans
+                               // collapse map-side into O(|parts|)
+                               // partials and the broadcast side is ONE
+                               // row at any SF.
+      (s, d) => {
+        val v = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(col("l_partkey").as("p_partkey"))
+          .agg(sum(col("cents")).as("val_cents"))
+        v.crossJoin(broadcast(
+            v.agg(sum(col("val_cents")).as("total_cents"),
+              count(lit(1)).as("n_parts"))))
+          .filter(col("val_cents") * col("n_parts") * 10 >
+            col("total_cents") * 12)
+          .select(col("p_partkey"),
+            (col("val_cents").cast("double") / 100).as("part_value"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey AS p_partkey,
+             |         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+             |                        * 100 + 0.5) AS BIGINT)) AS val_cents
+             |  FROM lineitem GROUP BY 1),
+             |g AS (SELECT SUM(val_cents) AS total_cents,
+             |             COUNT(*) AS n_parts FROM v)
+             |SELECT p_partkey, CAST(val_cents AS DOUBLE) / 100
+             |         AS part_value
+             |FROM v, g
+             |WHERE val_cents * n_parts * 10 > total_cents * 12"""
+        .stripMargin)),
+
+    QueryDef(
+      "q95_tpch_revenue_delta", // TPC-H Q6 shape — the forecasting
+                               // revenue-change query: ONE scan, every
+                               // predicate pushed to parquet (date
+                               // range, discount band, quantity cap),
+                               // one 1-row global aggregate. The
+                               // discount band compares against
+                               // explicit DOUBLE literals in both
+                               // engines (DuckDB would otherwise parse
+                               // 0.05 as DECIMAL and promote — same
+                               // value here, but explicit beats
+                               // implicit); revenue quantizes to
+                               // 10^-4 units pre-sum. The point of
+                               // carrying the simplest classic: it
+                               // pins the scan-only fast path —
+                               // PushedFilters, no exchange but the
+                               // final 1-row collapse.
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1995-01-01" &&
+            col("l_shipdate") < "1996-01-01" &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .select(floor(col("l_extendedprice") * col("l_discount")
+            * 10000 + 0.5).cast("long").as("u"))
+          .agg((sum(col("u")).cast("double") / 10000).as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount
+             |                            * 10000 + 0.5) AS BIGINT))
+             |            AS DOUBLE) / 10000 AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate < TIMESTAMP '1996-01-01'
+             |  AND l_discount >= CAST(0.03 AS DOUBLE)
+             |  AND l_discount <= CAST(0.07 AS DOUBLE)
+             |  AND l_quantity < 24""".stripMargin)),
+
+    QueryDef(
+      "q96_tpch_excess_suppliers", // TPC-H Q20 shape — suppliers with
+                               // excess share: the defining NESTED-IN
+                               // chain (suppliers IN a set derived from
+                               // a per-(part,supplier) aggregate judged
+                               // against a per-part total). Adapted to
+                               // this schema over lineitem: within the
+                               // widget part family, a supplier who
+                               // shipped more than an EIGHTH of a
+                               // part's total volume (suppliers per
+                               // part grow with SF, so the classic's
+                               // half-share cut degenerates to empty
+                               // beyond toy scale; 12.5% keeps a
+                               // non-empty, SF-stable answer with the
+                               // identical plan shape). Quantities are integer-
+                               // valued doubles — rounded to LONG
+                               // before summing so the half-share
+                               // compare (2*qty > total) is exact
+                               // integer in both engines. Volume aggs
+                               // run on the part-pruned fact (broadcast
+                               // part filter first); the per-part total
+                               // is a WINDOW over the (part, supplier)
+                               // rollup — one exchange, no self-join —
+                               // and the final IN is a broadcastable
+                               // LEFT SEMI onto the supplier dim.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pp = t(s, d, "part")
+          .filter(col("p_name").like("%widget%")).select("p_partkey")
+        val vol = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(col("l_quantity") + 0.5).cast("long").as("q"))
+          .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("q")).as("qty"))
+        val excess = vol
+          .withColumn("total",
+            sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("qty") * 8 > col("total"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier").select("s_suppkey", "s_name")
+          .join(excess, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+      },
+      Some("""WITH vol AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qty
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  WHERE p_name LIKE '%widget%'
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT l_partkey, SUM(qty) AS total FROM vol
+             |        GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM vol
+             |                    JOIN tot USING (l_partkey)
+             |                    WHERE qty * 8 > total)""".stripMargin)),
+
+    QueryDef(
+      "q97_tpch_priority_shipping", // TPC-H Q12 shape — shipping-mode
+                               // priority audit: per line class (this
+                               // schema has no l_shipmode; l_returnflag
+                               // plays the low-cardinality mode
+                               // column), how many LATE lines belonged
+                               // to critical- vs normal-priority
+                               // orders. The defining features survive
+                               // intact: fact-to-orders equi join, a
+                               // lateness predicate referencing both
+                               // sides (shipdate vs orderdate + 60d),
+                               // and the conditional-count pair (CASE
+                               // IN-list inside SUM). orders carries
+                               // only (key, date, priority) into the
+                               // join; the group count is |flags| —
+                               // the final exchange moves 3 rows at
+                               // any SF.
+      (s, d) => {
+        val hi = Seq("1-URGENT", "2-HIGH")
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") < "1997-01-01")
+          .select("l_orderkey", "l_shipdate", "l_returnflag")
+          .join(ord, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin(hi: _*), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin(hi: _*), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN
+             |                          ('1-URGENT', '2-HIGH')
+             |                     THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS high_line_count,
+             |       CAST(SUM(CASE WHEN o_orderpriority IN
+             |                          ('1-URGENT', '2-HIGH')
+             |                     THEN 0 ELSE 1 END) AS BIGINT)
+             |         AS low_line_count
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -272,7 +272,29 @@ class PlanGuardSpec extends AnyFunSuite {
     // (part name-pruned BEFORE broadcast); any SMJ means an
     // entity-bounded dim started shuffling the event stream
     ("q92_tpch_product_profit", 4, Seq("SortMergeJoin"),
-      Seq("BroadcastHashJoin")))
+      Seq("BroadcastHashJoin")),
+    // q93: Q2's correlated-min as ONE window over the (part, supplier)
+    // rollup — a SortMergeJoin would mean the min went back to a
+    // self-join against a groupBy (two exchanges + a join); dims
+    // (size-pruned part, supplier) stay broadcast
+    ("q93_tpch_min_cost_supplier", 3, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")),
+    // q94: Q11's global scalar is a 1-row broadcast (BNLJ by
+    // construction); both lineitem passes collapse map-side — an SMJ
+    // means the part-value frame started shuffling into the scalar
+    ("q94_tpch_important_parts", 2, Seq("SortMergeJoin"), Nil),
+    // q95: Q6 is THE scan-only classic — one parquet scan, zero joins,
+    // one 1-row collapse
+    ("q95_tpch_revenue_delta", 1,
+      Seq("Join", "Exchange hashpartitioning"), Nil),
+    // q96: Q20's per-part total is a window over the volume rollup (no
+    // self-join); part prunes broadcast-first and the final IN is a
+    // broadcast semi onto the supplier dim
+    ("q96_tpch_excess_suppliers", 3, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")),
+    // q97: Q12 is one fact-to-orders equi join + a 3-row group — the
+    // only exchanges are the join keys and the final tiny agg
+    ("q97_tpch_priority_shipping", 2, Nil, Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -300,7 +322,7 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("whole inventory: no query plans a CartesianProduct") {
     // The per-query guards above pin scan counts and join strategies for
-    // the heaviest operators; this is the blanket invariant for ALL 175:
+    // the heaviest operators; this is the blanket invariant for the WHOLE inventory:
     // candidate generation is always an equi-join on a bounded key, so a
     // CartesianProduct anywhere is a scale-killer slipping in. Planned
     // (not executed) at sf0.001 — the cartesian is structural, visible in
