@@ -208,6 +208,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); histBands.unpersist(); () }
   }
 
+  test("admitAndIndex: the self-maintaining gate — batch-2 arrivals are " +
+      "caught by batch-1 admissions, the stored index equals a rebuild " +
+      "over corpus+admitted, and replaying a batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = TestSpark.sfDir
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_aai_wh").toString)
+    operators.DedupIndex.build(spark, d, cmds)
+    val doc3 = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") === 3).select("text").head.getString(0)
+    // quality-passing synthetic content: >=10 tokens, alpha, >=2 stopword
+    // hits; vocabulary disjoint from the corpus so band keys cannot
+    // collide by accident
+    val freshA = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val freshB = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    val batch1 = Seq(
+      2000001L -> doc3,   // exact content already in the index
+      2000010L -> freshA, // first writer -> admitted
+      2000011L -> freshA, // same batch, same content -> dup_batch
+      2000012L -> "x")    // fails the Gopher gates -> never indexed
+    val batch2 = Seq(
+      2000020L -> freshA, // batch-1 ADMISSION must now catch this
+      2000021L -> freshB) // genuinely new -> admitted
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.DocStreams.admitAndIndex(
+      src.toDF().toDF("doc_id", "text"), cmds)
+    try {
+      src.addData(batch1: _*); q.processAllAvailable()
+      src.addData(batch2: _*); q.processAllAvailable()
+      val v = cmds.table("ingest_verdicts").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(v.size == 6, "one verdict row per arrival, exactly once")
+      def vd(id: Long) = {
+        val r = v(id)
+        (r.getBoolean(r.fieldIndex("keep")),
+          Option(r.get(r.fieldIndex("matched_hist"))).map(_.toString.toLong),
+          Option(r.get(r.fieldIndex("matched_batch"))).map(_.toString.toLong),
+          Option(r.get(r.fieldIndex("dup_kind"))).map(_.toString),
+          r.getBoolean(r.fieldIndex("admitted")))
+      }
+      // the corpus copy: historical dup (min match <= 3: doc 3 at least)
+      val a1 = vd(2000001L)
+      assert(a1._1 && a1._2.exists(_ <= 3) && a1._4.contains("historical")
+        && !a1._5)
+      // first writer admitted; its same-batch twin is dup_batch
+      assert(vd(2000010L) == ((true, None, None, None, true)))
+      assert(vd(2000011L) ==
+        ((true, None, Some(2000010L), Some("batch"), false)))
+      // quality reject: no dup verdict, not admitted
+      assert(vd(2000012L) == ((false, None, None, None, false)))
+      // THE maintenance property: batch 2's copy of batch 1's admission
+      // is dup_HISTORICAL against the grown index
+      assert(vd(2000020L) ==
+        ((true, Some(2000010L), None, Some("historical"), false)))
+      assert(vd(2000021L) == ((true, None, None, None, true)))
+      // stored index == rebuild over corpus + admitted (set semantics)
+      val stored = spark.table(
+        operators.DedupIndex.tableName("bands"))
+        .collect().map(_.toSeq).toSet
+      val admittedDocs = Seq(2000010L -> freshA, 2000021L -> freshB)
+        .toDF("doc_id", "text")
+      val expected = (operators.Dedup.allBands(spark, d).collect() ++
+        operators.Dedup.bandsForCorpus(admittedDocs).collect())
+        .map(_.toSeq).toSet
+      assert(stored == expected,
+        "stream-maintained index diverged from a batch rebuild")
+      // replay the LAST micro-batch (its id was 1): the marker skips the
+      // verdicts and every previously admitted doc now self-matches, so
+      // the whole call is a no-op — table snapshots are bit-identical
+      streaming.DocStreams.admitAndIndexBatch(
+        batch2.toDF("doc_id", "text"), cmds, "ingest_verdicts", 1L)
+      assert(cmds.table("ingest_verdicts").collect().map(_.toSeq).toSet
+        == v.values.map(_.toSeq).toSet, "replay duplicated verdicts")
+      assert(spark.table(operators.DedupIndex.tableName("bands")).count()
+        == stored.size, "replay appended band rows")
+    } finally {
+      q.stop()
+      operators.DedupIndex.drop(spark, cmds)
+      ()
+    }
+  }
+
   test("VectorStreams.serve: streamed query answers are bit-identical " +
       "to batch searchVectors and land exactly-once in the warehouse") {
     import spark.implicits._
