@@ -432,6 +432,68 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       publish(name, table(name).unionByName(rows), Some(batchId))
     }
 
+  /** Exactly-once streaming append at O(batch) WRITE cost — the
+    * "additive file-manifest" commit [[insertCommitted]]'s cost note
+    * promises: the batch's parquet files land in a FRESH version
+    * directory, the live version's data files are HARD-LINKED in
+    * (metadata-only — parquet part files are immutable once written and
+    * carry UUID names, so links are safe and collisions impossible), the
+    * batch marker is written beside them, and the single pointer rename
+    * commits data + marker atomically. Replayed batches (id ≤ the live
+    * marker) are no-ops, crash-staged versions are swept exactly like
+    * [[publish]]'s, and a crash between stage and pointer leaves the old
+    * version live and intact — [[insertCommitted]]'s guarantees without
+    * its O(table) rewrite, so a corpus-sized index can absorb per-batch
+    * appends at 100 TB.
+    *
+    * Non-atomic-cost caveat: each append adds files (the old ones are
+    * shared by link, never rewritten), so a long-running stream
+    * accumulates small files — that is OPTIMIZE's job (compaction
+    * publishes a fresh COW version and carries the marker forward).
+    * Readers that pinned the PREVIOUS version's path (location-pinned
+    * catalog entries) must re-register after an append, because unlike
+    * [[insertInto]] the live directory CHANGES — callers that serve a
+    * catalog name re-point it (see DedupIndex/VectorIndex maintenance).
+    * Inside a transaction this degrades to the COW union (pre-images
+    * must survive rollback). */
+  def appendCommitted(name: String, rows: DataFrame, batchId: Long): Unit =
+    if (!tableExists(name)) {
+      checkNotNull(name, rows)
+      publish(name, rows, Some(batchId))
+    } else if (lastCommittedBatch(name).exists(_ >= batchId)) {
+      () // replayed batch — already in the table
+    } else if (txnSnapshot.nonEmpty) {
+      checkNotNull(name, rows)
+      checkBatchPk(name, rows)
+      checkBatchUnique(name, rows)
+      publish(name, table(name).unionByName(rows), Some(batchId))
+    } else {
+      checkNotNull(name, rows)
+      checkBatchPk(name, rows)
+      checkBatchUnique(name, rows)
+      val live = Paths.get(dataPath(name))
+      val version = nextVersion(name)
+      val stage = Paths.get(dir(name), version)
+      rows.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      // share the live version's immutable data files by hard link —
+      // underscore/dot-prefixed entries (markers, _SUCCESS, checksums)
+      // are reader-invisible and never linked; this version writes its
+      // own marker
+      Option(live.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .foreach(f => Files.createLink(
+          stage.resolve(f.getName), f.toPath))
+      Files.writeString(stage.resolve("_STREAM_BATCH"), batchId.toString)
+      maybeCrash("staged")
+      val tmp = Paths.get(dir(name), "CURRENT.tmp")
+      Files.writeString(tmp, version)
+      Files.move(tmp, currentFile(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      maybeCrash("published")
+      sweep(name)
+    }
+
   /** The micro-batch id committed with the live version, if this table has
     * ever been a streaming sink target. */
   def lastCommittedBatch(name: String): Option[Long] =

@@ -192,7 +192,7 @@ object VectorIndex {
   /** Drop + recreate the session-catalog entries against the CURRENT
     * manifest version of every part (a DELETE/OPTIMIZE on a stored part
     * version-bumps the manifest and strands a location-pinned entry). */
-  private def repoint(s: SparkSession, cmds: TableCommands): Unit =
+  private[graft] def repoint(s: SparkSession, cmds: TableCommands): Unit =
     parts.foreach { p =>
       val n = tableName(p)
       TableCommands.registerCatalog(s, n, cmds.dataPath(n))

@@ -455,27 +455,28 @@ object DocStreams {
     * `admitted` = keep ∧ no match on either side. Only admitted documents'
     * bands enter the index.
     *
-    * Exactly-once is deliberately ASYMMETRIC, and the order of the two
-    * commits is load-bearing:
-    *   - Verdicts commit FIRST via the `_STREAM_BATCH` marker
-    *     (`insertCommitted`): the audit record must never duplicate. The
-    *     marker's COW rewrite is O(audit table), fine for a slim verdict
-    *     log (production rotates it per window).
-    *   - Bands append SECOND via plain `insertInto`: O(batch) file
-    *     appends, because a marker-guarded COW of a CORPUS-sized index
-    *     per micro-batch is the exact cost the build/serve split exists
-    *     to avoid. Idempotence comes from the index being a SET: a
-    *     replayed duplicate (doc_id, band, band_key) row cannot change
-    *     any probe's min-over-matches verdict. Replay analysis: crash
-    *     before the verdict commit → full recompute against an index
-    *     that cannot yet contain this batch (bands commit later) —
-    *     identical verdicts. Crash between the commits → verdicts
-    *     recompute identically (index still pre-batch), the marker skips
-    *     their insert, bands append. Crash after both → the replayed
-    *     probe sees the batch's own bands in the index, every previously
-    *     admitted doc self-matches and re-admits NOTHING, and the marker
-    *     skips the (wrong) recomputed verdicts — net no-op. In every
-    *     position the stored state converges to the single-run outcome.
+    * Both commits are exactly-once, each at the right COST for its
+    * table, with the commit order load-bearing:
+    *   - Verdicts FIRST via `insertCommitted`: the audit record must
+    *     never duplicate; the marker's COW rewrite is O(audit table),
+    *     fine for a slim verdict log (production rotates it per window).
+    *   - Bands SECOND via `appendCommitted`: the marker-guarded
+    *     LINK-FORWARD append — O(batch) data written, atomic pointer
+    *     commit — because a COW rewrite of a CORPUS-sized index per
+    *     micro-batch is the exact cost the build/serve split exists to
+    *     avoid. Replay analysis: crash before the verdict commit → full
+    *     recompute against an index that cannot yet contain this batch
+    *     (bands commit later) — identical verdicts. Crash between the
+    *     commits → verdicts recompute identically (index still
+    *     pre-batch), their marker skips the insert, bands append. Crash
+    *     after both → both markers skip; and even the recomputed-verdict
+    *     frame the band append would derive from is moot (defense in
+    *     depth: the index is a SET, so a duplicate band row could not
+    *     change a min-over-matches verdict anyway). Every crash position
+    *     converges to the single-run outcome.
+    * After an append the live version DIRECTORY changes, so the
+    * location-pinned catalog entry (what d101's served probe reads) is
+    * re-pointed — the same discipline as `DedupIndex.refresh`.
     */
   def admitAndIndex(docs: DataFrame, cmds: graft.commands.TableCommands,
       verdictTable: String = "ingest_verdicts")
@@ -544,7 +545,13 @@ object DocStreams {
       .join(verdicts.filter(col("admitted")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .select(tgt.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
-    if (!freshBands.isEmpty) cmds.insertInto(bandTable, freshBands)
+    if (!freshBands.isEmpty) {
+      cmds.appendCommitted(bandTable, freshBands, batchId)
+      // the append published a NEW version dir: re-point the catalog
+      // entry the batch gate's served probe reads
+      graft.commands.TableCommands.registerCatalog(
+        batch.sparkSession, bandTable, cmds.dataPath(bandTable))
+    }
     ()
   }
 

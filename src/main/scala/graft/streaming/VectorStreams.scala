@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.commands.TableCommands
-import graft.operators.Similarity
+import graft.operators.{Similarity, VectorIndex}
 
 /** Streaming transforms over an EMBEDDING stream (vec_id, embedding) — the
   * ingest leg of the vector-index lifecycle. BUILD (batch) trains and
@@ -38,6 +38,73 @@ object VectorStreams {
       cents: Seq[Similarity.FrozenCent],
       book: Seq[Similarity.FrozenBookM]): DataFrame =
     Similarity.routeAndEncodeFrozen(vecs, cents, book)
+
+  /** SELF-MAINTAINING vector ingest — [[routeAndEncode]] closed into the
+    * stored index, the vector twin of `DocStreams.admitAndIndex`: each
+    * arriving (vec_id, embedding) micro-batch routes + PQ-encodes against
+    * the model FROZEN at stream start (arrivals route against the RELEASE
+    * quantizers — retraining is BUILD/REFRESH's job, exactly the
+    * IVF-ADC serving contract) and the rows append EXACTLY-ONCE to the
+    * stored `assign` and `codes` tables, so the very next search serves
+    * the arrivals from the INDEXED tier instead of s104's fresh-delta
+    * brute force, and REFRESH has nothing to drain for streamed-in
+    * vectors.
+    *
+    * Unlike the band index, assign/codes are NOT sets — s105's segment
+    * accounting COUNTS rows — so a replayed duplicate would corrupt
+    * health metrics. Both appends therefore go through `appendCommitted`
+    * (marker-guarded link-forward versions: O(batch) data written, atomic
+    * pointer commit, replays skipped), codes FIRST — `REFRESH`'s
+    * straggler convention: a crash between the two appends leaves a
+    * codes-only straggler that the replay (or the next REFRESH's
+    * assign∩codes delta) heals; the replayed encode is deterministic
+    * given the frozen broadcast model, so the healed rows are
+    * bit-identical. Arrivals carry FRESH vec_ids (the corpus's
+    * append-only key — upstream contract, as for every ingest twin);
+    * within-batch duplicates are collapsed defensively. After each
+    * append the live version directories change, so every catalog entry
+    * is re-pointed (`VectorIndex.repoint`). */
+  def ingest(vecStream: DataFrame, cmds: TableCommands): StreamingQuery = {
+    val (cents, book) = freeze(
+      cmds.table(VectorIndex.tableName("centroids")),
+      cmds.table(VectorIndex.tableName("codebook")))
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, cmds, cents, book, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[ingest]] — public so the replay/crash contract
+    * is directly testable (call twice with one batchId). */
+  def ingestBatch(batch: DataFrame, cmds: TableCommands,
+      cents: Seq[Similarity.FrozenCent],
+      book: Seq[Similarity.FrozenBookM], batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    import org.apache.spark.sql.functions.col
+    require(Seq("assign", "codes").forall(p =>
+      cmds.tableExists(VectorIndex.tableName(p))),
+      "ingest maintains a stored vector index - run BUILD VECTOR INDEX " +
+        "first")
+    // localCheckpoint for the same reason as REFRESH: both appends must
+    // consume ONE frozen encode, not re-plan against tables the first
+    // append just version-bumped
+    val enc = Similarity.routeAndEncodeFrozen(
+      batch.select("vec_id", "embedding").dropDuplicates("vec_id"),
+      cents, book).localCheckpoint()
+    def conformed(part: String, cols: Seq[String]): DataFrame = {
+      val tgt = cmds.table(VectorIndex.tableName(part)).schema
+      enc.select(cols.map(col): _*)
+        .select(tgt.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType)): _*)
+    }
+    cmds.appendCommitted(VectorIndex.tableName("codes"),
+      conformed("codes", Seq("vec_id", "codes")), batchId)
+    cmds.appendCommitted(VectorIndex.tableName("assign"),
+      conformed("assign", Seq("vec_id", "cluster")), batchId)
+    VectorIndex.repoint(batch.sparkSession, cmds)
+  }
 
   /** Streaming query SERVING — the fourth leg of the lifecycle: a live
     * stream of (q_id, embedding) query vectors is answered one

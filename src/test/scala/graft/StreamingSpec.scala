@@ -379,6 +379,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally operators.VectorIndex.drop(spark, cmds)
   }
 
+  test("VectorStreams.ingest: streamed vectors append exactly-once to " +
+      "the stored assign/codes tables (frozen-model parity with BUILD); " +
+      "batch replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_vin_wh").toString)
+    operators.VectorIndex.build(spark, TestSpark.sfDir, cmds)
+    try {
+      def snap(part: String): Map[Long, Seq[Any]] =
+        cmds.table(operators.VectorIndex.tableName(part)).collect()
+          .map(r => r.getLong(0) -> r.toSeq).toMap
+      val (assign0, codes0) = (snap("assign"), snap("codes"))
+      // arrivals: the corpus re-keyed to fresh ids (the append-only
+      // vec_id contract) — routing/encoding must be pure functions of
+      // the embedding, so expected rows are computable independently
+      val raw = spark.read
+        .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+        .selectExpr("vec_id + 1000000 AS vec_id", "embedding")
+        .filter(col("vec_id") % 3 === 0).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val src = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.VectorStreams.ingest(
+        src.toDF().toDF("vec_id", "embedding"), cmds)
+      try {
+        src.addData(raw.take(raw.length / 2): _*)
+        q.processAllAvailable()
+        src.addData(raw.drop(raw.length / 2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val ix = operators.VectorIndex.served(spark, TestSpark.sfDir)
+        .getOrElse(fail("index no longer serves after stream appends"))
+      val (cents, book) = streaming.VectorStreams.freeze(
+        ix.centroids, ix.codebook)
+      val enc = operators.Similarity.routeAndEncodeFrozen(
+        raw.toSeq.toDF("vec_id", "embedding"), cents, book).collect()
+      val expA = enc.map(r => r.getLong(0) ->
+        Seq[Any](r.getLong(0), r.getAs[Number](1).intValue)).toMap
+      val expC = enc.map(r => r.getLong(0) ->
+        Seq[Any](r.getLong(0), r.getSeq[Any](2).map(
+          _.asInstanceOf[Number].intValue))).toMap
+      def normed(m: Map[Long, Seq[Any]]): Map[Long, Seq[Any]] =
+        m.map { case (k, s) => k -> s.map {
+          case n: Number => n.intValue
+          case xs: Seq[_] => xs.map(_.asInstanceOf[Number].intValue)
+          case x => x
+        } }
+      assert(normed(snap("assign")) == normed(assign0) ++ normed(expA),
+        "streamed assign rows diverge from frozen-model parity")
+      assert(normed(snap("codes")) == normed(codes0) ++ normed(expC),
+        "streamed codes rows diverge from frozen-model parity")
+      // coverage parity audit (what REFRESH requires after a heal)
+      val na = cmds.table(operators.VectorIndex.tableName("assign")).count()
+      val nc = cmds.table(operators.VectorIndex.tableName("codes")).count()
+      assert(na == nc && na == assign0.size + raw.length)
+      // replay the LAST micro-batch (id 1): both markers skip — counts
+      // and rows bit-identical
+      streaming.VectorStreams.ingestBatch(
+        raw.drop(raw.length / 2).toSeq.toDF("vec_id", "embedding"),
+        cmds, cents, book, 1L)
+      assert(cmds.table(operators.VectorIndex.tableName("assign")).count()
+        == na && cmds.table(
+        operators.VectorIndex.tableName("codes")).count() == nc,
+        "replayed ingest batch duplicated index rows")
+    } finally operators.VectorIndex.drop(spark, cmds)
+  }
+
   test("VectorStreams.decontamGate: streamed contamination verdicts are " +
       "bit-identical to batch d103 and land exactly-once in the warehouse") {
     import spark.implicits._

@@ -235,4 +235,46 @@ class TableCommandsSpec extends AnyFunSuite {
     val plan = c.explain(c.table("t").filter(col("id") > 50))
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
   }
+
+  test("appendCommitted: exactly-once O(batch) appends — atomic version " +
+      "link-forward, replay no-op, marker-carried, old data survives sweep") {
+    import spark.implicits._
+    val (c, wh) = freshCmdsAt()
+    c.appendCommitted("a", Seq(1, 2).toDF("id"), 0L) // creates
+    c.appendCommitted("a", Seq(3).toDF("id"), 1L)
+    assert(c.table("a").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(c.lastCommittedBatch("a").contains(1L))
+    // the append LINKED v1's files forward and the sweep removed v1 —
+    // the shared inodes must keep serving rows 1, 2
+    val dirs = new java.io.File(s"$wh/a").list().sorted.toSeq
+    assert(dirs == Seq("CURRENT", "v00002"), s"got $dirs")
+    // replays (same or older id) are no-ops even with different rows
+    c.appendCommitted("a", Seq(99).toDF("id"), 1L)
+    c.appendCommitted("a", Seq(98).toDF("id"), 0L)
+    assert(c.table("a").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // a COW rewrite carries the stream marker forward (compaction
+    // contract), so a replay AFTER an OPTIMIZE-style rewrite still skips
+    c.delete("a", col("id") === 2)
+    assert(c.lastCommittedBatch("a").contains(1L))
+    c.appendCommitted("a", Seq(97).toDF("id"), 1L)
+    assert(c.table("a").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("appendCommitted: crash between stage and pointer leaves the old " +
+      "version live; the retry (the engine's replay) lands the batch once") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    c.createTable("t", Seq(1, 2).toDF("id"))
+    c.crashPoint = Some("staged")
+    intercept[IllegalStateException] {
+      c.appendCommitted("t", Seq(3).toDF("id"), 0L)
+    }
+    // un-published stage is inert: no marker visible, rows unchanged
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(c.lastCommittedBatch("t").isEmpty)
+    // foreachBatch re-delivers the same batch: applied exactly once
+    c.appendCommitted("t", Seq(3).toDF("id"), 0L)
+    c.appendCommitted("t", Seq(3).toDF("id"), 0L)
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
 }
