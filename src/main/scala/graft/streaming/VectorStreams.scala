@@ -111,9 +111,11 @@ object VectorStreams {
     * micro-batch at a time by the batch two-tier kernel
     * ([[Similarity.searchVectors]] — stored-index ADC tier + fresh-delta
     * brute force) and landed EXACTLY-ONCE in a warehouse results table
-    * (`insertCommitted`: the answer version and its batch marker commit
-    * in one pointer rename, so a crash-replayed batch is recognized and
-    * skipped — an online serving log must not double-answer). Each
+    * (`appendCommitted`: the answer files and their batch marker commit
+    * in one pointer rename at O(batch) cost — a serving log grows
+    * without bound, so the COW-rewrite commit would get linearly slower
+    * per batch — and a crash-replayed batch is recognized and skipped:
+    * an online serving log must not double-answer). Each
     * micro-batch plans exactly the batch plan (queries broadcast, one
     * ADC chain + one coverage anti-join), so streamed answers are
     * bit-identical to batch answers for the same query set — the parity
@@ -128,9 +130,9 @@ object VectorStreams {
     * cluster equi-join against the eval side, never batch×eval), and the
     * flagged rows (vec_id, cluster, eval_id, sim — best eval match with
     * provenance) land EXACTLY-ONCE in a warehouse table via
-    * `insertCommitted` (a crash-replayed batch is recognized by its
-    * batch marker and skipped — a contamination audit log must not
-    * double-report). Because each micro-batch plans exactly the batch
+    * `appendCommitted` (O(batch) marker-guarded appends; a
+    * crash-replayed batch is recognized and skipped — a contamination
+    * audit log must not double-report). Because each micro-batch plans exactly the batch
     * plan, streamed verdicts are bit-identical to batch d103 verdicts
     * for the same vectors — the parity spec proves it. Scale shape:
     * per-batch cost is the gate kernel's (batch-bounded candidate side,
@@ -143,7 +145,7 @@ object VectorStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          cmds.insertCommitted(table,
+          cmds.appendCommitted(table,
             Similarity.decontamVectors(batch.sparkSession, d, batch, thr),
             batchId)
         ()
@@ -158,7 +160,7 @@ object VectorStreams {
         // skip empty batches: creating a table from one would publish a
         // schema-less version, and replaying an empty append is a no-op
         if (!batch.isEmpty)
-          cmds.insertCommitted(table,
+          cmds.appendCommitted(table,
             Similarity.searchVectors(batch.sparkSession, d, batch, k),
             batchId)
         ()

@@ -8,19 +8,21 @@ import graft.commands.TableCommands
 /** Structured Streaming → warehouse bridge: a stream lands in a
   * manifest-pointer table ([[TableCommands]]) one micro-batch at a time.
   *
-  * Default mode is EXACTLY-ONCE: each micro-batch publishes a COW version
-  * whose `_STREAM_BATCH` marker commits atomically with the data (one
-  * pointer rename — see `TableCommands.insertCommitted`), and a batch
-  * `foreachBatch` re-delivers after a failure or restart is recognized by
-  * its id and skipped. So a streaming ingest gets the storage layer's full
-  * guarantees (atomic version visibility, VERIFY, OPTIMIZE compaction —
-  * which carries the marker forward) — the reference's `InsertCommand`
-  * semantics on a live stream, minus the duplicates.
+  * Default mode is EXACTLY-ONCE at O(batch) write cost: each micro-batch
+  * publishes a LINK-FORWARD version (`TableCommands.appendCommitted` —
+  * the batch's files plus hard links to the live version's immutable
+  * parquet files) whose `_STREAM_BATCH` marker commits atomically with
+  * the data in one pointer rename, and a batch `foreachBatch` re-delivers
+  * after a failure or restart is recognized by its id and skipped. So a
+  * streaming ingest gets the storage layer's full guarantees (atomic
+  * version visibility, VERIFY, OPTIMIZE compaction — which carries the
+  * marker forward and is also the small-file answer for long streams) —
+  * the reference's `InsertCommand` semantics on a live stream, minus the
+  * duplicates, at append cost rather than table-rewrite cost.
   *
-  * `exactlyOnce = false` falls back to O(batch) appends into the CURRENT
-  * version (at-least-once): the right trade at 100 TB/day ingest rates,
-  * where per-batch COW rewrites are unaffordable and consumers dedup
-  * (d80/d90) or tolerate replays.
+  * `exactlyOnce = false` falls back to plain appends into the CURRENT
+  * version (at-least-once, no marker, no version churn): for consumers
+  * that dedup (d80/d90) or tolerate replays anyway.
   */
 object WarehouseSink {
 
@@ -37,7 +39,7 @@ object WarehouseSink {
         // harmless no-ops — and need no marker: replaying one is idempotent
         // by construction)
         if (!batch.isEmpty) {
-          if (exactlyOnce) cmds.insertCommitted(table, batch, batchId)
+          if (exactlyOnce) cmds.appendCommitted(table, batch, batchId)
           else if (cmds.tableExists(table)) cmds.insertInto(table, batch)
           else cmds.createTable(table, batch)
         }
@@ -68,8 +70,8 @@ object WarehouseSink {
           val pass = marked.filter(col("__graft_pass")).drop("__graft_pass")
           val fail = marked.filter(not(col("__graft_pass")))
             .drop("__graft_pass")
-          if (!pass.isEmpty) cmds.insertCommitted(passTable, pass, batchId)
-          if (!fail.isEmpty) cmds.insertCommitted(failTable, fail, batchId)
+          if (!pass.isEmpty) cmds.appendCommitted(passTable, pass, batchId)
+          if (!fail.isEmpty) cmds.appendCommitted(failTable, fail, batchId)
         } finally { marked.unpersist(); () }
         ()
       }
