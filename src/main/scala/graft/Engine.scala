@@ -241,7 +241,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val crashStmt =
     """(?is)\s*CRASH(?:\s+AFTER\s+(STAGED|PUBLISHED))?\s*;?\s*""".r
   private[graft] val exitStmt = """(?is)\s*(?:EXIT|QUIT)\s*;?\s*""".r
-  private val optimizeStmt = """(?is)\s*OPTIMIZE\s+(\w+)\s*;?\s*""".r
+  private val optimizeStmt =
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
   // while a genuinely foreign database is REJECTED with an engine error
@@ -768,9 +769,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     case verifyStmt(tblRaw) => // reference: VerifyCommand (integrity check)
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
-    case optimizeStmt(tblRaw) => // reference: OptimizeCommand (compaction)
+    case optimizeStmt(tblRaw, zcolsRaw) =>
+      // reference: OptimizeCommand (compaction); ZORDER BY adds the
+      // multi-dimensional clustering rewrite (see TableCommands Scaladoc)
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
-      cmds.optimizeTable(tbl)
+      val zcols = Option(zcolsRaw).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      cmds.optimizeTable(tbl, zorderBy = zcols)
       registerTable(tbl)
       status(s"optimized $tbl")
     case other => query(other)

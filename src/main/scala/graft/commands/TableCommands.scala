@@ -218,15 +218,78 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     n
   }
 
-  /** OPTIMIZE t — compact the current version's files (the analog of the
-    * reference's `OptimizeCommand` page compaction): rewrites into
-    * right-sized files via a new published version, so readers switch
-    * atomically. `targetPartitions` defaults to the session shuffle
-    * parallelism; at 100 TB pass ceil(bytes / 1 GB). */
-  def optimizeTable(name: String, targetPartitions: Int = 0): Unit = {
+  /** OPTIMIZE t [ZORDER BY (c1, c2, …)] — compact the current version's
+    * files (the analog of the reference's `OptimizeCommand` page
+    * compaction): rewrites into right-sized files via a new published
+    * version, so readers switch atomically. `targetPartitions` defaults
+    * to the session shuffle parallelism; at 100 TB pass
+    * ceil(bytes / 1 GB).
+    *
+    * With `zorderBy`, the rewrite CLUSTERS the data on the interleaved
+    * bit pattern of the named columns (Morton/Z-order): each column is
+    * quantized to an 8-bit bucket between its min and max (one tiny
+    * stats aggregate, the same pass ANALYZE runs), the buckets' bits are
+    * interleaved into one z-value, and the table is range-partitioned +
+    * sorted on it. Every output file then covers a small HYPER-RECTANGLE
+    * of the column space, so parquet row-group min/max stats prune
+    * selective predicates on ANY of the z columns — the multi-dimensional
+    * data-skipping a linear sort cannot give (sorting by c1 makes c1
+    * stats perfect and every other column's useless). This is THE layout
+    * lever for a 100 TB fact table queried by more than one dimension;
+    * the spec measures the skip ratio through the scan's own metrics.
+    * Uniform buckets (not quantiles) keep the rewrite one pass — heavily
+    * skewed columns cluster less evenly but never incorrectly, since
+    * z-order only affects LAYOUT. Nulls sort to bucket 0. The stream
+    * marker, constraints and catalog name all survive (publish carries
+    * them), exactly as for plain compaction. */
+  def optimizeTable(name: String, targetPartitions: Int = 0,
+      zorderBy: Seq[String] = Nil): Unit = {
     val n = if (targetPartitions > 0) targetPartitions
       else spark.sessionState.conf.numShufflePartitions
-    publish(name, table(name).repartition(n))
+    if (zorderBy.isEmpty) publish(name, table(name).repartition(n))
+    else {
+      val t = table(name)
+      val byLower = t.columns.map(c => c.toLowerCase -> c).toMap
+      val cols = zorderBy.map(c => byLower.getOrElse(c.toLowerCase,
+        throw new IllegalArgumentException(
+          s"ZORDER BY column $c not in table $name")))
+      // one stats row: per-column min/max drive the 8-bit quantization.
+      // try_cast, not cast: under ANSI a non-numeric column must degrade
+      // to null stats (contribute nothing to the layout), never throw
+      def asD(c: String): Column = expr(s"try_cast(`$c` AS DOUBLE)")
+      val stats = t.agg(
+        min(asD(cols.head)).as("mn0"),
+        (max(asD(cols.head)).as("mx0") +:
+          cols.tail.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(asD(c)).as(s"mn${i + 1}"),
+              max(asD(c)).as(s"mx${i + 1}"))
+          }): _*).head()
+      val bits = 8
+      val z = cols.zipWithIndex.map { case (c, i) =>
+        // a non-numeric or all-null column casts to null stats → it
+        // contributes bucket 0 (clusters on the other columns only)
+        val mn = Option(stats.get(2 * i))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val mx = Option(stats.get(2 * i + 1))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0)
+        // degenerate column (all equal / all null) → bucket 0
+        val bucket =
+          if (!(mx > mn)) lit(0L)
+          else least(greatest(
+            floor((asD(c) - lit(mn)) / lit(mx - mn)
+              * (1 << bits)).cast("long"), lit(0L)), lit((1 << bits) - 1L))
+        val b = coalesce(bucket, lit(0L))
+        // spread bucket bit k of column i to z bit k*|cols| + i
+        (0 until bits).map(k =>
+          shiftleft(shiftright(b, k).bitwiseAND(lit(1L)),
+            k * cols.size + i).cast("long"))
+          .reduce(_ + _)
+      }.reduce(_ + _)
+      publish(name, t.withColumn("__graft_z", z)
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z"))
+    }
   }
 
   private def rm(f: java.io.File): Unit = {

@@ -367,6 +367,14 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(engine.sql("VERIFY cs_t").head.getString(0).contains("2 rows"))
     engine.sql("OPTIMIZE cs_t")
     assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t").head.getLong(0) == 2)
+    // the ZORDER clustering rewrite parses, preserves content, and
+    // rejects unknown columns crisply (the skip-ratio property itself is
+    // measured in TableCommandsSpec)
+    engine.sql("OPTIMIZE cs_t ZORDER BY (id, v)")
+    assert(engine.sql("SELECT COUNT(*) AS n FROM cs_t").head.getLong(0) == 2)
+    intercept[IllegalArgumentException] {
+      engine.sql("OPTIMIZE cs_t ZORDER BY (nope)")
+    }
     engine.sql("DROP TABLE cs_t")
   }
 

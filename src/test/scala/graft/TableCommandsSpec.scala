@@ -236,6 +236,57 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
   }
 
+  test("OPTIMIZE ZORDER BY: row-group stats prune selective filters on " +
+      "BOTH clustered columns; the unclustered layout prunes neither") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    // a 200 × 1000 grid: two independent dimensions of one fact table —
+    // the workload shape where a LINEAR sort can only serve one of them
+    c.createTable("zt", spark.range(200000).select(
+      (col("id") / 1000).cast("long").as("x"),
+      (col("id") % 1000).cast("long").as("y"),
+      col("id").as("payload")))
+    // rows the SCAN emits (post row-group pruning, pre record filter) —
+    // read from the executed plan's own counter, the ANALYZE walk
+    def scanned(f: org.apache.spark.sql.Column): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val qe = c.table("zt").filter(f).queryExecution
+      qe.toRdd.foreach(_ => ())
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.flatMap(walk)
+      })
+      walk(qe.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // baseline: plain compaction (round-robin) — every file spans the
+    // full range of both columns, so nothing can be skipped
+    c.optimizeTable("zt", targetPartitions = 64)
+    assert(c.table("zt").filter(col("y") < 10).count() == 2000)
+    assert(c.table("zt").filter(col("x") < 5).count() == 5000)
+    val (by, bx) = (scanned(col("y") < 10), scanned(col("x") < 5))
+    assert(by > 150000 && bx > 150000,
+      s"random layout unexpectedly skipped ($by, $bx)")
+    // z-ordered: each file covers a small (x, y) hyper-rectangle — the
+    // SAME layout serves selective predicates on EITHER column
+    c.optimizeTable("zt", targetPartitions = 64, zorderBy = Seq("x", "y"))
+    assert(c.table("zt").filter(col("y") < 10).count() == 2000,
+      "zorder changed the answer")
+    assert(c.table("zt").filter(col("x") < 5).count() == 5000,
+      "zorder changed the answer")
+    val (zy, zx) = (scanned(col("y") < 10), scanned(col("x") < 5))
+    assert(zy * 3 <= by, s"y-filter not pruned: $zy of $by")
+    assert(zx * 3 <= bx, s"x-filter not pruned: $zx of $bx")
+    // unknown column is a crisp error, not a silent plain compaction
+    intercept[IllegalArgumentException] {
+      c.optimizeTable("zt", zorderBy = Seq("nope"))
+    }
+  }
+
   test("appendCommitted: exactly-once O(batch) appends — atomic version " +
       "link-forward, replay no-op, marker-carried, old data survives sweep") {
     import spark.implicits._
