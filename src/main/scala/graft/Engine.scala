@@ -25,6 +25,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
 
   private val cmds = new commands.TableCommands(spark, warehouse)
+  /** The engine's storage layer — exposed so streaming maintenance twins
+    * (admitAndIndex / VectorStreams.ingest) can commit into the SAME
+    * warehouse the SQL surface serves from. */
+  def storage: graft.commands.TableCommands = cmds
 
   /** base table (lowercase) -> column (lowercase) -> index table name.
     * CREATE INDEX records here; plain queries against the base table are

@@ -548,9 +548,16 @@ object DocStreams {
     if (!freshBands.isEmpty) {
       cmds.appendCommitted(bandTable, freshBands, batchId)
       // the append published a NEW version dir: re-point the catalog
-      // entry the batch gate's served probe reads
+      // entry the batch gate's served probe reads — in BOTH sessions,
+      // because foreachBatch hands a CLONED SparkSession whose
+      // registration updates the shared metadata but not the driver
+      // session's relation cache (see VectorStreams.ingestBatch)
       graft.commands.TableCommands.registerCatalog(
         batch.sparkSession, bandTable, cmds.dataPath(bandTable))
+      org.apache.spark.sql.SparkSession.getDefaultSession
+        .filter(_ ne batch.sparkSession)
+        .foreach(s => graft.commands.TableCommands.registerCatalog(
+          s, bandTable, cmds.dataPath(bandTable)))
     }
     ()
   }

@@ -103,7 +103,15 @@ object VectorStreams {
       conformed("codes", Seq("vec_id", "codes")), batchId)
     cmds.appendCommitted(VectorIndex.tableName("assign"),
       conformed("assign", Seq("vec_id", "cluster")), batchId)
+    // repoint BOTH sessions: foreachBatch hands a CLONED SparkSession, and
+    // a relocation registered there updates the SHARED external catalog's
+    // metadata but not the driver session's relation cache — healCatalog
+    // then sees metadata == CURRENT and (correctly) skips, leaving the
+    // driver session scanning version files the sweep already deleted
     VectorIndex.repoint(batch.sparkSession, cmds)
+    org.apache.spark.sql.SparkSession.getDefaultSession
+      .filter(_ ne batch.sparkSession)
+      .foreach(VectorIndex.repoint(_, cmds))
   }
 
   /** Streaming query SERVING — the fourth leg of the lifecycle: a live

@@ -1488,4 +1488,72 @@ class EngineSqlSpec extends AnyFunSuite {
       e1.close()
     }
   }
+
+  test("streamed ingest REPLACES refresh: VectorStreams.ingest absorbs " +
+      "the corpus delta live, the fresh tier never re-fills, and REFRESH " +
+      "finds nothing to drain") {
+    // the self-maintaining counterpart of the lifecycle test above: same
+    // appendable corpus copy, but the delta reaches the index THROUGH the
+    // streaming ingest twin instead of a batch REFRESH — the production
+    // posture where vectors are indexed as they arrive, not reconciled
+    // nightly. Done = after the stream, s104's fresh tier is empty, s105
+    // counts zero fresh, and REFRESH appends exactly 0 vectors.
+    import java.nio.file.{Files => F, Paths}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corp = F.createTempDirectory("graft_vidx_si").toString
+    spark.read.parquet(s"$d/embeddings.parquet")
+      .write.parquet(s"$corp/embeddings.parquet")
+    Graft.tableNames.filterNot(_ == "embeddings").foreach { t =>
+      F.createSymbolicLink(Paths.get(s"$corp/$t.parquet"),
+        Paths.get(s"$d/$t.parquet")); ()
+    }
+    val wh = Files.createTempDirectory("graft_vidx_si_wh").toString
+    val e1 = new Engine(spark, corp, wh)
+    def freshCount: Long = {
+      val h = SparkEntry.queries("s105_index_health")(spark, corp).head()
+      h.getLong(h.fieldIndex("n_fresh"))
+    }
+    def servedTiers: Set[String] =
+      SparkEntry.queries("s104_delta_search")(spark, corp).collect()
+        .map(_.getString(2)).toSet
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val emb = spark.read.parquet(s"$corp/embeddings.parquet")
+      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val nDelta = math.max((emb.count() * 7) / 100, 10L)
+      val delta = emb.filter(col("vec_id") < nDelta)
+        .withColumn("vec_id", col("vec_id") + maxId + 1)
+        .localCheckpoint()
+      delta.write.mode("append").parquet(s"$corp/embeddings.parquet")
+      assert(e1.sql("REFRESH CORPUS").head.getString(0)
+        .contains("refreshed corpus"))
+      assert(freshCount == nDelta, "stale index must show the delta")
+      // the delta arrives as a STREAM, split across two micro-batches
+      val rows = delta.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val cmds = e1.storage
+      val src = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.VectorStreams.ingest(
+        src.toDF().toDF("vec_id", "embedding"), cmds)
+      try {
+        src.addData(rows.take(rows.length / 2): _*)
+        q.processAllAvailable()
+        src.addData(rows.drop(rows.length / 2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the stream absorbed the delta: nothing fresh anywhere, and the
+      // batch reconciliation has NOTHING left to do
+      assert(freshCount == 0L, "streamed ingest left a fresh residue")
+      assert(!servedTiers.contains("fresh"),
+        "fresh tier still serving after streamed ingest")
+      assert(e1.sql("REFRESH VECTOR INDEX ON embeddings").head.getString(0)
+        .contains("(0 vectors appended)"),
+        "REFRESH found residue the stream should have absorbed")
+    } finally {
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+      e1.close()
+    }
+  }
 }
