@@ -247,6 +247,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private[graft] val exitStmt = """(?is)\s*(?:EXIT|QUIT)\s*;?\s*""".r
   private val optimizeStmt =
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  // version retention + time travel: training runs pin the exact corpus
+  // snapshot they read ("which corpus version trained model X"); RETAIN
+  // widens sweep's keep-window, SNAPSHOT registers a read-only temp view
+  // over a retained version dir, SHOW VERSIONS lists what is travelable
+  private val retainStmt =
+    """(?is)\s*RETAIN\s+(\d+)\s+VERSIONS?\s+ON\s+(\w+)\s*;?\s*""".r
+  private val showVersionsStmt =
+    """(?is)\s*SHOW\s+VERSIONS\s+ON\s+(\w+)\s*;?\s*""".r
+  private val snapshotStmt =
+    """(?is)\s*SNAPSHOT\s+(\w+)\s+VERSION\s+AS\s+OF\s+'?(\w+)'?\s+AS\s+(\w+)\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
   // while a genuinely foreign database is REJECTED with an engine error
@@ -773,6 +783,25 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     case verifyStmt(tblRaw) => // reference: VerifyCommand (integrity check)
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
+    case retainStmt(k, tblRaw) =>
+      val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
+      cmds.setRetain(tbl, k.toInt)
+      status(s"retaining last $k versions of $tbl")
+    case showVersionsStmt(tblRaw) =>
+      val tbl = cmds.resolveTable(tblRaw).getOrElse(
+        throw new IllegalArgumentException(s"table $tblRaw does not exist"))
+      import spark.implicits._
+      val live = java.nio.file.Paths.get(cmds.dataPath(tbl))
+        .getFileName.toString
+      cmds.versionHistory(tbl)
+        .map(v => (v, v == live)).toDF("version", "is_current")
+    case snapshotStmt(tblRaw, ver, alias) =>
+      val tbl = cmds.resolveTable(tblRaw).getOrElse(
+        throw new IllegalArgumentException(s"table $tblRaw does not exist"))
+      val path = cmds.snapshotPath(tbl, ver)
+      spark.read.parquet(path).createOrReplaceTempView(alias)
+      status(s"snapshot $alias -> $tbl @ ${java.nio.file.Paths.get(path)
+        .getFileName}")
     case optimizeStmt(tblRaw, zcolsRaw) =>
       // reference: OptimizeCommand (compaction); ZORDER BY adds the
       // multi-dimensional clustering rewrite (see TableCommands Scaladoc)

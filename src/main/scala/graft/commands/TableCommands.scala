@@ -107,21 +107,88 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       Files.writeString(Paths.get(dir(table), version, "_STREAM_BATCH"),
         b.toString))
     maybeCrash("staged")
-    val tmp = Paths.get(dir(table), "CURRENT.tmp")
-    Files.writeString(tmp, version)
-    Files.move(tmp, currentFile(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    swapPointer(table, version)
     maybeCrash("published")
     if (txnSnapshot.isEmpty) sweep(table)
   }
 
-  /** Delete every version directory except the live one — superseded
-    * versions and crashed, never-published stages alike. */
+  /** Atomic pointer publish + version-log append (shared by [[publish]]
+    * and [[appendCommitted]] so every commit path records history the
+    * same way). The log append comes AFTER the swap: a crash between
+    * them leaves CURRENT unlogged, which the next sweep heals (CURRENT
+    * is always in the kept set and the log is rewritten to it). */
+  private def swapPointer(table: String, version: String): Unit = {
+    val tmp = Paths.get(dir(table), "CURRENT.tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, currentFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(versionsLog(table), version + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND); ()
+  }
+
+  // ── version history + retention (time travel for training snapshots:
+  // "which corpus version did this model train on" needs the version to
+  // still EXIST — RETAIN k keeps the last k published versions readable,
+  // and appendCommitted's hard links make the extra versions cheap) ──────
+  private def versionsLog(table: String) = Paths.get(dir(table), "VERSIONS")
+  private def retainFile(table: String) = Paths.get(dir(table), "RETAIN")
+
+  /** RETAIN k VERSIONS ON t — how many published versions sweep keeps
+    * (k ≥ 1; the live version always counts as one of the k). */
+  def setRetain(name: String, k: Int): Unit = {
+    require(k >= 1, s"RETAIN needs k >= 1, got $k")
+    require(tableExists(name), s"table $name does not exist")
+    Files.writeString(retainFile(name), k.toString); ()
+  }
+
+  private def retainCount(table: String): Int =
+    if (Files.exists(retainFile(table)))
+      Files.readString(retainFile(table)).trim.toInt
+    else 1
+
+  /** The PUBLISHED, still-on-disk version history (ascending). The log
+    * filters out crashed never-published stages; the ≤-CURRENT bound
+    * filters out rolled-back post-images (their numbers are higher than
+    * the restored pointer); the live version is always included even if
+    * a crash separated its swap from its log append. */
+  def versionHistory(name: String): Seq[String] = {
+    val live = Files.readString(currentFile(name)).trim
+    val logged =
+      if (Files.exists(versionsLog(name)))
+        Files.readString(versionsLog(name)).linesIterator
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      else Nil
+    (logged :+ live).distinct
+      .filter(v => v <= live &&
+        Files.isDirectory(Paths.get(dir(name), v)))
+      .sorted
+  }
+
+  /** The data path of a retained historical version — `VERSION AS OF`'s
+    * resolver. Accepts the `vNNNNN` name or the bare number. */
+  def snapshotPath(name: String, version: String): String = {
+    require(tableExists(name), s"table $name does not exist")
+    val v = if (version.matches("\\d+")) f"v${version.toInt}%05d"
+      else version
+    require(versionHistory(name).contains(v),
+      s"version $v of $name is not retained - RETAIN more versions or " +
+        s"use SHOW VERSIONS ON $name")
+    s"${dir(name)}/$v"
+  }
+
+  /** Delete superseded version directories beyond the retention window,
+    * and crashed never-published stages; rewrite the log to the kept
+    * history. */
   private def sweep(table: String): Unit = {
     val live = Files.readString(currentFile(table)).trim
+    val keep = (versionHistory(table).takeRight(retainCount(table))
+      :+ live).distinct
     Option(new java.io.File(dir(table)).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName != live)
+      .filter(f => f.isDirectory && !keep.contains(f.getName))
       .foreach(rm)
+    Files.writeString(versionsLog(table),
+      keep.sorted.mkString("", "\n", "\n")); ()
   }
 
   // ── transactions over the manifest (single-writer, like the reference's
@@ -549,10 +616,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
           stage.resolve(f.getName), f.toPath))
       Files.writeString(stage.resolve("_STREAM_BATCH"), batchId.toString)
       maybeCrash("staged")
-      val tmp = Paths.get(dir(name), "CURRENT.tmp")
-      Files.writeString(tmp, version)
-      Files.move(tmp, currentFile(name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      swapPointer(name, version)
       maybeCrash("published")
       sweep(name)
     }

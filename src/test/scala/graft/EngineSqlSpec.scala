@@ -1489,6 +1489,38 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("RETAIN / SHOW VERSIONS / SNAPSHOT: time travel over the SQL " +
+      "surface — a training run can pin and re-read the exact corpus " +
+      "version it consumed") {
+    engine.sql("DROP TABLE IF EXISTS tt")
+    engine.sql("CREATE COLSTORE tt AS SELECT n_nationkey AS id FROM " +
+      "nation WHERE n_nationkey < 3")
+    try {
+      assert(engine.sql("RETAIN 2 VERSIONS ON tt").head.getString(0)
+        .contains("retaining last 2"))
+      engine.sql("DELETE FROM tt WHERE id = 0") // v2: 1, 2
+      engine.sql("DELETE FROM tt WHERE id = 1") // v3: 2 (v1 swept)
+      val versions = engine.sql("SHOW VERSIONS ON tt").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      assert(versions.map(_._1) == Seq("v00002", "v00003"))
+      assert(versions.filter(_._2).map(_._1) == Seq("v00003"))
+      // the pinned snapshot reads the OLD state while the live table moved
+      assert(engine.sql("SNAPSHOT tt VERSION AS OF 'v00002' AS tt_then")
+        .head.getString(0).contains("v00002"))
+      assert(engine.sql("SELECT id FROM tt_then ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(engine.sql("SELECT id FROM tt ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq == Seq(2))
+      // a swept version is a crisp error, not a silent empty view
+      intercept[IllegalArgumentException] {
+        engine.sql("SNAPSHOT tt VERSION AS OF 1 AS tt_gone")
+      }
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS tt")
+      spark.catalog.dropTempView("tt_then"); ()
+    }
+  }
+
   test("streamed ingest REPLACES refresh: VectorStreams.ingest absorbs " +
       "the corpus delta live, the fresh tier never re-fills, and REFRESH " +
       "finds nothing to drain") {

@@ -108,7 +108,7 @@ class TableCommandsSpec extends AnyFunSuite {
     c.update("t", col("id") === 3, Map("id" -> lit(30)))
     // exactly one live version + the pointer; the superseded one is swept
     val listed = new java.io.File(s"$wh/t").list().sorted.toSeq
-    assert(listed == Seq("CURRENT", "v00002"), s"got $listed")
+    assert(listed == Seq("CURRENT", "VERSIONS", "v00002"), s"got $listed")
     // simulate a writer that crashed AFTER staging a full version directory
     // but BEFORE publishing the pointer: readers must not see it
     Seq(99).toDF("id").write.parquet(s"$wh/t/v00003")
@@ -135,7 +135,7 @@ class TableCommandsSpec extends AnyFunSuite {
     c.update("t", col("id") === 3, Map("id" -> lit(31)))
     assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 31))
     val listed = new java.io.File(s"$wh/t").list().sorted.toSeq
-    assert(listed == Seq("CURRENT", "v00003"), s"got $listed")
+    assert(listed == Seq("CURRENT", "VERSIONS", "v00003"), s"got $listed")
   }
 
   test("crash between pointer move and sweep: new version served, stale " +
@@ -155,7 +155,7 @@ class TableCommandsSpec extends AnyFunSuite {
     c.delete("t", col("id") === 2)
     assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(3))
     val listed = new java.io.File(s"$wh/t").list().sorted.toSeq
-    assert(listed == Seq("CURRENT", "v00003"), s"got $listed")
+    assert(listed == Seq("CURRENT", "VERSIONS", "v00003"), s"got $listed")
   }
 
   test("createIndex: bucketed re-cluster makes the keyed join exchange-free") {
@@ -298,7 +298,7 @@ class TableCommandsSpec extends AnyFunSuite {
     // the append LINKED v1's files forward and the sweep removed v1 —
     // the shared inodes must keep serving rows 1, 2
     val dirs = new java.io.File(s"$wh/a").list().sorted.toSeq
-    assert(dirs == Seq("CURRENT", "v00002"), s"got $dirs")
+    assert(dirs == Seq("CURRENT", "VERSIONS", "v00002"), s"got $dirs")
     // replays (same or older id) are no-ops even with different rows
     c.appendCommitted("a", Seq(99).toDF("id"), 1L)
     c.appendCommitted("a", Seq(98).toDF("id"), 0L)
@@ -309,6 +309,39 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(c.lastCommittedBatch("a").contains(1L))
     c.appendCommitted("a", Seq(97).toDF("id"), 1L)
     assert(c.table("a").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("version retention + time travel: RETAIN keeps the last k " +
+      "published versions queryable; crashed stages and rolled-back " +
+      "post-images are never history") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    c.createTable("t", Seq(1).toDF("id")) // v00001
+    c.setRetain("t", 3)
+    c.appendCommitted("t", Seq(2).toDF("id"), 0L) // v00002
+    c.appendCommitted("t", Seq(3).toDF("id"), 1L) // v00003
+    c.appendCommitted("t", Seq(4).toDF("id"), 2L) // v00004 → v00001 swept
+    assert(c.versionHistory("t") == Seq("v00002", "v00003", "v00004"))
+    def at(v: String): Seq[Int] =
+      spark.read.parquet(c.snapshotPath("t", v)).as[Int]
+        .collect().sorted.toSeq
+    assert(at("2") == Seq(1, 2), "numeric version form")
+    assert(at("v00003") == Seq(1, 2, 3), "vNNNNN version form")
+    intercept[IllegalArgumentException] { c.snapshotPath("t", "1") }
+    // a crash-staged orphan directory is NOT history (never logged)
+    c.crashPoint = Some("staged")
+    intercept[IllegalStateException] {
+      c.update("t", col("id") === 4, Map("id" -> lit(40)))
+    }
+    assert(c.versionHistory("t") == Seq("v00002", "v00003", "v00004"))
+    // a rolled-back post-image is NOT history (number above the restored
+    // pointer), and the retained window survives the rollback intact
+    c.begin()
+    c.delete("t", col("id") === 2)
+    c.rollback()
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(c.versionHistory("t") == Seq("v00002", "v00003", "v00004"))
+    assert(at("2") == Seq(1, 2), "history unreadable after rollback")
   }
 
   test("appendCommitted: crash between stage and pointer leaves the old " +
