@@ -30,7 +30,10 @@ import org.apache.spark.sql.types.StructType
   * A table lives at `<warehouse>/<name>/` containing immutable version
   * directories (`v00001/`, `v00002/`, …) and a one-line `CURRENT` pointer
   * file naming the active version — the same pointer-swap idea Delta/
-  * Iceberg use, minus the log. Every rewrite stages a complete new version
+  * Iceberg use, plus a minimal append-only VERSIONS log (one line per
+  * pointer swap — what RETAIN-window sweeping and SNAPSHOT time travel
+  * read; never consulted on the hot read path, which stays one pointer
+  * file). Every rewrite stages a complete new version
   * directory, then publishes it by an ATOMIC rename of `CURRENT.tmp` over
   * `CURRENT`: readers resolve the pointer first, so they see the old
   * version or the new one, never a half-state, and a crash at ANY point
