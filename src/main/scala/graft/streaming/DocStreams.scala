@@ -714,6 +714,84 @@ object DocStreams {
       }
   }
 
+  /** Per-asset streaming state for [[sceneKeyframes]]: the m105 cursor
+    * plus the OPEN scene's frame buffer (reversed arrival order). */
+  case class SceneKfState(lastIdx: Long, lastEnergy: Long, scene: Long,
+      frames: List[(Long, Long)])
+  case class SceneKeyframe(doc_id: Long, scene_idx: Long,
+      keyframe_idx: Long, energy: Long)
+
+  /** Streaming keyframe selection — the live twin of batch
+    * `m106_scene_keyframes`, closing the video story end-to-end on the
+    * ingest direction: decode → [[sceneAssign]]-style cut detection →
+    * ONE representative frame per scene, emitted the moment the scene
+    * CLOSES (the next cut arrives) rather than when the asset finishes —
+    * so captioning/embedding of shot 1 starts while shot 2 is still
+    * decoding. Selection math is the batch kernel's own, floats never
+    * touched: keyframe = argmin |e·cn − se| (distance to the scene mean
+    * ranked in exact integers), ties to the earliest frame — so streamed
+    * keyframes equal m106's bit-for-bit (the parity spec splits assets
+    * mid-scene across micro-batches).
+    *
+    * State per asset = the m105 cursor + ONLY the open scene's frames:
+    * closed scenes leave state the moment they emit, so state is bounded
+    * by scene length × assets-in-flight, not stream length. The final
+    * open scene of an asset flushes on the same EVENT-TIME idle timeout
+    * as [[sceneAssign]]'s cursor eviction (idle asset = finished asset);
+    * a cut-free asset's buffer grows with the asset — a production
+    * pipeline bounds shot length upstream (decoders emit scene-change
+    * hints) or widens thresholds, and the contract is documented rather
+    * than silently truncated. */
+  def sceneKeyframes(frames: Dataset[Frame],
+      threshold: Long = 150L,
+      idleGap: String = "30 minutes"): Dataset[SceneKeyframe] = {
+    import frames.sparkSession.implicits._
+    def close(doc: Long, scene: Long,
+        fs: List[(Long, Long)]): SceneKeyframe = {
+      val ordered = fs.reverse
+      val cn = ordered.length.toLong
+      val se = ordered.iterator.map(_._2).sum
+      val k = ordered.iterator
+        .map { case (fi, e) => (math.abs(e * cn - se), fi, e) }.min
+      SceneKeyframe(doc, scene, k._2, k._3)
+    }
+    frames
+      .withWatermark("event_ts", idleGap)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[SceneKfState, SceneKeyframe](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (doc: Long, it: Iterator[Frame], state: GroupState[SceneKfState]) =>
+          if (state.hasTimedOut) {
+            // idle asset = finished asset: flush its final open scene
+            val out = state.getOption.filter(_.frames.nonEmpty)
+              .map(s => close(doc, s.scene, s.frames))
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption
+              .getOrElse(SceneKfState(-1L, 0L, 0L, Nil))
+            val arr = it.toArray.sortBy(_.frame_idx)
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[SceneKeyframe]
+            arr.foreach { f =>
+              if (cur.lastIdx >= 0 &&
+                  math.abs(f.energy - cur.lastEnergy) > threshold) {
+                out += close(doc, cur.scene, cur.frames)
+                cur = SceneKfState(f.frame_idx, f.energy, cur.scene + 1,
+                  List(f.frame_idx -> f.energy))
+              } else {
+                cur = SceneKfState(f.frame_idx, f.energy, cur.scene,
+                  (f.frame_idx -> f.energy) :: cur.frames)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(arr.map(_.event_ts.getTime).max,
+              idleGap)
+            out.iterator
+          }
+      }
+  }
+
   def runningScorecard(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.scorecardSignals(docs)
       .groupBy("source")

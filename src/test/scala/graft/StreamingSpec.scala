@@ -774,6 +774,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); () }
   }
 
+  test("sceneKeyframes: streamed per-scene keyframes equal batch m106 " +
+      "bit-for-bit; closed scenes emit mid-stream, final scenes flush on " +
+      "the idle timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frames = operators.Multimodal.frameEnergies(
+        graft.Graft.table(spark, TestSpark.sfDir, "documents")
+          .select("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(f => (f._1, f._2))
+      .map(f => streaming.DocStreams.Frame(f._1, f._2, f._3))
+    val src = MemoryStream[streaming.DocStreams.Frame]
+    val q = streaming.DocStreams.sceneKeyframes(src.toDS())
+      .writeStream.format("memory").queryName("keyframes")
+      .outputMode("append").start()
+    try {
+      val (a, b) = frames.splitAt(frames.length / 2)
+      src.addData(a.toSeq); q.processAllAvailable()
+      val early = spark.table("keyframes").count()
+      src.addData(b.toSeq); q.processAllAvailable()
+      // every asset's FINAL scene is still open (parity-mode timestamps
+      // pin the watermark at 0) — a far-future sentinel asset advances
+      // the watermark past every cursor's idle deadline and flushes them
+      src.addData(streaming.DocStreams.Frame(-1L, 0L, 0L,
+        new java.sql.Timestamp(System.currentTimeMillis()
+          + 365L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+      assert(early > 0,
+        "no scene closed mid-stream: early emission untested")
+      val out = spark.table("keyframes")
+        .filter(col("doc_id") >= 0).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      val batch = SparkEntry.queries("m106_scene_keyframes")(
+        spark, TestSpark.sfDir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      assert(batch.nonEmpty && out.keySet == batch.keySet,
+        s"scene sets diverge: ${out.size} streamed vs ${batch.size} batch")
+      batch.foreach { case (k, v) =>
+        assert(out(k) == v, s"scene $k keyframe diverged: ${out(k)} != $v")
+      }
+    } finally { q.stop(); () }
+  }
+
   test("perplexityBucket: streamed docs bucket bit-identical to batch " +
       "t102 under the frozen LM + edges; OOV reads as tail") {
     import spark.implicits._
