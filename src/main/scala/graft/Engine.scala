@@ -30,6 +30,15 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * warehouse the SQL surface serves from. */
   def storage: graft.commands.TableCommands = cmds
 
+  // START/STOP INGEST registry (name -> running streaming query)
+  private val ingests = scala.collection.mutable.LinkedHashMap[
+    String, org.apache.spark.sql.streaming.StreamingQuery]()
+  /** The running ingest query registered under `name` (tests await its
+    * quiescence through this handle). */
+  def ingestQuery(name: String)
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    ingests.get(name)
+
   /** base table (lowercase) -> column (lowercase) -> index table name.
     * CREATE INDEX records here; plain queries against the base table are
     * transparently routed to the bucketed clone when they join/filter/group
@@ -257,6 +266,18 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*SHOW\s+VERSIONS\s+ON\s+(\w+)\s*;?\s*""".r
   private val snapshotStmt =
     """(?is)\s*SNAPSHOT\s+(\w+)\s+VERSION\s+AS\s+OF\s+'?(\w+)'?\s+AS\s+(\w+)\s*;?\s*""".r
+  // the streaming ingest loop over SQL: START watches a directory (the
+  // shape a decode/crawl stage drops files into) and pipes every new file
+  // through the self-maintaining gate (documents -> admitAndIndex;
+  // vectors -> VectorStreams.ingest); SHOW/STOP manage the running
+  // queries; each ingest checkpoints under the warehouse so a RESTARTED
+  // engine resumes batch numbering instead of letting the exactly-once
+  // markers swallow new data
+  private val startIngestStmt =
+    """(?is)\s*START\s+(ADMIT|VECTOR)\s+INGEST\s+FROM\s+'([^']+)'(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+  private val showIngestsStmt = """(?is)\s*SHOW\s+INGESTS\s*;?\s*""".r
+  private val stopIngestStmt =
+    """(?is)\s*STOP\s+INGEST\s+(\w+)\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
   // while a genuinely foreign database is REJECTED with an engine error
@@ -795,6 +816,49 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         .getFileName.toString
       cmds.versionHistory(tbl)
         .map(v => (v, v == live)).toDF("version", "is_current")
+    case startIngestStmt(kind, dir, aliasOpt) =>
+      import org.apache.spark.sql.types._
+      val k = kind.toUpperCase(java.util.Locale.ROOT)
+      val name = Option(aliasOpt).getOrElse(
+        if (k == "ADMIT") "admit_ingest" else "vector_ingest")
+      require(!ingests.contains(name),
+        s"ingest $name already running - STOP INGEST $name first")
+      val ckpt = s"$warehouse/_ingest_ckpt/$name"
+      val q = if (k == "ADMIT") {
+        require(cmds.tableExists(
+          operators.DedupIndex.tableName("bands")),
+          "START ADMIT INGEST needs the stored dedup index - run BUILD " +
+            "DEDUP INDEX first")
+        val docs = spark.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          .parquet(dir)
+        streaming.DocStreams.admitAndIndex(docs, cmds,
+          checkpoint = Some(ckpt))
+      } else {
+        require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
+          cmds.tableExists(operators.VectorIndex.tableName(p))),
+          "START VECTOR INGEST needs the stored vector index - run " +
+            "BUILD VECTOR INDEX first")
+        val vecs = spark.readStream
+          .schema(StructType(Seq(StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .parquet(dir)
+        streaming.VectorStreams.ingest(vecs, cmds,
+          checkpoint = Some(ckpt))
+      }
+      ingests(name) = q
+      status(s"started ${k.toLowerCase} ingest $name from $dir")
+    case showIngestsStmt() =>
+      import spark.implicits._
+      ingests.toSeq.map { case (n, q) => (n, q.isActive) }
+        .toDF("name", "is_active")
+    case stopIngestStmt(name) =>
+      val q = ingests.getOrElse(name, throw new IllegalArgumentException(
+        s"no ingest named $name - SHOW INGESTS lists them"))
+      q.stop()
+      ingests.remove(name)
+      status(s"stopped ingest $name")
     case snapshotStmt(tblRaw, ver, alias) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(
         throw new IllegalArgumentException(s"table $tblRaw does not exist"))
@@ -1183,6 +1247,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * the session — the REPL calls this on EXIT/EOF, and any other owning
     * edge should call it when its session ends. Idempotent. */
   def close(): Unit = {
+    ingests.values.foreach(q => try q.stop() catch {
+      case _: Throwable => ()
+    })
+    ingests.clear()
     tempTables.foreach { t =>
       cmds.resolveTable(t).foreach { tbl =>
         cmds.dropTable(tbl)

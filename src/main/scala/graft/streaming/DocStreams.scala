@@ -479,14 +479,21 @@ object DocStreams {
     * re-pointed — the same discipline as `DedupIndex.refresh`.
     */
   def admitAndIndex(docs: DataFrame, cmds: graft.commands.TableCommands,
-      verdictTable: String = "ingest_verdicts")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      verdictTable: String = "ingest_verdicts",
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a RESTARTED gate must resume its batch numbering (the warehouse
+    // markers are monotonic per table): without a checkpoint the engine
+    // restarts at batchId 0 and every already-committed marker silently
+    // swallows the new data — so restartable deployments (the SQL face)
+    // pin a checkpoint under the warehouse
+    val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitAndIndexBatch(batch, cmds, verdictTable, batchId)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** One micro-batch of [[admitAndIndex]] — public so the replay/crash
     * contract is directly testable (call twice with one batchId). */

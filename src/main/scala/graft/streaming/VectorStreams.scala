@@ -64,16 +64,19 @@ object VectorStreams {
     * within-batch duplicates are collapsed defensively. After each
     * append the live version directories change, so every catalog entry
     * is re-pointed (`VectorIndex.repoint`). */
-  def ingest(vecStream: DataFrame, cmds: TableCommands): StreamingQuery = {
+  def ingest(vecStream: DataFrame, cmds: TableCommands,
+      checkpoint: Option[String] = None): StreamingQuery = {
     val (cents, book) = freeze(
       cmds.table(VectorIndex.tableName("centroids")),
       cmds.table(VectorIndex.tableName("codebook")))
-    vecStream.writeStream
+    // checkpoint: same restart contract as DocStreams.admitAndIndex —
+    // batch numbering must resume or the markers swallow new data
+    val w = vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, cmds, cents, book, batchId)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   /** One micro-batch of [[ingest]] — public so the replay/crash contract

@@ -1489,6 +1489,55 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("START / SHOW / STOP ADMIT INGEST: the self-maintaining gate " +
+      "drivable from SQL — files dropped into the watched directory flow " +
+      "through the stored index, and later files see earlier admissions") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_ingest_sql_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val watch = Files.createTempDirectory("graft_ingest_watch").toString
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      intercept[IllegalArgumentException] { e1.sql("STOP INGEST nope") }
+      val doc3 = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") === 3).select("text").head.getString(0)
+      val fresh = "the amber lighthouse keeper walks a winding cliff " +
+        "path toward the harbor beacon every misty evening"
+      // a file is already waiting when the gate starts
+      Seq(3000001L -> doc3, 3000010L -> fresh).toDF("doc_id", "text")
+        .write.mode("append").parquet(watch)
+      assert(e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+        .head.getString(0).contains("started admit ingest gate"))
+      val q = e1.ingestQuery("gate").getOrElse(fail("no query handle"))
+      q.processAllAvailable()
+      def verdicts: Map[Long, (Boolean, Option[Long])] =
+        e1.storage.table("ingest_verdicts").collect().map { r =>
+          r.getLong(0) -> ((r.getBoolean(r.fieldIndex("admitted")),
+            Option(r.get(r.fieldIndex("matched_hist")))
+              .map(_.toString.toLong)))
+        }.toMap
+      val v1 = verdicts
+      assert(v1(3000001L)._2.exists(_ <= 3), "corpus copy not caught")
+      assert(v1(3000010L) == ((true, None)), "fresh doc not admitted")
+      // a LATER file re-sends the admitted content: the gate must catch
+      // it against its OWN grown index
+      Seq(3000020L -> fresh).toDF("doc_id", "text")
+        .write.mode("append").parquet(watch)
+      q.processAllAvailable()
+      assert(verdicts(3000020L) == ((false, Some(3000010L))),
+        "later file not checked against the grown index")
+      val shown = e1.sql("SHOW INGESTS").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      assert(shown == Seq(("gate", true)))
+      assert(e1.sql("STOP INGEST gate").head.getString(0)
+        .contains("stopped"))
+      assert(e1.sql("SHOW INGESTS").isEmpty)
+    } finally {
+      e1.sql("DROP DEDUP INDEX ON documents")
+      e1.close()
+    }
+  }
+
   test("RETAIN / SHOW VERSIONS / SNAPSHOT: time travel over the SQL " +
       "surface — a training run can pin and re-read the exact corpus " +
       "version it consumed") {
