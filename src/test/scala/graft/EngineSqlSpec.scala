@@ -1538,6 +1538,40 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("START VECTOR INGEST: the frozen-model vector gate over SQL — " +
+      "files of embeddings append to the stored index exactly once") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_vingest_sql_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val watch = Files.createTempDirectory("graft_vingest_watch").toString
+    try {
+      // no index yet: crisp error, not a dangling stream
+      intercept[IllegalArgumentException] {
+        e1.sql(s"START VECTOR INGEST FROM '$watch'")
+      }
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val before = e1.storage
+        .table(operators.VectorIndex.tableName("assign")).count()
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id + 5000000 AS vec_id", "embedding")
+        .filter(col("vec_id") % 17 === 0)
+        .write.mode("append").parquet(watch)
+      val n = spark.read.parquet(watch).count()
+      e1.sql(s"START VECTOR INGEST FROM '$watch'")
+      e1.ingestQuery("vector_ingest").get.processAllAvailable()
+      val na = e1.storage
+        .table(operators.VectorIndex.tableName("assign")).count()
+      val nc = e1.storage
+        .table(operators.VectorIndex.tableName("codes")).count()
+      assert(na == before + n && nc == na,
+        s"expected ${before + n} assign/codes rows, got $na/$nc")
+      e1.sql("STOP INGEST vector_ingest")
+    } finally {
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+      e1.close()
+    }
+  }
+
   test("RETAIN / SHOW VERSIONS / SNAPSHOT: time travel over the SQL " +
       "surface — a training run can pin and re-read the exact corpus " +
       "version it consumed") {
