@@ -33,6 +33,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // START/STOP INGEST registry (name -> running streaming query)
   private val ingests = scala.collection.mutable.LinkedHashMap[
     String, org.apache.spark.sql.streaming.StreamingQuery]()
+  private val ingestKinds =
+    scala.collection.mutable.LinkedHashMap[String, String]()
   /** The running ingest query registered under `name` (tests await its
     * quiescence through this handle). */
   def ingestQuery(name: String)
@@ -264,8 +266,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*RETAIN\s+(\d+)\s+VERSIONS?\s+ON\s+(\w+)\s*;?\s*""".r
   private val showVersionsStmt =
     """(?is)\s*SHOW\s+VERSIONS\s+ON\s+(\w+)\s*;?\s*""".r
+  // quotes around the version must be BALANCED or absent — two regex
+  // alternatives, the same fix the round-7 advice asked of runQueryStmt
   private val snapshotStmt =
-    """(?is)\s*SNAPSHOT\s+(\w+)\s+VERSION\s+AS\s+OF\s+'?(\w+)'?\s+AS\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*SNAPSHOT\s+(\w+)\s+VERSION\s+AS\s+OF\s+(?:'(\w+)'|(\w+))\s+AS\s+(\w+)\s*;?\s*""".r
   // the streaming ingest loop over SQL: START watches a directory (the
   // shape a decode/crawl stage drops files into) and pipes every new file
   // through the self-maintaining gate (documents -> admitAndIndex;
@@ -823,6 +827,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         if (k == "ADMIT") "admit_ingest" else "vector_ingest")
       require(!ingests.contains(name),
         s"ingest $name already running - STOP INGEST $name first")
+      // one gate per kind: both gates of a kind would write the SAME
+      // warehouse tables (verdicts + band index / assign + codes), and
+      // the manifest layout is single-writer per table
+      require(!ingestKinds.values.exists(_ == k),
+        s"an $k ingest is already running - the index tables are " +
+          "single-writer; STOP it first")
       val ckpt = s"$warehouse/_ingest_ckpt/$name"
       val q = if (k == "ADMIT") {
         require(cmds.tableExists(
@@ -848,6 +858,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           checkpoint = Some(ckpt))
       }
       ingests(name) = q
+      ingestKinds(name) = k
       status(s"started ${k.toLowerCase} ingest $name from $dir")
     case showIngestsStmt() =>
       import spark.implicits._
@@ -858,11 +869,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         s"no ingest named $name - SHOW INGESTS lists them"))
       q.stop()
       ingests.remove(name)
+      ingestKinds.remove(name)
       status(s"stopped ingest $name")
-    case snapshotStmt(tblRaw, ver, alias) =>
+    case snapshotStmt(tblRaw, verQ, verBare, alias) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(
         throw new IllegalArgumentException(s"table $tblRaw does not exist"))
-      val path = cmds.snapshotPath(tbl, ver)
+      val path = cmds.snapshotPath(tbl, Option(verQ).getOrElse(verBare))
       spark.read.parquet(path).createOrReplaceTempView(alias)
       status(s"snapshot $alias -> $tbl @ ${java.nio.file.Paths.get(path)
         .getFileName}")
@@ -1251,6 +1263,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       case _: Throwable => ()
     })
     ingests.clear()
+    ingestKinds.clear()
     tempTables.foreach { t =>
       cmds.resolveTable(t).foreach { tbl =>
         cmds.dropTable(tbl)

@@ -1529,6 +1529,11 @@ class EngineSqlSpec extends AnyFunSuite {
       val shown = e1.sql("SHOW INGESTS").collect()
         .map(r => (r.getString(0), r.getBoolean(1))).toSeq
       assert(shown == Seq(("gate", true)))
+      // the index tables are single-writer: a second ADMIT gate (under
+      // any name) is refused while one runs
+      intercept[IllegalArgumentException] {
+        e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate2")
+      }
       assert(e1.sql("STOP INGEST gate").head.getString(0)
         .contains("stopped"))
       assert(e1.sql("SHOW INGESTS").isEmpty)
@@ -1598,6 +1603,11 @@ class EngineSqlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         engine.sql("SNAPSHOT tt VERSION AS OF 1 AS tt_gone")
       }
+      // unbalanced quotes must not parse (the runQueryStmt discipline)
+      intercept[Exception] {
+        engine.sql("SNAPSHOT tt VERSION AS OF 'v00002 AS tt_bad")
+      }
+      assert(!spark.catalog.tableExists("tt_bad"))
     } finally {
       engine.sql("DROP TABLE IF EXISTS tt")
       spark.catalog.dropTempView("tt_then"); ()
