@@ -1534,7 +1534,156 @@ object Similarity {
               |$deltaCtes
               |SELECT q_id, vec_id AS neighbor_id, tier,
               |       ROUND(CAST(dq AS DOUBLE) / 1e12, 6) AS sq_dist
-              |FROM mtop""".stripMargin))
+              |FROM mtop""".stripMargin)),
+
+    QueryDef(
+      "s109_mmr_diversify", // DIVERSIFIED retrieval — maximal marginal
+                            // relevance over each query's shortlist: a
+                            // training-data sampler that takes plain
+                            // top-k gets near-duplicate neighbors (the
+                            // corpus is full of them — that is what the
+                            // d-family proves); MMR greedily picks
+                            // argmax λ·rel(q,d) − (1−λ)·max sim(d,
+                            // selected), trading relevance against
+                            // redundancy. Two-phase scale shape: the
+                            // shortlist is s90's brute-force top-10
+                            // (swap in the s101/s103 indexed chain at
+                            // scale — MMR only needs SOME shortlist
+                            // source), then the greedy runs PER QUERY
+                            // over ≤10 candidates inside mapGroups —
+                            // the O(k·n²) pairwise work touches ten
+                            // rows in one task, never a corpus join.
+                            // Every value the greedy compares is an
+                            // EXACT INTEGER: components quantize to
+                            // 1e-6 units (the s92/s97 convention), rel
+                            // and pairwise sims are integer dot
+                            // products in that space, and λ = 0.7
+                            // becomes score = 7·rel − 3·maxSim in
+                            // deci-units — no float ever crosses an
+                            // engine boundary (a 6-dp-rounded cosine
+                            // variant of this operator hit a rounding
+                            // boundary at sf0.01: the two engines'
+                            // cosine kernels differ in the last ulp).
+                            // Ties break on vec_id; the oracle unrolls
+                            // the k=3 greedy into three CTE stages —
+                            // two independent derivations of the same
+                            // selection must agree on every pick AND
+                            // every score.
+      (s, d) => {
+        import s.implicits._
+        val eI = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            x => round(x.cast("double") * 1000000).cast("long"))
+            .as("emb"))
+        val q = eI.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        val rel = aggregate(
+          zip_with(col("q_emb"), col("emb"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("rel").desc, col("vec_id").asc)
+        val shortlist = broadcast(q)
+          .join(eI, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), rel.as("rel"), col("emb"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("vec_id"), col("rel"), col("emb"))
+        val kSel = 3
+        shortlist.as[(Long, Long, Long, Seq[Long])]
+          .groupByKey(_._1)
+          .flatMapGroups { (qid: Long,
+              it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+            def dotL(a: Seq[Long], b: Seq[Long]): Long = {
+              var acc = 0L; var i = 0
+              while (i < a.length) { acc += a(i) * b(i); i += 1 }
+              acc
+            }
+            val remaining = scala.collection.mutable.ArrayBuffer(
+              it.toSeq.sortBy(_._2): _*)
+            val selected = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Seq[Long])]
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Long, Long)]
+            var rank = 1
+            while (rank <= kSel && remaining.nonEmpty) {
+              def score(c: (Long, Long, Long, Seq[Long])): Long = {
+                val maxSim =
+                  if (selected.isEmpty) 0L
+                  else selected.iterator.map(p => dotL(c._4, p._2)).max
+                7L * c._3 - 3L * maxSim
+              }
+              val best = remaining.minBy(c => (-score(c), c._2))
+              out += ((qid, rank, best._2, score(best)))
+              selected += ((best._2, best._4))
+              remaining -= best
+              rank += 1
+            }
+            out.iterator
+          }
+          .toDF("q_id", "rank", "vec_id", "mmr_score_q")
+      },
+      Some("""WITH comp AS (
+             |  SELECT vec_id, j - 1 AS j0,
+             |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
+             |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             |               generate_subscripts(embedding, 1) AS j
+             |        FROM embeddings)),
+             |sl AS (
+             |  SELECT * FROM (
+             |    SELECT q_id, vid, rel,
+             |           ROW_NUMBER() OVER (PARTITION BY q_id
+             |             ORDER BY rel DESC, vid) AS rnk
+             |    FROM (SELECT qc.vec_id AS q_id, cc.vec_id AS vid,
+             |                 SUM(qc.xq * cc.xq) AS rel
+             |          FROM comp qc
+             |          JOIN comp cc ON cc.j0 = qc.j0
+             |                      AND cc.vec_id != qc.vec_id
+             |          WHERE qc.vec_id < 10
+             |          GROUP BY 1, 2))
+             |  WHERE rnk <= 10),
+             |ps AS (
+             |  SELECT a.q_id, a.vid AS d1, b.vid AS d2,
+             |         SUM(ca.xq * cb.xq) AS s
+             |  FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.vid <> b.vid
+             |  JOIN comp ca ON ca.vec_id = a.vid
+             |  JOIN comp cb ON cb.vec_id = b.vid AND cb.j0 = ca.j0
+             |  GROUP BY 1, 2, 3),
+             |p1 AS (SELECT q_id, vid, rel, 7 * rel AS score
+             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             |               ORDER BY rel DESC, vid) AS r FROM sl)
+             |       WHERE r = 1),
+             |c2 AS (SELECT sl.q_id, sl.vid, sl.rel,
+             |              7 * sl.rel - 3 * ps.s AS score
+             |       FROM sl
+             |       JOIN p1 ON p1.q_id = sl.q_id AND sl.vid <> p1.vid
+             |       JOIN ps ON ps.q_id = sl.q_id AND ps.d1 = sl.vid
+             |              AND ps.d2 = p1.vid),
+             |p2 AS (SELECT q_id, vid, rel, score
+             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             |               ORDER BY score DESC, vid) AS r FROM c2)
+             |       WHERE r = 1),
+             |c3 AS (SELECT sl.q_id, sl.vid,
+             |              7 * sl.rel - 3 * GREATEST(s1.s, s2.s) AS score
+             |       FROM sl
+             |       JOIN p1 ON p1.q_id = sl.q_id
+             |       JOIN p2 ON p2.q_id = sl.q_id
+             |       JOIN ps s1 ON s1.q_id = sl.q_id AND s1.d1 = sl.vid
+             |                 AND s1.d2 = p1.vid
+             |       JOIN ps s2 ON s2.q_id = sl.q_id AND s2.d1 = sl.vid
+             |                 AND s2.d2 = p2.vid
+             |       WHERE sl.vid <> p1.vid AND sl.vid <> p2.vid),
+             |p3 AS (SELECT q_id, vid, score
+             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             |               ORDER BY score DESC, vid) AS r FROM c3)
+             |       WHERE r = 1)
+             |SELECT q_id, CAST(1 AS INTEGER) AS rank, vid AS vec_id,
+             |       CAST(score AS BIGINT) AS mmr_score_q FROM p1
+             |UNION ALL
+             |SELECT q_id, CAST(2 AS INTEGER), vid, CAST(score AS BIGINT)
+             |FROM p2
+             |UNION ALL
+             |SELECT q_id, CAST(3 AS INTEGER), vid, CAST(score AS BIGINT)
+             |FROM p3""".stripMargin))
   )
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the

@@ -294,7 +294,13 @@ class PlanGuardSpec extends AnyFunSuite {
       Seq("BroadcastHashJoin")),
     // q97: Q12 is one fact-to-orders equi join + a 3-row group — the
     // only exchanges are the join keys and the final tiny agg
-    ("q97_tpch_priority_shipping", 2, Nil, Nil))
+    ("q97_tpch_priority_shipping", 2, Nil, Nil),
+    // s109: one corpus scan + the 10-row pushed-filter query scan — the
+    // query side rides a bounded broadcast NL join (pure ≠ condition, the
+    // s90 shape) and the greedy runs per-query in mapGroups over ≤10
+    // rows; an SMJ would mean the corpus started shuffling for it
+    ("s109_mmr_diversify", 2, Seq("SortMergeJoin"),
+      Seq("BroadcastNestedLoopJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
