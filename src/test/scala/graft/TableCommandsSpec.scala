@@ -344,6 +344,83 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(at("2") == Seq(1, 2), "history unreadable after rollback")
   }
 
+  test("storage model property: 150 seeded-random interleavings of every " +
+      "commit path (append/insert exactly-once, replays, COW rewrites, " +
+      "compaction, crashes, retention) always equal the reference model") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    val rnd = new scala.util.Random(42)
+    c.createTable("t", Seq(0).toDF("id"))
+    c.setRetain("t", 2) // retention active throughout: sweep must never
+                        // eat the live state while keeping history
+    var model = Vector(0)
+    var next = 1 // unique row values
+    var nextBatch = 0L
+    def freshRows(n: Int): Seq[Int] = {
+      val r = (next until next + n).toSeq; next += n; r
+    }
+    def check(step: Int, op: String): Unit = {
+      val got = c.table("t").as[Int].collect().sorted.toSeq
+      assert(got == model.sorted,
+        s"step $step ($op): table $got != model ${model.sorted}")
+    }
+    for (step <- 1 to 150) {
+      rnd.nextInt(7) match {
+        case 0 => // exactly-once O(batch) append, new batch id
+          val rows = freshRows(1 + rnd.nextInt(3))
+          c.appendCommitted("t", rows.toDF("id"), nextBatch)
+          model ++= rows; nextBatch += 1
+          check(step, "append-new")
+        case 1 => // replayed append (any already-committed id): no-op
+          if (nextBatch > 0) {
+            c.appendCommitted("t", freshRows(2).toDF("id"),
+              rnd.nextLong(nextBatch))
+            check(step, "append-replay")
+          }
+        case 2 => // exactly-once COW insert, new batch id
+          val rows = freshRows(1 + rnd.nextInt(3))
+          c.insertCommitted("t", rows.toDF("id"), nextBatch)
+          model ++= rows; nextBatch += 1
+          check(step, "insert-new")
+        case 3 => // replayed COW insert: no-op
+          if (nextBatch > 0) {
+            c.insertCommitted("t", freshRows(2).toDF("id"),
+              rnd.nextLong(nextBatch))
+            check(step, "insert-replay")
+          }
+        case 4 => // compaction: content-preserving rewrite
+          c.optimizeTable("t", targetPartitions = 2)
+          check(step, "optimize")
+        case 5 => // COW delete of one present value
+          if (model.nonEmpty) {
+            val v = model(rnd.nextInt(model.length))
+            c.delete("t", col("id") === v)
+            model = model.filterNot(_ == v)
+            check(step, "delete")
+          }
+        case 6 => // crash between stage and pointer, then the engine's
+                  // replay of the SAME batch id lands it exactly once
+          val rows = freshRows(2)
+          c.crashPoint = Some("staged")
+          intercept[IllegalStateException] {
+            c.appendCommitted("t", rows.toDF("id"), nextBatch)
+          }
+          check(step, "append-crashed")
+          c.appendCommitted("t", rows.toDF("id"), nextBatch)
+          model ++= rows; nextBatch += 1
+          check(step, "append-crash-retry")
+      }
+    }
+    // closing invariants: integrity scan agrees, history is on-disk and
+    // bounded by the retention window, and the newest retained snapshot
+    // is the live state
+    assert(c.verifyTable("t") == model.length.toLong)
+    val hist = c.versionHistory("t")
+    assert(hist.size <= 2 && hist.nonEmpty)
+    assert(spark.read.parquet(c.snapshotPath("t", hist.last))
+      .as[Int].collect().sorted.toSeq == model.sorted)
+  }
+
   test("appendCommitted: crash between stage and pointer leaves the old " +
       "version live; the retry (the engine's replay) lands the batch once") {
     import spark.implicits._
