@@ -1470,6 +1470,68 @@ object TextAnalysis {
              |        % 1000000) * tok_n < min_tok * 1000000""".stripMargin)),
 
     QueryDef(
+      "t106_temperature_mixture", // the GENERAL point of the mixture-
+                            // weighting family t86 anchors at
+                            // temperature→0: α = 0.5 rebalancing (the
+                            // multilingual-pretraining standard — each
+                            // source's share of a half-corpus token
+                            // budget ∝ tok_i^α, upweighting tails
+                            // without flattening heads). EXACT INTEGER
+                            // throughout: tok^0.5 becomes the integer
+                            // sqrt FLOOR(SQRT(tok)) — IEEE sqrt of an
+                            // integer-valued double is exact on perfect
+                            // squares and nowhere near an integer
+                            // otherwise, so the floor cannot differ
+                            // between engines — and the keep test is
+                            // hash_ppm · tok_i · Σsq < B · sq_i · 1e6,
+                            // pure int64 at these scales (a 100 TB
+                            // deployment moves the compare to DECIMAL).
+                            // A source whose target exceeds its size is
+                            // kept whole (hash_ppm < 1e6 always):
+                            // upsampling means repetition, a policy
+                            // decision this operator refuses to make
+                            // silently. Same deterministic RNG-free
+                            // hash-bucket selection and single
+                            // broadcast-back scale shape as t86 — the
+                            // corpus never shuffles.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("ntok"))
+        val totals = docs.groupBy("source").agg(sum("ntok").as("tok_n"))
+          .withColumn("sq",
+            floor(sqrt(col("tok_n").cast("double"))).cast("long"))
+          .withColumn("sum_sq", sum(col("sq")).over(w))
+          .withColumn("tot_all", sum(col("tok_n")).over(w))
+          .withColumn("budget", expr("tot_all div 2"))
+        docs.join(broadcast(totals), "source")
+          .filter((Dedup.hash60(col("doc_id")) % 1000000L)
+            * col("tok_n") * col("sum_sq")
+            < col("budget") * col("sq") * 1000000L)
+          .select(col("doc_id"), col("source"), col("ntok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(
+             |             regexp_split_to_array(trim(text), '\s+'),
+             |             x -> x != '')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |tot AS (SELECT source, SUM(ntok) AS tok_n FROM toks
+             |        GROUP BY source),
+             |ws AS (SELECT source, tok_n,
+             |              CAST(FLOOR(SQRT(CAST(tok_n AS DOUBLE)))
+             |                   AS BIGINT) AS sq
+             |       FROM tot),
+             |g AS (SELECT SUM(tok_n) // 2 AS budget, SUM(sq) AS sum_sq
+             |      FROM ws)
+             |SELECT doc_id, t.source, ntok
+             |FROM toks t JOIN ws USING (source) CROSS JOIN g
+             |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |        % 1000000) * tok_n * sum_sq
+             |      < budget * sq * 1000000""".stripMargin)),
+
+    QueryDef(
       "t89_token_entropy", // per-doc unigram token entropy — the
                            // Gopher-style "gibberish or natural?" quality
                            // signal (low entropy = looping/boilerplate,

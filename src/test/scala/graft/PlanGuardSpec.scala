@@ -300,7 +300,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // s90 shape) and the greedy runs per-query in mapGroups over ≤10
     // rows; an SMJ would mean the corpus started shuffling for it
     ("s109_mmr_diversify", 2, Seq("SortMergeJoin"),
-      Seq("BroadcastNestedLoopJoin")))
+      Seq("BroadcastNestedLoopJoin")),
+    // t106: the |sources|-row weight table broadcasts back into a
+    // map-side filter — the corpus never shuffles (t86's shape)
+    ("t106_temperature_mixture", 2, Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin")))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
