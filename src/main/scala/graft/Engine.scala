@@ -30,7 +30,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * warehouse the SQL surface serves from. */
   def storage: graft.commands.TableCommands = cmds
 
-  // START/STOP INGEST registry (name -> running streaming query)
+  // START/STOP INGEST registry (name -> running streaming query). The
+  // in-memory maps track THIS session's running queries; the durable
+  // half lives in the warehouse (`_ingest_registry/<name>`, one file per
+  // gate holding "KIND\tsource-dir") so the registration survives engine
+  // restarts — SHOW INGESTS lists checkpointed-but-not-running gates as
+  // resumable, and the single-writer-per-kind guard holds ACROSS engine
+  // instances sharing one warehouse, not just within a session (two ADMIT
+  // gates from two engines would double-write the single-writer band
+  // index). Reference analog: the catalog reopens persisted state on
+  // restart (storage/StorageManager.java); the ingest registry does too.
   private val ingests = scala.collection.mutable.LinkedHashMap[
     String, org.apache.spark.sql.streaming.StreamingQuery]()
   private val ingestKinds =
@@ -40,6 +49,51 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   def ingestQuery(name: String)
       : Option[org.apache.spark.sql.streaming.StreamingQuery] =
     ingests.get(name)
+
+  private def ingestRegistryDir =
+    java.nio.file.Paths.get(warehouse, "_ingest_registry")
+  private def ingestRegFile(name: String) = ingestRegistryDir.resolve(name)
+
+  /** Durably registered ingest gates: (name, kind, source dir). A registry
+    * entry without a live in-memory query belongs to a prior (restarted or
+    * dead) session — resumable via START under the same name, or cleared
+    * via STOP INGEST. */
+  private def registeredIngests: Seq[(String, String, String)] =
+    if (!java.nio.file.Files.isDirectory(ingestRegistryDir)) Nil
+    else Option(ingestRegistryDir.toFile.listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).toSeq.sortBy(_.getName)
+      .map { f =>
+        val Array(k, d) = java.nio.file.Files.readString(f.toPath)
+          .trim.split("\t", 2)
+        (f.getName, k, d)
+      }
+
+  private def registerIngest(name: String, kind: String, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(ingestRegistryDir)
+    java.nio.file.Files.writeString(ingestRegFile(name), s"$kind\t$dir"); ()
+  }
+
+  private def deregisterIngest(name: String): Unit = {
+    java.nio.file.Files.deleteIfExists(ingestRegFile(name)); ()
+  }
+
+  /** Refuse maintenance on the index tables an ingest of `kind` is
+    * actively writing: REFRESH and OPTIMIZE publish new versions of the
+    * same manifests the gate's appendCommitted commits into, and the
+    * manifest layout is single-writer per table (concurrent nextVersion
+    * races, lost pointer swaps). The check covers BOTH this session's
+    * running gates and the durable registry — a gate owned by another
+    * engine instance over the same warehouse is just as much a writer. */
+  private def requireNoIngest(kind: String, what: String): Unit = {
+    val inMem = ingestKinds.collectFirst {
+      case (n, k) if k == kind => n }
+    val durable = registeredIngests.collectFirst {
+      case (n, k, _) if k == kind => n }
+    inMem.orElse(durable).foreach(n =>
+      throw new IllegalStateException(
+        s"$what: a $kind ingest ('$n') is registered on this warehouse " +
+          s"and the index tables are single-writer - STOP INGEST $n first"))
+  }
 
   /** base table (lowercase) -> column (lowercase) -> index table name.
     * CREATE INDEX records here; plain queries against the base table are
@@ -210,8 +264,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // a warehouse table / view supplies — the probe-by-arbitrary-key analog
   // of IndexScanNode (plans/IndexScanNode.java:17-51), completing the
   // BUILD/REFRESH/DROP lifecycle with the read that justifies it
+  // optional DIVERSIFY <λ>: MMR-rerank the indexed shortlist (top ~3k)
+  // so the answers trade relevance against redundancy — the production
+  // composition of the serve kernel and the s109 greedy
   private val searchVectorsStmt =
-    """(?is)\s*SEARCH\s+VECTORS\s+USING\s+(\w+)(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*SEARCH\s+VECTORS\s+USING\s+(\w+)(?:\s+TOP\s+(\d+))?(?:\s+DIVERSIFY\s+(\d+(?:\.\d+)?))?\s*;?\s*""".r
   // the semantic-decontamination gate's SQL face (d103's kernel,
   // Similarity.decontamVectors): audit caller-supplied candidate vectors
   // against the corpus's eval slice before they are admitted to training
@@ -270,6 +327,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // alternatives, the same fix the round-7 advice asked of runQueryStmt
   private val snapshotStmt =
     """(?is)\s*SNAPSHOT\s+(\w+)\s+VERSION\s+AS\s+OF\s+(?:'(\w+)'|(\w+))\s+AS\s+(\w+)\s*;?\s*""".r
+  // a snapshot PINS its version against sweeping (durably, in the table's
+  // PINS file) so a training read survives RETAIN-lowering and heavy write
+  // traffic; DROP SNAPSHOT releases the pin and the view
+  private val dropSnapshotStmt =
+    """(?is)\s*DROP\s+SNAPSHOT\s+(\w+)\s*;?\s*""".r
   // the streaming ingest loop over SQL: START watches a directory (the
   // shape a decode/crawl stage drops files into) and pipes every new file
   // through the self-maintaining gate (documents -> admitAndIndex;
@@ -567,7 +629,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     case showQueriesStmt() =>
       import spark.implicits._
       SparkEntry.queries.keys.toSeq.sorted.toDF("query")
-    case searchVectorsStmt(tbl, kOpt) =>
+    case searchVectorsStmt(tbl, kOpt, lamOpt) =>
       val k = Option(kOpt).map(_.toInt).getOrElse(3)
       if (k < 1) throw new IllegalArgumentException(
         s"SEARCH VECTORS: TOP must be >= 1; got $k")
@@ -587,7 +649,22 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"SEARCH VECTORS: '$tbl' must carry (q_id, embedding) columns; " +
             s"got (${q.columns.mkString(", ")})")
-      operators.Similarity.searchVectors(spark, sfDir, q, k)
+      Option(lamOpt) match {
+        case None => operators.Similarity.searchVectors(spark, sfDir, q, k)
+        case Some(l) =>
+          // λ in tenths keeps the greedy exact-integer (the s109/s110
+          // convention); a finer λ would need a wider integer unit, so
+          // the surface refuses it rather than silently rounding
+          val lam = l.toDouble
+          if (lam < 0 || lam > 1 ||
+              math.abs(lam * 10 - math.round(lam * 10)) > 1e-9)
+            throw new IllegalArgumentException(
+              s"SEARCH VECTORS: DIVERSIFY lambda must be one of 0.0, " +
+                s"0.1, ..., 1.0; got $l")
+          operators.Similarity.searchVectorsDiversified(spark, sfDir, q,
+            k = k, shortK = math.max(10, 3 * k),
+            lambdaTenths = math.round(lam * 10).toInt)
+      }
     case decontamVectorsStmt(tbl, thrOpt) =>
       val thr = Option(thrOpt).map(_.toDouble).getOrElse(0.3)
       if (thr > 1) throw new IllegalArgumentException(
@@ -670,6 +747,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"REFRESH VECTOR INDEX: only the embeddings corpus carries " +
             s"vectors; got '$tbl'")
+      requireNoIngest("VECTOR", "REFRESH VECTOR INDEX")
       val n = operators.VectorIndex.refresh(spark, sfDir, cmds)
       status(s"refreshed vector index on $tbl ($n vectors appended)")
     case refreshDedupIndex(tbl) =>
@@ -677,6 +755,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"REFRESH DEDUP INDEX: only the documents corpus carries " +
             s"text; got '$tbl'")
+      requireNoIngest("ADMIT", "REFRESH DEDUP INDEX")
       val n = operators.DedupIndex.refresh(spark, sfDir, cmds)
       status(s"refreshed dedup index on $tbl ($n documents appended)")
     case explainDml(dml) =>
@@ -829,11 +908,43 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         s"ingest $name already running - STOP INGEST $name first")
       // one gate per kind: both gates of a kind would write the SAME
       // warehouse tables (verdicts + band index / assign + codes), and
-      // the manifest layout is single-writer per table
+      // the manifest layout is single-writer per table. The claim is the
+      // DURABLE registry entry, so it holds across engine instances
+      // sharing this warehouse — a second engine's same-kind START is
+      // refused even though its in-memory maps are empty. A same-NAME
+      // same-kind START is a RESUME of a prior session's gate.
+      registeredIngests.find(_._2 == k).foreach { case (n, _, _) =>
+        require(n == name,
+          s"an $k ingest ('$n') is already registered on this warehouse " +
+            s"- the index tables are single-writer; STOP INGEST $n first")
+      }
       require(!ingestKinds.values.exists(_ == k),
         s"an $k ingest is already running - the index tables are " +
           "single-writer; STOP it first")
-      val ckpt = s"$warehouse/_ingest_ckpt/$name"
+      // checkpoint keyed by KIND, not alias: the single-writer-per-kind
+      // guard makes the kind unique, and the sink tables' _STREAM_BATCH
+      // markers are monotonic PER TABLE — an alias-keyed checkpoint
+      // (STOP INGEST foo; START ... AS bar) would restart Spark's batch
+      // numbering at 0 against markers already at N, and every new
+      // micro-batch id <= N would be silently skipped as a replay: total
+      // silent data loss on a supported SQL surface.
+      val ckpt = s"$warehouse/_ingest_ckpt/" +
+        k.toLowerCase(java.util.Locale.ROOT)
+      // a file-stream checkpoint also pins its SOURCE: resuming it
+      // against a different directory is undefined in the engine (seen-
+      // files log and offsets refer to the old source), so the first
+      // START records the source beside the checkpoint and later STARTs
+      // must match it
+      val srcFile = java.nio.file.Paths.get(s"$ckpt.src")
+      if (java.nio.file.Files.exists(srcFile)) {
+        val d0 = java.nio.file.Files.readString(srcFile).trim
+        require(d0 == dir,
+          s"the $k ingest checkpoint was created for source '$d0' and a " +
+            s"file-stream checkpoint pins its source - resume from '$d0'")
+      } else {
+        java.nio.file.Files.createDirectories(srcFile.getParent)
+        java.nio.file.Files.writeString(srcFile, dir)
+      }
       val q = if (k == "ADMIT") {
         require(cmds.tableExists(
           operators.DedupIndex.tableName("bands")),
@@ -859,29 +970,78 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
       ingests(name) = q
       ingestKinds(name) = k
+      registerIngest(name, k, dir)
       status(s"started ${k.toLowerCase} ingest $name from $dir")
     case showIngestsStmt() =>
       import spark.implicits._
-      ingests.toSeq.map { case (n, q) => (n, q.isActive) }
-        .toDF("name", "is_active")
+      // durable registry entries first (is_active reflects whether THIS
+      // session runs the query — false means a prior session's gate,
+      // resumable by START under the same name or cleared by STOP);
+      // in-memory-only entries shouldn't exist but are listed defensively
+      val durable = registeredIngests
+      val durableNames = durable.map(_._1).toSet
+      (durable.map { case (n, k, d) =>
+        (n, ingests.get(n).exists(_.isActive),
+          k.toLowerCase(java.util.Locale.ROOT), d)
+      } ++ ingests.keys.filterNot(durableNames).toSeq.sorted.map(n =>
+        (n, ingests(n).isActive,
+          ingestKinds.getOrElse(n, "").toLowerCase(java.util.Locale.ROOT),
+          "")))
+        .toDF("name", "is_active", "kind", "source")
     case stopIngestStmt(name) =>
-      val q = ingests.getOrElse(name, throw new IllegalArgumentException(
-        s"no ingest named $name - SHOW INGESTS lists them"))
-      q.stop()
-      ingests.remove(name)
-      ingestKinds.remove(name)
-      status(s"stopped ingest $name")
+      ingests.get(name) match {
+        case Some(q) =>
+          q.stop()
+          ingests.remove(name)
+          ingestKinds.remove(name)
+          deregisterIngest(name)
+          status(s"stopped ingest $name")
+        case None if registeredIngests.exists(_._1 == name) =>
+          // a prior session's durable registration: clearing it releases
+          // the single-writer claim (the kind-keyed checkpoint stays, so
+          // a later START of the kind resumes batch numbering from it)
+          deregisterIngest(name)
+          status(s"stopped ingest $name (cleared prior-session " +
+            "registration; checkpoint retained)")
+        case None => throw new IllegalArgumentException(
+          s"no ingest named $name - SHOW INGESTS lists them")
+      }
     case snapshotStmt(tblRaw, verQ, verBare, alias) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(
         throw new IllegalArgumentException(s"table $tblRaw does not exist"))
       val path = cmds.snapshotPath(tbl, Option(verQ).getOrElse(verBare))
+      val ver = java.nio.file.Paths.get(path).getFileName.toString
+      // pin BEFORE registering the view: the version must be sweep-proof
+      // from the instant a reader can resolve the alias. The pin is
+      // durable (PINS file) — a swept-under-the-reader snapshot is the
+      // failure mode this exists to prevent — and released only by an
+      // explicit DROP SNAPSHOT.
+      cmds.pinVersion(tbl, alias, ver)
       spark.read.parquet(path).createOrReplaceTempView(alias)
-      status(s"snapshot $alias -> $tbl @ ${java.nio.file.Paths.get(path)
-        .getFileName}")
+      status(s"snapshot $alias -> $tbl @ $ver (pinned until DROP SNAPSHOT)")
+    case dropSnapshotStmt(alias) =>
+      cmds.warehouseTables.find(t =>
+        cmds.pins(t).exists(_._1.equalsIgnoreCase(alias))) match {
+        case Some(t) =>
+          cmds.unpinAlias(t, alias)
+          spark.catalog.dropTempView(alias)
+          status(s"dropped snapshot $alias (version of $t unpinned)")
+        case None => throw new IllegalArgumentException(
+          s"DROP SNAPSHOT: no snapshot named '$alias' is pinned")
+      }
     case optimizeStmt(tblRaw, zcolsRaw) =>
       // reference: OptimizeCommand (compaction); ZORDER BY adds the
       // multi-dimensional clustering rewrite (see TableCommands Scaladoc)
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
+      // OPTIMIZE is a legal maintenance verb on index tables (compacting
+      // the small files appendCommitted accumulates is exactly its job) —
+      // but not while an ingest of that kind is committing into the same
+      // manifest: single-writer per table
+      val lowTbl = tbl.toLowerCase
+      if (lowTbl.startsWith("vector_index_"))
+        requireNoIngest("VECTOR", s"OPTIMIZE $tbl")
+      if (lowTbl.startsWith("dedup_index_"))
+        requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
       val zcols = Option(zcolsRaw).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       cmds.optimizeTable(tbl, zorderBy = zcols)

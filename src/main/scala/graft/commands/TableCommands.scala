@@ -69,12 +69,31 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       .filter(f => f.isDirectory && tableExists(f.getName))
       .map(_.getName).toSeq.sorted
 
+  /** Last-line defense for the staging invariant: a freshly-allocated
+    * version name must never be the LIVE version (a nextVersion bug, e.g.
+    * the old exactly-5-digit regex going blind past v99999, would make the
+    * stage's SaveMode.Overwrite delete live data). Fail loudly instead. */
+  private def assertStageFresh(table: String, version: String): Unit =
+    if (Files.exists(currentFile(table)) &&
+        Files.readString(currentFile(table)).trim == version)
+      throw new IllegalStateException(
+        s"internal error: staging version $version of $table equals the " +
+          "live version - refusing to overwrite live data")
+
+  /** Numeric value of a version name — the ONE comparison key for version
+    * ordering. `%05d` is a minimum width: version 100000 renames to
+    * `v100000` (6 digits), and from there lexicographic order lies
+    * (`v100000` < `v99999`), so every ordering decision (history bound,
+    * retention window, max-for-next) parses the number. appendCommitted
+    * makes 100k+ commits reachable on a long-running stream. */
+  private def vnum(v: String): Long = v.drop(1).toLong
+
   private def nextVersion(table: String): String = {
     val d = new java.io.File(dir(table))
     val existing = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{5}"))
-      .map(_.getName.drop(1).toInt)
-    f"v${(if (existing.isEmpty) 0 else existing.max) + 1}%05d"
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{5,}"))
+      .map(f => vnum(f.getName))
+    f"v${(if (existing.isEmpty) 0L else existing.max) + 1}%05d"
   }
 
   /** Fault injection for the publish path — the reference's CRASH command
@@ -105,6 +124,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   private def publish(table: String, df: DataFrame,
       streamBatch: Option[Long] = None): Unit = {
     val version = nextVersion(table)
+    assertStageFresh(table, version)
     df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/$version")
     streamBatch.orElse(lastCommittedBatch(table)).foreach(b =>
       Files.writeString(Paths.get(dir(table), version, "_STREAM_BATCH"),
@@ -163,16 +183,16 @@ class TableCommands(spark: SparkSession, warehouse: String) {
           .map(_.trim).filter(_.nonEmpty).toSeq
       else Nil
     (logged :+ live).distinct
-      .filter(v => v <= live &&
+      .filter(v => vnum(v) <= vnum(live) &&
         Files.isDirectory(Paths.get(dir(name), v)))
-      .sorted
+      .sortBy(vnum)
   }
 
   /** The data path of a retained historical version — `VERSION AS OF`'s
     * resolver. Accepts the `vNNNNN` name or the bare number. */
   def snapshotPath(name: String, version: String): String = {
     require(tableExists(name), s"table $name does not exist")
-    val v = if (version.matches("\\d+")) f"v${version.toInt}%05d"
+    val v = if (version.matches("\\d+")) f"v${version.toLong}%05d"
       else version
     require(versionHistory(name).contains(v),
       s"version $v of $name is not retained - RETAIN more versions or " +
@@ -180,18 +200,75 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     s"${dir(name)}/$v"
   }
 
+  // ── snapshot pins: a SNAPSHOT view serves training reads directly from
+  // a version directory, so that directory must outlive RETAIN changes and
+  // heavy write traffic for as long as the snapshot is registered. Pins
+  // live in a `PINS` file beside the version dirs (one `alias<TAB>version`
+  // line per registered snapshot — DURABLE, so a training job's pinned
+  // corpus survives engine restarts until an explicit DROP SNAPSHOT);
+  // sweep's keep-set is retention-window ∪ pinned versions ∪ live. ───────
+  private def pinsFile(table: String) = Paths.get(dir(table), "PINS")
+
+  /** Registered snapshot pins of `table`: alias -> version. */
+  def pins(table: String): Seq[(String, String)] =
+    if (Files.exists(pinsFile(table)))
+      Files.readString(pinsFile(table)).linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+        .map { l => val Array(a, v) = l.split("\t", 2); (a, v) }
+    else Nil
+
+  private def pinnedVersions(table: String): Seq[String] =
+    pins(table).map(_._2).distinct
+
+  /** Pin `version` of `table` against sweeping, under snapshot `alias`
+    * (re-registering an alias moves its pin). */
+  def pinVersion(table: String, alias: String, version: String): Unit = {
+    require(versionHistory(table).contains(version),
+      s"cannot pin $version of $table - not a retained version")
+    val kept = pins(table).filterNot(_._1.equalsIgnoreCase(alias)) :+
+      (alias -> version)
+    atomicWrite(pinsFile(table),
+      kept.map { case (a, v) => s"$a\t$v" }.mkString("", "\n", "\n"))
+  }
+
+  /** Release snapshot `alias`'s pin (DROP SNAPSHOT). Returns true if a pin
+    * existed. The version directory becomes sweepable again on the next
+    * rewrite (unless the retention window or another alias still holds it). */
+  def unpinAlias(table: String, alias: String): Boolean = {
+    val (gone, kept) = pins(table).partition(_._1.equalsIgnoreCase(alias))
+    if (kept.isEmpty) { Files.deleteIfExists(pinsFile(table)); () }
+    else atomicWrite(pinsFile(table),
+      kept.map { case (a, v) => s"$a\t$v" }.mkString("", "\n", "\n"))
+    gone.nonEmpty
+  }
+
+  /** tmp-write + ATOMIC_MOVE — the same discipline as the CURRENT pointer,
+    * used for every multi-line metadata file a crash mid-write could
+    * truncate (VERSIONS, PINS). */
+  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING); ()
+  }
+
   /** Delete superseded version directories beyond the retention window,
     * and crashed never-published stages; rewrite the log to the kept
-    * history. */
+    * history. PINNED versions (registered SNAPSHOT views) are always kept,
+    * whatever RETAIN says — a training read through a snapshot must
+    * survive retention-lowering and heavy write traffic. The log rewrite
+    * is tmp+ATOMIC_MOVE: a crash mid-rewrite must not truncate history
+    * (a truncated log would hide retained versions from the NEXT sweep,
+    * which would then delete directories inside the window). */
   private def sweep(table: String): Unit = {
     val live = Files.readString(currentFile(table)).trim
     val keep = (versionHistory(table).takeRight(retainCount(table))
-      :+ live).distinct
+      ++ pinnedVersions(table) :+ live).distinct
     Option(new java.io.File(dir(table)).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !keep.contains(f.getName))
       .foreach(rm)
-    Files.writeString(versionsLog(table),
-      keep.sorted.mkString("", "\n", "\n")); ()
+    atomicWrite(versionsLog(table),
+      keep.sortBy(vnum).mkString("", "\n", "\n"))
   }
 
   // ── transactions over the manifest (single-writer, like the reference's
@@ -606,6 +683,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       checkBatchUnique(name, rows)
       val live = Paths.get(dataPath(name))
       val version = nextVersion(name)
+      assertStageFresh(name, version)
       val stage = Paths.get(dir(name), version)
       rows.write.mode(SaveMode.Overwrite).parquet(stage.toString)
       // share the live version's immutable data files by hard link —

@@ -339,13 +339,13 @@ object Similarity {
     * finds nothing to brute-force. The non-empty lifecycle (build →
     * ingest → fresh-tier serve → refresh → empty again) is pinned by the
     * EngineSqlSpec lifecycle test over an appendable corpus. */
-  private lazy val deltaCtes =
-    """itop AS (SELECT q_id, vec_id, dq, tier FROM (
+  private def deltaCtesK(k: Int): String =
+    s"""itop AS (SELECT q_id, vec_id, dq, tier FROM (
       |    SELECT q_id, vec_id, adq AS dq, 'indexed' AS tier,
       |           ROW_NUMBER() OVER (PARTITION BY q_id
       |                              ORDER BY adq, vec_id) AS rnk
       |    FROM adc)
-      |  WHERE rnk <= 3),
+      |  WHERE rnk <= $k),
       |fresh AS (SELECT e.vec_id FROM embeddings e
       |          WHERE e.vec_id NOT IN (SELECT vec_id FROM assign)),
       |dx AS (
@@ -358,13 +358,15 @@ object Similarity {
       |    SELECT q_id, vec_id, dq, 'fresh' AS tier,
       |           ROW_NUMBER() OVER (PARTITION BY q_id
       |                              ORDER BY dq, vec_id) AS rnk
-      |    FROM dx) WHERE rnk <= 3),
+      |    FROM dx) WHERE rnk <= $k),
       |u AS (SELECT * FROM itop UNION ALL SELECT * FROM dtop),
       |mtop AS (SELECT q_id, vec_id, tier, dq FROM (
       |    SELECT q_id, vec_id, tier, dq,
       |           ROW_NUMBER() OVER (PARTITION BY q_id
       |                              ORDER BY dq, vec_id) AS rnk
-      |    FROM u) WHERE rnk <= 3)""".stripMargin
+      |    FROM u) WHERE rnk <= $k)""".stripMargin
+
+  private lazy val deltaCtes = deltaCtesK(3)
 
   private lazy val s104OracleSql =
     s"""WITH $ivfpqCtes,
@@ -1570,7 +1572,6 @@ object Similarity {
                             // selection must agree on every pick AND
                             // every score.
       (s, d) => {
-        import s.implicits._
         val eI = Graft.tableParallel(s, d, "embeddings")
           .select(col("vec_id"), transform(col("embedding"),
             x => round(x.cast("double") * 1000000).cast("long"))
@@ -1588,41 +1589,9 @@ object Similarity {
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
           .select(col("q_id"), col("vec_id"), col("rel"), col("emb"))
-        val kSel = 3
-        shortlist.as[(Long, Long, Long, Seq[Long])]
-          .groupByKey(_._1)
-          .flatMapGroups { (qid: Long,
-              it: Iterator[(Long, Long, Long, Seq[Long])]) =>
-            def dotL(a: Seq[Long], b: Seq[Long]): Long = {
-              var acc = 0L; var i = 0
-              while (i < a.length) { acc += a(i) * b(i); i += 1 }
-              acc
-            }
-            val remaining = scala.collection.mutable.ArrayBuffer(
-              it.toSeq.sortBy(_._2): _*)
-            val selected = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Seq[Long])]
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Int, Long, Long)]
-            var rank = 1
-            while (rank <= kSel && remaining.nonEmpty) {
-              def score(c: (Long, Long, Long, Seq[Long])): Long = {
-                val maxSim =
-                  if (selected.isEmpty) 0L
-                  else selected.iterator.map(p => dotL(c._4, p._2)).max
-                7L * c._3 - 3L * maxSim
-              }
-              val best = remaining.minBy(c => (-score(c), c._2))
-              out += ((qid, rank, best._2, score(best)))
-              selected += ((best._2, best._4))
-              remaining -= best
-              rank += 1
-            }
-            out.iterator
-          }
-          .toDF("q_id", "rank", "vec_id", "mmr_score_q")
+        mmrGreedy(s, shortlist, kSel = 3)
       },
-      Some("""WITH comp AS (
+      Some(s"""WITH comp AS (
              |  SELECT vec_id, j - 1 AS j0,
              |         CAST(ROUND(x * 1000000) AS BIGINT) AS xq
              |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
@@ -1641,50 +1610,113 @@ object Similarity {
              |          WHERE qc.vec_id < 10
              |          GROUP BY 1, 2))
              |  WHERE rnk <= 10),
-             |ps AS (
-             |  SELECT a.q_id, a.vid AS d1, b.vid AS d2,
-             |         SUM(ca.xq * cb.xq) AS s
-             |  FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.vid <> b.vid
-             |  JOIN comp ca ON ca.vec_id = a.vid
-             |  JOIN comp cb ON cb.vec_id = b.vid AND cb.j0 = ca.j0
-             |  GROUP BY 1, 2, 3),
-             |p1 AS (SELECT q_id, vid, rel, 7 * rel AS score
-             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-             |               ORDER BY rel DESC, vid) AS r FROM sl)
-             |       WHERE r = 1),
-             |c2 AS (SELECT sl.q_id, sl.vid, sl.rel,
-             |              7 * sl.rel - 3 * ps.s AS score
-             |       FROM sl
-             |       JOIN p1 ON p1.q_id = sl.q_id AND sl.vid <> p1.vid
-             |       JOIN ps ON ps.q_id = sl.q_id AND ps.d1 = sl.vid
-             |              AND ps.d2 = p1.vid),
-             |p2 AS (SELECT q_id, vid, rel, score
-             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-             |               ORDER BY score DESC, vid) AS r FROM c2)
-             |       WHERE r = 1),
-             |c3 AS (SELECT sl.q_id, sl.vid,
-             |              7 * sl.rel - 3 * GREATEST(s1.s, s2.s) AS score
-             |       FROM sl
-             |       JOIN p1 ON p1.q_id = sl.q_id
-             |       JOIN p2 ON p2.q_id = sl.q_id
-             |       JOIN ps s1 ON s1.q_id = sl.q_id AND s1.d1 = sl.vid
-             |                 AND s1.d2 = p1.vid
-             |       JOIN ps s2 ON s2.q_id = sl.q_id AND s2.d1 = sl.vid
-             |                 AND s2.d2 = p2.vid
-             |       WHERE sl.vid <> p1.vid AND sl.vid <> p2.vid),
-             |p3 AS (SELECT q_id, vid, score
-             |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-             |               ORDER BY score DESC, vid) AS r FROM c3)
-             |       WHERE r = 1)
-             |SELECT q_id, CAST(1 AS INTEGER) AS rank, vid AS vec_id,
-             |       CAST(score AS BIGINT) AS mmr_score_q FROM p1
-             |UNION ALL
-             |SELECT q_id, CAST(2 AS INTEGER), vid, CAST(score AS BIGINT)
-             |FROM p2
-             |UNION ALL
-             |SELECT q_id, CAST(3 AS INTEGER), vid, CAST(score AS BIGINT)
-             |FROM p3""".stripMargin))
+             |${mmrTailSql("comp")}""".stripMargin)),
+
+    QueryDef(
+      "s110_search_diversify", // DIVERSIFIED SERVING — the composition
+                               // s109's comment used to promise: MMR over
+                               // the INDEXED shortlist. s109 proves the
+                               // greedy against a brute-force top-10;
+                               // this query runs the same exact-integer
+                               // greedy (λ=0.7: 7·rel − 3·maxSim in
+                               // deci-units, ties on vec_id) over the
+                               // shortlist the PRODUCTION serve chain
+                               // returns — searchVectors' two-tier
+                               // indexed+fresh top-10 for s108's external
+                               // midpoint queries — so a caller gets
+                               // diversified answers at index price, not
+                               // brute-force price. Scale shape: the
+                               // serve kernel's own (queries broadcast,
+                               // one ADC chain + one anti-join over the
+                               // corpus); the diversify stage adds ONE
+                               // more corpus touch — a broadcast probe of
+                               // the |q|·10-bounded shortlist ids against
+                               // the quantized scan to fetch exact
+                               // components for rerank — and the greedy
+                               // runs per query over ≤10 rows inside
+                               // mapGroups. The oracle re-derives the
+                               // same shortlist through the s108 CTE
+                               // chain widened to top-10, then unrolls
+                               // the identical greedy — two independent
+                               // derivations of both STAGES must agree
+                               // on every pick and every score.
+      (s, d) => {
+        val a = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id").between(10, 19))
+        val b = Graft.tableParallel(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id").between(11, 20))
+          .select((col("vec_id") - 1).as("vec_id"),
+            col("embedding").as("emb_b"))
+        val q = a.join(b, "vec_id")
+          .select(col("vec_id").as("q_id"),
+            zip_with(col("embedding"), col("emb_b"),
+              (x, y) => (x.cast("double") + y.cast("double")) / 2)
+              .as("embedding"))
+        searchVectorsDiversified(s, d, q, k = 3, shortK = 10)
+      },
+      Some(s"""WITH ${ivfpqCtesWith(externalQcompCte)},
+              |${deltaCtesK(10)},
+              |sl AS (
+              |  SELECT m.q_id, m.vec_id AS vid,
+              |         CAST(SUM(q.xq * p.xq) AS BIGINT) AS rel
+              |  FROM mtop m
+              |  JOIN qcomp q ON q.q_id = m.q_id
+              |  JOIN pcomp p ON p.vec_id = m.vec_id AND p.j0 = q.j0
+              |  GROUP BY 1, 2),
+              |${mmrTailSql("pcomp")}""".stripMargin))
   )
+
+  /** The three-stage greedy unroll shared by the s109 and s110 oracles:
+    * expects a CTE `sl(q_id, vid, rel)` (the shortlist with exact integer
+    * relevance) and a per-vector component CTE `$compCte(vec_id, j0, xq)`
+    * for the pairwise sims; emits ranks 1..3 with λ=0.7 deci-unit scores
+    * (7·rel − 3·maxSim), ties on vid — [[mmrGreedy]]'s exact contract. */
+  private def mmrTailSql(compCte: String): String =
+    s"""ps AS (
+       |  SELECT a.q_id, a.vid AS d1, b.vid AS d2,
+       |         SUM(ca.xq * cb.xq) AS s
+       |  FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.vid <> b.vid
+       |  JOIN $compCte ca ON ca.vec_id = a.vid
+       |  JOIN $compCte cb ON cb.vec_id = b.vid AND cb.j0 = ca.j0
+       |  GROUP BY 1, 2, 3),
+       |p1 AS (SELECT q_id, vid, rel, 7 * rel AS score
+       |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |               ORDER BY rel DESC, vid) AS r FROM sl)
+       |       WHERE r = 1),
+       |mc2 AS (SELECT sl.q_id, sl.vid, sl.rel,
+       |              7 * sl.rel - 3 * ps.s AS score
+       |       FROM sl
+       |       JOIN p1 ON p1.q_id = sl.q_id AND sl.vid <> p1.vid
+       |       JOIN ps ON ps.q_id = sl.q_id AND ps.d1 = sl.vid
+       |              AND ps.d2 = p1.vid),
+       |p2 AS (SELECT q_id, vid, rel, score
+       |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |               ORDER BY score DESC, vid) AS r FROM mc2)
+       |       WHERE r = 1),
+       |mc3 AS (SELECT sl.q_id, sl.vid,
+       |              7 * sl.rel - 3 * GREATEST(s1.s, s2.s) AS score
+       |       FROM sl
+       |       JOIN p1 ON p1.q_id = sl.q_id
+       |       JOIN p2 ON p2.q_id = sl.q_id
+       |       JOIN ps s1 ON s1.q_id = sl.q_id AND s1.d1 = sl.vid
+       |                 AND s1.d2 = p1.vid
+       |       JOIN ps s2 ON s2.q_id = sl.q_id AND s2.d1 = sl.vid
+       |                 AND s2.d2 = p2.vid
+       |       WHERE sl.vid <> p1.vid AND sl.vid <> p2.vid),
+       |p3 AS (SELECT q_id, vid, score
+       |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |               ORDER BY score DESC, vid) AS r FROM mc3)
+       |       WHERE r = 1)
+       |SELECT q_id, CAST(1 AS INTEGER) AS rank, vid AS vec_id,
+       |       CAST(score AS BIGINT) AS mmr_score_q FROM p1
+       |UNION ALL
+       |SELECT q_id, CAST(2 AS INTEGER), vid, CAST(score AS BIGINT)
+       |FROM p2
+       |UNION ALL
+       |SELECT q_id, CAST(3 AS INTEGER), vid, CAST(score AS BIGINT)
+       |FROM p3""".stripMargin
 
   /** d92's SemDeDup decision table (vec_id, cluster, dropped) — see the
     * d92 QueryDef doc for the plan shape; shared with the p101 capstone.
@@ -2236,6 +2268,99 @@ object Similarity {
             x => round(x.cast("double") * 1000000).cast("long"))).as("qv"))
       .withColumn("qn", dotl(col("qv"), col("qv")))
     twoTierServe(s, d, q, k)
+  }
+
+  /** The MMR greedy kernel shared by s109 (brute-force shortlist), s110
+    * and the production [[searchVectorsDiversified]] (indexed shortlist):
+    * per query, greedily pick argmax wRel·rel − wRed·maxSim(candidate,
+    * already-selected) over the remaining shortlist, ties on vec_id.
+    * `shortlist` carries exactly (q_id, vec_id, rel, emb) — exact integer
+    * relevance and quantized integer components — so every value the
+    * greedy compares is an exact integer and two engines cannot disagree
+    * in the last ulp. Groups are shortlist-bounded (tens of rows), so the
+    * O(kSel·n²) pairwise work runs in ONE task per query inside
+    * mapGroups — never a corpus join; this is the legitimate use of the
+    * iterative escape hatch (an inherently sequential kernel over a
+    * bounded group). */
+  private def mmrGreedy(s: SparkSession, shortlist: DataFrame, kSel: Int,
+      wRel: Long = 7L, wRed: Long = 3L): DataFrame = {
+    import s.implicits._
+    shortlist.as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long,
+          it: Iterator[(Long, Long, Long, Seq[Long])]) =>
+        def dotL(a: Seq[Long], b: Seq[Long]): Long = {
+          var acc = 0L; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.toSeq.sortBy(_._2): _*)
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Long])]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Long)]
+        var rank = 1
+        while (rank <= kSel && remaining.nonEmpty) {
+          def score(c: (Long, Long, Long, Seq[Long])): Long = {
+            val maxSim =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(p => dotL(c._4, p._2)).max
+            wRel * c._3 - wRed * maxSim
+          }
+          val best = remaining.minBy(c => (-score(c), c._2))
+          out += ((qid, rank, best._2, score(best)))
+          selected += ((best._2, best._4))
+          remaining -= best
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "rank", "vec_id", "mmr_score_q")
+  }
+
+  /** PRODUCTION diversified serve: MMR over the INDEXED shortlist — the
+    * composition of [[searchVectors]] (two-tier IVF-PQ top-shortK at index
+    * price) and [[mmrGreedy]] (exact-integer λ-weighted reranking), so a
+    * retrieval caller gets non-redundant neighbors without ever paying
+    * s109's brute-force shortlist. `lambdaTenths` is λ in tenths (7 =
+    * λ 0.7, the s109 convention): score = λ·rel − (1−λ)·maxSim in
+    * deci-units, every operand an exact integer.
+    *
+    * Scale shape: stage 1 is the serve kernel verbatim (queries
+    * broadcast, one ADC chain + one coverage anti-join over the corpus);
+    * stage 2 adds ONE corpus touch — a broadcast semi-probe of the
+    * |q|·shortK-bounded shortlist ids against the quantized scan to fetch
+    * exact components (rerank reads true vectors, the standard two-stage
+    * retrieval discipline) — and the greedy itself is per-query work over
+    * shortK rows. No new corpus-sized exchange anywhere; the plan guard
+    * pins it. SQL face: `SEARCH VECTORS USING t TOP k DIVERSIFY <λ>`. */
+  def searchVectorsDiversified(s: SparkSession, d: String,
+      queries: DataFrame, k: Int = 3, shortK: Int = 10,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && shortK >= k,
+      s"DIVERSIFY needs 1 <= k <= shortK; got k=$k shortK=$shortK")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"DIVERSIFY lambda is a weight in [0,1] in tenths; got $lambdaTenths")
+    val sl = searchVectors(s, d, queries, k = shortK)
+      .select(col("q_id"), col("neighbor_id"))
+    // exact integer components for rerank: candidates via a broadcast
+    // probe of the bounded shortlist against the quantized corpus scan;
+    // query components re-derive through the same quantization
+    // searchVectors used (identical IEEE ops on identical inputs)
+    val eI = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+    val cand = eI.join(broadcast(sl),
+        eI("vec_id") === sl("neighbor_id"))
+      .select(col("q_id"), col("vec_id"), col("vq").as("emb"))
+    val qv = queries
+      .select(col("q_id").cast("long").as("q_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")).as("q_emb"))
+    val withRel = cand.join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        dotl(col("q_emb"), col("emb")).as("rel"), col("emb"))
+    mmrGreedy(s, withRel, kSel = k,
+      wRel = lambdaTenths.toLong, wRed = (10 - lambdaTenths).toLong)
   }
 
   /** s105: the one-row index HEALTH CARD — what production actually

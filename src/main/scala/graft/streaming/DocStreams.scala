@@ -455,20 +455,23 @@ object DocStreams {
     * `admitted` = keep ∧ no match on either side. Only admitted documents'
     * bands enter the index.
     *
-    * Both commits are exactly-once, each at the right COST for its
-    * table, with the commit order load-bearing:
-    *   - Verdicts FIRST via `insertCommitted`: the audit record must
-    *     never duplicate; the marker's COW rewrite is O(audit table),
-    *     fine for a slim verdict log (production rotates it per window).
-    *   - Bands SECOND via `appendCommitted`: the marker-guarded
-    *     LINK-FORWARD append — O(batch) data written, atomic pointer
-    *     commit — because a COW rewrite of a CORPUS-sized index per
+    * Both commits are exactly-once via `appendCommitted` — the
+    * marker-guarded LINK-FORWARD append (O(batch) data written, atomic
+    * pointer commit) — with the commit order load-bearing:
+    *   - Verdicts FIRST: the audit record must never duplicate, and the
+    *     marker guard gives exactly that (a replayed batch id is skipped)
+    *     at O(batch) cost. A COW rewrite would give the same guarantee at
+    *     O(audit-table) cost per batch — a per-batch price that GROWS
+    *     with stream lifetime, the exact curve appendCommitted was built
+    *     to kill; the log-size-independence spec pins that batch cost
+    *     stays flat as the log grows.
+    *   - Bands SECOND: a COW rewrite of a CORPUS-sized index per
     *     micro-batch is the exact cost the build/serve split exists to
     *     avoid. Replay analysis: crash before the verdict commit → full
     *     recompute against an index that cannot yet contain this batch
     *     (bands commit later) — identical verdicts. Crash between the
     *     commits → verdicts recompute identically (index still
-    *     pre-batch), their marker skips the insert, bands append. Crash
+    *     pre-batch), their marker skips the append, bands append. Crash
     *     after both → both markers skip; and even the recomputed-verdict
     *     frame the band append would derive from is moot (defense in
     *     depth: the index is a SET, so a duplicate band row could not
@@ -546,7 +549,7 @@ object DocStreams {
         (col("keep") && col("matched_hist").isNull &&
           col("matched_batch").isNull).as("admitted"))
       .localCheckpoint()
-    cmds.insertCommitted(verdictTable, verdicts, batchId)
+    cmds.appendCommitted(verdictTable, verdicts, batchId)
     val tgt = cmds.table(bandTable).schema
     val freshBands = bands
       .join(verdicts.filter(col("admitted")).select("doc_id"),

@@ -90,12 +90,23 @@ object VectorStreams {
       cmds.tableExists(VectorIndex.tableName(p))),
       "ingest maintains a stored vector index - run BUILD VECTOR INDEX " +
         "first")
+    import org.apache.spark.sql.functions.{min, struct}
     // localCheckpoint for the same reason as REFRESH: both appends must
     // consume ONE frozen encode, not re-plan against tables the first
-    // append just version-bumped
-    val enc = Similarity.routeAndEncodeFrozen(
-      batch.select("vec_id", "embedding").dropDuplicates("vec_id"),
-      cents, book).localCheckpoint()
+    // append just version-bumped.
+    // Within-batch dedup is DETERMINISTIC (min embedding per vec_id, via
+    // Spark's lexicographic array ordering), not dropDuplicates' arbitrary
+    // pick: if a batch VIOLATES the fresh-unique-id contract (same vec_id,
+    // different embeddings), a crash between the codes and assign appends
+    // must replay the SAME row into assign that the committed codes hold,
+    // or the assign∩codes nesting invariant (coveredIds' equal-count fast
+    // path) silently breaks.
+    val deduped = batch.select("vec_id", "embedding")
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("embedding"))).as("__s"))
+      .select(col("vec_id"), col("__s.embedding").as("embedding"))
+    val enc = Similarity.routeAndEncodeFrozen(deduped, cents, book)
+      .localCheckpoint()
     def conformed(part: String, cols: Seq[String]): DataFrame = {
       val tgt = cmds.table(VectorIndex.tableName(part)).schema
       enc.select(cols.map(col): _*)

@@ -1288,6 +1288,43 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally engine.sql("DROP TABLE IF EXISTS qvecs")
   }
 
+  test("SEARCH VECTORS ... DIVERSIFY: the MMR rerank over the indexed " +
+      "shortlist — s110 parity on the external query set, lambda honored, " +
+      "non-deci lambda refused") {
+    // s110's external midpoint queries authored as a CALLER table: the
+    // SQL face must reproduce the s110 operator exactly (same shortlist
+    // source, same exact-integer greedy)
+    engine.sql("CREATE COLSTORE qmid AS " +
+      "SELECT a.vec_id AS q_id, " +
+      "zip_with(a.embedding, b.embedding, (x, y) -> " +
+      "(CAST(x AS DOUBLE) + CAST(y AS DOUBLE)) / 2) AS embedding " +
+      "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 " +
+      "WHERE a.vec_id BETWEEN 10 AND 19")
+    try {
+      val viaSql = engine
+        .sql("SEARCH VECTORS USING qmid TOP 3 DIVERSIFY 0.7").collect()
+        .map(_.toSeq).toSet
+      val s110 = SparkEntry.queries("s110_search_diversify")(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(viaSql.nonEmpty && viaSql == s110,
+        "SEARCH VECTORS ... DIVERSIFY diverged from s110")
+      // a different lambda really changes the trade-off weights: at
+      // lambda=1.0 the greedy degenerates to plain relevance order, so
+      // rank-1 picks agree with 0.7's (first pick has no redundancy
+      // term) while scores scale to 10*rel
+      val lam10 = engine
+        .sql("SEARCH VECTORS USING qmid TOP 1 DIVERSIFY 1.0").collect()
+      val first07 = s110.map(_.toList).filter(_(1) == 1)
+        .map(r => (r(0), r(2))).toSet
+      assert(lam10.map(r => (r.get(0), r.get(2))).toSet == first07,
+        "rank-1 must be the pure-relevance pick at every lambda")
+      val badLam = intercept[IllegalArgumentException] {
+        engine.sql("SEARCH VECTORS USING qmid TOP 3 DIVERSIFY 0.75")
+      }
+      assert(badLam.getMessage.contains("0.1"))
+    } finally engine.sql("DROP TABLE IF EXISTS qmid")
+  }
+
   test("DECONTAM VECTORS: the gate face audits arbitrary candidate tables " +
       "— d103 parity on the train side, THRESHOLD honored, errors crisp") {
     // the whole train side authored as a CALLER table: the SQL face must
@@ -1574,6 +1611,118 @@ class EngineSqlSpec extends AnyFunSuite {
     } finally {
       e1.sql("DROP VECTOR INDEX ON embeddings")
       e1.close()
+    }
+  }
+
+  test("ingest registry is warehouse-durable: restart visibility, " +
+      "cross-engine single-writer refusal, REFRESH/OPTIMIZE fencing, and " +
+      "alias-change resume without batch-numbering loss") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_ireg_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val watch = Files.createTempDirectory("graft_ireg_watch").toString
+    val fresh1 = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val fresh2 = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      Seq(5000001L -> fresh1).toDF("doc_id", "text")
+        .write.mode("append").parquet(watch)
+      e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      assert(e1.storage.table("ingest_verdicts").count() == 1L)
+      // a SECOND engine over the same warehouse: its in-memory maps are
+      // empty, but the durable registry still refuses a same-kind gate
+      // (two ADMIT gates would double-write the single-writer band index)
+      val e2 = new Engine(spark, d, wh)
+      intercept[IllegalArgumentException] {
+        e2.sql(s"START ADMIT INGEST FROM '$watch' AS gate2")
+      }
+      // maintenance on the gate's tables is fenced on BOTH engines
+      intercept[IllegalStateException] {
+        e2.sql("REFRESH DEDUP INDEX ON documents")
+      }
+      intercept[IllegalStateException] {
+        e1.sql(s"OPTIMIZE ${operators.DedupIndex.tableName("bands")}")
+      }
+      // restart visibility: e2 lists the gate (not active IN e2)
+      val shown = e2.sql("SHOW INGESTS").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
+      assert(shown == Seq(("gate", false, "admit")))
+      // the checkpoint pins its SOURCE: resuming from a different dir is
+      // refused, not silently undefined
+      e1.sql("STOP INGEST gate")
+      assert(e2.sql("SHOW INGESTS").isEmpty,
+        "STOP must clear the durable registration")
+      val otherDir = Files.createTempDirectory("graft_ireg_other").toString
+      intercept[IllegalArgumentException] {
+        e1.sql(s"START ADMIT INGEST FROM '$otherDir' AS gate")
+      }
+      // ALIAS-CHANGE RESUME (the round-8 advice scenario): STOP foo then
+      // START ... AS bar must keep the KIND-keyed checkpoint, so Spark's
+      // batch numbering continues past the sink markers instead of
+      // restarting at 0 and silently losing every new batch
+      Seq(5000002L -> fresh2).toDF("doc_id", "text")
+        .write.mode("append").parquet(watch)
+      e1.sql(s"START ADMIT INGEST FROM '$watch' AS bar")
+      e1.ingestQuery("bar").get.processAllAvailable()
+      val v = e1.storage.table("ingest_verdicts").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("admitted")))
+        .toMap
+      assert(v == Map(5000001L -> true, 5000002L -> true),
+        s"alias-change resume lost data: $v")
+      e1.sql("STOP INGEST bar")
+      // a dead session's registration (engine closed WITHOUT stop) stays
+      // visible and a same-name START resumes it
+      e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+      e1.close() // stops the query, keeps the registration
+      val e3 = new Engine(spark, d, wh)
+      assert(e3.sql("SHOW INGESTS").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+        Seq(("gate", false)))
+      e3.sql(s"START ADMIT INGEST FROM '$watch' AS gate") // resume
+      e3.ingestQuery("gate").get.processAllAvailable()
+      e3.sql("STOP INGEST gate")
+      e3.close()
+    } finally {
+      e1.sql("DROP DEDUP INDEX ON documents")
+      e1.close()
+    }
+  }
+
+  test("SNAPSHOT pins its version durably: the pinned read survives " +
+      "RETAIN-lowering and heavy writes; DROP SNAPSHOT releases it") {
+    engine.sql("DROP TABLE IF EXISTS pt")
+    engine.sql("CREATE COLSTORE pt AS SELECT n_nationkey AS id FROM " +
+      "nation WHERE n_nationkey < 4")
+    try {
+      engine.sql("RETAIN 2 VERSIONS ON pt")
+      engine.sql("DELETE FROM pt WHERE id = 0") // v2: 1,2,3
+      assert(engine.sql("SNAPSHOT pt VERSION AS OF 'v00002' AS pt_pin")
+        .head.getString(0).contains("pinned"))
+      // retention collapses to 1 and the table churns far past the pin
+      engine.sql("RETAIN 1 VERSIONS ON pt")
+      (1 to 3).foreach(i => engine.sql(s"DELETE FROM pt WHERE id = $i"))
+      assert(engine.sql("SELECT count(*) AS n FROM pt").head.getLong(0) == 0L)
+      // the pinned training read still answers from v00002
+      assert(engine.sql("SELECT id FROM pt_pin ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq == Seq(1, 2, 3),
+        "pinned snapshot was swept under the reader")
+      // DROP SNAPSHOT releases pin + view; the next rewrite sweeps it
+      assert(engine.sql("DROP SNAPSHOT pt_pin").head.getString(0)
+        .contains("unpinned"))
+      assert(!spark.catalog.tableExists("pt_pin"))
+      intercept[IllegalArgumentException] {
+        engine.sql("DROP SNAPSHOT pt_pin")
+      }
+      engine.sql("INSERT INTO pt VALUES (9)")
+      engine.sql("DELETE FROM pt WHERE id = 99") // a rewrite, triggers sweep
+      intercept[IllegalArgumentException] {
+        engine.sql("SNAPSHOT pt VERSION AS OF 'v00002' AS pt_again")
+      }
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS pt"); ()
     }
   }
 

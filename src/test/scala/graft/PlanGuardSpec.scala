@@ -304,7 +304,15 @@ class PlanGuardSpec extends AnyFunSuite {
     // t106: the |sources|-row weight table broadcasts back into a
     // map-side filter — the corpus never shuffles (t86's shape)
     ("t106_temperature_mixture", 2, Seq("SortMergeJoin"),
-      Seq("BroadcastHashJoin")))
+      Seq("BroadcastHashJoin")),
+    // s110: the s108 serve chain widened to top-10 (its 8 scans) + the
+    // diversify stage's additions — ONE more corpus touch (broadcast
+    // probe of the |q|·10-bounded shortlist ids for exact components)
+    // and the 10-row query re-quantization scans; the greedy is
+    // mapGroups over ≤10 rows per query. No corpus-sized sort-merge
+    // anywhere: an SMJ would mean the rerank started shuffling the
+    // corpus the serve kernel had kept map-side
+    ("s110_search_diversify", 11, Seq("SortMergeJoin"), Nil))
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)

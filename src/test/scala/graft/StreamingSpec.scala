@@ -293,6 +293,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("admitAndIndex verdict log is O(batch): committing a tiny batch " +
+      "against a LARGE pre-seeded verdict log hard-links the old log " +
+      "files — per-batch cost independent of stream lifetime") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val d = TestSpark.sfDir
+    val wh = java.nio.file.Files.createTempDirectory("graft_vlog_wh")
+    val cmds = new commands.TableCommands(spark, wh.toString)
+    operators.DedupIndex.build(spark, d, cmds)
+    try {
+      // batch 0 GROWS the log: 3000 arrivals, quality-passing, mutually
+      // near-dup (only the first admits — irrelevant here; what matters
+      // is 3000 verdict ROWS on disk before the next batch)
+      val big = (1 to 3000).map(i => (4000000L + i,
+        s"the amber lighthouse keeper number $i walks a winding cliff " +
+          "path toward the harbor beacon every misty evening"))
+        .toDF("doc_id", "text").repartition(8)
+      streaming.DocStreams.admitAndIndexBatch(big, cmds,
+        "ingest_verdicts", 0L)
+      assert(cmds.table("ingest_verdicts").count() == 3000L)
+      cmds.setRetain("ingest_verdicts", 2) // keep the pre-commit version
+      val liveBefore = Paths.get(cmds.dataPath("ingest_verdicts"))
+      val oldFiles = Option(liveBefore.toFile.listFiles()).get
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(_.toPath)
+      assert(oldFiles.nonEmpty) // AQE may coalesce the 3000 rows to 1 file
+      // batch 1 is TINY: its verdict commit must LINK the 3000-row log
+      // forward (same files, metadata-only), never rewrite it — the
+      // O(table)-per-batch COW curve is exactly what a long-running gate
+      // cannot afford (round-8 verdict ask #1)
+      val tiny = Seq((4100001L,
+        "a patient cartographer sketches the forgotten valley rivers " +
+          "onto vellum beneath a flickering lantern glow"))
+        .toDF("doc_id", "text")
+      streaming.DocStreams.admitAndIndexBatch(tiny, cmds,
+        "ingest_verdicts", 1L)
+      val liveAfter = Paths.get(cmds.dataPath("ingest_verdicts"))
+      assert(liveAfter != liveBefore, "verdict commit published no version")
+      oldFiles.foreach { f =>
+        val linked = liveAfter.resolve(f.getFileName)
+        assert(F.exists(linked) && F.isSameFile(f, linked),
+          s"verdict log file ${f.getFileName} was rewritten, not linked")
+      }
+      assert(cmds.table("ingest_verdicts").count() == 3001L)
+      // and the replay contract survived the commit-path change: same
+      // batch id is a no-op on both tables
+      val bandCount = spark.table(
+        operators.DedupIndex.tableName("bands")).count()
+      streaming.DocStreams.admitAndIndexBatch(tiny, cmds,
+        "ingest_verdicts", 1L)
+      assert(cmds.table("ingest_verdicts").count() == 3001L,
+        "replay duplicated verdicts")
+      assert(spark.table(operators.DedupIndex.tableName("bands")).count()
+        == bandCount, "replay appended band rows")
+    } finally {
+      operators.DedupIndex.drop(spark, cmds)
+      ()
+    }
+  }
+
   test("VectorStreams.serve: streamed query answers are bit-identical " +
       "to batch searchVectors and land exactly-once in the warehouse") {
     import spark.implicits._

@@ -438,4 +438,117 @@ class TableCommandsSpec extends AnyFunSuite {
     c.appendCommitted("t", Seq(3).toDF("id"), 0L)
     assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
+
+  test("version scheme past v99999: the six-digit rollover orders " +
+      "numerically, never re-stages the live version, and history " +
+      "survives the width change") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val (c, wh) = freshCmdsAt()
+    c.createTable("t", Seq(1, 2).toDF("id"))
+    c.setRetain("t", 3)
+    // simulate a long-running stream having reached v99999: rename the
+    // version dir and rewrite the pointer + log (all plain text files)
+    F.move(Paths.get(wh, "t", "v00001"), Paths.get(wh, "t", "v99999"),
+      StandardCopyOption.ATOMIC_MOVE)
+    F.writeString(Paths.get(wh, "t", "CURRENT"), "v99999")
+    F.writeString(Paths.get(wh, "t", "VERSIONS"), "v99999\n")
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // the next commits must stage v100000/v100001 — with the old
+    // exactly-5-digit match, nextVersion went blind past the rollover and
+    // returned the LIVE version name, whose Overwrite stage deleted live
+    // data; lexicographic ordering then read v100000 < v99999 and history
+    // misordered across the width change
+    c.appendCommitted("t", Seq(3).toDF("id"), 0L)
+    assert(c.dataPath("t").endsWith("v100000"))
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    c.appendCommitted("t", Seq(4).toDF("id"), 1L)
+    assert(c.dataPath("t").endsWith("v100001"))
+    assert(c.table("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    // history is numerically ascending ACROSS the width change, and the
+    // 5-digit version is still time-travelable inside the window
+    assert(c.versionHistory("t") == Seq("v99999", "v100000", "v100001"))
+    assert(spark.read.parquet(c.snapshotPath("t", "99999"))
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("snapshot pins: a pinned version survives RETAIN-lowering and " +
+      "heavy writes; DROP's unpin makes it sweepable again") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val (c, wh) = freshCmdsAt()
+    c.createTable("t", Seq(1, 2, 3).toDF("id"))      // v1
+    c.setRetain("t", 2)
+    c.delete("t", col("id") === 1)                   // v2: keep v1, v2
+    val pinned = "v00002"
+    c.pinVersion("t", "train_run_7", pinned)
+    // pinning an un-retained version is a crisp error, not a dangling pin
+    intercept[IllegalArgumentException] {
+      c.pinVersion("t", "x", "v00099")
+    }
+    // RETAIN drops to 1 AND heavy writes rotate far past the pin: the
+    // pinned directory must survive every sweep, because a registered
+    // SNAPSHOT view reads it directly
+    c.setRetain("t", 1)
+    (1 to 4).foreach(i => c.insertCommitted("t", Seq(10 + i).toDF("id"), i.toLong))
+    assert(F.isDirectory(Paths.get(wh, "t", pinned)),
+      "sweep deleted a pinned version")
+    assert(spark.read.parquet(c.snapshotPath("t", pinned))
+      .as[Int].collect().sorted.toSeq == Seq(2, 3),
+      "pinned training read diverged")
+    // the pin is alias-keyed and durable: a NEW TableCommands over the
+    // same warehouse (engine restart) still honors it
+    val c2 = new TableCommands(spark, wh)
+    c2.insertCommitted("t", Seq(99).toDF("id"), 9L)
+    assert(F.isDirectory(Paths.get(wh, "t", pinned)),
+      "restarted engine swept a pinned version")
+    assert(c2.pins("t") == Seq("train_run_7" -> pinned))
+    // unpin releases it: the next rewrite sweeps the directory
+    assert(c2.unpinAlias("t", "train_run_7"))
+    assert(!c2.unpinAlias("t", "train_run_7"), "double-unpin must report false")
+    c2.insertCommitted("t", Seq(100).toDF("id"), 10L)
+    assert(!F.isDirectory(Paths.get(wh, "t", pinned)),
+      "unpinned version not swept")
+  }
+
+  test("appendCommitted is O(batch), not O(table): a commit against a " +
+      "large pre-seeded log hard-links the live data files instead of " +
+      "rewriting them") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val (c, wh) = freshCmdsAt()
+    // pre-seed a LARGE log (many partitions -> many data files); retain 2
+    // so the pre-commit version survives for the inode comparison
+    c.createTable("log", spark.range(200000).toDF("id")
+      .repartition(16))
+    c.setRetain("log", 2)
+    val liveBefore = Paths.get(c.dataPath("log"))
+    val dataFiles = Option(liveBefore.toFile.listFiles()).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.toPath)
+    assert(dataFiles.length >= 16)
+    // one small batch commits: EVERY pre-existing data file must appear
+    // in the new version as the SAME file (hard link, metadata-only) —
+    // that is the structural proof the per-batch write cost is O(batch),
+    // independent of total log size (the COW commit would rewrite all
+    // 200k rows every batch, a per-batch cost growing with stream
+    // lifetime)
+    c.appendCommitted("log", Seq(900000L).toDF("id"), 0L)
+    val liveAfter = Paths.get(c.dataPath("log"))
+    assert(liveAfter != liveBefore)
+    dataFiles.foreach { f =>
+      val linked = liveAfter.resolve(f.getFileName)
+      assert(F.exists(linked) && F.isSameFile(f, linked),
+        s"live data file ${f.getFileName} was rewritten, not linked")
+    }
+    // and the new version adds only the batch's own files beyond the
+    // linked set (+ marker/_SUCCESS metadata)
+    val newData = Option(liveAfter.toFile.listFiles()).get
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .filterNot(f => F.exists(liveBefore.resolve(f.getName)))
+    assert(newData.nonEmpty && newData.length <= 4,
+      s"batch wrote ${newData.length} fresh files for a 1-row append")
+    assert(c.table("log").count() == 200001L)
+  }
 }
