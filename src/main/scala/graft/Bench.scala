@@ -175,9 +175,23 @@ object Bench {
         None
       }
     }).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
-      s""""failed":$failedJson,"duckdb":$duck,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
+        s""""failed":$failedJson,"duckdb":$duck,"sf":"$sfDir"}"""
+    println(line)
+    // The line now carries the per-query DuckDB anchor (~8 KB) and a
+    // tail-capture harness can truncate it (round 8's driver artifact
+    // parsed as null for exactly that reason) — so ALSO write it to a
+    // file beside the repo (GRAFT_BENCH_OUT overrides), where the driver
+    // and future judges get the complete pair without reconstruction.
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json not written: ${e.getMessage}")
+    }
     // a failing query must fail the round loudly — a silent near-zero time
     // would let a regression masquerade as a speedup
     if (failed.nonEmpty) sys.exit(1)

@@ -401,9 +401,25 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         throw new IllegalArgumentException(
           s"ZORDER BY column $c not in table $name")))
       // one stats row: per-column min/max drive the 8-bit quantization.
-      // try_cast, not cast: under ANSI a non-numeric column must degrade
-      // to null stats (contribute nothing to the layout), never throw
-      def asD(c: String): Column = expr(s"try_cast(`$c` AS DOUBLE)")
+      // STRING columns get an ORDER-PRESERVING numeric proxy — the first
+      // four characters' code points packed big-endian (base 2^21 covers
+      // every Unicode code point) — so lexical prefix order becomes
+      // numeric order: the z-layout then clusters strings by prefix range
+      // and parquet min/max stats on the STRING column itself prune both
+      // equality and range predicates. (The old try_cast-to-DOUBLE path
+      // silently degraded every non-numeric column to bucket 0, turning a
+      // (numeric, string) z-order into a linear sort on the numeric
+      // column.) Other non-numeric types keep the try_cast degrade: under
+      // ANSI they contribute null stats (bucket 0), never throw.
+      def asD(c: String): Column =
+        t.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            (0 until 4).map(i =>
+              coalesce(ascii(substring(col(s"`$c`"), i + 1, 1)), lit(0))
+                .cast("double") * math.pow(2097152.0, (3 - i).toDouble))
+              .reduce(_ + _)
+          case _ => expr(s"try_cast(`$c` AS DOUBLE)")
+        }
       val stats = t.agg(
         min(asD(cols.head)).as("mn0"),
         (max(asD(cols.head)).as("mx0") +:

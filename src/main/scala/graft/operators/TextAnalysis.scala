@@ -540,6 +540,35 @@ object TextAnalysis {
     (sl, edges)
   }
 
+  /** t106's α=0.5 temperature-mixture kernel over a prepared
+    * (doc_id, source, ntok) frame — factored so the overflow-edge
+    * property spec can feed token counts no real corpus text could.
+    * Keep test: hash_ppm(doc) · tok_src · Σ√tok < (Σtok/2) · √tok_src
+    * · 1e6, compared in DECIMAL(38,0): at real 100 TB token counts
+    * (tok ~2.5e13, Σ√tok ~1e7) the left side reaches ~1e26 — int64
+    * silently WRAPS there and the keep set becomes hash noise, while
+    * DECIMAL(38,0) holds products to ~1e38, past any corpus that fits
+    * int64 source totals. Decimal compares stay whole-stage-codegen'd,
+    * so the widening costs a few cycles per row on the one
+    * broadcast-back filter, not a new plan shape. */
+  private[graft] def temperatureKeep(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val totals = docs.groupBy("source").agg(sum("ntok").as("tok_n"))
+      .withColumn("sq",
+        floor(sqrt(col("tok_n").cast("double"))).cast("long"))
+      .withColumn("sum_sq", sum(col("sq")).over(w))
+      .withColumn("tot_all", sum(col("tok_n")).over(w))
+      .withColumn("budget", expr("tot_all div 2"))
+    val dec = DecimalType(38, 0)
+    docs.join(broadcast(totals), "source")
+      .filter((Dedup.hash60(col("doc_id")) % 1000000L).cast(dec)
+        * col("tok_n").cast(dec) * col("sum_sq").cast(dec)
+        < col("budget").cast(dec) * col("sq").cast(dec)
+          * lit(1000000L).cast(dec))
+      .select(col("doc_id"), col("source"), col("ntok"))
+  }
+
   private val bpeCtes =
     """words AS (
       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -1484,8 +1513,11 @@ object TextAnalysis {
                             // otherwise, so the floor cannot differ
                             // between engines — and the keep test is
                             // hash_ppm · tok_i · Σsq < B · sq_i · 1e6,
-                            // pure int64 at these scales (a 100 TB
-                            // deployment moves the compare to DECIMAL).
+                            // compared in DECIMAL(38,0) ([[temperatureKeep]]
+                            // — at real 100 TB token counts the product
+                            // reaches ~1e26, far past int64; the property
+                            // spec pins the overflow edge against a
+                            // BigInt oracle).
                             // A source whose target exceeds its size is
                             // kept whole (hash_ppm < 1e6 always):
                             // upsampling means repetition, a policy
@@ -1494,23 +1526,9 @@ object TextAnalysis {
                             // hash-bucket selection and single
                             // broadcast-back scale shape as t86 — the
                             // corpus never shuffles.
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy()
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            size(tokens(col("text"))).cast("long").as("ntok"))
-        val totals = docs.groupBy("source").agg(sum("ntok").as("tok_n"))
-          .withColumn("sq",
-            floor(sqrt(col("tok_n").cast("double"))).cast("long"))
-          .withColumn("sum_sq", sum(col("sq")).over(w))
-          .withColumn("tot_all", sum(col("tok_n")).over(w))
-          .withColumn("budget", expr("tot_all div 2"))
-        docs.join(broadcast(totals), "source")
-          .filter((Dedup.hash60(col("doc_id")) % 1000000L)
-            * col("tok_n") * col("sum_sq")
-            < col("budget") * col("sq") * 1000000L)
-          .select(col("doc_id"), col("source"), col("ntok"))
-      },
+      (s, d) => temperatureKeep(t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("ntok"))),
       Some("""WITH toks AS (
              |  SELECT doc_id, source,
              |         CAST(len(list_filter(
@@ -1527,9 +1545,10 @@ object TextAnalysis {
              |      FROM ws)
              |SELECT doc_id, t.source, ntok
              |FROM toks t JOIN ws USING (source) CROSS JOIN g
-             |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-             |        % 1000000) * tok_n * sum_sq
-             |      < budget * sq * 1000000""".stripMargin)),
+             |WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |        % 1000000))::HUGEINT * tok_n::HUGEINT * sum_sq::HUGEINT
+             |      < budget::HUGEINT * sq::HUGEINT * 1000000::HUGEINT"""
+        .stripMargin)),
 
     QueryDef(
       "t89_token_entropy", // per-doc unigram token entropy — the

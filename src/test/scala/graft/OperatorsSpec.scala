@@ -2118,4 +2118,48 @@ class OperatorsSpec extends AnyFunSuite {
             s"$lang/$b count ${vs(b).length} far from ${n / 3}"))
     }
   }
+
+  test("t106 overflow edge: the DECIMAL(38,0) keep test matches a BigInt " +
+      "oracle at token counts where int64 arithmetic WRAPS") {
+    import spark.implicits._
+    // per-source totals near the int64 ceiling: hash_ppm(<1e6) x tok
+    // (~4.6e18) x sum_sq (~4.3e9) ~ 2e34, sixteen decimal digits past
+    // 2^63 -- the old Long compare wraps into hash noise here
+    val docs = (1L to 100L).map { i =>
+      (i, if (i % 2 == 0) "web" else "book",
+        46_000_000_000_000_000L + i * 1_000_000_000L)
+    }.toDF("doc_id", "source", "ntok")
+    val kept = operators.TextAnalysis.temperatureKeep(docs)
+      .collect().map(_.getLong(0)).toSet
+    // exact-arithmetic oracle from first principles (BigInt everywhere);
+    // hash_ppm reads back through the engine's own hash expression --
+    // the DECIMAL COMPARE is what is under test, not the hash
+    val h = docs.select(col("doc_id"),
+        (operators.Dedup.hash60(col("doc_id")) % 1000000L).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tokBySrc = rows.groupBy(_._2).map { case (s0, g) =>
+      s0 -> g.map(_._3).sum }
+    // same IEEE floor-sqrt the engine computes (exact parity op)
+    val sqBySrc = tokBySrc.map { case (s0, t0) =>
+      s0 -> math.floor(math.sqrt(t0.toDouble)).toLong }
+    val sumSq = BigInt(sqBySrc.values.sum)
+    val budget = BigInt(tokBySrc.values.sum / 2)
+    val oracle = rows.filter { case (id, s0, _) =>
+      BigInt(h(id)) * BigInt(tokBySrc(s0)) * sumSq <
+        budget * BigInt(sqBySrc(s0)) * BigInt(1000000L)
+    }.map(_._1).toSet
+    assert(kept == oracle,
+      s"decimal keep set diverged from exact arithmetic: " +
+        s"spark-only ${kept -- oracle}, oracle-only ${oracle -- kept}")
+    // and the fixture really BINDS: naive wrapping-Long arithmetic gets
+    // at least one verdict wrong on this data
+    val wrapped = rows.filter { case (id, s0, _) =>
+      h(id) * tokBySrc(s0) * sumSq.toLong <
+        budget.toLong * sqBySrc(s0) * 1000000L
+    }.map(_._1).toSet
+    assert(wrapped != oracle,
+      "fixture never overflows int64 -- the edge is not being tested")
+  }
 }

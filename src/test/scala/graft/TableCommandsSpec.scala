@@ -287,6 +287,54 @@ class TableCommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE ZORDER BY (numeric, string): the string column gets an " +
+      "order-preserving prefix bucket — predicates on BOTH columns prune, " +
+      "not just the numeric one") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    // 200 numeric keys x 26 string prefixes, independent dimensions
+    c.createTable("zs", spark.range(208000).select(
+      (col("id") / 1040).cast("long").as("x"),
+      concat(
+        expr("char(97 + CAST(id % 26 AS INT))"),
+        lit("_tag_"), (col("id") % 1000).cast("string")).as("s"),
+      col("id").as("payload")))
+    def scanned(f: org.apache.spark.sql.Column): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val qe = c.table("zs").filter(f).queryExecution
+      qe.toRdd.foreach(_ => ())
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.flatMap(walk)
+      })
+      walk(qe.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val sPred = col("s").startsWith("b")   // 1/26 of rows, string axis
+    val xPred = col("x") < 5               // 1/40 of rows, numeric axis
+    c.optimizeTable("zs", targetPartitions = 64)
+    val nS = c.table("zs").filter(sPred).count()
+    val nX = c.table("zs").filter(xPred).count()
+    assert(nS == 8000 && nX == 5200)
+    val (bs, bx) = (scanned(sPred), scanned(xPred))
+    assert(bs > 150000 && bx > 150000,
+      s"random layout unexpectedly skipped ($bs, $bx)")
+    c.optimizeTable("zs", targetPartitions = 64, zorderBy = Seq("x", "s"))
+    assert(c.table("zs").filter(sPred).count() == nS,
+      "zorder changed the answer")
+    assert(c.table("zs").filter(xPred).count() == nX,
+      "zorder changed the answer")
+    val (zs, zx) = (scanned(sPred), scanned(xPred))
+    // the old try_cast path made the string column bucket 0 everywhere:
+    // the layout degenerated to a linear x-sort and zs stayed ~bs
+    assert(zs * 3 <= bs, s"string-prefix filter not pruned: $zs of $bs")
+    assert(zx * 3 <= bx, s"numeric filter not pruned: $zx of $bx")
+  }
+
   test("appendCommitted: exactly-once O(batch) appends — atomic version " +
       "link-forward, replay no-op, marker-carried, old data survives sweep") {
     import spark.implicits._
