@@ -332,6 +332,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // traffic; DROP SNAPSHOT releases the pin and the view
   private val dropSnapshotStmt =
     """(?is)\s*DROP\s+SNAPSHOT\s+(\w+)\s*;?\s*""".r
+  // observability for the pins: what DROP SNAPSHOT can release, and what
+  // sweep is keeping alive — readable after a restart (pins are durable,
+  // the temp VIEWS are session-scoped; re-issue SNAPSHOT to re-view)
+  private val showSnapshotsStmt =
+    """(?is)\s*SHOW\s+SNAPSHOTS\s*;?\s*""".r
   // the streaming ingest loop over SQL: START watches a directory (the
   // shape a decode/crawl stage drops files into) and pipes every new file
   // through the self-maintaining gate (documents -> admitAndIndex;
@@ -1029,6 +1034,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         case None => throw new IllegalArgumentException(
           s"DROP SNAPSHOT: no snapshot named '$alias' is pinned")
       }
+    case showSnapshotsStmt() =>
+      import spark.implicits._
+      // is_viewable: the session-scoped temp view may be gone after a
+      // restart while the durable pin remains — re-issue SNAPSHOT (same
+      // version, still retained BECAUSE pinned) to re-create the view
+      cmds.warehouseTables.flatMap(t => cmds.pins(t).map {
+        case (alias, ver) =>
+          (alias, t, ver, spark.catalog.tableExists(alias))
+      }).sortBy(_._1)
+        .toDF("snapshot", "table", "version", "is_viewable")
     case optimizeStmt(tblRaw, zcolsRaw) =>
       // reference: OptimizeCommand (compaction); ZORDER BY adds the
       // multi-dimensional clustering rewrite (see TableCommands Scaladoc)

@@ -188,4 +188,30 @@ object VectorStreams {
         ()
       }
       .start()
+
+  /** Streaming DIVERSIFIED serving — [[serve]]'s MMR sibling, the online
+    * twin of s110: each query micro-batch is answered by the batch
+    * composition ([[Similarity.searchVectorsDiversified]] — the indexed
+    * two-tier top-shortK shortlist reranked by the exact-integer greedy)
+    * and landed EXACTLY-ONCE via `appendCommitted`. Because the greedy
+    * compares only exact integers and runs per query, streamed answers
+    * are bit-identical to batch answers for the same query set and
+    * independent of how queries split across micro-batches — the parity
+    * spec proves both. Scale shape per batch: the serve kernel's
+    * (query-bounded broadcasts) + one bounded shortlist probe; no state
+    * store, nothing accumulates across batches. */
+  def serveDiversified(queryStream: DataFrame, d: String,
+      cmds: TableCommands, table: String, k: Int = 3, shortK: Int = 10,
+      lambdaTenths: Int = 7): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          cmds.appendCommitted(table,
+            Similarity.searchVectorsDiversified(batch.sparkSession, d,
+              batch, k, shortK, lambdaTenths),
+            batchId)
+        ()
+      }
+      .start()
 }

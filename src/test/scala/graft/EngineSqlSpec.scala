@@ -1701,6 +1701,11 @@ class EngineSqlSpec extends AnyFunSuite {
       engine.sql("DELETE FROM pt WHERE id = 0") // v2: 1,2,3
       assert(engine.sql("SNAPSHOT pt VERSION AS OF 'v00002' AS pt_pin")
         .head.getString(0).contains("pinned"))
+      // SHOW SNAPSHOTS surfaces the pin (what DROP can release, what
+      // sweep is keeping alive)
+      val snaps = engine.sql("SHOW SNAPSHOTS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(snaps.contains(("pt_pin", "pt", "v00002")), s"got ${snaps.toSeq}")
       // retention collapses to 1 and the table churns far past the pin
       engine.sql("RETAIN 1 VERSIONS ON pt")
       (1 to 3).foreach(i => engine.sql(s"DELETE FROM pt WHERE id = $i"))

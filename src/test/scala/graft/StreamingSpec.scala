@@ -396,6 +396,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally operators.VectorIndex.drop(spark, cmds)
   }
 
+  test("VectorStreams.serveDiversified: streamed MMR answers are " +
+      "bit-identical to batch searchVectorsDiversified across any " +
+      "micro-batch split, landed exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = TestSpark.sfDir
+    val cmds = new commands.TableCommands(spark,
+      java.nio.file.Files.createTempDirectory("graft_vdiv_wh").toString)
+    operators.VectorIndex.build(spark, d, cmds)
+    try {
+      // s110's external midpoint queries as a CALLER stream, split
+      // mid-set: per-query independence of both stages (serve kernel +
+      // greedy) means the union of per-batch answers equals the batch
+      // answer over the union
+      val callerQ = spark.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id AS q_id", "embedding AS e1")
+        .join(spark.read.parquet(s"$d/embeddings.parquet")
+          .selectExpr("vec_id - 1 AS q_id", "embedding AS e2"), "q_id")
+        .filter(col("q_id").between(10, 19))
+        .selectExpr("q_id",
+          "zip_with(e1, e2, (x, y) -> (CAST(x AS DOUBLE) + " +
+            "CAST(y AS DOUBLE)) / 2) AS embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = streaming.VectorStreams.serveDiversified(
+        src.toDF().toDF("q_id", "embedding"), d, cmds, "div_answers")
+      try {
+        src.addData(callerQ.filter(_._1 < 15): _*)
+        q.processAllAvailable()
+        src.addData(callerQ.filter(_._1 >= 15): _*)
+        q.processAllAvailable()
+        val streamed = cmds.table("div_answers").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val batch = operators.Similarity.searchVectorsDiversified(spark,
+            d, callerQ.toSeq.toDF("q_id", "embedding")).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(streamed.nonEmpty && streamed == batch,
+          "streamed diversified answers diverge from batch s110 kernel")
+        // and the batch kernel equals the s110 inventory query on the
+        // same construction — closing the triangle
+        val s110 = SparkEntry.queries("s110_search_diversify")(spark, d)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(batch == s110, "kernel diverged from the s110 inventory")
+        assert(cmds.verifyTable("div_answers") == streamed.size.toLong)
+      } finally q.stop()
+    } finally operators.VectorIndex.drop(spark, cmds)
+  }
+
   test("VectorStreams.routeAndEncode: streamed ingest rows are " +
       "bit-identical to the stored assign/codes tables") {
     import spark.implicits._
