@@ -946,36 +946,47 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         require(d0 == dir,
           s"the $k ingest checkpoint was created for source '$d0' and a " +
             s"file-stream checkpoint pins its source - resume from '$d0'")
-      } else {
-        java.nio.file.Files.createDirectories(srcFile.getParent)
-        java.nio.file.Files.writeString(srcFile, dir)
       }
-      val q = if (k == "ADMIT") {
-        require(cmds.tableExists(
-          operators.DedupIndex.tableName("bands")),
-          "START ADMIT INGEST needs the stored dedup index - run BUILD " +
-            "DEDUP INDEX first")
-        val docs = spark.readStream
-          .schema(StructType(Seq(StructField("doc_id", LongType),
-            StructField("text", StringType))))
-          .parquet(dir)
-        streaming.DocStreams.admitAndIndex(docs, cmds,
-          checkpoint = Some(ckpt))
-      } else {
-        require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
-          cmds.tableExists(operators.VectorIndex.tableName(p))),
-          "START VECTOR INGEST needs the stored vector index - run " +
-            "BUILD VECTOR INDEX first")
-        val vecs = spark.readStream
-          .schema(StructType(Seq(StructField("vec_id", LongType),
-            StructField("embedding", ArrayType(FloatType)))))
-          .parquet(dir)
-        streaming.VectorStreams.ingest(vecs, cmds,
-          checkpoint = Some(ckpt))
-      }
+      // claim the single-writer registration BEFORE the stream starts:
+      // the reverse order has a window where the gate is already
+      // committing but invisible to other engines (whose same-kind START
+      // would then double-write the index). A failed start rolls the
+      // claim back; a crash inside the window leaves a registration
+      // without a query — exactly what STOP INGEST's dead-registration
+      // branch clears.
+      registerIngest(name, k, dir)
+      val q = try {
+        if (k == "ADMIT") {
+          require(cmds.tableExists(
+            operators.DedupIndex.tableName("bands")),
+            "START ADMIT INGEST needs the stored dedup index - run BUILD " +
+              "DEDUP INDEX first")
+          val docs = spark.readStream
+            .schema(StructType(Seq(StructField("doc_id", LongType),
+              StructField("text", StringType))))
+            .parquet(dir)
+          streaming.DocStreams.admitAndIndex(docs, cmds,
+            checkpoint = Some(ckpt))
+        } else {
+          require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
+            cmds.tableExists(operators.VectorIndex.tableName(p))),
+            "START VECTOR INGEST needs the stored vector index - run " +
+              "BUILD VECTOR INDEX first")
+          val vecs = spark.readStream
+            .schema(StructType(Seq(StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)))))
+            .parquet(dir)
+          streaming.VectorStreams.ingest(vecs, cmds,
+            checkpoint = Some(ckpt))
+        }
+      } catch { case e: Throwable => deregisterIngest(name); throw e }
+      // record the checkpoint's source pin only once a stream actually
+      // started against it — a refused START must not pin a source the
+      // checkpoint never saw
+      java.nio.file.Files.createDirectories(srcFile.getParent)
+      java.nio.file.Files.writeString(srcFile, dir)
       ingests(name) = q
       ingestKinds(name) = k
-      registerIngest(name, k, dir)
       status(s"started ${k.toLowerCase} ingest $name from $dir")
     case showIngestsStmt() =>
       import spark.implicits._
