@@ -61,16 +61,29 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private def registeredIngests: Seq[(String, String, String)] =
     if (!java.nio.file.Files.isDirectory(ingestRegistryDir)) Nil
     else Option(ingestRegistryDir.toFile.listFiles())
-      .getOrElse(Array.empty).filter(_.isFile).toSeq.sortBy(_.getName)
-      .map { f =>
-        val Array(k, d) = java.nio.file.Files.readString(f.toPath)
-          .trim.split("\t", 2)
-        (f.getName, k, d)
+      .getOrElse(Array.empty).filter(f => f.isFile &&
+        !f.getName.endsWith(".tmp")).toSeq.sortBy(_.getName)
+      .flatMap { f =>
+        // tolerate a malformed entry (a crash mid-write predating the
+        // atomic rename, or manual tampering): surface it as a
+        // registration of unknown kind rather than wedging every SHOW
+        // INGESTS / START behind a parse error — STOP INGEST <name>
+        // clears it like any dead registration
+        java.nio.file.Files.readString(f.toPath).trim.split("\t", 2) match {
+          case Array(k, d) => Some((f.getName, k, d))
+          case _ => Some((f.getName, "?", ""))
+        }
       }
 
   private def registerIngest(name: String, kind: String, dir: String): Unit = {
     java.nio.file.Files.createDirectories(ingestRegistryDir)
-    java.nio.file.Files.writeString(ingestRegFile(name), s"$kind\t$dir"); ()
+    // tmp + ATOMIC_MOVE: the registry is the cross-engine single-writer
+    // claim, so it must never exist half-written
+    val tmp = ingestRegFile(name + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"$kind\t$dir")
+    java.nio.file.Files.move(tmp, ingestRegFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
   }
 
   private def deregisterIngest(name: String): Unit = {
