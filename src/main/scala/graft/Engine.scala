@@ -706,6 +706,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"BUILD VECTOR INDEX: only the embeddings corpus carries " +
             s"vectors; got '$tbl'")
+      // same single-writer fence as REFRESH/OPTIMIZE: a BUILD republishes
+      // the very tables a running ingest is appending into
+      requireNoIngest("VECTOR", "BUILD VECTOR INDEX")
       operators.VectorIndex.build(spark, sfDir, cmds)
       status(s"built vector index on $tbl")
     case dropVectorIndex(tbl) =>
@@ -713,6 +716,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"DROP VECTOR INDEX: only the embeddings corpus carries " +
             s"vectors; got '$tbl'")
+      // a DROP under a running ingest deletes the manifests mid-append —
+      // the gate must be stopped first
+      requireNoIngest("VECTOR", "DROP VECTOR INDEX")
       operators.VectorIndex.drop(spark, cmds)
       status(s"dropped vector index on $tbl")
     case buildDedupIndex(tbl) =>
@@ -720,6 +726,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"BUILD DEDUP INDEX: only the documents corpus carries " +
             s"text; got '$tbl'")
+      requireNoIngest("ADMIT", "BUILD DEDUP INDEX")
       operators.DedupIndex.build(spark, sfDir, cmds)
       status(s"built dedup index on $tbl")
     case dropDedupIndex(tbl) =>
@@ -727,6 +734,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(
           s"DROP DEDUP INDEX: only the documents corpus carries " +
             s"text; got '$tbl'")
+      requireNoIngest("ADMIT", "DROP DEDUP INDEX")
       operators.DedupIndex.drop(spark, cmds)
       status(s"dropped dedup index on $tbl")
     case showVectorIndexes() =>

@@ -1639,12 +1639,20 @@ class EngineSqlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         e2.sql(s"START ADMIT INGEST FROM '$watch' AS gate2")
       }
-      // maintenance on the gate's tables is fenced on BOTH engines
+      // maintenance on the gate's tables is fenced on BOTH engines —
+      // REFRESH/OPTIMIZE republish the manifests the gate appends into,
+      // BUILD would double-write them, DROP would delete them mid-append
       intercept[IllegalStateException] {
         e2.sql("REFRESH DEDUP INDEX ON documents")
       }
       intercept[IllegalStateException] {
         e1.sql(s"OPTIMIZE ${operators.DedupIndex.tableName("bands")}")
+      }
+      intercept[IllegalStateException] {
+        e2.sql("BUILD DEDUP INDEX ON documents")
+      }
+      intercept[IllegalStateException] {
+        e1.sql("DROP DEDUP INDEX ON documents")
       }
       // restart visibility: e2 lists the gate (not active IN e2)
       val shown = e2.sql("SHOW INGESTS").collect()
