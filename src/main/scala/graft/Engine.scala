@@ -75,15 +75,25 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         }
       }
 
-  private def registerIngest(name: String, kind: String, dir: String): Unit = {
+  /** Acquire a NEW registry claim atomically: the rename intentionally
+    * omits REPLACE_EXISTING, so of two engines racing the same name
+    * exactly one wins (FileAlreadyExistsException for the loser) and a
+    * live claim can never be silently clobbered — resume paths must NOT
+    * call this (the existing entry IS the claim). */
+  private def claimIngest(name: String, kind: String, dir: String): Unit = {
     java.nio.file.Files.createDirectories(ingestRegistryDir)
-    // tmp + ATOMIC_MOVE: the registry is the cross-engine single-writer
-    // claim, so it must never exist half-written
     val tmp = ingestRegFile(name + ".tmp")
     java.nio.file.Files.writeString(tmp, s"$kind\t$dir")
-    java.nio.file.Files.move(tmp, ingestRegFile(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+    try
+      java.nio.file.Files.move(tmp, ingestRegFile(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      java.nio.file.Files.deleteIfExists(tmp)
+      throw new IllegalArgumentException(
+        s"ingest $name was just registered by another engine - " +
+          s"SHOW INGESTS lists it")
+    }
+    ()
   }
 
   private def deregisterIngest(name: String): Unit = {
@@ -437,9 +447,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   }
 
   private def localName(qualifier: String, tbl: String, verb: String): String =
-    if (isLocalDb(qualifier))
-      guardSystemTable(cmds.resolveTable(tbl).getOrElse(tbl), verb)
-    else throw new UnsupportedOperationException(
+    if (isLocalDb(qualifier)) {
+      val n = guardSystemTable(cmds.resolveTable(tbl).getOrElse(tbl), verb)
+      // the ADMIT gate's verdict log is single-writer while the gate is
+      // registered, like the index tables — a concurrent COW/append from
+      // SQL DML would race its per-batch commit on the same manifest.
+      // EXPLAIN variants only BUILD the frame and pass freely.
+      if (n.equalsIgnoreCase("ingest_verdicts") &&
+          !verb.toUpperCase(java.util.Locale.ROOT).startsWith("EXPLAIN"))
+        requireNoIngest("ADMIT", s"$verb on $n")
+      n
+    } else throw new UnsupportedOperationException(
       s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
         s"supported — the warehouse is single-database; use the bare name '$tbl'")
 
@@ -938,7 +956,21 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // DURABLE registry entry, so it holds across engine instances
       // sharing this warehouse — a second engine's same-kind START is
       // refused even though its in-memory maps are empty. A same-NAME
-      // same-kind START is a RESUME of a prior session's gate.
+      // START is a RESUME of a prior session's gate and must match the
+      // claim EXACTLY (same kind — a different-kind reuse would clobber
+      // a live claim of the other kind — and same source). Liveness of
+      // the prior session is the operator's call: within one JVM Spark
+      // itself refuses a second active query on one checkpoint; across
+      // JVMs, STOP INGEST the dead name first.
+      val existing = registeredIngests.find(_._1 == name)
+      existing.foreach { case (_, k0, d0) =>
+        require(k0 == k,
+          s"ingest '$name' is registered as a $k0 gate - pick another " +
+            s"name or STOP INGEST $name first")
+        require(d0 == dir,
+          s"ingest '$name' was registered from '$d0' - resume from " +
+            s"'$d0' or STOP INGEST $name first")
+      }
       registeredIngests.find(_._2 == k).foreach { case (n, _, _) =>
         require(n == name,
           s"an $k ingest ('$n') is already registered on this warehouse " +
@@ -953,29 +985,46 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // (STOP INGEST foo; START ... AS bar) would restart Spark's batch
       // numbering at 0 against markers already at N, and every new
       // micro-batch id <= N would be silently skipped as a replay: total
-      // silent data loss on a supported SQL surface.
-      val ckpt = s"$warehouse/_ingest_ckpt/" +
+      // silent data loss on a supported SQL surface. A warehouse that
+      // predates kind-keying may hold a LEGACY alias-keyed checkpoint —
+      // honored when the kind-keyed one does not exist yet, because ITS
+      // numbering is the one the sink markers advanced past.
+      val kindCkpt = s"$warehouse/_ingest_ckpt/" +
         k.toLowerCase(java.util.Locale.ROOT)
+      val legacyCkpt = s"$warehouse/_ingest_ckpt/$name"
+      val ckpt =
+        if (!java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(kindCkpt)) &&
+            java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(legacyCkpt))) legacyCkpt
+        else kindCkpt
       // a file-stream checkpoint also pins its SOURCE: resuming it
       // against a different directory is undefined in the engine (seen-
       // files log and offsets refer to the old source), so the first
       // START records the source beside the checkpoint and later STARTs
       // must match it
       val srcFile = java.nio.file.Paths.get(s"$ckpt.src")
-      if (java.nio.file.Files.exists(srcFile)) {
+      val srcWasNew = !java.nio.file.Files.exists(srcFile)
+      if (!srcWasNew) {
         val d0 = java.nio.file.Files.readString(srcFile).trim
         require(d0 == dir,
           s"the $k ingest checkpoint was created for source '$d0' and a " +
             s"file-stream checkpoint pins its source - resume from '$d0'")
       }
-      // claim the single-writer registration BEFORE the stream starts:
-      // the reverse order has a window where the gate is already
-      // committing but invisible to other engines (whose same-kind START
-      // would then double-write the index). A failed start rolls the
-      // claim back; a crash inside the window leaves a registration
-      // without a query — exactly what STOP INGEST's dead-registration
-      // branch clears.
-      registerIngest(name, k, dir)
+      // claim the single-writer registration BEFORE the stream starts
+      // (the reverse order has a window where the gate is already
+      // committing but invisible to other engines); the claim is
+      // CREATE-only, so two racing engines cannot both win, and a resume
+      // keeps the existing entry untouched. A failed start rolls back
+      // only a claim WE created — never a prior session's.
+      if (existing.isEmpty) claimIngest(name, k, dir)
+      // the source pin also lands BEFORE the stream starts: a crash
+      // between start and pin would leave a live checkpoint resumable
+      // against any directory unchecked
+      if (srcWasNew) {
+        java.nio.file.Files.createDirectories(srcFile.getParent)
+        java.nio.file.Files.writeString(srcFile, dir)
+      }
       val q = try {
         if (k == "ADMIT") {
           require(cmds.tableExists(
@@ -1000,12 +1049,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           streaming.VectorStreams.ingest(vecs, cmds,
             checkpoint = Some(ckpt))
         }
-      } catch { case e: Throwable => deregisterIngest(name); throw e }
-      // record the checkpoint's source pin only once a stream actually
-      // started against it — a refused START must not pin a source the
-      // checkpoint never saw
-      java.nio.file.Files.createDirectories(srcFile.getParent)
-      java.nio.file.Files.writeString(srcFile, dir)
+      } catch { case e: Throwable =>
+        if (existing.isEmpty) deregisterIngest(name)
+        // a refused START must not pin a source the checkpoint never
+        // saw — but if the engine DID create the checkpoint before
+        // failing, the pin is true and stays
+        if (srcWasNew && !java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(ckpt)))
+          java.nio.file.Files.deleteIfExists(srcFile)
+        throw e
+      }
       ingests(name) = q
       ingestKinds(name) = k
       status(s"started ${k.toLowerCase} ingest $name from $dir")
@@ -1048,6 +1101,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw new IllegalArgumentException(s"table $tblRaw does not exist"))
       val path = cmds.snapshotPath(tbl, Option(verQ).getOrElse(verBare))
       val ver = java.nio.file.Paths.get(path).getFileName.toString
+      // an alias is ONE snapshot: re-registering it MOVES the pin (the
+      // temp view is replaced below, so the old pin would otherwise leak
+      // — an orphaned pin blocks sweeping its version forever); the move
+      // scans every table because the alias may previously have pinned a
+      // DIFFERENT table
+      cmds.warehouseTables.filter(_ != tbl).foreach(t =>
+        cmds.unpinAlias(t, alias))
       // pin BEFORE registering the view: the version must be sweep-proof
       // from the instant a reader can resolve the alias. The pin is
       // durable (PINS file) — a swept-under-the-reader snapshot is the
@@ -1057,15 +1117,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       spark.read.parquet(path).createOrReplaceTempView(alias)
       status(s"snapshot $alias -> $tbl @ $ver (pinned until DROP SNAPSHOT)")
     case dropSnapshotStmt(alias) =>
-      cmds.warehouseTables.find(t =>
-        cmds.pins(t).exists(_._1.equalsIgnoreCase(alias))) match {
-        case Some(t) =>
-          cmds.unpinAlias(t, alias)
-          spark.catalog.dropTempView(alias)
-          status(s"dropped snapshot $alias (version of $t unpinned)")
-        case None => throw new IllegalArgumentException(
-          s"DROP SNAPSHOT: no snapshot named '$alias' is pinned")
-      }
+      // unpin from EVERY table carrying the alias (defense in depth
+      // against pins leaked by older engines), not just the first hit
+      val hit = cmds.warehouseTables.filter(t =>
+        cmds.pins(t).exists(_._1.equalsIgnoreCase(alias)))
+      if (hit.isEmpty) throw new IllegalArgumentException(
+        s"DROP SNAPSHOT: no snapshot named '$alias' is pinned")
+      hit.foreach(t => cmds.unpinAlias(t, alias))
+      spark.catalog.dropTempView(alias)
+      status(s"dropped snapshot $alias " +
+        s"(version of ${hit.mkString(", ")} unpinned)")
     case showSnapshotsStmt() =>
       import spark.implicits._
       // is_viewable: the session-scoped temp view may be gone after a
@@ -1088,6 +1149,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (lowTbl.startsWith("vector_index_"))
         requireNoIngest("VECTOR", s"OPTIMIZE $tbl")
       if (lowTbl.startsWith("dedup_index_"))
+        requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
+      // the ADMIT gate also appendCommits its verdict log every batch —
+      // compacting it mid-stream races the same manifest
+      if (lowTbl == "ingest_verdicts")
         requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
       val zcols = Option(zcolsRaw).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)

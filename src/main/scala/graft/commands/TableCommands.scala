@@ -209,12 +209,18 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   // sweep's keep-set is retention-window ∪ pinned versions ∪ live. ───────
   private def pinsFile(table: String) = Paths.get(dir(table), "PINS")
 
-  /** Registered snapshot pins of `table`: alias -> version. */
+  /** Registered snapshot pins of `table`: alias -> version. Malformed
+    * lines (no tab — manual edit, partial copy) are SKIPPED, never
+    * thrown: pins() sits on every sweep, hence every commit path, and a
+    * parse error here would make the whole table unwritable. */
   def pins(table: String): Seq[(String, String)] =
     if (Files.exists(pinsFile(table)))
       Files.readString(pinsFile(table)).linesIterator
         .map(_.trim).filter(_.nonEmpty).toSeq
-        .map { l => val Array(a, v) = l.split("\t", 2); (a, v) }
+        .flatMap(_.split("\t", 2) match {
+          case Array(a, v) => Some((a, v))
+          case _ => None
+        })
     else Nil
 
   private def pinnedVersions(table: String): Seq[String] =
@@ -414,8 +420,17 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       def asD(c: String): Column =
         t.schema(c).dataType match {
           case org.apache.spark.sql.types.StringType =>
+            // ascii() returns the first UTF-16 CODE UNIT, so a
+            // supplementary-plane char yields its high surrogate
+            // (0xD800–0xDBFF) — NUMERICALLY BELOW chars in
+            // [0xE000, 0xFFFF] that sort before it in UTF8-binary order.
+            // Clamping every unit >= 0xD800 to one ceiling keeps the
+            // proxy MONOTONE (never inverts parquet's string min/max
+            // order; astral/high-BMP chars merely share a bucket —
+            // layout coarseness, not wrongness).
             (0 until 4).map(i =>
-              coalesce(ascii(substring(col(s"`$c`"), i + 1, 1)), lit(0))
+              least(coalesce(ascii(substring(col(s"`$c`"), i + 1, 1)),
+                lit(0)), lit(0xD800))
                 .cast("double") * math.pow(2097152.0, (3 - i).toDouble))
               .reduce(_ + _)
           case _ => expr(s"try_cast(`$c` AS DOUBLE)")

@@ -1654,6 +1654,21 @@ class EngineSqlSpec extends AnyFunSuite {
       intercept[IllegalStateException] {
         e1.sql("DROP DEDUP INDEX ON documents")
       }
+      // the verdict log is single-writer while the gate runs: OPTIMIZE
+      // and DML on it are fenced too (its appendCommitted would race)
+      intercept[IllegalStateException] {
+        e1.sql("OPTIMIZE ingest_verdicts")
+      }
+      intercept[IllegalStateException] {
+        e2.sql("DELETE FROM ingest_verdicts WHERE doc_id = 0")
+      }
+      // a same-NAME different-KIND start must not clobber the live claim
+      val kindClash = intercept[IllegalArgumentException] {
+        e2.sql(s"START VECTOR INGEST FROM '$watch' AS gate")
+      }
+      assert(kindClash.getMessage.contains("registered as a ADMIT"))
+      assert(e2.sql("SHOW INGESTS").collect().map(_.getString(2)).toSeq
+        == Seq("admit"), "the ADMIT claim was clobbered")
       // restart visibility: e2 lists the gate (not active IN e2)
       val shown = e2.sql("SHOW INGESTS").collect()
         .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSeq
@@ -1693,6 +1708,30 @@ class EngineSqlSpec extends AnyFunSuite {
       e3.ingestQuery("gate").get.processAllAvailable()
       e3.sql("STOP INGEST gate")
       e3.close()
+      // LEGACY warehouse migration: pre-registry engines checkpointed by
+      // ALIAS with no .src pin. Simulate one (rename the kind checkpoint
+      // to an alias, drop the pin) and START under that alias: the
+      // legacy numbering must be honored — a fresh kind-keyed checkpoint
+      // would restart batch ids at 0 and the sink markers would swallow
+      // every new batch
+      import java.nio.file.{Files => F, Paths, StandardCopyOption}
+      F.move(Paths.get(wh, "_ingest_ckpt", "admit"),
+        Paths.get(wh, "_ingest_ckpt", "gate2"),
+        StandardCopyOption.ATOMIC_MOVE)
+      F.deleteIfExists(Paths.get(wh, "_ingest_ckpt", "admit.src"))
+      val fresh3 = "an elderly clockmaker repairs the tower bells above " +
+        "the quiet market square during every autumn festival week"
+      Seq(5000003L -> fresh3).toDF("doc_id", "text")
+        .write.mode("append").parquet(watch)
+      val e4 = new Engine(spark, d, wh)
+      e4.sql(s"START ADMIT INGEST FROM '$watch' AS gate2")
+      e4.ingestQuery("gate2").get.processAllAvailable()
+      assert(e4.storage.table("ingest_verdicts")
+        .filter(col("doc_id") === 5000003L).count() == 1L,
+        "legacy alias-keyed checkpoint was not honored - the new batch " +
+          "was swallowed by restarted numbering")
+      e4.sql("STOP INGEST gate2")
+      e4.close()
     } finally {
       e1.sql("DROP DEDUP INDEX ON documents")
       e1.close()
@@ -1722,6 +1761,21 @@ class EngineSqlSpec extends AnyFunSuite {
       assert(engine.sql("SELECT id FROM pt_pin ORDER BY id").collect()
         .map(_.getInt(0)).toSeq == Seq(1, 2, 3),
         "pinned snapshot was swept under the reader")
+      // re-registering an alias on ANOTHER table MOVES the pin — the
+      // old table's pin must not leak (a leaked pin blocks sweeping its
+      // version forever), and SHOW SNAPSHOTS shows exactly one row
+      engine.sql("DROP TABLE IF EXISTS pt2")
+      engine.sql("CREATE COLSTORE pt2 AS SELECT 1 AS id")
+      try {
+        engine.sql("SNAPSHOT pt2 VERSION AS OF 'v00001' AS pt_pin")
+        val snaps2 = engine.sql("SHOW SNAPSHOTS").collect()
+          .filter(_.getString(0) == "pt_pin")
+          .map(r => (r.getString(1), r.getString(2)))
+        assert(snaps2.toSeq == Seq(("pt2", "v00001")),
+          s"alias move leaked a pin: ${snaps2.toSeq}")
+        // move it back for the DROP assertions below
+        engine.sql("SNAPSHOT pt VERSION AS OF 'v00002' AS pt_pin")
+      } finally engine.sql("DROP TABLE IF EXISTS pt2")
       // DROP SNAPSHOT releases pin + view; the next rewrite sweeps it
       assert(engine.sql("DROP SNAPSHOT pt_pin").head.getString(0)
         .contains("unpinned"))

@@ -551,10 +551,19 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(F.isDirectory(Paths.get(wh, "t", pinned)),
       "restarted engine swept a pinned version")
     assert(c2.pins("t") == Seq("train_run_7" -> pinned))
+    // a MALFORMED pins line (manual edit, partial copy) must be skipped,
+    // never thrown: pins() sits on every sweep, hence every commit — a
+    // MatchError here would make the whole table unwritable
+    F.writeString(Paths.get(wh, "t", "PINS"),
+      F.readString(Paths.get(wh, "t", "PINS")) + "garbage-no-tab\n")
+    assert(c2.pins("t") == Seq("train_run_7" -> pinned),
+      "malformed pins line not skipped")
+    c2.insertCommitted("t", Seq(98).toDF("id"), 10L) // commits fine
+    assert(c2.table("t").as[Int].collect().contains(98))
     // unpin releases it: the next rewrite sweeps the directory
     assert(c2.unpinAlias("t", "train_run_7"))
     assert(!c2.unpinAlias("t", "train_run_7"), "double-unpin must report false")
-    c2.insertCommitted("t", Seq(100).toDF("id"), 10L)
+    c2.insertCommitted("t", Seq(100).toDF("id"), 11L)
     assert(!F.isDirectory(Paths.get(wh, "t", pinned)),
       "unpinned version not swept")
   }
