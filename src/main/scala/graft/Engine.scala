@@ -367,8 +367,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // queries; each ingest checkpoints under the warehouse so a RESTARTED
   // engine resumes batch numbering instead of letting the exactly-once
   // markers swallow new data
+  // optional COMPACT EVERY n BATCHES: the gate OPTIMIZEs its own tables
+  // every n micro-batches (safe — foreachBatch serializes the gate's
+  // writes), so appendCommitted's small files never need a manual
+  // STOP → OPTIMIZE → START loop
   private val startIngestStmt =
-    """(?is)\s*START\s+(ADMIT|VECTOR)\s+INGEST\s+FROM\s+'([^']+)'(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+    """(?is)\s*START\s+(ADMIT|VECTOR)\s+INGEST\s+FROM\s+'([^']+)'(?:\s+AS\s+(\w+))?(?:\s+COMPACT\s+EVERY\s+(\d+)\s+BATCHES)?\s*;?\s*""".r
   private val showIngestsStmt = """(?is)\s*SHOW\s+INGESTS\s*;?\s*""".r
   private val stopIngestStmt =
     """(?is)\s*STOP\s+INGEST\s+(\w+)\s*;?\s*""".r
@@ -943,11 +947,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         .getFileName.toString
       cmds.versionHistory(tbl)
         .map(v => (v, v == live)).toDF("version", "is_current")
-    case startIngestStmt(kind, dir, aliasOpt) =>
+    case startIngestStmt(kind, dir, aliasOpt, compactOpt) =>
       import org.apache.spark.sql.types._
       val k = kind.toUpperCase(java.util.Locale.ROOT)
       val name = Option(aliasOpt).getOrElse(
         if (k == "ADMIT") "admit_ingest" else "vector_ingest")
+      val compactEvery = Option(compactOpt).map(_.toInt).getOrElse(0)
+      if (Option(compactOpt).isDefined) require(compactEvery >= 1,
+        s"COMPACT EVERY needs n >= 1 batches; got $compactEvery")
       require(!ingests.contains(name),
         s"ingest $name already running - STOP INGEST $name first")
       // one gate per kind: both gates of a kind would write the SAME
@@ -1036,7 +1043,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               StructField("text", StringType))))
             .parquet(dir)
           streaming.DocStreams.admitAndIndex(docs, cmds,
-            checkpoint = Some(ckpt))
+            checkpoint = Some(ckpt), compactEvery = compactEvery)
         } else {
           require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
             cmds.tableExists(operators.VectorIndex.tableName(p))),
@@ -1047,7 +1054,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               StructField("embedding", ArrayType(FloatType)))))
             .parquet(dir)
           streaming.VectorStreams.ingest(vecs, cmds,
-            checkpoint = Some(ckpt))
+            checkpoint = Some(ckpt), compactEvery = compactEvery)
         }
       } catch { case e: Throwable =>
         if (existing.isEmpty) deregisterIngest(name)

@@ -483,7 +483,8 @@ object DocStreams {
     */
   def admitAndIndex(docs: DataFrame, cmds: graft.commands.TableCommands,
       verdictTable: String = "ingest_verdicts",
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // a RESTARTED gate must resume its batch numbering (the warehouse
     // markers are monotonic per table): without a checkpoint the engine
@@ -494,6 +495,30 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitAndIndexBatch(batch, cmds, verdictTable, batchId)
+        // IN-GATE compaction: appendCommitted adds files per batch (the
+        // old ones ride forward as hard links), so a long-running gate
+        // accumulates small files. foreachBatch serializes the gate's
+        // writes, so the gate may OPTIMIZE its own tables between
+        // batches with no second-writer hazard — the same valve the
+        // manual STOP → OPTIMIZE → START loop turns, without stopping.
+        // The COW rewrite carries the stream marker forward (publish's
+        // contract, spec-pinned), so replay safety is unchanged; keying
+        // on batchId keeps a replayed batch's compaction a harmless
+        // second rewrite, never a skipped one.
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          val bandTable = graft.operators.DedupIndex.tableName("bands")
+          if (cmds.tableExists(verdictTable))
+            cmds.optimizeTable(verdictTable)
+          if (cmds.tableExists(bandTable)) {
+            cmds.optimizeTable(bandTable)
+            graft.commands.TableCommands.registerCatalog(
+              batch.sparkSession, bandTable, cmds.dataPath(bandTable))
+            org.apache.spark.sql.SparkSession.getDefaultSession
+              .filter(_ ne batch.sparkSession)
+              .foreach(s => graft.commands.TableCommands.registerCatalog(
+                s, bandTable, cmds.dataPath(bandTable)))
+          }
+        }
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

@@ -65,7 +65,8 @@ object VectorStreams {
     * append the live version directories change, so every catalog entry
     * is re-pointed (`VectorIndex.repoint`). */
   def ingest(vecStream: DataFrame, cmds: TableCommands,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val (cents, book) = freeze(
       cmds.table(VectorIndex.tableName("centroids")),
       cmds.table(VectorIndex.tableName("codebook")))
@@ -75,6 +76,22 @@ object VectorStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, cmds, cents, book, batchId)
+        // in-gate compaction of the link-forward small files — see
+        // DocStreams.admitAndIndex for the single-writer rationale
+        // (foreachBatch serializes the gate's writes); the COW rewrite
+        // carries each table's stream marker forward, and the catalog
+        // repoint below follows the same two-session discipline as the
+        // appends
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+            && Seq("assign", "codes").forall(p =>
+              cmds.tableExists(VectorIndex.tableName(p)))) {
+          cmds.optimizeTable(VectorIndex.tableName("codes"))
+          cmds.optimizeTable(VectorIndex.tableName("assign"))
+          VectorIndex.repoint(batch.sparkSession, cmds)
+          org.apache.spark.sql.SparkSession.getDefaultSession
+            .filter(_ ne batch.sparkSession)
+            .foreach(VectorIndex.repoint(_, cmds))
+        }
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

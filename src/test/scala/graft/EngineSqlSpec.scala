@@ -1543,7 +1543,10 @@ class EngineSqlSpec extends AnyFunSuite {
       // a file is already waiting when the gate starts
       Seq(3000001L -> doc3, 3000010L -> fresh).toDF("doc_id", "text")
         .write.mode("append").parquet(watch)
-      assert(e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+      // COMPACT EVERY n BATCHES rides the same statement (in-gate
+      // compaction of the link-forward small files)
+      assert(e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate " +
+        "COMPACT EVERY 2 BATCHES")
         .head.getString(0).contains("started admit ingest gate"))
       val q = e1.ingestQuery("gate").getOrElse(fail("no query handle"))
       q.processAllAvailable()

@@ -293,6 +293,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("admitAndIndex compactEvery: the gate compacts its own tables " +
+      "between batches — contents, verdicts and replay markers are " +
+      "bit-identical to an uncompacted gate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = TestSpark.sfDir
+    val freshA = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val freshB = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    val batches = Seq(
+      Seq(6000010L -> freshA),
+      Seq(6000021L -> freshB),
+      Seq(6000030L -> freshA)) // dup of batch-1's admission
+    def runGate(compactEvery: Int): (Set[Seq[Any]], Set[Seq[Any]],
+        commands.TableCommands) = {
+      val cmds = new commands.TableCommands(spark, java.nio.file.Files
+        .createTempDirectory(s"graft_cmp${compactEvery}_wh").toString)
+      operators.DedupIndex.build(spark, d, cmds)
+      val src = MemoryStream[(Long, String)]
+      val q = streaming.DocStreams.admitAndIndex(
+        src.toDF().toDF("doc_id", "text"), cmds,
+        compactEvery = compactEvery)
+      try {
+        batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      (cmds.table("ingest_verdicts").collect().map(_.toSeq).toSet,
+        spark.table(operators.DedupIndex.tableName("bands"))
+          .collect().map(_.toSeq).toSet, cmds)
+    }
+    val (v1, b1, cmds1) = runGate(compactEvery = 1) // compact EVERY batch
+    try {
+      // the compacting gate's verdicts are right on their own terms
+      val byId = cmds1.table("ingest_verdicts").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(byId(6000030L).getBoolean(byId(6000030L)
+        .fieldIndex("is_near_dup")),
+        "post-compaction probe missed batch-1's admission")
+      // markers survive every compaction (publish carries them), so a
+      // replayed last batch is still a no-op on BOTH tables
+      streaming.DocStreams.admitAndIndexBatch(
+        batches.last.toDF("doc_id", "text"), cmds1, "ingest_verdicts", 2L)
+      assert(cmds1.table("ingest_verdicts").count() == v1.size.toLong,
+        "replay after compaction duplicated verdicts")
+      assert(spark.table(operators.DedupIndex.tableName("bands")).count()
+        == b1.size.toLong, "replay after compaction appended bands")
+      val (v0, b0, _) = runGate(compactEvery = 0) // uncompacted twin
+      assert(v1 == v0, "compaction changed the verdict log contents")
+      assert(b1 == b0, "compaction changed the band index contents")
+    } finally {
+      operators.DedupIndex.drop(spark, cmds1); ()
+    }
+  }
+
   test("admitAndIndex verdict log is O(batch): committing a tiny batch " +
       "against a LARGE pre-seeded verdict log hard-links the old log " +
       "files — per-batch cost independent of stream lifetime") {
