@@ -1986,12 +1986,22 @@ object Similarity {
         mm => struct(mm.as("m"),
           slice(col("qv"), mm * 8 + 1, lit(8)).as("sv")))).as("e"))
       .select(col("q_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    // the per-query LUT is UNPACKED into a dense 800-slot array (position
+    // key+1 holds the subspace distance): element_at on an ARRAY is O(1),
+    // while on the map it was a linear scan of all m·k entries — at 8
+    // lookups per corpus row the ADC tier paid ~8·m·k comparisons per
+    // VECTOR. One 800-slot unpack per QUERY buys O(1) per corpus-row
+    // lookup; missing keys (dropped empty clusters) hold null exactly as
+    // the map returned null, so scores are bit-identical.
     val lutq = qsubs.join(broadcast(codebook), "m")
-      .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
+      .select(col("q_id"),
+        (col("m") * 100 + col("cid")).cast("long").as("key"),
         l2q(col("sv"), col("cq")).as("dq"))
       .groupBy("q_id")
       .agg(map_from_entries(sort_array(collect_list(
-        struct(col("key"), col("dq"))))).as("qlut"))
+        struct(col("key"), col("dq"))))).as("qmap"))
+      .select(col("q_id"), transform(sequence(lit(0L), lit(799L)),
+        i => element_at(col("qmap"), i)).as("qlut"))
     val cand = broadcast(probes)
       .join(assign.select(col("vec_id"),
         col("cluster").as("clabel")), "clabel")
@@ -2001,7 +2011,8 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         aggregate(zip_with(col("codes"),
           sequence(lit(0), lit(7)),
-          (code, mm) => element_at(col("qlut"), mm * 100 + code)),
+          (code, mm) => element_at(col("qlut"),
+            (mm * 100 + code + lit(1)).cast("int"))),
           lit(0L), (a, x) => a + x).as("adq"),
         col("crnk"))
   }
@@ -2450,18 +2461,23 @@ object Similarity {
           slice(col("vq"), mm * pqSub + 1, lit(pqSub)).as("sv")))).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
     // per-query LUT: |queries|×m×k exact subspace distances; keyed
-    // m*100+cid into a map so a dropped (empty) cluster cannot shift
-    // positional indexing
+    // m*100+cid (a dropped empty cluster cannot shift the keying) and
+    // UNPACKED into a dense m·100-slot array per query — element_at on
+    // an ARRAY is O(1) where the map lookup scanned all m·k entries per
+    // code (see ivfpqCandidates); missing keys hold null, exactly the
+    // map's answer, so scores are bit-identical
     val lut = qsubs
       .select(col("vec_id").as("q_id"), col("m"), col("sv"))
       .join(broadcast(codebook), "m")
-      .select(col("q_id"), (col("m") * 100 + col("cid")).as("key"),
+      .select(col("q_id"),
+        (col("m") * 100 + col("cid")).cast("long").as("key"),
         l2q(col("sv"), col("cq")).as("dq"))
       .groupBy("q_id")
       .agg(map_from_entries(sort_array(collect_list(
-        struct(col("key"), col("dq"))))).as("qlut"))
-      // maps are not orderable — plain collect_list; element order is
-      // immaterial (each query explodes back to its own rows)
+        struct(col("key"), col("dq"))))).as("qmap"))
+      .select(col("q_id"), transform(
+        sequence(lit(0L), lit(m * 100L - 1)),
+        i => element_at(col("qmap"), i)).as("qlut"))
       .agg(collect_list(struct(col("q_id"), col("qlut"))).as("qs"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("adq").asc, col("neighbor_id").asc)
@@ -2470,7 +2486,8 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("q")("q_id").as("q_id"),
         aggregate(zip_with(col("codes"),
             sequence(lit(0), lit(m - 1)),
-            (code, mm) => element_at(col("q")("qlut"), mm * 100 + code)),
+            (code, mm) => element_at(col("q")("qlut"),
+              (mm * 100 + code + lit(1)).cast("int"))),
           lit(0L), (a, x) => a + x).as("adq"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("rnk", row_number().over(w))
