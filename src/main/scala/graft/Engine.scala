@@ -53,12 +53,26 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private def ingestRegistryDir =
     java.nio.file.Paths.get(warehouse, "_ingest_registry")
   private def ingestRegFile(name: String) = ingestRegistryDir.resolve(name)
+  // the durable claim is keyed by KIND (file `kind.<kind>`, content
+  // "name\tdir"): kind is the single-writer unit (both gates of a kind
+  // write the same band/codes manifests), so the CREATE-only rename on
+  // the kind file IS the mutual exclusion — two engines racing different
+  // NAMES of the same kind cannot both win, which a name-keyed claim
+  // allowed (TOCTOU between the kind scan and the name-keyed create).
+  // Legacy name-keyed entries (pre-kind-keying warehouses: file `<name>`,
+  // content "kind\tdir") stay readable and clearable; names are \w+ so
+  // the `kind.` prefix can never collide with one.
+  private def kindRegFile(kind: String) = ingestRegistryDir.resolve(
+    "kind." + kind.toLowerCase(java.util.Locale.ROOT))
 
-  /** Durably registered ingest gates: (name, kind, source dir). A registry
-    * entry without a live in-memory query belongs to a prior (restarted or
-    * dead) session — resumable via START under the same name, or cleared
-    * via STOP INGEST. */
-  private def registeredIngests: Seq[(String, String, String)] =
+  /** Durably registered ingest gates: (name, kind, source dir, claim
+    * file). A registry entry without a live in-memory query belongs to a
+    * prior (restarted or dead) session — resumable via START under the
+    * same name, or cleared via STOP INGEST. The claim file's mtime is the
+    * gate's HEARTBEAT (touched per micro-batch), surfaced by SHOW INGESTS
+    * so an operator can tell a dead session's claim from a live one. */
+  private def registeredIngests
+      : Seq[(String, String, String, java.nio.file.Path)] =
     if (!java.nio.file.Files.isDirectory(ingestRegistryDir)) Nil
     else Option(ingestRegistryDir.toFile.listFiles())
       .getOrElse(Array.empty).filter(f => f.isFile &&
@@ -69,35 +83,87 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         // registration of unknown kind rather than wedging every SHOW
         // INGESTS / START behind a parse error — STOP INGEST <name>
         // clears it like any dead registration
-        java.nio.file.Files.readString(f.toPath).trim.split("\t", 2) match {
-          case Array(k, d) => Some((f.getName, k, d))
-          case _ => Some((f.getName, "?", ""))
+        val content = java.nio.file.Files.readString(f.toPath).trim
+        if (f.getName.startsWith("kind."))
+          content.split("\t", 2) match {
+            case Array(n, d) =>
+              Some((n, f.getName.stripPrefix("kind.")
+                .toUpperCase(java.util.Locale.ROOT), d, f.toPath))
+            case _ => Some((f.getName, "?", "", f.toPath))
+          }
+        else content.split("\t", 2) match {
+          case Array(k, d) => Some((f.getName, k, d, f.toPath))
+          case _ => Some((f.getName, "?", "", f.toPath))
         }
       }
 
   /** Acquire a NEW registry claim atomically: the rename intentionally
-    * omits REPLACE_EXISTING, so of two engines racing the same name
+    * omits REPLACE_EXISTING, so of two engines racing the same KIND
     * exactly one wins (FileAlreadyExistsException for the loser) and a
     * live claim can never be silently clobbered — resume paths must NOT
     * call this (the existing entry IS the claim). */
   private def claimIngest(name: String, kind: String, dir: String): Unit = {
     java.nio.file.Files.createDirectories(ingestRegistryDir)
-    val tmp = ingestRegFile(name + ".tmp")
-    java.nio.file.Files.writeString(tmp, s"$kind\t$dir")
+    val tmp = ingestRegFile("kind." + name + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"$name\t$dir")
     try
-      java.nio.file.Files.move(tmp, ingestRegFile(name),
+      java.nio.file.Files.move(tmp, kindRegFile(kind),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       java.nio.file.Files.deleteIfExists(tmp)
       throw new IllegalArgumentException(
-        s"ingest $name was just registered by another engine - " +
-          s"SHOW INGESTS lists it")
+        s"a ${kind.toUpperCase(java.util.Locale.ROOT)} ingest was just " +
+          s"registered by another engine - SHOW INGESTS lists it")
     }
     ()
   }
 
-  private def deregisterIngest(name: String): Unit = {
-    java.nio.file.Files.deleteIfExists(ingestRegFile(name)); ()
+  private def deregisterIngest(name: String): Unit =
+    registeredIngests.filter(_._1 == name).foreach { case (_, _, _, f) =>
+      java.nio.file.Files.deleteIfExists(f)
+    }
+
+  /** The durable claim file registered under `name`, if any — the gate's
+    * heartbeat target. */
+  private def claimFileOf(name: String): Option[java.nio.file.Path] =
+    registeredIngests.collectFirst { case (n, _, _, f) if n == name => f }
+
+  /** The warehouse tables a gate of `kind` commits into — the tables
+    * whose `_STREAM_BATCH` markers define the kind's batch-numbering
+    * highwater (rotation floors and fresh-checkpoint refusals read it). */
+  private def ingestSinkTables(kind: String): Seq[String] =
+    if (kind == "ADMIT")
+      Seq("ingest_verdicts", operators.DedupIndex.tableName("bands"))
+    else
+      Seq(operators.VectorIndex.tableName("codes"),
+        operators.VectorIndex.tableName("assign"))
+
+  /** The committed batch-id highwater across `kind`'s sink tables —
+    * -1 when no table carries a marker (nothing ever streamed in). */
+  private def ingestMarkerHigh(kind: String): Long =
+    ingestSinkTables(kind).filter(cmds.tableExists)
+      .flatMap(cmds.lastCommittedBatch).foldLeft(-1L)(_ max _)
+
+  // source-rotation floor: STOP INGEST ... PURGE retires a kind's
+  // checkpoint (so a NEW source directory can be watched) and records
+  // max(sink markers)+1 here; the next START adds it to Spark's batch
+  // ids, which restart at 0 in the fresh checkpoint — committed ids stay
+  // monotone past the markers, so rotation loses and duplicates nothing
+  private def ingestFloorFile(kind: String) = java.nio.file.Paths.get(
+    s"$warehouse/_ingest_ckpt/" +
+      kind.toLowerCase(java.util.Locale.ROOT) + ".floor")
+
+  private def ingestFloor(kind: String): Long = {
+    val f = ingestFloorFile(kind)
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else 0L
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
   }
 
   /** Refuse maintenance on the index tables an ingest of `kind` is
@@ -111,7 +177,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     val inMem = ingestKinds.collectFirst {
       case (n, k) if k == kind => n }
     val durable = registeredIngests.collectFirst {
-      case (n, k, _) if k == kind => n }
+      case (n, k, _, _) if k == kind => n }
     inMem.orElse(durable).foreach(n =>
       throw new IllegalStateException(
         s"$what: a $kind ingest ('$n') is registered on this warehouse " +
@@ -168,6 +234,21 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // the bucketed-index pre-seed above, so its serve path survives restarts
   operators.VectorIndex.reregister(spark, cmds)
   operators.DedupIndex.reregister(spark, cmds)
+
+  // self-restoring snapshots: pins are durable (PINS file) but the views
+  // they serve are session-scoped temp views — re-register one per pin so
+  // a pinned training read works after a restart without re-issuing
+  // SNAPSHOT. An already-bound name is left alone (this session may have
+  // a view by that name), and a pin whose version dir was manually
+  // removed is skipped, never fatal — a broken pin must not brick the
+  // engine; SHOW SNAPSHOTS still lists it as not viewable.
+  cmds.warehouseTables.foreach(t => cmds.pins(t).foreach {
+    case (alias, ver) =>
+      if (!spark.catalog.tableExists(alias))
+        try spark.read.parquet(cmds.snapshotPath(t, ver))
+          .createOrReplaceTempView(alias)
+        catch { case _: IllegalArgumentException => () }
+  })
 
   /** Pre-seed guard: a catalog table only counts as an index if it really
     * is CREATE INDEX's product — bucketed by exactly the column (list)
@@ -287,11 +368,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // a warehouse table / view supplies — the probe-by-arbitrary-key analog
   // of IndexScanNode (plans/IndexScanNode.java:17-51), completing the
   // BUILD/REFRESH/DROP lifecycle with the read that justifies it
-  // optional DIVERSIFY <λ>: MMR-rerank the indexed shortlist (top ~3k)
+  // optional DIVERSIFY <λ> [OVER <n>]: MMR-rerank the indexed shortlist
   // so the answers trade relevance against redundancy — the production
-  // composition of the serve kernel and the s109 greedy
+  // composition of the serve kernel and the s109 greedy. OVER makes the
+  // rerank-pool width explicit (default max(10, 3k)): a caller asking
+  // TOP 10 DIVERSIFY 0.7 OVER 100 gets a 100-candidate pool instead of
+  // the silent 30
   private val searchVectorsStmt =
-    """(?is)\s*SEARCH\s+VECTORS\s+USING\s+(\w+)(?:\s+TOP\s+(\d+))?(?:\s+DIVERSIFY\s+(\d+(?:\.\d+)?))?\s*;?\s*""".r
+    """(?is)\s*SEARCH\s+VECTORS\s+USING\s+(\w+)(?:\s+TOP\s+(\d+))?(?:\s+DIVERSIFY\s+(\d+(?:\.\d+)?)(?:\s+OVER\s+(\d+))?)?\s*;?\s*""".r
   // the semantic-decontamination gate's SQL face (d103's kernel,
   // Similarity.decontamVectors): audit caller-supplied candidate vectors
   // against the corpus's eval slice before they are admitted to training
@@ -374,8 +458,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   private val startIngestStmt =
     """(?is)\s*START\s+(ADMIT|VECTOR)\s+INGEST\s+FROM\s+'([^']+)'(?:\s+AS\s+(\w+))?(?:\s+COMPACT\s+EVERY\s+(\d+)\s+BATCHES)?\s*;?\s*""".r
   private val showIngestsStmt = """(?is)\s*SHOW\s+INGESTS\s*;?\s*""".r
+  // STOP INGEST <name> [FORCE] [PURGE]: FORCE is required to release a
+  // registration this session does not run (it may be a live gate in
+  // another engine — SHOW INGESTS' heartbeat_age_sec is the evidence);
+  // PURGE additionally retires the kind's checkpoint + source pin and
+  // records the rotation floor, so the next START may watch a NEW
+  // source directory with zero lost and zero duplicated batches
   private val stopIngestStmt =
-    """(?is)\s*STOP\s+INGEST\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*STOP\s+INGEST\s+(\w+)(\s+FORCE)?(\s+PURGE)?\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
   // while a genuinely foreign database is REJECTED with an engine error
@@ -412,6 +502,22 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     """(?is)\s*MERGE\s+INTO\s+((?:`?\w+`?\.)*)`?(\w+)`?(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
   private val mergeSrc =
     """(?is)\s*(\(.+\)|`?\w+`?)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
+  // the ENGINE-ONLY statement heads: keywords Spark SQL does not own (or
+  // owns with incompatible semantics we must not reach), matched LAST —
+  // a statement that leads with one of these but matched no engine regex
+  // is malformed and must error crisply, never fall through to spark.sql
+  // (a near-miss like `STOP INGEST 'gate'` or `OPTIMIZE t ZORDER BY(a b)`
+  // silently reinterpreted by Spark is the hazard). Heads Spark shares
+  // (CREATE, DROP TABLE/VIEW, INSERT, SELECT, EXPLAIN, ANALYZE, SHOW,
+  // UPDATE/DELETE/MERGE on non-warehouse targets) are NOT listed.
+  private val engineOnlyHead =
+    ("""(?is)\s*(START\s+(?:ADMIT|VECTOR)\b|STOP\s+INGEST\b|SNAPSHOT\b|""" +
+      """RETAIN\b|VERIFY\b|CRASH\b|BUILD\s+(?:VECTOR|DEDUP)\b|""" +
+      """REFRESH\s+(?:CORPUS|VECTOR|DEDUP)\b|RUN\s+QUERY\b|""" +
+      """SEARCH\s+VECTORS\b|DECONTAM\s+VECTORS\b|OPTIMIZE\b|LOAD\b|""" +
+      """DROP\s+(?:SNAPSHOT|INDEX|VECTOR\s+INDEX|DEDUP\s+INDEX)\b|""" +
+      """SHOW\s+(?:INGESTS|SNAPSHOTS|VERSIONS|INDEXES|QUERIES|""" +
+      """VECTOR\s+INDEXES|DEDUP\s+INDEXES)\b).*""").r
   // each clause takes the SQL:2003 optional `AND <cond>` refinement
   private val whenUpdate =
     """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s+NOT\s+MATCHED|$)""".r
@@ -669,7 +775,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     case showQueriesStmt() =>
       import spark.implicits._
       SparkEntry.queries.keys.toSeq.sorted.toDF("query")
-    case searchVectorsStmt(tbl, kOpt, lamOpt) =>
+    case searchVectorsStmt(tbl, kOpt, lamOpt, overOpt) =>
       val k = Option(kOpt).map(_.toInt).getOrElse(3)
       if (k < 1) throw new IllegalArgumentException(
         s"SEARCH VECTORS: TOP must be >= 1; got $k")
@@ -701,8 +807,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             throw new IllegalArgumentException(
               s"SEARCH VECTORS: DIVERSIFY lambda must be one of 0.0, " +
                 s"0.1, ..., 1.0; got $l")
+          val shortK = Option(overOpt).map(_.toInt)
+            .getOrElse(math.max(10, 3 * k))
+          if (shortK < k) throw new IllegalArgumentException(
+            s"SEARCH VECTORS: DIVERSIFY OVER $shortK cannot be narrower " +
+              s"than TOP $k - the rerank pool must contain the answers")
           operators.Similarity.searchVectorsDiversified(spark, sfDir, q,
-            k = k, shortK = math.max(10, 3 * k),
+            k = k, shortK = shortK,
             lambdaTenths = math.round(lam * 10).toInt)
       }
     case decontamVectorsStmt(tbl, thrOpt) =>
@@ -970,7 +1081,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // itself refuses a second active query on one checkpoint; across
       // JVMs, STOP INGEST the dead name first.
       val existing = registeredIngests.find(_._1 == name)
-      existing.foreach { case (_, k0, d0) =>
+      existing.foreach { case (_, k0, d0, _) =>
         require(k0 == k,
           s"ingest '$name' is registered as a $k0 gate - pick another " +
             s"name or STOP INGEST $name first")
@@ -978,7 +1089,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           s"ingest '$name' was registered from '$d0' - resume from " +
             s"'$d0' or STOP INGEST $name first")
       }
-      registeredIngests.find(_._2 == k).foreach { case (n, _, _) =>
+      registeredIngests.find(_._2 == k).foreach { case (n, _, _, _) =>
         require(n == name,
           s"an $k ingest ('$n') is already registered on this warehouse " +
             s"- the index tables are single-writer; STOP INGEST $n first")
@@ -1016,7 +1127,29 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         val d0 = java.nio.file.Files.readString(srcFile).trim
         require(d0 == dir,
           s"the $k ingest checkpoint was created for source '$d0' and a " +
-            s"file-stream checkpoint pins its source - resume from '$d0'")
+            s"file-stream checkpoint pins its source - resume from '$d0' " +
+            s"or rotate sources with STOP INGEST <name> PURGE")
+      }
+      // migration/rotation guard: starting from a FRESH checkpoint while
+      // the kind's sink tables already carry committed batch markers is
+      // the silent-loss mode (Spark restarts ids at 0, every id <= the
+      // marker is skipped as a replay) — legal ONLY when a rotation
+      // floor lifts the ids past the markers. A pre-registry warehouse
+      // whose legacy alias-keyed checkpoint lives under a DIFFERENT name
+      // lands here too: refuse and direct, never lose.
+      val floor = ingestFloor(k)
+      val ckptFresh = !java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(ckpt))
+      if (ckptFresh && floor == 0L) {
+        val high = ingestMarkerHigh(k)
+        require(high < 0L,
+          s"the $k sink tables already carry committed stream batches " +
+            s"(marker $high) but no $k checkpoint exists - a fresh " +
+            "checkpoint would restart batch numbering at 0 and the " +
+            "markers would silently swallow every new batch. Resume " +
+            "under the original ingest name (its checkpoint carries the " +
+            "numbering), or retire it with STOP INGEST <name> PURGE to " +
+            "rotate sources safely")
       }
       // claim the single-writer registration BEFORE the stream starts
       // (the reverse order has a window where the gate is already
@@ -1032,6 +1165,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         java.nio.file.Files.createDirectories(srcFile.getParent)
         java.nio.file.Files.writeString(srcFile, dir)
       }
+      // per-batch heartbeat: touch the durable claim's mtime so SHOW
+      // INGESTS can surface claim AGE — the evidence an operator needs
+      // to tell a dead session's claim from a live gate before STOP
+      // INGEST ... FORCE releases it
+      val claimPath = claimFileOf(name)
+      val beat: () => Unit = () => claimPath.foreach { p =>
+        try java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () } // claim being STOPped
+      }
       val q = try {
         if (k == "ADMIT") {
           require(cmds.tableExists(
@@ -1043,7 +1187,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               StructField("text", StringType))))
             .parquet(dir)
           streaming.DocStreams.admitAndIndex(docs, cmds,
-            checkpoint = Some(ckpt), compactEvery = compactEvery)
+            checkpoint = Some(ckpt), compactEvery = compactEvery,
+            batchOffset = floor, heartbeat = beat)
         } else {
           require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
             cmds.tableExists(operators.VectorIndex.tableName(p))),
@@ -1054,7 +1199,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               StructField("embedding", ArrayType(FloatType)))))
             .parquet(dir)
           streaming.VectorStreams.ingest(vecs, cmds,
-            checkpoint = Some(ckpt), compactEvery = compactEvery)
+            checkpoint = Some(ckpt), compactEvery = compactEvery,
+            batchOffset = floor, heartbeat = beat)
         }
       } catch { case e: Throwable =>
         if (existing.isEmpty) deregisterIngest(name)
@@ -1074,34 +1220,86 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // durable registry entries first (is_active reflects whether THIS
       // session runs the query — false means a prior session's gate,
       // resumable by START under the same name or cleared by STOP);
-      // in-memory-only entries shouldn't exist but are listed defensively
+      // in-memory-only entries shouldn't exist but are listed defensively.
+      // heartbeat_age_sec = seconds since the claim file's mtime, which
+      // every gate touches per micro-batch: a small age on an inactive
+      // row means ANOTHER live engine owns the gate; a large age is the
+      // evidence that justifies STOP INGEST <name> FORCE.
+      val now = System.currentTimeMillis()
       val durable = registeredIngests
       val durableNames = durable.map(_._1).toSet
-      (durable.map { case (n, k, d) =>
+      (durable.map { case (n, k, d, f) =>
+        val age = try (now - java.nio.file.Files
+          .getLastModifiedTime(f).toMillis) / 1000L
+        catch { case _: java.io.IOException => -1L }
         (n, ingests.get(n).exists(_.isActive),
-          k.toLowerCase(java.util.Locale.ROOT), d)
+          k.toLowerCase(java.util.Locale.ROOT), d, age)
       } ++ ingests.keys.filterNot(durableNames).toSeq.sorted.map(n =>
         (n, ingests(n).isActive,
           ingestKinds.getOrElse(n, "").toLowerCase(java.util.Locale.ROOT),
-          "")))
-        .toDF("name", "is_active", "kind", "source")
-    case stopIngestStmt(name) =>
+          "", -1L)))
+        .toDF("name", "is_active", "kind", "source", "heartbeat_age_sec")
+    case stopIngestStmt(name, forceOpt, purgeOpt) =>
+      val force = Option(forceOpt).isDefined
+      val purge = Option(purgeOpt).isDefined
+      // PURGE retires the kind's checkpoint (and its source pin) so the
+      // NEXT START may watch a different directory — the one supported
+      // source-rotation path. Loss-safety: before deleting, the current
+      // marker highwater + 1 is recorded as the kind's rotation FLOOR;
+      // the fresh checkpoint's batch ids (restarting at 0) are lifted by
+      // it, so every new commit lands above the old markers. Crash
+      // analysis: floor lands first (atomic move), so a crash mid-purge
+      // leaves either (floor + old checkpoint) — a resume just runs with
+      // offset ids, still monotone — or (floor + no checkpoint) — the
+      // rotation completes on the next START. No ordering loses a batch.
+      def retireCheckpoint(kind: String, gateName: String): Unit = {
+        val f = ingestFloorFile(kind)
+        val floor = math.max(ingestMarkerHigh(kind) + 1L,
+          ingestFloor(kind))
+        java.nio.file.Files.createDirectories(f.getParent)
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, floor.toString)
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val base = java.nio.file.Paths.get(s"$warehouse/_ingest_ckpt")
+        Seq(base.resolve(kind.toLowerCase(java.util.Locale.ROOT)),
+          base.resolve(gateName)).foreach { d =>
+          if (java.nio.file.Files.isDirectory(d)) rmTree(d.toFile)
+          java.nio.file.Files.deleteIfExists(
+            d.resolveSibling(d.getFileName.toString + ".src")); ()
+        }
+      }
       ingests.get(name) match {
         case Some(q) =>
           q.stop()
           ingests.remove(name)
-          ingestKinds.remove(name)
+          val kind = ingestKinds.remove(name)
+          if (purge) kind.foreach(retireCheckpoint(_, name))
           deregisterIngest(name)
-          status(s"stopped ingest $name")
-        case None if registeredIngests.exists(_._1 == name) =>
-          // a prior session's durable registration: clearing it releases
-          // the single-writer claim (the kind-keyed checkpoint stays, so
-          // a later START of the kind resumes batch numbering from it)
-          deregisterIngest(name)
-          status(s"stopped ingest $name (cleared prior-session " +
-            "registration; checkpoint retained)")
-        case None => throw new IllegalArgumentException(
-          s"no ingest named $name - SHOW INGESTS lists them")
+          status(s"stopped ingest $name" + (if (purge)
+            " (checkpoint purged; rotation floor recorded - the next " +
+              "START may watch a new source)" else ""))
+        case None =>
+          registeredIngests.find(_._1 == name) match {
+            case Some((_, kind, _, _)) =>
+              // a registration this session does NOT run may still be a
+              // LIVE gate in another engine over the same warehouse —
+              // releasing its single-writer claim reopens the kind to a
+              // second writer. Deliberate operator action only: FORCE.
+              if (!force) throw new IllegalStateException(
+                s"ingest $name is not running in this session - its " +
+                  "registration may belong to a live engine elsewhere " +
+                  "(SHOW INGESTS surfaces heartbeat_age_sec); release a " +
+                  s"dead claim deliberately with STOP INGEST $name FORCE")
+              if (purge && kind != "?") retireCheckpoint(kind, name)
+              deregisterIngest(name)
+              status(s"stopped ingest $name (cleared prior-session " +
+                "registration; checkpoint " +
+                (if (purge) "purged)" else "retained)"))
+            case None => throw new IllegalArgumentException(
+              s"no ingest named $name - SHOW INGESTS lists them")
+          }
       }
     case snapshotStmt(tblRaw, verQ, verBare, alias) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(
@@ -1166,6 +1364,21 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       cmds.optimizeTable(tbl, zorderBy = zcols)
       registerTable(tbl)
       status(s"optimized $tbl")
+    case engineOnlyHead(head) =>
+      // a statement whose leading keyword(s) belong to the ENGINE-ONLY
+      // surface but that matched no engine form is MALFORMED — erroring
+      // here (with the head named) beats falling through to spark.sql,
+      // whose parse error would point at grammar Spark doesn't have, or
+      // worse: silently executing a near-miss through a different code
+      // path (reference analog: nanosql.g rejects at the statement rule,
+      // never reinterprets). Shared keywords (CREATE/DROP TABLE, SELECT,
+      // INSERT, EXPLAIN, ANALYZE, SHOW) still fall through by design —
+      // Spark SQL owns their general forms.
+      throw new IllegalArgumentException(
+        s"malformed ${head.trim.toUpperCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ")} statement - check quoting and " +
+          "argument forms (engine statements take unquoted \\w+ names, " +
+          "single-quoted paths, and balanced quotes)")
     case other => query(other)
   }
 

@@ -484,33 +484,44 @@ object DocStreams {
   def admitAndIndex(docs: DataFrame, cmds: graft.commands.TableCommands,
       verdictTable: String = "ingest_verdicts",
       checkpoint: Option[String] = None,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0,
+      batchOffset: Long = 0L,
+      heartbeat: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // a RESTARTED gate must resume its batch numbering (the warehouse
     // markers are monotonic per table): without a checkpoint the engine
     // restarts at batchId 0 and every already-committed marker silently
     // swallows the new data — so restartable deployments (the SQL face)
-    // pin a checkpoint under the warehouse
+    // pin a checkpoint under the warehouse. `batchOffset` is the SOURCE-
+    // ROTATION floor (STOP INGEST ... PURGE): a deliberately fresh
+    // checkpoint restarts Spark's ids at 0, and the offset lifts every
+    // committed id above the sink markers the retired checkpoint already
+    // advanced — monotonicity holds across rotations, so zero batches
+    // are swallowed and zero replayed.
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitAndIndexBatch(batch, cmds, verdictTable, batchId)
+        val id = batchId + batchOffset
+        admitAndIndexBatch(batch, cmds, verdictTable, id)
         // IN-GATE compaction: appendCommitted adds files per batch (the
         // old ones ride forward as hard links), so a long-running gate
         // accumulates small files. foreachBatch serializes the gate's
-        // writes, so the gate may OPTIMIZE its own tables between
+        // writes, so the gate may compact its own tables between
         // batches with no second-writer hazard — the same valve the
         // manual STOP → OPTIMIZE → START loop turns, without stopping.
-        // The COW rewrite carries the stream marker forward (publish's
-        // contract, spec-pinned), so replay safety is unchanged; keying
-        // on batchId keeps a replayed batch's compaction a harmless
-        // second rewrite, never a skipped one.
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        // compactTail (NOT optimizeTable): only the small-file tail is
+        // rewritten and graduated segments ride forward as hard links,
+        // so per-compaction cost is O(data since last compaction), not
+        // O(table) — a lifetime-growing gate never pays lifetime-growing
+        // maintenance. The rewrite carries the stream marker forward
+        // (publish's contract, spec-pinned), so replay safety is
+        // unchanged; keying on the effective id keeps a replayed batch's
+        // compaction a harmless second rewrite, never a skipped one.
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1) {
           val bandTable = graft.operators.DedupIndex.tableName("bands")
           if (cmds.tableExists(verdictTable))
-            cmds.optimizeTable(verdictTable)
-          if (cmds.tableExists(bandTable)) {
-            cmds.optimizeTable(bandTable)
+            cmds.compactTail(verdictTable)
+          if (cmds.tableExists(bandTable) && cmds.compactTail(bandTable)) {
             graft.commands.TableCommands.registerCatalog(
               batch.sparkSession, bandTable, cmds.dataPath(bandTable))
             org.apache.spark.sql.SparkSession.getDefaultSession
@@ -519,6 +530,7 @@ object DocStreams {
                 s, bandTable, cmds.dataPath(bandTable)))
           }
         }
+        heartbeat()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

@@ -66,32 +66,40 @@ object VectorStreams {
     * is re-pointed (`VectorIndex.repoint`). */
   def ingest(vecStream: DataFrame, cmds: TableCommands,
       checkpoint: Option[String] = None,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      batchOffset: Long = 0L,
+      heartbeat: () => Unit = () => ()): StreamingQuery = {
     val (cents, book) = freeze(
       cmds.table(VectorIndex.tableName("centroids")),
       cmds.table(VectorIndex.tableName("codebook")))
     // checkpoint: same restart contract as DocStreams.admitAndIndex —
-    // batch numbering must resume or the markers swallow new data
+    // batch numbering must resume or the markers swallow new data;
+    // batchOffset is the source-rotation floor (see admitAndIndex)
     val w = vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, cmds, cents, book, batchId)
-        // in-gate compaction of the link-forward small files — see
+        val id = batchId + batchOffset
+        ingestBatch(batch, cmds, cents, book, id)
+        // in-gate TAIL compaction of the link-forward small files — see
         // DocStreams.admitAndIndex for the single-writer rationale
-        // (foreachBatch serializes the gate's writes); the COW rewrite
-        // carries each table's stream marker forward, and the catalog
-        // repoint below follows the same two-session discipline as the
-        // appends
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+        // (foreachBatch serializes the gate's writes) and the O(tail)
+        // cost contract (graduated segments ride forward as hard links);
+        // the rewrite carries each table's stream marker forward, and
+        // the catalog repoint below follows the same two-session
+        // discipline as the appends
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1
             && Seq("assign", "codes").forall(p =>
               cmds.tableExists(VectorIndex.tableName(p)))) {
-          cmds.optimizeTable(VectorIndex.tableName("codes"))
-          cmds.optimizeTable(VectorIndex.tableName("assign"))
-          VectorIndex.repoint(batch.sparkSession, cmds)
-          org.apache.spark.sql.SparkSession.getDefaultSession
-            .filter(_ ne batch.sparkSession)
-            .foreach(VectorIndex.repoint(_, cmds))
+          val c1 = cmds.compactTail(VectorIndex.tableName("codes"))
+          val c2 = cmds.compactTail(VectorIndex.tableName("assign"))
+          if (c1 || c2) {
+            VectorIndex.repoint(batch.sparkSession, cmds)
+            org.apache.spark.sql.SparkSession.getDefaultSession
+              .filter(_ ne batch.sparkSession)
+              .foreach(VectorIndex.repoint(_, cmds))
+          }
         }
+        heartbeat()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

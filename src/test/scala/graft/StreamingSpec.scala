@@ -347,6 +347,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("in-gate compaction crash composition: a crash BETWEEN the " +
+      "verdict-log and band compactions, and one MID-PUBLISH inside a " +
+      "compaction, both heal on replay — contents bit-identical to an " +
+      "uncompacted gate") {
+    import spark.implicits._
+    val d = TestSpark.sfDir
+    val freshA = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val freshB = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    val batches = Seq(
+      Seq(6100010L -> freshA),
+      Seq(6100021L -> freshB),
+      Seq(6100030L -> freshA)) // near-dup of batch-0's admission
+    val vt = "ingest_verdicts"
+    val bt = operators.DedupIndex.tableName("bands")
+    // the gate's per-trigger sequence (foreachBatch body with
+    // compactEvery = 1), exposed batch-level exactly like the replay
+    // specs: commit, then compact verdicts, then compact bands
+    def gateStep(cmds: commands.TableCommands, b: Seq[(Long, String)],
+        id: Long): Unit = {
+      streaming.DocStreams.admitAndIndexBatch(
+        b.toDF("doc_id", "text"), cmds, vt, id)
+      if (cmds.tableExists(vt)) cmds.compactTail(vt)
+      if (cmds.tableExists(bt)) { cmds.compactTail(bt); () }
+    }
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_cmpcrash_wh").toString)
+    operators.DedupIndex.build(spark, d, cmds)
+    try {
+      // ── batch 0: crash BETWEEN the two compactions (verdict log
+      // compacted, band compaction never ran) ─────────────────────────
+      streaming.DocStreams.admitAndIndexBatch(
+        batches(0).toDF("doc_id", "text"), cmds, vt, 0L)
+      cmds.compactTail(vt)
+      // [crash here] — restart replays micro-batch 0 in full:
+      gateStep(cmds, batches(0), 0L) // commit is a no-op, compactions run
+      assert(cmds.table(vt).count() == 1L,
+        "replay through a half-compacted trigger duplicated verdicts")
+      // ── batch 1: crash MID-PUBLISH inside the verdict-log compaction
+      // (stage written, pointer never swapped) ─────────────────────────
+      streaming.DocStreams.admitAndIndexBatch(
+        batches(1).toDF("doc_id", "text"), cmds, vt, 1L)
+      cmds.crashPoint = Some("staged")
+      intercept[IllegalStateException] { cmds.compactTail(vt) }
+      gateStep(cmds, batches(1), 1L) // restart: replay + both compactions
+      assert(cmds.table(vt).count() == 2L)
+      // ── batch 2: crash mid-publish inside the BAND compaction, with
+      // the pointer already swapped (published position) ───────────────
+      streaming.DocStreams.admitAndIndexBatch(
+        batches(2).toDF("doc_id", "text"), cmds, vt, 2L)
+      cmds.compactTail(vt)
+      cmds.crashPoint = Some("published")
+      try { cmds.compactTail(bt); () }
+      catch { case _: IllegalStateException => () } // may be a no-op tail
+      cmds.crashPoint = None
+      gateStep(cmds, batches(2), 2L)
+      // ── the surviving state equals an uncompacted, uncrashed gate ───
+      val twin = new commands.TableCommands(spark, java.nio.file.Files
+        .createTempDirectory("graft_cmpcrash_twin_wh").toString)
+      operators.DedupIndex.build(spark, d, twin)
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          streaming.DocStreams.admitAndIndexBatch(
+            b.toDF("doc_id", "text"), twin, vt, i.toLong)
+        }
+        assert(cmds.table(vt).collect().map(_.toSeq).toSet
+          == twin.table(vt).collect().map(_.toSeq).toSet,
+          "crash-composed gate diverged on the verdict log")
+        assert(cmds.table(bt).collect().map(_.toSeq).toSet
+          == twin.table(bt).collect().map(_.toSeq).toSet,
+          "crash-composed gate diverged on the band index")
+        assert(cmds.lastCommittedBatch(vt) == twin.lastCommittedBatch(vt),
+          "crash-composed gate diverged on the replay cursor")
+      } finally { operators.DedupIndex.drop(spark, twin); () }
+    } finally {
+      try operators.DedupIndex.drop(spark, cmds)
+      catch { case _: Throwable => () }
+      ()
+    }
+  }
+
   test("admitAndIndex verdict log is O(batch): committing a tiny batch " +
       "against a LARGE pre-seeded verdict log hard-links the old log " +
       "files — per-batch cost independent of stream lifetime") {

@@ -608,4 +608,151 @@ class TableCommandsSpec extends AnyFunSuite {
       s"batch wrote ${newData.length} fresh files for a 1-row append")
     assert(c.table("log").count() == 200001L)
   }
+
+  test("compactTail is O(tail), not O(table): graduated segments ride " +
+      "forward as hard links while only the small-file tail is rewritten") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val (c, _) = freshCmdsAt()
+    // a large ALREADY-COMPACTED segment (one big file), then a stream of
+    // tiny appendCommitted batches building a small-file tail — exactly
+    // the state a long-running gate's table is in between compactions
+    c.createTable("log", spark.range(300000).toDF("id").coalesce(1))
+    c.setRetain("log", 2) // keep the pre-compaction version for the
+    //                       inode comparison below
+    (0 until 5).foreach(b =>
+      c.appendCommitted("log",
+        Seq(1000000L + b).toDF("id").coalesce(1), b.toLong))
+    val liveBefore = Paths.get(c.dataPath("log"))
+    def files(p: java.nio.file.Path) =
+      Option(p.toFile.listFiles()).get.filter(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    val before = files(liveBefore)
+    val (bigBefore, tailBefore) = before.partition(_.length >= 100000L)
+    assert(bigBefore.length == 1 && tailBefore.length == 5,
+      s"fixture wrong: ${bigBefore.length} big + ${tailBefore.length} tail")
+    // tail-only compaction: threshold sits between the segment (~MB) and
+    // the 1-row tail files (~hundreds of bytes)
+    assert(c.compactTail("log", thresholdBytes = 100000L))
+    val liveAfter = Paths.get(c.dataPath("log"))
+    assert(liveAfter != liveBefore)
+    // THE cost-shape assertion: the graduated segment's file is the SAME
+    // file (hard link, metadata-only) — an O(table) compactor would have
+    // rewritten all 300k rows to merge 5 one-row files
+    bigBefore.foreach { f =>
+      val linked = liveAfter.resolve(f.getName)
+      assert(F.exists(linked) && F.isSameFile(f.toPath, linked),
+        s"graduated segment ${f.getName} was rewritten, not linked")
+    }
+    // the tail merged: its 5 files are gone, replaced by one small file
+    val after = files(liveAfter)
+    val (bigAfter, tailAfter) = after.partition(_.length >= 100000L)
+    assert(bigAfter.length == 1 && tailAfter.length == 1,
+      s"tail not merged: ${tailAfter.length} small files remain")
+    tailBefore.foreach(f => assert(!F.exists(liveAfter.resolve(f.getName)),
+      s"old tail file ${f.getName} rode forward unmerged"))
+    // contents + replay cursor intact
+    assert(c.table("log").count() == 300005L)
+    assert(c.lastCommittedBatch("log").contains(4L),
+      "compaction dropped the stream marker")
+    // replay of an old batch stays a no-op after compaction
+    c.appendCommitted("log", Seq(999L).toDF("id"), 2L)
+    assert(c.table("log").count() == 300005L)
+    // idempotent no-op when the tail is a single file already
+    assert(!c.compactTail("log", thresholdBytes = 100000L),
+      "a single-file tail must be a no-op, not a rewrite")
+  }
+
+  test("compactTail crash injection: a crash at STAGED leaves the old " +
+      "version live; at PUBLISHED the new version serves and the next " +
+      "commit sweeps — replays stay no-ops through both") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    c.createTable("log", spark.range(1000).toDF("id").coalesce(1))
+    (0 until 3).foreach(b =>
+      c.appendCommitted("log",
+        Seq(5000L + b).toDF("id").coalesce(1), b.toLong))
+    // crash BEFORE the pointer swap: the staged rewrite is invisible
+    c.crashPoint = Some("staged")
+    intercept[IllegalStateException] { c.compactTail("log", 100000L) }
+    assert(c.table("log").count() == 1003L,
+      "a staged-crashed compaction leaked into the live version")
+    assert(c.lastCommittedBatch("log").contains(2L))
+    // the gate's replay after restart: old batch no-op, new batch lands
+    c.appendCommitted("log", Seq(5001L).toDF("id"), 1L) // replay
+    c.appendCommitted("log", Seq(5003L).toDF("id").coalesce(1), 3L)
+    assert(c.table("log").count() == 1004L)
+    // the re-triggered compaction (next gate interval) succeeds and
+    // sweeps the crashed stage
+    assert(c.compactTail("log", 100000L))
+    assert(c.table("log").count() == 1004L)
+    // crash AFTER the pointer swap: the compacted version IS live (the
+    // swap is the commit); only the sweep was lost, and the next commit
+    // path heals it
+    c.appendCommitted("log", Seq(5004L).toDF("id").coalesce(1), 4L)
+    c.crashPoint = Some("published")
+    intercept[IllegalStateException] { c.compactTail("log", 100000L) }
+    assert(c.table("log").count() == 1005L,
+      "published compaction must serve the compacted version")
+    assert(c.lastCommittedBatch("log").contains(4L))
+    c.appendCommitted("log", Seq(5004L).toDF("id"), 4L) // replay: no-op
+    assert(c.table("log").count() == 1005L)
+    c.appendCommitted("log", Seq(5005L).toDF("id").coalesce(1), 5L)
+    assert(c.table("log").count() == 1006L)
+  }
+
+  test("OPTIMIZE ZORDER BY on non-ASCII strings: the surrogate-clamped " +
+      "base-2^16 proxy stays monotone — answers unchanged, ASCII-prefix " +
+      "pruning intact with BMP-high and astral rows in the table") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    // 26 ASCII prefixes + BMP-high (U+E000 block, sorts after every
+    // ASCII prefix) + astral (U+1F600, a surrogate pair in UTF-16) rows
+    // interleaved through the whole id range
+    c.createTable("zu", spark.range(104000).select(
+      when(col("id") % 40 === 38,
+        concat(lit("\uE000\uE001"), (col("id") % 97).cast("string")))
+        .when(col("id") % 40 === 39,
+          concat(lit("\uD83D\uDE00x"), (col("id") % 97).cast("string")))
+        .otherwise(concat(
+          expr("char(97 + CAST(id % 26 AS INT))"), lit("_"),
+          (col("id") % 997).cast("string"))).as("s"),
+      col("id").as("payload")))
+    val total = c.table("zu").count()
+    val asciiPred = col("s").startsWith("b")
+    val bmpPred = col("s") >= "\uE000"
+    val (nA, nB) = (c.table("zu").filter(asciiPred).count(),
+      c.table("zu").filter(bmpPred).count())
+    assert(nB == 5200L, s"fixture: $nB non-ASCII-bucket rows")
+    c.optimizeTable("zu", targetPartitions = 64, zorderBy = Seq("s"))
+    // correctness: the rewrite is a pure relayout under every alphabet
+    assert(c.table("zu").count() == total)
+    assert(c.table("zu").filter(asciiPred).count() == nA,
+      "zorder changed an ASCII-prefix answer with unicode rows present")
+    assert(c.table("zu").filter(bmpPred).count() == nB,
+      "zorder changed the >= U+E000 answer")
+    // monotonicity: an ASCII prefix filter still prunes even though
+    // astral/BMP-high rows share the clamp ceiling bucket — if the proxy
+    // inverted order anywhere, those rows would smear every file's
+    // min/max range and kill pruning
+    def scanned(f: org.apache.spark.sql.Column): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val qe = c.table("zu").filter(f).queryExecution
+      qe.toRdd.foreach(_ => ())
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.flatMap(walk)
+      })
+      walk(qe.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val zA = scanned(asciiPred)
+    assert(zA * 3 <= total,
+      s"ASCII-prefix filter not pruned under unicode rows: $zA of $total")
+  }
 }
