@@ -1900,4 +1900,254 @@ class EngineSqlSpec extends AnyFunSuite {
       e1.close()
     }
   }
+
+  test("STOP INGEST ... PURGE rotates the source directory: two " +
+      "rotations, every document admitted exactly once — zero lost, " +
+      "zero duplicated") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_rotate_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val dirA = Files.createTempDirectory("graft_rot_a").toString
+    val dirB = Files.createTempDirectory("graft_rot_b").toString
+    val dirC = Files.createTempDirectory("graft_rot_c").toString
+    val fresh = Seq(
+      "the amber lighthouse keeper walks a winding cliff path toward " +
+        "the harbor beacon every misty evening",
+      "a patient cartographer sketches the forgotten valley rivers " +
+        "onto vellum beneath a flickering lantern glow",
+      "an elderly clockmaker repairs the tower bells above the quiet " +
+        "market square during every autumn festival week")
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      def drop(dir: String, id: Long, text: String): Unit =
+        Seq(id -> text).toDF("doc_id", "text")
+          .write.mode("append").parquet(dir)
+      def admitted: Map[Long, Long] = e1.storage.table("ingest_verdicts")
+        .filter(col("admitted")).groupBy(col("doc_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // crawl epoch 1: watch dirA
+      drop(dirA, 7000001L, fresh(0))
+      e1.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      assert(admitted == Map(7000001L -> 1L))
+      // the crawl moves: PURGE retires checkpoint + source pin and
+      // records the numbering floor; the same kind restarts on dirB
+      assert(e1.sql("STOP INGEST gate PURGE").head.getString(0)
+        .contains("purged"))
+      drop(dirB, 7000002L, fresh(1))
+      e1.sql(s"START ADMIT INGEST FROM '$dirB' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      assert(admitted == Map(7000001L -> 1L, 7000002L -> 1L),
+        s"rotation 1 lost or duplicated: $admitted")
+      // rotate AGAIN (floors must compound, not reset)
+      e1.sql("STOP INGEST gate PURGE")
+      drop(dirC, 7000003L, fresh(2))
+      e1.sql(s"START ADMIT INGEST FROM '$dirC' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      assert(admitted ==
+        Map(7000001L -> 1L, 7000002L -> 1L, 7000003L -> 1L),
+        s"rotation 2 lost or duplicated: $admitted")
+      e1.sql("STOP INGEST gate")
+      // the guardrail the floor replaces: a fresh checkpoint over sink
+      // tables that already carry markers, with NO floor, is the silent
+      // data-loss mode — refused, not undefined. (Simulate a legacy
+      // warehouse: checkpoint and floor wiped by hand.)
+      import java.nio.file.{Files => F, Paths}
+      def rmr(p: java.nio.file.Path): Unit = {
+        if (F.isDirectory(p)) Option(p.toFile.listFiles())
+          .getOrElse(Array.empty).foreach(f => rmr(f.toPath))
+        F.deleteIfExists(p); ()
+      }
+      rmr(Paths.get(wh, "_ingest_ckpt", "admit"))
+      F.deleteIfExists(Paths.get(wh, "_ingest_ckpt", "admit.src"))
+      F.deleteIfExists(Paths.get(wh, "_ingest_ckpt", "admit.floor"))
+      val refused = intercept[IllegalArgumentException] {
+        e1.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+      }
+      assert(refused.getMessage.contains("swallow"),
+        s"wrong refusal: ${refused.getMessage}")
+    } finally {
+      try e1.sql("DROP DEDUP INDEX ON documents")
+      catch { case _: Throwable => () }
+      e1.close()
+    }
+  }
+
+  test("ingest claim liveness: heartbeat_age_sec separates live gates " +
+      "from dead claims; releasing a foreign claim requires FORCE; " +
+      "legacy name-keyed registry entries stay readable and clearable") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_live_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val watch = Files.createTempDirectory("graft_live_watch").toString
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      Seq(7100001L -> ("the amber lighthouse keeper walks a winding " +
+        "cliff path toward the harbor beacon every misty evening"))
+        .toDF("doc_id", "text").write.mode("append").parquet(watch)
+      e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      // a live gate's claim was touched by the batch it just ran
+      val liveAge = e1.sql("SHOW INGESTS").collect().head.getLong(4)
+      assert(liveAge >= 0L && liveAge < 120L,
+        s"live heartbeat age implausible: $liveAge")
+      // the session dies without STOP: the claim survives (resumable)
+      e1.close()
+      val e2 = new Engine(spark, d, wh)
+      // bare STOP of a claim this session does not run is refused — it
+      // may be a live gate in ANOTHER engine over this warehouse
+      val needsForce = intercept[IllegalStateException] {
+        e2.sql("STOP INGEST gate")
+      }
+      assert(needsForce.getMessage.contains("FORCE"))
+      // age the claim: now the operator has evidence it is dead
+      import java.nio.file.{Files => F, Paths}
+      val claim = Paths.get(wh, "_ingest_registry", "kind.admit")
+      assert(F.exists(claim), "kind-keyed claim file missing")
+      F.setLastModifiedTime(claim, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 7200000L))
+      val deadAge = e2.sql("SHOW INGESTS").collect().head.getLong(4)
+      assert(deadAge >= 7000L, s"aged claim should read stale: $deadAge")
+      assert(e2.sql("STOP INGEST gate FORCE").head.getString(0)
+        .contains("cleared prior-session"))
+      assert(e2.sql("SHOW INGESTS").isEmpty)
+      // a LEGACY (pre-kind-keying) name-keyed entry: listed with its
+      // kind, blocks a same-kind START, cleared by STOP ... FORCE
+      F.writeString(Paths.get(wh, "_ingest_registry", "oldgate"),
+        "ADMIT\t/legacy/dir")
+      val listed = e2.sql("SHOW INGESTS").collect()
+        .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+      assert(listed.toSeq == Seq(("oldgate", "admit", "/legacy/dir")))
+      intercept[IllegalArgumentException] {
+        e2.sql(s"START ADMIT INGEST FROM '$watch' AS gate2")
+      }
+      e2.sql("STOP INGEST oldgate FORCE")
+      assert(e2.sql("SHOW INGESTS").isEmpty)
+      e2.close()
+    } finally {
+      try {
+        val e3 = new Engine(spark, d, wh)
+        e3.sql("DROP DEDUP INDEX ON documents"); e3.close()
+      } catch { case _: Throwable => () }
+      e1.close()
+    }
+  }
+
+  test("snapshot views self-restore: a durable pin re-registers its temp " +
+      "view at engine construction — readable after restart without " +
+      "re-issuing SNAPSHOT") {
+    val wh = Files.createTempDirectory("graft_snaprestore_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    try {
+      e1.sql("CREATE COLSTORE st AS SELECT n_nationkey AS id FROM " +
+        "nation WHERE n_nationkey < 4")
+      e1.sql("RETAIN 2 VERSIONS ON st") // keep v1 pinnable
+      e1.sql("DELETE FROM st WHERE id = 0") // v2: 1,2,3
+      e1.sql("SNAPSHOT st VERSION AS OF 'v00001' AS st_pin")
+      assert(spark.table("st_pin").count() == 4L)
+      // a RESTART = a new session + a new engine over the same warehouse
+      // (temp views are session-scoped; the pin is durable)
+      val s2 = spark.newSession()
+      val e2 = new Engine(s2, d, wh)
+      assert(s2.catalog.tableExists("st_pin"),
+        "pin's view not restored at construction")
+      assert(s2.table("st_pin").count() == 4L,
+        "restored snapshot serves the wrong version")
+      val snaps = e2.sql("SHOW SNAPSHOTS").collect()
+        .map(r => (r.getString(0), r.getBoolean(3)))
+      assert(snaps.toSeq == Seq(("st_pin", true)),
+        s"SHOW SNAPSHOTS after restart: ${snaps.toSeq}")
+      e2.sql("DROP SNAPSHOT st_pin")
+      e2.close()
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS st")
+      e1.close()
+    }
+  }
+
+  test("SEARCH VECTORS ... DIVERSIFY ... OVER: the rerank pool width is " +
+      "explicit — OVER at the default equals the default, OVER below " +
+      "TOP is refused, a wider pool keeps the rank-1 relevance pick") {
+    engine.sql("CREATE COLSTORE qov AS " +
+      "SELECT a.vec_id AS q_id, " +
+      "zip_with(a.embedding, b.embedding, (x, y) -> " +
+      "(CAST(x AS DOUBLE) + CAST(y AS DOUBLE)) / 2) AS embedding " +
+      "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 " +
+      "WHERE a.vec_id BETWEEN 10 AND 19")
+    try {
+      // k=3 defaults the shortlist to max(10, 3k) = 10: OVER 10 must be
+      // the identical plan and answer
+      val dflt = engine
+        .sql("SEARCH VECTORS USING qov TOP 3 DIVERSIFY 0.7").collect()
+        .map(_.toSeq).toSet
+      val over10 = engine
+        .sql("SEARCH VECTORS USING qov TOP 3 DIVERSIFY 0.7 OVER 10")
+        .collect().map(_.toSeq).toSet
+      assert(dflt == over10, "OVER at the default changed the answer")
+      // a wider pool may diversify differently, but rank-1 is the pure
+      // relevance argmax of the SAME ADC scores — pool width cannot
+      // change it (the shortlist is rel-sorted, any width >= 1 shares
+      // its head)
+      val over40 = engine
+        .sql("SEARCH VECTORS USING qov TOP 3 DIVERSIFY 0.7 OVER 40")
+        .collect()
+      assert(over40.length == dflt.size, "OVER 40 changed the row count")
+      def rank1(rows: Iterable[Seq[Any]]) = rows
+        .filter(_(1) == 1).map(r => (r(0), r(2))).toSet
+      assert(rank1(over40.map(_.toSeq)) == rank1(dflt),
+        "pool width changed the rank-1 relevance pick")
+      val narrow = intercept[IllegalArgumentException] {
+        engine.sql("SEARCH VECTORS USING qov TOP 5 DIVERSIFY 0.7 OVER 4")
+      }
+      assert(narrow.getMessage.contains("narrower"))
+    } finally engine.sql("DROP TABLE IF EXISTS qov")
+  }
+
+  test("malformed engine-only statements error crisply — never a silent " +
+      "fallthrough to spark.sql (fuzzed quoting, keywords, case, " +
+      "trailing junk)") {
+    // every statement here LEADS with an engine-only keyword but matches
+    // no engine form: the head guard must name it malformed; none may
+    // reach spark.sql (whose parse errors would mislead, and whose
+    // catalog DDL could silently half-execute a near-miss)
+    val malformed = Seq(
+      "STOP INGEST 'gate'", // quoted name
+      "STOP INGEST gate PURGE FORCE", // clause order fixed by grammar
+      "SNAPSHOT st VERSION AS OF 'v00001 AS s", // unbalanced quote
+      "SNAPSHOT st AS s", // missing VERSION AS OF
+      "RETAIN two VERSIONS ON st", // non-numeric k
+      "RETAIN 2 VERSIONS st", // missing ON
+      "VERIFY st twice", // trailing junk
+      "CRASH AFTER BANANA", // unknown crash point
+      "OPTIMIZE st ZORDER (a)", // missing BY
+      "RUN QUERY 'q01_agg", // unbalanced quote
+      "RUN QUERY q01_agg INTO 'quoted'", // quoted INTO target
+      "SEARCH VECTORS USING t TOP 3 OVER 5", // OVER without DIVERSIFY
+      "SEARCH VECTORS t", // missing USING
+      "DECONTAM VECTORS USING t THRESHOLD high", // non-numeric
+      "START ADMIT INGEST FROM /no/quotes AS g", // unquoted path
+      "START VECTOR INGEST FROM 'd' COMPACT EVERY x BATCHES",
+      "BUILD VECTOR INDEX embeddings", // missing ON
+      "REFRESH DEDUP INDEX documents", // missing ON
+      "DROP SNAPSHOT", // missing name
+      "DROP INDEX", // missing name
+      "SHOW INGESTS WHERE kind = 'admit'", // engine SHOWs take no clauses
+      "SHOW SNAPSHOTS LIKE 's%'",
+      "LOAD 'x.csv' INTO", // missing table
+      "LOAD x.csv INTO t") // unquoted path
+    malformed.foreach { stmt =>
+      val e = intercept[IllegalArgumentException](engine.sql(stmt))
+      assert(e.getMessage.contains("malformed"),
+        s"'$stmt' escaped the head guard: ${e.getMessage}")
+    }
+    // case-mixed and semicolon-trailing WELL-FORMED statements still
+    // route to the engine (the guard must not over-trigger)
+    assert(engine.sql("  sHoW   iNgEsTs ;  ").columns.head == "name")
+    val noSuch = intercept[IllegalArgumentException] {
+      engine.sql("sToP InGeSt never_started ;")
+    }
+    assert(noSuch.getMessage.contains("no ingest named"))
+    // and plain Spark SQL still falls through untouched
+    assert(engine.sql("SELECT 1 AS one").head.getInt(0) == 1)
+  }
 }
