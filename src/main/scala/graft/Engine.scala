@@ -97,23 +97,30 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         }
       }
 
-  /** Acquire a NEW registry claim atomically: the rename intentionally
-    * omits REPLACE_EXISTING, so of two engines racing the same KIND
-    * exactly one wins (FileAlreadyExistsException for the loser) and a
-    * live claim can never be silently clobbered — resume paths must NOT
-    * call this (the existing entry IS the claim). */
+  /** Acquire a NEW registry claim atomically-exclusively. The primitive
+    * is `createLink` (link(2)), NOT a rename: on POSIX, rename(2) — what
+    * Files.move(ATOMIC_MOVE) compiles to — silently REPLACES an existing
+    * destination, so a "CREATE-only move" excludes nobody and two racing
+    * engines both "win", the second clobbering the first (measured by
+    * the claim-race spec before this fix). link(2) fails with EEXIST
+    * when the target exists, which Java surfaces as
+    * FileAlreadyExistsException — an atomic create-with-full-content
+    * (the content rides in via the linked tmp inode, so no reader can
+    * observe a half-written claim). Resume paths must NOT call this
+    * (the existing entry IS the claim). */
   private def claimIngest(name: String, kind: String, dir: String): Unit = {
     java.nio.file.Files.createDirectories(ingestRegistryDir)
     val tmp = ingestRegFile("kind." + name + ".tmp")
     java.nio.file.Files.writeString(tmp, s"$name\t$dir")
     try
-      java.nio.file.Files.move(tmp, kindRegFile(kind),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.createLink(kindRegFile(kind), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       java.nio.file.Files.deleteIfExists(tmp)
       throw new IllegalArgumentException(
         s"a ${kind.toUpperCase(java.util.Locale.ROOT)} ingest was just " +
           s"registered by another engine - SHOW INGESTS lists it")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp); ()
     }
     ()
   }

@@ -2033,6 +2033,56 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("kind-keyed claim race: two engines concurrently STARTing " +
+      "same-kind gates under DIFFERENT names — exactly one wins (the " +
+      "name-keyed TOCTOU this closes let both through)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_race_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val e2 = new Engine(spark, d, wh)
+    val watchA = Files.createTempDirectory("graft_race_a").toString
+    val watchB = Files.createTempDirectory("graft_race_b").toString
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def racer(e: Engine, watch: String, name: String) =
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          def call(): Option[Throwable] = {
+            gate.await()
+            try { e.sql(s"START ADMIT INGEST FROM '$watch' AS $name"); None }
+            catch { case t: Throwable => Some(t) }
+          }
+        })
+      val fa = racer(e1, watchA, "crawl_a")
+      val fb = racer(e2, watchB, "crawl_b")
+      gate.countDown()
+      val (ra, rb) = (fa.get(120, TimeUnit.SECONDS),
+        fb.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      val failures = Seq(ra, rb).flatten
+      assert(failures.size == 1,
+        s"exactly one racer must win the ADMIT kind; failures: " +
+          failures.map(_.getMessage).mkString(" | "))
+      // the loser's refusal names the single-writer conflict, and the
+      // registry holds exactly ONE admit claim
+      val reg = e1.sql("SHOW INGESTS").collect()
+      assert(reg.length == 1 && reg.head.getString(2) == "admit",
+        s"registry must hold exactly one claim: ${reg.toSeq}")
+      val winner = reg.head.getString(0)
+      assert(Set("crawl_a", "crawl_b").contains(winner))
+      // winner's own engine can stop it; the loser engine never held it
+      val owner = if (winner == "crawl_a") e1 else e2
+      owner.sql(s"STOP INGEST $winner")
+      assert(e1.sql("SHOW INGESTS").isEmpty)
+    } finally {
+      try e1.sql("DROP DEDUP INDEX ON documents")
+      catch { case _: Throwable => () }
+      e1.close(); e2.close()
+    }
+  }
+
   test("snapshot views self-restore: a durable pin re-registers its temp " +
       "view at engine construction — readable after restart without " +
       "re-issuing SNAPSHOT") {
