@@ -143,7 +143,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       Seq("ingest_verdicts", operators.DedupIndex.tableName("bands"))
     else
       Seq(operators.VectorIndex.tableName("codes"),
-        operators.VectorIndex.tableName("assign"))
+        operators.VectorIndex.tableName("assign"),
+        "vector_ingest_rejects") // an all-poison final batch advances
+        //                          ONLY the quarantine log's marker
 
   /** The committed batch-id highwater across `kind`'s sink tables —
     * -1 when no table carries a marker (nothing ever streamed in). */
@@ -573,6 +575,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (n.equalsIgnoreCase("ingest_verdicts") &&
           !verb.toUpperCase(java.util.Locale.ROOT).startsWith("EXPLAIN"))
         requireNoIngest("ADMIT", s"$verb on $n")
+      // the VECTOR gate's poison-quarantine log is single-writer the
+      // same way (appendCommitted per poisoned batch)
+      if (n.equalsIgnoreCase("vector_ingest_rejects") &&
+          !verb.toUpperCase(java.util.Locale.ROOT).startsWith("EXPLAIN"))
+        requireNoIngest("VECTOR", s"$verb on $n")
       n
     } else throw new UnsupportedOperationException(
       s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
@@ -1363,9 +1370,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (lowTbl.startsWith("dedup_index_"))
         requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
       // the ADMIT gate also appendCommits its verdict log every batch —
-      // compacting it mid-stream races the same manifest
+      // compacting it mid-stream races the same manifest; the VECTOR
+      // gate's poison-quarantine log likewise
       if (lowTbl == "ingest_verdicts")
         requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
+      if (lowTbl == "vector_ingest_rejects")
+        requireNoIngest("VECTOR", s"OPTIMIZE $tbl")
       val zcols = Option(zcolsRaw).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       cmds.optimizeTable(tbl, zorderBy = zcols)

@@ -115,7 +115,35 @@ object VectorStreams {
       cmds.tableExists(VectorIndex.tableName(p))),
       "ingest maintains a stored vector index - run BUILD VECTOR INDEX " +
         "first")
-    import org.apache.spark.sql.functions.{min, struct}
+    import org.apache.spark.sql.functions.{lit, min, size, struct, when}
+    // POISON QUARANTINE. A null or dimension-mismatched embedding does
+    // not crash the encode — worse: the PQ slices come back empty/short,
+    // every subspace scores its first code, and the row lands as a FAKE
+    // VALID index entry (codes [0,0,...], cluster 0) that corrupts s105's
+    // segment accounting and serves as a bogus neighbor (measured by the
+    // hostile-input spec before this guard). A null vec_id can never be
+    // keyed. Such rows are split off BEFORE dedup/encode and landed
+    // exactly-once in `vector_ingest_rejects` (vec_id, n_dims, reason) —
+    // visible governance, never a silent drop, never a dead stream. The
+    // rejects append runs FIRST: if it crashes, nothing of the batch
+    // committed and the replay is a full clean rerun; codes/assign keep
+    // their crash convention untouched.
+    val dim = cents.headOption.map(_.cqa.length).getOrElse(0)
+    val typed = batch.select("vec_id", "embedding")
+    // never-null predicate: the isNull disjuncts short-circuit the only
+    // null source (size(null) is null), so filter/not() stay exhaustive
+    val poisonCond = col("vec_id").isNull || col("embedding").isNull ||
+      size(col("embedding")) =!= dim
+    val poison = typed.filter(poisonCond)
+    if (!poison.isEmpty)
+      cmds.appendCommitted("vector_ingest_rejects",
+        poison.select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          when(col("vec_id").isNull, "null_vec_id")
+            .when(col("embedding").isNull, "null_embedding")
+            .otherwise("dim_mismatch").as("reason")), batchId)
+    val clean = typed.filter(!poisonCond)
+    if (clean.isEmpty) return
     // localCheckpoint for the same reason as REFRESH: both appends must
     // consume ONE frozen encode, not re-plan against tables the first
     // append just version-bumped.
@@ -126,7 +154,7 @@ object VectorStreams {
     // must replay the SAME row into assign that the committed codes hold,
     // or the assign∩codes nesting invariant (coveredIds' equal-count fast
     // path) silently breaks.
-    val deduped = batch.select("vec_id", "embedding")
+    val deduped = clean
       .groupBy(col("vec_id"))
       .agg(min(struct(col("embedding"))).as("__s"))
       .select(col("vec_id"), col("__s.embedding").as("embedding"))

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input behavior of the streaming gates: one poison record in a
+  * crawl/embed feed must never kill a production stream (a crash would
+  * poison-pill-loop on checkpoint replay) and must never land as silently
+  * valid state. The ADMIT gate's verdict log IS its quarantine — poison
+  * rows land visibly non-admitted; the VECTOR gate quarantines into
+  * `vector_ingest_rejects` (before this guard, a 3-dim embedding landed
+  * as a FAKE VALID index entry: codes [0,...], cluster 0 — measured). */
+class HostileInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def rows(schema: StructType, rs: Row*) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rs: _*)), schema)
+
+  test("ADMIT gate on poison rows: null doc_id / null text / empty text " +
+      "land as visible non-admitted verdicts; the gate keeps admitting " +
+      "clean documents afterwards") {
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_hostile_doc_wh").toString)
+    operators.DedupIndex.build(spark, d, cmds)
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val freshA = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val freshB = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    try {
+      streaming.DocStreams.admitAndIndexBatch(rows(docSchema,
+        Row(null, freshB),
+        Row(java.lang.Long.valueOf(9000001L), null),
+        Row(java.lang.Long.valueOf(9000002L), ""),
+        Row(java.lang.Long.valueOf(9000003L), freshA)),
+        cmds, "ingest_verdicts", 0L)
+      val v = cmds.table("ingest_verdicts").collect()
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+          r.getBoolean(r.fieldIndex("admitted"))).toMap
+      // every row is IN the log (visible), only the clean one admitted
+      assert(v.size == 4, s"poison rows vanished from the log: $v")
+      assert(v(Some(9000003L)), "the clean document was not admitted")
+      assert(!v(Some(9000001L)) && !v(Some(9000002L)),
+        "a null/empty text must never be admitted")
+      // the gate still works: a later clean batch admits, and a dup of
+      // the poisoned-batch admission is caught by the grown index
+      streaming.DocStreams.admitAndIndexBatch(rows(docSchema,
+        Row(java.lang.Long.valueOf(9000010L), freshB),
+        Row(java.lang.Long.valueOf(9000011L), freshA)),
+        cmds, "ingest_verdicts", 1L)
+      val v2 = cmds.table("ingest_verdicts").collect()
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+          r.getBoolean(r.fieldIndex("admitted"))).toMap
+      assert(v2(Some(9000010L)), "gate stopped admitting after poison")
+      assert(!v2(Some(9000011L)),
+        "near-dup of the poisoned batch's admission slipped through")
+    } finally { operators.DedupIndex.drop(spark, cmds); () }
+  }
+
+  test("VECTOR gate quarantine: null vec_id / null embedding / wrong-dim " +
+      "/ empty embeddings land in vector_ingest_rejects with reasons — " +
+      "never as fake index entries; clean rows encode; replays are no-ops") {
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_hostile_vec_wh").toString)
+    operators.VectorIndex.build(spark, d, cmds)
+    val (cents, book) = streaming.VectorStreams.freeze(
+      cmds.table(operators.VectorIndex.tableName("centroids")),
+      cmds.table(operators.VectorIndex.tableName("codebook")))
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val good = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("embedding")).head.getSeq[Float](0)
+    def codesOf = cmds.table(operators.VectorIndex.tableName("codes"))
+      .filter(col("vec_id") >= 9100000L || col("vec_id").isNull)
+    def assignOf = cmds.table(operators.VectorIndex.tableName("assign"))
+      .filter(col("vec_id") >= 9100000L || col("vec_id").isNull)
+    try {
+      val poisoned = rows(vecSchema,
+        Row(null, good),
+        Row(java.lang.Long.valueOf(9100001L), null),
+        Row(java.lang.Long.valueOf(9100002L), Seq(1.0f, 2.0f, 3.0f)),
+        Row(java.lang.Long.valueOf(9100003L), Seq.empty[Float]),
+        Row(java.lang.Long.valueOf(9100004L), good.map(_ + 0.01f)))
+      streaming.VectorStreams.ingestBatch(poisoned, cmds, cents, book, 0L)
+      // the ONLY index entry from this batch is the clean 64-dim row
+      assert(codesOf.collect().map(_.get(0)).toSeq == Seq(9100004L),
+        "poison rows reached the codes table")
+      assert(assignOf.collect().map(_.get(0)).toSeq == Seq(9100004L),
+        "poison rows reached the assign table")
+      // every poison row is in the quarantine, with its reason
+      val rej = cmds.table("vector_ingest_rejects").collect()
+        .map(r => (Option(r.get(0)), r.getString(2))).toSet
+      assert(rej == Set(
+        (None, "null_vec_id"),
+        (Some(9100001L), "null_embedding"),
+        (Some(9100002L), "dim_mismatch"),
+        (Some(9100003L), "dim_mismatch")), s"quarantine wrong: $rej")
+      // replay of the same batch id: BOTH the quarantine and the index
+      // appends are marker-skipped
+      streaming.VectorStreams.ingestBatch(poisoned, cmds, cents, book, 0L)
+      assert(cmds.table("vector_ingest_rejects").count() == 4L,
+        "replay duplicated quarantined rows")
+      assert(codesOf.count() == 1L && assignOf.count() == 1L,
+        "replay duplicated index entries")
+      // an ALL-poison batch advances only the quarantine; the gate then
+      // still encodes the next clean batch
+      streaming.VectorStreams.ingestBatch(rows(vecSchema,
+        Row(java.lang.Long.valueOf(9100005L), Seq(7.0f))),
+        cmds, cents, book, 1L)
+      assert(cmds.table("vector_ingest_rejects").count() == 5L)
+      assert(codesOf.count() == 1L, "all-poison batch touched the index")
+      streaming.VectorStreams.ingestBatch(rows(vecSchema,
+        Row(java.lang.Long.valueOf(9100006L), good.map(_ + 0.02f))),
+        cmds, cents, book, 2L)
+      assert(codesOf.collect().map(_.get(0)).toSet ==
+        Set(9100004L, 9100006L), "gate stopped encoding after poison")
+    } finally { operators.VectorIndex.drop(spark, cmds); () }
+  }
+}
