@@ -169,6 +169,25 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     else 0L
   }
 
+  // directories retired by STOP INGEST ... PURGE, one per line: a fresh
+  // checkpoint has no seen-files log, so re-watching a retired directory
+  // would reprocess every old file under new (floor-lifted) batch ids —
+  // the ADMIT gate's own index would merely re-verdict them non-admitted,
+  // but the VECTOR gate would land DUPLICATE codes/assign rows (its
+  // fresh-unique-id contract violated by the engine itself). Rotation
+  // means a NEW directory; the retired list makes that the enforced
+  // contract, not an operator convention.
+  private def ingestRetiredFile(kind: String) = java.nio.file.Paths.get(
+    s"$warehouse/_ingest_ckpt/" +
+      kind.toLowerCase(java.util.Locale.ROOT) + ".retired")
+
+  private def ingestRetiredDirs(kind: String): Set[String] = {
+    val f = ingestRetiredFile(kind)
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else java.nio.file.Files.readString(f).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSet
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -1111,6 +1130,15 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       require(!ingestKinds.values.exists(_ == k),
         s"an $k ingest is already running - the index tables are " +
           "single-writer; STOP it first")
+      // a directory retired by STOP ... PURGE cannot be re-watched: the
+      // purge deleted the seen-files log, so a fresh checkpoint would
+      // reprocess every old file under floor-lifted ids — duplicate
+      // codes/assign rows on the VECTOR side. Rotation means a NEW dir.
+      require(!ingestRetiredDirs(k).contains(dir),
+        s"'$dir' was retired by STOP INGEST ... PURGE and its processed-" +
+          "files log is gone - re-watching it would reprocess every old " +
+          "file; rotate to a new directory (or, to deliberately " +
+          s"reprocess, remove the entry from ${ingestRetiredFile(k)})")
       // checkpoint keyed by KIND, not alias: the single-writer-per-kind
       // guard makes the kind unique, and the sink tables' _STREAM_BATCH
       // markers are monotonic PER TABLE — an alias-keyed checkpoint
@@ -1266,7 +1294,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // leaves either (floor + old checkpoint) — a resume just runs with
       // offset ids, still monotone — or (floor + no checkpoint) — the
       // rotation completes on the next START. No ordering loses a batch.
-      def retireCheckpoint(kind: String, gateName: String): Unit = {
+      // idempotent and re-runnable: a crash at ANY point mid-purge is
+      // recovered by repeating STOP <name> [FORCE] PURGE — the floor
+      // write is max-monotone, the retired append tolerates duplicates
+      // (read as a set), the deletes tolerate absence, and the
+      // registration (removed LAST) keeps the name addressable until
+      // the purge has fully completed
+      def retireCheckpoint(kind: String, gateName: String,
+          srcDir: String): Unit = {
         val f = ingestFloorFile(kind)
         val floor = math.max(ingestMarkerHigh(kind) + 1L,
           ingestFloor(kind))
@@ -1276,6 +1311,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         java.nio.file.Files.move(tmp, f,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // retire the source BEFORE deleting the checkpoint: once the
+        // seen-files log is gone, a same-dir START would reprocess
+        // every old file — the retired list closes that window first
+        if (srcDir.nonEmpty &&
+            !ingestRetiredDirs(kind).contains(srcDir)) {
+          java.nio.file.Files.writeString(ingestRetiredFile(kind),
+            srcDir + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND); ()
+        }
         val base = java.nio.file.Paths.get(s"$warehouse/_ingest_ckpt")
         Seq(base.resolve(kind.toLowerCase(java.util.Locale.ROOT)),
           base.resolve(gateName)).foreach { d =>
@@ -1286,17 +1331,19 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
       ingests.get(name) match {
         case Some(q) =>
+          val srcDir = registeredIngests.collectFirst {
+            case (n, _, dd, _) if n == name => dd }.getOrElse("")
           q.stop()
           ingests.remove(name)
           val kind = ingestKinds.remove(name)
-          if (purge) kind.foreach(retireCheckpoint(_, name))
+          if (purge) kind.foreach(retireCheckpoint(_, name, srcDir))
           deregisterIngest(name)
           status(s"stopped ingest $name" + (if (purge)
-            " (checkpoint purged; rotation floor recorded - the next " +
-              "START may watch a new source)" else ""))
+            " (checkpoint purged; source retired; rotation floor " +
+              "recorded - the next START must watch a new source)" else ""))
         case None =>
           registeredIngests.find(_._1 == name) match {
-            case Some((_, kind, _, _)) =>
+            case Some((_, kind, srcDir, _)) =>
               // a registration this session does NOT run may still be a
               // LIVE gate in another engine over the same warehouse —
               // releasing its single-writer claim reopens the kind to a
@@ -1306,7 +1353,8 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
                   "registration may belong to a live engine elsewhere " +
                   "(SHOW INGESTS surfaces heartbeat_age_sec); release a " +
                   s"dead claim deliberately with STOP INGEST $name FORCE")
-              if (purge && kind != "?") retireCheckpoint(kind, name)
+              if (purge && kind != "?")
+                retireCheckpoint(kind, name, srcDir)
               deregisterIngest(name)
               status(s"stopped ingest $name (cleared prior-session " +
                 "registration; checkpoint " +

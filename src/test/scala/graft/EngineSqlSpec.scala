@@ -1948,10 +1948,20 @@ class EngineSqlSpec extends AnyFunSuite {
         Map(7000001L -> 1L, 7000002L -> 1L, 7000003L -> 1L),
         s"rotation 2 lost or duplicated: $admitted")
       e1.sql("STOP INGEST gate")
+      // a RETIRED directory cannot be re-watched: its seen-files log
+      // died with the purged checkpoint, so a fresh checkpoint would
+      // reprocess every old file (duplicate codes/assign on the vector
+      // side) — refused with the deliberate-override path named
+      val retired = intercept[IllegalArgumentException] {
+        e1.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+      }
+      assert(retired.getMessage.contains("retired"),
+        s"wrong refusal: ${retired.getMessage}")
       // the guardrail the floor replaces: a fresh checkpoint over sink
       // tables that already carry markers, with NO floor, is the silent
       // data-loss mode — refused, not undefined. (Simulate a legacy
-      // warehouse: checkpoint and floor wiped by hand.)
+      // warehouse: checkpoint and floor wiped by hand; a NEVER-retired
+      // directory so only the marker guard can fire.)
       import java.nio.file.{Files => F, Paths}
       def rmr(p: java.nio.file.Path): Unit = {
         if (F.isDirectory(p)) Option(p.toFile.listFiles())
@@ -1961,14 +1971,89 @@ class EngineSqlSpec extends AnyFunSuite {
       rmr(Paths.get(wh, "_ingest_ckpt", "admit"))
       F.deleteIfExists(Paths.get(wh, "_ingest_ckpt", "admit.src"))
       F.deleteIfExists(Paths.get(wh, "_ingest_ckpt", "admit.floor"))
+      val dirD = Files.createTempDirectory("graft_rot_d").toString
       val refused = intercept[IllegalArgumentException] {
-        e1.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+        e1.sql(s"START ADMIT INGEST FROM '$dirD' AS gate")
       }
       assert(refused.getMessage.contains("swallow"),
         s"wrong refusal: ${refused.getMessage}")
     } finally {
       try e1.sql("DROP DEDUP INDEX ON documents")
       catch { case _: Throwable => () }
+      e1.close()
+    }
+  }
+
+  test("mid-PURGE crash recovery: a crash after the floor write resumes " +
+      "losslessly; a crash after the source retire is healed by " +
+      "re-running STOP ... FORCE PURGE (purge is idempotent)") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val wh = Files.createTempDirectory("graft_pcrash_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val dirA = Files.createTempDirectory("graft_pc_a").toString
+    val dirB = Files.createTempDirectory("graft_pc_b").toString
+    val freshA = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val freshB = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    val freshC = "an elderly clockmaker repairs the tower bells above " +
+      "the quiet market square during every autumn festival week"
+    def admitted(e: Engine): Map[Long, Long] =
+      e.storage.table("ingest_verdicts")
+        .filter(col("admitted")).groupBy(col("doc_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      Seq(7200001L -> freshA).toDF("doc_id", "text")
+        .write.mode("append").parquet(dirA)
+      e1.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      // ── crash position A: PURGE died right after the floor write —
+      // checkpoint, source pin and registration all survive. The gate
+      // was not even stopped cleanly (session died): simulate with
+      // close(). A same-name resume must work and stay lossless (the
+      // floor merely lifts the resumed ids; monotonicity holds).
+      e1.close()
+      val floorF = Paths.get(wh, "_ingest_ckpt", "admit.floor")
+      F.writeString(floorF, "1")
+      val e2 = new Engine(spark, d, wh)
+      Seq(7200002L -> freshB).toDF("doc_id", "text")
+        .write.mode("append").parquet(dirA)
+      e2.sql(s"START ADMIT INGEST FROM '$dirA' AS gate") // resume
+      e2.ingestQuery("gate").get.processAllAvailable()
+      assert(admitted(e2) == Map(7200001L -> 1L, 7200002L -> 1L),
+        s"floor-only crash state lost or duplicated: ${admitted(e2)}")
+      // ── crash position B: PURGE died after retiring the source but
+      // before deleting the checkpoint — registration still present
+      // (it is removed LAST). The same-dir resume is now refused, and
+      // the documented recovery — re-running the purge — completes it.
+      e2.close()
+      F.writeString(Paths.get(wh, "_ingest_ckpt", "admit.retired"),
+        dirA + "\n")
+      val e3 = new Engine(spark, d, wh)
+      val blocked = intercept[IllegalArgumentException] {
+        e3.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+      }
+      assert(blocked.getMessage.contains("retired"))
+      e3.sql("STOP INGEST gate FORCE PURGE") // idempotent completion
+      assert(!F.isDirectory(Paths.get(wh, "_ingest_ckpt", "admit")),
+        "re-run purge must finish deleting the checkpoint")
+      // rotation now completes normally on a new directory, losslessly
+      Seq(7200003L -> freshC).toDF("doc_id", "text")
+        .write.mode("append").parquet(dirB)
+      e3.sql(s"START ADMIT INGEST FROM '$dirB' AS gate")
+      e3.ingestQuery("gate").get.processAllAvailable()
+      assert(admitted(e3) ==
+        Map(7200001L -> 1L, 7200002L -> 1L, 7200003L -> 1L),
+        s"recovery lost or duplicated: ${admitted(e3)}")
+      e3.sql("STOP INGEST gate")
+      e3.close()
+    } finally {
+      try {
+        val ec = new Engine(spark, d, wh)
+        ec.sql("DROP DEDUP INDEX ON documents"); ec.close()
+      } catch { case _: Throwable => () }
       e1.close()
     }
   }
