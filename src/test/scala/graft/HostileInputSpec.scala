@@ -121,4 +121,43 @@ class HostileInputSpec extends AnyFunSuite {
         Set(9100004L, 9100006L), "gate stopped encoding after poison")
     } finally { operators.VectorIndex.drop(spark, cmds); () }
   }
+
+  test("poison vectors through the LIVE stream: the gate's streaming " +
+      "query survives a poisoned micro-batch (no poison-pill restart " +
+      "loop) and keeps encoding the next batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_hostile_stream_wh").toString)
+    operators.VectorIndex.build(spark, d, cmds)
+    val good = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("embedding")).head.getSeq[Float](0)
+    // Option fields encode to NULLABLE columns — the poison shapes ride
+    // through a genuine MemoryStream micro-batch, not a hand-built frame
+    val src = MemoryStream[(Option[Long], Option[Seq[Float]])]
+    val q = streaming.VectorStreams.ingest(
+      src.toDF().select(col("_1").as("vec_id"),
+        col("_2").cast("array<float>").as("embedding")), cmds)
+    try {
+      src.addData(
+        (None, Some(good)),
+        (Some(9200001L), None),
+        (Some(9200002L), Some(Seq(1.0f))),
+        (Some(9200003L), Some(good.map(_ + 0.03f))))
+      q.processAllAvailable()
+      assert(q.isActive, "one poisoned batch killed the stream")
+      src.addData((Some(9200004L), Some(good.map(_ + 0.04f))))
+      q.processAllAvailable()
+      val enc = cmds.table(operators.VectorIndex.tableName("codes"))
+        .filter(col("vec_id") >= 9200000L).collect().map(_.getLong(0))
+      assert(enc.toSet == Set(9200003L, 9200004L),
+        s"stream encoded the wrong set: ${enc.toSeq}")
+      assert(cmds.table("vector_ingest_rejects").count() == 3L,
+        "streamed poison rows missing from the quarantine")
+    } finally {
+      q.stop()
+      operators.VectorIndex.drop(spark, cmds); ()
+    }
+  }
 }

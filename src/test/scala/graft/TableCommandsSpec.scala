@@ -702,6 +702,44 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(c.table("log").count() == 1006L)
   }
 
+  test("OPTIMIZE ZORDER BY on a heavy-tailed numeric column: equi-depth " +
+      "buckets keep pruning where uniform min/max buckets collapse " +
+      "(one huge outlier key compresses every ordinary value)") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    // ordinary keys 0..199, plus 0.5% outlier rows at key 10^12: the
+    // uniform quantizer's range is [0, 10^12], so ALL ordinary keys land
+    // in bucket 0 and selective filters on them scan everything
+    c.createTable("zh", spark.range(104000).select(
+      when(col("id") % 200 === 199, lit(1000000000000L))
+        .otherwise(col("id") % 200).as("k"),
+      col("id").as("payload")))
+    val pred = col("k") >= 40 && col("k") < 45 // 2.5% of ordinary rows
+    val n = c.table("zh").filter(pred).count()
+    assert(n == 2600L)
+    c.optimizeTable("zh", targetPartitions = 64, zorderBy = Seq("k"))
+    assert(c.table("zh").filter(pred).count() == n,
+      "zorder changed the answer")
+    def scanned(f: org.apache.spark.sql.Column): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      val qe = c.table("zh").filter(f).queryExecution
+      qe.toRdd.foreach(_ => ())
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.flatMap(walk)
+      })
+      walk(qe.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val z = scanned(pred)
+    assert(z * 3 <= 104000,
+      s"outlier key collapsed the layout: scanned $z of 104000")
+  }
+
   test("OPTIMIZE ZORDER BY on non-ASCII strings: the surrogate-clamped " +
       "base-2^16 proxy stays monotone — answers unchanged, ASCII-prefix " +
       "pruning intact with BMP-high and astral rows in the table") {
