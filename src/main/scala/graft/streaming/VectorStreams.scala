@@ -29,6 +29,39 @@ object VectorStreams {
       : (Seq[Similarity.FrozenCent], Seq[Similarity.FrozenBookM]) =
     Similarity.freezeIndex(centroids, codebook)
 
+  /** Split a (id, embedding) micro-batch into (clean, poison): null id,
+    * null embedding, or dimension ≠ `dim`. Shared by every vector-fed
+    * twin — a poison record must never kill a stream: the batch kernels
+    * RAISE on dimension mismatch (correct for a one-shot SQL call, where
+    * the caller fixes the statement), but a streaming checkpoint would
+    * replay the same batch into the same raise forever — a poison-pill
+    * restart loop. The poison frame carries (id, n_dims, reason) ready
+    * for an exactly-once quarantine append. The predicate is never-null
+    * (the isNull disjuncts short-circuit size(null)). */
+  private def splitPoison(batch: DataFrame, idCol: String, dim: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, size, when}
+    val typed = batch.select(idCol, "embedding")
+    val poisonCond = col(idCol).isNull || col("embedding").isNull ||
+      size(col("embedding")) =!= dim
+    (typed.filter(!poisonCond),
+      typed.filter(poisonCond).select(col(idCol),
+        size(col("embedding")).as("n_dims"),
+        when(col(idCol).isNull, s"null_$idCol")
+          .when(col("embedding").isNull, "null_embedding")
+          .otherwise("dim_mismatch").as("reason")))
+  }
+
+  /** The corpus embedding dimension — one head-row read at stream START
+    * (k-bounded driver read, the freeze convention), pinned for the
+    * stream's lifetime like every other frozen artifact. */
+  private def corpusDim(s: org.apache.spark.sql.SparkSession,
+      d: String): Int = {
+    import org.apache.spark.sql.functions.{col, size}
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(size(col("embedding"))).head.getInt(0)
+  }
+
   /** Route + PQ-encode each arriving vector against the frozen index.
     * Output rows (vec_id, cluster, codes) are bit-identical to what BUILD
     * would have written for the same vectors — the parity spec proves it
@@ -115,7 +148,7 @@ object VectorStreams {
       cmds.tableExists(VectorIndex.tableName(p))),
       "ingest maintains a stored vector index - run BUILD VECTOR INDEX " +
         "first")
-    import org.apache.spark.sql.functions.{lit, min, size, struct, when}
+    import org.apache.spark.sql.functions.{min, struct}
     // POISON QUARANTINE. A null or dimension-mismatched embedding does
     // not crash the encode — worse: the PQ slices come back empty/short,
     // every subspace scores its first code, and the row lands as a FAKE
@@ -129,20 +162,9 @@ object VectorStreams {
     // committed and the replay is a full clean rerun; codes/assign keep
     // their crash convention untouched.
     val dim = cents.headOption.map(_.cqa.length).getOrElse(0)
-    val typed = batch.select("vec_id", "embedding")
-    // never-null predicate: the isNull disjuncts short-circuit the only
-    // null source (size(null) is null), so filter/not() stay exhaustive
-    val poisonCond = col("vec_id").isNull || col("embedding").isNull ||
-      size(col("embedding")) =!= dim
-    val poison = typed.filter(poisonCond)
+    val (clean, poison) = splitPoison(batch, "vec_id", dim)
     if (!poison.isEmpty)
-      cmds.appendCommitted("vector_ingest_rejects",
-        poison.select(col("vec_id"),
-          size(col("embedding")).as("n_dims"),
-          when(col("vec_id").isNull, "null_vec_id")
-            .when(col("embedding").isNull, "null_embedding")
-            .otherwise("dim_mismatch").as("reason")), batchId)
-    val clean = typed.filter(!poisonCond)
+      cmds.appendCommitted("vector_ingest_rejects", poison, batchId)
     if (clean.isEmpty) return
     // localCheckpoint for the same reason as REFRESH: both appends must
     // consume ONE frozen encode, not re-plan against tables the first
@@ -215,32 +237,48 @@ object VectorStreams {
     * accumulates in the stream — no state store, any arrival rate the
     * per-batch check latency sustains. */
   def decontamGate(vecStream: DataFrame, d: String, cmds: TableCommands,
-      table: String, thr: Double = 0.3): StreamingQuery =
+      table: String, thr: Double = 0.3): StreamingQuery = {
+    val dim = corpusDim(vecStream.sparkSession, d)
     vecStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        // poison candidates quarantine into <table>_rejects instead of
+        // raising: the kernel's dimension raise is right for a one-shot
+        // SQL call but would poison-pill-loop a checkpointed stream
+        val (clean, poison) = splitPoison(batch, "vec_id", dim)
+        if (!poison.isEmpty)
+          cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+        if (!clean.isEmpty)
           cmds.appendCommitted(table,
-            Similarity.decontamVectors(batch.sparkSession, d, batch, thr),
+            Similarity.decontamVectors(batch.sparkSession, d, clean, thr),
             batchId)
         ()
       }
       .start()
+  }
 
   def serve(queryStream: DataFrame, d: String, cmds: TableCommands,
-      table: String, k: Int = 3): StreamingQuery =
+      table: String, k: Int = 3): StreamingQuery = {
+    val dim = corpusDim(queryStream.sparkSession, d)
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // skip empty batches: creating a table from one would publish a
-        // schema-less version, and replaying an empty append is a no-op
-        if (!batch.isEmpty)
+        // schema-less version, and replaying an empty append is a no-op.
+        // Poison queries quarantine into <table>_rejects (see
+        // decontamGate) — a malformed query must cost its caller an
+        // absent answer plus a visible reject row, never the stream.
+        val (clean, poison) = splitPoison(batch, "q_id", dim)
+        if (!poison.isEmpty)
+          cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+        if (!clean.isEmpty)
           cmds.appendCommitted(table,
-            Similarity.searchVectors(batch.sparkSession, d, batch, k),
+            Similarity.searchVectors(batch.sparkSession, d, clean, k),
             batchId)
         ()
       }
       .start()
+  }
 
   /** Streaming DIVERSIFIED serving — [[serve]]'s MMR sibling, the online
     * twin of s110: each query micro-batch is answered by the batch
@@ -255,16 +293,22 @@ object VectorStreams {
     * store, nothing accumulates across batches. */
   def serveDiversified(queryStream: DataFrame, d: String,
       cmds: TableCommands, table: String, k: Int = 3, shortK: Int = 10,
-      lambdaTenths: Int = 7): StreamingQuery =
+      lambdaTenths: Int = 7): StreamingQuery = {
+    val dim = corpusDim(queryStream.sparkSession, d)
     queryStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        // poison queries quarantine into <table>_rejects (see serve)
+        val (clean, poison) = splitPoison(batch, "q_id", dim)
+        if (!poison.isEmpty)
+          cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+        if (!clean.isEmpty)
           cmds.appendCommitted(table,
             Similarity.searchVectorsDiversified(batch.sparkSession, d,
-              batch, k, shortK, lambdaTenths),
+              clean, k, shortK, lambdaTenths),
             batchId)
         ()
       }
       .start()
+  }
 }

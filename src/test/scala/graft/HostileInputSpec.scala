@@ -160,4 +160,49 @@ class HostileInputSpec extends AnyFunSuite {
       operators.VectorIndex.drop(spark, cmds); ()
     }
   }
+
+  test("poison QUERIES through the serving stream: a malformed query " +
+      "costs its caller an absent answer plus a visible reject row — " +
+      "never the stream (the batch kernel's dimension raise would " +
+      "poison-pill-loop the checkpoint replay)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_hostile_serve_wh").toString)
+    operators.VectorIndex.build(spark, d, cmds)
+    val good = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("embedding")).head.getSeq[Float](0)
+      .map(_.toDouble + 0.001)
+    try {
+      val src = MemoryStream[(Option[Long], Option[Seq[Double]])]
+      val q = streaming.VectorStreams.serve(
+        src.toDF().select(col("_1").as("q_id"),
+          col("_2").as("embedding")), d, cmds, "answers")
+      try {
+        src.addData(
+          (Some(1L), Some(good)),
+          (Some(2L), Some(Seq(1.0, 2.0))), // the dim the kernel raises on
+          (Some(3L), None),
+          (None, Some(good)))
+        q.processAllAvailable()
+        assert(q.isActive, "one malformed query killed the serve stream")
+        val answered = cmds.table("answers").collect()
+          .map(_.getLong(0)).toSet
+        assert(answered == Set(1L),
+          s"only the clean query answers: got $answered")
+        val rej = cmds.table("answers_rejects").collect()
+          .map(r => (Option(r.get(0)), r.getString(2))).toSet
+        assert(rej == Set(
+          (Some(2L), "dim_mismatch"),
+          (Some(3L), "null_embedding"),
+          (None, "null_q_id")), s"serve quarantine wrong: $rej")
+        // the stream keeps serving after the poisoned batch
+        src.addData((Some(5L), Some(good.map(_ + 0.002))))
+        q.processAllAvailable()
+        assert(cmds.table("answers").collect().map(_.getLong(0)).toSet
+          == Set(1L, 5L), "serving stopped after poison")
+      } finally q.stop()
+    } finally { operators.VectorIndex.drop(spark, cmds); () }
+  }
 }
