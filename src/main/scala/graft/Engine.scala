@@ -110,7 +110,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * (the existing entry IS the claim). */
   private def claimIngest(name: String, kind: String, dir: String): Unit = {
     java.nio.file.Files.createDirectories(ingestRegistryDir)
-    val tmp = ingestRegFile("kind." + name + ".tmp")
+    // tmp name is per-attempt unique: two engines racing the SAME name
+    // from different dirs would otherwise share a tmp path, and the
+    // winner could link the loser's just-written content
+    val tmp = ingestRegFile(
+      s"kind.$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     java.nio.file.Files.writeString(tmp, s"$name\t$dir")
     try
       java.nio.file.Files.createLink(kindRegFile(kind), tmp)
@@ -181,11 +185,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     s"$warehouse/_ingest_ckpt/" +
       kind.toLowerCase(java.util.Locale.ROOT) + ".retired")
 
+  /** Canonical spelling for retired-dir bookkeeping — absolute +
+    * normalized, so `/a/b/`, `./b` and `/a/b` cannot sidestep the
+    * retired check by differing as strings. */
+  private def canonDir(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
   private def ingestRetiredDirs(kind: String): Set[String] = {
     val f = ingestRetiredFile(kind)
     if (!java.nio.file.Files.exists(f)) Set.empty
     else java.nio.file.Files.readString(f).linesIterator
-      .map(_.trim).filter(_.nonEmpty).toSet
+      .map(_.trim).filter(_.nonEmpty).map(canonDir).toSet
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -1134,7 +1144,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // purge deleted the seen-files log, so a fresh checkpoint would
       // reprocess every old file under floor-lifted ids — duplicate
       // codes/assign rows on the VECTOR side. Rotation means a NEW dir.
-      require(!ingestRetiredDirs(k).contains(dir),
+      require(!ingestRetiredDirs(k).contains(canonDir(dir)),
         s"'$dir' was retired by STOP INGEST ... PURGE and its processed-" +
           "files log is gone - re-watching it would reprocess every old " +
           "file; rotate to a new directory (or, to deliberately " +
@@ -1315,9 +1325,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         // seen-files log is gone, a same-dir START would reprocess
         // every old file — the retired list closes that window first
         if (srcDir.nonEmpty &&
-            !ingestRetiredDirs(kind).contains(srcDir)) {
+            !ingestRetiredDirs(kind).contains(canonDir(srcDir))) {
           java.nio.file.Files.writeString(ingestRetiredFile(kind),
-            srcDir + "\n",
+            canonDir(srcDir) + "\n",
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND); ()
         }
