@@ -416,7 +416,8 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       val cols = zorderBy.map(c => byLower.getOrElse(c.toLowerCase,
         throw new IllegalArgumentException(
           s"ZORDER BY column $c not in table $name")))
-      // one stats row: per-column min/max drive the 8-bit quantization.
+      // one stats row: per-column equi-depth edges drive the 8-bit
+      // quantization (see the Scaladoc above).
       // STRING columns get an ORDER-PRESERVING numeric proxy — the first
       // THREE UTF-16 code units packed big-endian in base 2^16. Three
       // units at 16 bits is 48 bits: EXACTLY representable in a double's
