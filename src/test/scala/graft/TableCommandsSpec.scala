@@ -413,7 +413,7 @@ class TableCommandsSpec extends AnyFunSuite {
         s"step $step ($op): table $got != model ${model.sorted}")
     }
     for (step <- 1 to 150) {
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => // exactly-once O(batch) append, new batch id
           val rows = freshRows(1 + rnd.nextInt(3))
           c.appendCommitted("t", rows.toDF("id"), nextBatch)
@@ -457,6 +457,21 @@ class TableCommandsSpec extends AnyFunSuite {
           c.appendCommitted("t", rows.toDF("id"), nextBatch)
           model ++= rows; nextBatch += 1
           check(step, "append-crash-retry")
+        case 7 => // tail-only compaction at a random threshold:
+                  // content-preserving whatever the big/small split is
+          c.compactTail("t",
+            thresholdBytes = 1L << (8 + rnd.nextInt(16)))
+          check(step, "compact-tail")
+        case 8 => // crashed tail compaction, then the gate's next
+                  // trigger re-runs it — still content-preserving
+          c.crashPoint = Some(
+            if (rnd.nextBoolean()) "staged" else "published")
+          try { c.compactTail("t", thresholdBytes = 1L << 12); () }
+          catch { case _: IllegalStateException => () } // ≤1-file no-op
+          c.crashPoint = None
+          check(step, "compact-tail-crashed")
+          c.compactTail("t", thresholdBytes = 1L << 12)
+          check(step, "compact-tail-retry")
       }
     }
     // closing invariants: integrity scan agrees, history is on-disk and
