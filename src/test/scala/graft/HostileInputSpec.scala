@@ -122,6 +122,48 @@ class HostileInputSpec extends AnyFunSuite {
     } finally { operators.VectorIndex.drop(spark, cmds); () }
   }
 
+  test("poison documents through the LIVE ADMIT stream: a micro-batch " +
+      "with null ids and null/empty text neither kills the gate nor " +
+      "admits anything malformed; admission continues") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_hostile_admit_wh").toString)
+    operators.DedupIndex.build(spark, d, cmds)
+    val freshA = "the amber lighthouse keeper walks a winding cliff " +
+      "path toward the harbor beacon every misty evening"
+    val freshB = "a patient cartographer sketches the forgotten valley " +
+      "rivers onto vellum beneath a flickering lantern glow"
+    try {
+      val src = MemoryStream[(Option[Long], Option[String])]
+      val q = streaming.DocStreams.admitAndIndex(
+        src.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+        cmds)
+      try {
+        src.addData(
+          (None, Some(freshA)),
+          (Some(9300001L), None),
+          (Some(9300002L), Some("")),
+          (Some(9300003L), Some(freshB)))
+        q.processAllAvailable()
+        assert(q.isActive, "one poisoned batch killed the ADMIT gate")
+        val v = cmds.table("ingest_verdicts").collect()
+          .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+            r.getBoolean(r.fieldIndex("admitted"))).toMap
+        assert(v.size == 4 && v(Some(9300003L)) &&
+          !v(Some(9300001L)) && !v(Some(9300002L)),
+          s"streamed poison verdicts wrong: $v")
+        src.addData((Some(9300010L), Some(freshA.replace("amber",
+          "silver"))))
+        q.processAllAvailable()
+        assert(cmds.table("ingest_verdicts")
+          .filter(col("doc_id") === 9300010L && col("admitted")).count()
+          == 1L, "admission stopped after streamed poison")
+      } finally q.stop()
+    } finally { operators.DedupIndex.drop(spark, cmds); () }
+  }
+
   test("poison vectors through the LIVE stream: the gate's streaming " +
       "query survives a poisoned micro-batch (no poison-pill restart " +
       "loop) and keeps encoding the next batch") {
