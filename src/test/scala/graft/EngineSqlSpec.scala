@@ -1984,6 +1984,59 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("VECTOR source rotation: STOP INGEST ... PURGE then a new " +
+      "directory — every vector encoded exactly once across the " +
+      "rotation, and a poisoned final batch (rejects-only marker) " +
+      "still floors correctly") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_vrot_wh").toString
+    val e1 = new Engine(spark, d, wh)
+    val dirA = Files.createTempDirectory("graft_vrot_a").toString
+    val dirB = Files.createTempDirectory("graft_vrot_b").toString
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("embedding")).head.getSeq[Float](0)
+      def drop(dir: String, id: Long, emb: Seq[Float]): Unit =
+        Seq(id -> emb).toDF("vec_id", "embedding")
+          .write.mode("append").parquet(dir)
+      def encoded: Map[Long, Long] = e1.storage
+        .table(operators.VectorIndex.tableName("codes"))
+        .filter(col("vec_id") >= 9400000L)
+        .groupBy(col("vec_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // epoch 1: one clean vector, then a POISON-ONLY file — the last
+      // committed marker for the kind lands on vector_ingest_rejects,
+      // the case the floor must still clear
+      drop(dirA, 9400001L, base.map(_ + 0.01f))
+      e1.sql(s"START VECTOR INGEST FROM '$dirA' AS vgate")
+      e1.ingestQuery("vgate").get.processAllAvailable()
+      drop(dirA, 9400002L, Seq(1.0f, 2.0f)) // dim-mismatch: reject
+      e1.ingestQuery("vgate").get.processAllAvailable()
+      assert(encoded == Map(9400001L -> 1L))
+      assert(e1.storage.table("vector_ingest_rejects").count() == 1L)
+      e1.sql("STOP INGEST vgate PURGE")
+      // epoch 2: rotate to dirB — nothing lost, nothing re-encoded
+      drop(dirB, 9400003L, base.map(_ + 0.02f))
+      e1.sql(s"START VECTOR INGEST FROM '$dirB' AS vgate")
+      e1.ingestQuery("vgate").get.processAllAvailable()
+      assert(encoded == Map(9400001L -> 1L, 9400003L -> 1L),
+        s"vector rotation lost or duplicated: $encoded")
+      val assigns = e1.storage
+        .table(operators.VectorIndex.tableName("assign"))
+        .filter(col("vec_id") >= 9400000L)
+        .groupBy(col("vec_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(assigns == Map(9400001L -> 1L, 9400003L -> 1L),
+        s"assign diverged from codes across rotation: $assigns")
+      e1.sql("STOP INGEST vgate")
+    } finally {
+      try e1.sql("DROP VECTOR INDEX ON embeddings")
+      catch { case _: Throwable => () }
+      e1.close()
+    }
+  }
+
   test("mid-PURGE crash recovery: a crash after the floor write resumes " +
       "losslessly; a crash after the source retire is healed by " +
       "re-running STOP ... FORCE PURGE (purge is idempotent)") {
