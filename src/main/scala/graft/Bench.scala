@@ -180,6 +180,23 @@ object Bench {
         f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
         s""""failed":$failedJson,"duckdb":$duck,"sf":"$sfDir"}"""
     println(line)
+    // COMPACT summary printed LAST: the full line above carries the
+    // per-query map + the embedded DuckDB anchor (~8 KB) and a tail-
+    // capture harness can truncate it mid-line (round 8–10 driver
+    // artifacts parsed as null for exactly that reason) — a short final
+    // line survives any tail truncation and still carries the headline
+    // pair. The complete line also lands in bench_out.json below.
+    val duckTotal = """"total"\s*:\s*([0-9.eE+-]+)""".r
+      .findFirstMatchIn(duck).map(_.group(1).toDouble)
+    val ratio = duckTotal.filter(_ > 0).map(dt => total / dt)
+    def optNum(v: Option[Double]): String =
+      v.map(x => f"$x%.3f").getOrElse("null")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        f""""spark_total":$total%.3f,"duck_total":${optNum(duckTotal)},""" +
+        s""""ratio":${optNum(ratio)},"n_queries":${results.size},""" +
+        f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
+        s""""failed":$failedJson,"sf":"$sfDir","full":"bench_out.json"}""")
     // The line now carries the per-query DuckDB anchor (~8 KB) and a
     // tail-capture harness can truncate it (round 8's driver artifact
     // parsed as null for exactly that reason) — so ALSO write it to a

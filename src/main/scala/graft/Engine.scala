@@ -151,6 +151,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         "vector_ingest_rejects") // an all-poison final batch advances
         //                          ONLY the quarantine log's marker
 
+  /** The kind's PAIRED sinks — the tables one micro-batch appends to in
+    * lock-step, whose markers must agree at every batch boundary (both
+    * gates append to BOTH on every non-empty clean batch; the quarantine
+    * log is deliberately NOT in the pair — it advances only on poisoned
+    * batches). A marker disagreement is the signature of a crash between
+    * the two appends of one batch: a torn state only the checkpoint's
+    * replay heals. */
+  private def ingestPairedSinks(kind: String): Seq[String] =
+    if (kind == "ADMIT")
+      Seq("ingest_verdicts", operators.DedupIndex.tableName("bands"))
+    else
+      Seq(operators.VectorIndex.tableName("codes"),
+        operators.VectorIndex.tableName("assign"))
+
   /** The committed batch-id highwater across `kind`'s sink tables —
     * -1 when no table carries a marker (nothing ever streamed in). */
   private def ingestMarkerHigh(kind: String): Long =
@@ -283,10 +297,68 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   cmds.warehouseTables.foreach(t => cmds.pins(t).foreach {
     case (alias, ver) =>
       if (!spark.catalog.tableExists(alias))
+        // NonFatal, not just IllegalArgumentException: snapshotPath's
+        // require covers a fully REMOVED version dir, but an existing-yet-
+        // empty or corrupt dir makes spark.read.parquet throw
+        // AnalysisException — any unreadable pin is skipped, never fatal
         try spark.read.parquet(cmds.snapshotPath(t, ver))
           .createOrReplaceTempView(alias)
-        catch { case _: IllegalArgumentException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
   })
+
+  // sweep ORPHANED claim tmp files: a hard kill between writeString(tmp)
+  // and createLink leaves `kind.<name>.<uuid>.tmp` (or a sink-claim tmp)
+  // behind forever — harmless (listings skip .tmp) but never reclaimed.
+  // Age-gated so a tmp belonging to a START racing this construction
+  // survives: a live claim attempt holds its tmp for milliseconds.
+  private val claimTmpSweepMs = 60L * 60L * 1000L // 1 h
+  Seq(ingestRegistryDir,
+    java.nio.file.Paths.get(warehouse, "_sink_claims")).foreach { d =>
+    if (java.nio.file.Files.isDirectory(d))
+      Option(d.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+          System.currentTimeMillis() - f.lastModified() > claimTmpSweepMs)
+        .foreach { f => f.delete(); () }
+  }
+
+  // re-establish the per-table SINK claims of every durably registered
+  // gate (idempotent: the owner tag is deterministic per kind): a
+  // registration written by a pre-claim engine version would otherwise
+  // leave its sink tables unfenced against OPTIMIZE/DML until resumed.
+  // A claim already held by a DIFFERENT owner is left alone — the fence
+  // refuses maintenance either way.
+  registeredIngests.foreach { case (_, k, _, _) =>
+    if (k != "?")
+      ingestSinkTables(k).foreach { t =>
+        try cmds.claimSink(t, s"ingest:$k")
+        catch { case _: IllegalStateException => () }
+      }
+  }
+
+  // per-query HEARTBEAT fan-out: the gate's claim-mtime beat must fire on
+  // IDLE triggers too — a foreachBatch-driven beat stops the moment the
+  // watched directory goes quiet (Structured Streaming runs no batch on
+  // no data), so a healthy-but-idle gate would read as DEAD in SHOW
+  // INGESTS and invite a wrongful STOP ... FORCE release of a LIVE claim.
+  // QueryIdleEvent fires on no-data triggers (cadence:
+  // spark.sql.streaming.noDataProgressEventInterval), QueryProgressEvent
+  // on data-carrying ones, so heartbeat_age_sec stays bounded while the
+  // stream lives, whatever the source does.
+  private val heartbeatsByQuery =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, () => Unit]()
+  private val heartbeatListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(heartbeatsByQuery.get(e.progress.id)).foreach(_())
+      override def onQueryIdle(e: QueryIdleEvent): Unit =
+        Option(heartbeatsByQuery.get(e.id)).foreach(_())
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        heartbeatsByQuery.remove(e.id); ()
+      }
+    }
+  spark.streams.addListener(heartbeatListener)
 
   /** Pre-seed guard: a catalog table only counts as an index if it really
     * is CREATE INDEX's product — bucketed by exactly the column (list)
@@ -489,12 +561,16 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // queries; each ingest checkpoints under the warehouse so a RESTARTED
   // engine resumes batch numbering instead of letting the exactly-once
   // markers swallow new data
-  // optional COMPACT EVERY n BATCHES: the gate OPTIMIZEs its own tables
-  // every n micro-batches (safe — foreachBatch serializes the gate's
-  // writes), so appendCommitted's small files never need a manual
-  // STOP → OPTIMIZE → START loop
+  // optional COMPACT EVERY n BATCHES [THRESHOLD m MB]: the gate compacts
+  // its own tables' small-file tail every n micro-batches (safe —
+  // foreachBatch serializes the gate's writes), so appendCommitted's
+  // small files never need a manual STOP → OPTIMIZE → START loop.
+  // THRESHOLD sets the graduation size (files >= m MB ride forward as
+  // hard links, smaller ones merge; default 64 MB — right for parquet
+  // row-group economics, but a high-rate gate may want graduation
+  // earlier/later).
   private val startIngestStmt =
-    """(?is)\s*START\s+(ADMIT|VECTOR)\s+INGEST\s+FROM\s+'([^']+)'(?:\s+AS\s+(\w+))?(?:\s+COMPACT\s+EVERY\s+(\d+)\s+BATCHES)?\s*;?\s*""".r
+    """(?is)\s*START\s+(ADMIT|VECTOR)\s+INGEST\s+FROM\s+'([^']+)'(?:\s+AS\s+(\w+))?(?:\s+COMPACT\s+EVERY\s+(\d+)\s+BATCHES(?:\s+THRESHOLD\s+(\d+)\s+MB)?)?\s*;?\s*""".r
   private val showIngestsStmt = """(?is)\s*SHOW\s+INGESTS\s*;?\s*""".r
   // STOP INGEST <name> [FORCE] [PURGE]: FORCE is required to release a
   // registration this session does not run (it may be a live gate in
@@ -504,6 +580,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // source directory with zero lost and zero duplicated batches
   private val stopIngestStmt =
     """(?is)\s*STOP\s+INGEST\s+(\w+)(\s+FORCE)?(\s+PURGE)?\s*;?\s*""".r
+  // RELEASE SINK <table> FORCE: deliberately release a sink claim whose
+  // owning stream died without cleanup (the twins release on termination;
+  // a hard-killed JVM cannot). FORCE is mandatory — releasing a LIVE
+  // stream's claim reopens its table to a second writer, the corruption
+  // the fence exists to prevent.
+  private val releaseSinkStmt =
+    """(?is)\s*RELEASE\s+SINK\s+(\w+)\s+FORCE\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
   // while a genuinely foreign database is REJECTED with an engine error
@@ -552,6 +635,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     ("""(?is)\s*(START\s+(?:ADMIT|VECTOR)\b|STOP\s+INGEST\b|SNAPSHOT\b|""" +
       """RETAIN\b|VERIFY\b|CRASH\b|BUILD\s+(?:VECTOR|DEDUP)\b|""" +
       """REFRESH\s+(?:CORPUS|VECTOR|DEDUP)\b|RUN\s+QUERY\b|""" +
+      """RELEASE\s+SINK\b|""" +
       """SEARCH\s+VECTORS\b|DECONTAM\s+VECTORS\b|OPTIMIZE\b|LOAD\b|""" +
       """DROP\s+(?:SNAPSHOT|INDEX|VECTOR\s+INDEX|DEDUP\s+INDEX)\b|""" +
       """SHOW\s+(?:INGESTS|SNAPSHOTS|VERSIONS|INDEXES|QUERIES|""" +
@@ -594,21 +678,28 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     name
   }
 
+  /** Refuse maintenance/DML on a table a LIVE stream commits into: every
+    * appendCommitted-driven stream (ingest gates AND the caller-named
+    * Scala-API serve/decontam twins) holds a durable per-table sink claim
+    * for its lifetime, and a concurrent COW/append/OPTIMIZE would race
+    * its per-batch commit on the same single-writer manifest. Generic —
+    * keyed off the claim, not a table-name list. */
+  private def requireNoSinkClaim(table: String, what: String): Unit =
+    cmds.sinkOwner(table).foreach(o => throw new IllegalStateException(
+      s"$what: a live stream ($o) commits into $table and the manifest " +
+        "is single-writer - stop that stream first (STOP INGEST for " +
+        "gates; a dead claim is released deliberately with " +
+        s"RELEASE SINK $table FORCE)"))
+
   private def localName(qualifier: String, tbl: String, verb: String): String =
     if (isLocalDb(qualifier)) {
       val n = guardSystemTable(cmds.resolveTable(tbl).getOrElse(tbl), verb)
-      // the ADMIT gate's verdict log is single-writer while the gate is
-      // registered, like the index tables — a concurrent COW/append from
+      // a table some live stream appendCommits into is single-writer
+      // while that stream is registered — a concurrent COW/append from
       // SQL DML would race its per-batch commit on the same manifest.
       // EXPLAIN variants only BUILD the frame and pass freely.
-      if (n.equalsIgnoreCase("ingest_verdicts") &&
-          !verb.toUpperCase(java.util.Locale.ROOT).startsWith("EXPLAIN"))
-        requireNoIngest("ADMIT", s"$verb on $n")
-      // the VECTOR gate's poison-quarantine log is single-writer the
-      // same way (appendCommitted per poisoned batch)
-      if (n.equalsIgnoreCase("vector_ingest_rejects") &&
-          !verb.toUpperCase(java.util.Locale.ROOT).startsWith("EXPLAIN"))
-        requireNoIngest("VECTOR", s"$verb on $n")
+      if (!verb.toUpperCase(java.util.Locale.ROOT).startsWith("EXPLAIN"))
+        requireNoSinkClaim(n, s"$verb on $n")
       n
     } else throw new UnsupportedOperationException(
       s"graft engine: $verb on qualified table '$qualifier$tbl' is not " +
@@ -1088,7 +1179,21 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       status(s"armed crash point ${point.toLowerCase}")
     case verifyStmt(tblRaw) => // reference: VerifyCommand (integrity check)
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
-      status(s"verified $tbl: ${cmds.verifyTable(tbl)} rows")
+      val n = cmds.verifyTable(tbl)
+      // index-integrity audits (reference analog: VerifyCommand feeding
+      // BTreeIndexVerifier, commands/VerifyCommand.java:68): VERIFY on an
+      // index system table additionally audits the CROSS-TABLE invariants
+      // the serve paths assume — the backstop for the one rotation hazard
+      // the retired-dir list cannot catch (old files copied into a NEW
+      // directory re-ingest as duplicate ids)
+      val low = tbl.toLowerCase
+      val extra =
+        if (low.startsWith("vector_index_")) {
+          auditVectorIndex(); "; vector index invariants hold"
+        } else if (low.startsWith("dedup_index_")) {
+          auditDedupIndex(); "; dedup index invariants hold"
+        } else ""
+      status(s"verified $tbl: $n rows$extra")
     case retainStmt(k, tblRaw) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       cmds.setRetain(tbl, k.toInt)
@@ -1101,7 +1206,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         .getFileName.toString
       cmds.versionHistory(tbl)
         .map(v => (v, v == live)).toDF("version", "is_current")
-    case startIngestStmt(kind, dir, aliasOpt, compactOpt) =>
+    case startIngestStmt(kind, dir, aliasOpt, compactOpt, thresholdOpt) =>
       import org.apache.spark.sql.types._
       val k = kind.toUpperCase(java.util.Locale.ROOT)
       val name = Option(aliasOpt).getOrElse(
@@ -1109,6 +1214,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       val compactEvery = Option(compactOpt).map(_.toInt).getOrElse(0)
       if (Option(compactOpt).isDefined) require(compactEvery >= 1,
         s"COMPACT EVERY needs n >= 1 batches; got $compactEvery")
+      val compactThresholdBytes = Option(thresholdOpt).map(_.toLong)
+        .map { mb =>
+          require(mb >= 1, s"COMPACT ... THRESHOLD needs m >= 1 MB; got $mb")
+          mb << 20
+        }.getOrElse(64L << 20)
       require(!ingests.contains(name),
         s"ingest $name already running - STOP INGEST $name first")
       // one gate per kind: both gates of a kind would write the SAME
@@ -1144,7 +1254,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // purge deleted the seen-files log, so a fresh checkpoint would
       // reprocess every old file under floor-lifted ids — duplicate
       // codes/assign rows on the VECTOR side. Rotation means a NEW dir.
-      require(!ingestRetiredDirs(k).contains(canonDir(dir)),
+      // Checked under BOTH the canonical spelling and the resolved real
+      // path: a symlink to a retired directory points at the same files
+      // and must not sidestep the refusal.
+      val dirSpellings = Set(canonDir(dir)) ++
+        (try Some(java.nio.file.Paths.get(dir).toRealPath().toString)
+         catch { case _: java.io.IOException => None })
+      require(ingestRetiredDirs(k).intersect(dirSpellings).isEmpty,
         s"'$dir' was retired by STOP INGEST ... PURGE and its processed-" +
           "files log is gone - re-watching it would reprocess every old " +
           "file; rotate to a new directory (or, to deliberately " +
@@ -1190,8 +1306,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // whose legacy alias-keyed checkpoint lives under a DIFFERENT name
       // lands here too: refuse and direct, never lose.
       val floor = ingestFloor(k)
-      val ckptFresh = !java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(ckpt))
+      val ckptPath = java.nio.file.Paths.get(ckpt)
+      val floorPin = ckptPath.resolve("_graft_floor")
+      val ckptFresh = !java.nio.file.Files.isDirectory(ckptPath)
       if (ckptFresh && floor == 0L) {
         val high = ingestMarkerHigh(k)
         require(high < 0L,
@@ -1203,6 +1320,47 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             "numbering), or retire it with STOP INGEST <name> PURGE to " +
             "rotate sources safely")
       }
+      // floor PIN: every checkpoint records (inside its own directory,
+      // so the two live and die together) the rotation floor its batch
+      // ids are lifted by. A purge that died between the kind's floor
+      // write and the checkpoint deletion leaves the OLD checkpoint
+      // alive under a LIFTED floor — resuming it would run earlier-
+      // numbered ids under the new offset, so a batch whose offsets were
+      // logged but whose commit-log entry was unwritten (while the sink
+      // marker had already advanced) replays as id B+floor > marker and
+      // RE-COMMITS its rows: duplicate codes/assign. A resume therefore
+      // requires pin == floor; a mismatch means a rotation is half-done
+      // and must be completed, never resumed across.
+      if (!ckptFresh) {
+        if (java.nio.file.Files.exists(floorPin)) {
+          val pinned = java.nio.file.Files.readString(floorPin).trim.toLong
+          require(pinned == floor,
+            s"the $k checkpoint was created under rotation floor $pinned " +
+              s"but the kind's floor now reads $floor - a STOP ... PURGE " +
+              "died between the floor write and the checkpoint deletion, " +
+              "and resuming across the half-done rotation could replay an " +
+              "uncommitted batch under shifted ids (duplicate rows past " +
+              "the sink markers). Complete the rotation with STOP INGEST " +
+              s"$name FORCE PURGE, then START from a new directory")
+        } else if (floor != 0L) {
+          // a pre-pin checkpoint under a lifted floor is the SAME
+          // ambiguity (created before or after the lift? unprovable) —
+          // refuse toward the lossless path
+          throw new IllegalStateException(
+            s"the $k checkpoint predates floor pinning and the kind's " +
+              s"floor reads $floor - cannot prove the checkpoint's ids " +
+              "already include this floor. Complete the rotation with " +
+              s"STOP INGEST $name FORCE PURGE, then START from a new " +
+              "directory")
+        } else {
+          // legacy checkpoint, floor still 0: numbering provably
+          // unshifted — self-heal by pinning now
+          java.nio.file.Files.writeString(floorPin, "0"); ()
+        }
+      } else {
+        java.nio.file.Files.createDirectories(ckptPath)
+        java.nio.file.Files.writeString(floorPin, floor.toString); ()
+      }
       // claim the single-writer registration BEFORE the stream starts
       // (the reverse order has a window where the gate is already
       // committing but invisible to other engines); the claim is
@@ -1210,6 +1368,19 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // keeps the existing entry untouched. A failed start rolls back
       // only a claim WE created — never a prior session's.
       if (existing.isEmpty) claimIngest(name, k, dir)
+      // per-TABLE sink claims (the generic fence OPTIMIZE/DML check):
+      // idempotent for the deterministic per-kind owner, so resumes and
+      // restarts re-claim transparently
+      try ingestSinkTables(k).foreach(t => cmds.claimSink(t, s"ingest:$k"))
+      catch { case e: Throwable =>
+        if (existing.isEmpty) {
+          deregisterIngest(name)
+          ingestSinkTables(k).foreach(t =>
+            if (cmds.sinkOwner(t).contains(s"ingest:$k"))
+              cmds.releaseSink(t))
+        }
+        throw e
+      }
       // the source pin also lands BEFORE the stream starts: a crash
       // between start and pin would leave a live checkpoint resumable
       // against any directory unchecked
@@ -1240,6 +1411,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             .parquet(dir)
           streaming.DocStreams.admitAndIndex(docs, cmds,
             checkpoint = Some(ckpt), compactEvery = compactEvery,
+            compactThresholdBytes = compactThresholdBytes,
             batchOffset = floor, heartbeat = beat)
         } else {
           require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
@@ -1252,20 +1424,39 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             .parquet(dir)
           streaming.VectorStreams.ingest(vecs, cmds,
             checkpoint = Some(ckpt), compactEvery = compactEvery,
+            compactThresholdBytes = compactThresholdBytes,
             batchOffset = floor, heartbeat = beat)
         }
       } catch { case e: Throwable =>
-        if (existing.isEmpty) deregisterIngest(name)
+        if (existing.isEmpty) {
+          deregisterIngest(name)
+          ingestSinkTables(k).foreach(t =>
+            if (cmds.sinkOwner(t).contains(s"ingest:$k"))
+              cmds.releaseSink(t))
+        }
+        // a checkpoint dir this START created only to hold the floor pin
+        // is removed (Spark never populated it — its numbering is not
+        // real); a Spark-populated one stays, and so does its pin
+        if (ckptFresh &&
+            Option(ckptPath.toFile.listFiles()).getOrElse(Array.empty)
+              .forall(_.getName == "_graft_floor")) {
+          java.nio.file.Files.deleteIfExists(floorPin)
+          java.nio.file.Files.deleteIfExists(ckptPath); ()
+        }
         // a refused START must not pin a source the checkpoint never
         // saw — but if the engine DID create the checkpoint before
         // failing, the pin is true and stays
-        if (srcWasNew && !java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(ckpt)))
+        if (srcWasNew && !java.nio.file.Files.isDirectory(ckptPath))
           java.nio.file.Files.deleteIfExists(srcFile)
         throw e
       }
       ingests(name) = q
       ingestKinds(name) = k
+      // route the claim-mtime heartbeat through the listener too: the
+      // foreachBatch beat stops on a quiet source, the listener's
+      // onQueryIdle does not — heartbeat_age_sec stays bounded while the
+      // gate lives (see the listener's construction comment)
+      heartbeatsByQuery.put(q.id, beat)
       status(s"started ${k.toLowerCase} ingest $name from $dir")
     case showIngestsStmt() =>
       import spark.implicits._
@@ -1312,6 +1503,29 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // the purge has fully completed
       def retireCheckpoint(kind: String, gateName: String,
           srcDir: String): Unit = {
+        // TORN-PAIR refusal, BEFORE the floor write: a session that died
+        // between the two appends of one micro-batch (codes committed,
+        // assign not — or verdicts committed, bands not) left a torn
+        // batch that ONLY Spark's replay of that batch heals. PURGE
+        // deletes the checkpoint and with it the replay, permanently
+        // breaking the pair invariant (assign∩codes nesting; admitted ⊆
+        // band index) — so a purge is refused while the kind's paired
+        // sink markers disagree, and because the refusal precedes the
+        // floor write, the directed recovery (resume once) is still
+        // permitted by the floor pin.
+        val torn = ingestPairedSinks(kind)
+          .filter(cmds.tableExists)
+          .map(t => t -> cmds.lastCommittedBatch(t).getOrElse(-1L))
+        if (torn.map(_._2).distinct.size > 1)
+          throw new IllegalStateException(
+            s"refusing PURGE: the $kind sink pair is torn (" +
+              torn.map { case (t, m) => s"$t marker $m" }
+                .mkString(", ") +
+              ") - a session died between the paired appends of one " +
+              "micro-batch and only a checkpoint replay heals it. " +
+              "Resume the gate once under the same name and source and " +
+              "let it process at least one batch, then re-run " +
+              s"STOP INGEST $gateName PURGE")
         val f = ingestFloorFile(kind)
         val floor = math.max(ingestMarkerHigh(kind) + 1L,
           ingestFloor(kind))
@@ -1339,15 +1553,24 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             d.resolveSibling(d.getFileName.toString + ".src")); ()
         }
       }
+      // releasing the per-table sink claims accompanies every path that
+      // clears the kind's registration — the fence and the registration
+      // share a lifetime
+      def releaseSinks(kind: String): Unit =
+        ingestSinkTables(kind).foreach(t =>
+          if (cmds.sinkOwner(t).contains(s"ingest:$kind"))
+            cmds.releaseSink(t))
       ingests.get(name) match {
         case Some(q) =>
           val srcDir = registeredIngests.collectFirst {
             case (n, _, dd, _) if n == name => dd }.getOrElse("")
           q.stop()
+          heartbeatsByQuery.remove(q.id)
           ingests.remove(name)
           val kind = ingestKinds.remove(name)
           if (purge) kind.foreach(retireCheckpoint(_, name, srcDir))
           deregisterIngest(name)
+          kind.foreach(releaseSinks)
           status(s"stopped ingest $name" + (if (purge)
             " (checkpoint purged; source retired; rotation floor " +
               "recorded - the next START must watch a new source)" else ""))
@@ -1366,12 +1589,30 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               if (purge && kind != "?")
                 retireCheckpoint(kind, name, srcDir)
               deregisterIngest(name)
+              if (kind != "?") releaseSinks(kind)
+              // an unparseable registration has NO recoverable kind: the
+              // checkpoint and source pin cannot be located, so a PURGE
+              // did NOT happen — say so instead of reporting a rotation
+              // that never ran
               status(s"stopped ingest $name (cleared prior-session " +
                 "registration; checkpoint " +
-                (if (purge) "purged)" else "retained)"))
+                (if (purge && kind == "?")
+                  "NOT purged - registration was malformed (unknown " +
+                    "kind), so no rotation floor was recorded)"
+                 else if (purge) "purged)" else "retained)"))
             case None => throw new IllegalArgumentException(
               s"no ingest named $name - SHOW INGESTS lists them")
           }
+      }
+    case releaseSinkStmt(tblRaw) =>
+      val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
+      cmds.sinkOwner(tbl) match {
+        case Some(o) =>
+          cmds.releaseSink(tbl)
+          status(s"released sink claim on $tbl (was held by $o) - if " +
+            "that stream is still alive, its table now has two writers")
+        case None => throw new IllegalArgumentException(
+          s"RELEASE SINK: no sink claim on '$tbl'")
       }
     case snapshotStmt(tblRaw, verQ, verBare, alias) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(
@@ -1420,20 +1661,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       // OPTIMIZE is a legal maintenance verb on index tables (compacting
       // the small files appendCommitted accumulates is exactly its job) —
-      // but not while an ingest of that kind is committing into the same
-      // manifest: single-writer per table
-      val lowTbl = tbl.toLowerCase
-      if (lowTbl.startsWith("vector_index_"))
-        requireNoIngest("VECTOR", s"OPTIMIZE $tbl")
-      if (lowTbl.startsWith("dedup_index_"))
-        requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
-      // the ADMIT gate also appendCommits its verdict log every batch —
-      // compacting it mid-stream races the same manifest; the VECTOR
-      // gate's poison-quarantine log likewise
-      if (lowTbl == "ingest_verdicts")
-        requireNoIngest("ADMIT", s"OPTIMIZE $tbl")
-      if (lowTbl == "vector_ingest_rejects")
-        requireNoIngest("VECTOR", s"OPTIMIZE $tbl")
+      // but not while a live stream is committing into the same manifest:
+      // single-writer per table. The sink claim is the generic fence —
+      // it covers the gate-written index/log tables AND any caller-named
+      // Scala-API twin sink, with no table-name list to fall out of date.
+      requireNoSinkClaim(tbl, s"OPTIMIZE $tbl")
       val zcols = Option(zcolsRaw).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       cmds.optimizeTable(tbl, zorderBy = zcols)
@@ -1820,6 +2052,91 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     }
   }
 
+  /** VERIFY's cross-table audit of the vector index (reference analog:
+    * `commands/VerifyCommand.java:68` feeding BTreeIndexVerifier): the
+    * invariants the serve tiers assume of the assign/codes pair —
+    * per-table vec_id uniqueness (a duplicate is the re-ingest signature:
+    * old files copied into a NEW watched directory land the same ids
+    * again), assign⊆codes∧codes⊆assign nesting (coveredIds' equal-count
+    * fast path), and marker agreement (a torn micro-batch only a
+    * checkpoint replay heals). Explicit distributed passes, run only when
+    * the user asks to VERIFY — the same pricing as the PK audit. */
+  private def auditVectorIndex(): Unit = {
+    import org.apache.spark.sql.functions.col
+    val codesT = operators.VectorIndex.tableName("codes")
+    val assignT = operators.VectorIndex.tableName("assign")
+    if (!cmds.tableExists(codesT) || !cmds.tableExists(assignT)) return
+    val codes = cmds.table(codesT)
+    val assign = cmds.table(assignT)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dupC = codes.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    if (dupC > 0) findings += s"$dupC duplicated vec_id(s) in $codesT " +
+      "(re-ingested files? a rotation must watch a NEW directory with " +
+      "NEW ids)"
+    val dupA = assign.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    if (dupA > 0) findings += s"$dupA duplicated vec_id(s) in $assignT"
+    val orphanA = assign.select("vec_id")
+      .join(codes.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    if (orphanA > 0) findings += s"$orphanA $assignT row(s) with no " +
+      s"$codesT row - nesting violated (appends commit codes FIRST, so " +
+      "assign must never lead)"
+    val straggler = codes.select("vec_id")
+      .join(assign.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    if (straggler > 0) findings += s"$straggler $codesT row(s) with no " +
+      s"$assignT row - codes-first straggler; REFRESH VECTOR INDEX " +
+      "heals it"
+    val (mc, ma) =
+      (cmds.lastCommittedBatch(codesT), cmds.lastCommittedBatch(assignT))
+    if (mc != ma) findings += "stream markers disagree (codes " +
+      s"${mc.getOrElse(-1L)}, assign ${ma.getOrElse(-1L)}) - torn " +
+      "micro-batch; resume the gate once to replay-heal before any PURGE"
+    if (findings.nonEmpty) throw new IllegalStateException(
+      s"VERIFY: vector index integrity violated - ${findings.mkString("; ")}")
+  }
+
+  /** VERIFY's audit of the dedup band index: set-ness (an exact duplicate
+    * (doc_id, band, band_key) row is double-ingest bloat — min-over-
+    * matches verdicts tolerate it, storage should not) and provenance
+    * closure (every indexed doc_id must come from the built corpus or a
+    * gate admission — an orphan is the re-ingest/foreign-write
+    * signature). */
+  private def auditDedupIndex(): Unit = {
+    import org.apache.spark.sql.functions.col
+    val bandsT = operators.DedupIndex.tableName("bands")
+    val metaT = operators.DedupIndex.tableName("meta")
+    if (!cmds.tableExists(bandsT)) return
+    val bands = cmds.table(bandsT)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dup = bands
+      .groupBy(col("doc_id"), col("band"), col("band_key")).count()
+      .filter(col("count") > 1).count()
+    if (dup > 0) findings += s"$dup duplicated (doc_id, band, band_key) " +
+      s"row(s) in $bandsT - the band index is a set; double ingest?"
+    if (cmds.tableExists(metaT)) {
+      try {
+        val src = cmds.table(metaT).head().getString(0)
+        val known0 = operators.Dedup.corpusNear(spark, src).select("doc_id")
+        val known =
+          if (cmds.tableExists("ingest_verdicts"))
+            known0.unionByName(cmds.table("ingest_verdicts")
+              .filter(col("admitted")).select("doc_id"))
+          else known0
+        val orphans = bands.select("doc_id").distinct()
+          .join(known, Seq("doc_id"), "left_anti").count()
+        if (orphans > 0) findings += s"$orphans $bandsT doc_id(s) " +
+          "neither in the built corpus nor admitted by a gate - " +
+          "orphaned bands (re-ingested or foreign-written rows)"
+      } catch { case scala.util.control.NonFatal(e) =>
+        findings += "provenance audit impossible - the built corpus is " +
+          s"unreadable (${e.getMessage})"
+      }
+    }
+    if (findings.nonEmpty) throw new IllegalStateException(
+      s"VERIFY: dedup index integrity violated - ${findings.mkString("; ")}")
+  }
+
   /** End this engine session: drop every TEMPORARY table (manifest dirs,
     * catalog entry, recorded indexes). The reference scopes temp tables to
     * the server session (`nanosql.g:246-258`); here the Engine instance IS
@@ -1831,6 +2148,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     })
     ingests.clear()
     ingestKinds.clear()
+    // the registration (and its sink claims) persist — the gate is
+    // resumable; only this session's listener plumbing is torn down
+    heartbeatsByQuery.clear()
+    try spark.streams.removeListener(heartbeatListener)
+    catch { case _: Throwable => () }
     tempTables.foreach { t =>
       cmds.resolveTable(t).foreach { tbl =>
         cmds.dropTable(tbl)

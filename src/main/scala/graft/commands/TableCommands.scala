@@ -834,6 +834,55 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
     }
 
+  // ===== durable per-table SINK claims (generic single-writer fence) =====
+  // Every appendCommitted-driven stream names its sink tables here for its
+  // lifetime, and maintenance verbs (OPTIMIZE / DML routes) check the claim
+  // before touching the same manifest — the fence keys off "a live stream
+  // writes this table", not a hardcoded name list, so caller-named sinks
+  // (the Scala-API serve/decontam twins) are protected exactly like the
+  // engine's own ingest logs. The claim file is the `_ingest_registry`
+  // pattern: link(2)-exclusive create (rename(2) silently replaces — see
+  // Engine.claimIngest), content = a stable OWNER tag. Owner tags are
+  // DETERMINISTIC per logical writer ("ingest:VECTOR", "serve:<table>"), so
+  // a crashed writer's stale claim is transparently re-claimed by its own
+  // restart while a DIFFERENT writer targeting the same table is refused.
+  private def sinkClaimsDir = Paths.get(warehouse, "_sink_claims")
+  private def sinkClaimFile(table: String) =
+    sinkClaimsDir.resolve(table.toLowerCase(java.util.Locale.ROOT))
+
+  /** The owner tag of the live sink claim on `table`, if any. */
+  def sinkOwner(table: String): Option[String] = {
+    val f = sinkClaimFile(table)
+    if (!Files.exists(f)) None
+    else Some(Files.readString(f).trim).filter(_.nonEmpty)
+  }
+
+  /** Claim `table` as a streaming sink for `owner`. Idempotent for the
+    * same owner (a resume or restart re-claims); refuses a claim held by a
+    * different owner. The tmp name is per-attempt unique for the same
+    * reason as the ingest-registry claim. */
+  def claimSink(table: String, owner: String): Unit = {
+    Files.createDirectories(sinkClaimsDir)
+    val tmp = sinkClaimsDir.resolve(
+      table.toLowerCase(java.util.Locale.ROOT) + "." +
+        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    Files.writeString(tmp, owner)
+    try { Files.createLink(sinkClaimFile(table), tmp); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      if (!sinkOwner(table).contains(owner))
+        throw new IllegalStateException(
+          s"table $table is the registered sink of another live stream " +
+            s"(${sinkOwner(table).getOrElse("?")}) and the manifest is " +
+            "single-writer - stop that stream first")
+    } finally { Files.deleteIfExists(tmp); () }
+    ()
+  }
+
+  /** Release the sink claim on `table` (idempotent). */
+  def releaseSink(table: String): Unit = {
+    Files.deleteIfExists(sinkClaimFile(table)); ()
+  }
+
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE
     * semantics — `SET a = b, b = a` swaps), via a single simultaneous

@@ -57,7 +57,7 @@ object Dedup {
     * would hit DuckDB's negative-index slicing for 1-token docs and return
     * the full list where Spark returns empty. Shared with SimHash
     * (package-visible). */
-  private[operators] def corpusNear(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpusNear(s: SparkSession, d: String): DataFrame = {
     val doc = Graft.tableParallel(s, d, "documents").select("doc_id", "text")
     val toks = TextAnalysis.tokens(col("text"))
     doc.union(doc.select(

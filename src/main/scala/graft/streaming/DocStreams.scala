@@ -485,6 +485,7 @@ object DocStreams {
       verdictTable: String = "ingest_verdicts",
       checkpoint: Option[String] = None,
       compactEvery: Int = 0,
+      compactThresholdBytes: Long = 64L << 20,
       batchOffset: Long = 0L,
       heartbeat: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -520,8 +521,9 @@ object DocStreams {
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1) {
           val bandTable = graft.operators.DedupIndex.tableName("bands")
           if (cmds.tableExists(verdictTable))
-            cmds.compactTail(verdictTable)
-          if (cmds.tableExists(bandTable) && cmds.compactTail(bandTable)) {
+            cmds.compactTail(verdictTable, compactThresholdBytes)
+          if (cmds.tableExists(bandTable) &&
+              cmds.compactTail(bandTable, compactThresholdBytes)) {
             graft.commands.TableCommands.registerCatalog(
               batch.sparkSession, bandTable, cmds.dataPath(bandTable))
             org.apache.spark.sql.SparkSession.getDefaultSession
@@ -592,20 +594,26 @@ object DocStreams {
       .join(verdicts.filter(col("admitted")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .select(tgt.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
-    if (!freshBands.isEmpty) {
-      cmds.appendCommitted(bandTable, freshBands, batchId)
-      // the append published a NEW version dir: re-point the catalog
-      // entry the batch gate's served probe reads — in BOTH sessions,
-      // because foreachBatch hands a CLONED SparkSession whose
-      // registration updates the shared metadata but not the driver
-      // session's relation cache (see VectorStreams.ingestBatch)
-      graft.commands.TableCommands.registerCatalog(
-        batch.sparkSession, bandTable, cmds.dataPath(bandTable))
-      org.apache.spark.sql.SparkSession.getDefaultSession
-        .filter(_ ne batch.sparkSession)
-        .foreach(s => graft.commands.TableCommands.registerCatalog(
-          s, bandTable, cmds.dataPath(bandTable)))
-    }
+    // the band append is UNCONDITIONAL — an all-rejected batch appends an
+    // empty frame whose only effect is advancing the marker. That keeps
+    // the pair invariant machine-checkable: verdicts marker == bands
+    // marker at every batch boundary, so a marker DISAGREEMENT is
+    // unambiguously a crash between the two appends (the torn state only
+    // a checkpoint replay heals — what STOP ... PURGE's torn-pair refusal
+    // keys on). Cost: one empty link-forward version per no-admit batch,
+    // the same O(batch) commit the verdict log already pays.
+    cmds.appendCommitted(bandTable, freshBands, batchId)
+    // the append published a NEW version dir: re-point the catalog
+    // entry the batch gate's served probe reads — in BOTH sessions,
+    // because foreachBatch hands a CLONED SparkSession whose
+    // registration updates the shared metadata but not the driver
+    // session's relation cache (see VectorStreams.ingestBatch)
+    graft.commands.TableCommands.registerCatalog(
+      batch.sparkSession, bandTable, cmds.dataPath(bandTable))
+    org.apache.spark.sql.SparkSession.getDefaultSession
+      .filter(_ ne batch.sparkSession)
+      .foreach(s => graft.commands.TableCommands.registerCatalog(
+        s, bandTable, cmds.dataPath(bandTable)))
     ()
   }
 

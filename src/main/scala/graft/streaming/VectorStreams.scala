@@ -52,6 +52,44 @@ object VectorStreams {
           .otherwise("dim_mismatch").as("reason")))
   }
 
+  /** Hold the generic per-table SINK claims for a twin's lifetime: claim
+    * before start (the reverse order has a window where the stream is
+    * already committing but invisible to the fence), release on query
+    * termination via a self-removing listener. The owner tag is
+    * DETERMINISTIC per (twin kind, table), so a hard-killed twin's stale
+    * claim is transparently re-claimed by its own restart; a claim left
+    * by a twin that can never restart is released deliberately with the
+    * engine's `RELEASE SINK <table> FORCE`. What the claim fences is
+    * OPTIMIZE/DML racing the twin's per-batch manifest commits — see
+    * TableCommands.claimSink. */
+  private[streaming] def withSinkClaims(cmds: TableCommands,
+      ss: org.apache.spark.sql.SparkSession, owner: String,
+      tables: Seq[String])(start: => StreamingQuery): StreamingQuery = {
+    tables.foreach(t => cmds.claimSink(t, owner))
+    val idHolder =
+      new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == idHolder.get) {
+          tables.foreach(cmds.releaseSink)
+          ss.streams.removeListener(this)
+        }
+    }
+    ss.streams.addListener(listener)
+    val q =
+      try start
+      catch { case e: Throwable =>
+        ss.streams.removeListener(listener)
+        tables.foreach(cmds.releaseSink)
+        throw e
+      }
+    idHolder.set(q.id)
+    q
+  }
+
   /** The corpus embedding dimension — one head-row read at stream START
     * (k-bounded driver read, the freeze convention), pinned for the
     * stream's lifetime like every other frozen artifact. */
@@ -100,6 +138,7 @@ object VectorStreams {
   def ingest(vecStream: DataFrame, cmds: TableCommands,
       checkpoint: Option[String] = None,
       compactEvery: Int = 0,
+      compactThresholdBytes: Long = 64L << 20,
       batchOffset: Long = 0L,
       heartbeat: () => Unit = () => ()): StreamingQuery = {
     val (cents, book) = freeze(
@@ -123,8 +162,10 @@ object VectorStreams {
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1
             && Seq("assign", "codes").forall(p =>
               cmds.tableExists(VectorIndex.tableName(p)))) {
-          val c1 = cmds.compactTail(VectorIndex.tableName("codes"))
-          val c2 = cmds.compactTail(VectorIndex.tableName("assign"))
+          val c1 = cmds.compactTail(VectorIndex.tableName("codes"),
+            compactThresholdBytes)
+          val c2 = cmds.compactTail(VectorIndex.tableName("assign"),
+            compactThresholdBytes)
           if (c1 || c2) {
             VectorIndex.repoint(batch.sparkSession, cmds)
             org.apache.spark.sql.SparkSession.getDefaultSession
@@ -239,45 +280,51 @@ object VectorStreams {
   def decontamGate(vecStream: DataFrame, d: String, cmds: TableCommands,
       table: String, thr: Double = 0.3): StreamingQuery = {
     val dim = corpusDim(vecStream.sparkSession, d)
-    vecStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // poison candidates quarantine into <table>_rejects instead of
-        // raising: the kernel's dimension raise is right for a one-shot
-        // SQL call but would poison-pill-loop a checkpointed stream
-        val (clean, poison) = splitPoison(batch, "vec_id", dim)
-        if (!poison.isEmpty)
-          cmds.appendCommitted(s"${table}_rejects", poison, batchId)
-        if (!clean.isEmpty)
-          cmds.appendCommitted(table,
-            Similarity.decontamVectors(batch.sparkSession, d, clean, thr),
-            batchId)
-        ()
-      }
-      .start()
+    withSinkClaims(cmds, vecStream.sparkSession, s"decontam:$table",
+        Seq(table, s"${table}_rejects")) {
+      vecStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // poison candidates quarantine into <table>_rejects instead of
+          // raising: the kernel's dimension raise is right for a one-shot
+          // SQL call but would poison-pill-loop a checkpointed stream
+          val (clean, poison) = splitPoison(batch, "vec_id", dim)
+          if (!poison.isEmpty)
+            cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+          if (!clean.isEmpty)
+            cmds.appendCommitted(table,
+              Similarity.decontamVectors(batch.sparkSession, d, clean, thr),
+              batchId)
+          ()
+        }
+        .start()
+    }
   }
 
   def serve(queryStream: DataFrame, d: String, cmds: TableCommands,
       table: String, k: Int = 3): StreamingQuery = {
     val dim = corpusDim(queryStream.sparkSession, d)
-    queryStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // skip empty batches: creating a table from one would publish a
-        // schema-less version, and replaying an empty append is a no-op.
-        // Poison queries quarantine into <table>_rejects (see
-        // decontamGate) — a malformed query must cost its caller an
-        // absent answer plus a visible reject row, never the stream.
-        val (clean, poison) = splitPoison(batch, "q_id", dim)
-        if (!poison.isEmpty)
-          cmds.appendCommitted(s"${table}_rejects", poison, batchId)
-        if (!clean.isEmpty)
-          cmds.appendCommitted(table,
-            Similarity.searchVectors(batch.sparkSession, d, clean, k),
-            batchId)
-        ()
-      }
-      .start()
+    withSinkClaims(cmds, queryStream.sparkSession, s"serve:$table",
+        Seq(table, s"${table}_rejects")) {
+      queryStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // skip empty batches: creating a table from one would publish a
+          // schema-less version, and replaying an empty append is a no-op.
+          // Poison queries quarantine into <table>_rejects (see
+          // decontamGate) — a malformed query must cost its caller an
+          // absent answer plus a visible reject row, never the stream.
+          val (clean, poison) = splitPoison(batch, "q_id", dim)
+          if (!poison.isEmpty)
+            cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+          if (!clean.isEmpty)
+            cmds.appendCommitted(table,
+              Similarity.searchVectors(batch.sparkSession, d, clean, k),
+              batchId)
+          ()
+        }
+        .start()
+    }
   }
 
   /** Streaming DIVERSIFIED serving — [[serve]]'s MMR sibling, the online
@@ -295,20 +342,23 @@ object VectorStreams {
       cmds: TableCommands, table: String, k: Int = 3, shortK: Int = 10,
       lambdaTenths: Int = 7): StreamingQuery = {
     val dim = corpusDim(queryStream.sparkSession, d)
-    queryStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // poison queries quarantine into <table>_rejects (see serve)
-        val (clean, poison) = splitPoison(batch, "q_id", dim)
-        if (!poison.isEmpty)
-          cmds.appendCommitted(s"${table}_rejects", poison, batchId)
-        if (!clean.isEmpty)
-          cmds.appendCommitted(table,
-            Similarity.searchVectorsDiversified(batch.sparkSession, d,
-              clean, k, shortK, lambdaTenths),
-            batchId)
-        ()
-      }
-      .start()
+    withSinkClaims(cmds, queryStream.sparkSession, s"serve_mmr:$table",
+        Seq(table, s"${table}_rejects")) {
+      queryStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // poison queries quarantine into <table>_rejects (see serve)
+          val (clean, poison) = splitPoison(batch, "q_id", dim)
+          if (!poison.isEmpty)
+            cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+          if (!clean.isEmpty)
+            cmds.appendCommitted(table,
+              Similarity.searchVectorsDiversified(batch.sparkSession, d,
+                clean, k, shortK, lambdaTenths),
+              batchId)
+          ()
+        }
+        .start()
+    }
   }
 }

@@ -27,25 +27,31 @@ import graft.commands.TableCommands
 object WarehouseSink {
 
   /** Start landing `df` (a streaming frame) in warehouse `table`,
-    * creating the table from the first non-empty batch if needed. */
+    * creating the table from the first non-empty batch if needed. Holds
+    * the generic per-table sink claim for the stream's lifetime (see
+    * [[VectorStreams.withSinkClaims]]) so OPTIMIZE/DML cannot race the
+    * per-batch manifest commits. */
   def start(df: DataFrame, cmds: TableCommands, table: String,
       exactlyOnce: Boolean = true): StreamingQuery =
-    df.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // never create from an EMPTY first batch: it would publish a
-        // version dir with no parquet files, which readers can't infer a
-        // schema from (appends of empty batches to an existing table are
-        // harmless no-ops — and need no marker: replaying one is idempotent
-        // by construction)
-        if (!batch.isEmpty) {
-          if (exactlyOnce) cmds.appendCommitted(table, batch, batchId)
-          else if (cmds.tableExists(table)) cmds.insertInto(table, batch)
-          else cmds.createTable(table, batch)
+    VectorStreams.withSinkClaims(cmds, df.sparkSession, s"sink:$table",
+        Seq(table)) {
+      df.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // never create from an EMPTY first batch: it would publish a
+          // version dir with no parquet files, which readers can't infer a
+          // schema from (appends of empty batches to an existing table are
+          // harmless no-ops — and need no marker: replaying one is idempotent
+          // by construction)
+          if (!batch.isEmpty) {
+            if (exactlyOnce) cmds.appendCommitted(table, batch, batchId)
+            else if (cmds.tableExists(table)) cmds.insertInto(table, batch)
+            else cmds.createTable(table, batch)
+          }
+          ()
         }
-        ()
-      }
-      .start()
+        .start()
+    }
 
   /** Quality-gate ROUTING: one stream, two exactly-once warehouse tables —
     * the keep/reject split every training-data ingest runs (CCNet/Gopher
@@ -60,21 +66,24 @@ object WarehouseSink {
       org.apache.spark.sql.Column, passTable: String,
       failTable: String): StreamingQuery = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    df.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marked = batch
-          .withColumn("__graft_pass", coalesce(predicate, lit(false)))
-          .cache()
-        try {
-          val pass = marked.filter(col("__graft_pass")).drop("__graft_pass")
-          val fail = marked.filter(not(col("__graft_pass")))
-            .drop("__graft_pass")
-          if (!pass.isEmpty) cmds.appendCommitted(passTable, pass, batchId)
-          if (!fail.isEmpty) cmds.appendCommitted(failTable, fail, batchId)
-        } finally { marked.unpersist(); () }
-        ()
-      }
-      .start()
+    VectorStreams.withSinkClaims(cmds, df.sparkSession,
+        s"route:$passTable", Seq(passTable, failTable)) {
+      df.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val marked = batch
+            .withColumn("__graft_pass", coalesce(predicate, lit(false)))
+            .cache()
+          try {
+            val pass = marked.filter(col("__graft_pass")).drop("__graft_pass")
+            val fail = marked.filter(not(col("__graft_pass")))
+              .drop("__graft_pass")
+            if (!pass.isEmpty) cmds.appendCommitted(passTable, pass, batchId)
+            if (!fail.isEmpty) cmds.appendCommitted(failTable, fail, batchId)
+          } finally { marked.unpersist(); () }
+          ()
+        }
+        .start()
+    }
   }
 }

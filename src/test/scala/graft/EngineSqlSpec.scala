@@ -2037,9 +2037,10 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("mid-PURGE crash recovery: a crash after the floor write resumes " +
-      "losslessly; a crash after the source retire is healed by " +
-      "re-running STOP ... FORCE PURGE (purge is idempotent)") {
+  test("mid-PURGE crash recovery: a crash after the floor write REFUSES " +
+      "a resume across the half-done rotation (the floor pin) and is " +
+      "completed by re-running STOP ... FORCE PURGE; a crash after the " +
+      "source retire heals the same way (purge is idempotent)") {
     import spark.implicits._
     import java.nio.file.{Files => F, Paths}
     val wh = Files.createTempDirectory("graft_pcrash_wh").toString
@@ -2063,39 +2064,56 @@ class EngineSqlSpec extends AnyFunSuite {
       e1.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
       e1.ingestQuery("gate").get.processAllAvailable()
       // ── crash position A: PURGE died right after the floor write —
-      // checkpoint, source pin and registration all survive. The gate
-      // was not even stopped cleanly (session died): simulate with
-      // close(). A same-name resume must work and stay lossless (the
-      // floor merely lifts the resumed ids; monotonicity holds).
+      // checkpoint, source pin and registration all survive, but the
+      // kind's floor (1) now DISAGREES with the floor the checkpoint
+      // pinned at creation (0). Resuming across that state is the
+      // duplicate-replay window (a batch whose offsets were logged but
+      // whose commit-log entry was unwritten would replay under SHIFTED
+      // ids, past the sink markers) — the resume must be REFUSED and
+      // the operator directed to complete the rotation.
       e1.close()
       val floorF = Paths.get(wh, "_ingest_ckpt", "admit.floor")
       F.writeString(floorF, "1")
       val e2 = new Engine(spark, d, wh)
+      val pinBlock = intercept[IllegalArgumentException] {
+        e2.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+      }
+      assert(pinBlock.getMessage.contains("rotation"),
+        s"wrong refusal: ${pinBlock.getMessage}")
+      // documented recovery: complete the half-done rotation (idempotent
+      // re-run), then watch a NEW directory — losslessly: everything the
+      // old gate COMMITTED is in the sink tables; pending files move to
+      // the new directory with the crawl
+      e2.sql("STOP INGEST gate FORCE PURGE")
+      assert(!F.isDirectory(Paths.get(wh, "_ingest_ckpt", "admit")),
+        "completed purge must delete the checkpoint")
       Seq(7200002L -> freshB).toDF("doc_id", "text")
-        .write.mode("append").parquet(dirA)
-      e2.sql(s"START ADMIT INGEST FROM '$dirA' AS gate") // resume
+        .write.mode("append").parquet(dirB)
+      e2.sql(s"START ADMIT INGEST FROM '$dirB' AS gate")
       e2.ingestQuery("gate").get.processAllAvailable()
       assert(admitted(e2) == Map(7200001L -> 1L, 7200002L -> 1L),
-        s"floor-only crash state lost or duplicated: ${admitted(e2)}")
+        s"half-done rotation recovery lost or duplicated: ${admitted(e2)}")
       // ── crash position B: PURGE died after retiring the source but
       // before deleting the checkpoint — registration still present
       // (it is removed LAST). The same-dir resume is now refused, and
       // the documented recovery — re-running the purge — completes it.
       e2.close()
       F.writeString(Paths.get(wh, "_ingest_ckpt", "admit.retired"),
-        dirA + "\n")
+        dirB + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       val e3 = new Engine(spark, d, wh)
       val blocked = intercept[IllegalArgumentException] {
-        e3.sql(s"START ADMIT INGEST FROM '$dirA' AS gate")
+        e3.sql(s"START ADMIT INGEST FROM '$dirB' AS gate")
       }
       assert(blocked.getMessage.contains("retired"))
       e3.sql("STOP INGEST gate FORCE PURGE") // idempotent completion
       assert(!F.isDirectory(Paths.get(wh, "_ingest_ckpt", "admit")),
         "re-run purge must finish deleting the checkpoint")
       // rotation now completes normally on a new directory, losslessly
+      val dirC = Files.createTempDirectory("graft_pc_c").toString
       Seq(7200003L -> freshC).toDF("doc_id", "text")
-        .write.mode("append").parquet(dirB)
-      e3.sql(s"START ADMIT INGEST FROM '$dirB' AS gate")
+        .write.mode("append").parquet(dirC)
+      e3.sql(s"START ADMIT INGEST FROM '$dirC' AS gate")
       e3.ingestQuery("gate").get.processAllAvailable()
       assert(admitted(e3) ==
         Map(7200001L -> 1L, 7200002L -> 1L, 7200003L -> 1L),
