@@ -186,7 +186,10 @@ object Bench {
     // artifacts parsed as null for exactly that reason) — a short final
     // line survives any tail truncation and still carries the headline
     // pair. The complete line also lands in bench_out.json below.
-    val duckTotal = """"total"\s*:\s*([0-9.eE+-]+)""".r
+    // the anchor line is shaped {"metric":"duckdb_total","value":N,...}
+    // (tools/duck_bench.py:47) — the total rides in "value", and it is
+    // the FIRST value key in the line (per-query times come later)
+    val duckTotal = """"value"\s*:\s*([0-9.eE+-]+)""".r
       .findFirstMatchIn(duck).map(_.group(1).toDouble)
     val ratio = duckTotal.filter(_ > 0).map(dt => total / dt)
     def optNum(v: Option[Double]): String =

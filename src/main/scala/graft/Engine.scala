@@ -736,6 +736,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // and builds the columnar store (commands/CreateColStoreCommand.java,
       // storage/FileAnalyzer.java); Parquet picks encodings natively
       guardSystemTable(name, "CREATE")
+      // a sink claim on a NOT-yet-created table means a live stream is
+      // about to create it from its first batch — creating it out from
+      // under the twin would turn its appends into a two-writer race
+      requireNoSinkClaim(name, "CREATE")
       cmds.createTable(name, readIngest(path, None))
       finishCreate(name, temp != null)
       status(s"created colstore table $name")
@@ -745,6 +749,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // VERIFY/OPTIMIZE — a plain Spark CTAS (the fallthrough) would make
       // a catalog-managed table outside the storage engine
       guardSystemTable(name, "CREATE")
+      requireNoSinkClaim(name, "CREATE") // see the FROM-file route
       cmds.createTable(name, query(select))
       finishCreate(name, temp != null)
       status(s"created colstore table $name from query")
@@ -758,6 +763,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         status(s"table $name already exists")
       else {
         guardSystemTable(name, "CREATE")
+        requireNoSinkClaim(name, "CREATE") // see the FROM-file route
         val (schema, notNull, pk) = parseColumnDdl(colsDdl)
         cmds.createEmpty(name, schema, notNull, pk)
         finishCreate(name, temp != null)
@@ -897,7 +903,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             // TABLE AS — reserved-name guard, versioned publish, atomic
             // pointer swap — so a served index can never be clobbered.
             case Some(tbl) =>
-              cmds.createTable(guardSystemTable(tbl, "RUN QUERY INTO"), df)
+              guardSystemTable(tbl, "RUN QUERY INTO")
+              requireNoSinkClaim(tbl, "RUN QUERY INTO")
+              cmds.createTable(tbl, df)
               finishCreate(tbl, temporary = false)
               status(s"created table $tbl from query $name")
             case None => df
@@ -1155,6 +1163,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     case dropTableStmt(ifExists, q, tblRaw) if isLocalDb(q) &&
         cmds.resolveTable(tblRaw).isDefined =>
       val tbl = guardSystemTable(cmds.resolveTable(tblRaw).get, "DROP TABLE")
+      // dropping a live stream's sink deletes the manifests mid-append —
+      // same fence as OPTIMIZE/DML
+      requireNoSinkClaim(tbl, "DROP TABLE")
       // warehouse tables need BOTH the manifest dirs and the catalog entry
       // gone, or a later CREATE COLSTORE of the same name would refuse.
       // (A genuinely foreign-qualified DROP falls through to Spark SQL,

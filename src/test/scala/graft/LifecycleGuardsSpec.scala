@@ -74,6 +74,10 @@ class LifecycleGuardsSpec extends AnyFunSuite {
           e1.sql("INSERT INTO svc_answers SELECT * FROM svc_answers " +
             "WHERE 1 = 0")
         }
+        // DROP deletes the manifests mid-append — fenced the same way
+        intercept[IllegalStateException] {
+          e1.sql("DROP TABLE svc_answers")
+        }
         // EXPLAIN only builds the frame — it passes while the twin runs
         assert(e1.sql("EXPLAIN DELETE FROM svc_answers WHERE q_id = 0")
           .columns.sameElements(Array("plan")))
@@ -109,6 +113,15 @@ class LifecycleGuardsSpec extends AnyFunSuite {
       }
       assert(clash.getMessage.contains("serve:svc_answers"))
       e1.storage.releaseSink("svc_answers")
+      // a claim on a NOT-yet-created table (a twin about to create its
+      // sink from the first batch) fences CREATE too
+      e1.storage.claimSink("pending_sink", "serve:pending_sink")
+      intercept[IllegalStateException] {
+        e1.sql("CREATE COLSTORE pending_sink AS SELECT 1 AS x")
+      }
+      e1.storage.releaseSink("pending_sink")
+      e1.sql("CREATE COLSTORE pending_sink AS SELECT 1 AS x")
+      e1.sql("DROP TABLE pending_sink")
     } finally {
       operators.VectorIndex.drop(spark, e1.storage)
       e1.close()
