@@ -854,34 +854,66 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def sinkOwner(table: String): Option[String] = {
     val f = sinkClaimFile(table)
     if (!Files.exists(f)) None
-    else Some(Files.readString(f).trim).filter(_.nonEmpty)
+    else Files.readString(f).trim.split("\t", 2).headOption
+      .filter(_.nonEmpty)
   }
 
-  /** Claim `table` as a streaming sink for `owner`. Idempotent for the
-    * same owner (a resume or restart re-claims); refuses a claim held by a
-    * different owner. The tmp name is per-attempt unique for the same
+  /** The per-acquisition NONCE riding in the claim (second field; absent
+    * on claims written before nonces existed). */
+  private def sinkNonce(table: String): Option[String] = {
+    val f = sinkClaimFile(table)
+    if (!Files.exists(f)) None
+    else Files.readString(f).trim.split("\t", 2).lift(1)
+  }
+
+  /** Claim `table` as a streaming sink for `owner`; returns the
+    * per-acquisition nonce. Idempotent for the same owner — a resume or
+    * restart re-claims, REPLACING the stored nonce with its own, so a
+    * predecessor instance's LATE release (the twins release from an async
+    * listener) can no longer drop the successor's live claim
+    * ([[releaseSinkIfRun]] compares nonces). A claim held by a different
+    * owner is refused. The tmp name is per-attempt unique for the same
     * reason as the ingest-registry claim. */
-  def claimSink(table: String, owner: String): Unit = {
+  def claimSink(table: String, owner: String): String = {
     Files.createDirectories(sinkClaimsDir)
+    val nonce = java.util.UUID.randomUUID().toString
     val tmp = sinkClaimsDir.resolve(
       table.toLowerCase(java.util.Locale.ROOT) + "." +
-        java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    Files.writeString(tmp, owner)
-    try { Files.createLink(sinkClaimFile(table), tmp); () }
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      if (!sinkOwner(table).contains(owner))
-        throw new IllegalStateException(
-          s"table $table is the registered sink of another live stream " +
-            s"(${sinkOwner(table).getOrElse("?")}) and the manifest is " +
-            "single-writer - stop that stream first")
+        nonce.take(8) + ".tmp")
+    Files.writeString(tmp, s"$owner\t$nonce")
+    try {
+      try { Files.createLink(sinkClaimFile(table), tmp); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        if (!sinkOwner(table).contains(owner))
+          throw new IllegalStateException(
+            s"table $table is the registered sink of another live stream " +
+              s"(${sinkOwner(table).getOrElse("?")}) and the manifest is " +
+              "single-writer - stop that stream first")
+        // same-owner re-claim: take over the claim by REPLACING its
+        // nonce (safe — the owner tag IS the logical writer identity,
+        // and this instance is that writer's current incarnation)
+        Files.move(tmp, sinkClaimFile(table),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
     } finally { Files.deleteIfExists(tmp); () }
-    ()
+    nonce
   }
 
-  /** Release the sink claim on `table` (idempotent). */
+  /** Release the sink claim on `table` unconditionally (idempotent) —
+    * the deliberate-operator path (RELEASE SINK ... FORCE, STOP INGEST). */
   def releaseSink(table: String): Unit = {
     Files.deleteIfExists(sinkClaimFile(table)); ()
   }
+
+  /** Release the claim only if `nonce` still owns it — the twins' async
+    * termination-listener path: a stopped instance's late release must
+    * not unfence a successor that already re-claimed the table. A
+    * nonce-less legacy claim matches any release. */
+  def releaseSinkIfRun(table: String, nonce: String): Unit =
+    if (sinkNonce(table).forall(_ == nonce) && sinkOwner(table).nonEmpty) {
+      Files.deleteIfExists(sinkClaimFile(table)); ()
+    }
 
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE

@@ -65,7 +65,12 @@ object VectorStreams {
   private[streaming] def withSinkClaims(cmds: TableCommands,
       ss: org.apache.spark.sql.SparkSession, owner: String,
       tables: Seq[String])(start: => StreamingQuery): StreamingQuery = {
-    tables.foreach(t => cmds.claimSink(t, owner))
+    // claim first, remember each acquisition's NONCE: releases below go
+    // through releaseSinkIfRun, so if a SUCCESSOR twin (same owner tag)
+    // re-claims the table between this instance's stop and its async
+    // termination event, the late release is a no-op instead of
+    // unfencing the live successor
+    val nonces = tables.map(t => t -> cmds.claimSink(t, owner))
     val idHolder =
       new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -74,7 +79,7 @@ object VectorStreams {
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == idHolder.get) {
-          tables.foreach(cmds.releaseSink)
+          nonces.foreach { case (t, n) => cmds.releaseSinkIfRun(t, n) }
           ss.streams.removeListener(this)
         }
     }
@@ -83,7 +88,7 @@ object VectorStreams {
       try start
       catch { case e: Throwable =>
         ss.streams.removeListener(listener)
-        tables.foreach(cmds.releaseSink)
+        nonces.foreach { case (t, n) => cmds.releaseSinkIfRun(t, n) }
         throw e
       }
     idHolder.set(q.id)

@@ -128,6 +128,107 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy-warehouse fence migration: a registration written before " +
+      "sink claims existed (registry entry, no _sink_claims) re-fences " +
+      "at engine construction — OPTIMIZE/DML on the gate's log tables " +
+      "are refused on the new engine without resuming the gate") {
+    import spark.implicits._
+    val wh = freshWh("legacyfence")
+    val e1 = new Engine(spark, d, wh)
+    val watch = Files.createTempDirectory("graft_lf_watch").toString
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      Seq(7600001L -> ("the amber lighthouse keeper walks a winding " +
+        "cliff path toward the harbor beacon every misty evening"))
+        .toDF("doc_id", "text").write.mode("append").parquet(watch)
+      e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+      e1.ingestQuery("gate").get.processAllAvailable()
+      e1.close() // session dies; registration survives
+      // simulate a PRE-CLAIM warehouse: wipe _sink_claims entirely (an
+      // older engine never wrote them), keep the registration
+      val claims = Paths.get(wh, "_sink_claims")
+      Option(claims.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach { f => f.delete(); () }
+      val e2 = new Engine(spark, d, wh) // construction re-establishes
+      assert(e2.storage.sinkOwner("ingest_verdicts")
+        .contains("ingest:ADMIT"),
+        "construction did not re-establish the legacy gate's sink claims")
+      intercept[IllegalStateException] {
+        e2.sql("OPTIMIZE ingest_verdicts")
+      }
+      intercept[IllegalStateException] {
+        e2.sql("DELETE FROM ingest_verdicts WHERE doc_id = 0")
+      }
+      // STOP releases registration AND claims together
+      e2.sql("STOP INGEST gate FORCE")
+      assert(e2.storage.sinkOwner("ingest_verdicts").isEmpty)
+      e2.sql("OPTIMIZE ingest_verdicts") // legal again
+      e2.sql("DROP DEDUP INDEX ON documents")
+      e2.close()
+    } finally {
+      try {
+        val ec = new Engine(spark, d, wh)
+        ec.sql("DROP DEDUP INDEX ON documents"); ec.close()
+      } catch { case _: Throwable => () }
+      e1.close()
+    }
+  }
+
+  test("sink-claim race: two threads claiming one table for DIFFERENT " +
+      "owners — exactly one wins every round (link(2) EEXIST is the " +
+      "exclusion; a rename-based claim would let both through)") {
+    val cmds = new commands.TableCommands(spark, freshWh("claimrace"))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (1 to 20).foreach { round =>
+        val tbl = s"raced_$round"
+        val gate = new CountDownLatch(1)
+        def racer(owner: String) =
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.await()
+              try { cmds.claimSink(tbl, owner); true }
+              catch { case _: IllegalStateException => false }
+            }
+          })
+        val fa = racer("serve:a")
+        val fb = racer("decontam:b")
+        gate.countDown()
+        val wins = Seq(fa, fb).map(_.get(30, TimeUnit.SECONDS))
+          .count(identity)
+        assert(wins == 1,
+          s"round $round: $wins winners (must be exactly 1); owner on " +
+            s"disk: ${cmds.sinkOwner(tbl)}")
+        // and the file content is EXACTLY the winner's tag, never a
+        // half-write or the loser's clobber
+        assert(Set("serve:a", "decontam:b")
+          .contains(cmds.sinkOwner(tbl).get))
+      }
+    } finally { pool.shutdown(); () }
+  }
+
+  test("late-release safety: a predecessor twin's ASYNC release cannot " +
+      "unfence its successor — a same-owner re-claim replaces the claim " +
+      "nonce, and releaseSinkIfRun honors only the current one") {
+    val cmds = new commands.TableCommands(spark, freshWh("nonce"))
+    val n1 = cmds.claimSink("t", "serve:t")
+    val n2 = cmds.claimSink("t", "serve:t") // successor instance re-claims
+    assert(n1 != n2)
+    // the predecessor's termination listener fires LATE (after the
+    // successor started): its release must be a no-op
+    cmds.releaseSinkIfRun("t", n1)
+    assert(cmds.sinkOwner("t").contains("serve:t"),
+      "late release dropped the successor's live claim - fence open")
+    cmds.releaseSinkIfRun("t", n2) // the successor's own release works
+    assert(cmds.sinkOwner("t").isEmpty)
+    // the deliberate-operator release (RELEASE SINK ... FORCE / STOP
+    // INGEST) stays unconditional
+    cmds.claimSink("t", "serve:t")
+    cmds.releaseSink("t")
+    assert(cmds.sinkOwner("t").isEmpty)
+  }
+
   test("torn-pair PURGE refusal: a crash between the codes and assign " +
       "appends of one micro-batch blocks STOP ... PURGE until a replay " +
       "heals the pair — the checkpoint (the only healer) cannot be " +
