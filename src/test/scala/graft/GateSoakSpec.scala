@@ -152,4 +152,126 @@ class GateSoakSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("ADMIT gate soak: seeded-random fresh/duplicate/poison/reject " +
+      "batches, replays, mid-pair crash injections and compactions — " +
+      "verdicts exactly-once per document, the verdicts/bands markers " +
+      "stay equal+monotone, the band index equals a set recompute over " +
+      "corpus + ACTUAL admissions, and the VERIFY audit is green") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_asoak_wh").toString
+    val cmds = new commands.TableCommands(spark, wh)
+    operators.DedupIndex.build(spark, d, cmds)
+    val vt = "ingest_verdicts"
+    val bt = operators.DedupIndex.tableName("bands")
+    try {
+      val rng = new scala.util.Random(20260816L)
+      // quality-passing sentence templates; a counter word keeps each
+      // FRESH text distinct (they are mutually near-dup by construction
+      // — the gate's verdicts, not this model, decide who admits)
+      def freshText(i: Long): String =
+        s"the amber lighthouse keeper number $i walks a winding cliff " +
+          "path toward the harbor beacon every misty evening"
+      val submitted =
+        scala.collection.mutable.Map.empty[Long, String] // id -> text
+      val pastBatches = scala.collection.mutable.Map
+        .empty[Long, Seq[(Long, String)]]
+      var nextId = 8600000L
+      var nextBatch = 0L
+      var lastMarker = -1L
+      def markers(): (Long, Long) =
+        (cmds.lastCommittedBatch(vt).getOrElse(-1L),
+          cmds.lastCommittedBatch(bt).getOrElse(-1L))
+      def checkPair(ctx: String): Unit = {
+        val (mv, mb) = markers()
+        assert(mv == mb,
+          s"[$ctx] verdicts/bands pair torn at rest: $mv vs $mb")
+        assert(mv >= lastMarker, s"[$ctx] marker regressed")
+        lastMarker = mv
+      }
+      def runBatch(rows: Seq[(Long, String)], id: Long): Unit =
+        streaming.DocStreams.admitAndIndexBatch(
+          rows.toDF("doc_id", "text"), cmds, vt, id)
+      (1 to 25).foreach { step =>
+        rng.nextInt(10) match {
+          case n if n <= 5 =>
+            val rows = (0 until 1 + rng.nextInt(2)).map { _ =>
+              nextId += 1
+              rng.nextInt(5) match {
+                case 0 => (nextId, null: String) // poison: null text
+                case 1 => (nextId, "x") // quality reject
+                case 2 if submitted.nonEmpty => // duplicate of an
+                  // earlier arrival (historical or batch dup)
+                  (nextId, submitted.values
+                    .toSeq(rng.nextInt(submitted.size)))
+                case _ => (nextId, freshText(nextId))
+              }
+            }
+            val id = nextBatch
+            if (rng.nextInt(5) == 0) { // crash one commit, then heal by
+              // replaying the batch (Spark's checkpoint recovery)
+              cmds.crashPoint =
+                Some(if (rng.nextBoolean()) "staged" else "published")
+              intercept[IllegalStateException] { runBatch(rows, id) }
+              cmds.crashPoint = None
+            }
+            runBatch(rows, id)
+            rows.foreach { case (i, t) => submitted(i) = t }
+            pastBatches(id) = rows
+            nextBatch += 1
+            checkPair(s"step $step commit")
+          case 6 | 7 if pastBatches.nonEmpty =>
+            val id = pastBatches.keys.toSeq(rng.nextInt(pastBatches.size))
+            runBatch(pastBatches(id), id)
+            checkPair(s"step $step replay($id)")
+          case _ =>
+            val thr = 1L << (14 + rng.nextInt(10))
+            if (rng.nextInt(4) == 0) { // crash inside a compaction
+              cmds.crashPoint =
+                Some(if (rng.nextBoolean()) "staged" else "published")
+              try { cmds.compactTail(vt, thr); () }
+              catch { case _: IllegalStateException => () }
+              cmds.crashPoint = None
+            }
+            if (cmds.tableExists(vt)) cmds.compactTail(vt, thr)
+            cmds.compactTail(bt, thr)
+            checkPair(s"step $step compact($thr)")
+        }
+      }
+      // ── exactly-once: ONE verdict row per submitted document ─────────
+      val verdicts = cmds.table(vt).collect()
+        .map(r => r.getLong(0) ->
+          r.getBoolean(r.fieldIndex("admitted"))).toMap
+      assert(cmds.table(vt).count() == verdicts.size.toLong,
+        "duplicate verdict rows (replay leaked through the marker)")
+      assert(verdicts.keySet == submitted.keySet.toSet,
+        s"verdict coverage diverged: ${verdicts.size} vs " +
+          s"${submitted.size}")
+      // ── the band index equals a set recompute over corpus + ACTUAL
+      // admissions (torn appends or replay double-appends would differ:
+      // missing rows break set-equality, duplicates break VERIFY below) ─
+      val admittedDocs = verdicts.collect { case (i, true) => i }.toSeq
+      val expected = (operators.Dedup.allBands(spark, d).collect() ++
+        (if (admittedDocs.isEmpty) Array.empty[org.apache.spark.sql.Row]
+         else operators.Dedup.bandsForCorpus(
+           admittedDocs.map(i => i -> submitted(i))
+             .toDF("doc_id", "text")).collect()))
+        .map(_.toSeq).toSet
+      val got = cmds.table(bt).collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"band index diverged from recompute: ${got.size} vs " +
+          s"${expected.size}")
+      assert(admittedDocs.nonEmpty,
+        "soak degenerated - no admissions exercised the band append")
+      // ── VERIFY's set-ness + provenance audit agrees ──────────────────
+      val e = new Engine(spark, d, wh)
+      try assert(e.sql(s"VERIFY $bt").head.getString(0)
+        .contains("invariants hold"))
+      finally e.close()
+    } finally {
+      operators.DedupIndex.drop(spark, cmds)
+      ()
+    }
+  }
 }
