@@ -587,6 +587,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // the fence exists to prevent.
   private val releaseSinkStmt =
     """(?is)\s*RELEASE\s+SINK\s+(\w+)\s+FORCE\s*;?\s*""".r
+  // observability for the fence: which tables are claimed, by whom, and
+  // how fresh the owning stream's heartbeat is — what an operator reads
+  // BEFORE deciding a RELEASE SINK ... FORCE (the SHOW INGESTS of the
+  // per-table claims)
+  private val showSinksStmt = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
   // storage DML/DDL accept an optional qualifier so `default.t` (and the
   // spark_catalog spellings) route to the same warehouse table as `t`,
   // while a genuinely foreign database is REJECTED with an engine error
@@ -638,7 +643,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       """RELEASE\s+SINK\b|""" +
       """SEARCH\s+VECTORS\b|DECONTAM\s+VECTORS\b|OPTIMIZE\b|LOAD\b|""" +
       """DROP\s+(?:SNAPSHOT|INDEX|VECTOR\s+INDEX|DEDUP\s+INDEX)\b|""" +
-      """SHOW\s+(?:INGESTS|SNAPSHOTS|VERSIONS|INDEXES|QUERIES|""" +
+      """SHOW\s+(?:INGESTS|SNAPSHOTS|VERSIONS|INDEXES|QUERIES|SINKS|""" +
       """VECTOR\s+INDEXES|DEDUP\s+INDEXES)\b).*""").r
   // each clause takes the SQL:2003 optional `AND <cond>` refinement
   private val whenUpdate =
@@ -1615,6 +1620,18 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
               s"no ingest named $name - SHOW INGESTS lists them")
           }
       }
+    case showSinksStmt() =>
+      import spark.implicits._
+      // claim_age_sec = seconds since the claim file was (re)written —
+      // time since the owning stream last (re)claimed, NOT a heartbeat:
+      // for `ingest:*` owners the LIVENESS evidence is SHOW INGESTS'
+      // heartbeat_age_sec (the registry claim is the beaten one); for
+      // twin owners a restart re-claims (fresh age), so a very old claim
+      // whose owner is known-gone is the RELEASE SINK ... FORCE case
+      val now = System.currentTimeMillis()
+      cmds.sinkClaims
+        .map { case (t, o, mt) => (t, o, (now - mt) / 1000L) }
+        .toDF("table", "owner", "claim_age_sec")
     case releaseSinkStmt(tblRaw) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(tblRaw)
       cmds.sinkOwner(tbl) match {

@@ -906,6 +906,19 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     Files.deleteIfExists(sinkClaimFile(table)); ()
   }
 
+  /** Every live sink claim: (table, owner, claim-file mtime millis) —
+    * what SHOW SINKS lists, so an operator can see which tables are
+    * fenced and by whom BEFORE hitting the refusal. */
+  def sinkClaims: Seq[(String, String, Long)] =
+    if (!Files.isDirectory(sinkClaimsDir)) Nil
+    else Option(sinkClaimsDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.endsWith(".tmp"))
+      .toSeq.sortBy(_.getName)
+      .map(f => (f.getName,
+        Files.readString(f.toPath).trim.split("\t", 2).headOption
+          .getOrElse("?"),
+        f.lastModified()))
+
   /** Release the claim only if `nonce` still owns it — the twins' async
     * termination-listener path: a stopped instance's late release must
     * not unfence a successor that already re-claimed the table. A

@@ -78,6 +78,14 @@ class LifecycleGuardsSpec extends AnyFunSuite {
         intercept[IllegalStateException] {
           e1.sql("DROP TABLE svc_answers")
         }
+        // SHOW SINKS surfaces the claims BEFORE an operator hits the
+        // refusal: both the sink and its quarantine log, by owner
+        val sinks = e1.sql("SHOW SINKS").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(sinks == Set(
+          ("svc_answers", "serve:svc_answers"),
+          ("svc_answers_rejects", "serve:svc_answers")),
+          s"SHOW SINKS listed: $sinks")
         // EXPLAIN only builds the frame — it passes while the twin runs
         assert(e1.sql("EXPLAIN DELETE FROM svc_answers WHERE q_id = 0")
           .columns.sameElements(Array("plan")))
