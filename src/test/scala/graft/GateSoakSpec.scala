@@ -274,4 +274,83 @@ class GateSoakSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("rotation soak: randomized sequence of clean stops, session " +
+      "deaths, resumes and PURGE rotations over the SQL face — one " +
+      "verdict row per dropped document across every epoch (zero lost, " +
+      "zero duplicated), markers monotone through all floors") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rsoak_wh").toString
+    var engine = new Engine(spark, d, wh)
+    def newDir() = java.nio.file.Files
+      .createTempDirectory("graft_rsoak_src").toString
+    try {
+      engine.sql("BUILD DEDUP INDEX ON documents")
+      val rng = new scala.util.Random(20260817L)
+      val dropped = scala.collection.mutable.Set.empty[Long]
+      var nextId = 8800000L
+      var dir = newDir()
+      var lastMarker = -1L
+      def freshText(i: Long): String =
+        s"the amber lighthouse keeper number $i walks a winding cliff " +
+          "path toward the harbor beacon every misty evening"
+      (1 to 6).foreach { epoch =>
+        // drop 1-2 documents into the CURRENT source dir, run the gate
+        (0 until 1 + rng.nextInt(2)).foreach { _ =>
+          nextId += 1
+          Seq(nextId -> freshText(nextId)).toDF("doc_id", "text")
+            .write.mode("append").parquet(dir)
+          dropped += nextId
+        }
+        engine.sql(s"START ADMIT INGEST FROM '$dir' AS gate")
+        engine.ingestQuery("gate").get.processAllAvailable()
+        val m = engine.storage.lastCommittedBatch("ingest_verdicts")
+          .getOrElse(-1L)
+        assert(m >= lastMarker,
+          s"epoch $epoch: marker regressed across rotations ($m < " +
+            s"$lastMarker) - a floor failed to lift")
+        lastMarker = m
+        // end the epoch one of four ways
+        rng.nextInt(4) match {
+          case 0 => // clean stop; next epoch RESUMES the same source
+            engine.sql("STOP INGEST gate")
+          case 1 => // session dies; a new engine resumes the same source
+            engine.close()
+            engine = new Engine(spark, d, wh)
+          case 2 => // clean rotation to a fresh source directory
+            engine.sql("STOP INGEST gate PURGE")
+            dir = newDir()
+          case _ => // session dies mid-epoch; the registration is
+            // released from the NEW session and the source rotated
+            engine.close()
+            engine = new Engine(spark, d, wh)
+            engine.sql("STOP INGEST gate FORCE PURGE")
+            dir = newDir()
+        }
+      }
+      // drain: make sure no gate is left registered, then audit
+      try engine.sql("STOP INGEST gate")
+      catch { case _: Exception =>
+        try { engine.sql("STOP INGEST gate FORCE"); () }
+        catch { case _: Exception => () }
+      }
+      val counts = engine.storage.table("ingest_verdicts")
+        .groupBy(col("doc_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == dropped.toSet,
+        s"rotation soak LOST documents: dropped ${dropped.size}, " +
+          s"verdicts ${counts.size}")
+      val dups = counts.filter(_._2 > 1)
+      assert(dups.isEmpty,
+        s"rotation soak DUPLICATED verdicts: $dups")
+      engine.sql("DROP DEDUP INDEX ON documents")
+    } finally {
+      try {
+        val ec = new Engine(spark, d, wh)
+        ec.sql("DROP DEDUP INDEX ON documents"); ec.close()
+      } catch { case _: Throwable => () }
+      engine.close()
+    }
+  }
 }
