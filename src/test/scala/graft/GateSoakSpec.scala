@@ -278,7 +278,12 @@ class GateSoakSpec extends AnyFunSuite {
   test("rotation soak: randomized sequence of clean stops, session " +
       "deaths, resumes and PURGE rotations over the SQL face — one " +
       "verdict row per dropped document across every epoch (zero lost, " +
-      "zero duplicated), markers monotone through all floors") {
+      "zero duplicated), markers monotone through all floors; two " +
+      "seeds, fresh warehouse each") {
+    Seq(20260817L, 40517L).foreach(rotationSoak)
+  }
+
+  private def rotationSoak(seed: Long): Unit = {
     import spark.implicits._
     val wh = java.nio.file.Files
       .createTempDirectory("graft_rsoak_wh").toString
@@ -287,7 +292,7 @@ class GateSoakSpec extends AnyFunSuite {
       .createTempDirectory("graft_rsoak_src").toString
     try {
       engine.sql("BUILD DEDUP INDEX ON documents")
-      val rng = new scala.util.Random(20260817L)
+      val rng = new scala.util.Random(seed)
       val dropped = scala.collection.mutable.Set.empty[Long]
       var nextId = 8800000L
       var dir = newDir()
@@ -339,11 +344,11 @@ class GateSoakSpec extends AnyFunSuite {
         .groupBy(col("doc_id")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(counts.keySet == dropped.toSet,
-        s"rotation soak LOST documents: dropped ${dropped.size}, " +
-          s"verdicts ${counts.size}")
+        s"rotation soak (seed $seed) LOST documents: dropped " +
+          s"${dropped.size}, verdicts ${counts.size}")
       val dups = counts.filter(_._2 > 1)
       assert(dups.isEmpty,
-        s"rotation soak DUPLICATED verdicts: $dups")
+        s"rotation soak (seed $seed) DUPLICATED verdicts: $dups")
       engine.sql("DROP DEDUP INDEX ON documents")
     } finally {
       try {

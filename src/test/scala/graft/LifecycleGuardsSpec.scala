@@ -436,6 +436,70 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("dual gates: ADMIT and VECTOR run SIMULTANEOUSLY on one " +
+      "warehouse — independent kind claims, per-table fences and " +
+      "markers; stopping one releases only its own claims; both " +
+      "gates stay exactly-once") {
+    import spark.implicits._
+    val wh = freshWh("dual")
+    val e1 = new Engine(spark, d, wh)
+    val dirD = Files.createTempDirectory("graft_dual_docs").toString
+    val dirV = Files.createTempDirectory("graft_dual_vecs").toString
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      Seq(8900001L -> ("the amber lighthouse keeper walks a winding " +
+        "cliff path toward the harbor beacon every misty evening"))
+        .toDF("doc_id", "text").write.mode("append").parquet(dirD)
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("embedding")).head.getSeq[Float](0)
+      Seq(8900002L -> base.map(_ + 0.01f)).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(dirV)
+      e1.sql(s"START ADMIT INGEST FROM '$dirD' AS dgate")
+      e1.sql(s"START VECTOR INGEST FROM '$dirV' AS vgate")
+      e1.ingestQuery("dgate").get.processAllAvailable()
+      e1.ingestQuery("vgate").get.processAllAvailable()
+      val shown = e1.sql("SHOW INGESTS").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+        .toSet
+      assert(shown == Set(("dgate", true, "admit"),
+        ("vgate", true, "vector")), s"SHOW INGESTS: $shown")
+      // five independent sink claims, split by kind owner
+      val sinks = e1.sql("SHOW SINKS").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(sinks == Map(
+        "ingest_verdicts" -> "ingest:ADMIT",
+        operators.DedupIndex.tableName("bands") -> "ingest:ADMIT",
+        operators.VectorIndex.tableName("codes") -> "ingest:VECTOR",
+        operators.VectorIndex.tableName("assign") -> "ingest:VECTOR",
+        "vector_ingest_rejects" -> "ingest:VECTOR"),
+        s"SHOW SINKS: $sinks")
+      intercept[IllegalStateException] {
+        e1.sql("OPTIMIZE ingest_verdicts")
+      }
+      intercept[IllegalStateException] {
+        e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("codes")}")
+      }
+      // stopping the ADMIT gate releases ONLY the ADMIT claims
+      e1.sql("STOP INGEST dgate")
+      e1.sql("OPTIMIZE ingest_verdicts") // released
+      intercept[IllegalStateException] { // vector still fenced
+        e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("codes")}")
+      }
+      e1.sql("STOP INGEST vgate")
+      e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("assign")}")
+      assert(e1.sql("SHOW SINKS").isEmpty, "claims leaked after stops")
+      // both gates committed exactly once
+      assert(e1.storage.table("ingest_verdicts")
+        .filter(col("doc_id") === 8900001L).count() == 1L)
+      assert(e1.storage
+        .table(operators.VectorIndex.tableName("codes"))
+        .filter(col("vec_id") === 8900002L).count() == 1L)
+      e1.sql("DROP DEDUP INDEX ON documents")
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+    } finally e1.close()
+  }
+
   test("orphaned claim tmp sweep: a stale kind/sink claim tmp (crash " +
       "between write and link) is removed at engine construction; a " +
       "fresh one (a racing START's in-flight claim) survives") {
