@@ -790,6 +790,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // reference: LOAD <file> INTO <table> appends (LoadFileCommand.java)
       val name = guardSystemTable(
         cmds.resolveTable(nameRaw).getOrElse(nameRaw), "LOAD INTO")
+      // LOAD appends through the same manifest as INSERT and must honor
+      // the same fence: loading into a live twin's caller-named sink
+      // would race its per-batch commit (the one DML-shaped verb that
+      // didn't route through localName)
+      requireNoSinkClaim(name, "LOAD INTO")
       cmds.insertInto(name, readIngest(path, Some(cmds.table(name).schema)))
       registerTable(name)
       dropIndexesOf(name)

@@ -850,21 +850,54 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   private def sinkClaimFile(table: String) =
     sinkClaimsDir.resolve(table.toLowerCase(java.util.Locale.ROOT))
 
-  /** The owner tag of the live sink claim on `table`, if any. */
-  def sinkOwner(table: String): Option[String] = {
-    val f = sinkClaimFile(table)
-    if (!Files.exists(f)) None
-    else Files.readString(f).trim.split("\t", 2).headOption
-      .filter(_.nonEmpty)
+  /** Serialize claim MUTATIONS across processes (one advisory
+    * FileChannel lock on `_sink_claims/.lock`) and across engines in the
+    * SAME JVM (a per-claims-dir monitor — file locks are held per-JVM and
+    * non-reentrant, so two in-process engines would otherwise throw
+    * OverlappingFileLockException instead of waiting). The bare files
+    * leave two check-then-act windows open that nonces alone narrow but
+    * cannot close: a same-owner re-claim reads the owner then REPLACES —
+    * an interleaved `RELEASE SINK ... FORCE` + foreign claim between the
+    * read and the move would be silently clobbered (the rename(2) bug
+    * class again, one level up); and a late nonce release reads the nonce
+    * then deletes — a successor's re-claim landing between the two would
+    * lose its LIVE claim. Claims change only at stream start/stop, so a
+    * coarse lock costs nothing on any hot path. */
+  private def withClaimLock[A](body: => A): A = {
+    Files.createDirectories(sinkClaimsDir)
+    val monitor = TableCommands.claimMonitors.computeIfAbsent(
+      sinkClaimsDir.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        sinkClaimsDir.resolve(".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally { l.release() } }
+      finally ch.close()
+    }
   }
+
+  /** The owner tag of the live sink claim on `table`, if any. Lock-free:
+    * claim content is always written whole to a tmp then atomically
+    * linked/moved into place, so a reader sees full content or no file —
+    * but a delete can land between the exists check and the read, which
+    * must read as "no claim", not an error. */
+  def sinkOwner(table: String): Option[String] =
+    try {
+      val f = sinkClaimFile(table)
+      if (!Files.exists(f)) None
+      else Files.readString(f).trim.split("\t", 2).headOption
+        .filter(_.nonEmpty)
+    } catch { case _: java.nio.file.NoSuchFileException => None }
 
   /** The per-acquisition NONCE riding in the claim (second field; absent
     * on claims written before nonces existed). */
-  private def sinkNonce(table: String): Option[String] = {
-    val f = sinkClaimFile(table)
-    if (!Files.exists(f)) None
-    else Files.readString(f).trim.split("\t", 2).lift(1)
-  }
+  private def sinkNonce(table: String): Option[String] =
+    try {
+      val f = sinkClaimFile(table)
+      if (!Files.exists(f)) None
+      else Files.readString(f).trim.split("\t", 2).lift(1)
+    } catch { case _: java.nio.file.NoSuchFileException => None }
 
   /** Claim `table` as a streaming sink for `owner`; returns the
     * per-acquisition nonce. Idempotent for the same owner — a resume or
@@ -874,8 +907,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * ([[releaseSinkIfRun]] compares nonces). A claim held by a different
     * owner is refused. The tmp name is per-attempt unique for the same
     * reason as the ingest-registry claim. */
-  def claimSink(table: String, owner: String): String = {
-    Files.createDirectories(sinkClaimsDir)
+  def claimSink(table: String, owner: String): String = withClaimLock {
     val nonce = java.util.UUID.randomUUID().toString
     val tmp = sinkClaimsDir.resolve(
       table.toLowerCase(java.util.Locale.ROOT) + "." +
@@ -891,7 +923,9 @@ class TableCommands(spark: SparkSession, warehouse: String) {
               "single-writer - stop that stream first")
         // same-owner re-claim: take over the claim by REPLACING its
         // nonce (safe — the owner tag IS the logical writer identity,
-        // and this instance is that writer's current incarnation)
+        // and this instance is that writer's current incarnation; the
+        // claim lock makes the read-then-replace atomic, so an
+        // interleaved FORCE release + foreign claim cannot be clobbered)
         Files.move(tmp, sinkClaimFile(table),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
@@ -902,7 +936,7 @@ class TableCommands(spark: SparkSession, warehouse: String) {
 
   /** Release the sink claim on `table` unconditionally (idempotent) —
     * the deliberate-operator path (RELEASE SINK ... FORCE, STOP INGEST). */
-  def releaseSink(table: String): Unit = {
+  def releaseSink(table: String): Unit = withClaimLock {
     Files.deleteIfExists(sinkClaimFile(table)); ()
   }
 
@@ -912,21 +946,26 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def sinkClaims: Seq[(String, String, Long)] =
     if (!Files.isDirectory(sinkClaimsDir)) Nil
     else Option(sinkClaimsDir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.endsWith(".tmp"))
+      .filter(f => f.isFile && !f.getName.endsWith(".tmp") &&
+        !f.getName.startsWith(".")) // .lock is fence plumbing, not a claim
       .toSeq.sortBy(_.getName)
-      .map(f => (f.getName,
-        Files.readString(f.toPath).trim.split("\t", 2).headOption
-          .getOrElse("?"),
-        f.lastModified()))
+      .flatMap(f =>
+        try Some((f.getName,
+          Files.readString(f.toPath).trim.split("\t", 2).headOption
+            .getOrElse("?"),
+          f.lastModified()))
+        catch { case _: java.nio.file.NoSuchFileException => None })
 
   /** Release the claim only if `nonce` still owns it — the twins' async
     * termination-listener path: a stopped instance's late release must
-    * not unfence a successor that already re-claimed the table. A
-    * nonce-less legacy claim matches any release. */
-  def releaseSinkIfRun(table: String, nonce: String): Unit =
+    * not unfence a successor that already re-claimed the table (the
+    * claim lock makes the nonce-check-then-delete atomic against that
+    * re-claim). A nonce-less legacy claim matches any release. */
+  def releaseSinkIfRun(table: String, nonce: String): Unit = withClaimLock {
     if (sinkNonce(table).forall(_ == nonce) && sinkOwner(table).nonEmpty) {
       Files.deleteIfExists(sinkClaimFile(table)); ()
     }
+  }
 
   /** UPDATE t SET <col> = <expr> WHERE <cond>: copy-on-write rewrite.
     * All SET expressions evaluate against the OLD row (standard SQL UPDATE
@@ -1140,6 +1179,13 @@ class TableCommands(spark: SparkSession, warehouse: String) {
 }
 
 object TableCommands {
+
+  /** Per-claims-dir monitors backing [[TableCommands.withClaimLock]]:
+    * JVM-global so every engine over the same warehouse (tests run
+    * several in-process) serializes on the same object before taking the
+    * per-JVM, non-reentrant FileChannel lock. */
+  private[commands] val claimMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Re-register any of `names` whose session-catalog entry no longer
     * points at its manifest's CURRENT version. A mutation version-bumps

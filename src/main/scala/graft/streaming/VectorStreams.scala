@@ -92,6 +92,16 @@ object VectorStreams {
         throw e
       }
     idHolder.set(q.id)
+    // a query that died between start() and the line above delivered its
+    // termination event against a null idHolder — the listener matched
+    // nothing, so the claims would outlive the stream and the listener
+    // would leak. Both cleanups are idempotent (releaseSinkIfRun is
+    // nonce-guarded; a double removeListener is a no-op), so re-running
+    // them here is safe even if the event raced in after the set.
+    if (!q.isActive) {
+      nonces.foreach { case (t, n) => cmds.releaseSinkIfRun(t, n) }
+      ss.streams.removeListener(listener)
+    }
     q
   }
 

@@ -605,4 +605,118 @@ class LifecycleGuardsSpec extends AnyFunSuite {
       e1.sql("DROP DEDUP INDEX ON documents")
     } finally e1.close()
   }
+
+  test("LOAD INTO a claimed sink is refused while the claim is live " +
+      "(the one DML-shaped verb outside localName), allowed after " +
+      "release") {
+    val e1 = new Engine(spark, d, freshWh("loadfence"))
+    try {
+      val csv = Files.createTempFile("graft_loadfence", ".csv")
+      Files.writeString(csv, "id,v\n1,a\n")
+      val csv2 = Files.createTempFile("graft_loadfence2", ".csv")
+      Files.writeString(csv2, "id,v\n2,b\n")
+      e1.sql(s"CREATE COLSTORE lf_t FROM '$csv'")
+      // plant the claim a live twin would hold over its caller-named sink
+      val nonce = e1.storage.claimSink("lf_t", "serve:lf_t")
+      val err = intercept[IllegalStateException](
+        e1.sql(s"LOAD '$csv2' INTO lf_t"))
+      assert(err.getMessage.contains("LOAD INTO") &&
+        err.getMessage.contains("serve:lf_t"), err.getMessage)
+      // the refused LOAD must not have appended
+      assert(e1.sql("SELECT COUNT(*) AS n FROM lf_t").head().getLong(0)
+        == 1L)
+      e1.storage.releaseSinkIfRun("lf_t", nonce)
+      e1.sql(s"LOAD '$csv2' INTO lf_t")
+      assert(e1.sql("SELECT COUNT(*) AS n FROM lf_t").head().getLong(0)
+        == 2L)
+      e1.sql("DROP TABLE lf_t")
+    } finally e1.close()
+  }
+
+  test("claim lock: a predecessor's late nonce release never drops a " +
+      "successor's re-claim, two engines over one warehouse serialize " +
+      "instead of deadlocking on the non-reentrant file lock, foreign " +
+      "owners stay excluded, and the .lock file is not listed as a " +
+      "claim") {
+    val wh = freshWh("claimlock")
+    val c1 = new commands.TableCommands(spark, wh)
+    val c2 = new commands.TableCommands(spark, wh) // second in-process engine
+    // deterministic core: a re-claim REPLACES the nonce, so the
+    // predecessor's late release is a no-op while the current nonce's
+    // release clears the claim
+    val n1 = c1.claimSink("t_sink", "serve:t_sink")
+    val n2 = c2.claimSink("t_sink", "serve:t_sink") // successor re-claim
+    c1.releaseSinkIfRun("t_sink", n1)               // late async release
+    assert(c1.sinkOwner("t_sink").contains("serve:t_sink"),
+      "a late release with a stale nonce dropped the successor's claim")
+    c2.releaseSinkIfRun("t_sink", n2)
+    assert(c1.sinkOwner("t_sink").isEmpty)
+    // foreign exclusion survives the re-claim path
+    c1.claimSink("excl_t", "serve:a")
+    intercept[IllegalStateException](c2.claimSink("excl_t", "decontam:b"))
+    c1.releaseSink("excl_t")
+    // concurrency soak over the locked ops: same-owner claim/late-release
+    // storms from two engines; the lock serializes the check-then-act
+    // pairs, so the final state is exactly the last logical operation's
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val cmds = if (i % 2 == 0) c1 else c2
+            (0 until 40).foreach { _ =>
+              val n = cmds.claimSink("soak_t", "serve:soak_t")
+              cmds.releaseSinkIfRun("soak_t", n)
+            }
+          } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"claim soak threw: ${Option(errs.peek())}")
+    // whatever interleaving won, the table is claimable and releasable
+    val nFinal = c1.claimSink("soak_t", "serve:soak_t")
+    assert(c2.sinkOwner("soak_t").contains("serve:soak_t"))
+    c1.releaseSinkIfRun("soak_t", nFinal)
+    assert(c1.sinkOwner("soak_t").isEmpty)
+    // the advisory .lock file is fence plumbing, never a listed claim
+    assert(Files.exists(Paths.get(wh, "_sink_claims", ".lock")))
+    assert(!c1.sinkClaims.exists(_._1.startsWith(".")))
+  }
+
+  test("a twin whose query DIES (not stopped) releases its sink claims " +
+      "via the termination listener, so the fence lifts without " +
+      "RELEASE ... FORCE") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = freshWh("dieclaim")
+    val cmds = new commands.TableCommands(spark, wh)
+    // pre-create the sink with a NOT NULL constraint the twin's first
+    // batch violates: the append throws inside foreachBatch and the
+    // query dies with an error (not a stop)
+    cmds.createEmpty("dies_t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      notNull = Seq("v"))
+    val src = MemoryStream[(Int, String)]
+    val q = streaming.WarehouseSink.start(
+      src.toDS().toDF("id", "v"), cmds, "dies_t")
+    assert(cmds.sinkOwner("dies_t").contains("sink:dies_t"))
+    src.addData((1, null))
+    intercept[Throwable] { q.processAllAvailable() }
+    assert(!q.isActive, "a NOT NULL violation should kill the query")
+    // the async termination event releases the claim — bounded wait
+    val deadline = System.currentTimeMillis() + 15000
+    while (cmds.sinkOwner("dies_t").nonEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(cmds.sinkOwner("dies_t").isEmpty,
+      "a dead twin's claim must not need RELEASE ... FORCE")
+  }
 }
