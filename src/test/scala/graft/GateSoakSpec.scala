@@ -316,10 +316,33 @@ class GateSoakSpec extends AnyFunSuite {
           s"epoch $epoch: marker regressed across rotations ($m < " +
             s"$lastMarker) - a floor failed to lift")
         lastMarker = m
+        // while the gate is registered its verdict log is CLAIMED: a
+        // randomly chosen fenced verb must be refused — OPTIMIZE, DML
+        // and LOAD (the verb the fence originally missed) all race the
+        // gate's per-batch manifest commit
+        val probe = rng.nextInt(3) match {
+          case 0 => "OPTIMIZE ingest_verdicts"
+          case 1 => "DELETE FROM ingest_verdicts WHERE doc_id < 0"
+          case _ => "LOAD '/tmp/nonexistent_rsoak.csv' INTO ingest_verdicts"
+        }
+        val fenceErr = intercept[IllegalStateException](engine.sql(probe))
+        assert(fenceErr.getMessage.contains("live stream"),
+          s"epoch $epoch: '$probe' failed for the wrong reason: " +
+            fenceErr.getMessage)
         // end the epoch one of four ways
         rng.nextInt(4) match {
-          case 0 => // clean stop; next epoch RESUMES the same source
+          case 0 => // clean stop; next epoch RESUMES the same source —
+            // sometimes with a legal between-epoch compaction in the gap
+            // (the claim released with the registration, so maintenance
+            // is allowed, and it must carry the marker so the resume
+            // stays exactly-once)
             engine.sql("STOP INGEST gate")
+            if (rng.nextBoolean()) {
+              engine.sql("OPTIMIZE ingest_verdicts")
+              assert(engine.storage.lastCommittedBatch("ingest_verdicts")
+                .contains(m),
+                s"epoch $epoch: OPTIMIZE dropped the stream marker")
+            }
           case 1 => // session dies; a new engine resumes the same source
             engine.close()
             engine = new Engine(spark, d, wh)
