@@ -1740,7 +1740,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * their target's indexes must be dropped BEFORE delegation, or routing
     * would keep serving the pre-mutation bucketed snapshot. */
   private val fallthroughMutation =
-    """(?is)\s*(?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|TRUNCATE\s+TABLE|ALTER\s+TABLE|(?:CREATE\s+OR\s+)?REPLACE\s+TABLE)\s+(?:`?\w+`?\.)*`?(\w+)`?\b.*""".r
+    """(?is)\s*((?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?)|TRUNCATE\s+TABLE|ALTER\s+TABLE|(?:CREATE\s+OR\s+)?REPLACE\s+TABLE)\s+(?:`?\w+`?\.)*`?(\w+)`?\b.*""".r
 
   private def query(stmt: String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
@@ -1748,7 +1748,40 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     import org.apache.spark.sql.catalyst.plans.UsingJoin
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, SubqueryAlias, UnresolvedWith}
     stmt match {
-      case fallthroughMutation(tbl) => dropIndexesOf(tbl)
+      case fallthroughMutation(verb, tbl) =>
+        // a MANIFEST-BACKED table mutated by plain Spark SQL would bypass
+        // versioning entirely: INSERT OVERWRITE (and the `INSERT INTO
+        // TABLE t` spelling the engine's INSERT regex doesn't capture)
+        // write files straight into the LIVE version directory — no
+        // version bump, no sink-claim fence, snapshot pins aimed at that
+        // directory silently change content, and the stream marker dies
+        // with the overwrite; ALTER ... RENAME/SET LOCATION desyncs the
+        // catalog entry from the manifest (after the next maintenance
+        // repoint, two names share one store and a COW sweep leaves the
+        // alias on a swept path that Spark reads as an EMPTY table).
+        // Refuse with the engine verbs named; plain catalog tables keep
+        // the fallthrough (with index invalidation, below).
+        if (cmds.resolveTable(tbl).isDefined) {
+          val v = verb.trim.replaceAll("\\s+", " ")
+            .toUpperCase(java.util.Locale.ROOT)
+          throw new UnsupportedOperationException(
+            s"graft engine: $v on colstore table '$tbl' would mutate the " +
+              "manifest-backed store outside its versioning - use the " +
+              "engine's INSERT INTO / UPDATE / DELETE FROM / MERGE INTO " +
+              "/ LOAD / DROP TABLE forms")
+        }
+        // a mutated INDEX table must leave the routing registry, or
+        // SELECTs on its base would keep being answered from the
+        // now-divergent bucketed copy (the catalog table itself stays —
+        // the user chose to mutate it)
+        val divergent = indexes.iterator.flatMap { case (b, m) =>
+          m.collect { case (c, idx) if idx.equalsIgnoreCase(tbl) => (b, c) }
+        }.toList
+        divergent.foreach { case (b, c) =>
+          indexes(b).remove(c)
+          if (indexes(b).isEmpty) { indexes.remove(b); () }
+        }
+        dropIndexesOf(tbl)
       case _ => ()
     }
     val head = stmt.trim.takeWhile(!_.isWhitespace).toUpperCase

@@ -155,4 +155,60 @@ class IndexRoutingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS cat_t_by_id")
     }
   }
+
+  test("Spark-SQL mutation verbs are refused on manifest-backed tables " +
+      "(INSERT OVERWRITE / INSERT INTO TABLE / ALTER / TRUNCATE would " +
+      "bypass versioning), and a mutated index table leaves the routing " +
+      "registry") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh5").toString
+    val engine = new Engine(spark, TestSpark.sfDir, wh)
+    val csv = java.nio.file.Files.createTempFile("graft_fmg", ".csv")
+    java.nio.file.Files.writeString(csv, "id,v\n1,a\n2,b\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat2_t").toString
+    try {
+      engine.sql(s"CREATE COLSTORE wm_t FROM '$csv'")
+      // each refused verb would have written straight into the LIVE
+      // version directory (or desynced the catalog from the manifest) —
+      // no version bump, no fence, snapshot pins silently changed
+      Seq("INSERT OVERWRITE wm_t VALUES (9, 'z')",
+        "INSERT OVERWRITE TABLE wm_t VALUES (9, 'z')",
+        "INSERT INTO TABLE wm_t VALUES (9, 'z')",
+        "ALTER TABLE wm_t RENAME TO wm_renamed",
+        "ALTER TABLE wm_t SET LOCATION '/tmp/elsewhere'",
+        "TRUNCATE TABLE wm_t").foreach { bad =>
+        val e = intercept[UnsupportedOperationException](engine.sql(bad))
+        assert(e.getMessage.contains("colstore table 'wm_t'"),
+          s"'$bad' failed for the wrong reason: ${e.getMessage}")
+      }
+      // nothing mutated, nothing renamed
+      assert(engine.sql("SELECT count(*) AS n FROM wm_t").head().getLong(0)
+        == 2L)
+      assert(!spark.catalog.tableExists("wm_renamed"))
+      // a catalog table's INDEX mutated directly: the fallthrough runs
+      // (the user chose to touch the bucketed copy) but routing must
+      // deregister it — a SELECT on the base may no longer be answered
+      // from the now-divergent index
+      spark.sql("CREATE TABLE cat2_t (id INT, v STRING) USING parquet " +
+        s"LOCATION '$dir'")
+      spark.sql("INSERT INTO cat2_t VALUES (1, 'a'), (2, 'b')")
+      engine.sql("CREATE INDEX ON cat2_t (id)")
+      val routed = engine.sql("SELECT v FROM cat2_t WHERE id = 1")
+      assert(routed.queryExecution.executedPlan.toString
+        .contains("cat2_t_by_id"), "precondition: index must route")
+      engine.sql(
+        "ALTER TABLE cat2_t_by_id SET TBLPROPERTIES ('touched'='1')")
+      assert(spark.catalog.tableExists("cat2_t_by_id"),
+        "the catalog table itself stays - only routing lets go")
+      val after = engine.sql("SELECT v FROM cat2_t WHERE id = 1")
+      assert(!after.queryExecution.executedPlan.toString
+        .contains("cat2_t_by_id"),
+        "a directly-mutated index must leave the routing registry")
+      assert(after.head().getString(0) == "a")
+    } finally {
+      engine.sql("DROP TABLE IF EXISTS wm_t")
+      spark.sql("DROP TABLE IF EXISTS cat2_t")
+      spark.sql("DROP TABLE IF EXISTS cat2_t_by_id")
+      engine.close()
+    }
+  }
 }
