@@ -50,6 +50,92 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       : Option[org.apache.spark.sql.streaming.StreamingQuery] =
     ingests.get(name)
 
+  /** SQL-face SERVING twins started this session: name → (query, kind
+    * tag, sink table, source dir). Unlike the ingest gates there is no
+    * separate durable registry: the per-table SINK CLAIM is the serve
+    * twin's cross-process registration (single-writer per sink table,
+    * re-claimed transparently by the same owner's restart), the
+    * checkpoint — keyed by SINK, where the exactly-once markers live —
+    * is its resumable state, and `SHOW SINKS` is its durable
+    * cross-session view (`claim_age_sec` is BEATEN for these twins, so
+    * it reads as liveness). `SHOW SERVES` lists this session's handles. */
+  private val serves = scala.collection.mutable.LinkedHashMap[
+    String, (org.apache.spark.sql.streaming.StreamingQuery,
+      String, String, String)]()
+
+  /** The running serve/decontam twin registered under `name`. */
+  def serveQuery(name: String)
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    serves.get(name).map(_._1)
+
+  private def serveCkptDir(sink: String) = java.nio.file.Paths.get(
+    warehouse, "_serve_ckpt", sink.toLowerCase(java.util.Locale.ROOT))
+
+  /** Shared START machinery of the SQL-face serving twins (SERVE /
+    * SERVE_MMR / DECONTAM): fresh-checkpoint-over-markers refusal, source
+    * pin, file stream construction, heartbeat plumbing, registration.
+    * Returns the registered name. The sink claim itself is taken inside
+    * the twin ([[streaming.VectorStreams.withSinkClaims]]) BEFORE its
+    * stream starts — a second engine targeting the same sink is refused
+    * there, cross-process. */
+  private def startServeTwin(aliasOpt: Option[String], dir: String,
+      sink: String, kind: String, idCol: String,
+      mk: (org.apache.spark.sql.DataFrame, () => Unit, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): String = {
+    import org.apache.spark.sql.types._
+    val name = aliasOpt.getOrElse(sink.toLowerCase(java.util.Locale.ROOT))
+    require(!serves.contains(name),
+      s"serve $name already running - STOP SERVE $name first")
+    val ckptPath = serveCkptDir(sink)
+    val ckptFresh = !java.nio.file.Files.isDirectory(ckptPath)
+    if (ckptFresh)
+      require(cmds.lastCommittedBatch(sink).isEmpty &&
+        cmds.lastCommittedBatch(s"${sink}_rejects").isEmpty,
+        s"table $sink (or ${sink}_rejects) already carries stream " +
+          "markers but there is no checkpoint for it - a fresh stream " +
+          "restarts batch numbering at 0 and the exactly-once markers " +
+          "would silently swallow every new answer; DROP the old sink " +
+          "(and its _rejects) or serve INTO a new table")
+    // source pin: a checkpoint resumes only against the directory it was
+    // created for (the ingest gates' convention) — resuming against a
+    // different one would silently abandon the pinned directory's
+    // unprocessed files
+    val srcFile =
+      ckptPath.resolveSibling(ckptPath.getFileName.toString + ".src")
+    val srcWasNew = !java.nio.file.Files.exists(srcFile)
+    if (!srcWasNew) {
+      val pinned = java.nio.file.Files.readString(srcFile).trim
+      require(pinned == canonDir(dir),
+        s"the $sink serve checkpoint was created for source '$pinned' - " +
+          s"resuming it against '$dir' would silently abandon that " +
+          s"directory's unprocessed files; STOP SERVE $name PURGE " +
+          "retires the checkpoint (then DROP the sink or serve INTO a " +
+          "new table)")
+    } else {
+      java.nio.file.Files.createDirectories(srcFile.getParent)
+      java.nio.file.Files.writeString(srcFile, canonDir(dir)); ()
+    }
+    // the beat keeps SHOW SINKS' claim_age_sec bounded while the twin
+    // lives — fired per batch AND from the idle/progress listener
+    val beat = () => cmds.touchSinkClaim(sink)
+    val q =
+      try {
+        val qs = spark.readStream
+          .schema(StructType(Seq(StructField(idCol, LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .parquet(dir)
+        mk(qs, beat, ckptPath.toString)
+      } catch { case e: Throwable =>
+        // a refused START must not pin a source the checkpoint never saw
+        if (srcWasNew && !java.nio.file.Files.isDirectory(ckptPath))
+          java.nio.file.Files.deleteIfExists(srcFile)
+        throw e
+      }
+    serves(name) = (q, kind, sink, dir)
+    heartbeatsByQuery.put(q.id, beat)
+    name
+  }
+
   private def ingestRegistryDir =
     java.nio.file.Paths.get(warehouse, "_ingest_registry")
   private def ingestRegFile(name: String) = ingestRegistryDir.resolve(name)
@@ -580,6 +666,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // source directory with zero lost and zero duplicated batches
   private val stopIngestStmt =
     """(?is)\s*STOP\s+INGEST\s+(\w+)(\s+FORCE)?(\s+PURGE)?\s*;?\s*""".r
+  // SQL-face SERVING twins — the streaming siblings of SEARCH VECTORS /
+  // DECONTAM VECTORS: watch a directory of (q_id|vec_id, embedding)
+  // parquet drops, answer/audit each micro-batch with the BATCH kernel
+  // (bit-identical results — the parity specs' contract), and land the
+  // results exactly-once in a caller-named warehouse table. TOP/DIVERSIFY/
+  // OVER/THRESHOLD carry the same meaning and validation as the batch
+  // statements.
+  private val startServeStmt =
+    """(?is)\s*START\s+SERVE\s+VECTORS\s+FROM\s+'([^']+)'\s+INTO\s+(\w+)(?:\s+TOP\s+(\d+))?(?:\s+DIVERSIFY\s+(\d+(?:\.\d+)?)(?:\s+OVER\s+(\d+))?)?(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+  private val startDecontamStmt =
+    """(?is)\s*START\s+DECONTAM\s+VECTORS\s+FROM\s+'([^']+)'\s+INTO\s+(\w+)(?:\s+THRESHOLD\s+(\d+(?:\.\d+)?))?(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+  private val stopServeStmt =
+    """(?is)\s*STOP\s+SERVE\s+(\w+)(\s+PURGE)?\s*;?\s*""".r
+  private val showServesStmt = """(?is)\s*SHOW\s+SERVES\s*;?\s*""".r
   // RELEASE SINK <table> FORCE: deliberately release a sink claim whose
   // owning stream died without cleanup (the twins release on termination;
   // a hard-killed JVM cannot). FORCE is mandatory — releasing a LIVE
@@ -637,14 +737,15 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // (CREATE, DROP TABLE/VIEW, INSERT, SELECT, EXPLAIN, ANALYZE, SHOW,
   // UPDATE/DELETE/MERGE on non-warehouse targets) are NOT listed.
   private val engineOnlyHead =
-    ("""(?is)\s*(START\s+(?:ADMIT|VECTOR)\b|STOP\s+INGEST\b|SNAPSHOT\b|""" +
+    ("""(?is)\s*(START\s+(?:ADMIT|VECTOR|SERVE|DECONTAM)\b|""" +
+      """STOP\s+(?:INGEST|SERVE)\b|SNAPSHOT\b|""" +
       """RETAIN\b|VERIFY\b|CRASH\b|BUILD\s+(?:VECTOR|DEDUP)\b|""" +
       """REFRESH\s+(?:CORPUS|VECTOR|DEDUP)\b|RUN\s+QUERY\b|""" +
       """RELEASE\s+SINK\b|""" +
       """SEARCH\s+VECTORS\b|DECONTAM\s+VECTORS\b|OPTIMIZE\b|LOAD\b|""" +
       """DROP\s+(?:SNAPSHOT|INDEX|VECTOR\s+INDEX|DEDUP\s+INDEX)\b|""" +
       """SHOW\s+(?:INGESTS|SNAPSHOTS|VERSIONS|INDEXES|QUERIES|SINKS|""" +
-      """VECTOR\s+INDEXES|DEDUP\s+INDEXES)\b).*""").r
+      """SERVES|VECTOR\s+INDEXES|DEDUP\s+INDEXES)\b).*""").r
   // each clause takes the SQL:2003 optional `AND <cond>` refinement
   private val whenUpdate =
     """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*(?=WHEN\s+NOT\s+MATCHED|$)""".r
@@ -1647,6 +1748,101 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         case None => throw new IllegalArgumentException(
           s"RELEASE SINK: no sink claim on '$tbl'")
       }
+    case startServeStmt(dir, tblRaw, kOpt, lamOpt, overOpt, aliasOpt) =>
+      val sink = guardSystemTable(
+        cmds.resolveTable(tblRaw).getOrElse(tblRaw), "START SERVE ... INTO")
+      val k = Option(kOpt).map(_.toInt).getOrElse(3)
+      require(k >= 1, s"START SERVE VECTORS: TOP must be >= 1; got $k")
+      // λ in tenths keeps the MMR greedy exact-integer — the same
+      // validation as batch SEARCH VECTORS ... DIVERSIFY
+      val mmr = Option(lamOpt).map { l =>
+        val lam = l.toDouble
+        require(lam >= 0 && lam <= 1 &&
+          math.abs(lam * 10 - math.round(lam * 10)) <= 1e-9,
+          "START SERVE VECTORS: DIVERSIFY lambda must be one of 0.0, " +
+            s"0.1, ..., 1.0; got $l")
+        val shortK = Option(overOpt).map(_.toInt)
+          .getOrElse(math.max(10, 3 * k))
+        require(shortK >= k,
+          s"START SERVE VECTORS: DIVERSIFY OVER $shortK cannot be " +
+            s"narrower than TOP $k - the rerank pool must contain the " +
+            "answers")
+        (math.round(lam * 10).toInt, shortK)
+      }
+      require(Seq("assign", "codes", "centroids", "codebook").forall(p =>
+        cmds.tableExists(operators.VectorIndex.tableName(p))),
+        "START SERVE VECTORS needs the stored vector index - run " +
+          "BUILD VECTOR INDEX first")
+      val sName = startServeTwin(Option(aliasOpt), dir, sink,
+        kind = if (mmr.isDefined) "SERVE_MMR" else "SERVE", idCol = "q_id",
+        mk = (qs, beat, ckpt) => mmr match {
+          case None => streaming.VectorStreams.serve(qs, sfDir, cmds,
+            sink, k, checkpoint = Some(ckpt), heartbeat = beat)
+          case Some((lt, sk)) => streaming.VectorStreams.serveDiversified(
+            qs, sfDir, cmds, sink, k, sk, lt,
+            checkpoint = Some(ckpt), heartbeat = beat)
+        })
+      status(s"started serve $sName from $dir into $sink")
+    case startDecontamStmt(dir, tblRaw, thrOpt, aliasOpt) =>
+      val sink = guardSystemTable(
+        cmds.resolveTable(tblRaw).getOrElse(tblRaw),
+        "START DECONTAM ... INTO")
+      val thr = Option(thrOpt).map(_.toDouble).getOrElse(0.3)
+      require(thr <= 1,
+        s"START DECONTAM VECTORS: THRESHOLD is a cosine, must be <= 1; " +
+          s"got $thr")
+      val sName = startServeTwin(Option(aliasOpt), dir, sink,
+        kind = "DECONTAM", idCol = "vec_id",
+        mk = (vs, beat, ckpt) => streaming.VectorStreams.decontamGate(vs,
+          sfDir, cmds, sink, thr, checkpoint = Some(ckpt),
+          heartbeat = beat))
+      status(s"started decontam $sName from $dir into $sink")
+    case stopServeStmt(name, purgeOpt) =>
+      val purge = purgeOpt != null
+      def purgeCkpt(sink: String): Unit = {
+        val d = serveCkptDir(sink)
+        if (java.nio.file.Files.isDirectory(d)) rmTree(d.toFile)
+        java.nio.file.Files.deleteIfExists(
+          d.resolveSibling(d.getFileName.toString + ".src")); ()
+      }
+      serves.remove(name) match {
+        case Some((q, _, sink, _)) =>
+          q.stop()
+          heartbeatsByQuery.remove(q.id)
+          if (purge) purgeCkpt(sink)
+          // the sink claim releases via the twin's own termination
+          // listener (nonce-guarded) — nothing to force here
+          status(s"stopped serve $name" + (if (purge)
+            " (checkpoint purged - a fresh START over the marker-" +
+              "carrying sink is refused until the sink is dropped or " +
+              "renamed)" else ""))
+        case None =>
+          // cross-session: no in-memory handle, but the checkpoint —
+          // keyed by SINK table — may belong to a dead session's twin.
+          // STOP SERVE <sink> PURGE retires it; claims, if the session
+          // died without releasing, are released deliberately with
+          // RELEASE SINK ... FORCE (SHOW SINKS shows the evidence).
+          val sink = cmds.resolveTable(name).getOrElse(name)
+          if (java.nio.file.Files.isDirectory(serveCkptDir(sink))) {
+            if (purge) {
+              purgeCkpt(sink)
+              status(s"no running serve named $name in this session; " +
+                "purged the checkpoint for sink " + sink +
+                " - a fresh START over the marker-carrying sink is " +
+                "refused until the sink is dropped or renamed")
+            } else status(s"no running serve named $name in this " +
+              s"session; checkpoint for sink $sink retained (resumable " +
+              "with START ... INTO " + sink + ")")
+          } else throw new IllegalArgumentException(
+            s"no serve named $name - SHOW SERVES lists this session's " +
+              "serves; SHOW SINKS lists durable sink claims")
+      }
+    case showServesStmt() =>
+      import spark.implicits._
+      serves.toSeq.map { case (n, (q, kind, sink, src)) =>
+        (n, kind.toLowerCase(java.util.Locale.ROOT), sink, src,
+          q.isActive)
+      }.toDF("name", "kind", "sink", "source", "is_active")
     case snapshotStmt(tblRaw, verQ, verBare, alias) =>
       val tbl = cmds.resolveTable(tblRaw).getOrElse(
         throw new IllegalArgumentException(s"table $tblRaw does not exist"))
@@ -2214,6 +2410,13 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     })
     ingests.clear()
     ingestKinds.clear()
+    // serve twins stop too; their sink claims release via each twin's
+    // own termination listener (nonce-guarded), and the checkpoint stays
+    // resumable by a later START ... INTO the same sink
+    serves.values.foreach { case (q, _, _, _) =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    serves.clear()
     // the registration (and its sink claims) persist — the gate is
     // resumable; only this session's listener plumbing is torn down
     heartbeatsByQuery.clear()

@@ -934,6 +934,21 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     nonce
   }
 
+  /** Heartbeat a live sink claim: bump the claim file's mtime, making
+    * SHOW SINKS' claim_age_sec a LIVENESS signal for streams that beat it
+    * (the SQL-face serve/decontam twins) — the same claim-mtime
+    * convention as the ingest registry's per-batch beat. Lock-free: a
+    * touch racing a release is a harmless miss. */
+  def touchSinkClaim(table: String): Unit =
+    try {
+      val f = sinkClaimFile(table)
+      if (Files.exists(f)) {
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis())); ()
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** Release the sink claim on `table` unconditionally (idempotent) —
     * the deliberate-operator path (RELEASE SINK ... FORCE, STOP INGEST). */
   def releaseSink(table: String): Unit = withClaimLock {

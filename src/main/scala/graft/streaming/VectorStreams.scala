@@ -293,13 +293,17 @@ object VectorStreams {
     * accumulates in the stream — no state store, any arrival rate the
     * per-batch check latency sustains. */
   def decontamGate(vecStream: DataFrame, d: String, cmds: TableCommands,
-      table: String, thr: Double = 0.3): StreamingQuery = {
+      table: String, thr: Double = 0.3,
+      checkpoint: Option[String] = None,
+      heartbeat: () => Unit = () => ()): StreamingQuery = {
     val dim = corpusDim(vecStream.sparkSession, d)
     withSinkClaims(cmds, vecStream.sparkSession, s"decontam:$table",
         Seq(table, s"${table}_rejects")) {
-      vecStream.writeStream
-        .outputMode("append")
+      val w = vecStream.writeStream.outputMode("append")
+      checkpoint.foreach(c => w.option("checkpointLocation", c))
+      w
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeat()
           // poison candidates quarantine into <table>_rejects instead of
           // raising: the kernel's dimension raise is right for a one-shot
           // SQL call but would poison-pill-loop a checkpointed stream
@@ -317,13 +321,17 @@ object VectorStreams {
   }
 
   def serve(queryStream: DataFrame, d: String, cmds: TableCommands,
-      table: String, k: Int = 3): StreamingQuery = {
+      table: String, k: Int = 3,
+      checkpoint: Option[String] = None,
+      heartbeat: () => Unit = () => ()): StreamingQuery = {
     val dim = corpusDim(queryStream.sparkSession, d)
     withSinkClaims(cmds, queryStream.sparkSession, s"serve:$table",
         Seq(table, s"${table}_rejects")) {
-      queryStream.writeStream
-        .outputMode("append")
+      val w = queryStream.writeStream.outputMode("append")
+      checkpoint.foreach(c => w.option("checkpointLocation", c))
+      w
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeat()
           // skip empty batches: creating a table from one would publish a
           // schema-less version, and replaying an empty append is a no-op.
           // Poison queries quarantine into <table>_rejects (see
@@ -355,13 +363,17 @@ object VectorStreams {
     * store, nothing accumulates across batches. */
   def serveDiversified(queryStream: DataFrame, d: String,
       cmds: TableCommands, table: String, k: Int = 3, shortK: Int = 10,
-      lambdaTenths: Int = 7): StreamingQuery = {
+      lambdaTenths: Int = 7,
+      checkpoint: Option[String] = None,
+      heartbeat: () => Unit = () => ()): StreamingQuery = {
     val dim = corpusDim(queryStream.sparkSession, d)
     withSinkClaims(cmds, queryStream.sparkSession, s"serve_mmr:$table",
         Seq(table, s"${table}_rejects")) {
-      queryStream.writeStream
-        .outputMode("append")
+      val w = queryStream.writeStream.outputMode("append")
+      checkpoint.foreach(c => w.option("checkpointLocation", c))
+      w
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          heartbeat()
           // poison queries quarantine into <table>_rejects (see serve)
           val (clean, poison) = splitPoison(batch, "q_id", dim)
           if (!poison.isEmpty)

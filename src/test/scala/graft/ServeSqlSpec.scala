@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-face serving twins (round 11): `START SERVE VECTORS` / `START
+  * DECONTAM VECTORS` / `SHOW SERVES` / `STOP SERVE [PURGE]` — the
+  * streaming lifecycle of the SEARCH/DECONTAM batch kernels driven
+  * entirely from the SQL string surface, closing the round-10 verdict's
+  * one reachability gap ("the serve/decontam twins are Scala-API-only").
+  * The per-table sink claim is the twin's cross-process registration; the
+  * checkpoint is keyed by SINK (where the exactly-once markers live) and
+  * source-pinned; `SHOW SINKS`' claim_age_sec is BEATEN for these twins. */
+class ServeSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def freshWh(tag: String): String =
+    Files.createTempDirectory(s"graft_${tag}_wh").toString
+
+  /** Poll until `body` stops throwing IllegalStateException (async claim
+    * release lands on the listener bus) — bounded, never silent. */
+  private def eventuallyAllowed[T](maxMs: Long = 15000)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + maxMs
+    while (true) {
+      try return body
+      catch { case e: IllegalStateException =>
+        if (System.currentTimeMillis() > deadline) throw e
+        Thread.sleep(100)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  test("START SERVE VECTORS: answers are bit-identical to batch SEARCH " +
+      "VECTORS and exactly-once across stop/resume, the sink is fenced " +
+      "while the twin runs, poison queries quarantine, SHOW SERVES " +
+      "lists the twin, and source-pin/marker refusals direct rotation") {
+    val e = new Engine(spark, d, freshWh("servesql"))
+    try {
+      e.sql("BUILD VECTOR INDEX ON embeddings")
+      val watch = Files.createTempDirectory("graft_servesql_src").toString
+      // first drop: two real corpus vectors as queries (q_id, ARRAY<FLOAT>)
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 2)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      e.sql(s"START SERVE VECTORS FROM '$watch' INTO svc_sql TOP 2")
+      val q = e.serveQuery("svc_sql").get
+      q.processAllAvailable()
+      // parity with the batch statement over the same queries
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 2)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .createOrReplaceTempView("svc_probe_q")
+      val batch = e.sql("SEARCH VECTORS USING svc_probe_q TOP 2")
+        .collect().map(_.toSeq).toSet
+      val streamed = e.storage.table("svc_sql").collect()
+        .map(_.toSeq).toSet
+      assert(streamed == batch,
+        "streamed serve answers diverge from batch SEARCH VECTORS")
+      // SHOW SERVES lists the twin; SHOW SINKS shows its beaten claim
+      val row = e.sql("SHOW SERVES").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(4)))
+      assert(row.toSeq == Seq(("svc_sql", "serve", "svc_sql", true)))
+      assert(e.sql("SHOW SINKS").collect()
+        .exists(r => r.getString(0) == "svc_sql" &&
+          r.getString(1) == "serve:svc_sql"))
+      // the sink (and its _rejects) are fenced while the twin runs
+      val fenced = intercept[IllegalStateException](
+        e.sql("OPTIMIZE svc_sql"))
+      assert(fenced.getMessage.contains("serve:svc_sql"))
+      // a poison drop (3-dim query) quarantines; the stream survives
+      import spark.implicits._
+      Seq((999L, Seq(1.0f, 2.0f, 3.0f))).toDF("q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      q.processAllAvailable()
+      assert(q.isActive, "a poison query must not kill the twin")
+      assert(e.storage.table("svc_sql_rejects")
+        .filter(col("q_id") === 999L).count() == 1L)
+      assert(e.storage.table("svc_sql").collect()
+        .map(_.toSeq).toSet == batch,
+        "a poison query must not touch the answers table")
+      // clean stop lifts the fence (async claim release)
+      e.sql("STOP SERVE svc_sql")
+      assert(e.sql("SHOW SERVES").collect().isEmpty)
+      eventuallyAllowed() { e.sql("OPTIMIZE svc_sql") }
+      // resume against the SAME source: only the new query is answered,
+      // nothing is re-answered (exactly-once across the restart)
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") === 5L)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      e.sql(s"START SERVE VECTORS FROM '$watch' INTO svc_sql TOP 2")
+      e.serveQuery("svc_sql").get.processAllAvailable()
+      val counts = e.storage.table("svc_sql").groupBy(col("q_id"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts == Map(0L -> 2L, 1L -> 2L, 5L -> 2L),
+        s"resume lost or duplicated answers: $counts")
+      // resuming the sink's checkpoint against a DIFFERENT directory is
+      // refused toward the rotation path
+      e.sql("STOP SERVE svc_sql")
+      val other = Files.createTempDirectory("graft_servesql_src2").toString
+      val pinErr = intercept[IllegalArgumentException](
+        e.sql(s"START SERVE VECTORS FROM '$other' INTO svc_sql"))
+      assert(pinErr.getMessage.contains("created for source"))
+      // PURGE retires the checkpoint; a fresh START over the marker-
+      // carrying sink is refused until the sink is dropped
+      e.sql("STOP SERVE svc_sql PURGE")
+      val markErr = intercept[IllegalArgumentException](
+        e.sql(s"START SERVE VECTORS FROM '$other' INTO svc_sql"))
+      assert(markErr.getMessage.contains("stream markers"))
+      eventuallyAllowed() { e.sql("DROP TABLE svc_sql") }
+      eventuallyAllowed() { e.sql("DROP TABLE svc_sql_rejects") }
+      // with the old sink gone the rotation completes: a fresh twin over
+      // the new directory starts clean
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") === 7L)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(other)
+      e.sql(s"START SERVE VECTORS FROM '$other' INTO svc_sql")
+      e.serveQuery("svc_sql").get.processAllAvailable()
+      assert(e.storage.table("svc_sql").select("q_id").distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(7L))
+      e.sql("STOP SERVE svc_sql")
+      e.sql("DROP VECTOR INDEX ON embeddings")
+    } finally e.close()
+  }
+
+  test("START SERVE VECTORS ... DIVERSIFY: streamed MMR answers match " +
+      "batch SEARCH VECTORS ... DIVERSIFY; OVER below TOP and a " +
+      "duplicate name are refused") {
+    val e = new Engine(spark, d, freshWh("servemmr"))
+    try {
+      e.sql("BUILD VECTOR INDEX ON embeddings")
+      val watch = Files.createTempDirectory("graft_servemmr_src").toString
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 2)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      intercept[IllegalArgumentException](e.sql(
+        s"START SERVE VECTORS FROM '$watch' INTO mmr_sql TOP 3 " +
+          "DIVERSIFY 0.7 OVER 2"))
+      e.sql(s"START SERVE VECTORS FROM '$watch' INTO mmr_sql TOP 3 " +
+        "DIVERSIFY 0.7 OVER 10 AS mmr_twin")
+      intercept[IllegalArgumentException](e.sql(
+        s"START SERVE VECTORS FROM '$watch' INTO mmr_sql AS mmr_twin"))
+      e.serveQuery("mmr_twin").get.processAllAvailable()
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 2)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .createOrReplaceTempView("mmr_probe_q")
+      val batch = e.sql(
+        "SEARCH VECTORS USING mmr_probe_q TOP 3 DIVERSIFY 0.7 OVER 10")
+        .collect().map(_.toSeq).toSet
+      assert(e.storage.table("mmr_sql").collect().map(_.toSeq).toSet
+        == batch, "streamed MMR answers diverge from the batch statement")
+      assert(e.sql("SHOW SERVES").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+        == Seq(("mmr_twin", "serve_mmr")))
+      e.sql("STOP SERVE mmr_twin")
+      e.sql("DROP VECTOR INDEX ON embeddings")
+    } finally e.close()
+  }
+
+  test("START DECONTAM VECTORS: streamed contamination verdicts are " +
+      "bit-identical to batch d103; stopping from a LATER session by " +
+      "sink name retains the checkpoint, PURGE retires it") {
+    val wh = freshWh("decontamsql")
+    val e = new Engine(spark, d, wh)
+    try {
+      val watch = Files.createTempDirectory("graft_dcsql_src").toString
+      // the train side arrives; the eval slice is the gate's reference
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") % 23 =!= 0)
+        .selectExpr("vec_id", "embedding")
+        .write.mode("append").parquet(watch)
+      e.sql(s"START DECONTAM VECTORS FROM '$watch' INTO contam_sql")
+      e.serveQuery("contam_sql").get.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+          r.getDouble(3))
+      }.toSet
+      val streamed = norm(e.storage.table("contam_sql").collect())
+      val batch = norm(SparkEntry
+        .queries("d103_semantic_decontam")(spark, d).collect())
+      assert(streamed.nonEmpty && streamed == batch,
+        "SQL-face decontam verdicts diverge from batch d103")
+      e.sql("STOP SERVE contam_sql")
+    } finally e.close()
+    // a LATER session: no in-memory handle — STOP SERVE by sink name
+    // reports the retained checkpoint; PURGE retires it
+    val e2 = new Engine(spark, d, wh)
+    try {
+      assert(e2.sql("SHOW SERVES").collect().isEmpty)
+      assert(e2.sql("STOP SERVE contam_sql").head().getString(0)
+        .contains("retained"))
+      assert(e2.sql("STOP SERVE contam_sql PURGE").head().getString(0)
+        .contains("purged"))
+      intercept[IllegalArgumentException](e2.sql("STOP SERVE contam_sql"))
+    } finally e2.close()
+  }
+}
