@@ -1728,12 +1728,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
     case showSinksStmt() =>
       import spark.implicits._
-      // claim_age_sec = seconds since the claim file was (re)written —
-      // time since the owning stream last (re)claimed, NOT a heartbeat:
-      // for `ingest:*` owners the LIVENESS evidence is SHOW INGESTS'
+      // claim_age_sec = seconds since the claim file's mtime. For
+      // `ingest:*` owners the LIVENESS evidence is SHOW INGESTS'
       // heartbeat_age_sec (the registry claim is the beaten one); for
-      // twin owners a restart re-claims (fresh age), so a very old claim
-      // whose owner is known-gone is the RELEASE SINK ... FORCE case
+      // SQL-face serve/decontam twins the SINK claim itself is beaten
+      // (per batch + from the idle listener), so the age reads as
+      // liveness; for Scala-API twins a restart re-claims (fresh age).
+      // A very old claim whose owner is known-gone is the
+      // RELEASE SINK ... FORCE case either way.
       val now = System.currentTimeMillis()
       cmds.sinkClaims
         .map { case (t, o, mt) => (t, o, (now - mt) / 1000L) }

@@ -203,4 +203,57 @@ class ServeSqlSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](e2.sql("STOP SERVE contam_sql"))
     } finally e2.close()
   }
+
+  test("idle-proof serve heartbeat: a LIVE twin watching a quiet " +
+      "directory keeps its sink claim's mtime fresh, so SHOW SINKS' " +
+      "claim_age_sec never recommends RELEASE ... FORCE against a live " +
+      "twin; after STOP the claim is gone entirely") {
+    val wh = freshWh("serveidle")
+    val e = new Engine(spark, d, wh)
+    val confKey = "spark.sql.streaming.noDataProgressEventInterval"
+    val oldConf = spark.conf.getOption(confKey)
+    try {
+      spark.conf.set(confKey, "500ms") // idle events every 0.5 s
+      e.sql("BUILD VECTOR INDEX ON embeddings")
+      val watch = Files.createTempDirectory("graft_serveidle_src").toString
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 1)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      e.sql(s"START SERVE VECTORS FROM '$watch' INTO idle_svc")
+      e.serveQuery("idle_svc").get.processAllAvailable()
+      // the source goes QUIET: foreachBatch never runs again. Plant a
+      // stale mtime on the SINK claim — the live twin's idle beat must
+      // refresh it within a few idle intervals.
+      val claim = java.nio.file.Paths.get(wh, "_sink_claims", "idle_svc")
+      assert(Files.exists(claim))
+      Files.setLastModifiedTime(claim,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      def shownAge(): Long = e.sql("SHOW SINKS").collect()
+        .find(_.getString(0) == "idle_svc").get.getLong(2)
+      assert(shownAge() >= 7000L, "fixture mtime plant failed")
+      val deadline = System.currentTimeMillis() + 20000L
+      var age = shownAge()
+      while (age >= 7000L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); age = shownAge()
+      }
+      assert(age < 7000L,
+        s"idle-but-LIVE twin never beat its sink claim (age $age s) - " +
+          "SHOW SINKS would wrongly recommend RELEASE ... FORCE")
+      e.sql("STOP SERVE idle_svc")
+      val gone = System.currentTimeMillis() + 15000L
+      while (Files.exists(claim) && System.currentTimeMillis() < gone)
+        Thread.sleep(100)
+      assert(!Files.exists(claim),
+        "a cleanly stopped twin's claim must release, not age")
+      e.sql("DROP VECTOR INDEX ON embeddings")
+    } finally {
+      oldConf match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      e.close()
+    }
+  }
 }
