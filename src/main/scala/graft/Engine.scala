@@ -86,6 +86,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     val name = aliasOpt.getOrElse(sink.toLowerCase(java.util.Locale.ROOT))
     require(!serves.contains(name),
       s"serve $name already running - STOP SERVE $name first")
+    // one twin per sink in this session, refused BEFORE any claim is
+    // touched (cross-engine, the sink claim + Spark's same-checkpoint
+    // refusal close the window, with the claim restored on the failed
+    // start — see withSinkClaims)
+    serves.collectFirst { case (n, (_, _, s, _)) if s == sink => n }
+      .foreach(n => throw new IllegalArgumentException(
+        s"sink $sink is already served by '$n' in this session - " +
+          s"STOP SERVE $n first"))
     val ckptPath = serveCkptDir(sink)
     val ckptFresh = !java.nio.file.Files.isDirectory(ckptPath)
     if (ckptFresh)
@@ -1353,8 +1361,10 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // claim EXACTLY (same kind — a different-kind reuse would clobber
       // a live claim of the other kind — and same source). Liveness of
       // the prior session is the operator's call: within one JVM Spark
-      // itself refuses a second active query on one checkpoint; across
-      // JVMs, STOP INGEST the dead name first.
+      // TAKES OVER the checkpoint (stopActiveRunOnRestart stops the
+      // previous run before the new one processes — the ServeSqlSpec
+      // takeover case pins the semantics); across JVMs nothing stops
+      // the old run, so STOP INGEST the dead name first.
       val existing = registeredIngests.find(_._1 == name)
       existing.foreach { case (_, k0, d0, _) =>
         require(k0 == k,

@@ -907,14 +907,25 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * ([[releaseSinkIfRun]] compares nonces). A claim held by a different
     * owner is refused. The tmp name is per-attempt unique for the same
     * reason as the ingest-registry claim. */
-  def claimSink(table: String, owner: String): String = withClaimLock {
+  def claimSink(table: String, owner: String): String =
+    claimSinkKeepingPrior(table, owner)._1
+
+  /** As [[claimSink]], but also returns the REPLACED claim's raw content
+    * when this was a same-owner re-claim. A failed stream start restores
+    * that content ([[restoreSinkClaim]]) instead of releasing: the
+    * re-claim policy assumes the prior incarnation is DEAD, and when it
+    * is not — a second twin targeting a LIVE twin's sink in this JVM,
+    * where Spark's same-checkpoint refusal kills the second start — a
+    * delete-on-rollback would strand the live predecessor unfenced. */
+  def claimSinkKeepingPrior(table: String,
+      owner: String): (String, Option[String]) = withClaimLock {
     val nonce = java.util.UUID.randomUUID().toString
     val tmp = sinkClaimsDir.resolve(
       table.toLowerCase(java.util.Locale.ROOT) + "." +
         nonce.take(8) + ".tmp")
     Files.writeString(tmp, s"$owner\t$nonce")
     try {
-      try { Files.createLink(sinkClaimFile(table), tmp); () }
+      try { Files.createLink(sinkClaimFile(table), tmp); (nonce, None) }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         if (!sinkOwner(table).contains(owner))
           throw new IllegalStateException(
@@ -926,12 +937,29 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         // and this instance is that writer's current incarnation; the
         // claim lock makes the read-then-replace atomic, so an
         // interleaved FORCE release + foreign claim cannot be clobbered)
+        val prior = Files.readString(sinkClaimFile(table))
         Files.move(tmp, sinkClaimFile(table),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        (nonce, Some(prior))
       }
     } finally { Files.deleteIfExists(tmp); () }
-    nonce
+  }
+
+  /** Put a REPLACED claim back after a failed start — only while
+    * `ifNonce` (the failed claimant's) still owns the file; anyone
+    * else's later re-claim wins and the restore is a no-op. */
+  def restoreSinkClaim(table: String, content: String,
+      ifNonce: String): Unit = withClaimLock {
+    if (sinkNonce(table).contains(ifNonce)) {
+      val tmp = sinkClaimsDir.resolve(
+        table.toLowerCase(java.util.Locale.ROOT) + "." +
+          java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      Files.writeString(tmp, content)
+      Files.move(tmp, sinkClaimFile(table),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+    }
   }
 
   /** Heartbeat a live sink claim: bump the claim file's mtime, making

@@ -69,8 +69,11 @@ object VectorStreams {
     // through releaseSinkIfRun, so if a SUCCESSOR twin (same owner tag)
     // re-claims the table between this instance's stop and its async
     // termination event, the late release is a no-op instead of
-    // unfencing the live successor
-    val nonces = tables.map(t => t -> cmds.claimSink(t, owner))
+    // unfencing the live successor. Also remember the REPLACED content
+    // of a same-owner re-claim: if the start below THROWS (Spark refuses
+    // a second query on a live checkpoint), the predecessor may be alive
+    // and its claim must be RESTORED, not deleted.
+    val nonces = tables.map(t => t -> cmds.claimSinkKeepingPrior(t, owner))
     val idHolder =
       new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -79,7 +82,7 @@ object VectorStreams {
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == idHolder.get) {
-          nonces.foreach { case (t, n) => cmds.releaseSinkIfRun(t, n) }
+          nonces.foreach { case (t, (n, _)) => cmds.releaseSinkIfRun(t, n) }
           ss.streams.removeListener(this)
         }
     }
@@ -88,7 +91,13 @@ object VectorStreams {
       try start
       catch { case e: Throwable =>
         ss.streams.removeListener(listener)
-        nonces.foreach { case (t, n) => cmds.releaseSinkIfRun(t, n) }
+        // rollback: a re-claimed (replaced) claim goes BACK — the
+        // predecessor may be the live stream whose checkpoint just
+        // refused us; a fresh claim is simply released
+        nonces.foreach { case (t, (n, prior)) => prior match {
+          case Some(c) => cmds.restoreSinkClaim(t, c, n)
+          case None => cmds.releaseSinkIfRun(t, n)
+        }}
         throw e
       }
     idHolder.set(q.id)
@@ -99,7 +108,7 @@ object VectorStreams {
     // nonce-guarded; a double removeListener is a no-op), so re-running
     // them here is safe even if the event raced in after the set.
     if (!q.isActive) {
-      nonces.foreach { case (t, n) => cmds.releaseSinkIfRun(t, n) }
+      nonces.foreach { case (t, (n, _)) => cmds.releaseSinkIfRun(t, n) }
       ss.streams.removeListener(listener)
     }
     q

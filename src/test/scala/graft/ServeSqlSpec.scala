@@ -204,6 +204,96 @@ class ServeSqlSpec extends AnyFunSuite {
     } finally e2.close()
   }
 
+  test("a second START SERVE over a LIVE twin's sink cannot strand it " +
+      "unfenced: same-session duplicate-sink is refused before any claim " +
+      "is touched; cross-engine, the failed start RESTORES the replaced " +
+      "live claim instead of deleting it") {
+    val wh = freshWh("servelive")
+    val e1 = new Engine(spark, d, wh)
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val watch = Files.createTempDirectory("graft_servelive_src").toString
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 1)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      e1.sql(s"START SERVE VECTORS FROM '$watch' INTO live_svc")
+      e1.serveQuery("live_svc").get.processAllAvailable()
+      // same session: crisp refusal BEFORE the claim machinery runs
+      val dup = intercept[IllegalArgumentException](
+        e1.sql(s"START SERVE VECTORS FROM '$watch' INTO live_svc AS b"))
+      assert(dup.getMessage.contains("already served"))
+      // a second ENGINE over the same warehouse is a TAKEOVER, not a
+      // refusal: Spark stops the previous run of the same checkpoint
+      // (stopActiveRunOnRestart) and the same-owner re-claim hands the
+      // fence to the new incarnation — the claim must stay held
+      // throughout (the old run's late release is nonce-guarded away),
+      // and answers must stay exactly-once across the handover because
+      // the checkpoint (and its batch numbering) is shared.
+      val e2 = new Engine(spark, d, wh)
+      try {
+        e2.sql(s"START SERVE VECTORS FROM '$watch' INTO live_svc")
+        val takenOver = System.currentTimeMillis() + 15000L
+        while (e1.serveQuery("live_svc").get.isActive &&
+            System.currentTimeMillis() < takenOver)
+          Thread.sleep(100)
+        assert(!e1.serveQuery("live_svc").get.isActive,
+          "the prior incarnation must stop on takeover")
+        assert(e1.storage.sinkOwner("live_svc").contains("serve:live_svc"),
+          "the takeover left the sink unfenced")
+        intercept[IllegalStateException](e1.sql("OPTIMIZE live_svc"))
+        // the NEW incarnation serves; nothing is re-answered
+        spark.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("vec_id") === 5L)
+          .selectExpr("vec_id AS q_id", "embedding")
+          .write.mode("append").parquet(watch)
+        e2.serveQuery("live_svc").get.processAllAvailable()
+        val counts = e2.storage.table("live_svc").groupBy(col("q_id"))
+          .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(counts.keySet == Set(0L, 5L) && counts.values.forall(_ == 3L),
+          s"takeover lost or duplicated answers: $counts")
+        e2.sql("STOP SERVE live_svc")
+        val gone = System.currentTimeMillis() + 15000L
+        while (e2.storage.sinkOwner("live_svc").nonEmpty &&
+            System.currentTimeMillis() < gone)
+          Thread.sleep(100)
+        assert(e2.storage.sinkOwner("live_svc").isEmpty,
+          "the new incarnation's claim no longer releases on clean stop")
+      } finally e2.close()
+      // e1's handle is a stopped query now; STOP SERVE just clears it
+      e1.sql("STOP SERVE live_svc")
+      e1.sql("DROP VECTOR INDEX ON embeddings")
+    } finally e1.close()
+  }
+
+  test("claim restore semantics (the failed-start rollback): a replaced " +
+      "claim goes back verbatim under the replacing nonce, never under " +
+      "anyone else's") {
+    val wh = freshWh("restoreclaim")
+    val cmds = new commands.TableCommands(spark, wh)
+    val (n1, p1) = cmds.claimSinkKeepingPrior("rst_t", "serve:rst_t")
+    assert(p1.isEmpty, "first claim has no prior")
+    val (n2, p2) = cmds.claimSinkKeepingPrior("rst_t", "serve:rst_t")
+    assert(p2.exists(_.contains(n1)), "re-claim must surface the prior")
+    // a THIRD claimant replaced n2 — n2's restore must be a no-op
+    val (n3, _) = cmds.claimSinkKeepingPrior("rst_t", "serve:rst_t")
+    cmds.restoreSinkClaim("rst_t", p2.get, ifNonce = n2)
+    assert(!cmds.sinkClaims.exists(_._1 == ".lock"))
+    cmds.releaseSinkIfRun("rst_t", n1)
+    assert(cmds.sinkOwner("rst_t").nonEmpty,
+      "a stale restore dropped the current claim")
+    // the rightful restore: n3 still owns the file, its rollback puts
+    // the prior back, after which the prior's nonce releases it
+    val (n4, p4) = cmds.claimSinkKeepingPrior("rst_t", "serve:rst_t")
+    cmds.restoreSinkClaim("rst_t", p4.get, ifNonce = n4)
+    cmds.releaseSinkIfRun("rst_t", n4)
+    assert(cmds.sinkOwner("rst_t").nonEmpty,
+      "the restored claim must not release under the restorer's nonce")
+    cmds.releaseSinkIfRun("rst_t", n3)
+    assert(cmds.sinkOwner("rst_t").isEmpty,
+      "the restored claim must release under the restored nonce")
+  }
+
   test("idle-proof serve heartbeat: a LIVE twin watching a quiet " +
       "directory keeps its sink claim's mtime fresh, so SHOW SINKS' " +
       "claim_age_sec never recommends RELEASE ... FORCE against a live " +
