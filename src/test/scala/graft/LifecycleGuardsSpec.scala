@@ -436,10 +436,10 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     }
   }
 
-  test("dual gates: ADMIT and VECTOR run SIMULTANEOUSLY on one " +
-      "warehouse — independent kind claims, per-table fences and " +
-      "markers; stopping one releases only its own claims; both " +
-      "gates stay exactly-once") {
+  test("full composition: ADMIT gate, VECTOR gate and a SERVE twin run " +
+      "SIMULTANEOUSLY on one warehouse — seven independent claims, " +
+      "per-table fences; stopping each stream releases only its own " +
+      "claims; all three stay exactly-once") {
     import spark.implicits._
     val wh = freshWh("dual")
     val e1 = new Engine(spark, d, wh)
@@ -464,7 +464,15 @@ class LifecycleGuardsSpec extends AnyFunSuite {
         .toSet
       assert(shown == Set(("dgate", true, "admit"),
         ("vgate", true, "vector")), s"SHOW INGESTS: $shown")
-      // five independent sink claims, split by kind owner
+      // a SERVE twin joins the two gates on the same warehouse
+      val dirQ = Files.createTempDirectory("graft_dual_queries").toString
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 1)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(dirQ)
+      e1.sql(s"START SERVE VECTORS FROM '$dirQ' INTO svc_dual")
+      e1.serveQuery("svc_dual").get.processAllAvailable()
+      // seven independent sink claims, split by owner
       val sinks = e1.sql("SHOW SINKS").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(sinks == Map(
@@ -472,7 +480,9 @@ class LifecycleGuardsSpec extends AnyFunSuite {
         operators.DedupIndex.tableName("bands") -> "ingest:ADMIT",
         operators.VectorIndex.tableName("codes") -> "ingest:VECTOR",
         operators.VectorIndex.tableName("assign") -> "ingest:VECTOR",
-        "vector_ingest_rejects" -> "ingest:VECTOR"),
+        "vector_ingest_rejects" -> "ingest:VECTOR",
+        "svc_dual" -> "serve:svc_dual",
+        "svc_dual_rejects" -> "serve:svc_dual"),
         s"SHOW SINKS: $sinks")
       intercept[IllegalStateException] {
         e1.sql("OPTIMIZE ingest_verdicts")
@@ -480,21 +490,36 @@ class LifecycleGuardsSpec extends AnyFunSuite {
       intercept[IllegalStateException] {
         e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("codes")}")
       }
+      intercept[IllegalStateException] { e1.sql("OPTIMIZE svc_dual") }
       // stopping the ADMIT gate releases ONLY the ADMIT claims
       e1.sql("STOP INGEST dgate")
       e1.sql("OPTIMIZE ingest_verdicts") // released
       intercept[IllegalStateException] { // vector still fenced
         e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("codes")}")
       }
+      intercept[IllegalStateException] { // serve still fenced
+        e1.sql("OPTIMIZE svc_dual")
+      }
       e1.sql("STOP INGEST vgate")
       e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("assign")}")
+      intercept[IllegalStateException] { // serve STILL fenced
+        e1.sql("OPTIMIZE svc_dual")
+      }
+      e1.sql("STOP SERVE svc_dual")
+      eventuallyAllowed() { e1.sql("OPTIMIZE svc_dual") }
+      val leaked = System.currentTimeMillis() + 15000L
+      while (e1.sql("SHOW SINKS").collect().nonEmpty &&
+          System.currentTimeMillis() < leaked)
+        Thread.sleep(100)
       assert(e1.sql("SHOW SINKS").isEmpty, "claims leaked after stops")
-      // both gates committed exactly once
+      // all three streams committed exactly once
       assert(e1.storage.table("ingest_verdicts")
         .filter(col("doc_id") === 8900001L).count() == 1L)
       assert(e1.storage
         .table(operators.VectorIndex.tableName("codes"))
         .filter(col("vec_id") === 8900002L).count() == 1L)
+      assert(e1.storage.table("svc_dual").select("q_id").distinct()
+        .count() == 1L)
       e1.sql("DROP DEDUP INDEX ON documents")
       e1.sql("DROP VECTOR INDEX ON embeddings")
     } finally e1.close()
