@@ -123,6 +123,25 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       java.nio.file.Files.createDirectories(srcFile.getParent)
       java.nio.file.Files.writeString(srcFile, canonDir(dir)); ()
     }
+    // KIND pin: the checkpoint is keyed by sink, so without it a later
+    // START of a DIFFERENT twin kind INTO the same sink would resume
+    // this checkpoint and pollute the table with a second result schema
+    // (search answers + contamination verdicts interleaved — silent,
+    // schema-compatible-enough corruption). A missing pin (checkpoint
+    // from before kind pinning) self-heals to the current kind, like the
+    // gates' legacy floor pin.
+    val kindFile =
+      ckptPath.resolveSibling(ckptPath.getFileName.toString + ".kind")
+    if (java.nio.file.Files.exists(kindFile)) {
+      val pinnedKind = java.nio.file.Files.readString(kindFile).trim
+      require(pinnedKind == kind,
+        s"the $sink serve checkpoint belongs to a $pinnedKind twin - " +
+          s"starting a $kind twin INTO the same sink would mix result " +
+          s"schemas in one table; STOP SERVE $name PURGE and DROP the " +
+          "sink, or target a new table")
+    } else {
+      java.nio.file.Files.writeString(kindFile, kind); ()
+    }
     // the beat keeps SHOW SINKS' claim_age_sec bounded while the twin
     // lives — fired per batch AND from the idle/progress listener
     val beat = () => cmds.touchSinkClaim(sink)
@@ -134,9 +153,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           .parquet(dir)
         mk(qs, beat, ckptPath.toString)
       } catch { case e: Throwable =>
-        // a refused START must not pin a source the checkpoint never saw
-        if (srcWasNew && !java.nio.file.Files.isDirectory(ckptPath))
+        // a refused START must not pin a source/kind the checkpoint
+        // never saw
+        if (srcWasNew && !java.nio.file.Files.isDirectory(ckptPath)) {
           java.nio.file.Files.deleteIfExists(srcFile)
+          java.nio.file.Files.deleteIfExists(kindFile); ()
+        }
         throw e
       }
     serves(name) = (q, kind, sink, dir)
@@ -1815,7 +1837,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         val d = serveCkptDir(sink)
         if (java.nio.file.Files.isDirectory(d)) rmTree(d.toFile)
         java.nio.file.Files.deleteIfExists(
-          d.resolveSibling(d.getFileName.toString + ".src")); ()
+          d.resolveSibling(d.getFileName.toString + ".src"))
+        java.nio.file.Files.deleteIfExists(
+          d.resolveSibling(d.getFileName.toString + ".kind")); ()
       }
       serves.remove(name) match {
         case Some((q, _, sink, _)) =>

@@ -88,6 +88,12 @@ class ServeSqlSpec extends AnyFunSuite {
       e.sql("STOP SERVE svc_sql")
       assert(e.sql("SHOW SERVES").collect().isEmpty)
       eventuallyAllowed() { e.sql("OPTIMIZE svc_sql") }
+      // the checkpoint is KIND-pinned: a different twin kind INTO the
+      // same sink would resume it and mix result schemas in one table
+      val kindErr = intercept[IllegalArgumentException](e.sql(
+        s"START DECONTAM VECTORS FROM '$watch' INTO svc_sql"))
+      assert(kindErr.getMessage.contains("belongs to a SERVE twin"),
+        kindErr.getMessage)
       // resume against the SAME source: only the new query is answered,
       // nothing is re-answered (exactly-once across the restart)
       spark.read.parquet(s"$d/embeddings.parquet")
