@@ -1859,6 +1859,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           // died without releasing, are released deliberately with
           // RELEASE SINK ... FORCE (SHOW SINKS shows the evidence).
           val sink = cmds.resolveTable(name).getOrElse(name)
+          // ... unless a twin in THIS session serves that sink under an
+          // alias: purging a LIVE stream's checkpoint out from under it
+          // corrupts its resumable state — direct to the handle
+          serves.collectFirst {
+            case (n, (_, _, s, _)) if s.equalsIgnoreCase(sink) => n
+          }.foreach(n => throw new IllegalArgumentException(
+            s"sink $sink is served by '$n' in this session - " +
+              s"STOP SERVE $n" + (if (purge) " PURGE" else "")))
           if (java.nio.file.Files.isDirectory(serveCkptDir(sink))) {
             if (purge) {
               purgeCkpt(sink)

@@ -167,6 +167,12 @@ class ServeSqlSpec extends AnyFunSuite {
       assert(e.sql("SHOW SERVES").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
         == Seq(("mmr_twin", "serve_mmr")))
+      // STOP SERVE by SINK name while an aliased twin serves it must
+      // direct to the handle, never purge a LIVE twin's checkpoint
+      val aliasErr = intercept[IllegalArgumentException](
+        e.sql("STOP SERVE mmr_sql PURGE"))
+      assert(aliasErr.getMessage.contains("STOP SERVE mmr_twin"),
+        aliasErr.getMessage)
       e.sql("STOP SERVE mmr_twin")
       e.sql("DROP VECTOR INDEX ON embeddings")
     } finally e.close()
