@@ -278,6 +278,105 @@ class ServeSqlSpec extends AnyFunSuite {
     } finally e1.close()
   }
 
+  test("serve soak: randomized stop/close/resume/takeover/rotation " +
+      "sequences over the SQL face — every clean query answered exactly " +
+      "once with k answers, every poison query rejected exactly once, " +
+      "the fence holds at every live rest point; two seeds, fresh " +
+      "warehouse each") {
+    Seq(20260816L, 31137L).foreach(serveSoak)
+  }
+
+  private def serveSoak(seed: Long): Unit = {
+    import spark.implicits._
+    val wh = freshWh("ssoak")
+    var engine = new Engine(spark, d, wh)
+    try {
+      engine.sql("BUILD VECTOR INDEX ON embeddings")
+      val rng = new scala.util.Random(seed)
+      val pool = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 40).select("embedding").collect()
+        .map(_.getSeq[Float](0))
+      def newDir() =
+        Files.createTempDirectory("graft_ssoak_src").toString
+      var dir = newDir()
+      var gen = 0
+      def sink = s"ssoak_t$gen"
+      var nextQ = 9000000L
+      val answered = scala.collection.mutable.Set.empty[Long]
+      val rejected = scala.collection.mutable.Set.empty[Long]
+      var running = false
+      (1 to 6).foreach { epoch =>
+        // drop 1-2 queries; each has a 1-in-4 chance of being poison
+        (0 until 1 + rng.nextInt(2)).foreach { _ =>
+          nextQ += 1
+          if (rng.nextInt(4) == 0) {
+            Seq((nextQ, Seq(1.0f, 2.0f, 3.0f))).toDF("q_id", "embedding")
+              .write.mode("append").parquet(dir)
+            rejected += nextQ
+          } else {
+            Seq((nextQ, pool(rng.nextInt(pool.length))))
+              .toDF("q_id", "embedding")
+              .write.mode("append").parquet(dir)
+            answered += nextQ
+          }
+        }
+        if (!running) {
+          engine.sql(s"START SERVE VECTORS FROM '$dir' INTO $sink")
+          running = true
+        }
+        engine.serveQuery(sink).get.processAllAvailable()
+        // REST-POINT INVARIANTS: exactly-once answers and rejects
+        if (answered.nonEmpty) {
+          val counts = engine.storage.table(sink).groupBy(col("q_id"))
+            .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(counts.keySet == answered.toSet &&
+            counts.values.forall(_ == 3L),
+            s"seed $seed epoch $epoch: lost/duplicated answers: $counts " +
+              s"expected ${answered.toSet}")
+        }
+        if (rejected.nonEmpty) {
+          val rcounts = engine.storage.table(s"${sink}_rejects")
+            .groupBy(col("q_id")).count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(rcounts.keySet == rejected.toSet &&
+            rcounts.values.forall(_ == 1L),
+            s"seed $seed epoch $epoch: lost/duplicated rejects: $rcounts")
+        }
+        // fence probe at a LIVE rest point
+        intercept[IllegalStateException](engine.sql(s"OPTIMIZE $sink"))
+        // end the epoch one of four ways
+        rng.nextInt(4) match {
+          case 0 => // clean stop; a later epoch resumes the checkpoint
+            engine.sql(s"STOP SERVE $sink"); running = false
+          case 1 => // session ends (close stops the twin); resume later
+            engine.close()
+            engine = new Engine(spark, d, wh)
+            running = false
+          case 2 => // TAKEOVER: a second engine claims the live sink and
+            // the shared checkpoint; the old session is then closed
+            val e2 = new Engine(spark, d, wh)
+            e2.sql(s"START SERVE VECTORS FROM '$dir' INTO $sink")
+            engine.close()
+            engine = e2 // running stays true — the twin lives in e2
+          case _ => // rotation: purge the checkpoint, drop the sink pair,
+            // fresh directory + sink generation
+            engine.sql(s"STOP SERVE $sink PURGE")
+            if (engine.storage.tableExists(sink))
+              eventuallyAllowed() { engine.sql(s"DROP TABLE $sink") }
+            if (engine.storage.tableExists(s"${sink}_rejects"))
+              eventuallyAllowed() {
+                engine.sql(s"DROP TABLE ${sink}_rejects")
+              }
+            dir = newDir(); gen += 1
+            answered.clear(); rejected.clear()
+            running = false
+        }
+      }
+      if (running) engine.sql(s"STOP SERVE $sink")
+      engine.sql("DROP VECTOR INDEX ON embeddings")
+    } finally engine.close()
+  }
+
   test("claim restore semantics (the failed-start rollback): a replaced " +
       "claim goes back verbatim under the replacing nonce, never under " +
       "anyone else's") {
