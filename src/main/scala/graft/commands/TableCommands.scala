@@ -287,6 +287,25 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * restore. Nested BEGIN is an error (reference semantics). */
   def begin(): Unit = {
     require(txnSnapshot.isEmpty, "transaction already open")
+    // a live stream's sink inside the snapshot would be a LOST-WRITE
+    // hazard: the stream keeps appendCommitting (checkpoint advancing)
+    // while ROLLBACK restores the sink's pointer to the pre-txn version
+    // — the rolled-back batches are never replayed (no crash happened)
+    // and, for the ADMIT gate, the band index silently loses entries.
+    // The claim registry is the cross-process view of "live stream
+    // writes here", so BEGIN refuses while any claim exists. (In-memory
+    // txn state is per-session, so the reverse direction — a claim
+    // arriving from ANOTHER process mid-txn — is the operator's call,
+    // like all cross-process liveness; in-process it is refused by
+    // claimSink's txn check, which covers the SharedServer reality of
+    // every client sharing one engine.)
+    val claims = sinkClaims
+    require(claims.isEmpty,
+      "BEGIN: live streams commit into this warehouse (" +
+        claims.map(c => s"${c._1} by ${c._2}").mkString(", ") +
+        ") and ROLLBACK would restore their sinks' pointers under them, " +
+        "silently losing committed batches - stop the streams first " +
+        "(SHOW INGESTS / SHOW SERVES / SHOW SINKS)")
     txnSnapshot = Some(warehouseTables.map(t =>
       t -> Files.readString(currentFile(t)).trim).toMap)
   }
@@ -919,6 +938,12 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * delete-on-rollback would strand the live predecessor unfenced. */
   def claimSinkKeepingPrior(table: String,
       owner: String): (String, Option[String]) = withClaimLock {
+    // the mirror of begin()'s claim check: starting a stream inside an
+    // open transaction puts its sink in the rollback set — see begin()
+    require(txnSnapshot.isEmpty,
+      s"cannot register stream sink $table: a transaction is open on " +
+        "this session and ROLLBACK would restore the sink's pointer " +
+        "under the stream - COMMIT or ROLLBACK first")
     val nonce = java.util.UUID.randomUUID().toString
     val tmp = sinkClaimsDir.resolve(
       table.toLowerCase(java.util.Locale.ROOT) + "." +

@@ -491,6 +491,10 @@ class LifecycleGuardsSpec extends AnyFunSuite {
         e1.sql(s"OPTIMIZE ${operators.VectorIndex.tableName("codes")}")
       }
       intercept[IllegalStateException] { e1.sql("OPTIMIZE svc_dual") }
+      // transactions exclude live streams: ROLLBACK would restore the
+      // sinks' pointers under all three of them
+      val txnErr = intercept[IllegalArgumentException](e1.sql("BEGIN"))
+      assert(txnErr.getMessage.contains("live streams"), txnErr.getMessage)
       // stopping the ADMIT gate releases ONLY the ADMIT claims
       e1.sql("STOP INGEST dgate")
       e1.sql("OPTIMIZE ingest_verdicts") // released
@@ -709,6 +713,27 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     // the advisory .lock file is fence plumbing, never a listed claim
     assert(Files.exists(Paths.get(wh, "_sink_claims", ".lock")))
     assert(!c1.sinkClaims.exists(_._1.startsWith(".")))
+  }
+
+  test("transactions and live streams exclude each other: BEGIN refuses " +
+      "while any sink claim exists (ROLLBACK would restore the sink's " +
+      "pointer under the stream, losing committed batches), and a " +
+      "stream's claim refuses inside an open transaction") {
+    val wh = freshWh("txnstream")
+    val cmds = new commands.TableCommands(spark, wh)
+    val n = cmds.claimSink("txs_t", "serve:txs_t")
+    val err = intercept[IllegalArgumentException](cmds.begin())
+    assert(err.getMessage.contains("txs_t") &&
+      err.getMessage.contains("losing committed batches"), err.getMessage)
+    cmds.releaseSinkIfRun("txs_t", n)
+    // with claims gone BEGIN opens; a stream start inside it is refused
+    cmds.begin()
+    val err2 = intercept[IllegalArgumentException](
+      cmds.claimSink("txs_t", "serve:txs_t"))
+    assert(err2.getMessage.contains("transaction is open"))
+    cmds.rollback()
+    val n2 = cmds.claimSink("txs_t", "serve:txs_t") // fine again
+    cmds.releaseSinkIfRun("txs_t", n2)
   }
 
   test("a twin whose query DIES (not stopped) releases its sink claims " +
