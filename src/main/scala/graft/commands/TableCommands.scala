@@ -280,12 +280,23 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   // ── transactions over the manifest (single-writer, like the reference's
   // simple txn model — `commands/BeginCommand.java` etc. — but without a
   // WAL: the immutable version dirs ARE the undo log) ─────────────────────
-  private var txnSnapshot: Option[Map[String, String]] = None
+  // @volatile: DML paths read it from SharedServer handler threads; the
+  // txn boundary methods below mutate it under the claim lock
+  @volatile private var txnSnapshot: Option[Map[String, String]] = None
 
   /** BEGIN: snapshot every table's live version. While open, rewrites keep
     * their pre-images on disk (sweep deferred), so ROLLBACK is a pointer
-    * restore. Nested BEGIN is an error (reference semantics). */
-  def begin(): Unit = {
+    * restore. Nested BEGIN is an error (reference semantics).
+    *
+    * Runs under the CLAIM LOCK (as do [[commit]] and [[rollback]]): the
+    * txn/stream exclusion below is check-then-act against state that
+    * [[claimSinkKeepingPrior]] mutates — without the shared lock, a
+    * stream's claim landing between BEGIN's claims-empty check and its
+    * snapshot assignment starts a stream inside the open transaction
+    * (both guards pass), recreating the lost-write hazard the exclusion
+    * exists to prevent. claimSink takes the same lock, so the two
+    * check-then-acts serialize. */
+  def begin(): Unit = withClaimLock {
     require(txnSnapshot.isEmpty, "transaction already open")
     // a live stream's sink inside the snapshot would be a LOST-WRITE
     // hazard: the stream keeps appendCommitting (checkpoint advancing)
@@ -313,16 +324,22 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   /** COMMIT: drop the snapshot and sweep superseded versions — of every
     * table in the warehouse, not just the snapshotted ones, so a table
     * created AND rewritten inside the txn sheds its intermediate versions
-    * too. */
-  def commit(): Unit = {
+    * too. Under the claim lock (see [[begin]]): the snapshot clears
+    * BEFORE the sweeps, so without the lock a stream claimed in that
+    * window could publish a fresh version the concurrent sweep deletes. */
+  def commit(): Unit = withClaimLock {
     require(txnSnapshot.nonEmpty, "no open transaction")
     txnSnapshot = None
     warehouseTables.foreach(sweep)
   }
 
   /** ROLLBACK: atomically restore every snapshotted pointer, then sweep the
-    * now-orphaned post-images. Tables created inside the txn are dropped. */
-  def rollback(): Unit = {
+    * now-orphaned post-images. Tables created inside the txn are dropped.
+    * Under the claim lock (see [[begin]]): the snapshot clears BEFORE the
+    * pointer restores, so without the lock a stream claimed in that window
+    * could appendCommit into a table whose pointer this restore is about
+    * to yank back — the lost-write the txn/stream exclusion prevents. */
+  def rollback(): Unit = withClaimLock {
     require(txnSnapshot.nonEmpty, "no open transaction")
     val snap = txnSnapshot.get
     txnSnapshot = None

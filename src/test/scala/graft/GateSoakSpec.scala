@@ -329,6 +329,12 @@ class GateSoakSpec extends AnyFunSuite {
         assert(fenceErr.getMessage.contains("live stream"),
           s"epoch $epoch: '$probe' failed for the wrong reason: " +
             fenceErr.getMessage)
+        // the txn/stream exclusion holds at every registered rest point:
+        // BEGIN must refuse while the gate's sink claims are live
+        val txnErr = intercept[IllegalArgumentException](engine.sql("BEGIN"))
+        assert(txnErr.getMessage.contains("live streams"),
+          s"epoch $epoch: BEGIN failed for the wrong reason: " +
+            txnErr.getMessage)
         // end the epoch one of four ways
         rng.nextInt(4) match {
           case 0 => // clean stop; next epoch RESUMES the same source —
@@ -343,6 +349,9 @@ class GateSoakSpec extends AnyFunSuite {
                 .contains(m),
                 s"epoch $epoch: OPTIMIZE dropped the stream marker")
             }
+            // ... and with the claims released, a transaction opens and
+            // commits cleanly in the same gap
+            engine.sql("BEGIN"); engine.sql("COMMIT")
           case 1 => // session dies; a new engine resumes the same source
             engine.close()
             engine = new Engine(spark, d, wh)

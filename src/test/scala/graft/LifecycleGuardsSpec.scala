@@ -736,6 +736,53 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     cmds.releaseSinkIfRun("txs_t", n2)
   }
 
+  test("txn/stream exclusion is RACE-FREE: BEGIN's claims-empty check and " +
+      "claimSink's txn-open check serialize on the claim lock, so two " +
+      "threads hammering both can never land a claim inside an open " +
+      "transaction (the unlocked check-then-act let a claim slip between " +
+      "BEGIN's check and its snapshot assignment — and, worse, between " +
+      "ROLLBACK's snapshot clear and its pointer restores)") {
+    val wh = freshWh("txnrace")
+    val cmds = new commands.TableCommands(spark, wh)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val violation = new java.util.concurrent.atomic.AtomicReference[String]()
+    val claimer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val n = cmds.claimSink("race_sink", "serve:race_sink")
+          cmds.releaseSinkIfRun("race_sink", n)
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("transaction is open") => ()
+        }
+      }
+    }, "txnrace-claimer")
+    claimer.start()
+    try {
+      (1 to 200).foreach { _ =>
+        try {
+          cmds.begin()
+          // the invariant: once BEGIN returned, no claim may exist (a
+          // pre-BEGIN claim would have refused BEGIN; a post-BEGIN
+          // claimSink sees the open txn under the same lock and refuses)
+          val live = cmds.sinkClaims
+          if (live.nonEmpty)
+            violation.compareAndSet(null,
+              s"claim(s) ${live.map(_._1).mkString(",")} live inside " +
+                "an open transaction")
+          cmds.rollback()
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("live streams") => ()
+        }
+      }
+    } finally { stop.set(true); claimer.join(10000) }
+    assert(violation.get() == null, String.valueOf(violation.get()))
+    // and the final state is clean: no txn, no claim
+    val n = cmds.claimSink("race_sink", "serve:race_sink")
+    cmds.releaseSinkIfRun("race_sink", n)
+  }
+
   test("a twin whose query DIES (not stopped) releases its sink claims " +
       "via the termination listener, so the fence lifts without " +
       "RELEASE ... FORCE") {
