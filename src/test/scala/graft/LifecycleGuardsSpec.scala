@@ -783,6 +783,48 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     cmds.releaseSinkIfRun("race_sink", n)
   }
 
+  test("CROSS-PROCESS claim exclusivity: two child JVMs hammering " +
+      "claimSink on one table never hold the single-writer claim " +
+      "together (the in-JVM race specs serialize on the shared monitor " +
+      "before the FileChannel lock is touched — only separate processes " +
+      "contend on the link(2)-create + advisory-lock primitive itself)") {
+    val wh = freshWh("xproc")
+    val scratch = Files.createTempDirectory("graft_xproc_scratch")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(owner: String): Process = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.ClaimHammer",
+      wh, owner, "300", scratch.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(scratch.resolve(s"out.$owner").toFile)
+      .start()
+    val pa = spawn("hammer_a")
+    val pb = spawn("hammer_b")
+    assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "claim hammer child JVM(s) hung")
+    def childLog(o: String): String =
+      try Files.readString(scratch.resolve(s"out.$o")).takeRight(500)
+      catch { case _: java.io.IOException => "<no output>" }
+    assert(pa.exitValue == 0 && pb.exitValue == 0,
+      s"child exit codes ${pa.exitValue}/${pb.exitValue}; " +
+        s"a: ${childLog("hammer_a")}; b: ${childLog("hammer_b")}")
+    val violation = scratch.resolve("VIOLATION")
+    if (Files.exists(violation))
+      fail("two processes held the single-writer claim together: " +
+        Files.readString(violation))
+    // both children actually acquired the claim (the test isn't vacuous)
+    Seq("hammer_a", "hammer_b").foreach { o =>
+      val Array(wins, _) =
+        Files.readString(scratch.resolve(s"wins.$o")).trim.split(" ")
+      assert(wins.toLong > 0, s"$o never won the claim - no contention " +
+        "was exercised")
+    }
+    // and the warehouse ends clean: no claim left behind
+    val cmds = new commands.TableCommands(spark, wh)
+    assert(cmds.sinkOwner("xproc_sink").isEmpty)
+  }
+
   test("a twin whose query DIES (not stopped) releases its sink claims " +
       "via the termination listener, so the fence lifts without " +
       "RELEASE ... FORCE") {
