@@ -2340,7 +2340,19 @@ class EngineSqlSpec extends AnyFunSuite {
       "SHOW INGESTS WHERE kind = 'admit'", // engine SHOWs take no clauses
       "SHOW SNAPSHOTS LIKE 's%'",
       "LOAD 'x.csv' INTO", // missing table
-      "LOAD x.csv INTO t") // unquoted path
+      "LOAD x.csv INTO t", // unquoted path
+      // round-11 serving/fence verbs — same head-guard contract
+      "START SERVE VECTORS FROM '/d' TOP 3", // missing INTO
+      "START SERVE VECTORS FROM d INTO t", // unquoted path
+      "START SERVE VECTORS FROM '/d' INTO t DIVERSIFY 0.7 OVER", // no n
+      "START DECONTAM VECTORS FROM '/d' INTO t THRESHOLD high",
+      "STOP SERVE 'name'", // quoted name
+      "STOP SERVE name FORCE", // serve takes PURGE only, never FORCE
+      "RELEASE SINK t", // FORCE is mandatory - an un-FORCEd release
+      //                   must never execute
+      "RELEASE SINK 't' FORCE", // quoted name
+      "SHOW SINKS WHERE owner = 'x'", // engine SHOWs take no clauses
+      "SHOW SERVES LIKE 's%'")
     malformed.foreach { stmt =>
       val e = intercept[IllegalArgumentException](engine.sql(stmt))
       assert(e.getMessage.contains("malformed"),
