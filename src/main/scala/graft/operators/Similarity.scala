@@ -2080,19 +2080,47 @@ object Similarity {
     val centArr = labelCentroids(s, d)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("clabel").asc)
-    def assign(vq: DataFrame): DataFrame =
+    // guardDim: the CALLER-supplied leg raises in-plan on a width
+    // mismatch against the broadcast centroids (dot_l truncates to the
+    // shorter input, so a wrong-width candidate would otherwise score a
+    // silently-truncated cosine — searchVectors' failure mode, and this
+    // kernel is just as SQL-reachable via DECONTAM VECTORS USING t).
+    // The in-plan size(cqa) comparison costs nothing and needs no extra
+    // driver read of the corpus. The eval leg derives from the corpus
+    // itself and skips the guard.
+    def assign(vq: DataFrame, guardDim: Boolean = false): DataFrame =
       vq.withColumn("nq", dotl(col("vq"), col("vq")))
         .crossJoin(broadcast(centArr))
-        .select(col("vec_id"), col("clabel"),
-          cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq"))
-            .as("sim"))
+        .select(col("vec_id"), col("clabel"), {
+          val sim = cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq"))
+          (if (guardDim)
+            when(size(col("vq")) =!= size(col("cqa")),
+              raise_error(concat(
+                lit("decontamVectors: candidate dimension "),
+                size(col("vq")).cast("string"),
+                lit(" does not match the corpus dimension "),
+                size(col("cqa")).cast("string"),
+                lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
+              .otherwise(sim)
+          else sim).as("sim")
+        })
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("vec_id"), col("clabel").as("cluster"))
         .join(vq.withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
     val cand = assign(vecs.select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000000).cast("long")).as("vq")))
+      // non-finite guard BEFORE quantization — see searchVectors: a
+      // NaN component casts to 0L and an Infinity saturates, so a
+      // malformed candidate would otherwise audit as a VALID vector
+      when(exists(col("embedding"), x => x.isNull || isnan(x) ||
+          abs(x) === lit(Float.PositiveInfinity)),
+        raise_error(concat(
+          lit("decontamVectors: non-finite or null component in " +
+            "candidate embedding (vec_id "),
+          col("vec_id").cast("string"), lit(")"))))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long"))).as("vq")),
+      guardDim = true)
     val ev = assign(quantizedVecs(s, d)
         .filter(col("vec_id") % 23 === 0).select("vec_id", "vq"))
       .select(col("cluster").as("ec"), col("vec_id").as("eval_id"),
@@ -2275,6 +2303,17 @@ object Similarity {
             size(col("embedding")).cast("string"),
             lit(s" does not match the corpus dimension $dim (q_id "),
             col("q_id").cast("string"), lit(")"))))
+          // non-finite guard BEFORE quantization: CAST(NaN AS LONG) is 0
+          // and Infinity saturates, so a NaN/Inf/null-component query
+          // would otherwise quantize to a VALID-looking vector and serve
+          // confidently wrong neighbors — the same silent failure mode
+          // as a short slice, so the same in-plan raise
+          .when(exists(col("embedding"), x => x.isNull || isnan(x) ||
+              abs(x) === lit(Float.PositiveInfinity)),
+            raise_error(concat(
+              lit("searchVectors: non-finite or null component in " +
+                "query embedding (q_id "),
+              col("q_id").cast("string"), lit(")"))))
           .otherwise(transform(col("embedding"),
             x => round(x.cast("double") * 1000000).cast("long"))).as("qv"))
       .withColumn("qn", dotl(col("qv"), col("qv")))

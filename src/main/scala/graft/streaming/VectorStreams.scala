@@ -30,26 +30,35 @@ object VectorStreams {
     Similarity.freezeIndex(centroids, codebook)
 
   /** Split a (id, embedding) micro-batch into (clean, poison): null id,
-    * null embedding, or dimension ≠ `dim`. Shared by every vector-fed
-    * twin — a poison record must never kill a stream: the batch kernels
-    * RAISE on dimension mismatch (correct for a one-shot SQL call, where
-    * the caller fixes the statement), but a streaming checkpoint would
-    * replay the same batch into the same raise forever — a poison-pill
-    * restart loop. The poison frame carries (id, n_dims, reason) ready
-    * for an exactly-once quarantine append. The predicate is never-null
-    * (the isNull disjuncts short-circuit size(null)). */
+    * null embedding, dimension ≠ `dim`, or a non-finite/null COMPONENT
+    * (NaN, ±Infinity, null element). Shared by every vector-fed twin — a
+    * poison record must never kill a stream: the batch kernels RAISE on
+    * malformed inputs (correct for a one-shot SQL call, where the caller
+    * fixes the statement), but a streaming checkpoint would replay the
+    * same batch into the same raise forever — a poison-pill restart
+    * loop. The non-finite case matters as much as the null one: the
+    * quantization casts NaN to 0L and saturates Infinity, so without
+    * this split a NaN embedding would land as a VALID-LOOKING index
+    * entry (codes of a zero vector) and serve as a bogus neighbor —
+    * exactly the fake-valid-entry corruption the null split closed. The
+    * poison frame carries (id, n_dims, reason) ready for an exactly-once
+    * quarantine append. The predicate is never-null (a true disjunct
+    * absorbs the nulls SQL's three-valued OR would otherwise keep). */
   private def splitPoison(batch: DataFrame, idCol: String, dim: Int)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{col, size, when}
+    import org.apache.spark.sql.functions.{abs, col, exists, isnan, lit, size, when}
     val typed = batch.select(idCol, "embedding")
+    val nonFinite = exists(col("embedding"), x => x.isNull || isnan(x) ||
+      abs(x) === lit(Float.PositiveInfinity))
     val poisonCond = col(idCol).isNull || col("embedding").isNull ||
-      size(col("embedding")) =!= dim
+      size(col("embedding")) =!= dim || nonFinite
     (typed.filter(!poisonCond),
       typed.filter(poisonCond).select(col(idCol),
         size(col("embedding")).as("n_dims"),
         when(col(idCol).isNull, s"null_$idCol")
           .when(col("embedding").isNull, "null_embedding")
-          .otherwise("dim_mismatch").as("reason")))
+          .when(size(col("embedding")) =!= dim, "dim_mismatch")
+          .otherwise("non_finite_embedding").as("reason")))
   }
 
   /** Hold the generic per-table SINK claims for a twin's lifetime: claim

@@ -80,11 +80,22 @@ class HostileInputSpec extends AnyFunSuite {
     def assignOf = cmds.table(operators.VectorIndex.tableName("assign"))
       .filter(col("vec_id") >= 9100000L || col("vec_id").isNull)
     try {
+      // null-element spelling: a right-width array with one null inside
+      val nullElem: Seq[java.lang.Float] =
+        null.asInstanceOf[java.lang.Float] +:
+          good.tail.map(java.lang.Float.valueOf)
       val poisoned = rows(vecSchema,
         Row(null, good),
         Row(java.lang.Long.valueOf(9100001L), null),
         Row(java.lang.Long.valueOf(9100002L), Seq(1.0f, 2.0f, 3.0f)),
         Row(java.lang.Long.valueOf(9100003L), Seq.empty[Float]),
+        // non-finite components quantize to VALID-looking longs
+        // (CAST(NaN AS LONG) = 0, Infinity saturates) — without the
+        // finite check these three would land as real index entries
+        Row(java.lang.Long.valueOf(9100007L), good.updated(0, Float.NaN)),
+        Row(java.lang.Long.valueOf(9100008L),
+          good.updated(1, Float.PositiveInfinity)),
+        Row(java.lang.Long.valueOf(9100009L), nullElem),
         Row(java.lang.Long.valueOf(9100004L), good.map(_ + 0.01f)))
       streaming.VectorStreams.ingestBatch(poisoned, cmds, cents, book, 0L)
       // the ONLY index entry from this batch is the clean 64-dim row
@@ -99,11 +110,14 @@ class HostileInputSpec extends AnyFunSuite {
         (None, "null_vec_id"),
         (Some(9100001L), "null_embedding"),
         (Some(9100002L), "dim_mismatch"),
-        (Some(9100003L), "dim_mismatch")), s"quarantine wrong: $rej")
+        (Some(9100003L), "dim_mismatch"),
+        (Some(9100007L), "non_finite_embedding"),
+        (Some(9100008L), "non_finite_embedding"),
+        (Some(9100009L), "non_finite_embedding")), s"quarantine wrong: $rej")
       // replay of the same batch id: BOTH the quarantine and the index
       // appends are marker-skipped
       streaming.VectorStreams.ingestBatch(poisoned, cmds, cents, book, 0L)
-      assert(cmds.table("vector_ingest_rejects").count() == 4L,
+      assert(cmds.table("vector_ingest_rejects").count() == 7L,
         "replay duplicated quarantined rows")
       assert(codesOf.count() == 1L && assignOf.count() == 1L,
         "replay duplicated index entries")
@@ -112,7 +126,7 @@ class HostileInputSpec extends AnyFunSuite {
       streaming.VectorStreams.ingestBatch(rows(vecSchema,
         Row(java.lang.Long.valueOf(9100005L), Seq(7.0f))),
         cmds, cents, book, 1L)
-      assert(cmds.table("vector_ingest_rejects").count() == 5L)
+      assert(cmds.table("vector_ingest_rejects").count() == 8L)
       assert(codesOf.count() == 1L, "all-poison batch touched the index")
       streaming.VectorStreams.ingestBatch(rows(vecSchema,
         Row(java.lang.Long.valueOf(9100006L), good.map(_ + 0.02f))),
@@ -120,6 +134,47 @@ class HostileInputSpec extends AnyFunSuite {
       assert(codesOf.collect().map(_.get(0)).toSet ==
         Set(9100004L, 9100006L), "gate stopped encoding after poison")
     } finally { operators.VectorIndex.drop(spark, cmds); () }
+  }
+
+  test("batch serving kernels RAISE on malformed caller vectors (the " +
+      "one-shot-SQL counterpart of the streams' quarantine): a NaN " +
+      "query raises in searchVectors instead of quantizing to a valid-" +
+      "looking zero vector; a NaN or wrong-width candidate raises in " +
+      "decontamVectors instead of auditing a truncated cosine") {
+    val vecSchema = StructType(Seq(StructField("q_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val candSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val good = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("embedding")).head.getSeq[Float](0)
+    def allMsgs(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) {
+        sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause
+      }
+      sb.toString
+    }
+    val nanQ = rows(vecSchema,
+      Row(java.lang.Long.valueOf(1L), good.updated(0, Float.NaN)))
+    val eQ = intercept[Throwable](
+      operators.Similarity.searchVectors(spark, d, nanQ, 3).collect())
+    assert(allMsgs(eQ).contains("non-finite"), allMsgs(eQ).take(400))
+    val nanC = rows(candSchema,
+      Row(java.lang.Long.valueOf(2L), good.updated(3, Float.NaN)))
+    val eC = intercept[Throwable](
+      operators.Similarity.decontamVectors(spark, d, nanC).collect())
+    assert(allMsgs(eC).contains("non-finite"), allMsgs(eC).take(400))
+    val shortC = rows(candSchema,
+      Row(java.lang.Long.valueOf(3L), Seq(1.0f, 2.0f, 3.0f)))
+    val eS = intercept[Throwable](
+      operators.Similarity.decontamVectors(spark, d, shortC).collect())
+    assert(allMsgs(eS).contains("does not match the corpus dimension"),
+      allMsgs(eS).take(400))
+    // clean inputs still flow: the guards change errors, never results
+    val cleanC = rows(candSchema,
+      Row(java.lang.Long.valueOf(4L), good.map(_ + 0.01f)))
+    operators.Similarity.decontamVectors(spark, d, cleanC).collect()
+    ()
   }
 
   test("poison documents through the LIVE ADMIT stream: a micro-batch " +
