@@ -101,6 +101,110 @@ class SharedServerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("multi-client soak: four clients hammer one table with seeded-" +
+      "random INSERT/UPDATE/DELETE/SELECT/txn/malformed traffic — every " +
+      "statement gets a well-formed frame (OK or ERR, never a hang or a " +
+      "dead connection), DML serializes to an exact final row count, and " +
+      "the server still serves a fresh client afterwards") {
+    val (srv, _) = newServer()
+    try {
+      val (s0, in0, out0) = client(srv.boundPort)
+      out0.println("CREATE TABLE soak_t (id BIGINT, v BIGINT)")
+      val created = Iterator.continually(in0.readLine())
+        .takeWhile(l => l != null && !l.startsWith("OK") &&
+          !l.startsWith("ERR")).toList
+      assert(created.nonEmpty); s0.close()
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val tallies =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val nStmts = 25
+      val threads = (0 until 4).map { ci =>
+        new Thread(() => {
+          try {
+            val (s, in, out) = client(srv.boundPort)
+            try {
+              val rng = new scala.util.Random(4200 + ci)
+              var myIds = List.empty[Long]
+              var ins = 0L
+              var del = 0L
+              // one statement out, one frame back: header/rows then OK,
+              // or (rows then) ERR — a SELECT may legitimately ERR when
+              // a concurrent COW rewrite sweeps the version its stream
+              // was reading (retain 1); DML and DDL route under the
+              // server's statement lock and must be exact
+              def exchange(stmt: String): Boolean = {
+                out.println(stmt)
+                var l = in.readLine()
+                while (l != null && !l.startsWith("OK") &&
+                    !l.startsWith("ERR")) l = in.readLine()
+                assert(l != null, s"connection died on: $stmt")
+                l.startsWith("OK")
+              }
+              (1 to nStmts).foreach { k =>
+                rng.nextInt(10) match {
+                  case 0 | 1 | 2 | 3 =>
+                    val id = ci * 100000L + k
+                    if (exchange(
+                        s"INSERT INTO soak_t VALUES ($id, ${rng.nextInt(5)})")) {
+                      ins += 1; myIds ::= id
+                    }
+                  case 4 if myIds.nonEmpty =>
+                    exchange("UPDATE soak_t SET v = v + 1 WHERE id = " +
+                      myIds(rng.nextInt(myIds.size))); ()
+                  case 5 if myIds.nonEmpty =>
+                    if (exchange(
+                        s"DELETE FROM soak_t WHERE id = ${myIds.head}")) {
+                      del += 1; myIds = myIds.tail
+                    }
+                  case 6 =>
+                    exchange("SELECT count(*) AS n FROM soak_t"); ()
+                  case 7 =>
+                    exchange("SELECT v, count(*) AS n FROM soak_t " +
+                      "GROUP BY v ORDER BY n DESC, v LIMIT 3"); ()
+                  case 8 =>
+                    // malformed engine-only head: must come back ERR,
+                    // never wedge the handler or fall through
+                    assert(!exchange("OPTIMIZE soak_t ZORDER ("),
+                      "malformed statement was acked OK")
+                  case _ =>
+                    // shared-session txns (the reference SharedServer
+                    // model): concurrent BEGINs/COMMITs legitimately ERR
+                    // ("already open"/"no open transaction") — only the
+                    // framing is asserted. No ROLLBACK in the mix, so
+                    // every acked INSERT/DELETE survives to the audit.
+                    exchange("BEGIN"); exchange("COMMIT"); ()
+                }
+              }
+              tallies.add((ins, del))
+            } finally s.close()
+          } catch {
+            case t: Throwable => failures.add(s"client $ci: $t")
+          }
+        }, s"soak-client-$ci")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(180000))
+      assert(threads.forall(!_.isAlive), "a soak client hung")
+      assert(failures.isEmpty, failures.toArray.mkString("; "))
+      // a possibly-dangling shared txn from an interrupted BEGIN/COMMIT
+      // pair commits here so the audit reads published state
+      val (sf, inf, outf) = client(srv.boundPort)
+      try {
+        outf.println("COMMIT")
+        Iterator.continually(inf.readLine()).takeWhile(l =>
+          l != null && !l.startsWith("OK") && !l.startsWith("ERR")).toList
+        val expected = tallies.toArray(Array.empty[(Long, Long)])
+          .map { case (i2, d2) => i2 - d2 }.sum
+        outf.println("SELECT count(*) AS n FROM soak_t")
+        assert(inf.readLine() == "n")
+        assert(inf.readLine() == expected.toString,
+          s"final count != acked inserts - acked deletes ($expected)")
+        assert(inf.readLine() == "OK 1")
+      } finally sf.close()
+    } finally srv.close()
+  }
+
   test("a client disconnecting mid-stream does not stop the server") {
     val (srv, _) = newServer()
     try {
