@@ -109,7 +109,15 @@ object Multimodal {
         val bpp = u16(b, 28); val compression = u32(b, 30)
         val imageSize = u32(b, 34)
         val rowBytes = ((width * 3 + 3) / 4) * 4
-        val ok = dibSize == 40 && planes == 1 && bpp == 24 &&
+        // width/height are SIGNED int32 reads: negative dimensions can
+        // satisfy every consistency equation below (width -1 → rowBytes
+        // 0 → imageSize 0 → fileSize 54 == payload length) and then blow
+        // up the pixel kernels (Array.ofDim(-1, ...) throws) — a crafted
+        // 54-byte payload must degrade to valid=false, never a task
+        // kill. The canonical subset this codec declares is bottom-up
+        // (non-negative height) anyway.
+        val ok = width >= 0 && height >= 0 &&
+          dibSize == 40 && planes == 1 && bpp == 24 &&
           compression == 0 && pixelOffset == 54 &&
           imageSize == rowBytes * height &&
           fileSize == 54 + imageSize && b.length == fileSize

@@ -177,6 +177,38 @@ class HostileInputSpec extends AnyFunSuite {
     ()
   }
 
+  test("hostile BMP payload: negative dimensions satisfy every header " +
+      "consistency equation (width -1 -> rowBytes 0 -> imageSize 0 -> " +
+      "fileSize 54 == payload length) but must decode as valid=false — " +
+      "before the sign guard the pixel kernels threw " +
+      "NegativeArraySizeException, a task-killing payload") {
+    def le32(v: Int): Seq[Byte] = Seq(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val crafted: Array[Byte] = (
+      Seq('B'.toByte, 'M'.toByte) ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(-1) ++ le32(-1) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    ).toArray
+    assert(crafted.length == 54)
+    val m = operators.Multimodal.BmpCodec.decode(7L, crafted)
+    assert(!m.valid, s"crafted negative-dim BMP decoded as valid: $m")
+    // the pixel kernels degrade to invalid rows, never an exception
+    assert(!operators.Multimodal.PerceptualHash.aHashBits(7L, crafted).valid)
+    assert(!operators.Multimodal.PerceptualHash.aHash(7L, crafted).valid)
+    assert(!operators.Multimodal.BmpCodec.resample2x(7L, crafted).valid)
+    // a genuinely valid degenerate 0x0 image still decodes (the guard
+    // rejects the SIGN, not small images)
+    val empty: Array[Byte] = (
+      Seq('B'.toByte, 'M'.toByte) ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(0) ++ le32(0) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    ).toArray
+    assert(operators.Multimodal.BmpCodec.decode(8L, empty).valid)
+  }
+
   test("poison documents through the LIVE ADMIT stream: a micro-batch " +
       "with null ids and null/empty text neither kills the gate nor " +
       "admits anything malformed; admission continues") {
