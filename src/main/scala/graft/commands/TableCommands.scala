@@ -452,6 +452,16 @@ class TableCommands(spark: SparkSession, warehouse: String) {
       val cols = zorderBy.map(c => byLower.getOrElse(c.toLowerCase,
         throw new IllegalArgumentException(
           s"ZORDER BY column $c not in table $name")))
+      // the interleave packs 8 bits per column into ONE signed 64-bit
+      // key: column i's bucket bit k lands at z bit k*|cols|+i, so an
+      // 8th column pushes the top bit into the sign (negative z keys
+      // sort before positive — a silently NON-monotone layout) and a
+      // 9th wraps the shift entirely. Refuse instead: z-ordering past a
+      // handful of axes is layout-useless anyway (each column's bucket
+      // resolution is what prunes, and the interleave dilutes it).
+      require(cols.size <= 7,
+        s"ZORDER BY supports at most 7 columns (8-bit lanes must fit a " +
+          s"64-bit signed key); got ${cols.size}")
       // one stats row: per-column equi-depth edges drive the 8-bit
       // quantization (see the Scaladoc above).
       // STRING columns get an ORDER-PRESERVING numeric proxy — the first

@@ -236,6 +236,22 @@ class TableCommandsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
   }
 
+  test("OPTIMIZE ZORDER BY refuses more than 7 columns: an 8th column's " +
+      "bucket bits would reach the 64-bit key's SIGN bit (negative z " +
+      "keys sort before positive - a silently non-monotone layout)") {
+    import spark.implicits._
+    val (c, _) = freshCmdsAt()
+    c.createTable("zwide", spark.range(10).select(
+      (0 until 8).map(i => (col("id") + i).as(s"c$i")): _*))
+    val e = intercept[IllegalArgumentException](
+      c.optimizeTable("zwide",
+        zorderBy = (0 until 8).map(i => s"c$i")))
+    assert(e.getMessage.contains("at most 7"), e.getMessage)
+    c.optimizeTable("zwide", zorderBy = (0 until 7).map(i => s"c$i"))
+    assert(c.table("zwide").count() == 10L)
+    c.dropTable("zwide")
+  }
+
   test("OPTIMIZE ZORDER BY: row-group stats prune selective filters on " +
       "BOTH clustered columns; the unclustered layout prunes neither") {
     import spark.implicits._
