@@ -209,6 +209,58 @@ class HostileInputSpec extends AnyFunSuite {
     assert(operators.Multimodal.BmpCodec.decode(8L, empty).valid)
   }
 
+  test("hostile WAV payloads and text degrade, never crash: truncated/" +
+      "oversized-claim headers decode valid=false, a degenerate zero-" +
+      "channel-but-consistent header survives the window kernel, and " +
+      "the text expressions are deterministic over lone surrogates, " +
+      "empty and huge tokens") {
+    def le32(v: Int): Seq[Byte] = Seq(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def wav(channels: Int, rate: Int, bits: Int,
+        samples: Seq[Int]): Array[Byte] = {
+      val dataSize = samples.size * 2
+      ("RIFF".getBytes.toSeq ++ le32(36 + dataSize) ++
+        "WAVE".getBytes.toSeq ++ "fmt ".getBytes.toSeq ++ le32(16) ++
+        le16(1) ++ le16(channels) ++ le32(rate) ++
+        le32(rate * channels * bits / 8) ++ le16(channels * bits / 8) ++
+        le16(bits) ++ "data".getBytes.toSeq ++ le32(dataSize) ++
+        samples.flatMap(le16)).toArray
+    }
+    val goodWav = wav(1, 8000, 16, Seq(5, -3, 100, 7))
+    assert(operators.Multimodal.WavCodec.decode(1L, goodWav).valid)
+    // truncated: header cut one byte short
+    assert(!operators.Multimodal.WavCodec
+      .decode(2L, goodWav.take(43)).valid)
+    // oversized claim: dataSize says more than the payload carries
+    val lying = goodWav.clone()
+    lying(40) = (lying(40) + 8).toByte
+    assert(!operators.Multimodal.WavCodec.decode(3L, lying).valid)
+    // degenerate but self-consistent: zero channels (byteRate and
+    // blockAlign both 0 satisfy the consistency equations) must not
+    // crash the window kernel — it degrades to ordinary windows
+    val zeroCh = wav(0, 8000, 16, Seq(1, 2))
+    assert(operators.Multimodal.WavCodec.decode(4L, zeroCh).valid)
+    val ws = operators.Multimodal.PcmFeatures.windows(4L, zeroCh, 8)
+    assert(ws.forall(_.valid) && ws.nonEmpty)
+    // text kernels: lone surrogate, empty, and a 1 MB single token are
+    // deterministic and never crash (run twice, bit-identical)
+    import spark.implicits._
+    import graft.functions.GraftFunctions._
+    val hostile = Seq("\ud800", "", "x" * (1 << 20), "a \ud800 b")
+      .toDF("text")
+    def probe() = hostile.select(
+      simhash60(col("text")).as("sh"),
+      poly_fingerprint(col("text")).as("pf"),
+      word_shingles(col("text"), 2).as("wsh"),
+      text_metrics(col("text")).as("tm")).collect().map(_.toString)
+    val once = probe()
+    assert(once.sameElements(probe()), "text kernels nondeterministic " +
+      "over hostile input")
+  }
+
   test("poison documents through the LIVE ADMIT stream: a micro-batch " +
       "with null ids and null/empty text neither kills the gate nor " +
       "admits anything malformed; admission continues") {
