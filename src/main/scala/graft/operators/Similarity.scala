@@ -1838,6 +1838,33 @@ object Similarity {
   /** The four trained artifacts [[VectorIndex.build]] materializes —
     * exactly the frames the inline search paths would compute, so stored
     * and inline answers are bit-identical. */
+  /** Train-side corpus audit for the STORED-index paths (BUILD/REFRESH):
+    * a null/non-finite/ragged embedding in the corpus would silently
+    * poison the trained artifacts — kmeans sums absorb NaN, the
+    * quantization casts it to 0L, and every centroid/code downstream is
+    * garbage with no visible error (the stream/caller guards cover
+    * ingest and queries; this covers the training input itself). One
+    * bounded job: LIMIT 1 over the violation filter, ≤1 driver row.
+    * Deliberately NOT applied to the inline-training oracle pipelines —
+    * a one-shot query over a corpus is the caller's own data, and the
+    * extra scan would tax every s-query; an index is long-lived shared
+    * state and earns the audit. */
+  private[graft] def requireFiniteCorpus(s: SparkSession, d: String): Unit = {
+    val dim = VectorIndex.pqM * pqSub
+    val bad = Graft.tableParallel(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNull || col("embedding").isNull ||
+        size(col("embedding")) =!= dim ||
+        exists(col("embedding"), x => x.isNull || isnan(x) ||
+          abs(x) === lit(Float.PositiveInfinity)))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"corpus $d carries a null/non-finite/ragged embedding (vec_id " +
+        s"${bad.headOption.map(r => String.valueOf(r.get(0))).getOrElse("?")}) " +
+        "- training would silently absorb it into every centroid and " +
+        "code; clean the corpus before BUILD/REFRESH")
+  }
+
   private[graft] def indexArtifacts(
       s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val (base, _, trained) =

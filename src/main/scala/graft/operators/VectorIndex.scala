@@ -66,6 +66,9 @@ object VectorIndex {
     * codebook and PQ encode pipelines once and publishes each as a
     * manifest table + catalog entry. Idempotent (rebuilds replace). */
   def build(s: SparkSession, d: String, cmds: TableCommands): Unit = {
+    // train-side audit: a null/non-finite/ragged corpus row would poison
+    // every trained artifact silently (see Similarity.requireFiniteCorpus)
+    Similarity.requireFiniteCorpus(s, d)
     drop(s, cmds)
     import s.implicits._
     val meta = Seq((norm(d), pqM, pqK, pqIters))
@@ -138,6 +141,10 @@ object VectorIndex {
       meta(0).getInt(3) == pqIters,
       "vector index was built for a different corpus or parameter set - " +
         "rebuild with BUILD VECTOR INDEX")
+    // the delta rows feed the frozen encode exactly like BUILD's — the
+    // same train-side audit applies (an external writer may have
+    // appended garbage to the corpus since the build)
+    Similarity.requireFiniteCorpus(s, d)
     val assign = cmds.table(tableName("assign"))
     val codes = cmds.table(tableName("codes"))
     val covered = assign.select("vec_id")

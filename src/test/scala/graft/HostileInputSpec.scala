@@ -209,6 +209,39 @@ class HostileInputSpec extends AnyFunSuite {
     assert(operators.Multimodal.BmpCodec.decode(8L, empty).valid)
   }
 
+  test("BUILD/REFRESH VECTOR INDEX refuse a poisoned corpus: one NaN row " +
+      "in the training input would silently absorb into every centroid " +
+      "and code (kmeans sums take the NaN, quantization casts it to 0) " +
+      "- the train-side audit raises instead, naming the vec_id") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_hostile_corpus").toString
+    val good = spark.read.parquet(s"$d/embeddings.parquet")
+    val bad = good.limit(1)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        transform(col("embedding"), _ => lit(Float.NaN)))
+    val cmds = new commands.TableCommands(spark, java.nio.file.Files
+      .createTempDirectory("graft_hostile_cwh").toString)
+    // poisoned from the start: BUILD refuses
+    good.unionByName(bad).write.parquet(s"$tmp/embeddings.parquet")
+    val e1 = intercept[IllegalArgumentException](
+      operators.VectorIndex.build(spark, tmp, cmds))
+    assert(e1.getMessage.contains("non-finite"), e1.getMessage)
+    // clean corpus builds; an EXTERNAL writer then appends garbage;
+    // REFRESH audits the same way instead of encoding fake entries
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_hostile_corpus2").toString
+    good.write.parquet(s"$tmp2/embeddings.parquet")
+    try {
+      operators.VectorIndex.build(spark, tmp2, cmds)
+      bad.write.mode("append").parquet(s"$tmp2/embeddings.parquet")
+      Graft.invalidate(spark, tmp2)
+      val e2 = intercept[IllegalArgumentException](
+        operators.VectorIndex.refresh(spark, tmp2, cmds))
+      assert(e2.getMessage.contains("non-finite"), e2.getMessage)
+    } finally { operators.VectorIndex.drop(spark, cmds); () }
+  }
+
   test("hostile WAV payloads and text degrade, never crash: truncated/" +
       "oversized-claim headers decode valid=false, a degenerate zero-" +
       "channel-but-consistent header survives the window kernel, and " +
