@@ -162,7 +162,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         throw e
       }
     serves(name) = (q, kind, sink, dir)
-    heartbeatsByQuery.put(q.id, beat)
+    heartbeatsByQuery.put(q.runId, beat)
     name
   }
 
@@ -460,6 +460,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // spark.sql.streaming.noDataProgressEventInterval), QueryProgressEvent
   // on data-carrying ones, so heartbeat_age_sec stays bounded while the
   // stream lives, whatever the source does.
+  // keyed by RUN id, not query id: a serve-twin TAKEOVER's old and new
+  // runs share the query id (persisted in the checkpoint), so an
+  // id-keyed map let the OLD run's late termination event remove the
+  // LIVE successor's beat — its claim age then grew while the twin
+  // merely ran, the exact false-dead reading the idle beat exists to
+  // prevent. runId is fresh per run.
   private val heartbeatsByQuery =
     new java.util.concurrent.ConcurrentHashMap[java.util.UUID, () => Unit]()
   private val heartbeatListener =
@@ -467,11 +473,11 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        Option(heartbeatsByQuery.get(e.progress.id)).foreach(_())
+        Option(heartbeatsByQuery.get(e.progress.runId)).foreach(_())
       override def onQueryIdle(e: QueryIdleEvent): Unit =
-        Option(heartbeatsByQuery.get(e.id)).foreach(_())
+        Option(heartbeatsByQuery.get(e.runId)).foreach(_())
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-        heartbeatsByQuery.remove(e.id); ()
+        heartbeatsByQuery.remove(e.runId); ()
       }
     }
   spark.streams.addListener(heartbeatListener)
@@ -1610,7 +1616,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // foreachBatch beat stops on a quiet source, the listener's
       // onQueryIdle does not — heartbeat_age_sec stays bounded while the
       // gate lives (see the listener's construction comment)
-      heartbeatsByQuery.put(q.id, beat)
+      heartbeatsByQuery.put(q.runId, beat)
       status(s"started ${k.toLowerCase} ingest $name from $dir")
     case showIngestsStmt() =>
       import spark.implicits._
@@ -1719,7 +1725,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           val srcDir = registeredIngests.collectFirst {
             case (n, _, dd, _) if n == name => dd }.getOrElse("")
           q.stop()
-          heartbeatsByQuery.remove(q.id)
+          heartbeatsByQuery.remove(q.runId)
           ingests.remove(name)
           val kind = ingestKinds.remove(name)
           if (purge) kind.foreach(retireCheckpoint(_, name, srcDir))
@@ -1844,7 +1850,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       serves.remove(name) match {
         case Some((q, _, sink, _)) =>
           q.stop()
-          heartbeatsByQuery.remove(q.id)
+          heartbeatsByQuery.remove(q.runId)
           if (purge) purgeCkpt(sink)
           // the sink claim releases via the twin's own termination
           // listener (nonce-guarded) — nothing to force here

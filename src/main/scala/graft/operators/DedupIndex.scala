@@ -49,6 +49,11 @@ object DedupIndex {
       cmds.createTable(n, df)
       TableCommands.registerCatalog(s, n, cmds.dataPath(n))
     }
+    // concurrent-reader grace window for the gate-appended table — the
+    // same reader-vs-sweep hazard VectorIndex.build documents (ad-hoc
+    // d-queries probe bands while the ADMIT gate appends); link-forward
+    // versions make retained versions near-free
+    cmds.setRetain(tableName("bands"), 5)
   }
 
   /** Remove the stored index; subsequent probes fall back to inline

@@ -79,6 +79,16 @@ object VectorIndex {
         cmds.createTable(n, df)
         TableCommands.registerCatalog(s, n, cmds.dataPath(n))
     }
+    // CONCURRENT-READER grace window: the VECTOR gate appends to
+    // codes/assign while serve twins (and ad-hoc searches) read them,
+    // and the default retain of 1 sweeps the superseded version the
+    // instant an append publishes — a reader whose plan resolved the
+    // old version then dies mid-scan with FILE_NOT_EXIST (measured by
+    // the chaos soak: a live serve twin killed by a gate append).
+    // Retaining a few versions is near-free here: appendCommitted's
+    // link-forward versions share their parquet files via hard links,
+    // so each retained version costs only the delta files it added.
+    Seq("codes", "assign").foreach(p => cmds.setRetain(tableName(p), 5))
   }
 
   /** Remove the stored index (catalog entries + warehouse tables).

@@ -83,6 +83,13 @@ object VectorStreams {
     // a second query on a live checkpoint), the predecessor may be alive
     // and its claim must be RESTORED, not deleted.
     val nonces = tables.map(t => t -> cmds.claimSinkKeepingPrior(t, owner))
+    // match termination by RUN id, never query id: a TAKEOVER's old and
+    // new runs share the query id (it is persisted in the checkpoint),
+    // so an id-keyed match let the OLD run's termination event — when
+    // the async listener bus delivered it after idHolder was set — fire
+    // THIS listener and release the live successor's own claim (and
+    // eat its listener), leaving a running twin unfenced. runId is
+    // fresh per run, so the predecessor's event can never match.
     val idHolder =
       new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -90,7 +97,7 @@ object VectorStreams {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == idHolder.get) {
+        if (e.runId == idHolder.get) {
           nonces.foreach { case (t, (n, _)) => cmds.releaseSinkIfRun(t, n) }
           ss.streams.removeListener(this)
         }
@@ -109,7 +116,7 @@ object VectorStreams {
         }}
         throw e
       }
-    idHolder.set(q.id)
+    idHolder.set(q.runId)
     // a query that died between start() and the line above delivered its
     // termination event against a null idHolder — the listener matched
     // nothing, so the claims would outlive the stream and the listener
@@ -121,6 +128,34 @@ object VectorStreams {
       ss.streams.removeListener(listener)
     }
     q
+  }
+
+  /** Re-run a serve/decontam micro-batch body ONCE when a concurrent
+    * index append swept a version the batch's plan had already resolved:
+    * the read-side twins plan against the stored codes/assign tables per
+    * batch, the VECTOR gate appends to those same tables (a legal
+    * composition — the gate WRITES them, the twins only read), and a
+    * publish+sweep landing between plan resolution and file read kills
+    * the scan with FAILED_READ_FILE. BUILD's retain window (5 versions)
+    * makes the race need five gate publishes inside one serve batch; the
+    * retry covers a hot gate that manages it anyway. Safe because the
+    * whole body is idempotent: every append in it is `appendCommitted`,
+    * whose marker skips anything the failed attempt already committed —
+    * so the retry is exactly-once by construction. A second failure
+    * propagates (a genuine fault must kill the stream visibly, never
+    * loop). */
+  private def retryOnceOnStaleRead(body: => Unit): Unit =
+    try body catch { case e: Throwable if staleRead(e) => body }
+
+  private def staleRead(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("FAILED_READ_FILE") ||
+          m.contains("FileNotFoundException")) return true
+      c = c.getCause
+    }
+    false
   }
 
   /** The corpus embedding dimension — one head-row read at stream START
@@ -325,13 +360,16 @@ object VectorStreams {
           // poison candidates quarantine into <table>_rejects instead of
           // raising: the kernel's dimension raise is right for a one-shot
           // SQL call but would poison-pill-loop a checkpointed stream
-          val (clean, poison) = splitPoison(batch, "vec_id", dim)
-          if (!poison.isEmpty)
-            cmds.appendCommitted(s"${table}_rejects", poison, batchId)
-          if (!clean.isEmpty)
-            cmds.appendCommitted(table,
-              Similarity.decontamVectors(batch.sparkSession, d, clean, thr),
-              batchId)
+          retryOnceOnStaleRead {
+            val (clean, poison) = splitPoison(batch, "vec_id", dim)
+            if (!poison.isEmpty)
+              cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+            if (!clean.isEmpty)
+              cmds.appendCommitted(table,
+                Similarity.decontamVectors(batch.sparkSession, d, clean,
+                  thr),
+                batchId)
+          }
           ()
         }
         .start()
@@ -355,13 +393,15 @@ object VectorStreams {
           // Poison queries quarantine into <table>_rejects (see
           // decontamGate) — a malformed query must cost its caller an
           // absent answer plus a visible reject row, never the stream.
-          val (clean, poison) = splitPoison(batch, "q_id", dim)
-          if (!poison.isEmpty)
-            cmds.appendCommitted(s"${table}_rejects", poison, batchId)
-          if (!clean.isEmpty)
-            cmds.appendCommitted(table,
-              Similarity.searchVectors(batch.sparkSession, d, clean, k),
-              batchId)
+          retryOnceOnStaleRead {
+            val (clean, poison) = splitPoison(batch, "q_id", dim)
+            if (!poison.isEmpty)
+              cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+            if (!clean.isEmpty)
+              cmds.appendCommitted(table,
+                Similarity.searchVectors(batch.sparkSession, d, clean, k),
+                batchId)
+          }
           ()
         }
         .start()
@@ -393,14 +433,16 @@ object VectorStreams {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           heartbeat()
           // poison queries quarantine into <table>_rejects (see serve)
-          val (clean, poison) = splitPoison(batch, "q_id", dim)
-          if (!poison.isEmpty)
-            cmds.appendCommitted(s"${table}_rejects", poison, batchId)
-          if (!clean.isEmpty)
-            cmds.appendCommitted(table,
-              Similarity.searchVectorsDiversified(batch.sparkSession, d,
-                clean, k, shortK, lambdaTenths),
-              batchId)
+          retryOnceOnStaleRead {
+            val (clean, poison) = splitPoison(batch, "q_id", dim)
+            if (!poison.isEmpty)
+              cmds.appendCommitted(s"${table}_rejects", poison, batchId)
+            if (!clean.isEmpty)
+              cmds.appendCommitted(table,
+                Similarity.searchVectorsDiversified(batch.sparkSession, d,
+                  clean, k, shortK, lambdaTenths),
+                batchId)
+          }
           ()
         }
         .start()

@@ -216,6 +216,80 @@ class ServeSqlSpec extends AnyFunSuite {
     } finally e2.close()
   }
 
+  test("takeover is immune to the predecessor's LATE termination event: " +
+      "old and new runs share the QUERY id (it lives in the checkpoint), " +
+      "so a runId-blind release listener matched the old run's event and " +
+      "released the LIVE successor's claim whenever the async bus " +
+      "delivered it after the new start — a delaying listener forces " +
+      "exactly that ordering, and the claim must survive it") {
+    val wh = freshWh("latebus")
+    val e1 = new Engine(spark, d, wh)
+    val seen =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    // recorder FIRST, sleeper SECOND: the bus delivers each event to
+    // listeners in registration order on one dispatch thread, so once
+    // the recorder sees the old run's termination, the sleeper then
+    // holds the event for 1.2 s — guaranteeing the takeover twin's own
+    // listener (registered later, during START) receives it strictly
+    // AFTER its run handle is set. Under the old id-keyed match this
+    // deterministically released the live twin's claim.
+    val recorder = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        seen.add(e.runId); ()
+      }
+    }
+    val sleeper = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        Thread.sleep(1200)
+    }
+    spark.streams.addListener(recorder)
+    spark.streams.addListener(sleeper)
+    var e2: Engine = null
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val watch = Files.createTempDirectory("graft_latebus_src").toString
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 1)
+        .selectExpr("vec_id AS q_id", "embedding")
+        .write.mode("append").parquet(watch)
+      e1.sql(s"START SERVE VECTORS FROM '$watch' INTO late_ans")
+      val oldRun = e1.serveQuery("late_ans").get.runId
+      e1.serveQuery("late_ans").get.processAllAvailable()
+      e2 = new Engine(spark, d, wh)
+      e2.sql(s"START SERVE VECTORS FROM '$watch' INTO late_ans")
+      // wait until the old run's termination event has been DELIVERED
+      // (recorder saw it), then let the delayed chain drain past the
+      // twin's own listener
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.contains(oldRun) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(seen.contains(oldRun), "old run never terminated")
+      Thread.sleep(2500)
+      // the LIVE twin's claim survived the predecessor's late event ...
+      assert(e2.storage.sinkOwner("late_ans").nonEmpty,
+        "the predecessor's late termination event released the live " +
+          "takeover twin's claim")
+      // ... and the fence still refuses maintenance
+      intercept[IllegalStateException](e2.sql("OPTIMIZE late_ans"))
+      e2.sql("STOP SERVE late_ans")
+    } finally {
+      spark.streams.removeListener(sleeper)
+      spark.streams.removeListener(recorder)
+      if (e2 != null) e2.close()
+      e1.close()
+      try {
+        val ec = new Engine(spark, d, wh)
+        ec.sql("DROP VECTOR INDEX ON embeddings"); ec.close()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   test("a second START SERVE over a LIVE twin's sink cannot strand it " +
       "unfenced: same-session duplicate-sink is refused before any claim " +
       "is touched; cross-engine, the failed start RESTORES the replaced " +
