@@ -1530,7 +1530,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (existing.isEmpty) claimIngest(name, k, dir)
       // per-TABLE sink claims (the generic fence OPTIMIZE/DML check):
       // idempotent for the deterministic per-kind owner, so resumes and
-      // restarts re-claim transparently
+      // restarts re-claim transparently. Each sink also gets the default
+      // 5-version retain window unless the operator chose one — the
+      // reader-vs-sweep grace the chaos soak showed every continuously-
+      // appended table needs (BUILD already covers the index tables;
+      // this covers the verdict/quarantine logs, created lazily by
+      // their first batch)
+      ingestSinkTables(k).foreach(t =>
+        if (!cmds.hasRetain(t)) cmds.setRetainAhead(t, 5))
       try ingestSinkTables(k).foreach(t => cmds.claimSink(t, s"ingest:$k"))
       catch { case e: Throwable =>
         if (existing.isEmpty) {

@@ -165,6 +165,24 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     Files.writeString(retainFile(name), k.toString); ()
   }
 
+  /** As [[setRetain]], but usable BEFORE the table's first publish: a
+    * streaming sink is created by its first micro-batch, and the retain
+    * window must already be in place when later appends start sweeping
+    * versions under concurrent ad-hoc readers (the reader-vs-sweep race
+    * the chaos soak measured on the index tables — same shape for any
+    * continuously-appended sink). The RETAIN file rides alone in the
+    * table dir until the first publish arrives. */
+  def setRetainAhead(name: String, k: Int): Unit = {
+    require(k >= 1, s"RETAIN needs k >= 1, got $k")
+    Files.createDirectories(Paths.get(dir(name)))
+    Files.writeString(retainFile(name), k.toString); ()
+  }
+
+  /** True iff an explicit retain window is recorded for `name` — streams
+    * default their sinks' windows only when the operator has not chosen
+    * one. */
+  def hasRetain(name: String): Boolean = Files.exists(retainFile(name))
+
   private def retainCount(table: String): Int =
     if (Files.exists(retainFile(table)))
       Files.readString(retainFile(table)).trim.toInt

@@ -82,6 +82,15 @@ object VectorStreams {
     // of a same-owner re-claim: if the start below THROWS (Spark refuses
     // a second query on a live checkpoint), the predecessor may be alive
     // and its claim must be RESTORED, not deleted.
+    // default a retain window of 5 on every stream sink the twin will
+    // appendCommit into (unless the operator already chose one): with
+    // the default retain of 1, every append sweeps the superseded
+    // version instantly and a concurrent ad-hoc reader of the LIVE sink
+    // dies mid-scan — the reader-vs-sweep shape the chaos soak measured
+    // on the index tables. Link-forward appends make retained versions
+    // near-free (hard-linked files), so the window costs only the tail
+    // deltas it keeps.
+    tables.foreach(t => if (!cmds.hasRetain(t)) cmds.setRetainAhead(t, 5))
     val nonces = tables.map(t => t -> cmds.claimSinkKeepingPrior(t, owner))
     // match termination by RUN id, never query id: a TAKEOVER's old and
     // new runs share the query id (it is persisted in the checkpoint),

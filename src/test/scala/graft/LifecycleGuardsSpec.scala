@@ -783,6 +783,36 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     cmds.releaseSinkIfRun("race_sink", n)
   }
 
+  test("stream sinks default a 5-version retain window at claim time " +
+      "(the reader-vs-sweep grace every continuously-appended table " +
+      "needs) and an operator's explicit RETAIN is never overridden") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = freshWh("retaindft")
+    val cmds = new commands.TableCommands(spark, wh)
+    // the operator pre-chose a window on one sink; the other is fresh
+    cmds.setRetainAhead("rt_custom", 2)
+    val src = MemoryStream[(Long, String)]
+    val q = streaming.WarehouseSink.start(
+      src.toDF().toDF("id", "v"), cmds, "rt_sink")
+    val q2 = streaming.WarehouseSink.start(
+      src.toDF().toDF("id", "v"), cmds, "rt_custom")
+    try {
+      src.addData((1L, "a")); q.processAllAvailable()
+      q2.processAllAvailable()
+      assert(Files.readString(
+        Paths.get(wh, "rt_sink", "RETAIN")).trim == "5",
+        "fresh stream sink did not get the default retain window")
+      assert(Files.readString(
+        Paths.get(wh, "rt_custom", "RETAIN")).trim == "2",
+        "an explicit RETAIN was overridden by the stream default")
+      // the pre-seeded dir publishes normally (first batch created the
+      // table around the waiting RETAIN file)
+      assert(cmds.table("rt_sink").count() == 1L)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("CROSS-PROCESS claim exclusivity: two child JVMs hammering " +
       "claimSink on one table never hold the single-writer claim " +
       "together (the in-JVM race specs serialize on the shared monitor " +
