@@ -153,8 +153,24 @@ object VectorStreams {
     * so the retry is exactly-once by construction. A second failure
     * propagates (a genuine fault must kill the stream visibly, never
     * loop). */
-  private def retryOnceOnStaleRead(body: => Unit): Unit =
-    try body catch { case e: Throwable if staleRead(e) => body }
+  private def retryOnceOnStaleRead(ss: org.apache.spark.sql.SparkSession)(
+      body: => Unit): Unit =
+    try body catch { case e: Throwable if staleRead(e) =>
+      // re-planning alone is NOT enough: foreachBatch hands each twin
+      // its own CLONED session — clones share the EXTERNAL catalog (the
+      // gate's repoint keeps its metadata fresh) but each keeps its own
+      // TABLE RELATION CACHE, and the gate can only invalidate its own
+      // clone's and the default session's. This clone's cache stays
+      // pinned to the swept version, so a plain retry re-resolves the
+      // same dead files (measured by the chaos soak's second seed).
+      // refreshTable drops THIS session's cached relation; the retry
+      // then re-resolves the fresh location from the shared catalog.
+      Seq("centroids", "assign", "codebook", "codes")
+        .map(VectorIndex.tableName)
+        .filter(ss.catalog.tableExists)
+        .foreach(ss.catalog.refreshTable)
+      body
+    }
 
   private def staleRead(t: Throwable): Boolean = {
     var c: Throwable = t
@@ -369,7 +385,7 @@ object VectorStreams {
           // poison candidates quarantine into <table>_rejects instead of
           // raising: the kernel's dimension raise is right for a one-shot
           // SQL call but would poison-pill-loop a checkpointed stream
-          retryOnceOnStaleRead {
+          retryOnceOnStaleRead(batch.sparkSession) {
             val (clean, poison) = splitPoison(batch, "vec_id", dim)
             if (!poison.isEmpty)
               cmds.appendCommitted(s"${table}_rejects", poison, batchId)
@@ -402,7 +418,7 @@ object VectorStreams {
           // Poison queries quarantine into <table>_rejects (see
           // decontamGate) — a malformed query must cost its caller an
           // absent answer plus a visible reject row, never the stream.
-          retryOnceOnStaleRead {
+          retryOnceOnStaleRead(batch.sparkSession) {
             val (clean, poison) = splitPoison(batch, "q_id", dim)
             if (!poison.isEmpty)
               cmds.appendCommitted(s"${table}_rejects", poison, batchId)
@@ -442,7 +458,7 @@ object VectorStreams {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           heartbeat()
           // poison queries quarantine into <table>_rejects (see serve)
-          retryOnceOnStaleRead {
+          retryOnceOnStaleRead(batch.sparkSession) {
             val (clean, poison) = splitPoison(batch, "q_id", dim)
             if (!poison.isEmpty)
               cmds.appendCommitted(s"${table}_rejects", poison, batchId)

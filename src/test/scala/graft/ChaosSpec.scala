@@ -32,8 +32,9 @@ class ChaosSpec extends AnyFunSuite {
 
   test("chaos soak: both gates + serve twin + txn/snapshot/maintenance " +
       "in seeded-random epochs with poison and session deaths — " +
-      "exactly-once everywhere, fences hold, audits green") {
-    chaos(20260816L)
+      "exactly-once everywhere, fences hold, audits green; two seeds, " +
+      "fresh warehouse each") {
+    Seq(20260816L, 70811L).foreach(chaos)
   }
 
   private def chaos(seed: Long): Unit = {
