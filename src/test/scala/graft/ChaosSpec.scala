@@ -176,6 +176,16 @@ class ChaosSpec extends AnyFunSuite {
             engine.sql("STOP SERVE sv"); serveUp = false
           }
         }
+        // with the VECTOR gate stopped its index claims lift, so
+        // OPTIMIZE on codes/assign is LEGAL — and it version-bumps +
+        // sweeps UNDER the still-running serve twin's per-batch reads:
+        // exactly the reader-vs-sweep composition the retain window and
+        // the refresh-retry must absorb (the serve invariants at the
+        // next rest point prove nothing was lost or doubled)
+        if (!vecUp && serveUp && rng.nextBoolean()) {
+          engine.sql(s"OPTIMIZE $codesT")
+          engine.sql(s"OPTIMIZE $assignT")
+        }
       }
       // drain: stop everything that is still registered (FORCE clears a
       // dead session's registrations after a close-epoch)
