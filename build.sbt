@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked runs write stdout DIRECTLY (no "[info] " log prefix): the
+// driver parses graft.Bench's final JSON line from captured stdout, and
+// the logger prefix defeated that parse every round (BENCH_rN.json
+// landed with parsed: null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

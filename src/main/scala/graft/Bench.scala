@@ -194,12 +194,26 @@ object Bench {
     val ratio = duckTotal.filter(_ > 0).map(dt => total / dt)
     def optNum(v: Option[Double]): String =
       v.map(x => f"$x%.3f").getOrElse("null")
-    println(
+    val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
         f""""spark_total":$total%.3f,"duck_total":${optNum(duckTotal)},""" +
         s""""ratio":${optNum(ratio)},"n_queries":${results.size},""" +
         f""""p50":${pct(0.5)}%.3f,"p95":${pct(0.95)}%.3f,""" +
-        s""""failed":$failedJson,"sf":"$sfDir","full":"bench_out.json"}""")
+        s""""failed":$failedJson,"sf":"$sfDir","full":"bench_out.json"}"""
+    println(summary)
+    // the summary ALSO lands in a stable file: even with the forked-run
+    // StdoutOutput strategy (no "[info] " prefix — see build.sbt), sbt
+    // appends its own "[success] Total time ..." after the run, and a
+    // last-line parser would read that instead. A file is prefix-proof.
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")),
+        summary + "\n")
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] BENCH_SUMMARY.json not written: ${e.getMessage}")
+    }
     // The line now carries the per-query DuckDB anchor (~8 KB) and a
     // tail-capture harness can truncate it (round 8's driver artifact
     // parsed as null for exactly that reason) — so ALSO write it to a

@@ -872,7 +872,47 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     }
   }
 
-  def sql(command: String): DataFrame = command match {
+  /** SQL-face shim for the reference grammar's `SIMILAR TO` predicate
+    * (nanosql.g declares the token pair; the reference's
+    * expressions/StringMatchOperator.java:30-33 stubs its evaluation to
+    * constant false): rewrite `[NOT] SIMILAR TO` → `[NOT] RLIKE`
+    * OUTSIDE string literals, then let the regular pipeline — engine
+    * routes or the Spark fallthrough — evaluate it with real regex
+    * semantics, matching the engine's RLIKE face (oracle q05). String
+    * literals are copied verbatim ('' escapes included) so a VALUES row
+    * containing the words "similar to" is never mangled. */
+  private def rewriteSimilarTo(stmt: String): String = {
+    if ("(?is)similar\\s+to".r.findFirstIn(stmt).isEmpty) return stmt
+    val simPat = "(?is)\\b(not\\s+)?similar\\s+to\\b".r
+    val sb = new StringBuilder(stmt.length)
+    val seg = new StringBuilder
+    def flush(): Unit = {
+      sb.append(simPat.replaceAllIn(seg.toString,
+        m => if (m.group(1) != null) "NOT RLIKE" else "RLIKE"))
+      seg.clear()
+    }
+    var i = 0
+    var inStr = false
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (!inStr) {
+        if (c == '\'') { flush(); sb.append(c); inStr = true }
+        else { seg.append(c); () }
+      } else {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 1
+          } else inStr = false
+        }
+      }
+      i += 1
+    }
+    flush()
+    sb.toString
+  }
+
+  def sql(command: String): DataFrame = rewriteSimilarTo(command) match {
     case createColstore(temp, name, path) =>
       // reference: CREATE COLSTORE/TABLE ... FROM <file> profiles the file
       // and builds the columnar store (commands/CreateColStoreCommand.java,
@@ -1234,20 +1274,35 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       }
       import spark.implicits._
       Seq(planned).toDF("plan")
-    case analyzeStmt(_, tblList) =>
+    case analyzeStmt(verbose, tblList) =>
       // warehouse tables re-register at the live version + compute column
       // stats; plain catalog tables get the stats pass directly. Either
       // way EXPLAIN's PlanCost lines carry real rowCounts afterwards.
-      // The reference form takes a table LIST, analyzed in order.
+      // The reference form takes a table LIST, analyzed in order
+      // (commands/AnalyzeCommand.java:93-121 — one "Analyzing table X"
+      // line per table); VERBOSE returns the freshly computed stats as
+      // one row per table instead of the single status line.
       val tbls = tblList.split(",").map(_.trim).toSeq
-      tbls.foreach { tblRaw =>
+      val resolved = tbls.map { tblRaw =>
         cmds.resolveTable(tblRaw) match {
-          case Some(t) => cmds.analyze(t)
-          case None => spark.sql(
-            s"ANALYZE TABLE `$tblRaw` COMPUTE STATISTICS FOR ALL COLUMNS")
+          case Some(t) => cmds.analyze(t); t
+          case None =>
+            spark.sql(
+              s"ANALYZE TABLE `$tblRaw` COMPUTE STATISTICS FOR ALL COLUMNS")
+            tblRaw
         }
       }
-      status(s"analyzed ${tbls.mkString(", ")}")
+      if (verbose != null) {
+        import spark.implicits._
+        // read the stats back from the catalog the pass just populated
+        // (optimizedPlan.stats with CBO on) — no second scan
+        resolved.map { t =>
+          val df = spark.table(s"`$t`")
+          val st = df.queryExecution.optimizedPlan.stats
+          (t, st.rowCount.map(_.toLong).getOrElse(-1L),
+            st.sizeInBytes.toLong, df.columns.length)
+        }.toDF("table", "row_count", "size_bytes", "n_columns")
+      } else status(s"analyzed ${resolved.mkString(", ")}")
     case explainQuery(sel) =>
       // engine-owned EXPLAIN for queries: Spark's own EXPLAIN output has no
       // cost numbers; the reference prints PlanCost per node, so this route
@@ -1530,14 +1585,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       if (existing.isEmpty) claimIngest(name, k, dir)
       // per-TABLE sink claims (the generic fence OPTIMIZE/DML check):
       // idempotent for the deterministic per-kind owner, so resumes and
-      // restarts re-claim transparently. Each sink also gets the default
-      // 5-version retain window unless the operator chose one — the
-      // reader-vs-sweep grace the chaos soak showed every continuously-
-      // appended table needs (BUILD already covers the index tables;
-      // this covers the verdict/quarantine logs, created lazily by
-      // their first batch)
-      ingestSinkTables(k).foreach(t =>
-        if (!cmds.hasRetain(t)) cmds.setRetainAhead(t, 5))
+      // restarts re-claim transparently.
       try ingestSinkTables(k).foreach(t => cmds.claimSink(t, s"ingest:$k"))
       catch { case e: Throwable =>
         if (existing.isEmpty) {
@@ -1548,6 +1596,17 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         }
         throw e
       }
+      // each sink also gets the default 5-version retain window unless
+      // the operator chose one — the reader-vs-sweep grace the chaos
+      // soak showed every continuously-appended table needs (BUILD
+      // already covers the index tables; this covers the verdict/
+      // quarantine logs, created lazily by their first batch). Defaulted
+      // AFTER the claims succeed: setRetainAhead mkdirs the table dir,
+      // and a claim refusal must not strand RETAIN-only dirs that a
+      // later unrelated CREATE TABLE would silently inherit. The list of
+      // tables WE defaulted feeds the stream-start rollback below.
+      val retainDefaulted = ingestSinkTables(k).filterNot(cmds.hasRetain)
+      retainDefaulted.foreach(t => cmds.setRetainAhead(t, 5))
       // the source pin also lands BEFORE the stream starts: a crash
       // between start and pin would leave a live checkpoint resumable
       // against any directory unchecked
@@ -1601,6 +1660,9 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
             if (cmds.sinkOwner(t).contains(s"ingest:$k"))
               cmds.releaseSink(t))
         }
+        // retain windows THIS start defaulted roll back too — a refused
+        // START must leave no RETAIN-only table dirs behind
+        retainDefaulted.foreach(cmds.clearRetain)
         // a checkpoint dir this START created only to hold the floor pin
         // is removed (Spark never populated it — its numbering is not
         // real); a Spark-populated one stays, and so does its pin

@@ -183,6 +183,23 @@ class TableCommands(spark: SparkSession, warehouse: String) {
     * one. */
   def hasRetain(name: String): Boolean = Files.exists(retainFile(name))
 
+  /** Undo a retain window the CALLER defaulted (stream-start rollback):
+    * remove the RETAIN file and, when that leaves the table dir holding
+    * nothing else, remove the dir too. Without this a failed START
+    * strands RETAIN-only table dirs ([[setRetainAhead]] mkdirs), and a
+    * later unrelated CREATE TABLE of the same name silently inherits a
+    * retain window its operator never chose. */
+  def clearRetain(name: String): Unit = {
+    Files.deleteIfExists(retainFile(name))
+    val d = Paths.get(dir(name))
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) Files.deleteIfExists(d)
+    }
+    ()
+  }
+
   private def retainCount(table: String): Int =
     if (Files.exists(retainFile(table)))
       Files.readString(retainFile(table)).trim.toInt

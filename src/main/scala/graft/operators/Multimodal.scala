@@ -108,20 +108,30 @@ object Multimodal {
         val height = u32(b, 22); val planes = u16(b, 26)
         val bpp = u16(b, 28); val compression = u32(b, 30)
         val imageSize = u32(b, 34)
-        val rowBytes = ((width * 3 + 3) / 4) * 4
         // width/height are SIGNED int32 reads: negative dimensions can
         // satisfy every consistency equation below (width -1 → rowBytes
         // 0 → imageSize 0 → fileSize 54 == payload length) and then blow
         // up the pixel kernels (Array.ofDim(-1, ...) throws) — a crafted
         // 54-byte payload must degrade to valid=false, never a task
         // kill. The canonical subset this codec declares is bottom-up
-        // (non-negative height) anyway.
+        // (non-negative height) anyway. The consistency arithmetic is
+        // done in Long: 32-bit `width*3` wraps for width ≥ 0x2AAAAAAB
+        // (e.g. width=1431655766 → rowBytes 4), letting a 58-byte
+        // payload with height=1 pass every Int equation and then index
+        // past the buffer in the kernels; `rowBytes*height` wraps the
+        // same way for large heights. A hard dimension cap (2^20 per
+        // side, far above any real asset here) bounds the Int fields
+        // the kernels consume even if a future equation slips.
+        val maxDim = 1 << 20
+        val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
         val ok = width >= 0 && height >= 0 &&
+          width <= maxDim && height <= maxDim &&
           dibSize == 40 && planes == 1 && bpp == 24 &&
           compression == 0 && pixelOffset == 54 &&
-          imageSize == rowBytes * height &&
-          fileSize == 54 + imageSize && b.length == fileSize
-        BmpMeta(docId, width, height, bpp, rowBytes, imageSize, ok)
+          imageSize.toLong == rowBytesL * height &&
+          fileSize.toLong == 54L + imageSize && b.length == fileSize
+        BmpMeta(docId, width, height, bpp,
+          if (ok) rowBytesL.toInt else -1, imageSize, ok)
       }
     }
 

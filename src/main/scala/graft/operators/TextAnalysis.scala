@@ -402,14 +402,33 @@ object TextAnalysis {
   private[graft] def nbModelMicros(s: SparkSession, d: String,
       maxTermsPerClass: Int = 1000000)
       : (Map[String, (Long, Long)], Map[(String, String), Long]) = {
-    val (wc, cls) = nbModel(s, d)
-    val langStats = cls.select(col("clang"),
-        (col("prior") * 1000000).cast("long").as("pm"),
-        (round(log(lit(1.0) /
-          (col("n_tok") + col("v")).cast("double")), 6)
-          .cast("decimal(18,6)") * 1000000).cast("long").as("dm"))
+    val (langStatsDf, likDf) = nbModelMicroFrames(s, d, maxTermsPerClass)
+    val langStats = langStatsDf
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
+    val lik = likDf
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    (langStats, lik)
+  }
+
+  /** The same model artifact as DATAFRAMES — `(clang, pm, dm)` and
+    * `(clang, word, lm)` in the identical exact micro units (the two
+    * faces share this one definition, so they cannot drift). This is the
+    * scale path past [[nbModelMicros]]'s driver-side Map: a
+    * many-language corpus multiplies classes until k × |classes| no
+    * longer fits one JVM heap, while these frames feed
+    * [[graft.streaming.DocStreams.nbClassifyJoin]] as a JOIN build side
+    * — Catalyst broadcasts them while small and degrades to a shuffled
+    * join when not, with no driver ceiling either way. */
+  private[graft] def nbModelMicroFrames(s: SparkSession, d: String,
+      maxTermsPerClass: Int = 1000000): (DataFrame, DataFrame) = {
+    val (wc, cls) = nbModel(s, d)
+    val langStats = cls.select(col("clang"),
+      (col("prior") * 1000000).cast("long").as("pm"),
+      (round(log(lit(1.0) /
+        (col("n_tok") + col("v")).cast("double")), 6)
+        .cast("decimal(18,6)") * 1000000).cast("long").as("dm"))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy("clang").orderBy(col("cnt").desc, col("word").asc)
     val lik = wc
@@ -420,8 +439,6 @@ object TextAnalysis {
         (round(log((col("cnt") + 1).cast("double") /
           (col("n_tok") + col("v")).cast("double")), 6)
           .cast("decimal(18,6)") * 1000000).cast("long").as("lm"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
     (langStats, lik)
   }
 

@@ -238,6 +238,55 @@ object DocStreams {
       }.toDF()
   }
 
+  /** [[nbClassify]] re-expressed as JOINS over the model FRAMES
+    * ([[graft.operators.TextAnalysis.nbModelMicroFrames]]) — identical
+    * answers (the parity spec pins bit-equality against the Map twin),
+    * no frozen driver-side Map. The Map twin's ceiling is real: the
+    * frozen likelihood map is capped at k terms/class, but a
+    * many-language corpus multiplies CLASSES until k × |classes| no
+    * longer fits one JVM heap. Here the likelihood table is a join
+    * build side — Catalyst broadcasts it while small and degrades to a
+    * shuffled join when not (only the |langs|-bounded prior/default
+    * frame is forced broadcast). Shape: tokens × |langs| contribution
+    * rows partial-aggregate map-side into per-(doc, lang) sums (one
+    * exchange), then a per-doc window argmaxes over |langs| rows with
+    * the same (score desc, lang asc) tie-break. Zero-token docs score
+    * on priors alone via the docs × langs left join. Batch-side only
+    * (the per-doc window needs a complete frame) — the serve twin runs
+    * it inside foreachBatch, where every micro-batch is a batch frame. */
+  def nbClassifyJoin(docs: DataFrame, langStats: DataFrame,
+      wordLik: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+    // same token stream as the Map twin: whitespace split of the
+    // lowercased text, empties dropped
+    val toks = base.select(col("doc_id"),
+      explode(split(lower(col("text")), "[ \t\n\f\r]+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val langs = langStats.select("clang", "pm", "dm")
+    // per-(doc, lang) token contribution: known words take lm, OOV
+    // takes the class default dm — LEFT join on (clang, word), then
+    // integer micro sums (partition- and order-independent, the same
+    // exactness argument as the Map twin)
+    val contrib = toks
+      .crossJoin(broadcast(langs.select("clang", "dm")))
+      .join(wordLik, Seq("clang", "word"), "left")
+      .groupBy("doc_id", "clang")
+      .agg(sum(coalesce(col("lm"), col("dm"))).as("tok_sum"),
+        count(lit(1)).as("n_tok"))
+    val scores = base.select("doc_id")
+      .crossJoin(broadcast(langs.select("clang", "pm")))
+      .join(contrib, Seq("doc_id", "clang"), "left")
+      .select(col("doc_id"), col("clang"),
+        (col("pm") + coalesce(col("tok_sum"), lit(0L))).as("score"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("clang").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"),
+        col("clang").as("lang"), col("score").as("score_micro"))
+  }
+
   case class DocBpe(doc_id: Long, n_chars: Long, n_syms: Long,
       compression: Option[Double])
 

@@ -82,6 +82,19 @@ object VectorStreams {
     // of a same-owner re-claim: if the start below THROWS (Spark refuses
     // a second query on a live checkpoint), the predecessor may be alive
     // and its claim must be RESTORED, not deleted.
+    val acquired =
+      scala.collection.mutable.ArrayBuffer.empty[(String, (String, Option[String]))]
+    def rollbackClaims(): Unit =
+      acquired.foreach { case (t, (n, prior)) => prior match {
+        case Some(c) => cmds.restoreSinkClaim(t, c, n)
+        case None => cmds.releaseSinkIfRun(t, n)
+      }}
+    // a refusal on the Nth table must not leave tables 1..N-1 claimed
+    // (or their predecessors' claims replaced) by a twin that never
+    // starts — release fresh claims, restore replaced ones
+    try tables.foreach(t => acquired += t -> cmds.claimSinkKeepingPrior(t, owner))
+    catch { case e: Throwable => rollbackClaims(); throw e }
+    val nonces = acquired.toSeq
     // default a retain window of 5 on every stream sink the twin will
     // appendCommit into (unless the operator already chose one): with
     // the default retain of 1, every append sweeps the superseded
@@ -89,9 +102,12 @@ object VectorStreams {
     // dies mid-scan — the reader-vs-sweep shape the chaos soak measured
     // on the index tables. Link-forward appends make retained versions
     // near-free (hard-linked files), so the window costs only the tail
-    // deltas it keeps.
-    tables.foreach(t => if (!cmds.hasRetain(t)) cmds.setRetainAhead(t, 5))
-    val nonces = tables.map(t => t -> cmds.claimSinkKeepingPrior(t, owner))
+    // deltas it keeps. Defaulted AFTER the claims succeed (a claim
+    // refusal must not strand RETAIN-only table dirs a later CREATE
+    // TABLE would silently inherit); the defaulted list feeds the
+    // start-failure rollback below.
+    val retainDefaulted = tables.filterNot(cmds.hasRetain)
+    retainDefaulted.foreach(t => cmds.setRetainAhead(t, 5))
     // match termination by RUN id, never query id: a TAKEOVER's old and
     // new runs share the query id (it is persisted in the checkpoint),
     // so an id-keyed match let the OLD run's termination event — when
@@ -118,11 +134,11 @@ object VectorStreams {
         ss.streams.removeListener(listener)
         // rollback: a re-claimed (replaced) claim goes BACK — the
         // predecessor may be the live stream whose checkpoint just
-        // refused us; a fresh claim is simply released
-        nonces.foreach { case (t, (n, prior)) => prior match {
-          case Some(c) => cmds.restoreSinkClaim(t, c, n)
-          case None => cmds.releaseSinkIfRun(t, n)
-        }}
+        // refused us; a fresh claim is simply released. Retain windows
+        // this call defaulted roll back with it (RETAIN-only dirs must
+        // not outlive a refused start).
+        rollbackClaims()
+        retainDefaulted.foreach(cmds.clearRetain)
         throw e
       }
     idHolder.set(q.runId)
@@ -172,9 +188,16 @@ object VectorStreams {
       body
     }
 
-  private def staleRead(t: Throwable): Boolean = {
+  private[graft] def staleRead(t: Throwable): Boolean = {
     var c: Throwable = t
     while (c != null) {
+      // Match the exception TYPE as well as the message: a raw
+      // java.io.FileNotFoundException's message is just the missing
+      // path (no class name in it), so a driver-side listing/footer
+      // read that surfaces unwrapped would slip past a message-only
+      // check and kill the stream instead of taking the one-shot retry.
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          c.getClass.getName.contains("FileNotFoundException")) return true
       val m = Option(c.getMessage).getOrElse("")
       if (m.contains("FAILED_READ_FILE") ||
           m.contains("FileNotFoundException")) return true

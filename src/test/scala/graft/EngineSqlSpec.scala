@@ -825,15 +825,49 @@ class EngineSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-table ANALYZE: the reference's table-list form") {
-    // AnalyzeCommand.java:93-115 iterates a table list; VERBOSE accepted
-    assert(engine.sql("ANALYZE VERBOSE region, nation")
-      .head.getString(0) == "analyzed region, nation")
-    // single-table form unchanged
+  test("multi-table ANALYZE: the reference's table-list form; VERBOSE " +
+      "returns the freshly computed per-table stats") {
+    // AnalyzeCommand.java:93-121 iterates a table list printing one line
+    // per table; the VERBOSE face surfaces the stats the pass computed
+    val v = engine.sql("ANALYZE VERBOSE region, nation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(v.map(_._1).toSeq == Seq("region", "nation"))
+    assert(v.forall { case (_, rows, bytes, cols) =>
+      rows > 0 && bytes > 0 && cols > 0 },
+      s"VERBOSE stats not populated: ${v.mkString(", ")}")
+    assert(v.find(_._1 == "region").exists(_._2 == 5),
+      "region must carry its real row count (5)")
+    // non-VERBOSE forms keep the status line
+    assert(engine.sql("ANALYZE region, nation").head.getString(0)
+      == "analyzed region, nation")
     assert(engine.sql("ANALYZE region").head.getString(0)
       == "analyzed region")
     // Spark's own ANALYZE TABLE syntax still falls through untouched
     engine.sql("ANALYZE TABLE region COMPUTE STATISTICS")
+  }
+
+  test("SIMILAR TO on the SQL face: the reference grammar's token pair " +
+      "(nanosql.g; evaluation stubbed to constant false in " +
+      "StringMatchOperator.java:30-33) rewrites to RLIKE with real regex " +
+      "semantics — q05's shape spelled SIMILAR TO, plus the NOT form, " +
+      "with string literals never mangled") {
+    val viaSimilar = engine.sql(
+      "SELECT p_partkey, p_name FROM part WHERE p_name SIMILAR TO 'a.*e'")
+      .collect().map(_.getLong(0)).sorted
+    val viaRlike = engine.sql(
+      "SELECT p_partkey, p_name FROM part WHERE p_name RLIKE 'a.*e'")
+      .collect().map(_.getLong(0)).sorted
+    assert(viaSimilar.nonEmpty && viaSimilar.sameElements(viaRlike))
+    val notSimilar = engine.sql(
+      "SELECT count(*) AS n FROM part WHERE p_name NOT SIMILAR TO 'a.*e'")
+      .head.getLong(0)
+    val total = engine.sql("SELECT count(*) AS n FROM part").head.getLong(0)
+    assert(notSimilar == total - viaSimilar.length)
+    // a literal containing the words is copied verbatim (the rewrite
+    // scans outside single-quoted strings only; '' escape included)
+    assert(engine.sql(
+      "SELECT 'x SIMILAR TO y' AS s, 'it''s SIMILAR TO z' AS t")
+      .head.getString(0) == "x SIMILAR TO y")
   }
 
   test("BUILD VECTOR INDEX: build → serve → drop lifecycle; searches " +

@@ -209,6 +209,46 @@ class HostileInputSpec extends AnyFunSuite {
     assert(operators.Multimodal.BmpCodec.decode(8L, empty).valid)
   }
 
+  test("hostile BMP payload: 32-bit header arithmetic wraps — " +
+      "width=1431655766 makes Int width*3 overflow to 2 so rowBytes=4, " +
+      "and a 58-byte payload (height=1, imageSize=4, fileSize=58) " +
+      "satisfies every Int consistency equation; the Long-domain check " +
+      "must reject it before the pixel kernels index past the buffer") {
+    def le32(v: Int): Seq[Byte] = Seq(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def bmp(fileSize: Int, width: Int, height: Int, imageSize: Int,
+        payloadBytes: Int): Array[Byte] = (
+      Seq('B'.toByte, 'M'.toByte) ++ le32(fileSize) ++ le32(0) ++
+        le32(54) ++ le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++
+        le16(24) ++ le32(0) ++ le32(imageSize) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ Seq.fill(payloadBytes)(0x41.toByte)
+    ).toArray
+    // width*3 wraps: 1431655766*3 = 2^32+2 -> Int 2 -> rowBytes 4
+    val wideWrap = bmp(58, 1431655766, 1, 4, 4)
+    assert(wideWrap.length == 58)
+    val m1 = operators.Multimodal.BmpCodec.decode(7L, wideWrap)
+    assert(!m1.valid, s"width-wrap BMP decoded as valid: $m1")
+    assert(!operators.Multimodal.PerceptualHash.aHashBits(7L, wideWrap).valid)
+    assert(!operators.Multimodal.BmpCodec.resample2x(7L, wideWrap).valid)
+    // rowBytes*height wraps: width=4 -> rowBytes 12; height=357913942
+    // -> Int 12*height = 2^32+8 -> 8 == imageSize, fileSize 62
+    val tallWrap = bmp(62, 4, 357913942, 8, 8)
+    assert(tallWrap.length == 62)
+    val m2 = operators.Multimodal.BmpCodec.decode(9L, tallWrap)
+    assert(!m2.valid, s"height-wrap BMP decoded as valid: $m2")
+    assert(!operators.Multimodal.PerceptualHash.aHashBits(9L, tallWrap).valid)
+    assert(!operators.Multimodal.BmpCodec.resample2x(9L, tallWrap).valid)
+    // a real image at the same header layout still decodes: width=4,
+    // height=2, rowBytes=12, imageSize=24, fileSize=78
+    val sane = bmp(78, 4, 2, 24, 24)
+    val m3 = operators.Multimodal.BmpCodec.decode(10L, sane)
+    assert(m3.valid, s"sane BMP rejected by the Long-domain guard: $m3")
+    assert(m3.row_bytes == 12 && m3.image_bytes == 24)
+  }
+
   test("BUILD/REFRESH VECTOR INDEX refuse a poisoned corpus: one NaN row " +
       "in the training input would silently absorb into every centroid " +
       "and code (kmeans sums take the NaN, quantization casts it to 0) " +

@@ -888,4 +888,118 @@ class LifecycleGuardsSpec extends AnyFunSuite {
     assert(cmds.sinkOwner("dies_t").isEmpty,
       "a dead twin's claim must not need RELEASE ... FORCE")
   }
+
+  /** Reconstruct the forked test JVM's --add-opens flags (build.sbt's
+    * jdk17AddOpens) so a child JVM can boot its own SparkSession. */
+  private def childJvmOpens: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val args = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val paired = args.zip(args.drop(1) :+ "").collect {
+      case ("--add-opens", v) => Seq("--add-opens", v)
+    }.flatten
+    val fused = args.filter(_.startsWith("--add-opens="))
+    paired ++ fused
+  }
+
+  test("CROSS-PROCESS fence soak: a second Engine PROCESS on a warehouse " +
+      "where a gate and a serve twin run — every fenced verb (OPTIMIZE / " +
+      "DML / BUILD / REFRESH / DROP / LOAD / DROP TABLE / STOP-without-" +
+      "FORCE, gate sinks and serve sink alike) refuses from the foreign " +
+      "process; after the first session dies, a FORCE release + resume " +
+      "FROM THE FOREIGN PROCESS drains the backlog exactly-once and " +
+      "VERIFY is green — the gap between 'the lock is exclusive' and " +
+      "'the system is safe with two operators'") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = freshWh("xfence")
+    val watch = Files.createTempDirectory("graft_xfence_watch").toString
+    val scratch = Files.createTempDirectory("graft_xfence_scratch")
+    def spawnProbe(mode: String): Process = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(javaBin) ++ childJvmOpens ++ Seq("-Xmx3g", "-cp", cp,
+        "graft.FenceProbe", mode, d, wh, watch, scratch.toString)
+      new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(scratch.resolve(s"out.$mode").toFile)
+        .start()
+    }
+    def probeReport(mode: String): String = {
+      val res = scratch.resolve(s"${mode}_results.tsv")
+      val tsv = if (Files.exists(res)) Files.readString(res) else "<none>"
+      val log = try Files.readString(scratch.resolve(s"out.$mode"))
+        .takeRight(1500) catch { case _: java.io.IOException => "<no log>" }
+      s"results:\n$tsv\nchild log tail:\n$log"
+    }
+    val e1 = new Engine(spark, d, wh)
+    try {
+      e1.sql("BUILD DEDUP INDEX ON documents")
+      // two fresh docs are already waiting when the gate starts
+      Seq(
+        9000001L -> ("the quiet observatory dome rotates toward a " +
+          "comet nobody has catalogued yet tonight"),
+        9000002L -> ("a tired ferry pilot counts harbor lights " +
+          "between the last two crossings of the evening"))
+        .toDF("doc_id", "text").write.mode("append").parquet(watch)
+      e1.sql(s"START ADMIT INGEST FROM '$watch' AS gate")
+      val gq = e1.ingestQuery("gate").getOrElse(fail("no gate handle"))
+      gq.processAllAvailable()
+      // a serve twin on the same warehouse; one answered batch so its
+      // caller-named sink exists (OPTIMIZE on a missing table would
+      // refuse for the wrong reason)
+      val callerQ = spark.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id AS q_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .filter(col("q_id") < 2).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val src = MemoryStream[(Long, Seq[Double])]
+      val sq = streaming.VectorStreams.serve(
+        src.toDF().toDF("q_id", "embedding"), d, e1.storage, "svc_fence")
+      try {
+        src.addData(callerQ: _*)
+        sq.processAllAvailable()
+        assert(e1.storage.tableExists("svc_fence"))
+        // ── phase 1: foreign process, live twins — every verb refuses
+        val fence = spawnProbe("fence")
+        assert(fence.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+          s"fence probe hung; ${probeReport("fence")}")
+        assert(fence.exitValue == 0,
+          s"foreign fence checks failed; ${probeReport("fence")}")
+        // the parent's twins sailed through the foreign hammering
+        assert(gq.isActive && sq.isActive,
+          "a foreign fenced-verb attempt killed a live twin")
+      } finally { sq.stop() }
+      // ── phase 2: this session DIES (close(): queries stop, the gate's
+      // registration and claims stay — the dead-session shape)
+    } finally e1.close()
+    // backlog lands while nobody is watching
+    Seq(9000003L -> ("migrating cranes trace the river bend " +
+      "past the shuttered paper mill at first frost"))
+      .toDF("doc_id", "text").write.mode("append").parquet(watch)
+    Files.writeString(scratch.resolve("expected_ids"),
+      "9000001\n9000002\n9000003\n")
+    val e1b = new Engine(spark, d, wh) // only to observe final state
+    try {
+      val resume = spawnProbe("resume")
+      assert(resume.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        s"resume probe hung; ${probeReport("resume")}")
+      assert(resume.exitValue == 0,
+        s"foreign FORCE+resume failed; ${probeReport("resume")}")
+      // the parent's own read of the final state agrees: exactly-once
+      val verdicts = e1b.storage.table("ingest_verdicts")
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(9000001L, 9000002L, 9000003L).foreach(id =>
+        assert(verdicts.get(id).contains(1L),
+          s"doc $id verdicted ${verdicts.getOrElse(id, 0L)} times"))
+      // and nothing holds the warehouse: claims are all released
+      assert(e1b.sql("SHOW INGESTS").isEmpty)
+      assert(e1b.storage.sinkOwner("ingest_verdicts").isEmpty)
+    } finally {
+      e1b.sql("DROP DEDUP INDEX ON documents")
+      e1b.close()
+    }
+  }
 }

@@ -1169,6 +1169,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(tiny(1) == ((2L, 2L, "bb", -100L - 2 * 700L)), s"got ${tiny(1)}")
   }
 
+  test("nbClassifyJoin: the join-based twin (no driver-side model Map) " +
+      "answers bit-identical to the Map twin over the whole corpus, " +
+      "including zero-token docs and prior tie-breaks") {
+    import spark.implicits._
+    val (langStats, wordLik) =
+      operators.TextAnalysis.nbModelMicros(spark, TestSpark.sfDir)
+    val (langStatsDf, wordLikDf) =
+      operators.TextAnalysis.nbModelMicroFrames(spark, TestSpark.sfDir)
+    val docs = graft.Graft.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val viaMap = asMap(
+      streaming.DocStreams.nbClassify(docs, langStats, wordLik))
+    val viaJoin = asMap(
+      streaming.DocStreams.nbClassifyJoin(docs, langStatsDf, wordLikDf))
+    assert(viaJoin.size == viaMap.size && viaMap.nonEmpty)
+    viaMap.foreach { case (id, m) =>
+      assert(viaJoin(id) == m, s"doc $id: join ${viaJoin(id)} != map $m")
+    }
+    // the degenerate shapes the Map twin pins: empty doc argmaxes priors
+    // (tie breaks lang-ascending), all-OOV doc adds the default per token
+    val tinyStats = Seq(("aa", -100L, -900L), ("bb", -100L, -700L))
+      .toDF("clang", "pm", "dm")
+    val tinyLik = Seq.empty[(String, String, Long)]
+      .toDF("clang", "word", "lm")
+    val tiny = streaming.DocStreams.nbClassifyJoin(
+      Seq((1L, "   "), (2L, "zzqq zzqq")).toDF("doc_id", "text"),
+      tinyStats, tinyLik).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(tiny(0) == ((1L, 0L, "aa", -100L)), s"got ${tiny(0)}")
+    assert(tiny(1) == ((2L, 2L, "bb", -100L - 2 * 700L)), s"got ${tiny(1)}")
+  }
+
   test("nbModelMicros vocabulary cap: frozen map bounded by k x |classes|, " +
       "evicted terms score at the OOV floor, cap-surviving docs == batch") {
     import spark.implicits._
