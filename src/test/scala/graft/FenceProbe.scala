@@ -146,6 +146,50 @@ object FenceProbe {
           engine.sql("OPTIMIZE probe_free")
           engine.sql("DROP TABLE probe_free")
         }
+      } else if (mode == "torn") {
+        // the parent planted a REAL torn pair (codes committed one batch
+        // past assign — a kill between the paired appends) and wrote the
+        // torn batch's rows + id to scratch. Every step below reads only
+        // durable warehouse state: the refusal, the directed replay, the
+        // completed purge, and the audit all run in THIS foreign process.
+        val codesT = operators.VectorIndex.tableName("codes")
+        val assignT = operators.VectorIndex.tableName("assign")
+        val cmds = engine.storage
+        check("torn_purge_refused_cross_process") {
+          assert(cmds.lastCommittedBatch(codesT) !=
+            cmds.lastCommittedBatch(assignT), "fixture is not torn")
+          try {
+            engine.sql("STOP INGEST vgate FORCE PURGE")
+            sys.error("PURGE was NOT refused on a torn pair")
+          } catch { case e: IllegalStateException =>
+            assert(e.getMessage.contains("torn"), e.getMessage)
+          }
+        }
+        check("foreign_replay_heals_then_purge_completes") {
+          val (cents, book) = streaming.VectorStreams.freeze(
+            cmds.table(operators.VectorIndex.tableName("centroids")),
+            cmds.table(operators.VectorIndex.tableName("codebook")))
+          val batch = spark.read.parquet(s"$scratch/torn_batch.parquet")
+          val bid = Files.readString(
+            Paths.get(scratch, "torn_batch_id")).trim.toLong
+          // the replay Spark would run on resume, driven directly: the
+          // committed side skips its marker, the torn side catches up
+          streaming.VectorStreams.ingestBatch(batch, cmds, cents, book, bid)
+          assert(cmds.lastCommittedBatch(codesT) ==
+            cmds.lastCommittedBatch(assignT), "replay did not heal")
+          val msg = engine.sql("STOP INGEST vgate FORCE PURGE")
+            .head.getString(0)
+          assert(msg.contains("purged"), msg)
+        }
+        check("verify_green_and_exactly_once_after_heal") {
+          engine.sql(s"VERIFY $codesT")
+          engine.sql(s"VERIFY $assignT")
+          val counts = Seq(codesT, assignT).map(t => cmds.table(t)
+            .filter(org.apache.spark.sql.functions.col("vec_id") >=
+              9500000L).count())
+          assert(counts == Seq(2L, 2L),
+            s"heal lost or duplicated rows: $counts")
+        }
       } else { // mode == "resume"
         val expected = Files.readAllLines(
           Paths.get(scratch, "expected_ids")).toArray.map(_.toString.toLong)

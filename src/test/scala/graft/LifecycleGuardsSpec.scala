@@ -1002,4 +1002,80 @@ class LifecycleGuardsSpec extends AnyFunSuite {
       e1b.close()
     }
   }
+
+  test("CROSS-PROCESS torn-pair recovery: the torn-pair PURGE refusal, " +
+      "the directed replay heal, and the completed purge all hold from a " +
+      "FOREIGN process reading only durable warehouse state (markers, " +
+      "registry, checkpoint) — no in-memory torn flag exists to consult") {
+    import spark.implicits._
+    val wh = freshWh("xtorn")
+    val scratch = Files.createTempDirectory("graft_xtorn_scratch")
+    val dirA = Files.createTempDirectory("graft_xtorn_src").toString
+    def spawnProbe(): Process = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(javaBin) ++ childJvmOpens ++ Seq("-Xmx3g", "-cp", cp,
+        "graft.FenceProbe", "torn", d, wh, dirA, scratch.toString)
+      new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(scratch.resolve("out.torn").toFile)
+        .start()
+    }
+    val e1 = new Engine(spark, d, wh)
+    try {
+      e1.sql("BUILD VECTOR INDEX ON embeddings")
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("embedding")).head.getSeq[Float](0)
+      Seq(9500001L -> base.map(_ + 0.01f)).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(dirA)
+      e1.sql(s"START VECTOR INGEST FROM '$dirA' AS vgate")
+      e1.ingestQuery("vgate").getOrElse(fail("no handle"))
+        .processAllAvailable()
+      e1.close() // session dies; registration + checkpoint survive
+      // plant the REAL torn state exactly like the in-process fixture:
+      // replay the next batch through the kernel with a crash armed
+      // after the codes publish — codes commits, assign never runs
+      val cmds = new commands.TableCommands(spark, wh)
+      val (cents, book) = streaming.VectorStreams.freeze(
+        cmds.table(operators.VectorIndex.tableName("centroids")),
+        cmds.table(operators.VectorIndex.tableName("codebook")))
+      val batch1 = Seq(9500002L -> base.map(_ + 0.02f))
+        .toDF("vec_id", "embedding")
+      batch1.write.parquet(s"$scratch/torn_batch.parquet")
+      Files.writeString(scratch.resolve("torn_batch_id"), "1")
+      cmds.crashPoint = Some("published")
+      intercept[IllegalStateException] {
+        streaming.VectorStreams.ingestBatch(batch1, cmds, cents, book, 1L)
+      }
+      cmds.crashPoint = None
+      val codesT = operators.VectorIndex.tableName("codes")
+      val assignT = operators.VectorIndex.tableName("assign")
+      assert(cmds.lastCommittedBatch(codesT).contains(1L) &&
+        cmds.lastCommittedBatch(assignT).contains(0L),
+        "fixture failed to tear the pair")
+      // the foreign process: refusal -> heal -> purge -> VERIFY
+      val p = spawnProbe()
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "torn probe hung")
+      val report = {
+        val res = scratch.resolve("torn_results.tsv")
+        val tsv = if (Files.exists(res)) Files.readString(res) else "<none>"
+        val log = try Files.readString(scratch.resolve("out.torn"))
+          .takeRight(1500) catch { case _: java.io.IOException => "<no log>" }
+        s"results:\n$tsv\nchild log tail:\n$log"
+      }
+      assert(p.exitValue == 0, s"foreign torn-pair recovery failed; $report")
+      // parent's own read of the final state: healed, purged, clean
+      assert(cmds.lastCommittedBatch(codesT) ==
+        cmds.lastCommittedBatch(assignT))
+      val e2 = new Engine(spark, d, wh)
+      try {
+        assert(e2.sql("SHOW INGESTS").isEmpty,
+          "registration survived the foreign purge")
+        e2.sql("DROP VECTOR INDEX ON embeddings")
+      } finally e2.close()
+    } finally {
+      try e1.close() catch { case _: Throwable => () }
+    }
+  }
 }
