@@ -876,11 +876,14 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * (nanosql.g declares the token pair; the reference's
     * expressions/StringMatchOperator.java:30-33 stubs its evaluation to
     * constant false): rewrite `[NOT] SIMILAR TO` → `[NOT] RLIKE`
-    * OUTSIDE string literals, then let the regular pipeline — engine
+    * OUTSIDE protected regions, then let the regular pipeline — engine
     * routes or the Spark fallthrough — evaluate it with real regex
-    * semantics, matching the engine's RLIKE face (oracle q05). String
-    * literals are copied verbatim ('' escapes included) so a VALUES row
-    * containing the words "similar to" is never mangled. */
+    * semantics, matching the engine's RLIKE face (oracle q05).
+    * Protected regions are copied verbatim so data and names are never
+    * mangled: single-quoted literals ('' escapes), DOUBLE-quoted
+    * literals (Spark's default lexer treats "…" as a string, not an
+    * identifier), backtick identifiers, `--` line comments, and
+    * bracketed comments. */
   private def rewriteSimilarTo(stmt: String): String = {
     if ("(?is)similar\\s+to".r.findFirstIn(stmt).isEmpty) return stmt
     val simPat = "(?is)\\b(not\\s+)?similar\\s+to\\b".r
@@ -891,22 +894,34 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         m => if (m.group(1) != null) "NOT RLIKE" else "RLIKE"))
       seg.clear()
     }
+    val n = stmt.length
     var i = 0
-    var inStr = false
-    while (i < stmt.length) {
+    while (i < n) {
       val c = stmt.charAt(i)
-      if (!inStr) {
-        if (c == '\'') { flush(); sb.append(c); inStr = true }
-        else { seg.append(c); () }
-      } else {
-        sb.append(c)
-        if (c == '\'') {
-          if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') {
-            sb.append('\''); i += 1
-          } else inStr = false
+      // quoted regions: copy through the matching closer, honoring the
+      // doubled-quote escape for ' and " and none for backticks
+      if (c == '\'' || c == '"' || c == '`') {
+        flush(); sb.append(c); i += 1
+        var open = true
+        while (open && i < n) {
+          val d = stmt.charAt(i); sb.append(d)
+          if (d == c) {
+            if (c != '`' && i + 1 < n && stmt.charAt(i + 1) == c) {
+              sb.append(c); i += 1
+            } else open = false
+          }
+          i += 1
         }
-      }
-      i += 1
+      } else if (c == '-' && i + 1 < n && stmt.charAt(i + 1) == '-') {
+        flush()
+        while (i < n && stmt.charAt(i) != '\n') { sb.append(stmt.charAt(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && stmt.charAt(i + 1) == '*') {
+        flush()
+        sb.append("/*"); i += 2
+        while (i < n && !(stmt.charAt(i) == '*' && i + 1 < n &&
+            stmt.charAt(i + 1) == '/')) { sb.append(stmt.charAt(i)); i += 1 }
+        if (i < n) { sb.append("*/"); i += 2 }
+      } else { seg.append(c); i += 1 }
     }
     flush()
     sb.toString

@@ -192,11 +192,18 @@ class TableCommands(spark: SparkSession, warehouse: String) {
   def clearRetain(name: String): Unit = {
     Files.deleteIfExists(retainFile(name))
     val d = Paths.get(dir(name))
-    if (Files.isDirectory(d)) {
-      val s = Files.list(d)
-      val empty = try !s.iterator().hasNext finally s.close()
-      if (empty) Files.deleteIfExists(d)
-    }
+    // best-effort dir removal: runs inside start-FAILURE rollbacks, so a
+    // TOCTOU loser (another process dropped a file between the emptiness
+    // probe and the delete) must not replace the real refusal error or
+    // abort the caller's remaining cleanup — the dir now has an owner
+    // and should stay anyway
+    try {
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) Files.deleteIfExists(d)
+      }
+    } catch { case _: java.io.IOException => () }
     ()
   }
 

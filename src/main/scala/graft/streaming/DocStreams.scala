@@ -247,22 +247,43 @@ object DocStreams {
     * longer fits one JVM heap. Here the likelihood table is a join
     * build side — Catalyst broadcasts it while small and degrades to a
     * shuffled join when not (only the |langs|-bounded prior/default
-    * frame is forced broadcast). Shape: tokens × |langs| contribution
-    * rows partial-aggregate map-side into per-(doc, lang) sums (one
-    * exchange), then a per-doc window argmaxes over |langs| rows with
-    * the same (score desc, lang asc) tie-break. Zero-token docs score
-    * on priors alone via the docs × langs left join. Batch-side only
-    * (the per-doc window needs a complete frame) — the serve twin runs
-    * it inside foreachBatch, where every micro-batch is a batch frame. */
+    * frame is forced broadcast). Shape: one distinct over (doc, text)
+    * hash keys, then tokens × |langs| contribution rows
+    * partial-aggregate map-side into per-(doc, lang) sums (one
+    * exchange), a per-doc window argmaxes over |langs| rows with the
+    * same (score desc, lang asc) tie-break, and the verdict joins back
+    * to every INPUT row (duplicate arrivals each get their own output
+    * row, like the Map twin). Zero-token docs score on priors alone
+    * via the docs × langs left join. Batch-side only (the per-doc
+    * window needs a complete frame) — the serve twin runs it inside
+    * foreachBatch, where every micro-batch is a batch frame. */
   def nbClassifyJoin(docs: DataFrame, langStats: DataFrame,
       wordLik: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // score per DISTINCT (doc_id, text) and join the verdict back to
+    // every input row: the Map twin emits one prediction per arriving
+    // ROW (a stream may redeliver), so a doc_id-keyed groupBy would
+    // collapse duplicates — and merge the token streams of two
+    // different texts sharing an id. The scoring key is
+    // xxhash64(doc_id, text) so the text itself never rides a shuffle
+    // key (the group rows are per-token); a same-batch 64-bit collision
+    // is the only way two documents could merge.
+    val based = docs.select(col("doc_id").cast("long").as("doc_id"),
       coalesce(col("text"), lit("")).as("text"))
-    // same token stream as the Map twin: whitespace split of the
-    // lowercased text, empties dropped
-    val toks = base.select(col("doc_id"),
-      explode(split(lower(col("text")), "[ \t\n\f\r]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .withColumn("tkey", xxhash64(col("doc_id"), col("text")))
+    val uniq = based.select("tkey", "text").distinct()
+    // same token stream as the Map twin, byte for byte: Locale.ROOT
+    // lowercase + whitespace split. Spark's lower() falls back to the
+    // JVM default locale for non-ASCII, which would fork the twins on
+    // tr/az/lt machines (I → dotless ı misses every model lookup) —
+    // so tokenization runs through the same JVM code the Map twin uses.
+    val toks = uniq.as[(Long, String)]
+      .flatMap { case (k, t) =>
+        t.toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty)
+          .map(w => (k, w))
+      }.toDF("tkey", "word")
     val langs = langStats.select("clang", "pm", "dm")
     // per-(doc, lang) token contribution: known words take lm, OOV
     // takes the class default dm — LEFT join on (clang, word), then
@@ -271,20 +292,24 @@ object DocStreams {
     val contrib = toks
       .crossJoin(broadcast(langs.select("clang", "dm")))
       .join(wordLik, Seq("clang", "word"), "left")
-      .groupBy("doc_id", "clang")
+      .groupBy("tkey", "clang")
       .agg(sum(coalesce(col("lm"), col("dm"))).as("tok_sum"),
         count(lit(1)).as("n_tok"))
-    val scores = base.select("doc_id")
+    val scores = uniq.select("tkey")
       .crossJoin(broadcast(langs.select("clang", "pm")))
-      .join(contrib, Seq("doc_id", "clang"), "left")
-      .select(col("doc_id"), col("clang"),
+      .join(contrib, Seq("tkey", "clang"), "left")
+      .select(col("tkey"), col("clang"),
         (col("pm") + coalesce(col("tok_sum"), lit(0L))).as("score"),
         coalesce(col("n_tok"), lit(0L)).as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("clang").asc)
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("n_tokens"),
+      .partitionBy("tkey").orderBy(col("score").desc, col("clang").asc)
+    val best = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tkey"), col("n_tokens"),
         col("clang").as("lang"), col("score").as("score_micro"))
+    based.join(best, Seq("tkey"))
+      .select(col("doc_id"), col("n_tokens"), col("lang"),
+        col("score_micro"))
   }
 
   case class DocBpe(doc_id: Long, n_chars: Long, n_syms: Long,

@@ -863,11 +863,21 @@ class EngineSqlSpec extends AnyFunSuite {
       .head.getLong(0)
     val total = engine.sql("SELECT count(*) AS n FROM part").head.getLong(0)
     assert(notSimilar == total - viaSimilar.length)
-    // a literal containing the words is copied verbatim (the rewrite
-    // scans outside single-quoted strings only; '' escape included)
+    // literals and comments are copied verbatim (the rewrite scans
+    // outside protected regions only): single-quoted with '' escape,
+    // DOUBLE-quoted (Spark's default lexer reads "…" as a string —
+    // mangling it would be silent data corruption), and comments
     assert(engine.sql(
       "SELECT 'x SIMILAR TO y' AS s, 'it''s SIMILAR TO z' AS t")
       .head.getString(0) == "x SIMILAR TO y")
+    val dq = engine.sql(
+      """SELECT "looks SIMILAR TO the old one" AS s""").head.getString(0)
+    assert(dq == "looks SIMILAR TO the old one", dq)
+    val cm = engine.sql(
+      "SELECT count(*) AS n -- a comment SIMILAR TO nothing\n" +
+        "FROM part /* also SIMILAR TO nothing */ WHERE p_name SIMILAR TO 'a.*e'")
+      .head.getLong(0)
+    assert(cm == viaSimilar.length.toLong, s"comment-bearing form: $cm")
   }
 
   test("BUILD VECTOR INDEX: build → serve → drop lifecycle; searches " +

@@ -108,7 +108,7 @@ object FenceProbe {
         refusal("drop_dedup_index", "single-writer") {
           engine.sql("DROP DEDUP INDEX ON documents"); ()
         }
-        refusal("drop_table_verdicts", "") {
+        refusal("drop_table_verdicts", "single-writer") {
           engine.sql("DROP TABLE ingest_verdicts"); ()
         }
         check("load_into_verdicts_refused") {

@@ -1203,6 +1203,21 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(tiny(0) == ((1L, 0L, "aa", -100L)), s"got ${tiny(0)}")
     assert(tiny(1) == ((2L, 2L, "bb", -100L - 2 * 700L)), s"got ${tiny(1)}")
+    // duplicate ARRIVALS: the Map twin scores every input row, so the
+    // join twin must too — a redelivered (id, text) pair yields two
+    // identical rows (never one merged row), and two DIFFERENT texts
+    // sharing an id score independently (never a merged token stream)
+    val dupIn = Seq((7L, "zzqq"), (7L, "zzqq"), (8L, "zzqq"),
+      (8L, "zzqq zzqq zzqq")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val dupMap = rows(streaming.DocStreams.nbClassify(dupIn,
+      Map("aa" -> (-100L, -900L), "bb" -> (-100L, -700L)), Map.empty))
+    val dupJoin = rows(streaming.DocStreams.nbClassifyJoin(dupIn,
+      tinyStats, tinyLik))
+    assert(dupJoin.length == 4, s"duplicate rows collapsed: $dupJoin")
+    assert(dupJoin == dupMap, s"join $dupJoin != map $dupMap")
   }
 
   test("nbModelMicros vocabulary cap: frozen map bounded by k x |classes|, " +
