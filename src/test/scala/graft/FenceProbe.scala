@@ -132,6 +132,24 @@ object FenceProbe {
         refusal("dml_serve_sink", "single-writer") {
           engine.sql("DELETE FROM svc_fence WHERE q_id = 0"); ()
         }
+        // a foreign START over the LIVE twin's marker-carrying sink is
+        // refused BEFORE any claim is touched (no warehouse checkpoint
+        // exists for the Scala-API twin, so the fresh-checkpoint-over-
+        // markers guard fires first) — and the live twin stays fenced
+        check("foreign_serve_start_over_live_sink_refused") {
+          val qdir = Paths.get(scratch, "probe_queries")
+          Files.createDirectories(qdir)
+          try {
+            engine.sql(s"START DECONTAM VECTORS FROM '$qdir' INTO svc_fence")
+            sys.error("foreign START over a live twin's marker-carrying " +
+              "sink was NOT refused")
+          } catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("markers"), e.getMessage)
+          }
+          assert(engine.storage.sinkOwner("svc_fence")
+            .contains("serve:svc_fence"),
+            "the live twin's claim did not survive the refused start")
+        }
         // the fence is a fence, not an outage: reads and unclaimed
         // tables stay fully usable from the foreign process
         check("reads_still_work") {
