@@ -442,6 +442,76 @@ object TextAnalysis {
     (langStats, lik)
   }
 
+  /** [[graft.streaming.DocStreams.nbClassify]] re-expressed as JOINS
+    * over the model frames ([[nbModelMicroFrames]]) — identical answers
+    * (the parity spec pins bit-equality against the Map twin; oracle
+    * `t107` pins it against an independent DuckDB derivation), no
+    * frozen driver-side Map. The Map twin's ceiling is real: its frozen
+    * likelihood map is capped at k terms/class, but a many-language
+    * corpus multiplies CLASSES until k × |classes| no longer fits one
+    * JVM heap. Here the likelihood table is a join build side —
+    * Catalyst broadcasts it while small and degrades to a shuffled join
+    * when not (only the |langs|-bounded prior/default frame is forced
+    * broadcast).
+    *
+    * Scores per DISTINCT (doc_id, text) and joins the verdict back to
+    * every input row: the Map twin emits one prediction per arriving
+    * ROW (a stream may redeliver), so a doc_id-keyed groupBy would
+    * collapse duplicates — and merge the token streams of two different
+    * texts sharing an id. The scoring key is xxhash64(doc_id, text) so
+    * the text itself never rides a shuffle key (the group rows are
+    * per-token); a same-batch 64-bit collision is the only way two
+    * documents could merge. Zero-token docs score on priors alone.
+    * Batch-side only (the per-doc window needs a complete frame) — a
+    * serve twin runs it inside foreachBatch, where every micro-batch is
+    * a batch frame. */
+  def nbClassifyJoin(docs: DataFrame, langStats: DataFrame,
+      wordLik: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val based = docs.select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+      .withColumn("tkey", xxhash64(col("doc_id"), col("text")))
+    val uniq = based.select("tkey", "text").distinct()
+    // same token stream as the Map twin, byte for byte: Locale.ROOT
+    // lowercase + whitespace split. Spark's lower() falls back to the
+    // JVM default locale for non-ASCII, which would fork the twins on
+    // tr/az/lt machines (I → dotless ı misses every model lookup) —
+    // so tokenization runs through the same JVM code the Map twin uses.
+    val toks = uniq.as[(Long, String)]
+      .flatMap { case (k, t) =>
+        t.toLowerCase(java.util.Locale.ROOT)
+          .split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty)
+          .map(w => (k, w))
+      }.toDF("tkey", "word")
+    val langs = langStats.select("clang", "pm", "dm")
+    // per-(doc, lang) token contribution: known words take lm, OOV
+    // takes the class default dm — LEFT join on (clang, word), then
+    // integer micro sums (partition- and order-independent, the same
+    // exactness argument as the Map twin)
+    val contrib = toks
+      .crossJoin(broadcast(langs.select("clang", "dm")))
+      .join(wordLik, Seq("clang", "word"), "left")
+      .groupBy("tkey", "clang")
+      .agg(sum(coalesce(col("lm"), col("dm"))).as("tok_sum"),
+        count(lit(1)).as("n_tok"))
+    val scores = uniq.select("tkey")
+      .crossJoin(broadcast(langs.select("clang", "pm")))
+      .join(contrib, Seq("tkey", "clang"), "left")
+      .select(col("tkey"), col("clang"),
+        (col("pm") + coalesce(col("tok_sum"), lit(0L))).as("score"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tkey").orderBy(col("score").desc, col("clang").asc)
+    val best = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tkey"), col("n_tokens"),
+        col("clang").as("lang"), col("score").as("score_micro"))
+    based.join(best, Seq("tkey"))
+      .select(col("doc_id"), col("n_tokens"), col("lang"),
+        col("score_micro"))
+  }
+
   /** Corpus-level greedy BPE: the 3 merge tables (pr = 2-symbol pair,
     * cnt = occurrence-weighted count) over the lowercase-alpha word stream,
     * each round rewriting the stream with the winner fused to a fresh
@@ -2281,6 +2351,56 @@ object TextAnalysis {
       Some(s"""WITH $nbPredCtes
              |SELECT doc_id, lang, predicted, score, correct
              |FROM pred""".stripMargin)),
+
+    QueryDef(
+      "t107_nb_classify_join", // the NB SERVE twin's JOIN form, oracle-
+                          // checked: t100 proves the batch classifier;
+                          // this proves the driver-Map-free serving
+                          // kernel (nbClassifyJoin — the likelihood
+                          // table as a JOIN build side instead of a
+                          // frozen k×|classes| driver map) produces the
+                          // same argmax and the same EXACT micro-nat
+                          // integer scores on the eval half. The oracle
+                          // re-derives the micros in the DECIMAL domain
+                          // (score × 1e6 is an exact integer before any
+                          // double appears) plus the prior-only rows
+                          // for zero-token docs the twin must still
+                          // answer. Scale shape: tokens × |langs|
+                          // contribution rows partial-aggregate
+                          // map-side; the model frames are join build
+                          // sides with no driver ceiling.
+      (s, d) => {
+        val (langStats, lik) = nbModelMicroFrames(s, d)
+        val eval = t(s, d, "documents")
+          .filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text")
+        nbClassifyJoin(eval, langStats, lik)
+      },
+      Some(s"""WITH $nbPredCtes,
+             |ntok AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens
+             |         FROM tw GROUP BY 1),
+             |zt AS (SELECT doc_id FROM documents
+             |       WHERE doc_id % 2 = 1
+             |         AND doc_id NOT IN (SELECT doc_id FROM tw)),
+             |scz AS (SELECT zt.doc_id, cls.clang,
+             |               CAST(cls.prior AS DECIMAL(28,6)) AS score
+             |        FROM zt CROSS JOIN cls),
+             |scall AS (
+             |  SELECT doc_id, clang, CAST(score AS DECIMAL(28,6)) AS score
+             |  FROM sc
+             |  UNION ALL SELECT * FROM scz),
+             |best AS (
+             |  SELECT doc_id, clang, score
+             |  FROM (SELECT *, ROW_NUMBER() OVER (
+             |          PARTITION BY doc_id
+             |          ORDER BY score DESC, clang) AS rn
+             |        FROM scall)
+             |  WHERE rn = 1)
+             |SELECT b.doc_id,
+             |       COALESCE(n.n_tokens, 0) AS n_tokens,
+             |       b.clang AS lang,
+             |       CAST(b.score * 1000000 AS BIGINT) AS score_micro
+             |FROM best b LEFT JOIN ntok n USING (doc_id)""".stripMargin)),
 
     QueryDef(
       "t104_confusion_matrix", // classifier EVALUATION artifact — the

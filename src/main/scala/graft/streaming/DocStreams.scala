@@ -258,59 +258,12 @@ object DocStreams {
     * window needs a complete frame) — the serve twin runs it inside
     * foreachBatch, where every micro-batch is a batch frame. */
   def nbClassifyJoin(docs: DataFrame, langStats: DataFrame,
-      wordLik: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // score per DISTINCT (doc_id, text) and join the verdict back to
-    // every input row: the Map twin emits one prediction per arriving
-    // ROW (a stream may redeliver), so a doc_id-keyed groupBy would
-    // collapse duplicates — and merge the token streams of two
-    // different texts sharing an id. The scoring key is
-    // xxhash64(doc_id, text) so the text itself never rides a shuffle
-    // key (the group rows are per-token); a same-batch 64-bit collision
-    // is the only way two documents could merge.
-    val based = docs.select(col("doc_id").cast("long").as("doc_id"),
-      coalesce(col("text"), lit("")).as("text"))
-      .withColumn("tkey", xxhash64(col("doc_id"), col("text")))
-    val uniq = based.select("tkey", "text").distinct()
-    // same token stream as the Map twin, byte for byte: Locale.ROOT
-    // lowercase + whitespace split. Spark's lower() falls back to the
-    // JVM default locale for non-ASCII, which would fork the twins on
-    // tr/az/lt machines (I → dotless ı misses every model lookup) —
-    // so tokenization runs through the same JVM code the Map twin uses.
-    val toks = uniq.as[(Long, String)]
-      .flatMap { case (k, t) =>
-        t.toLowerCase(java.util.Locale.ROOT)
-          .split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty)
-          .map(w => (k, w))
-      }.toDF("tkey", "word")
-    val langs = langStats.select("clang", "pm", "dm")
-    // per-(doc, lang) token contribution: known words take lm, OOV
-    // takes the class default dm — LEFT join on (clang, word), then
-    // integer micro sums (partition- and order-independent, the same
-    // exactness argument as the Map twin)
-    val contrib = toks
-      .crossJoin(broadcast(langs.select("clang", "dm")))
-      .join(wordLik, Seq("clang", "word"), "left")
-      .groupBy("tkey", "clang")
-      .agg(sum(coalesce(col("lm"), col("dm"))).as("tok_sum"),
-        count(lit(1)).as("n_tok"))
-    val scores = uniq.select("tkey")
-      .crossJoin(broadcast(langs.select("clang", "pm")))
-      .join(contrib, Seq("tkey", "clang"), "left")
-      .select(col("tkey"), col("clang"),
-        (col("pm") + coalesce(col("tok_sum"), lit(0L))).as("score"),
-        coalesce(col("n_tok"), lit(0L)).as("n_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("tkey").orderBy(col("score").desc, col("clang").asc)
-    val best = scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("tkey"), col("n_tokens"),
-        col("clang").as("lang"), col("score").as("score_micro"))
-    based.join(best, Seq("tkey"))
-      .select(col("doc_id"), col("n_tokens"), col("lang"),
-        col("score_micro"))
-  }
+      wordLik: DataFrame): DataFrame =
+    // the kernel lives operators-side (it is a plain batch frame —
+    // oracle-checked as t107 — and the dependency direction is
+    // streaming → operators); this is its streaming-face name, kept
+    // beside [[nbClassify]] so the twin pair reads as one surface
+    graft.operators.TextAnalysis.nbClassifyJoin(docs, langStats, wordLik)
 
   case class DocBpe(doc_id: Long, n_chars: Long, n_syms: Long,
       compression: Option[Double])
