@@ -899,13 +899,18 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     while (i < n) {
       val c = stmt.charAt(i)
       // quoted regions: copy through the matching closer, honoring the
-      // doubled-quote escape for ' and " and none for backticks
+      // doubled-quote escape for ' and " AND the backslash escape
+      // (Spark's default lexer consumes \' without ending the literal;
+      // a scanner that closes there desynchronizes from the real lexer
+      // and mangles literal contents). Backticks take neither escape.
       if (c == '\'' || c == '"' || c == '`') {
         flush(); sb.append(c); i += 1
         var open = true
         while (open && i < n) {
           val d = stmt.charAt(i); sb.append(d)
-          if (d == c) {
+          if (c != '`' && d == '\\' && i + 1 < n) {
+            sb.append(stmt.charAt(i + 1)); i += 1
+          } else if (d == c) {
             if (c != '`' && i + 1 < n && stmt.charAt(i + 1) == c) {
               sb.append(c); i += 1
             } else open = false
@@ -916,11 +921,20 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         flush()
         while (i < n && stmt.charAt(i) != '\n') { sb.append(stmt.charAt(i)); i += 1 }
       } else if (c == '/' && i + 1 < n && stmt.charAt(i + 1) == '*') {
+        // bracketed comments NEST in Spark's lexer — track depth or a
+        // nested close would end the region early and a later
+        // apostrophe opens a phantom string over the real predicate
         flush()
         sb.append("/*"); i += 2
-        while (i < n && !(stmt.charAt(i) == '*' && i + 1 < n &&
-            stmt.charAt(i + 1) == '/')) { sb.append(stmt.charAt(i)); i += 1 }
-        if (i < n) { sb.append("*/"); i += 2 }
+        var depth = 1
+        while (depth > 0 && i < n) {
+          if (stmt.charAt(i) == '/' && i + 1 < n && stmt.charAt(i + 1) == '*') {
+            sb.append("/*"); depth += 1; i += 2
+          } else if (stmt.charAt(i) == '*' && i + 1 < n &&
+              stmt.charAt(i + 1) == '/') {
+            sb.append("*/"); depth -= 1; i += 2
+          } else { sb.append(stmt.charAt(i)); i += 1 }
+        }
       } else { seg.append(c); i += 1 }
     }
     flush()

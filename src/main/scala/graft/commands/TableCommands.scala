@@ -203,7 +203,13 @@ class TableCommands(spark: SparkSession, warehouse: String) {
         val empty = try !s.iterator().hasNext finally s.close()
         if (empty) Files.deleteIfExists(d)
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // Files.list's stream surfaces iteration-time errors as
+      // UncheckedIOException (a RuntimeException) — catch both or the
+      // TOCTOU race escapes through the unchecked wrapper
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+    }
     ()
   }
 

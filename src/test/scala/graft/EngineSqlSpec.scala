@@ -878,6 +878,23 @@ class EngineSqlSpec extends AnyFunSuite {
         "FROM part /* also SIMILAR TO nothing */ WHERE p_name SIMILAR TO 'a.*e'")
       .head.getLong(0)
     assert(cm == viaSimilar.length.toLong, s"comment-bearing form: $cm")
+    // backslash-escaped quote: Spark's lexer consumes \' without ending
+    // the literal, so the scanner must too — the literal's words stay
+    // verbatim AND the real predicate after it still rewrites (a
+    // scanner that closed at \' would leave SIMILAR TO inside a
+    // phantom string region and hand Spark an unparseable statement)
+    val bsRow = engine.sql(
+      "SELECT 'it\\'s SIMILAR TO z' AS s, count(*) AS n " +
+        "FROM part WHERE p_name SIMILAR TO 'a.*e' GROUP BY 1").head
+    assert(bsRow.getString(0) == "it's SIMILAR TO z", bsRow.getString(0))
+    assert(bsRow.getLong(1) == viaSimilar.length.toLong)
+    // nested bracketed comments (Spark's lexer nests them): the inner
+    // close must not end the region — the apostrophe after it would
+    // otherwise open a phantom string over the real predicate
+    val nc = engine.sql(
+      "SELECT count(*) AS n FROM part /* outer /* inner */ don't */ " +
+        "WHERE p_name SIMILAR TO 'a.*e'").head.getLong(0)
+    assert(nc == viaSimilar.length.toLong, s"nested-comment form: $nc")
   }
 
   test("BUILD VECTOR INDEX: build → serve → drop lifecycle; searches " +
