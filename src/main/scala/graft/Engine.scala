@@ -618,7 +618,7 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
   // build-then-scan split — reference CreateIndexCommand.java feeding
   // IndexScanNode.java); searches serve from them until DROP
   private val buildVectorIndex =
-    """(?is)\s*BUILD\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*BUILD\s+VECTOR\s+INDEX\s+ON\s+(\w+)(?:\s+USING\s+(\w+))?\s*;?\s*""".r
   private val dropVectorIndex =
     """(?is)\s*DROP\s+VECTOR\s+INDEX\s+ON\s+(\w+)\s*;?\s*""".r
   // observability siblings of SHOW INDEXES for the trained index kinds:
@@ -884,13 +884,43 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
     * literals (Spark's default lexer treats "…" as a string, not an
     * identifier), backtick identifiers, `--` line comments, and
     * bracketed comments. */
-  private def rewriteSimilarTo(stmt: String): String = {
+  private[graft] def rewriteSimilarTo(stmt: String): String = {
     if ("(?is)similar\\s+to".r.findFirstIn(stmt).isEmpty) return stmt
     val simPat = "(?is)\\b(not\\s+)?similar\\s+to\\b".r
+    // standard SQL allows `SIMILAR TO pattern ESCAPE 'c'`; the engine's
+    // RLIKE semantics take no ESCAPE clause, and letting it through
+    // produces `RLIKE ... ESCAPE ...` — unparseable by Spark, a confusing
+    // downstream error. Detect the two common shapes (literal pattern:
+    // ESCAPE opens the NEXT unprotected segment after exactly one
+    // protected region; bare column/number pattern: ESCAPE in the same
+    // segment) and refuse with the real reason. Exotic forms (pattern
+    // expressions spanning several literals) still die loudly in Spark's
+    // parser — never silently mis-evaluate.
+    val escHead = "(?is)^\\s*escape\\b".r
+    val escInline = "(?is)^\\s+[A-Za-z_][\\w.]*\\s+escape\\b|^\\s+[0-9]+\\s+escape\\b".r
+    def escReject(): Nothing = throw new IllegalArgumentException(
+      "SIMILAR TO ... ESCAPE is not supported: the engine evaluates " +
+        "SIMILAR TO with Java-regex (RLIKE) semantics, which take no " +
+        "ESCAPE clause - fold the escape into the regex pattern instead")
+    // armed = the previous non-whitespace unprotected text ended at a
+    // rewritten SIMILAR TO (its pattern literal follows as a protected
+    // region); whitespace-only segments (e.g. around a comment between
+    // the pattern and ESCAPE) keep it armed
+    var armed = false
     val sb = new StringBuilder(stmt.length)
     val seg = new StringBuilder
     def flush(): Unit = {
-      sb.append(simPat.replaceAllIn(seg.toString,
+      val text = seg.toString
+      if (armed && escHead.findFirstIn(text).isDefined) escReject()
+      val ms = simPat.findAllMatchIn(text).toList
+      ms.foreach { m =>
+        if (escInline.findFirstIn(text.substring(m.end)).isDefined)
+          escReject()
+      }
+      if (ms.nonEmpty)
+        armed = text.substring(ms.last.end).forall(_.isWhitespace)
+      else if (text.exists(!_.isWhitespace)) armed = false
+      sb.append(simPat.replaceAllIn(text,
         m => if (m.group(1) != null) "NOT RLIKE" else "RLIKE"))
       seg.clear()
     }
@@ -903,15 +933,35 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
       // (Spark's default lexer consumes \' without ending the literal;
       // a scanner that closes there desynchronizes from the real lexer
       // and mangles literal contents). Backticks take neither escape.
+      // Raw (r'...'/R"...") and hex (X'...') literals take NO escapes at
+      // all in Spark's lexer — not backslash, not the doubled closer —
+      // so a raw literal ending in a backslash must still close at its
+      // first quote, or the scanner desynchronizes and protects (or
+      // rewrites) the wrong half of the statement. The prefix char is
+      // raw only when it is not the tail of a longer identifier
+      // (maximal munch: `bar'x'` lexes as identifier `bar` + STRING).
       if (c == '\'' || c == '"' || c == '`') {
+        // hex literals exist only in the X'...' single-quote form
+        // (X"..." lexes as identifier X + a normal string); raw strings
+        // take both quote kinds. Backtick identifiers escape the
+        // backtick by DOUBLING (`a``b`), like the string forms.
+        val raw = c != '`' && seg.nonEmpty && {
+          val p = seg.charAt(seg.length - 1)
+          (p == 'r' || p == 'R' ||
+            ((p == 'x' || p == 'X') && c == '\'')) &&
+            (seg.length < 2 || {
+              val b = seg.charAt(seg.length - 2)
+              !b.isLetterOrDigit && b != '_'
+            })
+        }
         flush(); sb.append(c); i += 1
         var open = true
         while (open && i < n) {
           val d = stmt.charAt(i); sb.append(d)
-          if (c != '`' && d == '\\' && i + 1 < n) {
+          if (!raw && c != '`' && d == '\\' && i + 1 < n) {
             sb.append(stmt.charAt(i + 1)); i += 1
           } else if (d == c) {
-            if (c != '`' && i + 1 < n && stmt.charAt(i + 1) == c) {
+            if (!raw && i + 1 < n && stmt.charAt(i + 1) == c) {
               sb.append(c); i += 1
             } else open = false
           }
@@ -1192,16 +1242,23 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
           s"DECONTAM VECTORS: '$tbl' must carry (vec_id, embedding) " +
             s"columns; got (${v.columns.mkString(", ")})")
       operators.Similarity.decontamVectors(spark, sfDir, v, thr)
-    case buildVectorIndex(tbl) =>
+    case buildVectorIndex(tbl, modeRaw) =>
       if (!tbl.equalsIgnoreCase("embeddings"))
         throw new IllegalArgumentException(
           s"BUILD VECTOR INDEX: only the embeddings corpus carries " +
             s"vectors; got '$tbl'")
+      // USING EXACT (default) | USING COARSE — the opt-in two-level √k
+      // assignment for corpora where k tracks n (recall-audited, not
+      // bit-parity; see VectorIndex.build)
+      val mode = Option(modeRaw).map(_.toLowerCase).getOrElse("exact")
+      if (mode != "exact" && mode != "coarse")
+        throw new IllegalArgumentException(
+          s"BUILD VECTOR INDEX: unknown mode '$modeRaw' (USING EXACT|COARSE)")
       // same single-writer fence as REFRESH/OPTIMIZE: a BUILD republishes
       // the very tables a running ingest is appending into
       requireNoIngest("VECTOR", "BUILD VECTOR INDEX")
-      operators.VectorIndex.build(spark, sfDir, cmds)
-      status(s"built vector index on $tbl")
+      operators.VectorIndex.build(spark, sfDir, cmds, mode)
+      status(s"built vector index on $tbl ($mode)")
     case dropVectorIndex(tbl) =>
       if (!tbl.equalsIgnoreCase("embeddings"))
         throw new IllegalArgumentException(
@@ -1241,10 +1298,12 @@ class Engine(val spark: SparkSession, sfDir: String, warehouse: String) {
         val nC = cmds.table(
           operators.VectorIndex.tableName("codes")).count()
         Seq(("embeddings", m.getString(0), m.getInt(1), m.getInt(2),
-          m.getInt(3), nA, nC))
-          .toDF("corpus", "src", "m", "k", "iters", "n_assign", "n_codes")
-      } else Seq.empty[(String, String, Int, Int, Int, Long, Long)]
-        .toDF("corpus", "src", "m", "k", "iters", "n_assign", "n_codes")
+          m.getInt(3), operators.VectorIndex.buildMode(m), nA, nC))
+          .toDF("corpus", "src", "m", "k", "iters", "mode",
+            "n_assign", "n_codes")
+      } else Seq.empty[(String, String, Int, Int, Int, String, Long, Long)]
+        .toDF("corpus", "src", "m", "k", "iters", "mode",
+          "n_assign", "n_codes")
     case showDedupIndexes() =>
       import spark.implicits._
       val metaT = operators.DedupIndex.tableName("meta")

@@ -31,12 +31,15 @@ object ScaleStress {
     // split is exactly what this measures: served search should be ~flat
     // across corpus size while inline training grows with it.
     val buildIndex = sys.env.contains("GRAFT_VIDX")
+    // GRAFT_VIDX_MODE=coarse measures the opt-in two-level build
+    // (VectorIndex.build mode param); default exact
+    val vidxMode = sys.env.getOrElse("GRAFT_VIDX_MODE", "exact")
     def prepare(d: String): Unit = if (buildIndex) {
       val cmds = new commands.TableCommands(
         spark, java.nio.file.Files.createTempDirectory("ss_wh").toString)
       val t0 = System.nanoTime()
-      operators.VectorIndex.build(spark, d, cmds)
-      println(f"VIDX_BUILD $d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      operators.VectorIndex.build(spark, d, cmds, vidxMode)
+      println(f"VIDX_BUILD($vidxMode) $d ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val t1 = System.nanoTime()
       operators.DedupIndex.build(spark, d, cmds)
       println(f"DIDX_BUILD $d ${(System.nanoTime() - t1) / 1e9}%.2f s")

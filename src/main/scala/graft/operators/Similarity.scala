@@ -68,18 +68,151 @@ object Similarity {
           sq => round(sq.cast("double") / col("cnt")).cast("long")).as("cqa"))
       .withColumn("ncq", dotl(col("cqa"), col("cqa")))
 
-  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
-    val e = quantizedVecs(s, d)
-    val centArr = labelCentroids(s, d)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("clabel").asc)
-    e.withColumn("nq", dotl(col("vq"), col("vq")))
-      .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("label"), col("clabel"),
-        cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq")).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("cluster"))
+  /** Centroid-count cap for the one-row-broadcast assignment form. Above
+    * it the broadcast struct array (k × ~530 B — a 64-dim long vector +
+    * norms per centroid) stops being executor-trivial (256k ≈ 140 MB) and
+    * assignment switches to the shuffled-agg form, which carries NO
+    * per-node structure proportional to k at all. `GRAFT_CENT_BROADCAST_CAP`
+    * overrides for experiments and for the threshold-switch parity spec. */
+  private[graft] val centBroadcastCap: Long =
+    sys.env.get("GRAFT_CENT_BROADCAST_CAP").map(_.toLong).getOrElse(262144L)
+
+  /** EXACT nearest-centroid assignment, map-side: the ~k centroid rows
+    * collapse into ONE broadcast row (a sorted struct array) and each
+    * vector takes `array_max` over struct(sim, -clabel, clabel) — the
+    * same argmax selection [[routeAndEncodeFrozen]]'s streaming route
+    * uses, and by construction the rank-1 row of a (sim DESC, clabel ASC)
+    * window: max sim wins, sim ties take the smaller clabel, and the
+    * third field (the original-typed clabel, carried so `cluster` keeps
+    * its input type) can never decide because (sim, -clabel) is already
+    * unique per centroid. Every payload column on `vecs` passes through
+    * untouched.
+    *
+    * This is the scale fix for the round-12 measured wall: the previous
+    * crossJoin+window shape materialized n × k slim rows THROUGH AN
+    * EXCHANGE (at ×1000: 2M vecs × 10k centroids = 2×10^10 rows — 509 s
+    * wall and an 8 GiB-heap OOM); here the n × k distance evaluations
+    * stream through one whole-stage-codegen map with nothing widening the
+    * plan, so build cost is the arithmetic itself, map-side parallel. */
+  private def assignArgmaxBroadcast(vecs: DataFrame,
+      centArr: DataFrame): DataFrame = {
+    val one = centArr.agg(sort_array(collect_list(
+      struct(col("clabel"), col("cqa"), col("ncq")))).as("cents"))
+    vecs
+      .withColumn("nq", dotl(col("vq"), col("vq")))
+      .crossJoin(broadcast(one))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          cosQ(dotl(col("vq"), c("cqa")), col("nq"), c("ncq")).as("sim"),
+          (-c("clabel").cast("long")).as("ncl"),
+          c("clabel").as("cl")))))
+      .withColumn("cluster", col("best")("cl"))
+      .drop("cents", "best", "nq")
+  }
+
+  /** EXACT nearest-centroid assignment with NO per-node centroid
+    * structure: vectors × centroid-chunks as a plain (non-broadcast)
+    * join, argmax'd by a partial-aggregating `max(struct(sim, -clabel,
+    * clabel, payload...))` groupBy — each task folds its centroid chunk
+    * into one candidate row per vector BEFORE the exchange, so shuffle
+    * volume is n × (#centroid partitions) slim rows, never n × k, and
+    * no executor or the driver ever holds more than one centroid
+    * partition. This is the past-the-broadcast-cap form: same n × k
+    * arithmetic, same bit-exact answer (the parity spec pins it against
+    * [[assignArgmaxBroadcast]]), distributed against the stored centroid
+    * table however large k grows. `payload` columns are constant within
+    * a vec_id (attributes of the vector), so riding the struct tail is
+    * exact — (sim, -clabel) is already unique per candidate. */
+  private def assignArgmaxShuffled(vecs: DataFrame, centArr: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val cand = struct(
+      cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq")).as("sim") +:
+        (-col("clabel").cast("long")).as("ncl") +:
+        col("clabel").as("cl") +:
+        payload.map(col): _*)
+    vecs
+      .withColumn("nq", dotl(col("vq"), col("vq")))
+      .crossJoin(centArr)
+      .select(col("vec_id"), cand.as("cand"))
+      .groupBy("vec_id")
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id") +:
+        payload.map(p => col("best")(p).as(p)) :+
+        col("best")("cl").as("cluster"): _*)
+  }
+
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame =
+    assignArgmaxBroadcast(quantizedVecs(s, d), labelCentroids(s, d))
+      .select(col("vec_id"), col("label"), col("cluster"))
+
+  /** OPT-IN two-level coarse assignment (`BUILD VECTOR INDEX ON embeddings
+    * USING COARSE`): route each vector through ~√k super-centroids
+    * map-side, then argmax EXACTLY but only within the routed shard's
+    * centroids via a shuffled equi-join on the shard id. Work drops from
+    * n×k to ~2·n·√k distance evaluations and the only broadcast structure
+    * is the √k super table — at k ∝ n this is the path past the point
+    * where even distributed exact n×k is too hot (SCALE.md's measured
+    * ×1000 wall). NOT bit-parity with the exact assignment: a vector near
+    * a shard boundary may land on a near-tied neighboring centroid —
+    * that trade is judged by the s102/s105 recall machinery (the coarse
+    * spec measures agreement and serve recall), which is why coarse is
+    * opt-in and the exact path stays the default.
+    *
+    * Super-centroids are trained by 2 exact-integer Lloyd rounds over the
+    * CENTROIDS themselves (k points — corpus-independent cost), seeded by
+    * the √k smallest clabels, with the same quantized-cosine routing and
+    * ROUND(SUM/COUNT) recentering as every other kernel here, so shard
+    * geometry is deterministic on any engine or partition order. */
+  private[graft] def assignCoarseTwoLevel(vecs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val k = cents.count()
+    val kSup = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+    val cpts = cents.select(col("clabel").as("vec_id"), col("cqa").as("vq"))
+    def asCent(sups: DataFrame): DataFrame = sups.select(
+      col("sclabel").as("clabel"), col("scqa").as("cqa"),
+      col("sncq").as("ncq"))
+    var sups = cents.orderBy("clabel").limit(kSup)
+      .select(col("clabel").cast("long").as("sclabel"),
+        col("cqa").as("scqa"))
+      .withColumn("sncq", dotl(col("scqa"), col("scqa")))
+      .localCheckpoint()
+    (1 to 2).foreach { _ =>
+      sups = assignArgmaxBroadcast(cpts, asCent(sups))
+        .groupBy(col("cluster").cast("long").as("sclabel"))
+        .agg(GraftFunctions.vector_sum_l(col("vq")).as("vsum"),
+          count(lit(1)).as("cnt"))
+        .select(col("sclabel"),
+          transform(col("vsum"),
+            x => round(x.cast("double") / col("cnt")).cast("long"))
+            .as("scqa"))
+        .withColumn("sncq", dotl(col("scqa"), col("scqa")))
+        .localCheckpoint()
+    }
+    // each centroid's shard under the FINAL supers — the same routing the
+    // vectors use, so a vector and its exact-nearest centroid disagree
+    // only when they straddle a super boundary
+    val shardCents = assignArgmaxBroadcast(cpts, asCent(sups))
+      .select(col("cluster").as("shard"), col("vec_id").as("clabel"))
+      .join(cents, "clabel")
+      .select(col("shard"), col("clabel"), col("cqa"), col("ncq"))
+      .localCheckpoint() // k rows; bounds the train lineage out of the plan
+    val routed = assignArgmaxBroadcast(vecs, asCent(sups))
+      .withColumnRenamed("cluster", "shard")
+    // within-shard exact argmax: corpus × shard-centroids equi-join on
+    // the shard id (both sides free to shuffle — the 100 TB shape), then
+    // the same partial-aggregating max(struct) as assignArgmaxShuffled
+    routed
+      .withColumn("nq", dotl(col("vq"), col("vq")))
+      .join(shardCents, "shard")
+      .select(col("vec_id"), struct(
+        cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq")).as("sim"),
+        (-col("clabel").cast("long")).as("ncl"),
+        col("clabel").as("cl"),
+        col("label")).as("cand"))
+      .groupBy("vec_id")
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("best")("label").as("label"),
+        col("best")("cl").as("cluster"))
   }
 
   /** Shared s93/d92 oracle CTE chain: quantized components, exact-integer
@@ -413,6 +546,56 @@ object Similarity {
        |         OR (CAST(total_hits AS DOUBLE) <
        |             CAST(n_queries AS DOUBLE) * 3 * 0.7) AS rebuild
        |FROM cnt, hits, fs""".stripMargin
+
+  /** s111's oracle: the SAME full-corpus training/assignment/ADC chain,
+    * with both the exact ground truth and the ADC candidate ranking
+    * restricted to the deterministic `vec_id % 23 = 5` sample — exact on
+    * the sample, so the hash-compare still binds. Filtering `adc` after
+    * scoring ≡ filtering candidates before it (per-row scores commute
+    * with the filter), which keeps the chain shared with s101/s105. */
+  private lazy val s111OracleSql =
+    s"""WITH $ivfpqCtes,
+       |sadc AS (SELECT q_id, vec_id, adq FROM adc WHERE vec_id % 23 = 5),
+       |atop AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY adq, vec_id) AS rnk
+       |    FROM sadc) WHERE rnk <= 3),
+       |sex AS (
+       |  SELECT q.q_id, p.vec_id,
+       |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
+       |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
+       |  WHERE p.vec_id % 23 = 5
+       |  GROUP BY 1, 2),
+       |set3 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |                              ORDER BY dq, vec_id) AS rnk
+       |    FROM sex) WHERE rnk <= 3),
+       |rec AS (
+       |  SELECT e.q_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits
+       |  FROM set3 e LEFT JOIN atop a
+       |    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+       |  GROUP BY e.q_id),
+       |shits AS (SELECT CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       |                 CAST(COUNT(*) AS BIGINT) AS n_queries FROM rec),
+       |scnt AS (
+       |  SELECT CAST(SUM(CASE WHEN a.vec_id IS NOT NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+       |         CAST(SUM(CASE WHEN a.vec_id IS NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+       |  FROM embeddings e LEFT JOIN assign a ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id % 23 = 5)
+       |SELECT n_indexed, n_fresh,
+       |       ROUND(CAST(n_fresh AS DOUBLE) / (n_indexed + n_fresh), 6)
+       |         AS fresh_frac,
+       |       total_hits, n_queries,
+       |       ROUND(CAST(total_hits AS DOUBLE) / (n_queries * 3), 6)
+       |         AS mean_recall_at_3,
+       |       (CAST(n_fresh AS DOUBLE) / (n_indexed + n_fresh) >= 0.05)
+       |         OR (CAST(total_hits AS DOUBLE) <
+       |             CAST(n_queries AS DOUBLE) * 3 * 0.7) AS rebuild
+       |FROM scnt, shits""".stripMargin
 
   /** d103's complete oracle — exposed so the p103 defense-in-depth
     * scorecard (Dedup.scala) can nest the semantic leg as a derived
@@ -1361,6 +1544,28 @@ object Similarity {
               |WHERE rnk <= 3""".stripMargin)),
 
     QueryDef(
+      "s111_index_health_sampled", // the QUERY-CADENCE health card: the
+                           // s105 signals computed over the
+                           // deterministic vec_id % 23 = 5 sample
+                           // universe — exact top-3 among sampled
+                           // vectors vs the ADC tier restricted to the
+                           // same sample, plus sampled segment
+                           // accounting. s105's exact baseline is
+                           // deliberately corpus-sized (audit cadence);
+                           // this card is what a dashboard polls BETWEEN
+                           // audits — the heavy O(n·d·|q|) distance work
+                           // drops to the ~4% sample while staleness
+                           // damage (sampled fresh vectors invisible to
+                           // the ADC tier) still moves the number. Exact
+                           // on the sample ⇒ still hash-compared against
+                           // the DuckDB twin. Scale shape: one cheap
+                           // corpus scan to take the sample, then every
+                           // stage is sample-bounded; no new
+                           // corpus-sized exchange.
+      (s, d) => indexHealthSampled(s, d),
+      Some(s111OracleSql)),
+
+    QueryDef(
       "s107_nprobe_sweep", // the TUNING CURVE every IVF deployment
                            // publishes before fixing its serving config:
                            // recall@3 and candidates-scanned at nprobe ∈
@@ -1865,14 +2070,30 @@ object Similarity {
         "code; clean the corpus before BUILD/REFRESH")
   }
 
-  private[graft] def indexArtifacts(
-      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+  private[graft] def indexArtifacts(s: SparkSession, d: String,
+      mode: String = "exact",
+      broadcastCap: Long = centBroadcastCap): Seq[(String, DataFrame)] = {
     val (base, _, trained) =
       pqParts(s, d, VectorIndex.pqM, VectorIndex.pqK, VectorIndex.pqIters)
+    // materialize the centroid frame once (k rows — the one corpus-sized
+    // aggregation): the count below picks the assignment form, and the
+    // assignment + stored-table write reuse the materialized rows
+    // instead of re-running the corpus aggregation per consumer
+    val cents = labelCentroids(s, d).localCheckpoint()
+    val vecs = quantizedVecs(s, d)
+    val assign = mode match {
+      case "coarse" => assignCoarseTwoLevel(vecs, cents)
+      case _ =>
+        // threshold switch: one-row broadcast argmax while the centroid
+        // set is executor-trivial; past the cap, the shuffled-agg form
+        // with no per-node k-proportional structure. Both EXACT and
+        // bit-identical (parity spec) — only the plan shape changes.
+        if (cents.count() <= broadcastCap) assignArgmaxBroadcast(vecs, cents)
+        else assignArgmaxShuffled(vecs, cents, Seq("label"))
+    }
     Seq(
-      "centroids" -> labelCentroids(s, d),
-      "assign" -> ivfAssignment(s, d)
-        .select(col("vec_id"), col("cluster")),
+      "centroids" -> cents,
+      "assign" -> assign.select(col("vec_id"), col("cluster")),
       "codebook" -> trained,
       "codes" -> pqEnc(base, trained)
         .select(col("vec_id"),
@@ -2105,8 +2326,8 @@ object Similarity {
   private[graft] def decontamVectors(s: SparkSession, d: String,
       vecs: DataFrame, thr: Double = 0.3): DataFrame = {
     val centArr = labelCentroids(s, d)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("clabel").asc)
+    val centsOne = centArr.agg(sort_array(collect_list(
+      struct(col("clabel"), col("cqa"), col("ncq")))).as("cents"))
     // guardDim: the CALLER-supplied leg raises in-plan on a width
     // mismatch against the broadcast centroids (dot_l truncates to the
     // shorter input, so a wrong-width candidate would otherwise score a
@@ -2115,26 +2336,35 @@ object Similarity {
     // The in-plan size(cqa) comparison costs nothing and needs no extra
     // driver read of the corpus. The eval leg derives from the corpus
     // itself and skips the guard.
+    // map-side argmax over the one-row broadcast centroid array — the
+    // assignArgmaxBroadcast shape (same (sim DESC, clabel ASC) selection
+    // the old per-vector window computed, without materializing
+    // candidates×k rows through an exchange), with the guardDim
+    // raise_error riding inside the sim expression exactly as before.
+    // Payload (vq, nq) passes through the map stage, so the join-back
+    // of the component arrays is gone too.
     def assign(vq: DataFrame, guardDim: Boolean = false): DataFrame =
       vq.withColumn("nq", dotl(col("vq"), col("vq")))
-        .crossJoin(broadcast(centArr))
-        .select(col("vec_id"), col("clabel"), {
-          val sim = cosQ(dotl(col("vq"), col("cqa")), col("nq"), col("ncq"))
-          (if (guardDim)
-            when(size(col("vq")) =!= size(col("cqa")),
-              raise_error(concat(
-                lit("decontamVectors: candidate dimension "),
-                size(col("vq")).cast("string"),
-                lit(" does not match the corpus dimension "),
-                size(col("cqa")).cast("string"),
-                lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
-              .otherwise(sim)
-          else sim).as("sim")
-        })
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("clabel").as("cluster"))
-        .join(vq.withColumn("nq", dotl(col("vq"), col("vq"))), "vec_id")
+        .crossJoin(broadcast(centsOne))
+        .withColumn("best", array_max(transform(col("cents"), c => {
+          val sim = cosQ(dotl(col("vq"), c("cqa")), col("nq"), c("ncq"))
+          val guarded =
+            if (guardDim)
+              when(size(col("vq")) =!= size(c("cqa")),
+                raise_error(concat(
+                  lit("decontamVectors: candidate dimension "),
+                  size(col("vq")).cast("string"),
+                  lit(" does not match the corpus dimension "),
+                  size(c("cqa")).cast("string"),
+                  lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
+                .otherwise(sim)
+            else sim
+          struct(guarded.as("sim"),
+            (-c("clabel").cast("long")).as("ncl"),
+            c("clabel").as("cl"))
+        })))
+        .withColumn("cluster", col("best")("cl"))
+        .drop("cents", "best")
     val cand = assign(vecs.select(col("vec_id"),
       // non-finite guard BEFORE quantization — see searchVectors: a
       // NaN component casts to 0L and an Infinity saturates, so a
@@ -2219,6 +2449,45 @@ object Similarity {
               .as("dist"),
             c("cid").as("cid"))))))
       .select(col("vec_id"), (-col("best")("ncl")).as("cluster"),
+        transform(col("enc"), x => x("cid")).as("codes"))
+  }
+
+  /** The JOIN-form twin of [[routeAndEncodeFrozen]]: identical rows
+    * (coarse route + PQ codes — the parity spec pins them), computed
+    * against the stored centroid and codebook TABLES as join build sides
+    * instead of a driver-collected typedlit. Nothing here is proportional
+    * to k on the driver or in the plan: the centroid side broadcasts as
+    * one row while k is under [[centBroadcastCap]] and degrades to the
+    * shuffled-agg argmax when not; the M×k codebook is 64 rows, always
+    * broadcast. [[VectorIndex.refresh]] routes deltas through this form —
+    * index MAINTENANCE now has no per-node ceiling however large k grows.
+    * The streaming gates keep the frozen-literal form (they freeze the
+    * model once at stream start into every micro-batch plan, and their
+    * models are k-bounded by the gate contract). */
+  private[graft] def routeAndEncodeJoined(vecs: DataFrame,
+      cents: DataFrame, codebook: DataFrame,
+      broadcastCap: Long = centBroadcastCap): DataFrame = {
+    val vq = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
+    val slim = (
+      if (cents.count() <= broadcastCap)
+        assignArgmaxBroadcast(vq, cents)
+      else assignArgmaxShuffled(vq, cents, Seq.empty)
+      ).select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    val book1 = codebook.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
+        .as("bm"))
+      .agg(sort_array(collect_list(struct(col("m"), col("bm"))))
+        .as("book"))
+    slim.join(vq, "vec_id")
+      .crossJoin(broadcast(book1))
+      .select(col("vec_id"), col("cluster"),
+        transform(col("book"), e =>
+          array_min(transform(e("bm"), c =>
+            struct(l2q(slice(col("vq"), e("m") * pqSub + 1, lit(pqSub)),
+              c("cq")).as("dist"), c("cid").as("cid"))))).as("enc"))
+      .select(col("vec_id"), col("cluster"),
         transform(col("enc"), x => x("cid")).as("codes"))
   }
 
@@ -2478,6 +2747,71 @@ object Similarity {
           (col("n_indexed") + col("n_fresh")).cast("double"), 6)
           .as("fresh_frac"),
         col("n_fresh_served"), col("total_hits"), col("n_queries"),
+        round(col("total_hits").cast("double") /
+          (col("n_queries") * 3).cast("double"), 6)
+          .as("mean_recall_at_3"),
+        (col("n_fresh").cast("double") /
+          (col("n_indexed") + col("n_fresh")).cast("double") >= 0.05 ||
+          col("total_hits").cast("double") <
+            col("n_queries").cast("double") * 3 * 0.7).as("rebuild"))
+  }
+
+  /** s111: the QUERY-CADENCE variant of the s105 health card. s105 is
+    * linear by design — its exact ground truth deliberately scans the
+    * whole corpus (16.4 s at ×1000, SCALE.md), which is right at AUDIT
+    * cadence and wrong between audits. This card computes the same
+    * signals over the deterministic `vec_id % 23 = 5` sample universe:
+    * exact top-3 among sampled vectors vs the ADC tier restricted to the
+    * same sample — exact ON THE SAMPLE, so it stays hash-comparable
+    * against DuckDB while the heavy O(n·d·|q|) distance work drops to
+    * the sample fraction (~4%). Staleness damage still shows: a sampled
+    * vector outside the stored coverage is invisible to the ADC tier and
+    * costs recall, and the segment accounting reports the sampled fresh
+    * fraction. Plain-modulo sampling keeps the two engines trivially
+    * aligned; a deployment with sparse/skewed ids should swap in
+    * pmod(xxhash64(vec_id), m) — same plan, engine-local choice. */
+  private[graft] def indexHealthSampled(s: SparkSession, d: String)
+      : DataFrame = {
+    val samp = col("vec_id") % 23 === 5
+    val ((cents, assign, book, codes), stored) = artifactFramesStored(s, d)
+    val base = quantizedVecs(s, d).filter(samp)
+      .select(col("vec_id"), col("vq"))
+    val cnt = base.select("vec_id")
+      .join(coveredIds(assign, codes, stored)
+          .select(col("vec_id"), lit(1).as("ix"))
+        .hint("shuffle_hash"), Seq("vec_id"), "left")
+      .agg(sum(when(col("ix").isNotNull, 1L).otherwise(0L))
+          .as("n_indexed"),
+        sum(when(col("ix").isNull, 1L).otherwise(0L))
+          .as("n_fresh"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("dq").asc, col("neighbor_id").asc)
+    val exact = base
+      .crossJoin(broadcast(plantedQueries(s, d)
+        .select(col("q_id"), col("qv"))))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        l2q(col("qv"), col("vq")).as("dq"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+    // ADC tier over the SAME sample universe: restricting the coverage
+    // frames before candidate generation ≡ restricting scored rows after
+    // (per-row scores commute with the filter) — the oracle filters
+    // after, this side filters before so only sampled codes are read
+    val approx = ivfpqSearchOn(s, d, cents, assign.filter(samp), book,
+      codes.filter(samp), k = 3)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    val hits = exact
+      .join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+      .agg(sum(col("n_hits")).cast("long").as("total_hits"),
+        count(lit(1)).as("n_queries"))
+    cnt.crossJoin(hits)
+      .select(col("n_indexed"), col("n_fresh"),
+        round(col("n_fresh").cast("double") /
+          (col("n_indexed") + col("n_fresh")).cast("double"), 6)
+          .as("fresh_frac"),
+        col("total_hits"), col("n_queries"),
         round(col("total_hits").cast("double") /
           (col("n_queries") * 3).cast("double"), 6)
           .as("mean_recall_at_3"),

@@ -467,6 +467,14 @@ object TextAnalysis {
     * a batch frame. */
   def nbClassifyJoin(docs: DataFrame, langStats: DataFrame,
       wordLik: DataFrame): DataFrame = {
+    // mirror the Map twin's empty-model contract (DocStreams.nbClassify
+    // requires langStats.nonEmpty): with zero model rows the verdict
+    // join back to `based` drops EVERY input row, so a serve twin on a
+    // dry training corpus would silently emit nothing instead of
+    // erroring. head(1) on the |langs|-bounded frame is one tiny job.
+    require(langStats.select("clang").head(1).nonEmpty,
+      "nbClassifyJoin needs a trained model: langStats is empty " +
+        "(was the training corpus dry?)")
     val spark = docs.sparkSession
     import spark.implicits._
     val based = docs.select(col("doc_id").cast("long").as("doc_id"),

@@ -58,22 +58,47 @@ object VectorIndex {
   /** Canonical form of a corpus dir for provenance comparison. */
   private def norm(d: String): String = new java.io.File(d).getAbsolutePath
 
+  /** Assignment policy recorded at build time (`meta.mode`); an index
+    * built before the column existed (4-column meta) is exact by
+    * construction — coarse did not exist then. */
+  private[graft] def buildMode(metaRow: org.apache.spark.sql.Row): String =
+    if (metaRow.schema != null && metaRow.schema.fieldNames.contains("mode"))
+      metaRow.getString(metaRow.fieldIndex("mode"))
+    else "exact"
+
   /** The stored index, handed to the search sites. */
   final case class Served(centroids: DataFrame, assign: DataFrame,
       codebook: DataFrame, codes: DataFrame)
 
   /** Train + materialize: runs the coarse-centroid, IVF-assignment, PQ
     * codebook and PQ encode pipelines once and publishes each as a
-    * manifest table + catalog entry. Idempotent (rebuilds replace). */
-  def build(s: SparkSession, d: String, cmds: TableCommands): Unit = {
+    * manifest table + catalog entry. Idempotent (rebuilds replace).
+    *
+    * `mode` picks the ASSIGNMENT policy (recorded in `meta.mode`):
+    *   - `exact` (default): every vector's true nearest centroid —
+    *     bit-identical to the inline-training oracles; the plan form
+    *     auto-switches at [[Similarity.centBroadcastCap]] from the
+    *     one-row-broadcast argmax to the shuffled-agg argmax (same
+    *     answer, no per-node structure ∝ k past the cap).
+    *   - `coarse` (opt-in, `BUILD VECTOR INDEX ... USING COARSE`):
+    *     two-level √k routing — ~2·n·√k work instead of n·k, judged by
+    *     the s102/s105 recall machinery rather than bit-parity. The
+    *     scale path when k tracks the corpus (SCALE.md's measured
+    *     ×1000 wall). A coarse index SERVES normally; REFRESH refuses
+    *     it (the delta route is exact and would mix policies) — rebuild
+    *     wholesale instead. */
+  def build(s: SparkSession, d: String, cmds: TableCommands,
+      mode: String = "exact"): Unit = {
+    require(mode == "exact" || mode == "coarse",
+      s"BUILD VECTOR INDEX: unknown mode '$mode' (exact|coarse)")
     // train-side audit: a null/non-finite/ragged corpus row would poison
     // every trained artifact silently (see Similarity.requireFiniteCorpus)
     Similarity.requireFiniteCorpus(s, d)
     drop(s, cmds)
     import s.implicits._
-    val meta = Seq((norm(d), pqM, pqK, pqIters))
-      .toDF("src", "m", "k", "iters")
-    (Similarity.indexArtifacts(s, d) :+ ("meta" -> meta)).foreach {
+    val meta = Seq((norm(d), pqM, pqK, pqIters, mode))
+      .toDF("src", "m", "k", "iters", "mode")
+    (Similarity.indexArtifacts(s, d, mode) :+ ("meta" -> meta)).foreach {
       case (p, df) =>
         val n = tableName(p)
         cmds.createTable(n, df)
@@ -151,6 +176,14 @@ object VectorIndex {
       meta(0).getInt(3) == pqIters,
       "vector index was built for a different corpus or parameter set - " +
         "rebuild with BUILD VECTOR INDEX")
+    // a coarse-built index refuses incremental maintenance: the delta
+    // route below is EXACT nearest-centroid, and appending exact rows
+    // into a coarse assignment silently mixes policies — the recall
+    // audit would report a blended number that describes neither
+    require(buildMode(meta(0)) == "exact",
+      "vector index was built USING COARSE - REFRESH would mix exact " +
+        "delta routing into a coarse assignment; rebuild wholesale with " +
+        "BUILD VECTOR INDEX ON embeddings USING COARSE")
     // the delta rows feed the frozen encode exactly like BUILD's — the
     // same train-side audit applies (an external writer may have
     // appended garbage to the corpus since the build)
@@ -162,15 +195,20 @@ object VectorIndex {
     val missing = graft.Graft.tableParallel(s, d, "embeddings")
       .select("vec_id", "embedding")
       .join(covered, Seq("vec_id"), "left_anti")
-    val (cents, book) = Similarity.freezeIndex(
-      cmds.table(tableName("centroids")), cmds.table(tableName("codebook")))
+    // JOIN-form route+encode against the stored centroid/codebook tables
+    // (bit-identical rows to the frozen-literal form — parity spec): no
+    // driver collect, no typedlit ∝ k baked into the plan, so refresh
+    // keeps working at any centroid count (round-13 fix for the measured
+    // k ∝ n driver ceiling; the frozen form remains the streaming gates'
+    // per-stream model freeze).
     // localCheckpoint, NOT persist: the delta plan READS the table paths
     // it is about to append to, and Spark recaches-by-path on write — a
     // merely cached plan would be invalidated by the first append,
     // recompute against the now-complete table, and silently append an
     // EMPTY second delta. Truncating lineage to the materialized rows
     // makes both appends consume the same frozen delta.
-    val enc = Similarity.routeAndEncodeFrozen(missing, cents, book)
+    val enc = Similarity.routeAndEncodeJoined(missing,
+      cmds.table(tableName("centroids")), cmds.table(tableName("codebook")))
       .localCheckpoint()
     val n = enc.count()
     if (n > 0) {

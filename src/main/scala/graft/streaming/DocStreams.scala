@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -264,6 +264,39 @@ object DocStreams {
     // streaming → operators); this is its streaming-face name, kept
     // beside [[nbClassify]] so the twin pair reads as one surface
     graft.operators.TextAnalysis.nbClassifyJoin(docs, langStats, wordLik)
+
+  /** A trained per-micro-batch NB scorer with its dispatch decision
+    * visible (specs and dashboards read `joinForm`). */
+  final case class NbScorer(joinForm: Boolean,
+      score: DataFrame => DataFrame)
+
+  /** Model-size-aware serving dispatcher — the auto-switch between the
+    * NB twins. While every class vocabulary fits `maxTermsPerClass`, the
+    * Map twin serves (one frozen driver-side broadcast, O(1) lookups —
+    * and the cap provably never binds, so it IS the batch model). The
+    * moment ANY class exceeds the cap, serving switches to the JOIN twin
+    * over the UNCAPPED model frames: no driver ceiling (Catalyst
+    * broadcasts the likelihood table while small, shuffles when not) and
+    * no silent OOV-floor dampening of evicted rare terms — which is what
+    * an over-cap frozen Map would do. Either way the scorer is
+    * bit-identical to the batch t100 model for every document (the
+    * parity spec pins both branches). The over-cap probe is a
+    * |classes|-bounded aggregation, paid once at serve start. */
+  def nbClassifier(s: SparkSession, d: String,
+      maxTermsPerClass: Int = 1000000): NbScorer = {
+    val (langStatsDf, likDf) = graft.operators.TextAnalysis
+      .nbModelMicroFrames(s, d, maxTermsPerClass = Int.MaxValue)
+    val overCap = likDf.groupBy("clang").count()
+      .filter(col("count") > maxTermsPerClass).head(1).nonEmpty
+    if (overCap)
+      NbScorer(joinForm = true,
+        docs => nbClassifyJoin(docs, langStatsDf, likDf))
+    else {
+      val (ls, wl) = graft.operators.TextAnalysis
+        .nbModelMicros(s, d, maxTermsPerClass)
+      NbScorer(joinForm = false, docs => nbClassify(docs, ls, wl))
+    }
+  }
 
   case class DocBpe(doc_id: Long, n_chars: Long, n_syms: Long,
       compression: Option[Double])

@@ -897,6 +897,202 @@ class EngineSqlSpec extends AnyFunSuite {
     assert(nc == viaSimilar.length.toLong, s"nested-comment form: $nc")
   }
 
+  test("SIMILAR TO scanner: raw strings (r'...') take no escapes — a raw " +
+      "literal ending in a backslash closes at its first quote (Spark's " +
+      "lexer rule), so the predicate after it still rewrites and literal " +
+      "text never does") {
+    val expected = engine.sql(
+      "SELECT count(*) AS n FROM part WHERE p_name RLIKE 'a.*e'")
+      .head.getLong(0)
+    // r'a\' is the raw string a\ — an escape-consuming scanner would eat
+    // the closing quote, protect the rest of the statement, and hand
+    // Spark an unterminated literal (or leave SIMILAR TO unrewritten)
+    val row = engine.sql(
+      "SELECT r'a\\' AS s, count(*) AS n FROM part " +
+        "WHERE p_name SIMILAR TO 'a.*e' GROUP BY 1").head
+    assert(row.getString(0) == "a\\", s"raw literal mangled: ${row.getString(0)}")
+    assert(row.getLong(1) == expected)
+    // capital prefix + double-quoted raw form
+    val row2 = engine.sql(
+      "SELECT R\"b\\\" AS s, count(*) AS n FROM part " +
+        "WHERE p_name SIMILAR TO 'a.*e' GROUP BY 1").head
+    assert(row2.getString(0) == "b\\", s"R\"...\" mangled: ${row2.getString(0)}")
+    assert(row2.getLong(1) == expected)
+    // raw strings take no doubled-closer escape either: r'a''b' is TWO
+    // literals (raw a, then plain b) — the SIMILAR TO between protected
+    // regions still rewrites
+    val row3 = engine.sql(
+      "SELECT r'a' AS s, 'b' AS t, count(*) AS n FROM part " +
+        "WHERE p_name SIMILAR TO 'a.*e' GROUP BY 1, 2").head
+    assert(row3.getString(0) == "a" && row3.getString(1) == "b")
+    assert(row3.getLong(2) == expected)
+    // an identifier ENDING in r is not a raw prefix (maximal munch:
+    // `bar` lexes as one identifier, the quote opens a normal literal
+    // with escape semantics)
+    val row4 = engine.sql(
+      "SELECT 'it\\'s' AS bar, count(*) AS n FROM part " +
+        "WHERE p_name SIMILAR TO 'a.*e' GROUP BY 1").head
+    assert(row4.getString(0) == "it's")
+    assert(row4.getLong(1) == expected)
+    // doubled-backtick identifier escape: the scanner must not close the
+    // backtick region at the first of the pair
+    val bt = engine.sql(
+      "SELECT count(*) AS `n``m` FROM part WHERE p_name SIMILAR TO 'a.*e'")
+    assert(bt.columns.head == "n`m")
+    assert(bt.head.getLong(0) == expected)
+  }
+
+  test("SIMILAR TO ... ESCAPE is refused with the real reason (RLIKE " +
+      "takes no ESCAPE clause) instead of emitting unparseable SQL; " +
+      "LIKE ... ESCAPE elsewhere in the statement stays untouched") {
+    // literal pattern: ESCAPE opens the next unprotected segment
+    val e1 = intercept[IllegalArgumentException](engine.sql(
+      "SELECT * FROM part WHERE p_name SIMILAR TO 'a!%e' ESCAPE '!'"))
+    assert(e1.getMessage.contains("ESCAPE"), e1.getMessage)
+    // bare column pattern: ESCAPE in the same segment
+    val e2 = intercept[IllegalArgumentException](engine.sql(
+      "SELECT * FROM part WHERE p_name SIMILAR TO p_name ESCAPE '!'"))
+    assert(e2.getMessage.contains("ESCAPE"), e2.getMessage)
+    // a comment between the pattern and ESCAPE does not hide it
+    val e3 = intercept[IllegalArgumentException](engine.sql(
+      "SELECT * FROM part WHERE p_name SIMILAR TO 'a!%' /* c */ ESCAPE '!'"))
+    assert(e3.getMessage.contains("ESCAPE"), e3.getMessage)
+    // NOT SIMILAR TO form too
+    val e4 = intercept[IllegalArgumentException](engine.sql(
+      "SELECT * FROM part WHERE p_name NOT SIMILAR TO 'a!%' ESCAPE '!'"))
+    assert(e4.getMessage.contains("ESCAPE"), e4.getMessage)
+    // but LIKE ... ESCAPE in a SIMILAR-bearing statement is legal Spark
+    // SQL and must survive the rewrite
+    val n = engine.sql(
+      "SELECT count(*) AS n FROM part WHERE p_name SIMILAR TO 'a.*e' " +
+        "AND p_name NOT LIKE 'zz!%qq' ESCAPE '!'").head.getLong(0)
+    val expected = engine.sql(
+      "SELECT count(*) AS n FROM part WHERE p_name RLIKE 'a.*e' " +
+        "AND p_name NOT LIKE 'zz!%qq' ESCAPE '!'").head.getLong(0)
+    assert(n == expected && n > 0)
+    // and the word escape in a LITERAL never trips the guard
+    assert(engine.sql(
+      "SELECT 'SIMILAR TO x ESCAPE y' AS s, count(*) AS n FROM part " +
+        "WHERE p_name SIMILAR TO 'a.*e' GROUP BY 1")
+      .head.getString(0) == "SIMILAR TO x ESCAPE y")
+  }
+
+  test("rewriteSimilarTo property fuzz: for statements assembled from " +
+      "random protected regions (quoted literals with doubled/backslash " +
+      "escapes, raw/hex strings, backtick identifiers, nested comments) " +
+      "and unprotected text, every protected byte survives verbatim and " +
+      "exactly the unprotected [NOT] SIMILAR TO tokens rewrite") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // word pool: no r/R/x/X tails (would form a raw-string prefix before
+    // a quote fragment), no not/similar/to/escape (the scanner's own
+    // tokens must only come from the simTok fragment)
+    val words = Seq("alpha", "beta", "gamma", "delta", "omega",
+      "countt", "name", "partt", "x1", "y2", "don")
+    val safeChars = "abcdegz 0189,.=<>()"
+    val plain: Gen[(String, String)] = for {
+      k <- Gen.choose(1, 4)
+      ws <- Gen.listOfN(k, Gen.oneOf(words))
+    } yield { val t = ws.mkString(" ") + " "; (t, t) }
+    val simTok: Gen[(String, String)] = for {
+      not <- Gen.oneOf(Seq(None, Some("not"), Some("NOT"), Some("Not")))
+      sim <- Gen.oneOf("similar", "SIMILAR", "Similar", "sImIlAr")
+      to <- Gen.oneOf("to", "TO", "To")
+      ws1 <- Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+      ws2 <- Gen.oneOf(" ", "  ", "\t", "\n")
+    } yield (" " + not.map(_ + ws1).getOrElse("") + sim + ws2 + to + " ",
+      " " + (if (not.isDefined) "NOT RLIKE" else "RLIKE") + " ")
+    def qunit(q: Char): Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf(safeChars.toList).map(_.toString),
+      1 -> Gen.const(s"$q$q"),
+      1 -> Gen.const("\\" + q),
+      1 -> Gen.const("\\\\"),
+      1 -> Gen.const("\\z"),
+      1 -> Gen.const("similar to"),
+      1 -> Gen.const(" NOT SIMILAR TO escape "))
+    def quoted(q: Char): Gen[(String, String)] = for {
+      k <- Gen.choose(0, 6)
+      us <- Gen.listOfN(k, qunit(q))
+    } yield { val t = " " + q + us.mkString + q + " "; (t, t) }
+    val btickUnit: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf(safeChars.toList).map(_.toString),
+      1 -> Gen.const("``"),
+      1 -> Gen.const("'"),
+      1 -> Gen.const("\\"),
+      1 -> Gen.const("similar to"))
+    val btick: Gen[(String, String)] = for {
+      k <- Gen.choose(0, 5)
+      us <- Gen.listOfN(k, btickUnit)
+    } yield { val t = " `" + us.mkString + "` "; (t, t) }
+    val rawStr: Gen[(String, String)] = for {
+      pre <- Gen.oneOf("r", "R")
+      q <- Gen.oneOf("'", "\"")
+      k <- Gen.choose(0, 5)
+      cs <- Gen.listOfN(k, Gen.oneOf((safeChars + "\\\\").toList))
+      trail <- Gen.oneOf("", "\\", "\\\\", "similar to")
+    } yield { val t = " " + pre + q + cs.mkString + trail + q + " "; (t, t) }
+    val hexStr: Gen[(String, String)] = for {
+      k <- Gen.choose(0, 5)
+      cs <- Gen.listOfN(k, Gen.oneOf("0123456789abcdefAF\\".toList))
+      trail <- Gen.oneOf("", "\\")
+    } yield { val t = " x'" + cs.mkString + trail + "' "; (t, t) }
+    val lineComment: Gen[(String, String)] = for {
+      ws <- Gen.listOfN(3, Gen.oneOf(words ++
+        Seq("similar to", "don't", "it's", "escape")))
+    } yield { val t = " -- " + ws.mkString(" ") + "\n"; (t, t) }
+    def blockInner(level: Int): Gen[String] =
+      if (level == 0)
+        Gen.oneOf("similar to", "don't x", "a'b", "plain", "\"q", "escape")
+      else for {
+        pre <- Gen.oneOf("similar to ", "don't ", "")
+        mid <- blockInner(level - 1)
+        post <- Gen.oneOf(" it's", " not similar to", " escape '", "")
+      } yield pre + "/*" + mid + "*/" + post
+    val blockComment: Gen[(String, String)] = for {
+      lvl <- Gen.choose(0, 2)
+      s <- blockInner(lvl)
+    } yield { val t = " /*" + s + "*/ "; (t, t) }
+    val frag: Gen[(String, String)] = Gen.frequency(
+      5 -> plain, 3 -> simTok, 2 -> quoted('\''), 2 -> quoted('"'),
+      1 -> btick, 2 -> rawStr, 1 -> hexStr, 1 -> lineComment,
+      2 -> blockComment)
+    val genStmt: Gen[(String, String)] = for {
+      k <- Gen.choose(0, 12)
+      fs <- Gen.listOfN(k, frag)
+    } yield (fs.map(_._1).mkString, fs.map(_._2).mkString)
+    val prop = Prop.forAllNoShrink(genStmt) { case (stmt, expected) =>
+      val got = engine.rewriteSimilarTo(stmt)
+      if (got != expected)
+        System.err.println(
+          s"[fuzz] MISMATCH\n  stmt=<$stmt>\n  got =<$got>\n  exp =<$expected>")
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(3000)
+      .withInitialSeed(org.scalacheck.rng.Seed(1337L)), prop)
+    assert(res.passed, s"scanner fuzz failed: ${res.status}")
+    // evaluate-equal leg: random simple patterns — the SIMILAR TO form
+    // must return exactly the hand-written RLIKE form's rows
+    val patGen = for {
+      a <- Gen.oneOf("a", "b", "mi", "co", "ta", "")
+      mid <- Gen.oneOf(".*", ".", "[ae]", "")
+      b <- Gen.oneOf("e", "o", "n", "")
+    } yield a + mid + b
+    val evalProp = Prop.forAllNoShrink(patGen) { pat =>
+      val p = if (pat.isEmpty) "a" else pat
+      val viaSim = engine.sql(
+        s"SELECT count(*) AS n FROM part WHERE p_name SIMILAR TO '$p'")
+        .head.getLong(0)
+      val viaRlike = engine.sql(
+        s"SELECT count(*) AS n FROM part WHERE p_name RLIKE '$p'")
+        .head.getLong(0)
+      viaSim == viaRlike
+    }
+    val evalRes = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10)
+      .withInitialSeed(org.scalacheck.rng.Seed(4242L)), evalProp)
+    assert(evalRes.passed, s"eval-equality fuzz failed: ${evalRes.status}")
+  }
+
   test("BUILD VECTOR INDEX: build → serve → drop lifecycle; searches " +
     "without a build fall back to inline training; survives restart") {
     def searchPlan(): String = {
@@ -1442,7 +1638,8 @@ class EngineSqlSpec extends AnyFunSuite {
       "counts track the build/drop lifecycle") {
     // absent index → empty frame with the full schema (an operator's
     // dashboard query must not error on a fresh warehouse)
-    val cols = Seq("corpus", "src", "m", "k", "iters", "n_assign", "n_codes")
+    val cols = Seq("corpus", "src", "m", "k", "iters", "mode",
+      "n_assign", "n_codes")
     assert(engine.sql("SHOW VECTOR INDEXES").columns.toSeq == cols)
     assert(engine.sql("SHOW VECTOR INDEXES").count() == 0)
     assert(engine.sql("SHOW DEDUP INDEXES").count() == 0)
@@ -1455,10 +1652,11 @@ class EngineSqlSpec extends AnyFunSuite {
       assert(r.getString(0) == "embeddings" &&
         r.getString(1) == new java.io.File(d).getAbsolutePath &&
         (r.getInt(2), r.getInt(3), r.getInt(4)) == ((8, 8, 2)))
+      assert(r.getString(5) == "exact", s"default build mode: ${r.getString(5)}")
       // full coverage right after BUILD: both counts equal the corpus
       val n = spark.read.parquet(s"$d/embeddings.parquet").count()
-      assert(r.getLong(5) == n && r.getLong(6) == n,
-        s"coverage ${r.getLong(5)}/${r.getLong(6)} != corpus $n")
+      assert(r.getLong(6) == n && r.getLong(7) == n,
+        s"coverage ${r.getLong(6)}/${r.getLong(7)} != corpus $n")
       val dd = engine.sql("SHOW DEDUP INDEXES").collect()
       assert(dd.length == 1 && dd.head.getString(0) == "documents" &&
         dd.head.getLong(2) > 0)

@@ -164,6 +164,53 @@ object FenceProbe {
           engine.sql("OPTIMIZE probe_free")
           engine.sql("DROP TABLE probe_free")
         }
+      } else if (mode == "disjoint") {
+        // POSITIVE cross-process soak (the fence soak's complement):
+        // this foreign session works its OWN tables while the parent
+        // session concurrently runs DML on ITS tables and keeps a live
+        // ADMIT gate flowing. Nothing here may refuse (the fences must
+        // not over-fire on disjoint state), and nothing here may perturb
+        // the parent's side (the parent asserts its own invariants after
+        // the join). The started-marker lets the parent synchronize its
+        // concurrent DML window with this soak.
+        Files.writeString(Paths.get(scratch, "disjoint_started"), "up\n")
+        check("disjoint_dml_soak") {
+          engine.sql("CREATE TABLE probe_soak (id INT, v DOUBLE)")
+          (1 to 15).foreach { r =>
+            engine.sql(s"INSERT INTO probe_soak VALUES ($r, ${r * 1.5})")
+            engine.sql(s"UPDATE probe_soak SET v = v + 1 WHERE id = $r")
+            if (r % 5 == 0) {
+              engine.sql(s"DELETE FROM probe_soak WHERE id = ${r - 1}")
+              engine.sql("OPTIMIZE probe_soak")
+            }
+          }
+          val got = engine.storage.table("probe_soak").count()
+          assert(got == 12L, s"probe_soak rows after soak: $got")
+          engine.sql("VERIFY probe_soak")
+          ()
+        }
+        check("txn_excluded_while_foreign_gate_lives") {
+          // pointer-snapshot transactions are warehouse-global (ROLLBACK
+          // restores sink pointers), so BEGIN must refuse while the
+          // PARENT's gate commits into this warehouse — and the guard
+          // must hold from a foreign process reading only durable state.
+          // This is exclusion working as designed, not cross-talk: the
+          // un-transacted DML soak above ran fine throughout.
+          try {
+            engine.sql("BEGIN")
+            engine.sql("ROLLBACK") // unreachable; keep state clean if not
+            sys.error("BEGIN was NOT refused under a live foreign gate")
+          } catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("live streams"), e.getMessage)
+          }
+        }
+        check("parent_claims_intact_from_here") {
+          // registry cross-talk check: the parent's gate claim must
+          // still stand, untouched by this session's own writes
+          assert(engine.storage.sinkOwner("ingest_verdicts").nonEmpty,
+            "parent gate claim vanished during the disjoint soak")
+          ()
+        }
       } else if (mode == "torn") {
         // the parent planted a REAL torn pair (codes committed one batch
         // past assign — a kill between the paired appends) and wrote the

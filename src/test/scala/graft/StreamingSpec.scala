@@ -1220,6 +1220,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupJoin == dupMap, s"join $dupJoin != map $dupMap")
   }
 
+  test("nbClassifier auto-switch: a model exceeding the per-class cap " +
+      "serves via the JOIN form — bit-identical to the uncapped batch " +
+      "model, where the capped Map form would dampen evicted terms; an " +
+      "under-cap model keeps the Map form, same answers either way") {
+    val d = TestSpark.sfDir
+    val (fullStats, fullLik) =
+      operators.TextAnalysis.nbModelMicros(spark, d)
+    // the same binding cap the vocabulary-cap spec uses: half the largest
+    // class vocabulary guarantees the cap binds on this fixture
+    val kBind = math.max(1,
+      fullStats.keySet.map(c => fullLik.count(_._1._1 == c)).max / 2)
+    val docs = graft.Graft.table(spark, d, "documents")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // ground truth: the UNCAPPED batch model through the Map twin
+    val expect = rows(
+      streaming.DocStreams.nbClassify(docs, fullStats, fullLik))
+    val over = streaming.DocStreams.nbClassifier(spark, d, kBind)
+    assert(over.joinForm,
+      s"cap $kBind binds on this fixture - dispatcher must pick the join form")
+    assert(rows(over.score(docs)) == expect,
+      "join-form serving diverged from the uncapped batch model")
+    val under = streaming.DocStreams.nbClassifier(spark, d)
+    assert(!under.joinForm,
+      "default cap must keep the frozen Map form on the fixture")
+    assert(rows(under.score(docs)) == expect,
+      "Map-form serving diverged from the uncapped batch model")
+  }
+
+  test("empty-model parity: BOTH NB twins refuse a dry training corpus — " +
+      "the join twin's verdict join would otherwise silently emit zero " +
+      "rows where the Map twin fails fast") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val emptyStats = Seq.empty[(String, Long, Long)].toDF("clang", "pm", "dm")
+    val emptyLik = Seq.empty[(String, String, Long)].toDF("clang", "word", "lm")
+    val eJoin = intercept[IllegalArgumentException](
+      streaming.DocStreams.nbClassifyJoin(docs, emptyStats, emptyLik))
+    assert(eJoin.getMessage.contains("langStats is empty"), eJoin.getMessage)
+    val eMap = intercept[IllegalArgumentException](
+      streaming.DocStreams.nbClassify(docs, Map.empty, Map.empty))
+    assert(eMap.getMessage.contains("langStats is empty"), eMap.getMessage)
+  }
+
   test("nbModelMicros vocabulary cap: frozen map bounded by k x |classes|, " +
       "evicted terms score at the OOV floor, cap-surviving docs == batch") {
     import spark.implicits._
