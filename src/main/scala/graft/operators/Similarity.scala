@@ -196,7 +196,18 @@ object Similarity {
       .join(cents, "clabel")
       .select(col("shard"), col("clabel"), col("cqa"), col("ncq"))
       .localCheckpoint() // k rows; bounds the train lineage out of the plan
-    val routed = assignArgmaxBroadcast(vecs, asCent(sups))
+    // vectors may only route among supers that HOLD centroids: the final
+    // centroid→super re-assignment runs against the recentered supers, so
+    // a super every centroid fled (a standard post-recenter Lloyd flip)
+    // can be empty yet still be some vector's nearest — routing there
+    // would INNER-join that vector out of the assignment silently (a
+    // permanent coverage hole). Restricting the routing table to live
+    // shards closes the hole by construction; build() still audits
+    // coverage row-for-row afterwards.
+    val liveSups = sups.join(
+      shardCents.select(col("shard").as("sclabel")).distinct(), "sclabel")
+      .localCheckpoint()
+    val routed = assignArgmaxBroadcast(vecs, asCent(liveSups))
       .withColumnRenamed("cluster", "shard")
     // within-shard exact argmax: corpus × shard-centroids equi-join on
     // the shard id (both sides free to shuffle — the 100 TB shape), then
@@ -2494,8 +2505,12 @@ object Similarity {
   /** Exact squared-L2 top-3 ground truth for the planted query set — the
     * labeled brute-force baseline (broadcast queries × corpus, the s90
     * shape) shared by s102's recall audit and s105's health card. */
-  private def exactTop3(s: SparkSession, d: String): DataFrame = {
-    val base = quantizedVecs(s, d).select(col("vec_id"), col("vq"))
+  private def exactTop3(s: SparkSession, d: String,
+      baseOpt: Option[DataFrame] = None): DataFrame = {
+    // baseOpt narrows the ground-truth universe (s111's sampled card);
+    // default is the whole corpus
+    val base = baseOpt.getOrElse(
+      quantizedVecs(s, d).select(col("vec_id"), col("vq")))
     val wr = Window.partitionBy("q_id")
       .orderBy(col("dq").asc, col("neighbor_id").asc)
     base
@@ -2741,20 +2756,30 @@ object Similarity {
     val freshServed = served.agg(
       sum(when(col("tier") === "fresh", 1L).otherwise(0L))
         .as("n_fresh_served"))
-    cnt.crossJoin(hits).crossJoin(freshServed)
-      .select(col("n_indexed"), col("n_fresh"),
-        round(col("n_fresh").cast("double") /
-          (col("n_indexed") + col("n_fresh")).cast("double"), 6)
-          .as("fresh_frac"),
-        col("n_fresh_served"), col("total_hits"), col("n_queries"),
-        round(col("total_hits").cast("double") /
-          (col("n_queries") * 3).cast("double"), 6)
-          .as("mean_recall_at_3"),
-        (col("n_fresh").cast("double") /
-          (col("n_indexed") + col("n_fresh")).cast("double") >= 0.05 ||
-          col("total_hits").cast("double") <
-            col("n_queries").cast("double") * 3 * 0.7).as("rebuild"))
+    healthCardSelect(cnt.crossJoin(hits).crossJoin(freshServed),
+      mid = Seq("n_fresh_served"))
   }
+
+  /** The health-card projection BOTH cards share — segment rates,
+    * recall@3, and the rebuild verdict. The operating thresholds (fresh
+    * fraction ≥ 5%, recall < 0.7) live here once, so the audit-cadence
+    * card (s105) and the query-cadence card (s111) cannot silently
+    * diverge. `mid` columns slot between the segment and recall fields
+    * (s105's n_fresh_served). */
+  private def healthCardSelect(df: DataFrame, mid: Seq[String]): DataFrame =
+    df.select(Seq(col("n_indexed"), col("n_fresh"),
+      round(col("n_fresh").cast("double") /
+        (col("n_indexed") + col("n_fresh")).cast("double"), 6)
+        .as("fresh_frac")) ++
+      mid.map(col) ++ Seq(
+      col("total_hits"), col("n_queries"),
+      round(col("total_hits").cast("double") /
+        (col("n_queries") * 3).cast("double"), 6)
+        .as("mean_recall_at_3"),
+      (col("n_fresh").cast("double") /
+        (col("n_indexed") + col("n_fresh")).cast("double") >= 0.05 ||
+        col("total_hits").cast("double") <
+          col("n_queries").cast("double") * 3 * 0.7).as("rebuild")): _*)
 
   /** s111: the QUERY-CADENCE variant of the s105 health card. s105 is
     * linear by design — its exact ground truth deliberately scans the

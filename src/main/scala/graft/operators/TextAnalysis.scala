@@ -403,6 +403,16 @@ object TextAnalysis {
       maxTermsPerClass: Int = 1000000)
       : (Map[String, (Long, Long)], Map[(String, String), Long]) = {
     val (langStatsDf, likDf) = nbModelMicroFrames(s, d, maxTermsPerClass)
+    nbModelCollect(langStatsDf, likDf)
+  }
+
+  /** Driver-side freeze of already-derived model FRAMES — shared by
+    * [[nbModelMicros]] and the serving dispatcher
+    * ([[graft.streaming.DocStreams.nbClassifier]]), whose under-cap
+    * branch collects from its checkpointed frames instead of re-running
+    * the training pipeline. */
+  private[graft] def nbModelCollect(langStatsDf: DataFrame, likDf: DataFrame)
+      : (Map[String, (Long, Long)], Map[(String, String), Long]) = {
     val langStats = langStatsDf
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
@@ -429,11 +439,18 @@ object TextAnalysis {
       (round(log(lit(1.0) /
         (col("n_tok") + col("v")).cast("double")), 6)
         .cast("decimal(18,6)") * 1000000).cast("long").as("dm"))
+    // the cap window only rides the plan when it can BIND: with
+    // maxTermsPerClass = Int.MaxValue (the join twin's uncapped model) a
+    // rnk <= MaxValue filter keeps every row but still forces a full
+    // per-class sort of the vocabulary — exactly the 10^8-term scale
+    // path the uncapped form exists for
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy("clang").orderBy(col("cnt").desc, col("word").asc)
-    val lik = wc
-      .withColumn("rnk", row_number().over(wCap))
-      .filter(col("rnk") <= maxTermsPerClass)
+    val capped =
+      if (maxTermsPerClass == Int.MaxValue) wc
+      else wc.withColumn("rnk", row_number().over(wCap))
+        .filter(col("rnk") <= maxTermsPerClass)
+    val lik = capped
       .join(cls.select("clang", "n_tok", "v"), "clang")
       .select(col("clang"), col("word"),
         (round(log((col("cnt") + 1).cast("double") /
@@ -467,12 +484,20 @@ object TextAnalysis {
     * a batch frame. */
   def nbClassifyJoin(docs: DataFrame, langStats: DataFrame,
       wordLik: DataFrame): DataFrame = {
+    // Materialize the |langs|-bounded prior/default frame ONCE: its
+    // lineage is the full training pipeline, the plan below uses it
+    // twice (dm side and pm side), and the empty-model guard must read
+    // it too — localCheckpoint turns all three into reads of a handful
+    // of materialized rows (callers that serve per micro-batch
+    // checkpoint their model frames at dispatch, DocStreams.nbClassifier,
+    // so this is then a truncation of already-materialized lineage).
+    val langs = langStats.select("clang", "pm", "dm").localCheckpoint()
     // mirror the Map twin's empty-model contract (DocStreams.nbClassify
     // requires langStats.nonEmpty): with zero model rows the verdict
     // join back to `based` drops EVERY input row, so a serve twin on a
     // dry training corpus would silently emit nothing instead of
-    // erroring. head(1) on the |langs|-bounded frame is one tiny job.
-    require(langStats.select("clang").head(1).nonEmpty,
+    // erroring.
+    require(langs.head(1).nonEmpty,
       "nbClassifyJoin needs a trained model: langStats is empty " +
         "(was the training corpus dry?)")
     val spark = docs.sparkSession
@@ -492,7 +517,6 @@ object TextAnalysis {
           .split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty)
           .map(w => (k, w))
       }.toDF("tkey", "word")
-    val langs = langStats.select("clang", "pm", "dm")
     // per-(doc, lang) token contribution: known words take lm, OOV
     // takes the class default dm — LEFT join on (clang, word), then
     // integer micro sums (partition- and order-independent, the same

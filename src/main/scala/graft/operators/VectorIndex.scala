@@ -104,6 +104,23 @@ object VectorIndex {
         cmds.createTable(n, df)
         TableCommands.registerCatalog(s, n, cmds.dataPath(n))
     }
+    // coverage audit: a fresh BUILD must index EVERY corpus vector —
+    // exact by construction, coarse by the live-shard routing guard; a
+    // kernel regression that drops vectors (e.g. a join against an empty
+    // shard) must fail the build loudly, never ship an index that
+    // silently under-serves. One count per side (the corpus count reads
+    // parquet footers, the assign count the just-written store).
+    val nCorpus = graft.Graft.tableParallel(s, d, corpus).count()
+    val nAssign = cmds.table(tableName("assign")).count()
+    if (nAssign != nCorpus) {
+      // roll the unusable index back — a search must fall back to inline
+      // training (correct) rather than serve from a hole-y assignment
+      drop(s, cmds)
+      throw new IllegalStateException(
+        s"BUILD VECTOR INDEX ($mode): assignment covered $nAssign of " +
+          s"$nCorpus corpus vectors - coverage hole; the partial index " +
+          "was dropped (searches fall back to inline training)")
+    }
     // CONCURRENT-READER grace window: the VECTOR gate appends to
     // codes/assign while serve twins (and ad-hoc searches) read them,
     // and the default retain of 1 sweeps the superseded version the

@@ -284,16 +284,27 @@ object DocStreams {
     * |classes|-bounded aggregation, paid once at serve start. */
   def nbClassifier(s: SparkSession, d: String,
       maxTermsPerClass: Int = 1000000): NbScorer = {
-    val (langStatsDf, likDf) = graft.operators.TextAnalysis
+    // train ONCE, at dispatch: the frames are materialized here
+    // (localCheckpoint) so the over-cap probe, the per-micro-batch
+    // scorer, and the under-cap driver freeze all read the trained rows
+    // — a lazy frame would re-run the whole training pipeline inside
+    // every micro-batch (the freeze-at-serve-start discipline every
+    // other twin follows)
+    val (langStatsRaw, likRaw) = graft.operators.TextAnalysis
       .nbModelMicroFrames(s, d, maxTermsPerClass = Int.MaxValue)
+    val langStatsDf = langStatsRaw.localCheckpoint()
+    val likDf = likRaw.localCheckpoint()
     val overCap = likDf.groupBy("clang").count()
       .filter(col("count") > maxTermsPerClass).head(1).nonEmpty
     if (overCap)
       NbScorer(joinForm = true,
         docs => nbClassifyJoin(docs, langStatsDf, likDf))
     else {
+      // under-cap ⇒ the cap cannot bind ⇒ the capped Map model IS the
+      // uncapped model: freeze straight from the materialized frames
+      // instead of training a second time
       val (ls, wl) = graft.operators.TextAnalysis
-        .nbModelMicros(s, d, maxTermsPerClass)
+        .nbModelCollect(langStatsDf, likDf)
       NbScorer(joinForm = false, docs => nbClassify(docs, ls, wl))
     }
   }

@@ -211,8 +211,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // s108: s104's two-tier serve + the caller query-frame build — two
     // extra SLIM pushed-filter scans (10-row-bounded midpoint join, AQE
     // broadcasts it); the serve itself must stay exactly s104's shape,
-    // so no corpus-sized sort-merge anywhere
-    ("s108_search_vectors", 8, Seq("SortMergeJoin"), Nil),
+    // so no corpus-sized sort-merge anywhere. 9th scan since the argmax
+    // assignment kernel: coveredIds' vec_id-only projection now prunes
+    // the ENTIRE inline assignment down to a zero-column (footer-only,
+    // no data pages) multiplicity scan — the old window form computed
+    // full n×k similarities through an exchange just to be discarded,
+    // so the extra scan node is the cheap residue of a removed stage
+    ("s108_search_vectors", 9, Seq("SortMergeJoin"), Nil),
     // q82: Q21's two correlated self-joins replaced by ONE per-order
     // two-level aggregation (dedup to (order,supp,late) then order
     // stats) — no Expand (no multi-distinct), no cartesian, top-10 via
