@@ -67,6 +67,11 @@ object ScaleStress {
         }.min
         spark.catalog.clearCache()
         println(f"SCALED $d $n $t%.2f s")
+        // GRAFT_SHOW=1: also print the (small) result rows — how the
+        // recall/health VALUES at a scale get into SCALE.md, not just
+        // the wall-clock
+        if (sys.env.contains("GRAFT_SHOW"))
+          SparkEntry.queries(n)(spark, d).show(20, false)
         results.getOrElseUpdate(n,
           scala.collection.mutable.ArrayBuffer.empty[Double]) += t
       }

@@ -166,6 +166,9 @@ object GraftFunctions {
       toFloatArr(Bridge.expression(b))))
   def dot_l(a: Column, b: Column): Column =
     Bridge.column(DotL(Bridge.expression(a), Bridge.expression(b)))
+  def nearest_centroid_l(vq: Column, nq: Column, cents: Column): Column =
+    Bridge.column(NearestCentroidL(Bridge.expression(vq),
+      Bridge.expression(nq), Bridge.expression(cents)))
   def simhash60(c: Column): Column =
     Bridge.column(SimHash60(toStr(Bridge.expression(c))))
   def text_metrics(c: Column): Column =
@@ -189,6 +192,8 @@ object GraftFunctions {
       exprs => DotF(toFloatArr(exprs(0)), toFloatArr(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("dot_l",
       exprs => DotL(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("nearest_centroid_l",
+      exprs => NearestCentroidL(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       exprs => SimHash60(toStr(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction("text_metrics",

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -279,6 +279,116 @@ case class DotL(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Fused exact nearest-centroid argmax: the winning `clabel` of the
+  * centroid maximizing the quantized cosine to `vq` (sim DESC, clabel ASC
+  * on ties — the window/struct-max selection every assignment kernel in
+  * [[graft.operators.Similarity]] specifies), over a centroid array column
+  * `cents: array<struct<clabel: bigint, cqa: array<bigint>, ncq: bigint>>`.
+  *
+  * Why an expression and not `array_max(transform(cents, ...))`: Spark's
+  * higher-order functions are `CodegenFallback` — every candidate
+  * evaluation runs interpreted with a boxed struct allocation, and the
+  * index build evaluates n × k candidates (2×10^10 at the ×1000 scale
+  * fixture, where the interpreted form measured minutes-to-hours). This
+  * loop stays inside whole-stage codegen with zero per-candidate
+  * allocation, like [[DotL]]/[[CosineSim]]. Arithmetic is EXACTLY cosQ's:
+  * integer dot over min-length, zero-norm ⇒ 0.0, double division by the
+  * sqrt product — bit-identical selections, so the DuckDB window oracles
+  * still hash-match. Returns null only for an EMPTY centroid array (no
+  * candidates); null struct elements are skipped defensively. */
+case class NearestCentroidL(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def longArr(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val centsOk = third.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(0).dataType == LongType && longArr(fs(1).dataType) &&
+          fs(2).dataType == LongType
+      case _ => false
+    }
+    val ok = longArr(first.dataType) &&
+      second.dataType == LongType && centsOk
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint> vq, bigint nq, " +
+        s"array<struct<bigint, array<bigint>, bigint>> cents), got " +
+        s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_l"
+
+  override def nullSafeEval(v: Any, n: Any, c: Any): Any = {
+    val vq = v.asInstanceOf[ArrayData]
+    val nq = n.asInstanceOf[Long]
+    val cents = c.asInstanceOf[ArrayData]
+    var found = false; var bestSim = 0.0; var bestCl = 0L
+    var ci = 0
+    val m = cents.numElements()
+    while (ci < m) {
+      if (!cents.isNullAt(ci)) {
+        val e = cents.getStruct(ci, 3)
+        val cl = e.getLong(0)
+        val cqa = e.getArray(1)
+        val ncq = e.getLong(2)
+        val len = math.min(vq.numElements(), cqa.numElements())
+        var dot = 0L; var j = 0
+        while (j < len) { dot += vq.getLong(j) * cqa.getLong(j); j += 1 }
+        val sim =
+          if (nq == 0L || ncq == 0L) 0.0
+          else dot.toDouble / (math.sqrt(nq.toDouble) * math.sqrt(ncq.toDouble))
+        if (!found || sim > bestSim || (sim == bestSim && cl < bestCl)) {
+          found = true; bestSim = sim; bestCl = cl
+        }
+      }
+      ci += 1
+    }
+    if (found) bestCl else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vq, nq, cents) => {
+      val m = ctx.freshName("m"); val ci = ctx.freshName("ci")
+      val found = ctx.freshName("found"); val bestSim = ctx.freshName("bestSim")
+      val bestCl = ctx.freshName("bestCl"); val e = ctx.freshName("e")
+      val cl = ctx.freshName("cl"); val cqa = ctx.freshName("cqa")
+      val ncq = ctx.freshName("ncq"); val len = ctx.freshName("len")
+      val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
+      val sim = ctx.freshName("sim")
+      s"""
+         |boolean $found = false; double $bestSim = 0.0; long $bestCl = 0L;
+         |int $m = $cents.numElements();
+         |for (int $ci = 0; $ci < $m; $ci++) {
+         |  if ($cents.isNullAt($ci)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $e = $cents.getStruct($ci, 3);
+         |  long $cl = $e.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cqa = $e.getArray(1);
+         |  long $ncq = $e.getLong(2);
+         |  int $len = java.lang.Math.min($vq.numElements(), $cqa.numElements());
+         |  long $dot = 0L;
+         |  for (int $j = 0; $j < $len; $j++) {
+         |    $dot += $vq.getLong($j) * $cqa.getLong($j);
+         |  }
+         |  double $sim = ($nq == 0L || $ncq == 0L) ? 0.0
+         |    : (double) $dot / (java.lang.Math.sqrt((double) $nq)
+         |                       * java.lang.Math.sqrt((double) $ncq));
+         |  if (!$found || $sim > $bestSim || ($sim == $bestSim && $cl < $bestCl)) {
+         |    $found = true; $bestSim = $sim; $bestCl = $cl;
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $bestCl; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 /** Single-pass 60-bit SimHash signature of a text column (Charikar 2002):

