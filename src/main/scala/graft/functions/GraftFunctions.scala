@@ -169,6 +169,9 @@ object GraftFunctions {
   def nearest_centroid_l(vq: Column, nq: Column, cents: Column): Column =
     Bridge.column(NearestCentroidL(Bridge.expression(vq),
       Bridge.expression(nq), Bridge.expression(cents)))
+  def pq_codes_l(vq: Column, book: Column, sub: Int): Column =
+    Bridge.column(PqCodesL(Bridge.expression(vq),
+      Bridge.expression(book), sub))
   def simhash60(c: Column): Column =
     Bridge.column(SimHash60(toStr(Bridge.expression(c))))
   def text_metrics(c: Column): Column =
@@ -194,6 +197,13 @@ object GraftFunctions {
       exprs => DotL(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("nearest_centroid_l",
       exprs => NearestCentroidL(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("pq_codes_l",
+      exprs => exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+          PqCodesL(exprs(0), exprs(1), s.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"pq_codes_l sub-width must be a literal, got $other")
+      }, "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       exprs => SimHash60(toStr(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction("text_metrics",

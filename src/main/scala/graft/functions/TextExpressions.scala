@@ -326,7 +326,12 @@ case class NearestCentroidL(first: Expression, second: Expression,
   override def prettyName: String = "nearest_centroid_l"
 
   override def nullSafeEval(v: Any, n: Any, c: Any): Any = {
-    val vq = v.asInstanceOf[ArrayData]
+    // hoist the vector to a primitive array ONCE per row: vq often
+    // arrives as a GenericArrayData (it is typically produced by the
+    // interpreted quantization `transform` in the same projection), and
+    // Generic element reads BOX — at k candidates that is k × dims
+    // unboxings per row; one toLongArray unboxes dims once
+    val vq = v.asInstanceOf[ArrayData].toLongArray()
     val nq = n.asInstanceOf[Long]
     val cents = c.asInstanceOf[ArrayData]
     var found = false; var bestSim = 0.0; var bestCl = 0L
@@ -338,9 +343,9 @@ case class NearestCentroidL(first: Expression, second: Expression,
         val cl = e.getLong(0)
         val cqa = e.getArray(1)
         val ncq = e.getLong(2)
-        val len = math.min(vq.numElements(), cqa.numElements())
+        val len = math.min(vq.length, cqa.numElements())
         var dot = 0L; var j = 0
-        while (j < len) { dot += vq.getLong(j) * cqa.getLong(j); j += 1 }
+        while (j < len) { dot += vq(j) * cqa.getLong(j); j += 1 }
         val sim =
           if (nq == 0L || ncq == 0L) 0.0
           else dot.toDouble / (math.sqrt(nq.toDouble) * math.sqrt(ncq.toDouble))
@@ -361,9 +366,10 @@ case class NearestCentroidL(first: Expression, second: Expression,
       val cl = ctx.freshName("cl"); val cqa = ctx.freshName("cqa")
       val ncq = ctx.freshName("ncq"); val len = ctx.freshName("len")
       val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
-      val sim = ctx.freshName("sim")
+      val sim = ctx.freshName("sim"); val vqp = ctx.freshName("vqp")
       s"""
          |boolean $found = false; double $bestSim = 0.0; long $bestCl = 0L;
+         |long[] $vqp = $vq.toLongArray();
          |int $m = $cents.numElements();
          |for (int $ci = 0; $ci < $m; $ci++) {
          |  if ($cents.isNullAt($ci)) continue;
@@ -371,10 +377,10 @@ case class NearestCentroidL(first: Expression, second: Expression,
          |  long $cl = $e.getLong(0);
          |  org.apache.spark.sql.catalyst.util.ArrayData $cqa = $e.getArray(1);
          |  long $ncq = $e.getLong(2);
-         |  int $len = java.lang.Math.min($vq.numElements(), $cqa.numElements());
+         |  int $len = java.lang.Math.min($vqp.length, $cqa.numElements());
          |  long $dot = 0L;
          |  for (int $j = 0; $j < $len; $j++) {
-         |    $dot += $vq.getLong($j) * $cqa.getLong($j);
+         |    $dot += $vqp[$j] * $cqa.getLong($j);
          |  }
          |  double $sim = ($nq == 0L || $ncq == 0L) ? 0.0
          |    : (double) $dot / (java.lang.Math.sqrt((double) $nq)
@@ -389,6 +395,150 @@ case class NearestCentroidL(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** Fused PQ code selection: for each subspace entry of a codebook column
+  * `book: array<struct<m: int, bm: array<struct<cid: bigint, cq: array<bigint>>>>>`,
+  * the `cid` of the sub-centroid minimizing exact squared L2 to the
+  * sub-vector `vq[m*sub, m*sub+sub)` (dist ASC, cid ASC on ties — the
+  * `array_min(struct(dist, cid))` selection `pqEnc`/`routeAndEncode*` in
+  * [[graft.operators.Similarity]] specify, over the same
+  * cid-sorted-within-m book layout). Returns one winning cid per book
+  * element, in book (= m) order — the `codes` array every scale path
+  * stores and serves.
+  *
+  * Why an expression: the interpreted
+  * `transform(book, e -> array_min(transform(e.bm, ...)))` form pays a
+  * boxed `slice` allocation and struct alloc PER (vector × sub-centroid)
+  * candidate — measured as the residual hot spot of the ×1000 ingest
+  * batch after the route argmax was fused ([[NearestCentroidL]]). This
+  * loop is m × k × sub primitive multiply-adds inside whole-stage
+  * codegen; only the m-length output array allocates. The paths that
+  * need per-subspace DISTANCES too (s99's reconstruction error) keep the
+  * interpreted form — they are inline oracle queries, not scale paths.
+  *
+  * Divergence from the interpreted form, deliberately: a RAGGED vq
+  * (shorter than m*sub+sub) yields a min-length distance here, where
+  * `l2q`'s zip_with null-pads and poisons the distance to null —
+  * training/ingest corpora are audited non-ragged upstream
+  * (`requireFiniteCorpus`, the gate guards), so no well-formed input can
+  * tell. Null book elements map to null output elements; an empty or
+  * all-null `bm` yields a null element (array_min of nothing). */
+case class PqCodesL(left: Expression, right: Expression, sub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def longArr(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val bookOk = right.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 =>
+        fs(0).dataType == IntegerType && (fs(1).dataType match {
+          case ArrayType(StructType(cs), _) if cs.length == 2 =>
+            cs(0).dataType == LongType && longArr(cs(1).dataType)
+          case _ => false
+        })
+      case _ => false
+    }
+    if (longArr(left.dataType) && bookOk && sub > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint> vq, array<struct<int, " +
+        s"array<struct<bigint, array<bigint>>>> book, sub > 0), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}, sub=$sub")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "pq_codes_l"
+
+  override def nullSafeEval(v: Any, b: Any): Any = {
+    val vq = v.asInstanceOf[ArrayData].toLongArray()
+    val book = b.asInstanceOf[ArrayData]
+    val nb = book.numElements()
+    val out = new Array[Any](nb)
+    var bi = 0
+    while (bi < nb) {
+      if (!book.isNullAt(bi)) {
+        val e = book.getStruct(bi, 2)
+        val off = e.getInt(0) * sub
+        val bm = e.getArray(1)
+        var found = false; var bestDist = 0L; var bestCid = 0L
+        var ci = 0
+        val nc = bm.numElements()
+        while (ci < nc) {
+          if (!bm.isNullAt(ci)) {
+            val c = bm.getStruct(ci, 2)
+            val cid = c.getLong(0)
+            val cq = c.getArray(1)
+            val len = math.min(cq.numElements(),
+              math.min(sub, math.max(0, vq.length - off)))
+            var dist = 0L; var j = 0
+            while (j < len) {
+              val d = vq(off + j) - cq.getLong(j); dist += d * d; j += 1
+            }
+            if (!found || dist < bestDist ||
+                (dist == bestDist && cid < bestCid)) {
+              found = true; bestDist = dist; bestCid = cid
+            }
+          }
+          ci += 1
+        }
+        if (found) out(bi) = bestCid
+      }
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vq, book) => {
+      val nb = ctx.freshName("nb"); val bi = ctx.freshName("bi")
+      val out = ctx.freshName("out"); val vqp = ctx.freshName("vqp")
+      val e = ctx.freshName("e"); val off = ctx.freshName("off")
+      val bm = ctx.freshName("bm"); val nc = ctx.freshName("nc")
+      val ci = ctx.freshName("ci"); val c = ctx.freshName("c")
+      val cid = ctx.freshName("cid"); val cq = ctx.freshName("cq")
+      val len = ctx.freshName("len"); val dist = ctx.freshName("dist")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val found = ctx.freshName("found")
+      val bestDist = ctx.freshName("bestDist")
+      val bestCid = ctx.freshName("bestCid")
+      s"""
+         |long[] $vqp = $vq.toLongArray();
+         |int $nb = $book.numElements();
+         |Object[] $out = new Object[$nb];
+         |for (int $bi = 0; $bi < $nb; $bi++) {
+         |  if ($book.isNullAt($bi)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $e = $book.getStruct($bi, 2);
+         |  int $off = $e.getInt(0) * $sub;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $bm = $e.getArray(1);
+         |  boolean $found = false; long $bestDist = 0L; long $bestCid = 0L;
+         |  int $nc = $bm.numElements();
+         |  for (int $ci = 0; $ci < $nc; $ci++) {
+         |    if ($bm.isNullAt($ci)) continue;
+         |    org.apache.spark.sql.catalyst.InternalRow $c = $bm.getStruct($ci, 2);
+         |    long $cid = $c.getLong(0);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cq = $c.getArray(1);
+         |    int $len = java.lang.Math.min($cq.numElements(),
+         |      java.lang.Math.min($sub, java.lang.Math.max(0, $vqp.length - $off)));
+         |    long $dist = 0L;
+         |    for (int $j = 0; $j < $len; $j++) {
+         |      long $d = $vqp[$off + $j] - $cq.getLong($j);
+         |      $dist += $d * $d;
+         |    }
+         |    if (!$found || $dist < $bestDist
+         |        || ($dist == $bestDist && $cid < $bestCid)) {
+         |      $found = true; $bestDist = $dist; $bestCid = $cid;
+         |    }
+         |  }
+         |  if ($found) { $out[$bi] = java.lang.Long.valueOf($bestCid); }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** Single-pass 60-bit SimHash signature of a text column (Charikar 2002):

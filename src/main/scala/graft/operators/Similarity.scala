@@ -2002,17 +2002,22 @@ object Similarity {
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
     val seeds = subs.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cq"))
-    // one broadcast of the M×k codebook, argmin computed map-side
+    // one broadcast of the M×k codebook, argmin computed map-side; the
+    // per-candidate argmin runs through the fused pq_codes_l kernel
+    // (the sub-vector is its own m=0 slice against a one-entry book) —
+    // Lloyd train is iters × n × m × k interpreted candidates otherwise,
+    // the dominant ×1000 BUILD stage once route assignment was fused.
+    // Selection is pqEnc's own min (dist, cid); the s99/s100 oracles
+    // re-derive the whole train relationally in DuckDB, so the fusion
+    // stays hash-pinned end-to-end.
     def assign(cents: DataFrame): DataFrame =
       subs.join(broadcast(cents.groupBy("m")
           .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
             .as("book"))), "m")
         .select(col("vec_id"), col("m"), col("sv"),
-          array_min(transform(col("book"), c =>
-            struct(l2q(col("sv"), c("cq")).as("dist"),
-              c("cid").as("cid")))).as("best"))
-        .select(col("vec_id"), col("m"), col("sv"),
-          col("best")("cid").as("cid"), col("best")("dist").as("dist"))
+          element_at(GraftFunctions.pq_codes_l(col("sv"),
+            array(struct(lit(0).as("m"), col("book").as("bm"))), pqSub), 1)
+            .as("cid"))
     def recenter(asg: DataFrame): DataFrame =
       asg.groupBy(col("m"), col("cid"))
         .agg(GraftFunctions.vector_sum_l(col("sv")).as("vsum"),
@@ -2026,14 +2031,37 @@ object Similarity {
     (base, subs, trained)
   }
 
-  /** Map-side PQ encode against a one-row broadcast codebook — zero
-    * shuffles; returns (vec_id, enc) with enc = m-ordered (dist, cid). */
-  private def pqEnc(base: DataFrame, trained: DataFrame): DataFrame = {
-    val book1 = trained.groupBy("m")
+  /** The one-row (m-sorted, cid-sorted-within-m) codebook frame every
+    * encode path broadcasts — the layout [[freezeIndex]] replicates and
+    * the fused `pq_codes_l` kernel iterates. */
+  private def bookOneRow(trained: DataFrame): DataFrame =
+    trained.groupBy("m")
       .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
         .as("bm"))
       .agg(sort_array(collect_list(struct(col("m"), col("bm"))))
         .as("book"))
+
+  /** Map-side PQ CODES against a one-row broadcast codebook via the fused
+    * codegen kernel — the scale-path encode (BUILD artifacts, REFRESH
+    * deltas, the streaming VECTOR gate all store/serve codes only). The
+    * per-subspace selection is bit-identical to [[pqEnc]]'s
+    * `array_min(struct(dist, cid))` (parity spec in FunctionsSpec; the
+    * interpreted form paid a boxed slice + struct alloc per
+    * vector × sub-centroid candidate — the measured residual of the
+    * ×1000 ingest batch after the route argmax was fused). */
+  private def pqCodes(base: DataFrame, trained: DataFrame): DataFrame =
+    base.crossJoin(broadcast(bookOneRow(trained)))
+      .select(col("vec_id"),
+        GraftFunctions.pq_codes_l(col("vq"), col("book"), pqSub).as("codes"))
+
+  /** Map-side PQ encode against a one-row broadcast codebook — zero
+    * shuffles; returns (vec_id, enc) with enc = m-ordered (dist, cid).
+    * Kept interpreted for the paths that need per-subspace DISTANCES
+    * (s99's reconstruction error, s100's shared scan) — inline oracle
+    * queries, not scale paths; everything that stores or serves codes
+    * goes through [[pqCodes]]. */
+  private def pqEnc(base: DataFrame, trained: DataFrame): DataFrame = {
+    val book1 = bookOneRow(trained)
     base.crossJoin(broadcast(book1))
       .select(col("vec_id"),
         transform(col("book"), e =>
@@ -2125,9 +2153,7 @@ object Similarity {
       "centroids" -> cents,
       "assign" -> assign.select(col("vec_id"), col("cluster")),
       "codebook" -> trained,
-      "codes" -> pqEnc(base, trained)
-        .select(col("vec_id"),
-          transform(col("enc"), x => x("cid")).as("codes")))
+      "codes" -> pqCodes(base, trained))
   }
 
   /** The four IVF-PQ artifact frames — stored index tables when a
@@ -2142,10 +2168,8 @@ object Similarity {
         ((ix.centroids, ix.assign, ix.codebook, ix.codes), true)
       case None =>
         val (_, _, trained) = pqParts(s, d, 8, 8, 2)
-        val codes = pqEnc(
+        val codes = pqCodes(
           quantizedVecs(s, d).select(col("vec_id"), col("vq")), trained)
-          .select(col("vec_id"),
-            transform(col("enc"), x => x("cid")).as("codes"))
         ((labelCentroids(s, d),
           ivfAssignment(s, d).select(col("vec_id"), col("cluster")),
           trained, codes), false)
@@ -2434,6 +2458,26 @@ object Similarity {
   final case class FrozenBookC(cid: Long, cq: Seq[Long])
   final case class FrozenBookM(m: Int, bm: Seq[FrozenBookC])
 
+  /** `typedlit(...)` backs its literal with GenericArrayData, whose
+    * element reads BOX on every access. The frozen-route kernel reads 64
+    * longs per (vector × centroid) candidate, and against a 10k-centroid
+    * model that boxing measured 604 s for one 500k-vector ingest batch
+    * (×1000 StreamMaint) — the arithmetic itself is ~2 s. One
+    * UnsafeProjection pass at PLAN BUILD converts the literal's value to
+    * UnsafeArrayData (primitive reads, identical content), after which
+    * the fused kernel runs at build-path speed. */
+  private def unsafeLit[T: scala.reflect.runtime.universe.TypeTag](
+      v: Seq[T]): Column = {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow, ScalaReflection}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeProjection}
+    val dt = ScalaReflection.schemaFor[Seq[T]].dataType
+    val cat = CatalystTypeConverters.createToCatalystConverter(dt)(v)
+    val proj = UnsafeProjection.create(Array(dt))
+    val row = proj(InternalRow(cat))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      Literal(row.getArray(0).copy(), dt))
+  }
+
   private[graft] def freezeIndex(centroids: DataFrame, codebook: DataFrame)
       : (Seq[FrozenCent], Seq[FrozenBookM]) = {
     val cents = centroids
@@ -2462,8 +2506,8 @@ object Similarity {
     * no state store, any throughput. */
   private[graft] def routeAndEncodeFrozen(vecs: DataFrame,
       cents: Seq[FrozenCent], book: Seq[FrozenBookM]): DataFrame = {
-    val cl = typedlit(cents)
-    val bl = typedlit(book)
+    val cl = unsafeLit(cents)
+    val bl = unsafeLit(book)
     vecs
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -2479,14 +2523,12 @@ object Similarity {
       // clabel — ingest rows stay bit-identical to BUILD's.
       .withColumn("cluster",
         GraftFunctions.nearest_centroid_l(col("vq"), col("nq"), cl))
-      .withColumn("enc", transform(bl, e =>
-        array_min(transform(e("bm"), c =>
-          struct(
-            l2q(slice(col("vq"), e("m") * pqSub + 1, lit(pqSub)), c("cq"))
-              .as("dist"),
-            c("cid").as("cid"))))))
+      // encode via the fused codegen kernel too (same selection as
+      // pqEnc's array_min(struct(dist, cid)) over the same book layout
+      // — FunctionsSpec pins the equivalence; the interpreted form was
+      // the ingest batch's residual hot spot after the route was fused)
       .select(col("vec_id"), col("cluster"),
-        transform(col("enc"), x => x("cid")).as("codes"))
+        GraftFunctions.pq_codes_l(col("vq"), bl, pqSub).as("codes"))
   }
 
   /** The JOIN-form twin of [[routeAndEncodeFrozen]]: identical rows
@@ -2512,20 +2554,10 @@ object Similarity {
         assignArgmaxBroadcast(vq, cents)
       else assignArgmaxShuffled(vq, cents, Seq.empty)
       ).select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-    val book1 = codebook.groupBy("m")
-      .agg(sort_array(collect_list(struct(col("cid"), col("cq"))))
-        .as("bm"))
-      .agg(sort_array(collect_list(struct(col("m"), col("bm"))))
-        .as("book"))
     slim.join(vq, "vec_id")
-      .crossJoin(broadcast(book1))
+      .crossJoin(broadcast(bookOneRow(codebook)))
       .select(col("vec_id"), col("cluster"),
-        transform(col("book"), e =>
-          array_min(transform(e("bm"), c =>
-            struct(l2q(slice(col("vq"), e("m") * pqSub + 1, lit(pqSub)),
-              c("cq")).as("dist"), c("cid").as("cid"))))).as("enc"))
-      .select(col("vec_id"), col("cluster"),
-        transform(col("enc"), x => x("cid")).as("codes"))
+        GraftFunctions.pq_codes_l(col("vq"), col("book"), pqSub).as("codes"))
   }
 
   /** Exact squared-L2 top-3 ground truth for the planted query set — the

@@ -312,4 +312,68 @@ class FunctionsSpec extends AnyFunSuite {
     // cross-checked against DuckDB: ('0x'||substr(md5('abc'),1,15))::BIGINT
     assert(got(2) == 648541476951500027L)
   }
+
+  test("pq_codes_l == the interpreted array_min(struct(dist, cid)) " +
+      "selection, elementwise, on 500 random vectors against a random " +
+      "codebook drawn from a TIE-RICH domain (values in {0,1} force " +
+      "frequent equal distances, so the cid-ASC tiebreak is exercised, " +
+      "not just the distance order)") {
+    import operators.Similarity.{FrozenBookC, FrozenBookM}
+    val rnd = new scala.util.Random(13)
+    val book = (0 until 8).map(m => FrozenBookM(m,
+      (0L until 8L).map(cid =>
+        FrozenBookC(cid, Seq.fill(8)(rnd.nextInt(2).toLong)))))
+    val rows = (0 until 500).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(2).toLong), book))
+    val df = rows.toDF("id", "vq", "book")
+    val interp = df.select(col("id"),
+      transform(col("book"), e =>
+        array_min(transform(e("bm"), c =>
+          struct(
+            aggregate(
+              zip_with(slice(col("vq"), e("m") * 8 + 1, lit(8)), c("cq"),
+                (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, el) => a + el).as("dist"),
+            c("cid").as("cid"))))).as("enc"))
+      .select(col("id"), transform(col("enc"), x => x("cid")).as("codes"))
+    def asMap(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      d.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = asMap(df.select(col("id"),
+      GraftFunctions.pq_codes_l(col("vq"), col("book"), 8).as("codes")))
+    val twin = asMap(interp)
+    assert(fused.size == 500 && fused == twin,
+      "fused kernel diverges from the interpreted selection on " +
+        s"${twin.count { case (k, v) => fused(k) != v }} row(s)")
+    // SQL face takes the literal sub-width
+    df.limit(3).createOrReplaceTempView("pq_codes_probe")
+    val viaSql = spark.sql(
+      "SELECT id, pq_codes_l(vq, book, 8) AS codes FROM pq_codes_probe")
+    assert(asMap(viaSql) == twin.view.filterKeys(_ < 3).toMap)
+  }
+
+  test("pq_codes_l edges: empty bm -> null element; empty book -> empty " +
+      "codes; null vq or book -> null result") {
+    import operators.Similarity.{FrozenBookC, FrozenBookM}
+    val full = FrozenBookM(0, Seq(FrozenBookC(7L, Seq.fill(8)(1L))))
+    val empty = FrozenBookM(1, Seq.empty)
+    val df = Seq((1L, Seq.fill(16)(1L), Seq(full, empty)))
+      .toDF("id", "vq", "book")
+    val got = df.select(
+      GraftFunctions.pq_codes_l(col("vq"), col("book"), 8)).head()
+    val codes = got.getSeq[Any](0)
+    assert(codes == Seq(7L, null),
+      s"expected [7, null] (empty bm has no winner), got $codes")
+    // slice to an EMPTY array via slice(book, 1, 0)
+    val emptied = df.select(GraftFunctions.pq_codes_l(
+      col("vq"), slice(col("book"), 1, 0), 8)).head()
+    assert(emptied.getSeq[Any](0).isEmpty, "empty book must yield empty codes")
+    val nulled = df.select(
+      GraftFunctions.pq_codes_l(lit(null).cast("array<bigint>"),
+        col("book"), 8),
+      GraftFunctions.pq_codes_l(col("vq"),
+        lit(null).cast(
+          "array<struct<m:int,bm:array<struct<cid:bigint,cq:array<bigint>>>>>"),
+        8)).head()
+    assert(nulled.isNullAt(0) && nulled.isNullAt(1))
+  }
 }
