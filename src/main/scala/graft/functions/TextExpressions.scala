@@ -526,8 +526,8 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
          |      long $d = $vqp[$off + $j] - $cq.getLong($j);
          |      $dist += $d * $d;
          |    }
-         |    if (!$found || $dist < $bestDist
-         |        || ($dist == $bestDist && $cid < $bestCid)) {
+         |    if (!$found || $dist < $bestDist ||
+         |        ($dist == $bestDist && $cid < $bestCid)) {
          |      $found = true; $bestDist = $dist; $bestCid = $cid;
          |    }
          |  }

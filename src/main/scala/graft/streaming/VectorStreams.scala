@@ -333,7 +333,19 @@ object VectorStreams {
     // must replay the SAME row into assign that the committed codes hold,
     // or the assign∩codes nesting invariant (coveredIds' equal-count fast
     // path) silently breaks.
+    // WIDTH-PINNED shuffle: the encode downstream is CPU-bound (~route
+    // against k centroids per row), but AQE coalesces the dedup shuffle
+    // by BYTE size — a 500k-vector batch (~150 MB) collapsed to 2-3
+    // post-shuffle partitions, leaving 30 of 32 cores parked for the
+    // whole encode (measured: 180/192 idle stack samples, 226 s/batch at
+    // ×1000 with the fused kernel). An explicit repartition count is one
+    // AQE does NOT coalesce, and hashing by vec_id lets the groupBy
+    // reuse the exchange — same one shuffle, full-width encode. On a
+    // cluster, defaultParallelism is the executor-core total: exactly
+    // the width a CPU-bound projection wants.
+    val width = batch.sparkSession.sparkContext.defaultParallelism
     val deduped = clean
+      .repartition(width, col("vec_id"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("embedding"))).as("__s"))
       .select(col("vec_id"), col("__s.embedding").as("embedding"))

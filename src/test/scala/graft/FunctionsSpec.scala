@@ -351,6 +351,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(asMap(viaSql) == twin.view.filterKeys(_ < 3).toMap)
   }
 
+  test("fused kernels COMPILE under codegen — no silent interpreter " +
+      "fallback: UnsafeProjection.create swallows Janino errors and " +
+      "degrades to interpreted eval (results stay right, the 100x " +
+      "speedup silently vanishes — this caught pq_codes_l emitting a " +
+      "line starting with '||', which Expression.reduceCodeSize's " +
+      "stripMargin re-embedding ate as margin characters). " +
+      "GenerateUnsafeProjection.generate THROWS on a compile error, " +
+      "and both kernels exceed the 1024-char split threshold, so the " +
+      "reduceCodeSize wrapping path is exactly what compiles here") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    val la = ArrayType(LongType)
+    val bookT = ArrayType(StructType(Seq(
+      StructField("m", IntegerType),
+      StructField("bm", ArrayType(StructType(Seq(
+        StructField("cid", LongType), StructField("cq", la))))))))
+    GenerateUnsafeProjection.generate(Seq(functions.PqCodesL(
+      BoundReference(0, la, nullable = true),
+      BoundReference(1, bookT, nullable = true), 8)))
+    val centsT = ArrayType(StructType(Seq(
+      StructField("clabel", LongType), StructField("cqa", la),
+      StructField("ncq", LongType))))
+    GenerateUnsafeProjection.generate(Seq(functions.NearestCentroidL(
+      BoundReference(0, la, nullable = true),
+      BoundReference(1, LongType, nullable = false),
+      BoundReference(2, centsT, nullable = true))))
+  }
+
   test("pq_codes_l edges: empty bm -> null element; empty book -> empty " +
       "codes; null vq or book -> null result") {
     import operators.Similarity.{FrozenBookC, FrozenBookM}
