@@ -338,10 +338,12 @@ case class NearestCentroidL(first: Expression, second: Expression,
     var ci = 0
     val m = cents.numElements()
     while (ci < m) {
-      if (!cents.isNullAt(ci)) {
-        val e = cents.getStruct(ci, 3)
+      // null struct elements and null cqa arrays skipped defensively (a
+      // poisoned centroid frame must degrade, not NPE the task)
+      val e = if (cents.isNullAt(ci)) null else cents.getStruct(ci, 3)
+      val cqa = if (e == null) null else e.getArray(1)
+      if (cqa != null) {
         val cl = e.getLong(0)
-        val cqa = e.getArray(1)
         val ncq = e.getLong(2)
         val len = math.min(vq.length, cqa.numElements())
         var dot = 0L; var j = 0
@@ -376,6 +378,7 @@ case class NearestCentroidL(first: Expression, second: Expression,
          |  org.apache.spark.sql.catalyst.InternalRow $e = $cents.getStruct($ci, 3);
          |  long $cl = $e.getLong(0);
          |  org.apache.spark.sql.catalyst.util.ArrayData $cqa = $e.getArray(1);
+         |  if ($cqa == null) continue;
          |  long $ncq = $e.getLong(2);
          |  int $len = java.lang.Math.min($vqp.length, $cqa.numElements());
          |  long $dot = 0L;
@@ -417,13 +420,20 @@ case class NearestCentroidL(first: Expression, second: Expression,
   * need per-subspace DISTANCES too (s99's reconstruction error) keep the
   * interpreted form — they are inline oracle queries, not scale paths.
   *
-  * Divergence from the interpreted form, deliberately: a RAGGED vq
-  * (shorter than m*sub+sub) yields a min-length distance here, where
-  * `l2q`'s zip_with null-pads and poisons the distance to null —
-  * training/ingest corpora are audited non-ragged upstream
-  * (`requireFiniteCorpus`, the gate guards), so no well-formed input can
-  * tell. Null book elements map to null output elements; an empty or
-  * all-null `bm` yields a null element (array_min of nothing). */
+  * NULL semantics replicate the interpreted form EXACTLY — a
+  * pathological corpus reaches them (dim-4 vectors make the m ≥ 1 PQ
+  * slices empty, `vector_sum_l` over those groups yields null `cq`
+  * arrays in the trained book, measured by the pathological-corpus
+  * spec): `l2q`'s zip_with null-pads on length mismatch and propagates
+  * element nulls, so a candidate's distance is NULL when its `cq` is
+  * null, the window and `cq` lengths differ, or any element in either
+  * window is null — and `array_min`'s struct ordering sorts a NULL
+  * distance FIRST, so null-distance candidates win (ties by cid ASC).
+  * Null book elements map to null output elements; an empty or all-null
+  * `bm` yields a null element (array_min of nothing); a null `bm` field
+  * yields a null element (transform over null). A negative `m` (never
+  * produced by the library's `sequence(0, m-1)` books) reads as
+  * null-distance rather than replicating slice-from-end. */
 case class PqCodesL(left: Expression, right: Expression, sub: Int)
     extends BinaryExpression {
 
@@ -452,7 +462,17 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
   override def prettyName: String = "pq_codes_l"
 
   override def nullSafeEval(v: Any, b: Any): Any = {
-    val vq = v.asInstanceOf[ArrayData].toLongArray()
+    val vqa = v.asInstanceOf[ArrayData]
+    val vn = vqa.numElements()
+    var vqHasNull = false
+    var i = 0
+    while (i < vn && !vqHasNull) {
+      if (vqa.isNullAt(i)) vqHasNull = true; i += 1
+    }
+    // hoist to a primitive array ONCE per row on the null-free fast path
+    // (k × dims boxed reads otherwise); rows carrying null elements are
+    // the quarantined-upstream poison shape — keep them on boxed reads
+    val vq: Array[Long] = if (vqHasNull) null else vqa.toLongArray()
     val book = b.asInstanceOf[ArrayData]
     val nb = book.numElements()
     val out = new Array[Any](nb)
@@ -462,28 +482,53 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
         val e = book.getStruct(bi, 2)
         val off = e.getInt(0) * sub
         val bm = e.getArray(1)
-        var found = false; var bestDist = 0L; var bestCid = 0L
-        var ci = 0
-        val nc = bm.numElements()
-        while (ci < nc) {
-          if (!bm.isNullAt(ci)) {
-            val c = bm.getStruct(ci, 2)
-            val cid = c.getLong(0)
-            val cq = c.getArray(1)
-            val len = math.min(cq.numElements(),
-              math.min(sub, math.max(0, vq.length - off)))
-            var dist = 0L; var j = 0
-            while (j < len) {
-              val d = vq(off + j) - cq.getLong(j); dist += d * d; j += 1
-            }
-            if (!found || dist < bestDist ||
-                (dist == bestDist && cid < bestCid)) {
-              found = true; bestDist = dist; bestCid = cid
+        if (bm != null) {
+          val svLen = math.min(sub, math.max(0, vn - off))
+          var winNull = off < 0
+          if (vqHasNull && !winNull) {
+            var j = 0
+            while (j < svLen && !winNull) {
+              if (vqa.isNullAt(off + j)) winNull = true; j += 1
             }
           }
-          ci += 1
+          var found = false; var bestNull = false
+          var bestDist = 0L; var bestCid = 0L
+          var ci = 0
+          val nc = bm.numElements()
+          while (ci < nc) {
+            if (!bm.isNullAt(ci)) {
+              val c = bm.getStruct(ci, 2)
+              val cid = c.getLong(0)
+              val cq = c.getArray(1)
+              var dnull =
+                cq == null || winNull || cq.numElements() != svLen
+              var dist = 0L
+              if (!dnull) {
+                var j = 0
+                while (j < svLen && !dnull) {
+                  if (cq.isNullAt(j)) dnull = true
+                  else {
+                    val x = if (vq != null) vq(off + j)
+                            else vqa.getLong(off + j)
+                    val d = x - cq.getLong(j); dist += d * d
+                  }
+                  j += 1
+                }
+              }
+              val better =
+                if (!found) true
+                else if (dnull != bestNull) dnull
+                else if (dnull) cid < bestCid
+                else dist < bestDist || (dist == bestDist && cid < bestCid)
+              if (better) {
+                found = true; bestNull = dnull
+                bestDist = dist; bestCid = cid
+              }
+            }
+            ci += 1
+          }
+          if (found) out(bi) = bestCid
         }
-        if (found) out(bi) = bestCid
       }
       bi += 1
     }
@@ -494,17 +539,26 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
     nullSafeCodeGen(ctx, ev, (vq, book) => {
       val nb = ctx.freshName("nb"); val bi = ctx.freshName("bi")
       val out = ctx.freshName("out"); val vqp = ctx.freshName("vqp")
+      val vn = ctx.freshName("vn"); val vqn = ctx.freshName("vqn")
       val e = ctx.freshName("e"); val off = ctx.freshName("off")
       val bm = ctx.freshName("bm"); val nc = ctx.freshName("nc")
       val ci = ctx.freshName("ci"); val c = ctx.freshName("c")
       val cid = ctx.freshName("cid"); val cq = ctx.freshName("cq")
-      val len = ctx.freshName("len"); val dist = ctx.freshName("dist")
+      val svLen = ctx.freshName("svLen"); val dist = ctx.freshName("dist")
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val x = ctx.freshName("x"); val winNull = ctx.freshName("winNull")
+      val dnull = ctx.freshName("dnull"); val better = ctx.freshName("better")
       val found = ctx.freshName("found")
+      val bestNull = ctx.freshName("bestNull")
       val bestDist = ctx.freshName("bestDist")
       val bestCid = ctx.freshName("bestCid")
       s"""
-         |long[] $vqp = $vq.toLongArray();
+         |int $vn = $vq.numElements();
+         |boolean $vqn = false;
+         |for (int $j = 0; $j < $vn && !$vqn; $j++) {
+         |  if ($vq.isNullAt($j)) $vqn = true;
+         |}
+         |long[] $vqp = $vqn ? null : $vq.toLongArray();
          |int $nb = $book.numElements();
          |Object[] $out = new Object[$nb];
          |for (int $bi = 0; $bi < $nb; $bi++) {
@@ -512,23 +566,47 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
          |  org.apache.spark.sql.catalyst.InternalRow $e = $book.getStruct($bi, 2);
          |  int $off = $e.getInt(0) * $sub;
          |  org.apache.spark.sql.catalyst.util.ArrayData $bm = $e.getArray(1);
-         |  boolean $found = false; long $bestDist = 0L; long $bestCid = 0L;
+         |  if ($bm == null) continue;
+         |  int $svLen = java.lang.Math.min($sub, java.lang.Math.max(0, $vn - $off));
+         |  boolean $winNull = $off < 0;
+         |  if ($vqn && !$winNull) {
+         |    for (int $j = 0; $j < $svLen && !$winNull; $j++) {
+         |      if ($vq.isNullAt($off + $j)) $winNull = true;
+         |    }
+         |  }
+         |  boolean $found = false; boolean $bestNull = false;
+         |  long $bestDist = 0L; long $bestCid = 0L;
          |  int $nc = $bm.numElements();
          |  for (int $ci = 0; $ci < $nc; $ci++) {
          |    if ($bm.isNullAt($ci)) continue;
          |    org.apache.spark.sql.catalyst.InternalRow $c = $bm.getStruct($ci, 2);
          |    long $cid = $c.getLong(0);
          |    org.apache.spark.sql.catalyst.util.ArrayData $cq = $c.getArray(1);
-         |    int $len = java.lang.Math.min($cq.numElements(),
-         |      java.lang.Math.min($sub, java.lang.Math.max(0, $vqp.length - $off)));
+         |    boolean $dnull = $cq == null || $winNull ||
+         |      $cq.numElements() != $svLen;
          |    long $dist = 0L;
-         |    for (int $j = 0; $j < $len; $j++) {
-         |      long $d = $vqp[$off + $j] - $cq.getLong($j);
-         |      $dist += $d * $d;
+         |    if (!$dnull) {
+         |      for (int $j = 0; $j < $svLen && !$dnull; $j++) {
+         |        if ($cq.isNullAt($j)) { $dnull = true; }
+         |        else {
+         |          long $x = ($vqp != null) ? $vqp[$off + $j]
+         |            : $vq.getLong($off + $j);
+         |          long $d = $x - $cq.getLong($j);
+         |          $dist += $d * $d;
+         |        }
+         |      }
          |    }
-         |    if (!$found || $dist < $bestDist ||
-         |        ($dist == $bestDist && $cid < $bestCid)) {
-         |      $found = true; $bestDist = $dist; $bestCid = $cid;
+         |    boolean $better;
+         |    if (!$found) { $better = true; }
+         |    else if ($dnull != $bestNull) { $better = $dnull; }
+         |    else if ($dnull) { $better = $cid < $bestCid; }
+         |    else {
+         |      $better = $dist < $bestDist ||
+         |        ($dist == $bestDist && $cid < $bestCid);
+         |    }
+         |    if ($better) {
+         |      $found = true; $bestNull = $dnull;
+         |      $bestDist = $dist; $bestCid = $cid;
          |    }
          |  }
          |  if ($found) { $out[$bi] = java.lang.Long.valueOf($bestCid); }

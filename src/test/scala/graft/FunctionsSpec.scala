@@ -380,6 +380,62 @@ class FunctionsSpec extends AnyFunSuite {
       BoundReference(2, centsT, nullable = true))))
   }
 
+  test("pq_codes_l NULL-distance semantics match the interpreted zip_with " +
+      "form on a POISONED book (the pathological-corpus shape: dim-4 " +
+      "vectors make m >= 1 PQ slices empty and vector_sum_l yields null " +
+      "cq arrays): null cq, window/cq length mismatch, and null vq " +
+      "elements all read as NULL distance, which array_min's struct " +
+      "ordering sorts FIRST — poisoned candidates WIN, ties by cid ASC") {
+    import operators.Similarity.{FrozenBookC, FrozenBookM}
+    def interpTwin(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.select(col("id"),
+        transform(col("book"), e =>
+          array_min(transform(e("bm"), c =>
+            struct(
+              aggregate(
+                zip_with(slice(col("vq"), e("m") * 8 + 1, lit(8)), c("cq"),
+                  (x, y) => (x - y) * (x - y)),
+                lit(0L), (a, el) => a + el).as("dist"),
+              c("cid").as("cid"))))).as("enc"))
+        .select(col("id"), transform(col("enc"), x => x("cid")).as("codes"))
+    def asMap(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Any]] =
+      d.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val poisonedBook = Seq(
+      FrozenBookM(0, Seq(
+        FrozenBookC(3L, Seq.fill(8)(1L)),
+        FrozenBookC(7L, null),          // null cq -> null dist
+        FrozenBookC(5L, null))),        // null-dist tie -> cid 5 wins
+      FrozenBookM(1, Seq(
+        FrozenBookC(2L, Seq.fill(4)(0L)),  // length mismatch -> null dist
+        FrozenBookC(9L, Seq.fill(8)(0L)))))
+    val clean = Seq((1L, Seq.fill(64)(1L), poisonedBook))
+      .toDF("id", "vq", "book")
+    val fusedClean = asMap(clean.select(col("id"),
+      GraftFunctions.pq_codes_l(col("vq"), col("book"), 8).as("codes")))
+    assert(fusedClean == asMap(interpTwin(clean)),
+      "fused kernel diverges from interpreted twin on the poisoned book")
+    assert(fusedClean(1L) == Seq(5L, 2L),
+      s"null-dist candidates must win with cid-ASC ties: ${fusedClean(1L)}")
+    // null vq ELEMENT: every m=0 candidate's window covers it -> all null
+    // dist -> smallest cid wins; m=1 window is clean
+    val goodBook = Seq(
+      FrozenBookM(0, Seq(FrozenBookC(3L, Seq.fill(8)(1L)),
+        FrozenBookC(6L, Seq.fill(8)(2L)))),
+      FrozenBookM(1, Seq(FrozenBookC(4L, Seq.fill(8)(1L)),
+        FrozenBookC(8L, Seq.fill(8)(9L)))))
+    val holed = Seq((2L, Seq.fill(64)(1L), goodBook))
+      .toDF("id", "vq", "book")
+      .withColumn("vq",
+        expr("transform(vq, (x, i) -> IF(i = 3, CAST(NULL AS BIGINT), x))"))
+    val fusedHoled = asMap(holed.select(col("id"),
+      GraftFunctions.pq_codes_l(col("vq"), col("book"), 8).as("codes")))
+    assert(fusedHoled == asMap(interpTwin(holed)),
+      "fused kernel diverges from interpreted twin on a null vq element")
+    assert(fusedHoled(2L) == Seq(3L, 4L),
+      s"m=0 all-null-dist -> cid 3; m=1 clean -> cid 4: ${fusedHoled(2L)}")
+  }
+
   test("pq_codes_l edges: empty bm -> null element; empty book -> empty " +
       "codes; null vq or book -> null result") {
     import operators.Similarity.{FrozenBookC, FrozenBookM}
