@@ -198,11 +198,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("nearest_centroid_l",
       exprs => NearestCentroidL(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("pq_codes_l",
-      exprs => exprs(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+      exprs => exprs.lift(2) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(s, _))
+            if s != null =>
           PqCodesL(exprs(0), exprs(1), s.toString.toInt)
         case other => throw new IllegalArgumentException(
-          s"pq_codes_l sub-width must be a literal, got $other")
+          "pq_codes_l requires (vq, book, sub) with sub a non-null " +
+            s"integer literal, got ${other.getOrElse("2 arguments")}")
       }, "built-in")
     reg.createOrReplaceTempFunction("simhash60",
       exprs => SimHash60(toStr(exprs.head)), "built-in")

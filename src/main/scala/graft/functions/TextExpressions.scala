@@ -296,8 +296,11 @@ case class DotL(left: Expression, right: Expression)
   * allocation, like [[DotL]]/[[CosineSim]]. Arithmetic is EXACTLY cosQ's:
   * integer dot over min-length, zero-norm ⇒ 0.0, double division by the
   * sqrt product — bit-identical selections, so the DuckDB window oracles
-  * still hash-match. Returns null only for an EMPTY centroid array (no
-  * candidates); null struct elements are skipped defensively. */
+  * still hash-match. Returns null for an EMPTY centroid array (no
+  * candidates) and for a vq carrying a null ELEMENT (a poisoned vector —
+  * quarantined upstream on every library path — routes to nothing rather
+  * than NPE in the primitive hoist); null struct elements and null cqa
+  * arrays are skipped defensively. */
 case class NearestCentroidL(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
@@ -330,8 +333,18 @@ case class NearestCentroidL(first: Expression, second: Expression,
     // arrives as a GenericArrayData (it is typically produced by the
     // interpreted quantization `transform` in the same projection), and
     // Generic element reads BOX — at k candidates that is k × dims
-    // unboxings per row; one toLongArray unboxes dims once
-    val vq = v.asInstanceOf[ArrayData].toLongArray()
+    // unboxings per row; one toLongArray unboxes dims once. A vq
+    // carrying a null ELEMENT (quantize of a poisoned embedding —
+    // quarantined upstream on every library path) routes to NOTHING:
+    // return null rather than NPE in the hoist.
+    val vqa = v.asInstanceOf[ArrayData]
+    var vi = 0
+    val vqn = vqa.numElements()
+    while (vi < vqn) {
+      if (vqa.isNullAt(vi)) return null
+      vi += 1
+    }
+    val vq = vqa.toLongArray()
     val nq = n.asInstanceOf[Long]
     val cents = c.asInstanceOf[ArrayData]
     var found = false; var bestSim = 0.0; var bestCl = 0L
@@ -369,10 +382,16 @@ case class NearestCentroidL(first: Expression, second: Expression,
       val ncq = ctx.freshName("ncq"); val len = ctx.freshName("len")
       val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
       val sim = ctx.freshName("sim"); val vqp = ctx.freshName("vqp")
+      val vi = ctx.freshName("vi"); val vqNull = ctx.freshName("vqNull")
       s"""
          |boolean $found = false; double $bestSim = 0.0; long $bestCl = 0L;
-         |long[] $vqp = $vq.toLongArray();
-         |int $m = $cents.numElements();
+         |boolean $vqNull = false;
+         |int $vi = $vq.numElements();
+         |for (int $j = 0; $j < $vi && !$vqNull; $j++) {
+         |  if ($vq.isNullAt($j)) $vqNull = true;
+         |}
+         |long[] $vqp = $vqNull ? new long[0] : $vq.toLongArray();
+         |int $m = $vqNull ? 0 : $cents.numElements();
          |for (int $ci = 0; $ci < $m; $ci++) {
          |  if ($cents.isNullAt($ci)) continue;
          |  org.apache.spark.sql.catalyst.InternalRow $e = $cents.getStruct($ci, 3);
@@ -427,13 +446,18 @@ case class NearestCentroidL(first: Expression, second: Expression,
   * spec): `l2q`'s zip_with null-pads on length mismatch and propagates
   * element nulls, so a candidate's distance is NULL when its `cq` is
   * null, the window and `cq` lengths differ, or any element in either
-  * window is null — and `array_min`'s struct ordering sorts a NULL
-  * distance FIRST, so null-distance candidates win (ties by cid ASC).
-  * Null book elements map to null output elements; an empty or all-null
-  * `bm` yields a null element (array_min of nothing); a null `bm` field
-  * yields a null element (transform over null). A negative `m` (never
-  * produced by the library's `sequence(0, m-1)` books) reads as
-  * null-distance rather than replicating slice-from-end. */
+  * window is null. The selection domain is (dist, cid) BOTH nullable,
+  * ordered null-first lexicographically (`array_min`'s struct
+  * ordering): null-distance candidates beat real ones; a null `m`
+  * nulls the slice and with it every candidate's distance (smallest
+  * cid wins); a null bm ELEMENT is the (null, null) candidate, which
+  * beats everything — that book entry's code is NULL; a null-cid
+  * winner likewise emits NULL. Null book elements map to null output
+  * elements; an empty `bm` yields a null element (array_min of
+  * nothing); a null `bm` field yields a null element (transform over
+  * null). A negative `m` (never produced by the library's
+  * `sequence(0, m-1)` books) reads as null-distance rather than
+  * replicating slice-from-end. */
 case class PqCodesL(left: Expression, right: Expression, sub: Int)
     extends BinaryExpression {
 
@@ -480,54 +504,65 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
     while (bi < nb) {
       if (!book.isNullAt(bi)) {
         val e = book.getStruct(bi, 2)
-        val off = e.getInt(0) * sub
+        val mNull = e.isNullAt(0)
+        val off = if (mNull) 0 else e.getInt(0) * sub
         val bm = e.getArray(1)
         if (bm != null) {
-          val svLen = math.min(sub, math.max(0, vn - off))
-          var winNull = off < 0
+          val svLen = if (mNull) 0 else math.min(sub, math.max(0, vn - off))
+          // a null m nulls the slice, so every candidate's distance is
+          // null (the interpreted slice(vq, null, sub) propagation)
+          var winNull = mNull || off < 0
           if (vqHasNull && !winNull) {
             var j = 0
             while (j < svLen && !winNull) {
               if (vqa.isNullAt(off + j)) winNull = true; j += 1
             }
           }
-          var found = false; var bestNull = false
-          var bestDist = 0L; var bestCid = 0L
+          // the selection domain is (dist, cid) BOTH nullable, ordered
+          // null-first lexicographically — array_min's struct ordering.
+          // A null bm ELEMENT is the (null, null) candidate (transform
+          // maps it to struct(null, null)), so it beats everything and
+          // the winning code is NULL.
+          var found = false
+          var bestDNull = false; var bestDist = 0L
+          var bestCNull = false; var bestCid = 0L
           var ci = 0
           val nc = bm.numElements()
           while (ci < nc) {
-            if (!bm.isNullAt(ci)) {
-              val c = bm.getStruct(ci, 2)
-              val cid = c.getLong(0)
-              val cq = c.getArray(1)
-              var dnull =
-                cq == null || winNull || cq.numElements() != svLen
-              var dist = 0L
-              if (!dnull) {
-                var j = 0
-                while (j < svLen && !dnull) {
-                  if (cq.isNullAt(j)) dnull = true
-                  else {
-                    val x = if (vq != null) vq(off + j)
-                            else vqa.getLong(off + j)
-                    val d = x - cq.getLong(j); dist += d * d
-                  }
-                  j += 1
+            val c = if (bm.isNullAt(ci)) null else bm.getStruct(ci, 2)
+            val cidNull = c == null || c.isNullAt(0)
+            val cid = if (cidNull) 0L else c.getLong(0)
+            val cq = if (c == null) null else c.getArray(1)
+            var dnull =
+              c == null || cq == null || winNull ||
+                cq.numElements() != svLen
+            var dist = 0L
+            if (!dnull) {
+              var j = 0
+              while (j < svLen && !dnull) {
+                if (cq.isNullAt(j)) dnull = true
+                else {
+                  val x = if (vq != null) vq(off + j)
+                          else vqa.getLong(off + j)
+                  val d = x - cq.getLong(j); dist += d * d
                 }
+                j += 1
               }
-              val better =
-                if (!found) true
-                else if (dnull != bestNull) dnull
-                else if (dnull) cid < bestCid
-                else dist < bestDist || (dist == bestDist && cid < bestCid)
-              if (better) {
-                found = true; bestNull = dnull
-                bestDist = dist; bestCid = cid
-              }
+            }
+            val better =
+              if (!found) true
+              else if (dnull != bestDNull) dnull
+              else if (!dnull && dist != bestDist) dist < bestDist
+              else if (cidNull != bestCNull) cidNull
+              else if (!cidNull) cid < bestCid
+              else false
+            if (better) {
+              found = true; bestDNull = dnull; bestDist = dist
+              bestCNull = cidNull; bestCid = cid
             }
             ci += 1
           }
-          if (found) out(bi) = bestCid
+          if (found && !bestCNull) out(bi) = bestCid
         }
       }
       bi += 1
@@ -548,8 +583,10 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
       val x = ctx.freshName("x"); val winNull = ctx.freshName("winNull")
       val dnull = ctx.freshName("dnull"); val better = ctx.freshName("better")
-      val found = ctx.freshName("found")
-      val bestNull = ctx.freshName("bestNull")
+      val found = ctx.freshName("found"); val mNull = ctx.freshName("mNull")
+      val cidNull = ctx.freshName("cidNull")
+      val bestDNull = ctx.freshName("bestDNull")
+      val bestCNull = ctx.freshName("bestCNull")
       val bestDist = ctx.freshName("bestDist")
       val bestCid = ctx.freshName("bestCid")
       s"""
@@ -564,25 +601,30 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
          |for (int $bi = 0; $bi < $nb; $bi++) {
          |  if ($book.isNullAt($bi)) continue;
          |  org.apache.spark.sql.catalyst.InternalRow $e = $book.getStruct($bi, 2);
-         |  int $off = $e.getInt(0) * $sub;
+         |  boolean $mNull = $e.isNullAt(0);
+         |  int $off = $mNull ? 0 : ($e.getInt(0) * $sub);
          |  org.apache.spark.sql.catalyst.util.ArrayData $bm = $e.getArray(1);
          |  if ($bm == null) continue;
-         |  int $svLen = java.lang.Math.min($sub, java.lang.Math.max(0, $vn - $off));
-         |  boolean $winNull = $off < 0;
+         |  int $svLen = $mNull ? 0
+         |    : java.lang.Math.min($sub, java.lang.Math.max(0, $vn - $off));
+         |  boolean $winNull = $mNull || $off < 0;
          |  if ($vqn && !$winNull) {
          |    for (int $j = 0; $j < $svLen && !$winNull; $j++) {
          |      if ($vq.isNullAt($off + $j)) $winNull = true;
          |    }
          |  }
-         |  boolean $found = false; boolean $bestNull = false;
-         |  long $bestDist = 0L; long $bestCid = 0L;
+         |  boolean $found = false;
+         |  boolean $bestDNull = false; long $bestDist = 0L;
+         |  boolean $bestCNull = false; long $bestCid = 0L;
          |  int $nc = $bm.numElements();
          |  for (int $ci = 0; $ci < $nc; $ci++) {
-         |    if ($bm.isNullAt($ci)) continue;
-         |    org.apache.spark.sql.catalyst.InternalRow $c = $bm.getStruct($ci, 2);
-         |    long $cid = $c.getLong(0);
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cq = $c.getArray(1);
-         |    boolean $dnull = $cq == null || $winNull ||
+         |    org.apache.spark.sql.catalyst.InternalRow $c =
+         |      $bm.isNullAt($ci) ? null : $bm.getStruct($ci, 2);
+         |    boolean $cidNull = $c == null || $c.isNullAt(0);
+         |    long $cid = $cidNull ? 0L : $c.getLong(0);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cq =
+         |      $c == null ? null : $c.getArray(1);
+         |    boolean $dnull = $c == null || $cq == null || $winNull ||
          |      $cq.numElements() != $svLen;
          |    long $dist = 0L;
          |    if (!$dnull) {
@@ -598,18 +640,17 @@ case class PqCodesL(left: Expression, right: Expression, sub: Int)
          |    }
          |    boolean $better;
          |    if (!$found) { $better = true; }
-         |    else if ($dnull != $bestNull) { $better = $dnull; }
-         |    else if ($dnull) { $better = $cid < $bestCid; }
-         |    else {
-         |      $better = $dist < $bestDist ||
-         |        ($dist == $bestDist && $cid < $bestCid);
-         |    }
+         |    else if ($dnull != $bestDNull) { $better = $dnull; }
+         |    else if (!$dnull && $dist != $bestDist) { $better = $dist < $bestDist; }
+         |    else if ($cidNull != $bestCNull) { $better = $cidNull; }
+         |    else if (!$cidNull) { $better = $cid < $bestCid; }
+         |    else { $better = false; }
          |    if ($better) {
-         |      $found = true; $bestNull = $dnull;
-         |      $bestDist = $dist; $bestCid = $cid;
+         |      $found = true; $bestDNull = $dnull; $bestDist = $dist;
+         |      $bestCNull = $cidNull; $bestCid = $cid;
          |    }
          |  }
-         |  if ($found) { $out[$bi] = java.lang.Long.valueOf($bestCid); }
+         |  if ($found && !$bestCNull) { $out[$bi] = java.lang.Long.valueOf($bestCid); }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

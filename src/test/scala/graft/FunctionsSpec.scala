@@ -434,6 +434,51 @@ class FunctionsSpec extends AnyFunSuite {
       "fused kernel diverges from interpreted twin on a null vq element")
     assert(fusedHoled(2L) == Seq(3L, 4L),
       s"m=0 all-null-dist -> cid 3; m=1 clean -> cid 4: ${fusedHoled(2L)}")
+    // null bm STRUCT ELEMENT: transform maps it to struct(null, null),
+    // the absolute minimum of the (dist, cid) null-first ordering — the
+    // winning code is NULL, not the best real candidate
+    val base = Seq((3L, Seq.fill(64)(1L), goodBook)).toDF("id", "vq", "book")
+    val nulledCand = base.withColumn("book", expr(
+      "transform(book, e -> named_struct('m', e.m, 'bm', " +
+        "transform(e.bm, (c, i) -> IF(e.m = 0 AND i = 1, " +
+        "CAST(NULL AS struct<cid:bigint,cq:array<bigint>>), c))))"))
+    val fusedNc = asMap(nulledCand.select(col("id"),
+      GraftFunctions.pq_codes_l(col("vq"), col("book"), 8).as("codes")))
+    assert(fusedNc == asMap(interpTwin(nulledCand)),
+      "fused kernel diverges from interpreted twin on a null bm element")
+    assert(fusedNc(3L) == Seq(null, 4L),
+      s"null candidate must WIN m=0 (null code); m=1 clean: ${fusedNc(3L)}")
+    // null m FIELD: slice(vq, null, 8) nulls every candidate's distance
+    // -> smallest cid wins
+    val nulledM = base.withColumn("book", expr(
+      "transform(book, e -> named_struct('m', " +
+        "IF(e.m = 0, CAST(NULL AS INT), e.m), 'bm', e.bm))"))
+    val fusedNm = asMap(nulledM.select(col("id"),
+      GraftFunctions.pq_codes_l(col("vq"), col("book"), 8).as("codes")))
+    assert(fusedNm == asMap(interpTwin(nulledM)),
+      "fused kernel diverges from interpreted twin on a null m field")
+    assert(fusedNm(3L) == Seq(3L, 4L),
+      s"null m -> all-null dists -> smallest cid 3: ${fusedNm(3L)}")
+    // nearest_centroid_l: a null vq ELEMENT routes to nothing (null),
+    // never an NPE in the primitive hoist
+    val ncHoled = holed
+      .withColumn("nq", lit(60L))
+      .withColumn("cents", expr(
+        "array(named_struct('clabel', 1L, 'cqa', vq, 'ncq', 60L))"))
+      .select(GraftFunctions.nearest_centroid_l(
+        col("vq"), col("nq"), col("cents"))).head()
+    assert(ncHoled.isNullAt(0),
+      "nearest_centroid_l must return null on a null-holed vq")
+    // SQL-face misuse fails with the function's own message, not a raw
+    // NPE/IndexOutOfBounds during analysis
+    base.createOrReplaceTempView("pq_misuse_probe")
+    val twoArg = intercept[Exception](spark.sql(
+      "SELECT pq_codes_l(vq, book) FROM pq_misuse_probe").collect())
+    assert(twoArg.getMessage.contains("pq_codes_l"), twoArg.getMessage)
+    val nullSub = intercept[Exception](spark.sql(
+      "SELECT pq_codes_l(vq, book, CAST(NULL AS INT)) FROM pq_misuse_probe")
+      .collect())
+    assert(nullSub.getMessage.contains("pq_codes_l"), nullSub.getMessage)
   }
 
   test("pq_codes_l edges: empty bm -> null element; empty book -> empty " +
