@@ -1,0 +1,62 @@
+package graft
+
+/** Bench-faithful subset timer for optimization A/B runs: same protocol as
+  * graft.Bench (full-suite sf0.001 warm-up for the NAMED queries, noop sink,
+  * clearCache + System.gc before each repeat, best-of-N with min/max) but
+  * only for the named queries, printing one line per query.
+  * GRAFT_BENCH_N repeats (default 5).
+  * `tools/run_graft.sh graft.ABench q93_tpch_min_cost_supplier ...` */
+object ABench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dataBytes = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
+    val autoParts = math.max(8L, math.min(cpus.toInt.toLong,
+      dataBytes / (32L << 20))).toString
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PARTS", autoParts))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val wh = new commands.TableCommands(spark, java.nio.file.Files
+        .createTempDirectory("graft_ab_wh").toString)
+      operators.VectorIndex.build(spark, sfDir, wh)
+      operators.DedupIndex.build(spark, sfDir, wh)
+    } catch { case e: Throwable =>
+      System.err.println(s"[abench] index build failed: ${e.getMessage}")
+    }
+    val names = args.toSeq
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    val reps = sys.env.getOrElse("GRAFT_BENCH_N", "5").toInt
+    var total = 0.0
+    names.foreach { n =>
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      total += ts.min
+      println(f"ABENCH $n min=${ts.min}%.3f max=${ts.max}%.3f n=$reps")
+    }
+    println(f"ABENCH_TOTAL ${total}%.3f s (${names.size} queries, min-of-$reps)")
+    spark.stop()
+  }
+}

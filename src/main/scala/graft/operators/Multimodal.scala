@@ -322,14 +322,15 @@ object Multimodal {
     * hex-string expression over the (doc_id, image_bytes, row_bytes, w, h)
     * columns. ONE header builder shared by m98 (constant fill) and m99
     * (position-dependent fill), so the formats cannot drift apart. */
-  private def bmpBlobs(s: SparkSession, d: String,
-      pixelsHex: Column): org.apache.spark.sql.Dataset[Blob] = {
+  private def bmpBlobs(s: SparkSession, d: String, pixelsHex: Column,
+      parallel: Boolean = true): org.apache.spark.sql.Dataset[Blob] = {
     import s.implicits._
     val width = (lit(4) + (col("doc_id") % 13)).cast("int")
     val height = (lit(1) + (col("doc_id") % 7)).cast("int")
     val w3 = width * 3 + 3
     val rowBytes = (w3 - pmod(w3, lit(4))).cast("int")
-    Graft.table(s, d, "documents")
+    (if (parallel) Graft.tableParallel(s, d, "documents")
+     else Graft.table(s, d, "documents"))
       .select(col("doc_id"), rowBytes.as("row_bytes"),
         (rowBytes * height).as("image_bytes"),
         width.as("w"), height.as("h"))
@@ -381,7 +382,7 @@ object Multimodal {
   private[graft] def sceneFrames(s: SparkSession, d: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
     val frames = frameEnergies(
-      Graft.table(s, d, "documents").select("doc_id", "text"))
+      Graft.tableParallel(s, d, "documents").select("doc_id", "text"))
     val cut = when(abs(col("energy") -
       lag(col("energy"), 1).over(byDoc)) > 150, 1).otherwise(0)
     frames.withColumn("scene_idx", sum(cut).over(
@@ -442,6 +443,10 @@ object Multimodal {
           le16(blockAlign), le16(bits),
           lit("64617461"), le32(dataSize),                       // data
           hex(encode(col("text"), "UTF-8")))
+        // single-core on purpose: the hex(text) payload is cheap enough
+        // that the repartition exchange costs more than it saves (A/B
+        // 0.17 s vs 0.37 s min-of-5); the heavy per-sample synth queries
+        // (m100/m103) take the tableParallel path instead.
         val blobs = Graft.table(s, d, "documents")
           .select(col("doc_id"), unhex(payloadHex).as("payload"),
             lit("audio/wav").as("mime"))
@@ -471,7 +476,11 @@ object Multimodal {
                         // endianness, or padding bugs break the hash.
       (s, d) => {
         import s.implicits._
-        bmpBlobs(s, d, expr("repeat('A5', image_bytes)"))
+        // constant fill = trivial synth: the row-group-starved repartition
+        // costs more than the single-core work it parallelizes (A/B: 0.14 s
+        // min-of-5 vs 0.28 s with the exchange) — m99/m101/m102, whose
+        // per-pixel hex synthesis dominates, stay on the parallel path.
+        bmpBlobs(s, d, expr("repeat('A5', image_bytes)"), parallel = false)
           .mapPartitions(_.map(b => BmpCodec.decode(b.doc_id, b.payload)))
           .toDF()
       },
@@ -565,7 +574,7 @@ object Multimodal {
           le16(channels), le32(sampleRate), le32(byteRate),
           le16(blockAlign), le16(bits),
           lit("64617461"), le32(dataSize), pcmHex)
-        Graft.table(s, d, "documents")
+        Graft.tableParallel(s, d, "documents")
           .select(col("doc_id"), unhex(payloadHex).as("payload"),
             lit("audio/wav").as("mime"))
           .as[Blob]
@@ -633,7 +642,7 @@ object Multimodal {
         // decoding task already held; at 100 TB that exchange is the whole
         // decoded corpus. A malformed payload returns None and excludes
         // the asset (m102's valid-flag discipline).
-        val fp = Graft.table(s, d, "documents")
+        val fp = Graft.tableParallel(s, d, "documents")
           .select(col("doc_id"), unhex(payloadHex).as("payload"),
             lit("audio/wav").as("mime"))
           .as[Blob]

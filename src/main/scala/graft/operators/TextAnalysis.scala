@@ -229,17 +229,30 @@ object TextAnalysis {
       .select(col("doc_id"), explode(regexp_extract_all(
         lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
 
+  /** The shared per-(doc, word) count frame under t95 and the weight
+    * table — ONE pinned doc_id exchange under every consumer (the d98
+    * pinned-exchange discipline), so the corpus tokenize executes once
+    * per query instead of once per aggregate shape (measured 3 tokenize
+    * passes before: raw + tot + doc each re-derived `words`). */
+  private def dsirDocCounts(s: SparkSession, d: String): DataFrame =
+    dsirWords(s, d).repartition(col("doc_id"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+
   /** The t95 DSIR weight table (w, wm): add-1-smoothed unigram
     * log-likelihood ratio target-vs-raw in exact micro-nat integers —
     * vocabulary-bounded, the MODEL ARTIFACT the streaming twin freezes
     * and broadcasts. */
   private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    val words = dsirWords(s, d)
+    // Derive occurrence counts from the per-(doc, word) frame instead of
+    // the raw token stream: Σ per-doc counts == the stream counts exactly
+    // (integers), and every consumer now sits above dsirDocCounts' one
+    // pinned exchange — the tokenize+explode of the corpus runs once.
+    val doc = dsirDocCounts(s, d)
     val isTgt = col("doc_id") % 10 === 0
-    val raw = words.groupBy("w").agg(count(lit(1)).as("cr"),
-      sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
-    val tot = words.agg(count(lit(1)).as("r_total"),
-      sum(when(isTgt, 1L).otherwise(0L)).as("t_total"),
+    val raw = doc.groupBy("w").agg(sum(col("c")).as("cr"),
+      sum(when(isTgt, col("c")).otherwise(0L)).as("ct"))
+    val tot = doc.agg(sum(col("c")).as("r_total"),
+      sum(when(isTgt, col("c")).otherwise(0L)).as("t_total"),
       countDistinct(col("w")).as("v"))
     raw.crossJoin(broadcast(tot))
       .select(col("w"), round((
@@ -2087,10 +2100,11 @@ object TextAnalysis {
                          // decision is scan + broadcast compare, and ties
                          // at the boundary stay deterministic.
       (s, d) => {
-        val words = dsirWords(s, d)
+        // `doc` and the weight table's internal counts share ONE canonical
+        // dsirDocCounts subtree — AQE exchange reuse materializes the
+        // tokenize once for the whole query (was 3 corpus passes).
         val wt = dsirWeights(s, d)
-        val doc = words.repartition(col("doc_id"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val doc = dsirDocCounts(s, d)
         val scored = doc.join(broadcast(wt), "w")
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_words"),
