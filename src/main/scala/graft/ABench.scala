@@ -21,6 +21,10 @@ object ABench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY",   // Bench's data-sized rule
+          math.max(1L << 20, math.min(64L << 20,
+            dataBytes / cpus.toInt)).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -43,9 +47,18 @@ object ABench {
       spark.catalog.clearCache()
     }
     val reps = sys.env.getOrElse("GRAFT_BENCH_N", "5").toInt
+    // GRAFT_AB="confKey=valA|valB": run each repeat alternating the two
+    // values of a runtime SQL conf WITHIN one JVM (page cache, JIT, host
+    // load shared), reporting min per arm — the only same-host A/B that
+    // survives this machine's multi-second drift between JVM invocations.
+    val ab = sys.env.get("GRAFT_AB").map { s =>
+      val Array(k, vs) = s.split("=", 2); val Array(a, b) = vs.split('|')
+      (k, a, b)
+    }
     var total = 0.0
+    var totA = 0.0; var totB = 0.0
     names.foreach { n =>
-      val ts = (1 to reps).map { _ =>
+      def run(): Double = {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
@@ -53,10 +66,26 @@ object ABench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      total += ts.min
-      println(f"ABENCH $n min=${ts.min}%.3f max=${ts.max}%.3f n=$reps")
+      ab match {
+        case Some((k, a, b)) =>
+          val (tsA, tsB) = (1 to reps).map { _ =>
+            spark.conf.set(k, a); val ta = run()
+            spark.conf.set(k, b); val tb = run()
+            (ta, tb)
+          }.unzip
+          totA += tsA.min; totB += tsB.min
+          println(f"ABENCH $n A[$a]=${tsA.min}%.3f B[$b]=${tsB.min}%.3f " +
+            f"(maxA=${tsA.max}%.3f maxB=${tsB.max}%.3f n=$reps)")
+        case None =>
+          val ts = (1 to reps).map(_ => run())
+          total += ts.min
+          println(f"ABENCH $n min=${ts.min}%.3f max=${ts.max}%.3f n=$reps")
+      }
     }
-    println(f"ABENCH_TOTAL ${total}%.3f s (${names.size} queries, min-of-$reps)")
+    if (ab.isDefined)
+      println(f"ABENCH_TOTAL A=$totA%.3f B=$totB%.3f s (${names.size} queries, min-of-$reps)")
+    else
+      println(f"ABENCH_TOTAL ${total}%.3f s (${names.size} queries, min-of-$reps)")
     spark.stop()
   }
 }

@@ -25,10 +25,22 @@ object Bench {
       .getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
     val autoParts = math.max(8L, math.min(cpus.toInt.toLong,
       dataBytes / (32L << 20))).toString
+    // AQE advisory partition size, data-sized by the same rule as
+    // autoParts, applied downward: the 64 MB default swallows every
+    // post-shuffle stage into ONE task at bench scale (~17 MB of parquet
+    // → profiled q93/q80 final aggregates ran single-threaded behind a
+    // 32-core session), while at production data sizes this expression
+    // saturates at the 64 MB production default. Interleaved same-JVM
+    // A/B over the 8 worst gap queries: 14.24 s (64m) → 11.95 s (1m).
+    // GRAFT_ADVISORY overrides for experiments.
+    val autoAdvisory = math.max(1L << 20,
+      math.min(64L << 20, dataBytes / cpus.toInt)).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_PARTS", autoParts))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY", autoAdvisory))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",

@@ -157,6 +157,24 @@ object Graft {
       else df
     }
 
+  /** [[tableParallel]] with a HASH key instead of round-robin: a keyless
+    * `repartition(n)` first pays a full local sort of its input
+    * (`spark.sql.execution.sortBeforeRepartition`, on so retried tasks
+    * reproduce their row-to-partition assignment — guide §2.5); when a
+    * downstream-meaningful high-cardinality key exists, hashing on it
+    * skips that sort entirely and the assignment is deterministic by
+    * construction. Same row-group gate, so production inputs no-op. */
+  def tableParallelBy(spark: SparkSession, sfDir: String, name: String,
+      key: String): DataFrame =
+    cached(spark, sfDir, s"pb:$name:$key") {
+      val df = table(spark, sfDir, name)
+      val cores = spark.sparkContext.defaultParallelism
+      val (units, bytes) = rowGroupUnits(spark, s"$sfDir/$name.parquet", cores)
+      if (units < cores && bytes < cores.toLong * 1024L * 1024 * 1024)
+        df.repartition(cores, org.apache.spark.sql.functions.col(key))
+      else df
+    }
+
   /** (row groups, total bytes) under `p` (file or directory, recursive),
     * with footer reads stopping as soon as `cap` units are found — each
     * file has ≥1 row group, so a layout with ≥ cap data files never opens

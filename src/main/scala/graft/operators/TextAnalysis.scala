@@ -280,13 +280,28 @@ object TextAnalysis {
     * without it). */
   private[graft] def nbModel(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
+    val wc = nbWordCounts(s, d)
+    (wc, nbCls(s, d, wc))
+  }
+
+  /** The wc half of [[nbModel]], split out so [[nbModelMicroFrames]] can
+    * materialize it once (localCheckpoint) and derive cls from the
+    * materialized frame instead of re-running the train tokenize. */
+  private def nbWordCounts(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(tokens(lower(col("text")))).as("word"))
     val train = toks.filter(col("doc_id") % 2 === 0)
       .filter(col("lang").isNotNull)
-    val wc = train.groupBy(col("lang").as("clang"), col("word"))
+    train.groupBy(col("lang").as("clang"), col("word"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The cls half of [[nbModel]], parameterized over the wc frame (raw
+    * lineage from [[nbModel]], or a checkpointed one from
+    * [[nbModelMicroFrames]]). */
+  private def nbCls(s: SparkSession, d: String, wc: DataFrame): DataFrame = {
+    val docs = t(s, d, "documents")
     val langTok = wc.groupBy("clang").agg(sum(col("cnt")).as("n_tok"))
     val langDocs = docs.filter(col("doc_id") % 2 === 0)
       .filter(col("lang").isNotNull)
@@ -301,7 +316,7 @@ object TextAnalysis {
         round(log(col("n_docs").cast("double") /
           col("total_docs").cast("double")), 6)
           .cast("decimal(18,6)").as("prior"))
-    (wc, cls)
+    cls
   }
 
   /** The t100 model artifact in exact 6-dp micro-nat integers — what the
@@ -446,7 +461,16 @@ object TextAnalysis {
     * join when not, with no driver ceiling either way. */
   private[graft] def nbModelMicroFrames(s: SparkSession, d: String,
       maxTermsPerClass: Int = 1000000): (DataFrame, DataFrame) = {
-    val (wc, cls) = nbModel(s, d)
+    // Materialize the two bounded training artifacts ONCE (round 13):
+    // without this, the langStats consumer (checkpointed at serve
+    // dispatch / in nbClassifyJoin) and the lik consumer each re-ran the
+    // full train tokenize+aggregate in separate jobs — AQE exchange
+    // reuse only deduplicates within one execution, never across jobs.
+    // wc is vocab × |classes|-bounded and cls is |classes|-bounded (the
+    // same executor-side-bounded argument as the lik join build side —
+    // nothing here is corpus-sized or driver-collected).
+    val wc = nbWordCounts(s, d).localCheckpoint()
+    val cls = nbCls(s, d, wc).localCheckpoint()
     val langStats = cls.select(col("clang"),
       (col("prior") * 1000000).cast("long").as("pm"),
       (round(log(lit(1.0) /
@@ -534,18 +558,36 @@ object TextAnalysis {
     // takes the class default dm — LEFT join on (clang, word), then
     // integer micro sums (partition- and order-independent, the same
     // exactness argument as the Map twin)
-    val contrib = toks
-      .crossJoin(broadcast(langs.select("clang", "dm")))
-      .join(wordLik, Seq("clang", "word"), "left")
+    // Sparse-scoring decomposition (round 13): tok_sum(doc, lang)
+    //   = Σ_known k·lm + dm·(n_tok − n_known)
+    // — exact integer micros, so bit-identical to the dense
+    // coalesce(lm, dm)-per-occurrence form (the parity spec and the t107
+    // oracle both pin it), but the likelihood join now sees the batch's
+    // DISTINCT (doc, word) counts instead of occurrences × |langs|: the
+    // old shape crossJoined every token occurrence with every class
+    // BEFORE the join, so its partial aggregation collapsed nothing and
+    // the join exchange carried the blown-up stream (profiled 4.45 MB —
+    // occurrences × |langs| — at sf0.1; at open-web scale it is
+    // |tokens| × |classes| rows into the one corpus-sized exchange).
+    val twc = toks.groupBy("tkey", "word").agg(count(lit(1)).as("k"))
+    // ntok hangs off the SAME uniq exchange as twc, not off twc: the two
+    // consumers prune twc to different column sets, which defeats AQE
+    // exchange reuse and re-ran the (tkey, word) aggregate twice
+    // (profiled as two identical 0.26 s stages).
+    val ntok = toks.groupBy("tkey").agg(count(lit(1)).as("n_tok_all"))
+    val known = twc.join(wordLik, Seq("word"))
       .groupBy("tkey", "clang")
-      .agg(sum(coalesce(col("lm"), col("dm"))).as("tok_sum"),
-        count(lit(1)).as("n_tok"))
+      .agg(sum(col("k") * col("lm")).as("known_sum"),
+        sum(col("k")).as("n_known"))
     val scores = uniq.select("tkey")
-      .crossJoin(broadcast(langs.select("clang", "pm")))
-      .join(contrib, Seq("tkey", "clang"), "left")
+      .join(ntok, Seq("tkey"), "left")
+      .crossJoin(broadcast(langs))
+      .join(known, Seq("tkey", "clang"), "left")
       .select(col("tkey"), col("clang"),
-        (col("pm") + coalesce(col("tok_sum"), lit(0L))).as("score"),
-        coalesce(col("n_tok"), lit(0L)).as("n_tokens"))
+        (col("pm") + coalesce(col("known_sum"), lit(0L)) +
+          col("dm") * (coalesce(col("n_tok_all"), lit(0L)) -
+            coalesce(col("n_known"), lit(0L)))).as("score"),
+        coalesce(col("n_tok_all"), lit(0L)).as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("tkey").orderBy(col("score").desc, col("clang").asc)
     val best = scores.withColumn("rn", row_number().over(w))
@@ -648,13 +690,33 @@ object TextAnalysis {
   private[graft] def perplexityParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val docs = Graft.tableParallel(s, d, "documents")
-    val terms = docs.select(col("doc_id"),
+    // ONE corpus tokenize (round 13): the unigram model's vocabulary
+    // counts AND the per-doc scoring both derive from one MATERIALIZED
+    // per-(doc, lang, term) count frame. Materialization (not just a
+    // shared subtree) is load-bearing: column pruning specializes each
+    // consumer's copy of the subtree below its exchange (different
+    // pruned column sets → no AQE exchange reuse), and the profiled plan
+    // ran the tokenize 3× and the count aggregate 4×. The checkpoint
+    // costs one exchange-equivalent materialization of Σk-collapsed
+    // counts; at 100 TB that replaces a full second (and third) corpus
+    // tokenize. Carrying lang as a grouping key (functionally dependent
+    // on doc_id) also removes the separate docs join for sl. Σ per-doc k
+    // == stream counts and Σ k·lq == per-occurrence Σ lq exactly
+    // (integers), so surprisal is bit-identical.
+    val tf = docs.select(col("doc_id"), col("lang"),
       explode(tokens(lower(col("text")))).as("term"))
-    val surp = terms.join(broadcast(unigramLq(s, d)), "term")
-      .groupBy("doc_id")
-      .agg(round(-(sum(col("lq")).cast("double") /
-        (count(lit(1)) * 1000000)), 6).as("surprisal"))
-    val sl = surp.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val vocab = tf.groupBy("term").agg(sum(col("k")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val lq = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("cnt").cast("double") / col("total")) * 1000000)
+          .cast("long").as("lq"))
+    val sl = tf.join(broadcast(lq), "term")
+      .groupBy("doc_id", "lang")
+      .agg(round(-(sum(col("k") * col("lq")).cast("double") /
+        (sum(col("k")) * 1000000)), 6).as("surprisal"))
     val hist = sl.groupBy("lang", "surprisal")
       .agg(count(lit(1)).as("c"))
     val wcum = org.apache.spark.sql.expressions.Window
@@ -2416,7 +2478,12 @@ object TextAnalysis {
                           // map-side; the model frames are join build
                           // sides with no driver ceiling.
       (s, d) => {
-        val (langStats, lik) = nbModelMicroFrames(s, d)
+        // Int.MaxValue = the UNCAPPED model — for the join form the cap
+        // is pure overhead (its reason to exist is bounding the Map
+        // twin's driver collect): skipping it drops the per-class
+        // vocabulary sort window from the lik build, and the uncapped
+        // table is exactly what the oracle derives at any scale.
+        val (langStats, lik) = nbModelMicroFrames(s, d, Int.MaxValue)
         val eval = t(s, d, "documents")
           .filter(col("doc_id") % 2 === 1)
           .select("doc_id", "text")
