@@ -23,7 +23,7 @@ object ABench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY",   // Bench's data-sized rule
-          math.max(1L << 20, math.min(64L << 20,
+          math.max(4L << 20, math.min(64L << 20,
             dataBytes / cpus.toInt)).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -30,10 +30,14 @@ object Bench {
     // post-shuffle stage into ONE task at bench scale (~17 MB of parquet
     // → profiled q93/q80 final aggregates ran single-threaded behind a
     // 32-core session), while at production data sizes this expression
-    // saturates at the 64 MB production default. Interleaved same-JVM
-    // A/B over the 8 worst gap queries: 14.24 s (64m) → 11.95 s (1m).
+    // saturates at the 64 MB production default. Floor is 4 MB, NOT
+    // 1 MB: a 1 MB advisory won the 8-query worst-gap A/B (14.24 →
+    // 11.95 s) but regressed the broad suite ~25% — many-task
+    // micro-stages cost more per stage than the parallelism returns on
+    // the ~100 sub-second queries; the 14-query interleaved A/B of 4m
+    // vs 64m read 13.71 vs 14.30 s with systematically lower maxima.
     // GRAFT_ADVISORY overrides for experiments.
-    val autoAdvisory = math.max(1L << 20,
+    val autoAdvisory = math.max(4L << 20,
       math.min(64L << 20, dataBytes / cpus.toInt)).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

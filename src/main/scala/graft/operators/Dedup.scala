@@ -205,9 +205,13 @@ object Dedup {
         val dec = universe.join(comps, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("root"), col("doc_id")).as("canonical"))
-        val sizes = dec.groupBy("canonical")
-          .agg(count(lit(1)).as("group_size"))
-        dec.join(sizes, "canonical")
+        // group_size via ONE canonical-partitioned window instead of
+        // groupBy + join-back: same value per row (count over the full
+        // partition), one exchange and one pass over dec instead of a
+        // second aggregate exchange plus a join that re-executed dec's
+        // corpus join per consumer.
+        dec.withColumn("group_size",
+            count(lit(1)).over(Window.partitionBy(col("canonical"))))
           .select(col("doc_id"), col("canonical"),
             (col("doc_id") === col("canonical")).as("is_kept"),
             col("group_size"))
@@ -673,7 +677,13 @@ object Dedup {
                                 // All counts exact integers; the one ratio
                                 // rounds at 6.
       (s, d) => {
-        val e = minhashPairs(s, d).select(col("d1"), col("d2")) // d1 < d2
+        // the candidate-pair set is consumed 4x below (both wedge sides,
+        // the closure probe, the edge count); materializing it once keeps
+        // the full MinHash pipeline to a single execution — per-consumer
+        // column pruning otherwise forks its subtree past exchange reuse
+        // (the q73 mechanics), and the frame is |pairs|-bounded.
+        val e = minhashPairs(s, d).select(col("d1"), col("d2"))
+          .localCheckpoint() // d1 < d2
         val sym = e.select(col("d1").as("n"), col("d2").as("m"))
           .union(e.select(col("d2").as("n"), col("d1").as("m")))
         val w = sym.as("u").join(sym.as("v"),
@@ -870,7 +880,10 @@ object Dedup {
         val doc = corpusNear(s, d)
         val exact = doc.agg(count(lit(1)).as("n_docs"),
           countDistinct(md5(col("text"))).as("n_exact_groups"))
-        val pairs = minhashPairs(s, d)
+        // |pairs|-bounded, consumed twice (pair count + near-doc count):
+        // one materialization, one MinHash pipeline execution (q73/d96
+        // mechanics)
+        val pairs = minhashPairs(s, d).localCheckpoint()
         val npairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
         val ndocs = pairs.select(col("d1").as("dd"))
           .union(pairs.select(col("d2").as("dd"))).distinct()

@@ -1460,12 +1460,15 @@ object Relational {
         val newSession = when(
           col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
             > 1800, 1).otherwise(0)
-        // ONE sessionize + distinct execution (d98's pinned-exchange
-        // discipline): the self-join's two sides, the per-type totals and
-        // the basket count all consume this frame clustered by the join
-        // key, so a single pinned exchange sits under all four and AQE
-        // stage reuse materializes the distinct once — without the pin
-        // the corpus-sized sessionize window would execute per consumer.
+        // ONE sessionize + distinct execution. Round 13: the pinned
+        // repartition this used to rely on is NOT reuse-safe — column
+        // pruning specializes each consumer's copy of the subtree BELOW
+        // the pin (pairs need all 3 columns, perType only event_type,
+        // total only the session key), and the profiled plan materialized
+        // THREE variant exchanges, re-running the corpus-sized sessionize
+        // window per consumer. localCheckpoint materializes the distinct
+        // session set once — the same bytes the pin already wrote to
+        // shuffle disk, now written once and actually shared.
         val ue = t(s, d, "events")
           .withColumn("new_s", coalesce(newSession, lit(0)))
           .withColumn("session_idx",
@@ -1473,7 +1476,7 @@ object Relational {
               byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .select(col("user_id"), col("session_idx"), col("event_type"))
           .distinct()
-          .repartition(col("user_id"), col("session_idx"))
+          .localCheckpoint()
         val pairs = ue
           .select(col("user_id"), col("session_idx"),
             col("event_type").as("et_a"))

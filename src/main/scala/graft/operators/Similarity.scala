@@ -1616,7 +1616,10 @@ object Similarity {
                            // one division by the in-plan truth count.
       (s, d) => {
         val (centroids, assign, codebook, codes) = artifactFrames(s, d)
-        val et = exactTop3(s, d)
+        // et is |queries|·3 rows consumed twice (truth count + the hit
+        // semi-join); one materialization = one brute-force ground-truth
+        // pass instead of two
+        val et = exactTop3(s, d).localCheckpoint()
         val truth = et.agg(count(lit(1)).as("n_truth"))
         val sizes = assign.groupBy(col("cluster").as("clabel"))
           .agg(count(lit(1)).as("csz"))
@@ -2804,7 +2807,10 @@ object Similarity {
           .as("n_indexed"),
         sum(when(col("ix").isNull, 1L).otherwise(0L))
           .as("n_fresh"))
-    val served = deltaSearch(s, d)
+    // served is |queries|·k rows consumed TWICE (recall hits + fresh-tier
+    // count); materializing it runs the two-tier serve chain once (the
+    // q73/d96 pruning-fork mechanics make subtree reuse unreliable)
+    val served = deltaSearch(s, d).localCheckpoint()
     val hits = exactTop3(s, d)
       .join(served.select(col("q_id"), col("neighbor_id"),
         lit(1).as("hit")), Seq("q_id", "neighbor_id"), "left")

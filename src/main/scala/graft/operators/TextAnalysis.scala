@@ -620,10 +620,16 @@ object TextAnalysis {
     // sf0.1 — 2.60 -> 3.26 s — row-materializing an exploded corpus
     // stream costs more than codegen recompute; collapsing to the
     // dictionary is the right fix, not caching.)
+    // Each frame here is VOCABULARY-bounded; materializing them turns
+    // the 3-round chain into Sennrich's sequential trainer — without the
+    // checkpoints, round k's lineage re-executes every earlier round AND
+    // the corpus tokenize (per-consumer column pruning defeats exchange
+    // reuse across the chain, the q73/t102 mechanics).
     val wf = t(s, d, "documents")
       .select(explode(regexp_extract_all(
         lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
     def topPair(ws: DataFrame): DataFrame = ws
       .filter(length(col("w")) >= 2)
       .select(col("wc"), explode(transform(
@@ -636,11 +642,11 @@ object TextAnalysis {
       .crossJoin(broadcast(top.select(col("pr").as("mp"))))
       .select(replace(col("w"), col("mp"), lit(marker)).as("w"),
         col("wc"))
-    val t1 = topPair(wf)
-    val w1 = rewrite(wf, t1, "0")
-    val t2 = topPair(w1)
-    val w2 = rewrite(w1, t2, "1")
-    val t3 = topPair(w2)
+    val t1 = topPair(wf).localCheckpoint()
+    val w1 = rewrite(wf, t1, "0").localCheckpoint()
+    val t2 = topPair(w1).localCheckpoint()
+    val w2 = rewrite(w1, t2, "1").localCheckpoint()
+    val t3 = topPair(w2).localCheckpoint()
     (t1, t2, t3)
   }
 
