@@ -2638,9 +2638,13 @@ object Relational {
                                // (dims scale with entities, not events).
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // |parts-in-band|-bounded dim, consumed by the semi pre-filter
+        // AND the final join: materialized once (column pruning otherwise
+        // forks the broadcast's part scan per consumer)
         val pt = t(s, d, "part")
           .filter(col("p_size").between(10, 20))
           .select("p_partkey", "p_name")
+          .localCheckpoint()
         // Pre-filter the big side BEFORE the aggregation exchange (guide
         // §3.2): the size band keeps ~22% of parts, and both the window
         // and the final join are per-partkey, so dropping whole partkeys
@@ -2653,7 +2657,7 @@ object Relational {
         // exchange carried 2 MB of partials, the single one carries 3 MB
         // of raw rows plus an unfused full aggregate.)
         val supply = t(s, d, "lineitem")
-          .join(broadcast(pt.select("p_partkey")),
+          .join(broadcast(pt),
             col("l_partkey") === col("p_partkey"), "left_semi")
           .select(col("l_partkey"), col("l_suppkey"),
             floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
