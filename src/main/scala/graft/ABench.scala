@@ -10,21 +10,15 @@ object ABench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val dataBytes = Option(new java.io.File(sfDir).listFiles())
-      .getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
-    val autoParts = math.max(8L, math.min(cpus.toInt.toLong,
-      dataBytes / (32L << 20))).toString
+    val (autoParts, autoAdvisory) =   // Bench's data-sized rule, shared
+      Graft.dataSizedConfs(sfDir, cpus.toInt)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_PARTS", autoParts))
+      .config("spark.sql.shuffle.partitions", autoParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("GRAFT_ADVISORY",   // Bench's data-sized rule
-          math.max(4L << 20, math.min(64L << 20,
-            dataBytes / cpus.toInt)).toString))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", autoAdvisory)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -38,6 +32,14 @@ object ABench {
     } catch { case e: Throwable =>
       System.err.println(s"[abench] index build failed: ${e.getMessage}")
     }
+    // same deterministic block cleanup as Bench: index artifacts stay,
+    // each query run's localCheckpoint blocks are dropped before the next
+    // clock start
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def dropQueryRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepRdds.contains(id)) rdd.unpersist(false)
+      }
     val names = args.toSeq
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
@@ -45,6 +47,7 @@ object ABench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      dropQueryRdds()
     }
     val reps = sys.env.getOrElse("GRAFT_BENCH_N", "5").toInt
     // GRAFT_AB="confKey=valA|valB": run each repeat alternating the two
@@ -52,14 +55,23 @@ object ABench {
     // load shared), reporting min per arm — the only same-host A/B that
     // survives this machine's multi-second drift between JVM invocations.
     val ab = sys.env.get("GRAFT_AB").map { s =>
-      val Array(k, vs) = s.split("=", 2); val Array(a, b) = vs.split('|')
-      (k, a, b)
+      // validate instead of pattern-matching blind: a missing '=' or a
+      // value count != 2 otherwise throws an opaque MatchError (and a
+      // conf value containing '|' would silently mis-split)
+      val eq = s.indexOf('=')
+      require(eq > 0, s"GRAFT_AB must be confKey=valA|valB, got: $s")
+      val (k, vs) = (s.substring(0, eq), s.substring(eq + 1))
+      val arms = vs.split('|')
+      require(arms.length == 2,
+        s"GRAFT_AB needs exactly two '|'-separated values, got: $vs")
+      (k, arms(0), arms(1))
     }
     var total = 0.0
     var totA = 0.0; var totB = 0.0
     names.foreach { n =>
       def run(): Double = {
         spark.catalog.clearCache()
+        dropQueryRdds()
         System.gc()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)

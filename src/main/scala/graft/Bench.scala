@@ -14,37 +14,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Size shuffle partitions to the DATA, capped by cores — the same
-    // spill-aware rule as production (≈bytes / target-partition-size),
-    // applied downward: at bench scale (~100 MB of parquet) a core-count
-    // default schedules mostly-empty tasks per exchange, and AQE coalescing
-    // only reclaims stages it replans. Measured on the full 98-query suite
-    // at sf0.1, best-of-3: 32 partitions 35.2 s, data-sized (8) 27.4 s.
-    // GRAFT_PARTS overrides for experiments.
-    val dataBytes = Option(new java.io.File(sfDir).listFiles())
-      .getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
-    val autoParts = math.max(8L, math.min(cpus.toInt.toLong,
-      dataBytes / (32L << 20))).toString
-    // AQE advisory partition size, data-sized by the same rule as
-    // autoParts, applied downward: the 64 MB default swallows every
-    // post-shuffle stage into ONE task at bench scale (~17 MB of parquet
-    // → profiled q93/q80 final aggregates ran single-threaded behind a
-    // 32-core session), while at production data sizes this expression
-    // saturates at the 64 MB production default. Floor is 4 MB, NOT
-    // 1 MB: a 1 MB advisory won the 8-query worst-gap A/B (14.24 →
-    // 11.95 s) but regressed the broad suite ~25% — many-task
-    // micro-stages cost more per stage than the parallelism returns on
-    // the ~100 sub-second queries; the 14-query interleaved A/B of 4m
-    // vs 64m read 13.71 vs 14.30 s with systematically lower maxima.
-    // GRAFT_ADVISORY overrides for experiments.
-    val autoAdvisory = math.max(4L << 20,
-      math.min(64L << 20, dataBytes / cpus.toInt)).toString
+    // Shuffle partitions AND the AQE advisory partition size are sized to
+    // the DATA, capped by cores/production defaults — one shared rule,
+    // Graft.dataSizedConfs (history and the 1 MB-advisory incident are
+    // documented there and in OPTIMIZATION_r13.md finding #5; the 4 MB
+    // advisory floor was re-validated on the FULL 185-query interleaved
+    // A/B this round — see OPTIMIZATION_r14.md). GRAFT_PARTS /
+    // GRAFT_ADVISORY override for experiments.
+    val (autoParts, autoAdvisory) = Graft.dataSizedConfs(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_PARTS", autoParts))
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("GRAFT_ADVISORY", autoAdvisory))
+      .config("spark.sql.shuffle.partitions", autoParts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", autoAdvisory)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
@@ -74,6 +55,16 @@ object Bench {
         s"[bench] index build failed (inline fallback): ${e.getMessage}")
     }
 
+    // index-build artifacts stay materialized across the whole run; every
+    // QUERY's localCheckpoint blocks are unpersisted deterministically in
+    // the quiesce step below (ContextCleaner-via-System.gc was the only
+    // collector before — round-13 advice)
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def dropQueryRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepRdds.contains(id)) rdd.unpersist(false)
+      }
+
     // Warm-up: run the full suite once at the smallest scale factor so
     // JIT + whole-stage-codegen compilation (cached by generated source,
     // which is identical across scale factors) is excluded from the timed
@@ -84,6 +75,7 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      dropQueryRdds()
     }
 
     // Run identity: every artifact this invocation emits (the full line,
@@ -110,6 +102,7 @@ object Bench {
       // measurement (observed: d85 at 6.6 s mid-suite vs 2.3 s standalone)
       def once(): Option[Double] = {
         spark.catalog.clearCache()
+        dropQueryRdds()
         System.gc()
         val t0 = System.nanoTime()
         try {

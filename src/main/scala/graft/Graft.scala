@@ -17,21 +17,41 @@ object Graft {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The data-sized (shuffle partitions, AQE advisory bytes) pair every
+    * measurement entry point shares — Bench, ABench, and (via [[session]])
+    * ProfQ/ExplainDump/TimeQ — so plan dumps and stage profiles execute
+    * under the SAME AQE coalescing as the bench (round-13 advice: evidence
+    * tooling ran at the 64 MB default while the bench ran data-sized, so
+    * dumped plans could diverge from bench execution). Both values derive
+    * from input bytes and saturate at production defaults on real inputs;
+    * GRAFT_PARTS / GRAFT_ADVISORY override for experiments. */
+  def dataSizedConfs(sfDir: String, cpus: Int): (String, String) = {
+    val dataBytes = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
+    val parts = math.max(8L, math.min(cpus.toLong, dataBytes / (32L << 20)))
+    val advisory = math.max(4L << 20,
+      math.min(64L << 20, dataBytes / math.max(1, cpus)))
+    (sys.env.getOrElse("GRAFT_PARTS", parts.toString),
+      sys.env.getOrElse("GRAFT_ADVISORY", advisory.toString))
+  }
+
   /** Build a session tuned for local[N] work that still mirrors what we'd
-    * deploy on a real cluster: AQE on (skew-join + coalesce), modest shuffle
-    * partition count, UTC for oracle parity.
+    * deploy on a real cluster: AQE on (skew-join + coalesce), data-sized
+    * shuffle partitions + advisory (from SPARK_GRAFT_SF_DIR, matching
+    * Bench), UTC for oracle parity.
     */
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val (parts, advisory) = dataSizedConfs(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      cpus.toInt)
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
-      // GRAFT_PARTS aligns ad-hoc profiling (TimeQ/PlanAudit) with Bench's
-      // data-sized shuffle-partition rule; default stays core-count
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_PARTS", cpus))
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // size-based coalescing: at test scale most shuffles collapse to a
@@ -46,6 +66,35 @@ object Graft {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Cut lineage on a shared multi-consumed frame. Against RELIABLE
+    * storage when `GRAFT_CHECKPOINT_DIR` is set (cluster deployment: a
+    * localCheckpoint lives in executor storage, so an executor loss —
+    * preemption, dynamic deallocation — makes the blocks unrecoverable
+    * and FAILS the job instead of recomputing lineage; reliable
+    * checkpoints survive it), falling back to `localCheckpoint` for
+    * single-JVM bench/tests where executors cannot be lost separately
+    * from the job. Eager by default (the bench discipline: the
+    * materialization cost stays inside the timed query); pass
+    * eager=false to let the first action materialize. */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    sys.env.get("GRAFT_CHECKPOINT_DIR").foreach { dir =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
+    if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+  }
+
+  /** Measurement toggle for optimization A/Bs: a runtime session conf
+    * `graft.opt.<name>` (default "on") flips an operator between its
+    * shipped form and the pre-optimization baseline INSIDE one JVM, so
+    * ABench's interleaved `GRAFT_AB="graft.opt.<name>=on|off"` can decide
+    * keep-or-revert without cross-JVM host-noise (the only protocol that
+    * survives this machine's multi-second drift). Production never sets
+    * these confs, so the default branch is the shipped code path. */
+  def optFlag(spark: SparkSession, name: String): Boolean =
+    spark.conf.get(s"graft.opt.$name", "on") != "off"
 
   /** Per-session memo of resolved table frames. `spark.read.parquet` does
     * footer/schema resolution and file listing EAGERLY on every call; at

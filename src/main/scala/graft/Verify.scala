@@ -34,6 +34,12 @@ object Verify {
       System.err.println(
         s"[verify] index build failed (inline fallback): ${e.getMessage}")
     }
+    // every query invocation creates fresh localCheckpoint RDD blocks;
+    // across 185 queries in ONE session nothing frees them until the
+    // ContextCleaner happens to GC (round-13 advice) — unpersist each
+    // query's blocks deterministically after its dump, keeping only the
+    // index-build artifacts materialized above
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -41,6 +47,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepRdds.contains(id)) rdd.unpersist(false)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

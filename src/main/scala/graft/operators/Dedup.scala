@@ -209,12 +209,23 @@ object Dedup {
         // groupBy + join-back: same value per row (count over the full
         // partition), one exchange and one pass over dec instead of a
         // second aggregate exchange plus a join that re-executed dec's
-        // corpus join per consumer.
-        dec.withColumn("group_size",
-            count(lit(1)).over(Window.partitionBy(col("canonical"))))
-          .select(col("doc_id"), col("canonical"),
-            (col("doc_id") === col("canonical")).as("is_kept"),
-            col("group_size"))
+        // corpus join per consumer. graft.opt.d93_window=off is the
+        // pre-r13 join-back baseline for the interleaved same-JVM A/B
+        // (r14 evidence in OPTIMIZATION_r14.md).
+        if (Graft.optFlag(s, "d93_window"))
+          dec.withColumn("group_size",
+              count(lit(1)).over(Window.partitionBy(col("canonical"))))
+            .select(col("doc_id"), col("canonical"),
+              (col("doc_id") === col("canonical")).as("is_kept"),
+              col("group_size"))
+        else {
+          val gs = dec.groupBy("canonical")
+            .agg(count(lit(1)).as("group_size"))
+          dec.join(gs, "canonical")
+            .select(col("doc_id"), col("canonical"),
+              (col("doc_id") === col("canonical")).as("is_kept"),
+              col("group_size"))
+        }
       },
       Some(s"""WITH RECURSIVE $minhashCtes,
               |pairs AS ($minhashPairsSelect),
@@ -682,8 +693,8 @@ object Dedup {
         // the full MinHash pipeline to a single execution — per-consumer
         // column pruning otherwise forks its subtree past exchange reuse
         // (the q73 mechanics), and the frame is |pairs|-bounded.
-        val e = minhashPairs(s, d).select(col("d1"), col("d2"))
-          .localCheckpoint() // d1 < d2
+        val e = Graft.cut(minhashPairs(s, d)
+          .select(col("d1"), col("d2"))) // d1 < d2
         val sym = e.select(col("d1").as("n"), col("d2").as("m"))
           .union(e.select(col("d2").as("n"), col("d1").as("m")))
         val w = sym.as("u").join(sym.as("v"),
@@ -882,8 +893,11 @@ object Dedup {
           countDistinct(md5(col("text"))).as("n_exact_groups"))
         // |pairs|-bounded, consumed twice (pair count + near-doc count):
         // one materialization, one MinHash pipeline execution (q73/d96
-        // mechanics)
-        val pairs = minhashPairs(s, d).localCheckpoint()
+        // mechanics). graft.opt.d99_ckpt=off is the pre-r13 baseline for
+        // the interleaved A/B (r14 evidence in OPTIMIZATION_r14.md).
+        val pairs0 = minhashPairs(s, d)
+        val pairs = if (Graft.optFlag(s, "d99_ckpt")) Graft.cut(pairs0)
+                    else pairs0
         val npairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
         val ndocs = pairs.select(col("d1").as("dd"))
           .union(pairs.select(col("d2").as("dd"))).distinct()
@@ -1252,15 +1266,10 @@ object Dedup {
     */
   private[graft] def connectedComponents(
       s: SparkSession, edges0: DataFrame): (DataFrame, Int) = {
-    val ckptDir = sys.env.get("GRAFT_CHECKPOINT_DIR")
-    ckptDir.foreach { dir =>
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(dir)
-    }
     // lazy cut: the convergence checksum is the materializing action, so
-    // each round stays one Spark job
-    def cut(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint(false) else df.localCheckpoint(false)
+    // each round stays one Spark job (reliable-vs-local dispatch lives in
+    // Graft.cut, shared with every other lineage cut)
+    def cut(df: DataFrame): DataFrame = Graft.cut(df, eager = false)
 
     // large-star: every neighbor v > u is re-linked to m(u) = min(N(u) ∪ u)
     def largeStar(e: DataFrame): DataFrame = {

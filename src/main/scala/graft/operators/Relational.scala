@@ -1476,7 +1476,12 @@ object Relational {
               byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .select(col("user_id"), col("session_idx"), col("event_type"))
           .distinct()
-          .localCheckpoint()
+          // CORPUS-scale frame (|distinct session-events| ≤ |events|), so
+          // the lineage cut goes through Graft.cut: reliable storage when
+          // GRAFT_CHECKPOINT_DIR is set (executor loss on a preemptible
+          // cluster would otherwise fail the job — localCheckpoint blocks
+          // are unrecoverable), localCheckpoint in single-JVM bench/tests.
+          .transform(Graft.cut(_))
         val pairs = ue
           .select(col("user_id"), col("session_idx"),
             col("event_type").as("et_a"))

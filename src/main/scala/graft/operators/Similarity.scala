@@ -1618,8 +1618,11 @@ object Similarity {
         val (centroids, assign, codebook, codes) = artifactFrames(s, d)
         // et is |queries|·3 rows consumed twice (truth count + the hit
         // semi-join); one materialization = one brute-force ground-truth
-        // pass instead of two
-        val et = exactTop3(s, d).localCheckpoint()
+        // pass instead of two. graft.opt.s107_ckpt=off is the pre-r13
+        // baseline for the interleaved A/B (r14 evidence in
+        // OPTIMIZATION_r14.md).
+        val et0 = exactTop3(s, d)
+        val et = if (Graft.optFlag(s, "s107_ckpt")) Graft.cut(et0) else et0
         val truth = et.agg(count(lit(1)).as("n_truth"))
         val sizes = assign.groupBy(col("cluster").as("clabel"))
           .agg(count(lit(1)).as("csz"))
@@ -2809,8 +2812,12 @@ object Similarity {
           .as("n_fresh"))
     // served is |queries|·k rows consumed TWICE (recall hits + fresh-tier
     // count); materializing it runs the two-tier serve chain once (the
-    // q73/d96 pruning-fork mechanics make subtree reuse unreliable)
-    val served = deltaSearch(s, d).localCheckpoint()
+    // q73/d96 pruning-fork mechanics make subtree reuse unreliable).
+    // graft.opt.s105_ckpt=off is the pre-r13 baseline for the interleaved
+    // A/B (r14 evidence in OPTIMIZATION_r14.md).
+    val served0 = deltaSearch(s, d)
+    val served =
+      if (Graft.optFlag(s, "s105_ckpt")) Graft.cut(served0) else served0
     val hits = exactTop3(s, d)
       .join(served.select(col("q_id"), col("neighbor_id"),
         lit(1).as("hit")), Seq("q_id", "neighbor_id"), "left")

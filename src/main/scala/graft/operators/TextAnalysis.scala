@@ -234,9 +234,16 @@ object TextAnalysis {
     * pinned-exchange discipline), so the corpus tokenize executes once
     * per query instead of once per aggregate shape (measured 3 tokenize
     * passes before: raw + tot + doc each re-derived `words`). */
-  private def dsirDocCounts(s: SparkSession, d: String): DataFrame =
-    dsirWords(s, d).repartition(col("doc_id"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+  private def dsirDocCounts(s: SparkSession, d: String): DataFrame = {
+    // graft.opt.t95_pin=off drops the pinned exchange (the pre-r13 form:
+    // per-consumer map-side partial aggregation, but the corpus tokenize
+    // re-executes per consumer) for the interleaved A/B (r14 evidence in
+    // OPTIMIZATION_r14.md).
+    val w = dsirWords(s, d)
+    val base = if (Graft.optFlag(s, "t95_pin")) w.repartition(col("doc_id"))
+               else w
+    base.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+  }
 
   /** The t95 DSIR weight table (w, wm): add-1-smoothed unigram
     * log-likelihood ratio target-vs-raw in exact micro-nat integers —
@@ -332,26 +339,84 @@ object TextAnalysis {
     * t104 (the confusion-matrix evaluation). See the t100 QueryDef doc
     * for the determinism grid and plan shape. */
   private[graft] def nbPredictions(s: SparkSession, d: String): DataFrame = {
-    val (wc, cls) = nbModel(s, d)
+    // graft.opt.t100_sparse=off is the pre-r14 dense form for the
+    // interleaved A/B (r14 evidence in OPTIMIZATION_r14.md).
+    val sparse = Graft.optFlag(s, "t100_sparse")
+    val (wc, cls) =
+      if (sparse) {
+        // bounded model frames materialized once (the nbModelMicroFrames
+        // discipline): the sparse scorer consumes cls under two different
+        // column sets (lik's n_tok/v slice, clsd's prior/dm slice), which
+        // would otherwise prune-fork its corpus-sized train lineage into
+        // two executions (the q73/d96 mechanics). wc is vocab × |classes|-
+        // bounded, cls |classes|-bounded.
+        val w = Graft.cut(nbWordCounts(s, d))
+        (w, Graft.cut(nbCls(s, d, w)))
+      } else nbModel(s, d)
     val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
       explode(tokens(lower(col("text")))).as("word"))
     // score: test tokens collapse to (doc, word, k) once, then meet
     // the broadcast model; unseen words smooth to cnt=0.
     val tw = toks.filter(col("doc_id") % 2 === 1)
       .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("k"))
-    val scored = tw.crossJoin(broadcast(cls))
-      .join(broadcast(wc),
-        wc("clang") === cls("clang") && wc("word") === tw("word"),
-        "left")
-      .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
-        (col("k").cast("decimal(18,0)") *
-          round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
+    val scored = if (sparse) {
+      // Sparse-scoring decomposition (r14, t107's mechanics in the
+      // DECIMAL domain): score = prior + Σ_known k·lm + dm·(n_tok −
+      // n_known) with
+      //   lm(c, w) = round6(log((cnt+1)/(n_tok_c+v)))  [seen words]
+      //   dm(c)    = round6(log(      1/(n_tok_c+v)))  [the cnt=0 smooth]
+      // both cast DECIMAL(18,6) and multiplied by exact integer counts,
+      // so the sum is bit-identical to the dense coalesce(cnt,0)-per-
+      // (doc, word, class) form (for unseen words the dense contrib is
+      // exactly k·dm; Σ_unseen k = n_tok − n_known; all products are
+      // integer multiples of 1e-6, DECIMAL-exact). What it buys: the
+      // dense form evaluated log+round+DECIMAL-cast per (doc, word) ×
+      // |classes| ROW — corpus-sized × classes at scale — while here
+      // every log is computed once per VOCABULARY entry (lm) or once per
+      // class (dm), and the corpus-sized scoring stream is never
+      // multiplied by |classes| before aggregation (only the |docs| ×
+      // |classes| score assembly below is).
+      val lik = wc.join(cls.select("clang", "n_tok", "v"), "clang")
+        .select(col("clang"), col("word"),
+          round(log((col("cnt") + 1).cast("double") /
             (col("n_tok") + col("v")).cast("double")), 6)
-            .cast("decimal(18,6)")).as("contrib"))
-      .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
-      .agg(sum(col("contrib")).as("ll"))
-      .select(col("doc_id"), col("lang"), col("clang"),
-        (col("prior") + col("ll")).as("score"))
+            .cast("decimal(18,6)").as("lm"))
+      val clsd = cls.select(col("clang"), col("prior"),
+        round(log(lit(1.0) / (col("n_tok") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("dm"))
+      val known = tw.join(broadcast(lik), Seq("word"))
+        .groupBy("doc_id", "lang", "clang")
+        .agg(sum(col("k").cast("decimal(18,0)") * col("lm")).as("known_sum"),
+          sum(col("k")).as("n_known"))
+      // n_tok per doc from the SAME tw aggregate; the spurious word
+      // reference keeps this consumer's column set identical to known's,
+      // so AQE reuses tw's exchange instead of re-running the test
+      // tokenize (the d98/q73 pruning-fork condition; word is never null)
+      val ndoc = tw.groupBy("doc_id", "lang")
+        .agg(sum(when(col("word").isNotNull, col("k"))).as("n_tok_all"))
+      ndoc.crossJoin(broadcast(clsd))
+        .join(known, Seq("doc_id", "lang", "clang"), "left")
+        .select(col("doc_id"), col("lang"), col("clang"),
+          (col("prior") +
+            coalesce(col("known_sum"), lit(0).cast("decimal(18,6)")) +
+            col("dm") * (col("n_tok_all") -
+              coalesce(col("n_known"), lit(0L))).cast("decimal(18,0)"))
+            .as("score"))
+    } else {
+      tw.crossJoin(broadcast(cls))
+        .join(broadcast(wc),
+          wc("clang") === cls("clang") && wc("word") === tw("word"),
+          "left")
+        .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
+          (col("k").cast("decimal(18,0)") *
+            round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
+              (col("n_tok") + col("v")).cast("double")), 6)
+              .cast("decimal(18,6)")).as("contrib"))
+        .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
+        .agg(sum(col("contrib")).as("ll"))
+        .select(col("doc_id"), col("lang"), col("clang"),
+          (col("prior") + col("ll")).as("score"))
+    }
     val best = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("clang").asc)
@@ -680,7 +745,14 @@ object TextAnalysis {
   private[graft] def unigramLq(s: SparkSession, d: String): DataFrame = {
     val terms = Graft.tableParallel(s, d, "documents")
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    lqFromCounts(terms.groupBy("term").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** (term, lq) micro-nat log-probs from a (term, cnt) vocabulary frame —
+    * the ONE formula [[unigramLq]] (t82 + the streaming freeze) and
+    * [[perplexityParts]] (t102) share, so batch and stream surprisal
+    * cannot silently drift (they previously inlined two copies). */
+  private def lqFromCounts(vocab: DataFrame): DataFrame = {
     val total = vocab.agg(sum(col("cnt")).as("total"))
     vocab.crossJoin(broadcast(total))
       .select(col("term"),
@@ -712,13 +784,17 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), col("lang"),
       explode(tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("k"))
-      .localCheckpoint()
-    val vocab = tf.groupBy("term").agg(sum(col("k")).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("total"))
-    val lq = vocab.crossJoin(broadcast(total))
-      .select(col("term"),
-        round(log(col("cnt").cast("double") / col("total")) * 1000000)
-          .cast("long").as("lq"))
+      // CORPUS-scale frame (one row per distinct (doc, term)), so the
+      // lineage cut goes through Graft.cut: reliable storage when
+      // GRAFT_CHECKPOINT_DIR is set (an executor loss would make
+      // localCheckpoint blocks unrecoverable and fail the job at 100 TB),
+      // localCheckpoint in single-JVM bench/tests.
+      .transform(Graft.cut(_))
+    // Σ per-doc k == the occurrence counts exactly (integers), so this
+    // vocabulary — and lqFromCounts over it — is bit-identical to
+    // unigramLq's occurrence-stream derivation.
+    val lq = lqFromCounts(
+      tf.groupBy("term").agg(sum(col("k")).as("cnt")))
     val sl = tf.join(broadcast(lq), "term")
       .groupBy("doc_id", "lang")
       .agg(round(-(sum(col("k") * col("lq")).cast("double") /
@@ -2541,9 +2617,17 @@ object TextAnalysis {
       (s, d) => {
         val pred = nbPredictions(s, d)
           .select(col("lang"), col("predicted"))
-        val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_actual"))
-        pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-          .join(broadcast(totals), "lang")
+        // ONE execution of the scoring chain (r14): `pred` used to feed
+        // TWO aggregates with different column sets (totals without
+        // `predicted`), so column pruning forked the whole NB train+score
+        // pipeline into two executions (the q73/d96 mechanics). Deriving
+        // n_actual as Σ_predicted n from the confusion counts is the same
+        // exact integer, and the counts frame is |langs|²-bounded — the
+        // cheapest possible materialization point.
+        val counts = Graft.cut(pred.groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n")))
+        val totals = counts.groupBy("lang").agg(sum(col("n")).as("n_actual"))
+        counts.join(broadcast(totals), "lang")
           .select(col("lang"), col("predicted"), col("n"), col("n_actual"),
             round(col("n").cast("double") / col("n_actual").cast("double"),
               6).as("share"))
