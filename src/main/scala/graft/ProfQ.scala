@@ -12,6 +12,11 @@ object ProfQ {
   def main(args: Array[String]): Unit = {
     val spark = Graft.session(master =
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    // GRAFT_CONF="k=v;k=v": arbitrary runtime confs (e.g. graft.opt.*
+    // toggles), so a profile can be taken per A/B arm
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.contains("GRAFT_VIDX")) {
       val wh = new commands.TableCommands(spark,
@@ -60,6 +65,13 @@ object ProfQ {
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
+      // GRAFT_EXPLAIN_FINAL=1: print the FINAL adaptive plan (reuse,
+      // AQE join flips and coalescing only exist post-execution)
+      if (sys.env.contains("GRAFT_EXPLAIN_FINAL")) {
+        val df = SparkEntry.queries(n)(spark, d)
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      }
       Thread.sleep(200) // let the last StageCompleted drain
       println(f"===== $n wall=$wall%.3f s =====")
       stages.synchronized {

@@ -209,23 +209,14 @@ object Dedup {
         // groupBy + join-back: same value per row (count over the full
         // partition), one exchange and one pass over dec instead of a
         // second aggregate exchange plus a join that re-executed dec's
-        // corpus join per consumer. graft.opt.d93_window=off is the
-        // pre-r13 join-back baseline for the interleaved same-JVM A/B
-        // (r14 evidence in OPTIMIZATION_r14.md).
-        if (Graft.optFlag(s, "d93_window"))
-          dec.withColumn("group_size",
-              count(lit(1)).over(Window.partitionBy(col("canonical"))))
-            .select(col("doc_id"), col("canonical"),
-              (col("doc_id") === col("canonical")).as("is_kept"),
-              col("group_size"))
-        else {
-          val gs = dec.groupBy("canonical")
-            .agg(count(lit(1)).as("group_size"))
-          dec.join(gs, "canonical")
-            .select(col("doc_id"), col("canonical"),
-              (col("doc_id") === col("canonical")).as("is_kept"),
-              col("group_size"))
-        }
+        // corpus join per consumer. CONFIRMED r14 by interleaved same-JVM
+        // A/B vs the join-back baseline (min-of-5): window 2.851 s,
+        // groupBy+join-back 3.339 s.
+        dec.withColumn("group_size",
+            count(lit(1)).over(Window.partitionBy(col("canonical"))))
+          .select(col("doc_id"), col("canonical"),
+            (col("doc_id") === col("canonical")).as("is_kept"),
+            col("group_size"))
       },
       Some(s"""WITH RECURSIVE $minhashCtes,
               |pairs AS ($minhashPairsSelect),
@@ -893,11 +884,11 @@ object Dedup {
           countDistinct(md5(col("text"))).as("n_exact_groups"))
         // |pairs|-bounded, consumed twice (pair count + near-doc count):
         // one materialization, one MinHash pipeline execution (q73/d96
-        // mechanics). graft.opt.d99_ckpt=off is the pre-r13 baseline for
-        // the interleaved A/B (r14 evidence in OPTIMIZATION_r14.md).
-        val pairs0 = minhashPairs(s, d)
-        val pairs = if (Graft.optFlag(s, "d99_ckpt")) Graft.cut(pairs0)
-                    else pairs0
+        // mechanics). CONFIRMED r14 by interleaved same-JVM A/B vs the
+        // uncheckpointed baseline (min-of-5): ckpt 1.153 s vs 1.185 s —
+        // a modest local win; the binding argument is structural (the
+        // full MinHash pipeline runs once, not per consumer).
+        val pairs = Graft.cut(minhashPairs(s, d))
         val npairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
         val ndocs = pairs.select(col("d1").as("dd"))
           .union(pairs.select(col("d2").as("dd"))).distinct()

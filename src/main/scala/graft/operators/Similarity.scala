@@ -1617,12 +1617,13 @@ object Similarity {
       (s, d) => {
         val (centroids, assign, codebook, codes) = artifactFrames(s, d)
         // et is |queries|·3 rows consumed twice (truth count + the hit
-        // semi-join); one materialization = one brute-force ground-truth
-        // pass instead of two. graft.opt.s107_ckpt=off is the pre-r13
-        // baseline for the interleaved A/B (r14 evidence in
-        // OPTIMIZATION_r14.md).
-        val et0 = exactTop3(s, d)
-        val et = if (Graft.optFlag(s, "s107_ckpt")) Graft.cut(et0) else et0
+        // semi-join). The r13 localCheckpoint here was MEASURED SLOWER
+        // and reverted (r14 interleaved same-JVM A/B, min-of-5: ckpt
+        // 2.270 s vs lineage 1.729 s): the eager materialization barrier
+        // + blockmanager write costs more than the second brute-force
+        // pass it saves — the truth-count consumer prunes every column,
+        // so its "re-execution" is a cheap count-only variant.
+        val et = exactTop3(s, d)
         val truth = et.agg(count(lit(1)).as("n_truth"))
         val sizes = assign.groupBy(col("cluster").as("clabel"))
           .agg(count(lit(1)).as("csz"))
@@ -2813,11 +2814,11 @@ object Similarity {
     // served is |queries|·k rows consumed TWICE (recall hits + fresh-tier
     // count); materializing it runs the two-tier serve chain once (the
     // q73/d96 pruning-fork mechanics make subtree reuse unreliable).
-    // graft.opt.s105_ckpt=off is the pre-r13 baseline for the interleaved
-    // A/B (r14 evidence in OPTIMIZATION_r14.md).
-    val served0 = deltaSearch(s, d)
-    val served =
-      if (Graft.optFlag(s, "s105_ckpt")) Graft.cut(served0) else served0
+    // CONFIRMED r14 by interleaved same-JVM A/B vs the uncheckpointed
+    // baseline: wash at min-of-5 (2.813 vs 2.764), ckpt ahead at
+    // min-of-7 (2.220 vs 2.432); kept on the structural argument (the
+    // serve chain runs once, guaranteed, at any scale).
+    val served = Graft.cut(deltaSearch(s, d))
     val hits = exactTop3(s, d)
       .join(served.select(col("q_id"), col("neighbor_id"),
         lit(1).as("hit")), Seq("q_id", "neighbor_id"), "left")

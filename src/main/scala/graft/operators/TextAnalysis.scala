@@ -234,16 +234,17 @@ object TextAnalysis {
     * pinned-exchange discipline), so the corpus tokenize executes once
     * per query instead of once per aggregate shape (measured 3 tokenize
     * passes before: raw + tot + doc each re-derived `words`). */
-  private def dsirDocCounts(s: SparkSession, d: String): DataFrame = {
-    // graft.opt.t95_pin=off drops the pinned exchange (the pre-r13 form:
-    // per-consumer map-side partial aggregation, but the corpus tokenize
-    // re-executes per consumer) for the interleaved A/B (r14 evidence in
-    // OPTIMIZATION_r14.md).
-    val w = dsirWords(s, d)
-    val base = if (Graft.optFlag(s, "t95_pin")) w.repartition(col("doc_id"))
-               else w
-    base.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-  }
+  private def dsirDocCounts(s: SparkSession, d: String): DataFrame =
+    // NO pinned repartition (r14): every consumer (t95's scorer, the
+    // weight table's raw and tot aggregates) reads the identical
+    // (doc_id, w, c) column set, so AQE exchange reuse already executes
+    // this aggregate — and the corpus tokenize below it — exactly once
+    // per query (PlanGuardSpec pins the 1-scan final plan). The r13
+    // doc_id pin added an exchange BELOW the aggregate, which forfeits
+    // map-side partial aggregation and ships raw word occurrences;
+    // interleaved same-JVM A/B (min-of-5): pin 1.240 s vs no-pin
+    // 0.979 s. Reverted.
+    dsirWords(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
 
   /** The t95 DSIR weight table (w, wm): add-1-smoothed unigram
     * log-likelihood ratio target-vs-raw in exact micro-nat integers —
@@ -339,84 +340,41 @@ object TextAnalysis {
     * t104 (the confusion-matrix evaluation). See the t100 QueryDef doc
     * for the determinism grid and plan shape. */
   private[graft] def nbPredictions(s: SparkSession, d: String): DataFrame = {
-    // graft.opt.t100_sparse=off is the pre-r14 dense form for the
-    // interleaved A/B (r14 evidence in OPTIMIZATION_r14.md).
-    val sparse = Graft.optFlag(s, "t100_sparse")
-    val (wc, cls) =
-      if (sparse) {
-        // bounded model frames materialized once (the nbModelMicroFrames
-        // discipline): the sparse scorer consumes cls under two different
-        // column sets (lik's n_tok/v slice, clsd's prior/dm slice), which
-        // would otherwise prune-fork its corpus-sized train lineage into
-        // two executions (the q73/d96 mechanics). wc is vocab × |classes|-
-        // bounded, cls |classes|-bounded.
-        val w = Graft.cut(nbWordCounts(s, d))
-        (w, Graft.cut(nbCls(s, d, w)))
-      } else nbModel(s, d)
+    val (wc, cls) = nbModel(s, d)
     val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
       explode(tokens(lower(col("text")))).as("word"))
     // score: test tokens collapse to (doc, word, k) once, then meet
     // the broadcast model; unseen words smooth to cnt=0.
+    //
+    // The t107-style sparse decomposition (prior + Σ_known k·lm +
+    // dm·(n_tok − n_known), logs precomputed per vocab entry) was built,
+    // oracle-verified bit-exact, and MEASURED SLOWER here (r14
+    // interleaved same-JVM A/B, min-of-5: t100 1.609 vs 1.486 s, t104
+    // 2.102 vs 1.792 s) — then reverted. Why the t107 analogy does not
+    // transfer: t107's dense form shuffled occurrences × |classes| into
+    // a sort-merge likelihood join, so sparsifying shrank a corpus-sized
+    // EXCHANGE; here the whole blown-up stream sits BEHIND broadcasts
+    // (cls and wc are vocab-bounded build sides) and collapses map-side
+    // in the partial aggregate — the ×|classes| cost is parallel CPU
+    // only, while the sparse form added a real (doc, lang, clang)
+    // assembly join + two materialization jobs. The per-row
+    // log+round+DECIMAL work is the price of the simpler single-job
+    // plan, bounded by |classes| per test token.
     val tw = toks.filter(col("doc_id") % 2 === 1)
       .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("k"))
-    val scored = if (sparse) {
-      // Sparse-scoring decomposition (r14, t107's mechanics in the
-      // DECIMAL domain): score = prior + Σ_known k·lm + dm·(n_tok −
-      // n_known) with
-      //   lm(c, w) = round6(log((cnt+1)/(n_tok_c+v)))  [seen words]
-      //   dm(c)    = round6(log(      1/(n_tok_c+v)))  [the cnt=0 smooth]
-      // both cast DECIMAL(18,6) and multiplied by exact integer counts,
-      // so the sum is bit-identical to the dense coalesce(cnt,0)-per-
-      // (doc, word, class) form (for unseen words the dense contrib is
-      // exactly k·dm; Σ_unseen k = n_tok − n_known; all products are
-      // integer multiples of 1e-6, DECIMAL-exact). What it buys: the
-      // dense form evaluated log+round+DECIMAL-cast per (doc, word) ×
-      // |classes| ROW — corpus-sized × classes at scale — while here
-      // every log is computed once per VOCABULARY entry (lm) or once per
-      // class (dm), and the corpus-sized scoring stream is never
-      // multiplied by |classes| before aggregation (only the |docs| ×
-      // |classes| score assembly below is).
-      val lik = wc.join(cls.select("clang", "n_tok", "v"), "clang")
-        .select(col("clang"), col("word"),
-          round(log((col("cnt") + 1).cast("double") /
+    val scored = tw.crossJoin(broadcast(cls))
+      .join(broadcast(wc),
+        wc("clang") === cls("clang") && wc("word") === tw("word"),
+        "left")
+      .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
+        (col("k").cast("decimal(18,0)") *
+          round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
             (col("n_tok") + col("v")).cast("double")), 6)
-            .cast("decimal(18,6)").as("lm"))
-      val clsd = cls.select(col("clang"), col("prior"),
-        round(log(lit(1.0) / (col("n_tok") + col("v")).cast("double")), 6)
-          .cast("decimal(18,6)").as("dm"))
-      val known = tw.join(broadcast(lik), Seq("word"))
-        .groupBy("doc_id", "lang", "clang")
-        .agg(sum(col("k").cast("decimal(18,0)") * col("lm")).as("known_sum"),
-          sum(col("k")).as("n_known"))
-      // n_tok per doc from the SAME tw aggregate; the spurious word
-      // reference keeps this consumer's column set identical to known's,
-      // so AQE reuses tw's exchange instead of re-running the test
-      // tokenize (the d98/q73 pruning-fork condition; word is never null)
-      val ndoc = tw.groupBy("doc_id", "lang")
-        .agg(sum(when(col("word").isNotNull, col("k"))).as("n_tok_all"))
-      ndoc.crossJoin(broadcast(clsd))
-        .join(known, Seq("doc_id", "lang", "clang"), "left")
-        .select(col("doc_id"), col("lang"), col("clang"),
-          (col("prior") +
-            coalesce(col("known_sum"), lit(0).cast("decimal(18,6)")) +
-            col("dm") * (col("n_tok_all") -
-              coalesce(col("n_known"), lit(0L))).cast("decimal(18,0)"))
-            .as("score"))
-    } else {
-      tw.crossJoin(broadcast(cls))
-        .join(broadcast(wc),
-          wc("clang") === cls("clang") && wc("word") === tw("word"),
-          "left")
-        .select(tw("doc_id"), tw("lang"), cls("clang"), cls("prior"),
-          (col("k").cast("decimal(18,0)") *
-            round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
-              (col("n_tok") + col("v")).cast("double")), 6)
-              .cast("decimal(18,6)")).as("contrib"))
-        .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
-        .agg(sum(col("contrib")).as("ll"))
-        .select(col("doc_id"), col("lang"), col("clang"),
-          (col("prior") + col("ll")).as("score"))
-    }
+            .cast("decimal(18,6)")).as("contrib"))
+      .groupBy(col("doc_id"), col("lang"), col("clang"), col("prior"))
+      .agg(sum(col("contrib")).as("ll"))
+      .select(col("doc_id"), col("lang"), col("clang"),
+        (col("prior") + col("ll")).as("score"))
     val best = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("clang").asc)
@@ -2624,6 +2582,8 @@ object TextAnalysis {
         // n_actual as Σ_predicted n from the confusion counts is the same
         // exact integer, and the counts frame is |langs|²-bounded — the
         // cheapest possible materialization point.
+        // CONFIRMED r14 by interleaved same-JVM A/B vs the two-consumer
+        // baseline (min-of-7): counts-derived 1.365 s vs 1.619 s.
         val counts = Graft.cut(pred.groupBy("lang", "predicted")
           .agg(count(lit(1)).as("n")))
         val totals = counts.groupBy("lang").agg(sum(col("n")).as("n_actual"))
