@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Throughput collector for the local single-JVM harness (r14 item 8):
+  // 32 threads of allocation-heavy micro-tasks on one 8 GB heap are
+  // exactly G1's worst case (concurrent-cycle + write-barrier overhead,
+  // profiled as executorRunTime ~10x CPU with multi-second GC waits).
+  // Full-suite A/B, 185 queries, min-of-2 per arm: G1 111.4 s vs
+  // ParallelGC 79.4 s — geomean 0.725, 169/185 queries faster, worst
+  // regression +9%. GRAFT_GC overrides (e.g. -XX:+UseG1GC); a real
+  // cluster sizes executor heaps separately and should re-evaluate —
+  // above ~32 GB heaps G1/ZGC pause behavior usually wins back.
+  sys.env.getOrElse("GRAFT_GC", "-XX:+UseParallelGC"),
+).filter(_.nonEmpty)
