@@ -91,8 +91,12 @@ object Graft {
     * shipped form and the pre-optimization baseline INSIDE one JVM, so
     * ABench's interleaved `GRAFT_AB="graft.opt.<name>=on|off"` can decide
     * keep-or-revert without cross-JVM host-noise (the only protocol that
-    * survives this machine's multi-second drift). Production never sets
-    * these confs, so the default branch is the shipped code path. */
+    * survives this machine's multi-second drift). Call sites are
+    * TRANSIENT by design: a decided toggle is folded back to the winning
+    * branch with the A/B numbers in a comment (r14 decided and folded
+    * six of them — t95_pin, d93_window, d99_ckpt, s105_ckpt, s107_ckpt,
+    * t100_sparse/t104_counts); the helper stays for the next round's
+    * experiments. */
   def optFlag(spark: SparkSession, name: String): Boolean =
     spark.conf.get(s"graft.opt.$name", "on") != "off"
 
