@@ -1411,9 +1411,8 @@ object Dedup {
     * per probe. */
   private def incrementalGate(s: SparkSession, d: String): DataFrame = {
     val bands = DedupIndex.served(s, d).getOrElse(
-      allBands(s, d)
-        .repartition(col("band"), col("band_key"))
-        .localCheckpoint())
+      Graft.cut(allBands(s, d)
+        .repartition(col("band"), col("band_key"))))
     val hist = bands.filter(col("doc_id") % 7 =!= 3)
     val arr = bands.filter(col("doc_id") % 7 === 3)
     val hits = arr.as("a").join(hist.as("h"),

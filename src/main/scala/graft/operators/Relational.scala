@@ -2646,10 +2646,9 @@ object Relational {
         // |parts-in-band|-bounded dim, consumed by the semi pre-filter
         // AND the final join: materialized once (column pruning otherwise
         // forks the broadcast's part scan per consumer)
-        val pt = t(s, d, "part")
+        val pt = Graft.cut(t(s, d, "part")
           .filter(col("p_size").between(10, 20))
-          .select("p_partkey", "p_name")
-          .localCheckpoint()
+          .select("p_partkey", "p_name"))
         // Pre-filter the big side BEFORE the aggregation exchange (guide
         // §3.2): the size band keeps ~22% of parts, and both the window
         // and the final join are per-partkey, so dropping whole partkeys

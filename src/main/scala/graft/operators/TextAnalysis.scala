@@ -492,8 +492,8 @@ object TextAnalysis {
     // wc is vocab × |classes|-bounded and cls is |classes|-bounded (the
     // same executor-side-bounded argument as the lik join build side —
     // nothing here is corpus-sized or driver-collected).
-    val wc = nbWordCounts(s, d).localCheckpoint()
-    val cls = nbCls(s, d, wc).localCheckpoint()
+    val wc = Graft.cut(nbWordCounts(s, d))
+    val cls = Graft.cut(nbCls(s, d, wc))
     val langStats = cls.select(col("clang"),
       (col("prior") * 1000000).cast("long").as("pm"),
       (round(log(lit(1.0) /
@@ -551,7 +551,7 @@ object TextAnalysis {
     // of materialized rows (callers that serve per micro-batch
     // checkpoint their model frames at dispatch, DocStreams.nbClassifier,
     // so this is then a truncation of already-materialized lineage).
-    val langs = langStats.select("clang", "pm", "dm").localCheckpoint()
+    val langs = Graft.cut(langStats.select("clang", "pm", "dm"))
     // mirror the Map twin's empty-model contract (DocStreams.nbClassify
     // requires langStats.nonEmpty): with zero model rows the verdict
     // join back to `based` drops EVERY input row, so a serve twin on a
@@ -652,7 +652,7 @@ object TextAnalysis {
       .select(explode(regexp_extract_all(
         lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .localCheckpoint()
+      .transform(Graft.cut(_))
     def topPair(ws: DataFrame): DataFrame = ws
       .filter(length(col("w")) >= 2)
       .select(col("wc"), explode(transform(
@@ -665,11 +665,11 @@ object TextAnalysis {
       .crossJoin(broadcast(top.select(col("pr").as("mp"))))
       .select(replace(col("w"), col("mp"), lit(marker)).as("w"),
         col("wc"))
-    val t1 = topPair(wf).localCheckpoint()
-    val w1 = rewrite(wf, t1, "0").localCheckpoint()
-    val t2 = topPair(w1).localCheckpoint()
-    val w2 = rewrite(w1, t2, "1").localCheckpoint()
-    val t3 = topPair(w2).localCheckpoint()
+    val t1 = Graft.cut(topPair(wf))
+    val w1 = Graft.cut(rewrite(wf, t1, "0"))
+    val t2 = Graft.cut(topPair(w1))
+    val w2 = Graft.cut(rewrite(w1, t2, "1"))
+    val t3 = Graft.cut(topPair(w2))
     (t1, t2, t3)
   }
 
